@@ -7,22 +7,24 @@ import graft.operators._
   *
   * `queries`: one named entry per implemented operator (SURVEY.md §2 +
   * LLM-pipeline extensions). `oracleSql`: DuckDB-runnable ANSI SQL over the
-  * same parquet tables, column names aligned with the Spark output.
+  * same parquet tables, column names aligned with the Spark output; queries
+  * without an oracle entry are non-SQL-expressible (driver does rows-only).
   */
 object SparkEntry {
+
+  private def catalog: Seq[Q] =
+    Relational.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.starFact(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_star_fact" -> (Relational.starFact _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q01_star_fact" -> Relational.starFactSql
-  )
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

@@ -2,14 +2,17 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Q
 import graft.sources.Tables
 
-/** Relational parity operators — SURVEY.md §2 (scans, projections, filters,
-  * joins, aggregations, set ops), re-expressed as declarative DataFrame plans
-  * so Catalyst handles pushdown/pruning/join-strategy (SURVEY.md §4).
+/** Relational parity operators — SURVEY.md §2 (projections P1-P6, joins
+  * J1-J3, aggregations A1-A2, set op U1), re-expressed as declarative
+  * DataFrame plans so Catalyst handles pushdown/pruning/join strategy
+  * (SURVEY.md §4). Reference semantics: `report.md:380-515`,
+  * `extractCensusACS5.py:17-95`.
   *
-  * Every query takes (spark, sfDir) and is deterministic + order-insensitive;
-  * double aggregates are rounded so the DuckDB oracle hash-matches.
+  * Every query is deterministic + order-insensitive; double aggregates are
+  * rounded so the DuckDB oracle hash-matches across engines.
   */
 object Relational {
 
@@ -25,7 +28,7 @@ object Relational {
     * shuffle); lineitem⋈orders and ⋈customer shuffle on their keys — at
     * 100 TB these are the unavoidable fact-to-fact exchanges, sized by AQE.
     * The year filter and the 7-column projection push down to the Parquet
-    * scan (verified via explain: PushedFilters/ReadSchema).
+    * scan (explain: PushedFilters/ReadSchema).
     */
   def starFact(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
@@ -46,16 +49,256 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
-  val starFactSql: String =
-    """SELECT n_name AS nation, r_name AS region,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-      |  round(avg(l_discount), 6) AS avg_discount,
-      |  count(*) AS n_rows
-      |FROM lineitem
-      |  JOIN orders   ON l_orderkey = o_orderkey
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN nation   ON c_nationkey = n_nationkey
-      |  JOIN region   ON n_regionkey = r_regionkey
-      |WHERE year(o_orderdate) = 1996
-      |GROUP BY 1, 2""".stripMargin
+  /** A1 — SELECT DISTINCT dimension extraction (`report.md:452,460`).
+    * Distinct = partial+final HashAggregate; map-side combine means the
+    * shuffle carries only unique (segment, nation) pairs — at 100 TB the
+    * exchange is bounded by dim cardinality, not fact rows. */
+  def distinctDims(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+              col("c_nationkey").as("nation_id"))
+      .distinct()
+
+  /** A2 — group-by average (`report.md:509-515` Quicksight group-avg). */
+  def groupbyAvg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nation_id"))
+      .agg(round(avg(col("c_acctbal")), 4).as("avg_acctbal"),
+           count(lit(1)).as("n_customers"))
+
+  /** U1 + P2 — per-batch literal column then vertical union
+    * (`extractCensusACS5.py:37,43`: df['year']=year; pd.concat).
+    * unionByName matches pandas concat-by-column-name semantics. */
+  def unionYears(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def slice(y: Int): DataFrame =
+      o.filter(year(col("o_orderdate")) === y)
+        .withColumn("batch_year", lit(y))
+    slice(1995).unionByName(slice(1996))
+      .groupBy("batch_year", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("o_totalprice")), 2).as("total_spend"))
+  }
+
+  /** P1 + P3 — column rename / projection with aliases
+    * (`extractCensusACS5.py:71-84`; `report.md:452,468`). */
+  def renameProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey").as("customer_id"),
+              col("c_name").as("customer_name"),
+              col("c_mktsegment").as("segment"),
+              col("c_acctbal").as("balance"))
+
+  /** P5 — equality filter (`report.md:515` Quicksight year filter). */
+  def filterEq(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F" &&
+              year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("o_totalprice")), 2).as("spend"))
+
+  /** P6 — permissive string→numeric coercion: malformed input yields NULL,
+    * matching Athena LazySimpleSerDe / Spark CSV PERMISSIVE
+    * (`report.md:382-389`). try_cast is the engine-portable spelling. */
+  def tryCastCoercion(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        expr("try_cast(replace(p_brand, 'Brand#', '') AS int)").as("brand_num"),
+        expr("try_cast(p_type AS int)").as("type_num"))
+      .agg(count(lit(1)).as("n_parts"),
+           count(col("brand_num")).as("n_brand_ok"),
+           count(col("type_num")).as("n_type_ok"),
+           min(col("brand_num")).as("min_brand"),
+           max(col("brand_num")).as("max_brand"))
+
+  /** J1 — inner equi-join on a composite key, measure ⋈ measure
+    * (`report.md:492`: income ⋈ graduation ON state_id AND year_id).
+    * Both sides aggregate before joining, so the join input is already
+    * reduced — the at-scale pattern for fact-to-fact joins. */
+  def joinComposite(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    val spend = o.groupBy(col("o_custkey").as("cust_id"),
+                          year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+    val qty = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust_id"),
+               year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    spend.join(qty, Seq("cust_id", "yr"), "inner")
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_pairs"),
+           round(sum(col("spend")), 2).as("total_spend"),
+           round(sum(col("qty")), 2).as("total_qty"))
+  }
+
+  /** J2 — inner equi-join against a dimension (`report.md:493`).
+    * part scales with sf, so no hard broadcast hint — AQE converts to
+    * broadcast-hash at runtime while the dim fits. */
+  def joinDim(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part"),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("l_quantity")), 2).as("qty"))
+
+  /** J3 — inner equi-join where key names differ across sides
+    * (`report.md:494`: year_id = Year). */
+  def joinCrossName(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = Tables.dim(spark, dir, "nation")
+    val r = Tables.dim(spark, dir, "region")
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg(col("c_acctbal")), 4).as("avg_balance"))
+  }
+
+  /** Full census-pipeline analog (EP2+EP3, `report.md:368-515`): measure
+    * views, SELECT DISTINCT dims, the 3-join fact view, year filter, and
+    * group-by-avg — expressed through the SQL/view surface (S6/S7:
+    * `CREATE OR REPLACE TEMP VIEW`) exactly as the reference stores its
+    * star schema as Athena views. */
+  def censusStar(spark: SparkSession, dir: String): DataFrame = {
+    Seq("nation", "customer", "orders", "lineitem", "supplier")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(s"census_$n"))
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW census_income_measure AS
+        |SELECT c_nationkey AS state_id,
+        |       CAST(year(o_orderdate) AS INT) AS year_id,
+        |       avg(o_totalprice) AS income
+        |FROM census_orders JOIN census_customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW census_rate_measure AS
+        |SELECT s_nationkey AS state_id,
+        |       CAST(year(l_shipdate) AS INT) AS year_id,
+        |       avg(l_discount) AS rate
+        |FROM census_lineitem JOIN census_supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW census_state_dim AS
+        |SELECT DISTINCT n_nationkey AS state_id, n_name AS state
+        |FROM census_nation""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW census_year_dim AS
+        |SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS year
+        |FROM census_orders""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW census_fact AS
+        |SELECT s.state, i.income, g.rate, y.year
+        |FROM census_income_measure i
+        |  JOIN census_rate_measure g
+        |    ON i.state_id = g.state_id AND i.year_id = g.year_id
+        |  JOIN census_state_dim s ON g.state_id = s.state_id
+        |  JOIN census_year_dim y ON g.year_id = y.year""".stripMargin)
+    spark.sql(
+      """SELECT state, round(avg(income), 4) AS avg_income,
+        |       round(avg(rate), 6) AS avg_rate
+        |FROM census_fact WHERE year = 1996 GROUP BY state""".stripMargin)
+  }
+
+  val catalog: Seq[Q] = Seq(
+    Q("q01_star_fact", starFact _,
+      """SELECT n_name AS nation, r_name AS region,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(avg(l_discount), 6) AS avg_discount,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |WHERE year(o_orderdate) = 1996
+        |GROUP BY 1, 2""".stripMargin),
+    Q("q02_distinct_dims", distinctDims _,
+      """SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nation_id
+        |FROM customer""".stripMargin),
+    Q("q03_groupby_avg", groupbyAvg _,
+      """SELECT c_nationkey AS nation_id,
+        |  round(avg(c_acctbal), 4) AS avg_acctbal,
+        |  count(*) AS n_customers
+        |FROM customer GROUP BY 1""".stripMargin),
+    Q("q04_union_years", unionYears _,
+      """SELECT batch_year, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_spend
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice, 1995 AS batch_year
+        |  FROM orders WHERE year(o_orderdate) = 1995
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice, 1996 AS batch_year
+        |  FROM orders WHERE year(o_orderdate) = 1996)
+        |GROUP BY 1, 2""".stripMargin),
+    Q("q05_rename_project", renameProject _,
+      """SELECT c_custkey AS customer_id, c_name AS customer_name,
+        |  c_mktsegment AS segment, c_acctbal AS balance
+        |FROM customer WHERE c_custkey <= 1000""".stripMargin),
+    Q("q06_filter_eq", filterEq _,
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS spend
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1995
+        |GROUP BY 1""".stripMargin),
+    Q("q07_try_cast", tryCastCoercion _,
+      """SELECT count(*) AS n_parts,
+        |  count(TRY_CAST(replace(p_brand, 'Brand#', '') AS INT)) AS n_brand_ok,
+        |  count(TRY_CAST(p_type AS INT)) AS n_type_ok,
+        |  min(TRY_CAST(replace(p_brand, 'Brand#', '') AS INT)) AS min_brand,
+        |  max(TRY_CAST(replace(p_brand, 'Brand#', '') AS INT)) AS max_brand
+        |FROM part""".stripMargin),
+    Q("q08_join_composite", joinComposite _,
+      """WITH spend AS (
+        |  SELECT o_custkey AS cust_id, CAST(year(o_orderdate) AS INT) AS yr,
+        |         sum(o_totalprice) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |qty AS (
+        |  SELECT o_custkey AS cust_id, CAST(year(o_orderdate) AS INT) AS yr,
+        |         sum(l_quantity) AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT yr, count(*) AS n_pairs,
+        |  round(sum(spend), 2) AS total_spend,
+        |  round(sum(qty), 2) AS total_qty
+        |FROM spend JOIN qty USING (cust_id, yr)
+        |GROUP BY 1""".stripMargin),
+    Q("q09_join_dim", joinDim _,
+      """SELECT p_brand AS brand, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin),
+    Q("q10_join_crossname", joinCrossName _,
+      """SELECT r_name AS region, count(*) AS n_customers,
+        |  round(avg(c_acctbal), 4) AS avg_balance
+        |FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin),
+    Q("q11_census_star", censusStar _,
+      """WITH income_measure AS (
+        |  SELECT c_nationkey AS state_id, CAST(year(o_orderdate) AS INT) AS year_id,
+        |         avg(o_totalprice) AS income
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |rate_measure AS (
+        |  SELECT s_nationkey AS state_id, CAST(year(l_shipdate) AS INT) AS year_id,
+        |         avg(l_discount) AS rate
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2),
+        |state_dim AS (
+        |  SELECT DISTINCT n_nationkey AS state_id, n_name AS state FROM nation),
+        |year_dim AS (
+        |  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS year FROM orders),
+        |fact AS (
+        |  SELECT s.state, i.income, g.rate, y.year
+        |  FROM income_measure i
+        |    JOIN rate_measure g
+        |      ON i.state_id = g.state_id AND i.year_id = g.year_id
+        |    JOIN state_dim s ON g.state_id = s.state_id
+        |    JOIN year_dim y ON g.year_id = y.year)
+        |SELECT state, round(avg(income), 4) AS avg_income,
+        |       round(avg(rate), 6) AS avg_rate
+        |FROM fact WHERE year = 1996 GROUP BY state""".stripMargin)
+  )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.CensusPipeline
+import graft.sources.{Csv, Ingest}
+
+/** Reference-parity golden tests (SURVEY.md §5): the golden CSVs in
+  * /root/reference/csv/ are the reference's exact published outputs (EP1)
+  * and query inputs (EP2/EP3). Spot values from reference report.md:322,334.
+  */
+class CensusParitySpec extends SparkSpec {
+
+  private val refCsv = "/root/reference/csv"
+
+  private def statesSchema = StructType(Seq(
+    StructField("state", StringType), StructField("state_id", IntegerType),
+    StructField("year", IntegerType)))
+  private def incomeSchema = StructType(Seq(
+    StructField("median_household_income", DoubleType),
+    StructField("state_id", IntegerType), StructField("year", IntegerType)))
+  private def ratesSchema = StructType(Seq(
+    StructField("graduation_rate", DoubleType),
+    StructField("state_id", IntegerType), StructField("year", IntegerType)))
+
+  private lazy val states =
+    Csv.read(spark, s"$refCsv/census_acs5_states.csv", statesSchema)
+  private lazy val incomes =
+    Csv.read(spark, s"$refCsv/census_acs5_median_household_incomes.csv",
+      incomeSchema)
+  private lazy val rates =
+    Csv.read(spark, s"$refCsv/census_acs5_graduation_rates.csv", ratesSchema)
+
+  test("golden CSV scan: 104 rows each, declared schema (S5)") {
+    assert(states.count() === 104)
+    assert(incomes.count() === 104)
+    assert(rates.count() === 104)
+    assert(states.schema.fields.map(_.name).toSeq ===
+      Seq("state", "state_id", "year"))
+  }
+
+  test("fact view reproduces reference: 104 rows, Mississippi 2017 spots") {
+    val fact = CensusPipeline.fact(states, incomes, rates).cache()
+    assert(fact.count() === 104)
+    val ms = fact.filter(col("State") === "Mississippi" && col("Year") === 2017)
+      .collect()(0)
+    assert(ms.getAs[Double]("Median_Household_Income") === 42009.0)
+    assert(ms.getAs[Double]("Graduation_Rate") === 21.3)
+  }
+
+  test("chart query: per-state averages for 2018 (EP3)") {
+    val fact = CensusPipeline.fact(states, incomes, rates)
+    val chart = CensusPipeline.chart(fact, 2018).collect()
+    assert(chart.length === 52) // 52 geographies per year
+    val ms = chart.find(_.getAs[String]("State") == "Mississippi").get
+    // 2018 Mississippi values from the golden CSVs
+    val msIncome = incomes
+      .filter(col("state_id") === 28 && col("year") === 2018)
+      .collect()(0).getAs[Double]("median_household_income")
+    assert(ms.getAs[Double]("avg_income") === msIncome)
+  }
+
+  test("EP1 extract: array-of-arrays decode, header promotion, union, rename") {
+    val p2017 =
+      """[["NAME","DP03_0062E","state"],
+        |["Mississippi","42009","28"],["Missouri","51542","29"]]""".stripMargin
+    val p2018 =
+      """[["NAME","DP03_0062E","state"],
+        |["Mississippi","43567","28"],["Missouri","53560","29"]]""".stripMargin
+    val df = CensusPipeline.extract(spark,
+      Seq(2017 -> p2017, 2018 -> p2018),
+      Map("NAME" -> "state_name", "DP03_0062E" -> "median_household_income",
+          "state" -> "state_id"))
+    assert(df.columns.toSeq ===
+      Seq("state_name", "median_household_income", "state_id", "year"))
+    assert(df.count() === 4)
+    val ms17 = df.filter(col("state_id") === "28" && col("year") === 2017)
+      .collect()(0)
+    assert(ms17.getAs[String]("median_household_income") === "42009")
+  }
+
+  test("CSV sink/scan roundtrip incl. malformed-to-null (S4/S5/P6)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq(("a", "1"), ("b", "oops"), ("c", "3")).toDF("k", "v")
+    Csv.write(df, s"$tmp/t", single = true)
+    val back = Csv.read(spark, s"$tmp/t", StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType))))
+    assert(back.count() === 3)
+    assert(back.filter(col("v").isNull).count() === 1) // "oops" -> null
+    assert(back.filter(col("v") === 3).count() === 1)
+  }
+}
