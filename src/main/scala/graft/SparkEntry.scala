@@ -13,7 +13,8 @@ import graft.operators._
 object SparkEntry {
 
   private def catalog: Seq[Q] =
-    Relational.catalog
+    Relational.catalog ++ Analytics.catalog ++ JoinsSetOps.catalog ++
+      ScalarFuncs.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Ordered-analytics operators: top-k, window functions, sessionization,
+  * time-bucket (tumbling/sliding) aggregations — engine breadth beyond the
+  * reference (SURVEY.md §2.6: absent there, roadmap M2/M4 per §7.2).
+  *
+  * Determinism: every window ORDER BY carries a unique tie-break key so
+  * Spark and the DuckDB oracle agree row-for-row (SURVEY.md §7.4).
+  * Scale: top-k = TakeOrderedAndProject (per-partition heap, no full sort);
+  * window partitions are keyed by customer/supplier/user — bounded state
+  * per key, shuffle is one hash exchange on the partition key.
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Top-k with total order (value desc, unique key asc). Catalyst plans
+    * this as TakeOrderedAndProject: each task keeps a k-row heap, driver
+    * merges — O(k) memory at any scale, no global sort. */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey").as("order_id"),
+              col("o_custkey").as("cust_id"),
+              col("o_totalprice").as("price"))
+      .orderBy(col("price").desc, col("order_id").asc)
+      .limit(100)
+
+  /** row_number per partition — top-3 orders per customer. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey").as("cust_id"),
+              col("o_orderkey").as("order_id"),
+              col("o_totalprice").as("price"), col("rn"))
+  }
+
+  /** lag(): per-customer inter-order gap in days, aggregated per customer. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap", datediff(col("o_orderdate"), col("prev_date")))
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(avg(col("gap")), 4).as("avg_gap_days"),
+           max(col("gap")).as("max_gap_days"))
+      .filter(col("n_orders") >= 2)
+  }
+
+  /** Running sum over an unbounded-preceding row frame. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+               col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .filter(col("l_suppkey") < 20)
+      .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+      .select(col("l_suppkey").as("supp_id"),
+              col("l_orderkey").as("order_id"),
+              col("l_linenumber").as("line_no"), col("running_qty"))
+  }
+
+  /** Sessionization (batch form of the streaming session window, M4):
+    * a session breaks after a 30-minute silence. lag + cumulative-sum of
+    * boundary flags — the classic scale-out sessionizer: one shuffle on
+    * user_id, then linear per-partition work. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val events = t(spark, dir, "events")
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    events
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+           sum(col("session_events")).as("n_events"),
+           max(col("session_events")).as("max_session_events"))
+  }
+
+  /** Tumbling 1-minute window via Spark's `window()` operator (the same
+    * operator Structured Streaming uses for event-time aggregation, M4);
+    * bucket emitted as epoch seconds for engine-portable comparison. */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 minute").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").cast("long").as("bucket"),
+              col("event_type"), col("n"), col("total"))
+
+  /** Sliding 2-hour window advancing hourly: each event contributes to 2
+    * windows (window() expands rows — a narrow op, no extra shuffle). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").cast("long").as("w_start"), col("n"),
+              col("total"))
+
+  val catalog: Seq[Q] = Seq(
+    Q("q12_topk", topkOrders _,
+      """SELECT o_orderkey AS order_id, o_custkey AS cust_id,
+        |  o_totalprice AS price
+        |FROM orders ORDER BY price DESC, order_id ASC LIMIT 100""".stripMargin),
+    Q("q13_window_rank", windowRank _,
+      """SELECT cust_id, order_id, price, rn FROM (
+        |  SELECT o_custkey AS cust_id, o_orderkey AS order_id,
+        |    o_totalprice AS price,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin),
+    Q("q14_window_lag", windowLag _,
+      """WITH g AS (
+        |  SELECT o_custkey AS cust_id,
+        |    CAST(date_diff('day',
+        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |      o_orderdate) AS INT) AS gap
+        |  FROM orders)
+        |SELECT cust_id, count(*) AS n_orders,
+        |  round(avg(gap), 4) AS avg_gap_days,
+        |  max(gap) AS max_gap_days
+        |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
+    Q("q15_window_running", windowRunning _,
+      """SELECT l_suppkey AS supp_id, l_orderkey AS order_id,
+        |  l_linenumber AS line_no,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_qty
+        |FROM lineitem WHERE l_suppkey < 20""".stripMargin),
+    Q("q30_sessionize", sessionize _,
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS session_events
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |  CAST(sum(session_events) AS BIGINT) AS n_events,
+        |  CAST(max(session_events) AS BIGINT) AS max_session_events
+        |FROM per_session GROUP BY 1""".stripMargin),
+    Q("q31_tumbling_window", tumblingWindow _,
+      """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin),
+    Q("q32_sliding_window", slidingWindow _,
+      """SELECT CAST(epoch(ws) AS BIGINT) AS w_start, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM (SELECT value,
+        |        unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                date_trunc('hour', ts)]) AS ws
+        |      FROM events)
+        |GROUP BY 1""".stripMargin)
+  )
+}

@@ -20,8 +20,20 @@ object Tables {
     */
   val constantDims: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
+    // with spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/Bench/
+    // tests) it arrives as a nanosecond LongType — convert to Spark's native
+    // microsecond TimestampType via integer division (a double roundtrip
+    // would lose precision at 1e18 magnitudes).
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else df
+  }
 
   /** Load with a broadcast hint when the table is a constant-size dim.
     * Scaling dims (customer, part, supplier) are left to AQE, which converts

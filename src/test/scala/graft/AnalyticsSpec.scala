@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, JoinsSetOps, ScalarFuncs}
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("topk: exactly 100 rows, monotone non-increasing price") {
+    val rows = Analytics.topkOrders(spark, sf)
+      .collect().map(_.getAs[Double]("price"))
+    assert(rows.length === 100)
+    assert(rows.sorted.reverse.sameElements(rows) ||
+      rows.sliding(2).forall(p => p(0) >= p(1) || p.length < 2))
+  }
+
+  test("window rank: at most 3 per customer, rn within [1,3]") {
+    val df = Analytics.windowRank(spark, sf)
+    val perCust = df.groupBy("cust_id").count()
+    assert(perCust.agg(max("count")).collect()(0).getLong(0) <= 3)
+    assert(df.agg(max("rn")).collect()(0).getInt(0) <= 3)
+  }
+
+  test("running sum is non-decreasing within supplier (positive qty)") {
+    val df = Analytics.windowRunning(spark, sf)
+    val bad = df.groupBy("supp_id")
+      .agg(min("running_qty").as("mn"), max("running_qty").as("mx"))
+      .filter(col("mn") < 0 || col("mx") < col("mn"))
+    assert(bad.count() === 0)
+  }
+
+  test("sessionize: session count bounded by event count") {
+    val df = Analytics.sessionize(spark, sf)
+    assert(df.filter(col("n_sessions") > col("n_events")).count() === 0)
+    assert(df.count() > 0)
+  }
+
+  test("tumbling window: bucket counts sum to event count") {
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    val total = Analytics.tumblingWindow(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(total === events)
+  }
+
+  test("sliding 2h/1h window: each event counted exactly twice") {
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    val total = Analytics.slidingWindow(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(total === 2 * events)
+  }
+
+  test("outer join preserves customers; anti+semi partition customers") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val outer = JoinsSetOps.outerJoin(spark, sf)
+      .agg(sum("n_customers")).collect()(0).getLong(0)
+    assert(outer === c.count())
+    val anti = JoinsSetOps.antiJoin(spark, sf)
+      .agg(sum("n_customers")).collect()
+    val nAnti =
+      if (anti(0).isNullAt(0)) 0L else anti(0).getLong(0)
+    val semiAll = c.join(spark.read.parquet(s"$sf/orders.parquet"),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(nAnti + semiAll === c.count())
+  }
+
+  test("rollup row count = detail + flag subtotals + grand total") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val detail = li.select("l_returnflag", "l_linestatus").distinct().count()
+    val flags = li.select("l_returnflag").distinct().count()
+    val rollup = JoinsSetOps.rollupAgg(spark, sf).count()
+    assert(rollup === detail + flags + 1)
+  }
+
+  test("json extract: k parsed for every event (props is {\"k\": int})") {
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    val agg = JoinsSetOps.countDistinctAgg(spark, sf) // warm unrelated path
+    val json = ScalarFuncs.jsonExtract(spark, sf)
+    val parsed = json.agg(sum("n")).collect()(0).getLong(0)
+    assert(parsed === n)
+    assert(agg.count() === 1)
+  }
+
+  test("array ops: dim=64, l2_norm positive") {
+    val rows = ScalarFuncs.arrayOps(spark, sf).collect()
+    assert(rows.forall(_.getAs[Int]("dim") === 64))
+    assert(rows.forall(_.getAs[Double]("l2_norm") > 0))
+  }
+}
