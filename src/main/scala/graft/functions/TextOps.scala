@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-data-pipeline operators
+  * (dedup, language ID, quality scoring, token counting). All built from
+  * codegen'd built-ins / higher-order functions — no UDFs, so every
+  * operator stays a narrow per-row map at any scale.
+  */
+object TextOps {
+
+  /** Whitespace word tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct 3-word shingles (the standard near-dup unit for text).
+    * Guard: fewer than 3 words → empty set. */
+  def shingles3(text: Column): Column = {
+    val w = words(text)
+    when(size(w) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ",
+          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard similarity of two string-set columns (double).
+    * Integer sizes divide exactly the same in Spark and DuckDB (`/` is
+    * fractional division in both). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_union(a, b))
+
+  /** Murmur3-32 shingle hash widened to an unsigned long in [0, 2^32). */
+  def unsignedHash(s: Column): Column =
+    hash(s).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+
+  val minhashPrime = 4294967311L // smallest prime > 2^32
+
+  /** The i-th MinHash permutation h_i(x) = ((2i+1)·x + i·K) mod p applied
+    * to an unsigned-hash column. Used as k aggregate expressions
+    * `min(permute(i, x))` after exploding shingles — the partial-agg form
+    * keeps everything whole-stage-codegen'd and shuffles only k values per
+    * document (Broder 1997 resemblance sketches). A nested higher-order
+    * (transform-of-transform) form is a trap: Catalyst cannot CSE through
+    * lambda scopes, so the inner hash re-evaluates k times per element. */
+  def minhashPermute(i: Int, x: Column): Column =
+    (x * (2 * i + 1) + lit(i.toLong * 2654435761L)) % lit(minhashPrime)
+
+  /** LSH band keys for a MinHash signature: `bands` bands of `r` rows each;
+    * two documents collide in a band iff that band of the signature is
+    * identical. Returns array of "bandIdx:v1-v2-..-vr" strings. */
+  def minhashBands(sig: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws(":", b, concat_ws("-", slice(sig, b * r + 1, lit(r)))))
+
+  /** SimHash bit-i contribution (+1/-1) of a 64-bit token-hash column —
+    * aggregated with sum() per document after exploding tokens
+    * (Charikar 2002). Same partial-agg rationale as [[minhashPermute]]. */
+  def simhashContrib(i: Int, h: Column): Column =
+    when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)
+
+  /** Hamming distance between two equal-length 0/1 int arrays. */
+  def hamming(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x =!= y), p => p))
+
+  /** SimHash LSH chunk keys: `chunks` equal slices of the bit array; a pair
+    * within hamming distance < chunks must share at least one chunk. */
+  def simhashChunks(bits: Column, chunks: Int, bitsPer: Int): Column =
+    transform(sequence(lit(0), lit(chunks - 1)), c =>
+      concat_ws(":", c, concat_ws("", slice(bits, c * bitsPer + 1, lit(bitsPer)))))
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Q
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, plus a batched decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so `decodeFeatures` runs a
+  * clearly-marked DETERMINISTIC STUB decoder (byte histogram) — but the
+  * Spark-side plumbing is real: binary column + metadata struct schema,
+  * `mapPartitions` batch shape (the Scala analog of `mapInPandas` batches),
+  * and narrow per-partition execution with no shuffle. Swapping the stub
+  * for a real codec changes one function body, not the plan shape.
+  */
+object Multimodal {
+
+  /** Media-shaped view over documents: payload = UTF-8 bytes standing in
+    * for an image/audio blob; meta = typed metadata struct. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("application/octet-stream").as("mime"),
+          length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          col("source").as("origin")).as("meta"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("byte_hist", ArrayType(LongType)),
+    StructField("hist_peak", IntegerType)))
+
+  /** Batched decode / feature-extract over the binary payload column.
+    *
+    * STUB DECODER: a real deployment would decode the image/audio here
+    * (e.g. JPEG → pixels → resize → embed). This container has no codecs,
+    * so the "features" are a deterministic 16-bucket byte histogram —
+    * same batch shape, schema, and partitioning as the real thing.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val hist = new Array[Long](16)
+          var i = 0
+          while (i < bytes.length) {
+            hist((bytes(i) & 0xFF) / 16) += 1L
+            i += 1
+          }
+          var peak = 0
+          var k = 1
+          while (k < 16) { if (hist(k) > hist(peak)) peak = k; k += 1 }
+          Row(id, bytes.length, hist.toSeq, peak)
+        }
+      }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  /** Declared query: metadata aggregation over the media view — bytes,
+    * distinct-content, and payload-prefix stats per origin. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .groupBy(col("meta.origin").as("origin"))
+      .agg(count(lit(1)).as("n_media"),
+           sum(col("meta.n_bytes")).as("total_bytes"),
+           countDistinct(md5(col("payload"))).as("n_distinct"),
+           min(col("meta.n_bytes")).as("min_bytes"),
+           max(col("meta.n_bytes")).as("max_bytes"))
+
+  val catalog: Seq[Q] = Seq(
+    Q("q44_multimodal_meta", mediaMeta _,
+      """SELECT source AS origin, count(*) AS n_media,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  CAST(min(octet_length(encode(text))) AS INT) AS min_bytes,
+        |  CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+        |FROM documents GROUP BY 1""".stripMargin)
+  )
+}

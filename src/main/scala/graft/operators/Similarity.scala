@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two tiers (SURVEY.md §7.2 M3):
+  *  - brute-force cosine top-k — the exact baseline; O(Q·N) dot products.
+  *    Correct at any N if Q (the query set) is small; the candidate side
+  *    streams, only per-query k-row heaps of state.
+  *  - sign-bucket LSH — the scale path: vectors hash to a 2^b-bucket key in
+  *    a narrow pass; search touches only same-bucket candidates, so the
+  *    join is a bucket equi-join (shuffle keyed on bucket, ~N/2^b
+  *    candidates per probe instead of N).
+  */
+object Similarity {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      VectorOps.l2Norm(col("embedding")).as("nrm"))
+
+  /** Exact top-5 cosine neighbors for queries vec_id < 50.
+    * Ranking key (cos desc, cand asc) is total → deterministic. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(spark, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    q.join(c, col("q_id") =!= col("cand_id"))
+      .withColumn("cos", round(VectorOps.cosinePrenormed(
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+  }
+
+  /** LSH-bucketed ANN: 8 sign bits → 256 buckets; top-3 within bucket for
+    * every vector as query. The bucket join replaces the all-pairs scan. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(spark, dir, "embeddings"))
+      .withColumn("bucket", VectorOps.signBucket(col("embedding"), 8))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      col("nrm").as("qn"), col("bucket"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos", round(VectorOps.cosinePrenormed(
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+  }
+
+  private def cosExpr(a: String, b: String): String =
+    s"""list_aggregate(
+       |      [CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)
+       |       for i in range(1, len($a.embedding) + 1)], 'sum')
+       |      / ($a.nrm * $b.nrm)""".stripMargin
+
+  val catalog: Seq[Q] = Seq(
+    Q("q38_ann_bruteforce", annBruteForce _,
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    round(${cosExpr("q", "c")}, 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, cand_id ASC) AS INT) AS rn
+         |  FROM scored)
+         |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 5""".stripMargin),
+    Q("q39_ann_lsh", annLsh _,
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         |    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+         |     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+         |     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+         |     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+         |     CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+         |     CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+         |     CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+         |     CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    round(${cosExpr("q", "c")}, 6) AS cos
+         |  FROM e q JOIN e c
+         |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, cand_id ASC) AS INT) AS rn
+         |  FROM scored)
+         |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin)
+  )
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Text-analysis operators for LLM training-data pipelines: language ID
+  * (stopword n-gram heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting. All narrow
+  * per-row expressions over `documents.text` — embarrassingly parallel at
+  * any scale, aggregation is the only shuffle.
+  */
+object TextAnalysis {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Public common-word lists per language (top stopwords). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "you", "he", "zai"))
+
+  private val langOrder = Seq("en", "de", "es", "fr", "zh")
+
+  private def stopHits(tokens: Column, lang: String): Column =
+    size(filter(tokens, tk => tk.isInCollection(stopwords(lang))))
+
+  /** Language-ID heuristic: per-language stopword hit counts; prediction =
+    * first language (in fixed priority order) achieving the max score —
+    * deterministic argmax. Output: labeled-vs-predicted confusion counts. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val withScores = langOrder.foldLeft(
+      t(spark, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))) {
+      case (df, l) => df.withColumn(s"s_$l", stopHits(col("tk"), l))
+    }
+    val best = greatest(langOrder.map(l => col(s"s_$l")): _*)
+    val pred = langOrder.foldRight(lit("unknown"): Column) {
+      case (l, other) => when(col(s"s_$l") === best, lit(l)).otherwise(other)
+    }
+    // foldRight builds en-first priority: en wins ties, then de, ...
+    withScores.withColumn("pred", when(best === 0, "unknown").otherwise(pred))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col(s"s_en")), 4).as("avg_en_hits"))
+  }
+
+  /** Quality scoring: token counts, word length, short-word ratio, and a
+    * composite score — the length/stopword-ratio family of heuristic
+    * filters used to pre-screen LLM corpora. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("short_ratio",
+        size(filter(col("tk"), tk => length(tk) <= 3)) / col("n_tokens"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens") / lit(200.0)) -
+          lit(0.5) * col("short_ratio"), 6))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("n_chars")), 4).as("avg_chars"),
+           round(avg(col("n_tokens")), 4).as("avg_tokens"),
+           round(avg(col("short_ratio")), 6).as("avg_short_ratio"),
+           round(avg(col("avg_word_len")), 6).as("avg_word_len"),
+           round(avg(col("quality_score")), 6).as("avg_quality"))
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single punctuation), histogrammed by
+    * whitespace-token-count bucket. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .groupBy(expr("CAST(ws_tokens div 20 AS INT)").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("re_tokens")), 4).as("avg_re_tokens"),
+           round(avg(col("re_tokens") / col("ws_tokens")), 6)
+             .as("avg_ratio"))
+
+  /** Document fingerprinting: content-defined canonical fingerprint =
+    * md5 of the whitespace-normalized lowercase text. Groups share a
+    * fingerprint iff byte-identical after normalization. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("fp",
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"),
+           min(col("source")).as("first_source"))
+
+  private def hitsSql(lang: String): String = {
+    val lst = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split(text, ' '), tk -> list_contains($lst, tk)))"
+  }
+
+  val catalog: Seq[Q] = Seq(
+    Q("q40_lang_id", langId _, {
+      val scoreCols = langOrder.map(l => s"${hitsSql(l)} AS s_$l")
+        .mkString(",\n    ")
+      val best = s"greatest(${langOrder.map(l => s"s_$l").mkString(", ")})"
+      val chain = langOrder.map(l => s"WHEN s_$l = $best THEN '$l'")
+        .mkString("\n      ")
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    $scoreCols
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN $best = 0 THEN 'unknown'
+         |      $chain
+         |      ELSE 'unknown' END AS pred,
+         |  count(*) AS n,
+         |  round(avg(s_en), 4) AS avg_en_hits
+         |FROM scored GROUP BY 1, 2""".stripMargin
+    }),
+    Q("q41_text_quality", quality _,
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      tk -> length(tk) <= 3)) / len(string_split(text, ' '))
+        |      AS short_ratio
+        |  FROM documents),
+        |d2 AS (
+        |  SELECT source, n_chars, n_tokens, short_ratio,
+        |    (n_chars - (n_tokens - 1)) / n_tokens AS avg_word_len,
+        |    round(least(CAST(1.0 AS DOUBLE),
+        |      n_tokens / CAST(200.0 AS DOUBLE))
+        |      - CAST(0.5 AS DOUBLE) * short_ratio, 6) AS quality_score
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(n_tokens), 4) AS avg_tokens,
+        |  round(avg(short_ratio), 6) AS avg_short_ratio,
+        |  round(avg(avg_word_len), 6) AS avg_word_len,
+        |  round(avg(quality_score), 6) AS avg_quality
+        |FROM d2 GROUP BY 1""".stripMargin),
+    Q("q42_token_count", tokenCount _,
+      """WITH d AS (
+        |  SELECT len(string_split(text, ' ')) AS ws_tokens,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |      AS re_tokens
+        |  FROM documents)
+        |SELECT CAST(ws_tokens // 20 AS INT) AS bucket,
+        |  count(*) AS n_docs,
+        |  round(avg(re_tokens), 4) AS avg_re_tokens,
+        |  round(avg(re_tokens / ws_tokens), 6) AS avg_ratio
+        |FROM d GROUP BY 1""".stripMargin),
+    Q("q43_fingerprint", fingerprint _,
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keeper, count(*) AS n,
+        |  min(source) AS first_source
+        |FROM documents GROUP BY 1""".stripMargin)
+  )
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` schema (SURVEY.md §7.2
+  * M4): event-time tumbling/sliding/session windows with watermarks, plus a
+  * custom stateful sessionizer via flatMapGroupsWithState.
+  *
+  * Every transform takes a DataFrame that may be either a `readStream`
+  * source or a static batch frame — the plans are identical (that's the
+  * point of Structured Streaming), and the batch forms are what the
+  * DuckDB-checked queries q30-q32 pin down semantically.
+  *
+  * Scale notes: watermark + windowed agg keeps per-key state bounded by
+  * (watermark horizon / slide) windows; state lives in the state store,
+  * partitioned by grouping key — the same hash-shuffle discipline as batch.
+  */
+object EventStreams {
+
+  /** Declared source schema (events.parquet / a Kafka-JSON feed alike). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling 1-minute event-time windows; late data beyond the watermark
+    * is dropped (streaming) / ignored (batch: no-op). */
+  def tumblingCounts(events: DataFrame,
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding 2-hour windows advancing hourly. */
+  def slidingCounts(events: DataFrame,
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("w_start"), col("n"), col("total"))
+
+  /** Session windows: built-in session_window with a 30-minute gap —
+    * the streaming twin of the batch lag/cumsum sessionizer (q30). */
+  def sessionCounts(events: DataFrame,
+                    watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total"))
+
+  // ---- custom state: flatMapGroupsWithState sessionizer ----
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionBuf(startSec: Long, lastSec: Long, n: Int, total: Double)
+  case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long,
+                           n_events: Int, total_value: Double)
+
+  /** Custom stateful sessionizer: emits a session when a subsequent event
+    * arrives more than `gapSec` after the previous one. State per user is
+    * one open-session buffer — O(1) per key regardless of stream length.
+    * (NoTimeout keeps it deterministic for tests; production would add
+    * EventTimeTimeout to flush idle sessions at the watermark.) */
+  def sessionizeStateful(events: Dataset[Ev], gapSec: Long)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionBuf]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val closed = Seq.newBuilder[ClosedSession]
+          var buf = state.getOption.orNull
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000L
+            buf match {
+              case null =>
+                buf = SessionBuf(sec, sec, 1, e.value)
+              case b if sec - b.lastSec > gapSec =>
+                closed += ClosedSession(user, b.startSec, b.lastSec, b.n,
+                  b.total)
+                buf = SessionBuf(sec, sec, 1, e.value)
+              case b =>
+                buf = SessionBuf(b.startSec, sec, b.n + 1, b.total + e.value)
+            }
+          }
+          if (buf != null) state.update(buf)
+          closed.result().iterator
+      }
+  }
+}

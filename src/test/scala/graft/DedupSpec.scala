@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup: hash groups partition doc_ids") {
+    val out = Dedup.exact(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.agg(sum("n_copies")).collect()(0).getLong(0) === docs)
+  }
+
+  test("minhash LSH recovers exactly the exact-jaccard pairs (J>=0.5)") {
+    val exactPairs = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhPairs = Dedup.minhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidate generation differs (prefix bucket vs 16x4 bands) but the
+    // J>=0.5 verification is identical; bands at J~0.95 collide w.p. ~1
+    assert(exactPairs.subsetOf(mhPairs),
+      s"missing: ${exactPairs.diff(mhPairs)}")
+  }
+
+  test("simhash near-dup pairs overlap the jaccard near-dups") {
+    val sh = Dedup.simhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ng = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hamming<=3 at 64 bits is stricter than J>=0.5: expect a subset of
+    // the true near-dups, and a large overlap
+    assert(sh.nonEmpty)
+    assert(sh.intersect(ng).size >= sh.size / 2,
+      s"simhash pairs mostly not near-dups: ${sh.diff(ng)}")
+  }
+
+  test("ann brute force: 5 neighbors per query, cos within [-1,1]") {
+    val out = Similarity.annBruteForce(spark, sf).collect()
+    val perQ = out.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.length)
+    assert(perQ.values.forall(_ === 5))
+    assert(out.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0))
+  }
+
+  test("ann lsh: bucket-mates only, rank-1 neighbor cos <= brute-force rank-1") {
+    val bf = Similarity.annBruteForce(spark, sf)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val lsh = Similarity.annLsh(spark, sf)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    lsh.filter(_._1 < 50).foreach { case (q, c) =>
+      bf.get(q).foreach(bfc => assert(c <= bfc + 1e-9))
+    }
+  }
+
+  test("lang id heuristic is deterministic and covers all docs") {
+    val out = TextAnalysis.langId(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.agg(sum("n")).collect()(0).getLong(0) === docs)
+  }
+
+  test("quality: ratios within [0,1], score bounded") {
+    val rows = TextAnalysis.quality(spark, sf).collect()
+    assert(rows.forall { r =>
+      val sr = r.getAs[Double]("avg_short_ratio")
+      sr >= 0 && sr <= 1
+    })
+    assert(rows.forall(_.getAs[Double]("avg_quality") <= 1.0))
+  }
+
+  test("multimodal: stub decoder preserves rows, histogram sums to bytes") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.count() === media.count())
+    val bad = feats.filter(
+      expr("aggregate(byte_hist, 0L, (a, x) -> a + x)") =!= col("n_bytes"))
+    assert(bad.count() === 0)
+  }
+}

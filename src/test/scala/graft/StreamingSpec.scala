@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+case class RawEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  private def mkStream(rows: Seq[RawEv]) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RawEv]
+    ms.addData(rows: _*)
+    ms
+  }
+
+  test("streaming tumbling window equals batch aggregation (Complete mode)") {
+    import spark.implicits._
+    val rows = Seq(
+      RawEv(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0, "{}"),
+      RawEv(2, ts("2024-01-01 00:00:50"), 1, "click", 2.0, "{}"),
+      RawEv(3, ts("2024-01-01 00:01:10"), 2, "view", 3.0, "{}"),
+      RawEv(4, ts("2024-01-01 00:03:10"), 2, "view", 4.0, "{}"))
+    val ms = mkStream(rows)
+    val q = EventStreams.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumb").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("bucket_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("total"))).toSet
+      assert(got === Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 00:01:00.0", "view", 1L, 3.0),
+        ("2024-01-01 00:03:00.0", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sliding window: each event lands in 2 windows") {
+    import spark.implicits._
+    val rows = Seq(
+      RawEv(1, ts("2024-01-01 05:30:00"), 1, "click", 1.0, "{}"),
+      RawEv(2, ts("2024-01-01 06:30:00"), 1, "click", 1.0, "{}"))
+    val ms = mkStream(rows)
+    val q = EventStreams.slidingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("slide")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("slide")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(total === 4) // 2 events x 2 windows
+    } finally q.stop()
+  }
+
+  test("streaming session_window merges events within gap") {
+    import spark.implicits._
+    val rows = Seq(
+      RawEv(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0, "{}"),
+      RawEv(2, ts("2024-01-01 00:10:00"), 7, "click", 2.0, "{}"),
+      RawEv(3, ts("2024-01-01 02:00:00"), 7, "click", 4.0, "{}"))
+    val ms = mkStream(rows)
+    val q = EventStreams.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total"))).toSet
+      assert(got === Set((7L, 2L, 3.0), (7L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStateful(ms.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("statesess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(Ev(9, ts("2024-01-01 00:00:00"), 1.0),
+                 Ev(9, ts("2024-01-01 00:05:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("statesess").count() === 0) // session still open
+      ms.addData(Ev(9, ts("2024-01-01 06:00:00"), 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("statesess").collect()
+      assert(closed.length === 1)
+      assert(closed(0).getAs[Int]("n_events") === 2)
+      assert(closed(0).getAs[Double]("total_value") === 3.0)
+    } finally q.stop()
+  }
+
+  test("stream-vs-batch equivalence on real events table (sf0.001)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val rows = events.as[RawEv].collect().toSeq
+    val ms = MemoryStream[RawEv]
+    ms.addData(rows: _*)
+    val q = EventStreams.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumb_real")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamTotal = spark.table("tumb_real")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(streamTotal === events.count())
+      val batch = EventStreams.tumblingCounts(events)
+      assert(spark.table("tumb_real").count() === batch.count())
+    } finally q.stop()
+  }
+}
