@@ -60,13 +60,24 @@ object TextOps {
   def simhashContrib(i: Int, h: Column): Column =
     when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)
 
-  /** Hamming distance between two equal-length 0/1 int arrays. */
-  def hamming(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => x =!= y), p => p))
+  /** Pack 64 per-bit sign aggregates (columns b0..b63, >=0 means bit set)
+    * into a single long fingerprint — distinct powers of two, no carries,
+    * so plain addition assembles the bit pattern (incl. the sign bit). */
+  def simhashPack(bit: Int => Column): Column =
+    (0 until 64).map(i =>
+      when(bit(i) >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
 
-  /** SimHash LSH chunk keys: `chunks` equal slices of the bit array; a pair
-    * within hamming distance < chunks must share at least one chunk. */
-  def simhashChunks(bits: Column, chunks: Int, bitsPer: Int): Column =
-    transform(sequence(lit(0), lit(chunks - 1)), c =>
-      concat_ws(":", c, concat_ws("", slice(bits, c * bitsPer + 1, lit(bitsPer)))))
+  /** SimHash LSH chunk keys over the packed long: `chunks` disjoint bit
+    * ranges; any pair within hamming distance < chunks shares ≥1 chunk.
+    * Scalar shifts/masks — whole-stage codegen'd. */
+  def simhashChunkKeys(sim: Column, chunks: Int, bitsPer: Int): Column = {
+    val mask = (1L << bitsPer) - 1
+    array((0 until chunks).map(c =>
+      concat_ws(":", lit(c),
+        shiftrightunsigned(sim, c * bitsPer).bitwiseAND(lit(mask)))): _*)
+  }
+
+  /** Hamming distance between two packed 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
 }

