@@ -15,7 +15,8 @@ object SparkEntry {
   private def catalog: Seq[Q] =
     Relational.catalog ++ Analytics.catalog ++ JoinsSetOps.catalog ++
       ScalarFuncs.catalog ++ Dedup.catalog ++ Similarity.catalog ++
-      TextAnalysis.catalog ++ Multimodal.catalog
+      TextAnalysis.catalog ++ Multimodal.catalog ++ SkewJoin.catalog ++
+      ApproxAgg.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
