@@ -36,7 +36,7 @@ object JoinsSetOps {
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
     val o95 = t(spark, dir, "orders")
-      .filter(year(col("o_orderdate")) === 1995)
+      .filter(Relational.inYear(col("o_orderdate"), 1995))
     c.join(o95, c("c_custkey") === o95("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n_customers"))
@@ -72,7 +72,8 @@ object JoinsSetOps {
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     def custs(y: Int): DataFrame =
-      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      o.filter(Relational.inYear(col("o_orderdate"), y))
+        .select(col("o_custkey"))
     val both = custs(1995).intersect(custs(1996))
       .agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
     val only95 = custs(1995).except(custs(1996))

