@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Reshaping + subquery operators: pivot (long→wide), explode/unnest
+  * (wide→long), scalar subqueries. */
+object Reshape {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Pivot with an explicit value list (the at-scale form — without it
+    * Spark must first collect the distinct pivot values to the driver). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+
+  /** Scalar subquery: customers above the global average balance. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("sq_customer")
+    spark.sql(
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  round(avg(c_acctbal), 4) AS avg_bal
+        |FROM sq_customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM sq_customer)
+        |GROUP BY 1""".stripMargin)
+  }
+
+  /** Explode array → rows (wide→long), re-aggregated per vector bucket. */
+  def explodeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), explode(col("embedding")).as("x"))
+      .groupBy(expr("CAST(vec_id div 100 AS INT)").as("bucket"))
+      .agg(count(lit(1)).as("n_elements"),
+           round(sum(abs(col("x").cast("double"))), 4).as("abs_sum"))
+
+  val catalog: Seq[Q] = Seq(
+    Q("q49_pivot", pivotStatus _,
+      """SELECT o_orderpriority AS priority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY 1""".stripMargin),
+    Q("q50_scalar_subquery", scalarSubquery _,
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY 1""".stripMargin),
+    Q("q51_explode", explodeEmbeddings _,
+      """SELECT CAST(vec_id // 100 AS INT) AS bucket,
+        |  count(*) AS n_elements,
+        |  round(sum(abs(CAST(x AS DOUBLE))), 4) AS abs_sum
+        |FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |GROUP BY 1""".stripMargin)
+  )
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.functions.VectorOps
+import graft.functions.{CentroidAggregator, VectorOps}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -66,6 +66,53 @@ object Similarity {
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
   }
 
+  /** IVF-style ANN: coarse quantization by per-label centroid (computed
+    * with the typed [[graft.functions.CentroidAggregator]]), probe = the
+    * nearest centroid, fine search only within that cell. The scale shape
+    * of FAISS-IVF: centroid table is tiny (broadcast), assignment is one
+    * narrow pass, fine search touches ~N/cells candidates per query.
+    * Engine-specific float centroid arithmetic → no oracle; `DedupSpec`
+    * bounds recall against [[annBruteForce]]. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    // cell index: label -> centroid (typed aggregation, partial-agg merge)
+    val centroids = e.select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(CentroidAggregator.toColumn)
+      .toDF("cell", "centroid")
+      .withColumn("centroid",
+        transform(col("centroid"), x => x.cast("float")))
+    // probe: assign each query to its nearest centroid (centroid table is
+    // tiny -> broadcast; assignment is a narrow pass per query)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val assigned = e.filter(col("vec_id") < 50)
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        VectorOps.cosine(col("embedding"), col("centroid")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("cell"))
+    // fine search within the probed cell only
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding"),
+      VectorOps.l2Norm(col("embedding")).as("nrm"),
+      col("label").as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    assigned.join(cands, Seq("cell"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos", round(VectorOps.cosinePrenormed(
+        VectorOps.dot(col("qe"), col("embedding")),
+        VectorOps.l2Norm(col("qe")), col("nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+  }
+
   private def cosExpr(a: String, b: String): String =
     s"""list_aggregate(
        |      [CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)
@@ -73,6 +120,7 @@ object Similarity {
        |      / ($a.nrm * $b.nrm)""".stripMargin
 
   val catalog: Seq[Q] = Seq(
+    Q.noOracle("q48_ann_ivf", annIvf _),
     Q("q38_ann_bruteforce", annBruteForce _,
       s"""WITH e AS (
          |  SELECT vec_id, embedding,

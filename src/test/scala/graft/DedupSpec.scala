@@ -57,6 +57,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ann ivf: recall vs brute force within probed cell, deterministic") {
+    val bf = Similarity.annBruteForce(spark, sf)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val ivf = Similarity.annIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val perQ = ivf.groupBy(_.getAs[Long]("q_id"))
+    perQ.foreach { case (_, rows) => assert(rows.length <= 3) }
+    // IVF cos can never exceed the global best
+    ivf.filter(_.getAs[Int]("rn") == 1).foreach { r =>
+      bf.get(r.getAs[Long]("q_id")).foreach(best =>
+        assert(r.getAs[Double]("cos") <= best + 1e-9))
+    }
+    // determinism: run twice, same set
+    val again = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === ivf.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("lang id heuristic is deterministic and covers all docs") {
     val out = TextAnalysis.langId(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
