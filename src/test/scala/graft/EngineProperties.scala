@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.functions.TextOps
+import graft.sources.Ingest
+
+/** Property-based invariants (SURVEY.md §5): distinct idempotence, union
+  * additivity, join containment, avg bounds, Jaccard/SimHash algebra,
+  * header-promotion roundtrip. Small generated inputs, shared local session.
+  */
+object EngineProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = TestSpark.spark
+  import scala.language.reflectiveCalls
+
+  private val word: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val words: Gen[List[String]] = Gen.nonEmptyListOf(word)
+  private val kvRows: Gen[List[(Int, String)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 20), word))
+
+  property("distinct is idempotent and equals set size") =
+    forAll(kvRows) { xs =>
+      import spark.implicits._
+      val d = xs.toDF("k", "v").distinct()
+      d.count() == xs.toSet.size && d.distinct().count() == xs.toSet.size
+    }
+
+  property("unionByName row-count additivity") =
+    forAll(kvRows, kvRows) { (a, b) =>
+      import spark.implicits._
+      a.toDF("k", "v").unionByName(b.toDF("k", "v")).count() ==
+        (a.size + b.size).toLong
+    }
+
+  property("inner join bounded by cross product; keys are intersection") =
+    forAll(kvRows, kvRows) { (a, b) =>
+      import spark.implicits._
+      val l = a.toDF("k", "v1")
+      val r = b.toDF("k", "v2")
+      val j = l.join(r, "k")
+      val joinedKeys = j.select("k").distinct().collect()
+        .map(_.getInt(0)).toSet
+      j.count() <= a.size.toLong * b.size &&
+        joinedKeys == a.map(_._1).toSet.intersect(b.map(_._1).toSet)
+    }
+
+  property("avg lies within [min, max]") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))) { xs =>
+      import spark.implicits._
+      val r = xs.toDF("x")
+        .agg(avg("x").as("a"), min("x").as("mn"), max("x").as("mx"))
+        .collect()(0)
+      r.getDouble(0) >= r.getDouble(1) - 1e-6 &&
+        r.getDouble(0) <= r.getDouble(2) + 1e-6
+    }
+
+  property("jaccard in [0,1], symmetric, self = 1") =
+    forAll(words, words) { (a, b) =>
+      import spark.implicits._
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        TextOps.jaccard(col("a"), col("b")).as("ab"),
+        TextOps.jaccard(col("b"), col("a")).as("ba"),
+        TextOps.jaccard(col("a"), col("a")).as("aa")).collect()(0)
+      val ab = r.getDouble(0)
+      ab >= 0.0 && ab <= 1.0 && ab == r.getDouble(1) && r.getDouble(2) == 1.0
+    }
+
+  property("packed hamming: self 0, symmetric, bounded by 64") =
+    forAll(Gen.long, Gen.long) { (a, b) =>
+      import spark.implicits._
+      val r = Seq((a, b)).toDF("a", "b").select(
+        TextOps.hamming(col("a"), col("b")).as("ab"),
+        TextOps.hamming(col("b"), col("a")).as("ba"),
+        TextOps.hamming(col("a"), col("a")).as("aa")).collect()(0)
+      r.getInt(2) == 0 && r.getInt(0) == r.getInt(1) &&
+        r.getInt(0) >= 0 && r.getInt(0) <= 64
+    }
+
+  property("minhash permutations stay in [0, p)") =
+    forAll(Gen.choose(0L, (1L << 32) - 1), Gen.choose(0, 63)) { (x, i) =>
+      import spark.implicits._
+      val v = Seq(x).toDF("x")
+        .select(TextOps.minhashPermute(i, col("x")).as("h"))
+        .collect()(0).getLong(0)
+      v >= 0L && v < TextOps.minhashPrime
+    }
+
+  property("header promotion: columns from row 0, data rows preserved") =
+    forAll(Gen.choose(1, 4), Gen.choose(1, 5)) { (nCols, nRows) =>
+      val header = (0 until nCols).map(i => s"col$i")
+      val data = (0 until nRows).map(r =>
+        (0 until nCols).map(c => s"v${r}_$c"))
+      val payload = (header +: data)
+        .map(_.mkString("[\"", "\",\"", "\"]"))
+        .mkString("[", ",", "]")
+      val df = Ingest.arrayOfArrays(spark, payload)
+      df.columns.toSeq == header && df.count() == nRows.toLong
+    }
+}
