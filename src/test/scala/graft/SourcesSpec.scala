@@ -37,6 +37,60 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() === expected)
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/b_customer").saveAsTable("b_customer")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).count()
+      val plan = j.queryExecution.executedPlan.toString
+      // bucketing co-locates both sides: the join itself needs no Exchange
+      // (only the final aggregation shuffles on c_nationkey)
+      val joinSection = plan.split("HashAggregate").last
+      assert(joinSection.contains("SortMergeJoin"), s"plan:\n$plan")
+      assert(!joinSection.contains("Exchange hashpartitioning(o_custkey") &&
+        !joinSection.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("dynamic partition pruning fires on partitioned fact x filtered dim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    val orders = Tables.load(spark, sf, "orders")
+    PartitionedWrite.writeByYear(orders, "o_orderdate", s"$dir/fact")
+    val fact = PartitionedWrite.read(spark, s"$dir/fact")
+    Seq((1996, "keep"), (1997, "drop")).toDF("p_year", "tag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim") // file-backed: filter survives
+    val j = fact.join(dim.filter(col("tag") === "keep"), Seq("p_year"))
+    val plan = j.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"DPP missing from plan:\n$plan")
+    val expected = orders
+      .filter(graft.operators.Relational.inYear(col("o_orderdate"), 1996))
+      .count()
+    assert(j.count() === expected)
+  }
+
   test("salted join equals plain join (skew mitigation is invisible)") {
     val plain = Tables.load(spark, sf, "lineitem")
       .join(Tables.load(spark, sf, "supplier"),
