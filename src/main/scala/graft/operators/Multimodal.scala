@@ -64,6 +64,29 @@ object Multimodal {
     spark.createDataFrame(rows, featureSchema)
   }
 
+  /** Frame sampling: carve the binary payload into fixed-size "frames"
+    * and keep every `stride`-th one — the video-frame-sampling plan shape
+    * (explode offsets → binary substring), all narrow, no shuffle.
+    * `substring` on BinaryType slices bytes. */
+  def frameSample(media: DataFrame, frameBytes: Int,
+                  stride: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        ceil(col("meta.n_bytes") / lit(frameBytes)).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .select(col("doc_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1,
+          lit(frameBytes)).as("frame"))
+
+  /** "Resize": reduce a frame to a coarse fixed-length signature (here:
+    * byte-length + first/last bytes via the stub; a real codec would
+    * downscale pixels). Keeps the narrow map-only plan shape. */
+  def resizeFrames(frames: DataFrame, outBytes: Int): DataFrame =
+    frames.select(col("doc_id"), col("frame_idx"),
+      substring(col("frame"), 1, outBytes).as("thumb"),
+      length(col("frame")).as("frame_bytes"))
+
   /** Declared query: metadata aggregation over the media view — bytes,
     * distinct-content, and payload-prefix stats per origin. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =

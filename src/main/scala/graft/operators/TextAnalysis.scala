@@ -97,12 +97,62 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"),
            min(col("source")).as("first_source"))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every positional 5-word
+    * shingle, slide a window of w=4 hashes, record each window's minimum.
+    * Any shared word-run of ≥ w+5-1 = 8 words between two documents is
+    * guaranteed to share a fingerprint. Output: candidate pairs ranked by
+    * shared-fingerprint count. Engine-specific hashing → no oracle;
+    * spec checks the fingerprint pairs cover all Jaccard near-dups.
+    *
+    * Scale shape: positional shingles via posexplode+lead (codegen), the
+    * sliding min via a row-frame window, pair generation via groupBy on
+    * fingerprint (never all-pairs). */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 4
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // 5-word positional shingles: winnowing needs k-grams long enough to
+    // be document-discriminating (Schleimer et al. use k ~ guarantee
+    // threshold; short shingles make fingerprints globally common)
+    val shingled = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(col("doc_id"), col("pos"), col("w0"),
+        lead(col("w0"), 1).over(byPos).as("w1"),
+        lead(col("w0"), 2).over(byPos).as("w2"),
+        lead(col("w0"), 3).over(byPos).as("w3"),
+        lead(col("w0"), 4).over(byPos).as("w4"))
+      .filter(col("w4").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        graft.functions.TextOps.unsignedHash(
+          concat_ws(" ", col("w0"), col("w1"), col("w2"), col("w3"),
+            col("w4"))).as("h"))
+    val slide = byPos.rowsBetween(-(w - 1), Window.currentRow)
+    val fps = shingled
+      .withColumn("fp", min(col("h")).over(slide))
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"), col("fp")).distinct()
+    // pairs sharing a fingerprint, ranked by overlap count
+    fps.groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 50)) // drop degenerate hot fps
+      .select(explode(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+        .as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
   private def hitsSql(lang: String): String = {
     val lst = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(string_split(text, ' '), tk -> list_contains($lst, tk)))"
   }
 
   val catalog: Seq[Q] = Seq(
+    Q.noOracle("q52_winnowing", winnowing _),
     Q("q40_lang_id", langId _, {
       val scoreCols = langOrder.map(l => s"${hitsSql(l)} AS s_$l")
         .mkString(",\n    ")

@@ -59,6 +59,25 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total"))
 
+  /** Stream-stream inner join with event-time range: purchases within 30
+    * minutes after a click by the same user. Both sides carry watermarks
+    * and the join has a time-range condition, so each side's buffered
+    * state is bounded — the requirement for unbounded-stream joins. */
+  def clickPurchaseJoin(clicks: DataFrame,
+                        purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("value"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer ----
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -91,6 +91,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("avg_quality") <= 1.0))
   }
 
+  test("winnowing: fingerprint pairs cover the jaccard near-dups") {
+    val wn = TextAnalysis.winnowing(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ng = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ng.subsetOf(wn), s"missed near-dups: ${ng.diff(wn)}")
+  }
+
+  test("multimodal: frame sampling and resize keep plan narrow and exact") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
+    val thumbs = Multimodal.resizeFrames(frames, outBytes = 8)
+    assert(frames.count() > 0)
+    // every sampled frame comes from a stride-aligned offset
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() === 0)
+    assert(thumbs.filter(length(col("thumb")) > 8).count() === 0)
+    // no shuffle: narrow map-only plan
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling shuffles:\n$plan")
+  }
+
   test("multimodal: stub decoder preserves rows, histogram sums to bytes") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.decodeFeatures(media)

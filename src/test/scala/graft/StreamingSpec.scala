@@ -103,6 +103,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases within 30 min of a click, per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[RawEv]
+    val purchases = MemoryStream[RawEv]
+    clicks.addData(
+      RawEv(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0, "{}"),
+      RawEv(2, ts("2024-01-01 12:00:00"), 2, "click", 0.0, "{}"))
+    purchases.addData(
+      RawEv(3, ts("2024-01-01 10:10:00"), 1, "purchase", 9.5, "{}"), // joins
+      RawEv(4, ts("2024-01-01 11:00:00"), 1, "purchase", 7.0, "{}"), // late
+      RawEv(5, ts("2024-01-01 12:05:00"), 2, "purchase", 3.0, "{}")) // joins
+    val q = EventStreams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+      assert(got === Set((1L, 9.5), (2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("stream-vs-batch equivalence on real events table (sf0.001)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
