@@ -194,6 +194,42 @@ object Dedup {
       .select(col("v1"), col("v2"), col("cos"))
   }
 
+  /** Duplicate-cluster resolution: connected components over the near-dup
+    * pair graph (pairs are transitive in practice — a dedup pipeline keeps
+    * one doc per CLUSTER, not per pair). Iterative min-label propagation:
+    * each round every vertex takes the min component label among itself
+    * and its neighbors; converges in O(graph diameter) rounds. The label
+    * frame is localCheckpoint'ed each round to truncate lineage (the
+    * standard guard for iterative DataFrame algorithms), and convergence
+    * is detected by the monotonically non-increasing label sum. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = edges
+      .unionByName(edges.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint(true)
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+    var iter = 0
+    while (curSum < prevSum && iter < 20) {
+      val prop = sym.join(labels, sym("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
+      labels = labels
+        .join(prop, labels("doc_id") === prop("dst"), "left_outer")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint(true)
+      prevSum = curSum
+      curSum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+      iter += 1
+    }
+    labels
+  }
+
   private val ngramJaccardSql =
     """WITH docs AS (
       |  SELECT doc_id, substr(text, 1, 30) AS bucket,
@@ -225,7 +261,33 @@ object Dedup {
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |SELECT v1, v2, cos FROM p WHERE cos >= 0.5""".stripMargin
 
+  private val dupClustersSql =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, substr(text, 1, 30) AS bucket,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   for i in range(1, len(w) - 1)]) AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM docs a JOIN docs b
+      |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.sh, b.sh)) /
+      |        len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+      |sym AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT s AS v, s AS r FROM sym
+      |  UNION
+      |  SELECT sym.d AS v, reach.r AS r
+      |  FROM sym JOIN reach ON sym.s = reach.v)
+      |SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1""".stripMargin
+
   val catalog: Seq[Q] = Seq(
+    Q("q53_dup_clusters", dupClusters _, dupClustersSql),
     Q("q33_dedup_exact", exact _,
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         |  count(*) AS n_copies

@@ -91,6 +91,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("avg_quality") <= 1.0))
   }
 
+  test("dup clusters: labels are transitive minima over the pair graph") {
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("comp")).toMap
+    // both endpoints of every edge share a component
+    pairs.foreach { case (a, b) => assert(comp(a) === comp(b)) }
+    // the component label is the minimum member id
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min)
+    }
+  }
+
   test("winnowing: fingerprint pairs cover the jaccard near-dups") {
     val wn = TextAnalysis.winnowing(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
