@@ -146,6 +146,46 @@ object TextAnalysis {
       .filter(col("n_shared") >= 2)
   }
 
+  /** End-to-end corpus preparation — the flagship LLM-data-prep chain,
+    * composing the library's operators in one declared query:
+    * quality gate (≥ 20 tokens) → near-dup removal (keep only each
+    * cluster's min-id doc, via [[Dedup.dupClusters]]) → per-language
+    * corpus stats. The at-scale shape: the anti-join removes cluster
+    * losers without ever materializing the kept corpus twice. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val losers = Dedup.dupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id"))
+    t(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens") >= 20)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           round(avg(col("n_chars")), 4).as("avg_chars"))
+  }
+
+  /** Edit-distance (Levenshtein) similarity over part names — identical
+    * integer semantics in Spark and DuckDB, an exact cross-engine oracle
+    * for string-similarity search. Pair space bounded by key range +
+    * same-type bucket (the candidate-generation discipline again). */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").filter(col("p_partkey") < 200)
+    val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+      col("p_type").as("p_type"))
+    val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+      col("p_type").as("p_type"))
+    a.join(b, Seq("p_type"))
+      .filter(col("k1") < col("k2"))
+      .withColumn("lev", levenshtein(col("n1"), col("n2")))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when(col("lev") <= 5, 1).otherwise(0)).as("n_close"),
+           min(col("lev")).as("min_lev"),
+           round(avg(col("lev")), 4).as("avg_lev"))
+  }
+
   private def hitsSql(lang: String): String = {
     val lst = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(string_split(text, ' '), tk -> list_contains($lst, tk)))"
@@ -153,6 +193,49 @@ object TextAnalysis {
 
   val catalog: Seq[Q] = Seq(
     Q.noOracle("q52_winnowing", winnowing _),
+    Q("q54_corpus_pipeline", corpusPipeline _,
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, substr(text, 1, 30) AS bucket,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w) - 1)]) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM docs a JOIN docs b
+        |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.sh, b.sh)) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+        |sym AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s AS v, s AS r FROM sym
+        |  UNION
+        |  SELECT sym.d AS v, reach.r AS r
+        |  FROM sym JOIN reach ON sym.s = reach.v),
+        |comp AS (
+        |  SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents dd
+        |WHERE len(string_split(text, ' ')) >= 20
+        |  AND NOT EXISTS (SELECT 1 FROM comp
+        |    WHERE comp.doc_id = dd.doc_id AND comp.comp <> comp.doc_id)
+        |GROUP BY 1""".stripMargin),
+    Q("q55_edit_distance", editDistance _,
+      """SELECT a.p_type, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) <= 5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+        |  CAST(min(levenshtein(a.p_name, b.p_name)) AS INT) AS min_lev,
+        |  round(avg(levenshtein(a.p_name, b.p_name)), 4) AS avg_lev
+        |FROM part a JOIN part b
+        |  ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 200 AND b.p_partkey < 200
+        |GROUP BY 1""".stripMargin),
     Q("q40_lang_id", langId _, {
       val scoreCols = langOrder.map(l => s"${hitsSql(l)} AS s_$l")
         .mkString(",\n    ")
