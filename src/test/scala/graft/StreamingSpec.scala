@@ -126,6 +126,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exactly-once dedup: watermarked dropDuplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RawEv]
+    val deduped = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(
+        RawEv(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0, "{}"),
+        RawEv(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0, "{}")) // dup
+      q.processAllAvailable()
+      ms.addData( // replay across batches — state catches it
+        RawEv(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0, "{}"),
+        RawEv(2, ts("2024-01-01 00:10:00"), 1, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stream-vs-batch equivalence on real events table (sf0.001)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
