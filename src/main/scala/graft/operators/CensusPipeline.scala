@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Ingest
+import graft.sources.{Csv, Ingest}
 
 /** The reference's end-to-end pipeline, faithfully re-expressed
   * (SURVEY.md §2.7 DAG; reference `extractCensusACS5.py` + `report.md`).
@@ -16,6 +16,13 @@ import graft.sources.Ingest
   */
 object CensusPipeline {
 
+  /** Simultaneous column rename (pandas `df.rename` semantics — a
+    * sequential fold breaks when a target name equals another source
+    * name, e.g. NAME→state while state→state_id). */
+  def renameAll(df: DataFrame, renames: Map[String, String]): DataFrame =
+    df.select(df.columns.map(c =>
+      col(s"`$c`").as(renames.getOrElse(c, c))): _*)
+
   /** EP1: payloads keyed by year → one renamed table.
     * pandas `concat` aligns on column names → `unionByName`. */
   def extract(spark: SparkSession,
@@ -24,9 +31,7 @@ object CensusPipeline {
     val unioned = payloadsByYear.map { case (y, payload) =>
       Ingest.arrayOfArrays(spark, payload).withColumn("year", lit(y))
     }.reduce(_ unionByName _)
-    renames.foldLeft(unioned) { case (df, (from, to)) =>
-      df.withColumnRenamed(from, to)
-    }
+    renameAll(unioned, renames)
   }
 
   /** EP2+EP3 on the three typed tables (states, incomes, rates — schemas
@@ -61,4 +66,53 @@ object CensusPipeline {
       .groupBy(col("State"))
       .agg(round(avg(col("Graduation_Rate")), 6).as("avg_graduation_rate"),
            round(avg(col("Median_Household_Income")), 6).as("avg_income"))
+
+  /** The reference's WHOLE pipeline as one call — what a user of
+    * `census-asc5-data-pipeline` runs today, end to end:
+    * staged payload dirs (S1, one dir per logical table, one JSON file per
+    * year fetched via [[graft.sources.CensusSource]]) → decode/promote/
+    * union/rename (EP1) → CSV at rest (S4) → schema-on-read scans (S5) →
+    * star views + fact (EP2) → chart query for `yr` (EP3).
+    *
+    * `renames` per table mirror `extractCensusACS5.py:71-84`; the at-rest
+    * hop is real CSV (reference fidelity), written one-file-per-table
+    * only when `singleFileCsv` (the reference's layout; leave false at
+    * scale). */
+  def runEndToEnd(spark: SparkSession,
+                  statesDir: String, incomesDir: String, ratesDir: String,
+                  csvOutDir: String, yr: Int,
+                  singleFileCsv: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    def extractDir(dir: String, renames: Map[String, String],
+                   out: String): Unit = {
+      val raw = spark.read.format("graft.sources.CensusSource")
+        .option("path", dir).load()
+      // the per-file year column arrives as part of the payload via a
+      // "year" field, or is absent — the reference tags it per fetch; here
+      // the staged-file convention is a `year` column already present
+      Csv.write(renameAll(raw, renames), s"$csvOutDir/$out",
+        single = singleFileCsv)
+    }
+    extractDir(statesDir,
+      Map("NAME" -> "state", "state" -> "state_id"), "states")
+    extractDir(incomesDir,
+      Map("DP03_0062E" -> "median_household_income", "state" -> "state_id"),
+      "median_household_incomes")
+    extractDir(ratesDir,
+      Map("DP02_0067PE" -> "graduation_rate", "state" -> "state_id"),
+      "graduation_rates")
+    // S5: schema-on-read with the Athena DDL types (report.md:380-434)
+    val states = Csv.read(spark, s"$csvOutDir/states", StructType(Seq(
+      StructField("state", StringType), StructField("state_id", IntegerType),
+      StructField("year", IntegerType))))
+    val incomes = Csv.read(spark, s"$csvOutDir/median_household_incomes",
+      StructType(Seq(StructField("median_household_income", DoubleType),
+        StructField("state_id", IntegerType),
+        StructField("year", IntegerType))))
+    val rates = Csv.read(spark, s"$csvOutDir/graduation_rates",
+      StructType(Seq(StructField("graduation_rate", DoubleType),
+        StructField("state_id", IntegerType),
+        StructField("year", IntegerType))))
+    chart(fact(states, incomes, rates), yr)
+  }
 }

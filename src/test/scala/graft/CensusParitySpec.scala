@@ -79,6 +79,44 @@ class CensusParitySpec extends SparkSpec {
     assert(ms17.getAs[String]("median_household_income") === "42009")
   }
 
+  test("runEndToEnd: staged payloads -> CSV -> star -> chart == golden chart") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_e2e").toString
+    // stage payload files (one per year) from the golden CSVs
+    def stage(csvPath: String, apiCol: String, outDir: String): Unit = {
+      Files.createDirectories(Paths.get(outDir))
+      val lines = scala.io.Source.fromFile(csvPath).getLines().toSeq
+      val rows = lines.drop(1).map(_.split(","))
+      rows.groupBy(_(2)).foreach { case (yr, rs) =>
+        val payload = (Seq(Seq(apiCol, "state", "year")) ++
+          rs.map(_.toSeq))
+          .map(_.mkString("[\"", "\",\"", "\"]")).mkString("[", ",", "]")
+        Files.writeString(Paths.get(s"$outDir/y$yr.json"), payload)
+      }
+    }
+    stage(s"$refCsv/census_acs5_states.csv", "NAME", s"$base/states")
+    stage(s"$refCsv/census_acs5_median_household_incomes.csv",
+      "DP03_0062E", s"$base/incomes")
+    stage(s"$refCsv/census_acs5_graduation_rates.csv",
+      "DP02_0067PE", s"$base/rates")
+    // NULL-safe compare: the golden data itself has an empty graduation
+    // rate for Puerto Rico (Census API returns no DP02_0067PE there) —
+    // the NULL must survive the whole pipeline, exactly as in Athena
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val chartE2e = rows(CensusPipeline.runEndToEnd(spark,
+      s"$base/states", s"$base/incomes", s"$base/rates",
+      s"$base/csv", 2018, singleFileCsv = true))
+    val chartGolden = rows(CensusPipeline.chart(
+      CensusPipeline.fact(states, incomes, rates), 2018))
+    assert(chartE2e === chartGolden)
+    assert(chartE2e.size === 52)
+    assert(chartE2e.exists { case (s, g, _) =>
+      s == "Puerto Rico" && g.isEmpty }) // the NULL is load-bearing
+  }
+
   test("CSV sink/scan roundtrip incl. malformed-to-null (S4/S5/P6)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
