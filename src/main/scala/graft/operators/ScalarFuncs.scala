@@ -99,7 +99,55 @@ object ScalarFuncs {
           x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)), 4)
           .as("l2_norm"))
 
+  /** NULL semantics: nullif-injected nulls through count/count(col)/
+    * coalesce/null-safe equality — the rules the reference leaves implicit
+    * (its inner joins silently drop unmatched rows; its golden data
+    * carries a real NULL — see CensusParitySpec's Puerto Rico case). */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        expr("nullif(o_orderstatus, 'O')").as("st"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("st")).as("n_nonnull"),
+           sum(when(col("st").isNull, 1).otherwise(0)).as("n_null"),
+           count(coalesce(col("st"), lit("none"))).as("n_coal"),
+           sum(when(col("st") <=> "F", 1).otherwise(0)).as("n_f"))
+
+  /** MapType surface: typed map construction + key lookup + cardinality. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("m", map(lit("k"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k")))
+      .groupBy(col("event_type"))
+      .agg(sum(element_at(col("m"), "k")).as("k_sum"),
+           max(size(col("m"))).as("max_card"),
+           count(lit(1)).as("n"))
+
   val catalog: Seq[Q] = Seq(
+    Q("q56_null_semantics", nullSemantics _,
+      """SELECT o_orderpriority AS priority, count(*) AS n_rows,
+        |  count(st) AS n_nonnull,
+        |  CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  count(coalesce(st, 'none')) AS n_coal,
+        |  CAST(sum(CASE WHEN st IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_f
+        |FROM (SELECT o_orderpriority,
+        |        nullif(o_orderstatus, 'O') AS st FROM orders)
+        |GROUP BY 1""".stripMargin),
+    Q("q57_map_funcs", mapFuncs _,
+      """SELECT event_type,
+        |  CAST(sum(map(['k'],
+        |    [CAST(json_extract_string(props, '$.k') AS INT)])['k'][1])
+        |    AS BIGINT) AS k_sum,
+        |  CAST(max(cardinality(map(['k'],
+        |    [CAST(json_extract_string(props, '$.k') AS INT)]))) AS INT)
+        |    AS max_card,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin),
     Q("q22_string_funcs", stringFuncs _,
       """SELECT upper(p_type) AS type_u, count(*) AS n,
         |  CAST(sum(length(p_name)) AS BIGINT) AS total_chars,
