@@ -126,12 +126,8 @@ object Dedup {
     // with map-side partial agg: the shuffle carries k values per document.
     val hashed = shingleExploded(docs)
       .select(col("doc_id"), TextOps.unsignedHash(col("s")).as("x"))
-    val minAggs = (0 until k).map(i =>
-      min(TextOps.minhashPermute(i, col("x"))).as(s"m$i"))
     val sigs = hashed.groupBy(col("doc_id"))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("x"), k).as("sig"))
     val banded = sigs.select(col("doc_id"),
       explode(TextOps.minhashBands(col("sig"), 16, 4)).as("band"))
     val cands = pairsWithin(banded, "band")
