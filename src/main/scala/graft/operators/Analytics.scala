@@ -116,7 +116,23 @@ object Analytics {
       .select(col("w.start").cast("long").as("w_start"), col("n"),
               col("total"))
 
+  /** Sort with explicit NULL placement: Spark defaults to NULLS FIRST on
+    * ASC, DuckDB to NULLS LAST — a silent cross-engine divergence unless
+    * the query pins it (here: NULLS LAST + unique tie-break). */
+  def sortNulls(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey").as("order_id"),
+        expr("nullif(o_orderstatus, 'O')").as("st"),
+        col("o_totalprice").as("price"))
+      .orderBy(col("st").asc_nulls_last, col("order_id").asc)
+      .limit(50)
+
   val catalog: Seq[Q] = Seq(
+    Q("q58_sort_nulls", sortNulls _,
+      """SELECT o_orderkey AS order_id, nullif(o_orderstatus, 'O') AS st,
+        |  o_totalprice AS price
+        |FROM orders
+        |ORDER BY st ASC NULLS LAST, order_id ASC LIMIT 50""".stripMargin),
     Q("q12_topk", topkOrders _,
       """SELECT o_orderkey AS order_id, o_custkey AS cust_id,
         |  o_totalprice AS price

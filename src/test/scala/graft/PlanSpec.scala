@@ -46,6 +46,14 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"got:\n$plan")
   }
 
+  test("q35: MinHashAgg runs as partial+final ObjectHashAggregate") {
+    val plan = planOf(graft.operators.Dedup.minhash(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), s"got:\n$plan")
+    assert(plan.contains("partial_minhashagg") ||
+      plan.toLowerCase.contains("partial_minhashagg"),
+      s"no partial aggregation for MinHashAgg:\n$plan")
+  }
+
   test("q06: status equality + year range both push to scan") {
     val plan = planOf(Relational.filterEq(spark, sf))
     assert(plan.contains("EqualTo(o_orderstatus,F)"),
