@@ -186,6 +186,56 @@ object TextAnalysis {
            round(avg(col("lev")), 4).as("avg_lev"))
   }
 
+  /** Bigram language-model scoring (the CCNet-style corpus quality
+    * filter): P(w2|w1) estimated from corpus bigram counts; a document's
+    * score is its mean bigram log-probability. Two count aggregations +
+    * one join — the LM "training" and "scoring" are the same distributed
+    * pass shape at any corpus size. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .withColumn("w1", lead(col("w0"), 1).over(byPos))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("lang"), col("w0"),
+        concat_ws(" ", col("w0"), col("w1")).as("bg"))
+    val bgc = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val w1c = bg.groupBy(col("w0")).agg(count(lit(1)).as("c_w1"))
+    bg.join(bgc, Seq("bg")).join(w1c, Seq("w0"))
+      .withColumn("lp", log(col("c_bg") / col("c_w1")))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(avg(col("lp")).as("doc_score"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("doc_score")), 4).as("avg_lm"),
+           round(min(col("doc_score")), 4).as("min_lm"))
+  }
+
+  /** TF-IDF top terms per document (bounded to doc_id < 50): exact term
+    * frequencies, document frequencies, and ln(N/df) weighting; the N
+    * scalar is a broadcast 1-row aggregate — no driver-side action. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val rank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("w")).crossJoin(broadcast(n))
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("w").as("term"),
+        round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= 3)
+  }
+
   private def hitsSql(lang: String): String = {
     val lst = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(string_split(text, ' '), tk -> list_contains($lst, tk)))"
@@ -193,6 +243,43 @@ object TextAnalysis {
 
   val catalog: Seq[Q] = Seq(
     Q.noOracle("q52_winnowing", winnowing _),
+    Q("q59_bigram_lm", bigramLm _,
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bgrel AS (
+        |  SELECT doc_id, lang, u.w0 AS w0, u.bg AS bg
+        |  FROM (SELECT doc_id, lang,
+        |          unnest([{'w0': ws[i], 'bg': ws[i] || ' ' || ws[i+1]}
+        |                  for i in range(1, len(ws))]) AS u
+        |        FROM w)),
+        |bgc AS (SELECT bg, count(*) AS c_bg FROM bgrel GROUP BY 1),
+        |w1c AS (SELECT w0, count(*) AS c_w1 FROM bgrel GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, lang, ln(c_bg / c_w1) AS lp
+        |  FROM bgrel JOIN bgc USING (bg) JOIN w1c USING (w0)),
+        |doc AS (
+        |  SELECT doc_id, lang, avg(lp) AS s FROM scored GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(s), 4) AS avg_lm, round(min(s), 4) AS min_lm
+        |FROM doc GROUP BY 1""".stripMargin),
+    Q("q60_tfidf", tfidf _,
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, w AS term, round(tf * ln(n / df), 4) AS tfidf
+        |  FROM tf JOIN df USING (w) CROSS JOIN n
+        |  WHERE doc_id < 50),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term ASC) AS INT) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3""".stripMargin),
     Q("q54_corpus_pipeline", corpusPipeline _,
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, substr(text, 1, 30) AS bucket,
