@@ -127,7 +127,64 @@ object Analytics {
       .orderBy(col("st").asc_nulls_last, col("order_id").asc)
       .limit(50)
 
+  /** NTILE quartiles over a total order; per-quartile stats. A global
+    * (unpartitioned) window forces a single-partition sort — acceptable
+    * for ranked reporting output, but at 100 TB the right tool for
+    * quantile BOUNDARIES is the sketch/exact percentile path (q46/q47). */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+           round(min(col("o_totalprice")), 2).as("min_price"),
+           round(max(col("o_totalprice")), 2).as("max_price"))
+  }
+
+  /** Navigation window functions: first/last/nth over an explicit frame
+    * (last_value needs the full-partition frame — the classic footgun:
+    * the default frame ends at CURRENT ROW). */
+  def windowNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .withColumn("first_price", first(col("o_totalprice")).over(w))
+      .withColumn("last_price", last(col("o_totalprice")).over(w))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(min(col("first_price")), 2).as("first_price"),
+           round(min(col("last_price")), 2).as("last_price"),
+           round(min(col("second_price")), 2).as("second_price"))
+      .filter(col("n_orders") >= 2)
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q61_ntile", ntileQuartiles _,
+      """SELECT quartile, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM (SELECT o_totalprice,
+        |        CAST(ntile(4) OVER (ORDER BY o_totalprice ASC,
+        |          o_orderkey ASC) AS INT) AS quartile
+        |      FROM orders)
+        |GROUP BY 1""".stripMargin),
+    Q("q62_window_navigation", windowNavigation _,
+      """WITH nav AS (
+        |  SELECT o_custkey,
+        |    first_value(o_totalprice) OVER w AS first_price,
+        |    last_value(o_totalprice) OVER w AS last_price,
+        |    nth_value(o_totalprice, 2) OVER w AS second_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT o_custkey AS cust_id, count(*) AS n_orders,
+        |  round(min(first_price), 2) AS first_price,
+        |  round(min(last_price), 2) AS last_price,
+        |  round(min(second_price), 2) AS second_price
+        |FROM nav GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
     Q("q58_sort_nulls", sortNulls _,
       """SELECT o_orderkey AS order_id, nullif(o_orderstatus, 'O') AS st,
         |  o_totalprice AS price
