@@ -150,6 +150,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file streaming source: parquet dir drained incrementally") {
+    import org.apache.spark.sql.functions.sum
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    events.limit(300).write.parquet(s"$dir/in/batch1")
+    // file source reads the dir as an unbounded stream of new files
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/*")
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("filestream").agg(sum("n"))
+        .collect()(0).getLong(0)
+      assert(n1 === 300)
+      events.limit(500).write.mode("overwrite").parquet(s"$dir/in/batch2")
+      q.processAllAvailable()
+      val n2 = spark.table("filestream").agg(sum("n"))
+        .collect()(0).getLong(0)
+      assert(n2 === 800) // both file batches absorbed
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: idempotent per-batch parquet writes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val ms = MemoryStream[RawEv]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/out/batch_$id")
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      ms.addData(RawEv(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      ms.addData(RawEv(2, ts("2024-01-01 00:01:00"), 1, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      val written = spark.read.parquet(s"$dir/out/batch_*")
+      assert(written.count() === 2)
+    } finally q.stop()
+  }
+
   test("stream-vs-batch equivalence on real events table (sf0.001)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
