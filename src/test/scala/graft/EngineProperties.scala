@@ -92,6 +92,39 @@ object EngineProperties extends Properties("graft") {
       v >= 0L && v < TextOps.minhashPrime
     }
 
+  private val floatVec: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.choose(-10f, 10f)).suchThat(_.exists(_ != 0f))
+
+  property("cosine within [-1,1] and symmetric; self-cosine 1") =
+    forAll(floatVec, floatVec) { (a, b) =>
+      import spark.implicits._
+      import graft.functions.VectorOps
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(col("a").cast("array<float>").as("a"),
+          col("b").cast("array<float>").as("b"))
+      val r = df.select(
+        VectorOps.cosine(col("a"), col("b")).as("ab"),
+        VectorOps.cosine(col("b"), col("a")).as("ba"),
+        VectorOps.cosine(col("a"), col("a")).as("aa")).collect()(0)
+      val ab = r.getDouble(0)
+      ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9 &&
+        math.abs(ab - r.getDouble(1)) < 1e-12 &&
+        math.abs(r.getDouble(2) - 1.0) < 1e-9
+    }
+
+  property("salted join equals plain join on generated data") =
+    forAll(kvRows, kvRows) { (big, small) =>
+      import spark.implicits._
+      val b = big.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "uid")
+      val s = small.map(_._1).distinct.map(k => (k, s"dim_$k"))
+        .toDF("k", "tag")
+      val plain = b.join(s, Seq("k")).count()
+      val salted = graft.operators.SkewJoin
+        .saltedJoin(b, s, "k", "uid", 4).count()
+      plain == salted
+    }
+
   property("header promotion: columns from row 0, data rows preserved") =
     forAll(Gen.choose(1, 4), Gen.choose(1, 5)) { (nCols, nRows) =>
       val header = (0 until nCols).map(i => s"col$i")
