@@ -127,6 +127,29 @@ object Analytics {
       .orderBy(col("st").asc_nulls_last, col("order_id").asc)
       .limit(50)
 
+  /** As-of join (composed from existing operators — SURVEY.md §7.3
+    * preference (a)): for every purchase event, the most recent prior
+    * click by the same user. The scalable formulation: ONE hash shuffle on
+    * user_id + per-partition sort, then a carried-forward
+    * last(..., ignoreNulls) — never a range join, never per-row probing.
+    * Gap emitted in seconds (engine-portable boundary-count semantics). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("click_sec",
+        when(col("event_type") === "click", col("ts").cast("long")))
+      .withColumn("prior_click_sec",
+        last(col("click_sec"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").cast("long").as("purchase_sec"),
+        col("prior_click_sec"),
+        (col("ts").cast("long") - col("prior_click_sec"))
+          .as("gap_sec"))
+  }
+
   /** NTILE quartiles over a total order; per-quartile stats. A global
     * (unpartitioned) window forces a single-partition sort — acceptable
     * for ranked reporting output, but at 100 TB the right tool for
@@ -161,6 +184,24 @@ object Analytics {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q63_asof_join", asofJoin _,
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(epoch(ts)) AS BIGINT) END AS click_sec,
+        |    ts
+        |  FROM events),
+        |carried AS (
+        |  SELECT user_id, event_id, event_type, sec,
+        |    last_value(click_sec IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS prior_click_sec
+        |  FROM marked)
+        |SELECT user_id, event_id AS purchase_id, sec AS purchase_sec,
+        |  prior_click_sec, sec - prior_click_sec AS gap_sec
+        |FROM carried WHERE event_type = 'purchase'""".stripMargin),
     Q("q61_ntile", ntileQuartiles _,
       """SELECT quartile, count(*) AS n,
         |  round(min(o_totalprice), 2) AS min_price,
