@@ -113,9 +113,10 @@ object Dedup {
   }
 
   /** MinHash + banded LSH near-dup (Broder 1997; k=64 hashes, 16 bands ×
-    * 4 rows → catches J ≳ 0.5 with high probability). Signature is one
-    * narrow higher-order expression; candidates come from a self-equi-join
-    * on band keys; exact Jaccard verifies. Not SQL-expressible (murmur3 is
+    * 4 rows → catches J ≳ 0.5 with high probability). Signature via the
+    * [[graft.functions.MinHashAgg]] typed aggregate (one mergeable buffer,
+    * partial agg); candidates from single-pass in-band pair expansion;
+    * exact Jaccard verifies. Not SQL-expressible (murmur3 is
     * engine-specific) → no oracle; `DedupSpec` checks it recovers exactly
     * the q34 pairs. */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
@@ -136,8 +137,9 @@ object Dedup {
 
   /** SimHash near-dup (Charikar 2002): 64-bit signed fingerprint of the
     * token multiset; candidates share one of 4 16-bit chunks (any pair at
-    * hamming < 4 must collide); verified by exact hamming ≤ 12. Engine-
-    * specific hashing (xxhash64) → no oracle; spec cross-checks vs q34. */
+    * hamming < 4 must collide; looser pairs may still collide and are kept
+    * iff hamming ≤ 3). Engine-specific hashing (xxhash64) → no oracle;
+    * spec cross-checks vs q34. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // explode tokens → one xxhash64 per token, then 64 signed-sum
     // aggregates (partial agg, codegen'd); bit i = sign of sum i.
@@ -204,11 +206,16 @@ object Dedup {
       .unionByName(edges.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id"))
+    // seed with round-0 propagation already applied: label = min(self,
+    // neighbors) — most near-dup components are cliques, so this converges
+    // one round earlier
+    var labels = sym.groupBy(col("src").as("doc_id"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
       .localCheckpoint(true)
+    def labelSum(): Long = labels
+      .agg(coalesce(sum(col("comp")), lit(0L))).collect()(0).getLong(0)
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+    var curSum = labelSum()
     var iter = 0
     while (curSum < prevSum && iter < 20) {
       val prop = sym.join(labels, sym("src") === labels("doc_id"))
@@ -220,7 +227,7 @@ object Dedup {
             .as("comp"))
         .localCheckpoint(true)
       prevSum = curSum
-      curSum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+      curSum = labelSum()
       iter += 1
     }
     labels
