@@ -35,6 +35,14 @@ object TextOps {
   def unsignedHash(s: Column): Column =
     hash(s).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
 
+  /** Engine-portable 32-bit string hash: first 8 hex digits of md5,
+    * parsed to a long in [0, 2^32). Slower than murmur3 (still one md5
+    * per input) but identically computable in DuckDB
+    * (`('0x' || substr(md5(s),1,8))::BIGINT`) — lets sketch-based
+    * operators be oracle-checked end to end. */
+  def portableHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
   val minhashPrime = 4294967311L // smallest prime > 2^32
 
   /** The i-th MinHash permutation h_i(x) = ((2i+1)·x + i·K) mod p applied

@@ -116,17 +116,19 @@ object Dedup {
     * 4 rows → catches J ≳ 0.5 with high probability). Signature via the
     * [[graft.functions.MinHashAgg]] typed aggregate (one mergeable buffer,
     * partial agg); candidates from single-pass in-band pair expansion;
-    * exact Jaccard verifies. Not SQL-expressible (murmur3 is
-    * engine-specific) → no oracle; `DedupSpec` checks it recovers exactly
-    * the q34 pairs. */
+    * exact Jaccard verifies. Hashing is [[TextOps.portableHash]], so the
+    * ENTIRE sketch→bands→candidates→verify pipeline is replicated in the
+    * DuckDB oracle — full cross-engine parity for an LSH operator.
+    * `DedupSpec` additionally checks it recovers exactly the q34 pairs. */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
     val k = 64
     val docs = t(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
-    // explode → one murmur3 per shingle (codegen'd), then k min-aggregates
-    // with map-side partial agg: the shuffle carries k values per document.
+    // explode → one portable hash per shingle (codegen'd), then the
+    // MinHashAgg buffer with map-side partial agg: the shuffle carries
+    // k values per document.
     val hashed = shingleExploded(docs)
-      .select(col("doc_id"), TextOps.unsignedHash(col("s")).as("x"))
+      .select(col("doc_id"), TextOps.portableHash(col("s")).as("x"))
     val sigs = hashed.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhashSig(col("x"), k).as("sig"))
     val banded = sigs.select(col("doc_id"),
@@ -289,6 +291,37 @@ object Dedup {
       |  FROM sym JOIN reach ON sym.s = reach.v)
       |SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1""".stripMargin
 
+  private val minhashSql =
+    """WITH docs AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                for i in range(1, len(w) - 1)]) AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |shx AS (
+      |  SELECT doc_id, ('0x' || substr(md5(u), 1, 8))::BIGINT AS x
+      |  FROM (SELECT doc_id, unnest(sh) AS u FROM docs)),
+      |sig AS (
+      |  SELECT doc_id, i,
+      |    min(((2 * i + 1) * x + i * 2654435761) % 4294967311) AS m
+      |  FROM shx, range(0, 64) t(i) GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS b,
+      |    string_agg(m::VARCHAR, '-' ORDER BY i) AS key
+      |  FROM sig GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(len(list_intersect(da.sh, db.sh)) /
+      |        len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
+      |FROM cand
+      |  JOIN docs da ON da.doc_id = doc_a
+      |  JOIN docs db ON db.doc_id = doc_b
+      |WHERE round(len(list_intersect(da.sh, db.sh)) /
+      |      len(list_distinct(list_concat(da.sh, db.sh))), 6) >= 0.5""".stripMargin
+
   val catalog: Seq[Q] = Seq(
     Q("q53_dup_clusters", dupClusters _, dupClustersSql),
     Q("q33_dedup_exact", exact _,
@@ -296,7 +329,7 @@ object Dedup {
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin),
     Q("q34_dedup_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
-    Q.noOracle("q35_dedup_minhash", minhash _),
+    Q("q35_dedup_minhash", minhash _, minhashSql),
     Q.noOracle("q36_dedup_simhash", simhash _),
     Q("q37_dedup_embedding", embeddingCosine _, embeddingCosineSql)
   )

@@ -99,18 +99,20 @@ object TextAnalysis {
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every positional 5-word
-    * shingle, slide a window of w=4 hashes, record each window's minimum.
-    * Any shared word-run of ≥ w+5-1 = 8 words between two documents is
+    * shingle, slide a window of w=3 hashes, record each window's minimum.
+    * Any shared word-run of ≥ w+5-1 = 7 words between two documents is
     * guaranteed to share a fingerprint. Output: candidate pairs ranked by
-    * shared-fingerprint count. Engine-specific hashing → no oracle;
-    * spec checks the fingerprint pairs cover all Jaccard near-dups.
+    * shared-fingerprint count. Hashing is the engine-portable
+    * [[graft.functions.TextOps.portableHash]], so the whole
+    * shingle→window-min→pair pipeline is oracle-replicated in DuckDB;
+    * spec additionally checks the pairs cover all Jaccard near-dups.
     *
     * Scale shape: positional shingles via posexplode+lead (codegen), the
     * sliding min via a row-frame window, pair generation via groupBy on
     * fingerprint (never all-pairs). */
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = 4
+    val w = 3
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // 5-word positional shingles: winnowing needs k-grams long enough to
     // be document-discriminating (Schleimer et al. use k ~ guarantee
@@ -125,7 +127,7 @@ object TextAnalysis {
         lead(col("w0"), 4).over(byPos).as("w4"))
       .filter(col("w4").isNotNull)
       .select(col("doc_id"), col("pos"),
-        graft.functions.TextOps.unsignedHash(
+        graft.functions.TextOps.portableHash(
           concat_ws(" ", col("w0"), col("w1"), col("w2"), col("w3"),
             col("w4"))).as("h"))
     val slide = byPos.rowsBetween(-(w - 1), Window.currentRow)
@@ -242,7 +244,33 @@ object TextAnalysis {
   }
 
   val catalog: Seq[Q] = Seq(
-    Q.noOracle("q52_winnowing", winnowing _),
+    Q("q52_winnowing", winnowing _,
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, u.pos AS pos,
+        |    ('0x' || substr(md5(u.s), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id,
+        |          unnest([{'pos': i,
+        |                   's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                     || ' ' || ws[i+3] || ' ' || ws[i+4]}
+        |                  for i in range(1, len(ws) - 3)]) AS u
+        |        FROM w)),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, pos,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fp
+        |    FROM sh)
+        |  WHERE pos >= 3),
+        |ok_fp AS (
+        |  SELECT fp FROM fps GROUP BY 1
+        |  HAVING count(*) BETWEEN 2 AND 50)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |WHERE a.fp IN (SELECT fp FROM ok_fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
     Q("q59_bigram_lm", bigramLm _,
       """WITH w AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS ws

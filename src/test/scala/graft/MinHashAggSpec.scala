@@ -10,7 +10,7 @@ class MinHashAggSpec extends SparkSpec {
     val hashed = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), explode(TextOps.shingles3(col("text"))).as("s"))
-      .select(col("doc_id"), TextOps.unsignedHash(col("s")).as("x"))
+      .select(col("doc_id"), TextOps.portableHash(col("s")).as("x"))
 
     val viaAgg = hashed.groupBy(col("doc_id"))
       .agg(MinHashAgg.minhashSig(col("x"), k).as("sig"))
@@ -32,7 +32,7 @@ class MinHashAggSpec extends SparkSpec {
   test("signature is permutation-bounded and merge-stable across partitions") {
     val hashed = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), explode(TextOps.shingles3(col("text"))).as("s"))
-      .select(col("doc_id"), TextOps.unsignedHash(col("s")).as("x"))
+      .select(col("doc_id"), TextOps.portableHash(col("s")).as("x"))
     val one = hashed.coalesce(1).groupBy(col("doc_id"))
       .agg(MinHashAgg.minhashSig(col("x"), 16).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
