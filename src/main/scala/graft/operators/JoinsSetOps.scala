@@ -88,6 +88,68 @@ object JoinsSetOps {
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
       .filter(col("n") >= 5)
 
+  /** Full outer join — union of match, left-only, and right-only rows:
+    * yearly spend per customer in 1995 vs 1996, keeping customers active
+    * in either year. At scale both sides pre-aggregate to one row per key
+    * before the join, so the full-outer shuffle carries reduced data, and
+    * `coalesce` over the two key copies rebuilds a total key. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def spend(y: Int): DataFrame =
+      o.filter(Relational.inYear(col("o_orderdate"), y))
+        .groupBy(col("o_custkey").as(s"cust_$y"))
+        .agg(sum(col("o_totalprice")).as(s"spend_$y"))
+    spend(1995).join(spend(1996),
+        col("cust_1995") === col("cust_1996"), "full_outer")
+      .select(
+        when(col("cust_1995").isNotNull && col("cust_1996").isNotNull, "both")
+          .when(col("cust_1995").isNotNull, "only_1995")
+          .otherwise("only_1996").as("presence"),
+        coalesce(col("spend_1995"), lit(0.0)).as("s95"),
+        coalesce(col("spend_1996"), lit(0.0)).as("s96"))
+      .groupBy(col("presence"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum(col("s95")), 2).as("spend_1995"),
+           round(sum(col("s96")), 2).as("spend_1996"))
+  }
+
+  /** Range join: equi-key + interval predicate — each lineitem matched to
+    * its order only if shipped within 60 days of the order date. The
+    * equi-key (l_orderkey = o_orderkey) makes this a plain shuffled hash
+    * join with the range as a cheap post-join filter — the at-scale shape
+    * for "event within window of parent" joins. A pure interval join with
+    * NO equi key degrades to a nested-loop; always surface an equi
+    * component (key, or a coarse time-bucket) so Catalyst hash-partitions. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_in_window"),
+           round(avg(col("lag_days")), 4).as("avg_lag_days"),
+           max(col("lag_days")).as("max_lag_days"))
+  }
+
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * (lang, source) detail, per-lang subtotal, grand total, tagged by
+    * grouping_id so consumers can tell a NULL group key from a subtotal
+    * row. Spark expands grouping sets map-side then partially aggregates —
+    * the exchange carries one partial row per (group, set), not per input
+    * row. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents").createOrReplaceTempView("gs_documents")
+    spark.sql(
+      """SELECT lang, source, count(*) AS n,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  grouping_id(lang, source) AS gid
+        |FROM gs_documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), ())""".stripMargin)
+  }
+
   /** Exact multi-expression distinct counts. */
   def countDistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -136,6 +198,38 @@ object JoinsSetOps {
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)""".stripMargin),
+    Q("q67_full_outer", fullOuterJoin _,
+      """WITH s95 AS (
+        |  SELECT o_custkey AS cust, sum(o_totalprice) AS spend
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |s96 AS (
+        |  SELECT o_custkey AS cust, sum(o_totalprice) AS spend
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT CASE
+        |    WHEN s95.cust IS NOT NULL AND s96.cust IS NOT NULL THEN 'both'
+        |    WHEN s95.cust IS NOT NULL THEN 'only_1995'
+        |    ELSE 'only_1996' END AS presence,
+        |  count(*) AS n_customers,
+        |  round(sum(coalesce(s95.spend, 0.0)), 2) AS spend_1995,
+        |  round(sum(coalesce(s96.spend, 0.0)), 2) AS spend_1996
+        |FROM s95 FULL OUTER JOIN s96 ON s95.cust = s96.cust
+        |GROUP BY 1""".stripMargin),
+    Q("q68_range_join", rangeJoin _,
+      """SELECT o_orderpriority AS priority, count(*) AS n_in_window,
+        |  round(avg(datediff('day', o_orderdate, l_shipdate)), 4)
+        |    AS avg_lag_days,
+        |  CAST(max(datediff('day', o_orderdate, l_shipdate)) AS INT)
+        |    AS max_lag_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin),
+    Q("q69_grouping_sets", groupingSets _,
+      """SELECT lang, source, count(*) AS n,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  GROUPING(lang, source) AS gid
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), ())""".stripMargin),
     Q("q28_having", havingFilter _,
       """SELECT l_partkey AS part_id, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Deterministic sampling and dataset-split operators for training-data
+  * pipelines. At 100 TB a corpus is never sampled with `rand()` — runs must
+  * be reproducible and splits must stay stable as documents are added or
+  * re-processed, so every operator here keys on a content-derived hash
+  * ([[TextOps.portableHash]]) instead of a random number generator:
+  *
+  *   - the same row always lands in the same sample/split (idempotent
+  *     re-runs, no train/test leakage across pipeline versions);
+  *   - the decision is a narrow per-row map (hash + compare) — no shuffle,
+  *     no driver coordination, trivially parallel across 1000 executors;
+  *   - the oracle can replicate it exactly (md5 is engine-portable).
+  *
+  * The reference has no sampling surface (its 104-row tables need none);
+  * these are north-star extensions sized for the `documents` corpus.
+  */
+object Sampling {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Hash of the stable row key into [0, 100) — the sampling/split bucket.
+    * Salting the key string ("smp:" prefix) decorrelates these buckets from
+    * any other md5-derived partitioning in the pipeline. */
+  private def pctBucket(key: Column): Column =
+    TextOps.portableHash(concat(lit("smp:"), key.cast("string"))) % 100
+
+  /** Deterministic ~10% Bernoulli sample of `documents` keyed on doc_id.
+    * Equivalent to TABLESAMPLE but reproducible across runs and engines —
+    * the filter is a scan-level predicate, so at scale this reads every
+    * row once and forwards one in ten (no shuffle at all; the aggregation
+    * below is just the checkable summary). */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(pctBucket(col("doc_id")) < 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+           round(avg(col("n_chars")), 4).as("avg_chars"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+
+  /** Deterministic 80/10/10 train/validation/test split. The split label is
+    * a pure function of doc_id, so re-running the pipeline (or adding new
+    * documents) never moves an existing document between splits — the
+    * property that prevents train-on-test leakage across dataset versions. */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val b = pctBucket(col("doc_id"))
+    t(spark, dir, "documents")
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("n_chars")), 4).as("avg_chars"),
+           round(sum(col("n_chars")) / 1000.0, 3).as("kchars"))
+  }
+
+  /** Stratified fixed-quota sample: exactly `perStratum` documents per
+    * (lang, source) stratum, chosen by hash order with a unique tie-break —
+    * deterministic, engine-portable, and balanced across strata regardless
+    * of how skewed the corpus is.
+    *
+    * Scale: the window partitions by stratum, so the shuffle carries rows
+    * grouped by (lang, source); with a bounded quota per stratum the
+    * rank-filter is the standard per-group top-k that AQE handles even for
+    * hot strata (and a `filter(bucket < p)` pre-pass can bound the sort
+    * input when strata are huge). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    t(spark, dir, "documents")
+      .withColumn("h", pctBucket(col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 25)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_picked"),
+           round(avg(col("n_chars")), 4).as("avg_chars"))
+  }
+
+  private val bucketSql =
+    "(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+  val catalog: Seq[Q] = Seq(
+    Q("q64_hash_sample", hashSample _,
+      s"""SELECT lang, count(*) AS n_sampled,
+         |  round(avg(n_chars), 4) AS avg_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents
+         |WHERE $bucketSql < 10
+         |GROUP BY 1""".stripMargin),
+    Q("q65_train_test_split", trainTestSplit _,
+      s"""SELECT CASE WHEN $bucketSql < 80 THEN 'train'
+         |            WHEN $bucketSql < 90 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  round(avg(n_chars), 4) AS avg_chars,
+         |  round(sum(n_chars) / 1000.0, 3) AS kchars
+         |FROM documents
+         |GROUP BY 1, 2""".stripMargin),
+    Q("q66_stratified_sample", stratifiedSample _,
+      s"""WITH ranked AS (
+         |  SELECT lang, source, n_chars,
+         |    row_number() OVER (PARTITION BY lang, source
+         |                       ORDER BY $bucketSql, doc_id) AS rk
+         |  FROM documents)
+         |SELECT lang, source, count(*) AS n_picked,
+         |  round(avg(n_chars), 4) AS avg_chars
+         |FROM ranked WHERE rk <= 25
+         |GROUP BY 1, 2""".stripMargin)
+  )
+}

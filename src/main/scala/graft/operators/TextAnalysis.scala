@@ -238,6 +238,51 @@ object TextAnalysis {
       .filter(col("rn") <= 3)
   }
 
+  /** Corpus-level top-k n-grams by document frequency — the vocabulary /
+    * contamination-screen primitive (e.g. finding benchmark phrases that
+    * leak into a training corpus). Per-doc distinct bigrams explode into a
+    * count aggregation; the top-k runs as sort-limit over the
+    * ALREADY-aggregated (bigram, df) pairs — Spark plans orderBy+limit as
+    * TakeOrderedAndProject (per-partition heaps, merge of 20-row tops), so
+    * no single-partition sort of the vocabulary ever happens. The rank
+    * window only numbers the final 20 rows. */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val bigrams = when(size(w) >= 2,
+      array_distinct(transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    val rank = Window.orderBy(col("df").desc, col("ngram").asc)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(bigrams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram").asc)
+      .limit(20)
+      .withColumn("rk", row_number().over(rank))
+  }
+
+  /** Text normalization + scrubbing — the canonicalize-before-dedup pass:
+    * lowercase, digit runs → `<num>` placeholder, whitespace collapsed,
+    * trimmed. Reports per-language how much the corpus shrank and how many
+    * documents changed at all. Pure per-row regex map (codegen'd, no
+    * shuffle before the final stats). */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("norm",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[0-9]+", "<num>"),
+          "\\s+", " ")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("norm") =!= col("text"), 1).otherwise(0))
+             .as("n_changed"),
+           round(avg(length(col("text"))), 4).as("avg_len_raw"),
+           round(avg(length(col("norm"))), 4).as("avg_len_norm"),
+           sum(length(col("text")) - length(col("norm")))
+             .as("chars_removed"))
+
   private def hitsSql(lang: String): String = {
     val lst = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(string_split(text, ' '), tk -> list_contains($lst, tk)))"
@@ -401,6 +446,36 @@ object TextAnalysis {
         |  count(*) AS n_docs,
         |  round(avg(re_tokens), 4) AS avg_re_tokens,
         |  round(avg(re_tokens / ws_tokens), 6) AS avg_ratio
+        |FROM d GROUP BY 1""".stripMargin),
+    Q("q70_top_ngrams", topNgrams _,
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([ws[i] || ' ' || ws[i+1]
+        |                          for i in range(1, len(ws))])) AS ngram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents)),
+        |counted AS (
+        |  SELECT ngram, count(*) AS df FROM bg GROUP BY 1),
+        |ranked AS (
+        |  SELECT ngram, df,
+        |    CAST(row_number() OVER (ORDER BY df DESC, ngram ASC) AS INT)
+        |      AS rk
+        |  FROM counted)
+        |SELECT ngram, df, rk FROM ranked WHERE rk <= 20""".stripMargin),
+    Q("q71_text_normalize", textNormalize _,
+      """WITH d AS (
+        |  SELECT lang, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  round(avg(length(text)), 4) AS avg_len_raw,
+        |  round(avg(length(norm)), 4) AS avg_len_norm,
+        |  CAST(sum(length(text) - length(norm)) AS BIGINT)
+        |    AS chars_removed
         |FROM d GROUP BY 1""".stripMargin),
     Q("q43_fingerprint", fingerprint _,
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

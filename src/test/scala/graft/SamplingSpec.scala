@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{JoinsSetOps, Sampling, TextAnalysis}
+
+/** Invariants for the sampling/split operators and the round's new join,
+  * grouping-set, and text operators. */
+class SamplingSpec extends SparkSpec {
+
+  private def nDocs: Long =
+    spark.read.parquet(s"$sf/documents.parquet").count()
+
+  test("hash sample is deterministic and near the 10% target") {
+    val a = Sampling.hashSample(spark, sf).collect().sortBy(_.getString(0))
+    val b = Sampling.hashSample(spark, sf).collect().sortBy(_.getString(0))
+    assert(a.toSeq === b.toSeq)
+    val sampled = a.map(_.getAs[Long]("n_sampled")).sum
+    val frac = sampled.toDouble / nDocs
+    assert(frac > 0.02 && frac < 0.25, s"sample fraction $frac")
+  }
+
+  test("train/valid/test split partitions the corpus, train dominant") {
+    val rows = Sampling.trainTestSplit(spark, sf).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.values.sum === nDocs)
+    assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("valid", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
+  test("stratified sample honors the per-stratum quota") {
+    val rows = Sampling.stratifiedSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_picked") <= 25))
+    // strata with >= 25 docs must hit the quota exactly
+    val strata = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      if (strata(key) >= 25) assert(r.getAs[Long]("n_picked") === 25)
+      else assert(r.getAs[Long]("n_picked") === strata(key))
+    }
+  }
+
+  test("full outer join accounts for every active customer once") {
+    val rows = JoinsSetOps.fullOuterJoin(spark, sf).collect()
+    val byPresence = rows.map(r =>
+      r.getAs[String]("presence") -> r.getAs[Long]("n_customers")).toMap
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    def active(y: Int): Set[Any] =
+      o.filter(year(col("o_orderdate")) === y)
+        .select("o_custkey").distinct().collect().map(_.get(0)).toSet
+    val (a95, a96) = (active(1995), active(1996))
+    assert(byPresence.getOrElse("both", 0L) === (a95 & a96).size)
+    assert(byPresence.getOrElse("only_1995", 0L) === (a95 -- a96).size)
+    assert(byPresence.getOrElse("only_1996", 0L) === (a96 -- a95).size)
+  }
+
+  test("range join lags stay inside the window") {
+    val rows = JoinsSetOps.rangeJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_lag_days")
+      val max = r.getAs[Int]("max_lag_days")
+      assert(avg >= 0 && avg < 60)
+      assert(max >= 0 && max < 60)
+    }
+  }
+
+  test("grouping sets: grand total row matches corpus size") {
+    val rows = JoinsSetOps.groupingSets(spark, sf).collect()
+    val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(total.length === 1)
+    assert(total(0).getAs[Long]("n") === nDocs)
+    // per-lang subtotals (gid marks source aggregated away) sum to total
+    val perLang = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(_.getAs[Long]("n")).sum
+    assert(perLang === nDocs)
+  }
+
+  test("top ngrams: exactly 20, ranked by descending doc frequency") {
+    val rows = TextAnalysis.topNgrams(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rk"))
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Int]("rk")).toSeq === (1 to 20))
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.zip(dfs.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("normalization never grows the corpus") {
+    val rows = TextAnalysis.textNormalize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_len_norm") <= r.getAs[Double]("avg_len_raw"))
+      assert(r.getAs[Long]("n_changed") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("chars_removed") >= 0)
+    }
+  }
+}
