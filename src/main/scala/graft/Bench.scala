@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,9 +12,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-footer paths outside any query's timing
-    // (otherwise Map iteration order decides which query absorbs ~5s of
-    // first-action warmup).
+    // (otherwise Map iteration order decides which query absorbs the
+    // first-action JIT/codegen warmup — measured ~8s of pure cold-start on
+    // the minhash pipeline alone). Running every query once at sf0.001
+    // compiles every operator's generated code and JITs window/agg/join
+    // paths, so the timed pass below measures steady-state throughput.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
+      val warmDir = "/root/testdata/sf0.001"
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

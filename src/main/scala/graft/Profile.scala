@@ -56,6 +56,44 @@ object Profile {
           Seq("band"))
         .filter(col("doc_a") < col("doc_b")).count()
     }
+    // --- signature-stage variants (q35 hot path) ---
+    val docsOk = docs.filter(size(split(col("text"), " ")) >= 3)
+    def sigCount(hashed: org.apache.spark.sql.DataFrame): Long =
+      hashed.groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashAgg.minhashSig(col("x"), 64).as("sig"))
+        .count()
+    time("sig_window_distinct_md5") {
+      // current shape: posexplode + lead window + distinct, portable md5
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      sigCount(docsOk
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos"), col("w"),
+          lead(col("w"), 1).over(w).as("w1"),
+          lead(col("w"), 2).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+        .distinct()
+        .select(col("doc_id"), TextOps.portableHash(col("s")).as("x")))
+    }
+    time("sig_transform_nodup_md5") {
+      // narrow shape: array transform (no window, no distinct), md5
+      val wds = split(col("text"), " ")
+      sigCount(docsOk
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(wds) - 3),
+          i => concat_ws(" ", element_at(wds, i + 1),
+            element_at(wds, i + 2), element_at(wds, i + 3)))).as("s"))
+        .select(col("doc_id"), TextOps.portableHash(col("s")).as("x")))
+    }
+    time("sig_transform_distinct_md5") {
+      sigCount(docsOk
+        .select(col("doc_id"),
+          explode(TextOps.shingles3(col("text"))).as("s"))
+        .select(col("doc_id"), TextOps.portableHash(col("s")).as("x")))
+    }
     time("q34_full")(graft.operators.Dedup.ngramJaccard(spark, dir).count())
     time("q35_full")(graft.operators.Dedup.minhash(spark, dir).count())
     time("q36_full")(graft.operators.Dedup.simhash(spark, dir).count())

@@ -183,7 +183,101 @@ object Analytics {
       .filter(col("n_orders") >= 2)
   }
 
+  /** Latest-record compaction (SCD-1 / CDC "current state"): one row per
+    * user — their most recent event. The per-key top-1 window is the
+    * at-scale shape for log→snapshot compaction: one shuffle on the key,
+    * per-partition sort, no global order. Ordering key is floor-seconds +
+    * event_id (not raw ts): the parquet timestamps are nanosecond and
+    * Spark truncates to µs, so sub-µs ordering would silently diverge
+    * between engines — the second+id key is total and portable. */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec").desc, col("event_id").desc)
+    t(spark, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("event_type").as("last_type"),
+        round(col("value"), 6).as("last_value"))
+  }
+
+  /** Statistical profile: stddev / correlation / covariance per group —
+    * the numeric-health pass of a data-quality pipeline. All three are
+    * single-pass mergeable aggregates (partial moments per partition,
+    * merged at the exchange), so the profile costs one shuffle of
+    * constant-size state per group at any scale. */
+  def statsProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+           round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+             .as("corr_qty_price"),
+           round(covar_samp(col("l_discount"), col("l_tax")), 6)
+             .as("cov_disc_tax"),
+           round(skewness(col("l_extendedprice")), 4).as("skew_price"))
+
+  /** Table profiling: per-column null counts, distinct counts, ranges —
+    * the schema-drift / data-quality summary an ingestion pipeline emits
+    * per batch. One aggregation pass per profiled column over the same
+    * scan (Spark collapses them via scan reuse); output is long-form
+    * (one row per column) so downstream checks are column-generic. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def prof(c: String): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+            count(col(c)).as("n_nonnull"),
+            countDistinct(col(c)).as("ndv"),
+            round(min(col(c)).cast("double"), 4).as("min_v"),
+            round(max(col(c)).cast("double"), 4).as("max_v"),
+            round(avg(col(c)), 4).as("avg_v"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("ndv"), col("min_v"), col("max_v"), col("avg_v"))
+    Seq("o_orderkey", "o_custkey", "o_totalprice").map(prof)
+      .reduce(_ unionByName _)
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q72_latest_snapshot", latestSnapshot _,
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |               event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |  round(value, 6) AS last_value
+        |FROM ranked WHERE rk = 1""".stripMargin),
+    Q("q73_stats_profile", statsProfile _,
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
+        |  round(skewness(l_extendedprice), 4) AS skew_price
+        |FROM lineitem GROUP BY 1""".stripMargin),
+    Q("q74_profile_table", profileTable _,
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(o_orderkey) AS n_nonnull,
+        |  count(DISTINCT o_orderkey) AS ndv,
+        |  round(CAST(min(o_orderkey) AS DOUBLE), 4) AS min_v,
+        |  round(CAST(max(o_orderkey) AS DOUBLE), 4) AS max_v,
+        |  round(avg(o_orderkey), 4) AS avg_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  round(CAST(min(o_custkey) AS DOUBLE), 4),
+        |  round(CAST(max(o_custkey) AS DOUBLE), 4),
+        |  round(avg(o_custkey), 4)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  round(CAST(min(o_totalprice) AS DOUBLE), 4),
+        |  round(CAST(max(o_totalprice) AS DOUBLE), 4),
+        |  round(avg(o_totalprice), 4)
+        |FROM orders""".stripMargin),
     Q("q63_asof_join", asofJoin _,
       """WITH marked AS (
         |  SELECT user_id, event_id, event_type,

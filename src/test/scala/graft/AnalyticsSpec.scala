@@ -84,4 +84,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("dim") === 64))
     assert(rows.forall(_.getAs[Double]("l2_norm") > 0))
   }
+
+  test("latest snapshot: one row per user, carries that user's max second") {
+    val snap = Analytics.latestSnapshot(spark, sf)
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(snap.count() === users)
+    assert(snap.select("user_id").distinct().count() === users)
+  }
+
+  test("stats profile: stddev positive, correlation within [-1, 1]") {
+    val rows = Analytics.statsProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sd_qty") > 0)
+      val c = r.getAs[Double]("corr_qty_price")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("profile table: row counts consistent, key column unique") {
+    val rows = Analytics.profileTable(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.size === 3)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_nonnull") <= n)
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+    }
+    assert(rows("o_orderkey").getAs[Long]("ndv") === n) // primary key
+  }
 }
