@@ -84,6 +84,30 @@ object Sampling {
            round(avg(col("n_chars")), 4).as("avg_chars"))
   }
 
+  /** Train→test contamination check: test-split documents whose normalized
+    * content fingerprint also appears in the train split. Composes the
+    * deterministic split with [[TextAnalysis]]-style fingerprinting; the
+    * at-scale shape is a semi-style join on the fingerprint — the train
+    * side reduces to DISTINCT fingerprints first, so the shuffle carries
+    * one row per distinct train fingerprint, and no document text ever
+    * moves. Run before training, not after the eval is compromised. */
+  def crossSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+    val docs = t(spark, dir, "documents")
+      .withColumn("split",
+        when(pctBucket(col("doc_id")) < 80, "train")
+          .when(pctBucket(col("doc_id")) < 90, "valid")
+          .otherwise("test"))
+      .withColumn("fp", fp)
+    val trainFps = docs.filter(col("split") === "train")
+      .select(col("fp")).distinct().withColumn("leaked", lit(1))
+    docs.filter(col("split") === "test")
+      .join(trainFps, Seq("fp"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_test"),
+           sum(coalesce(col("leaked"), lit(0))).as("n_leaked"))
+  }
+
   private val bucketSql =
     "(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
 
@@ -104,6 +128,22 @@ object Sampling {
          |  round(sum(n_chars) / 1000.0, 3) AS kchars
          |FROM documents
          |GROUP BY 1, 2""".stripMargin),
+    Q("q75_cross_split_leakage", crossSplitLeakage _,
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CASE WHEN $bucketSql < 80 THEN 'train'
+         |         WHEN $bucketSql < 90 THEN 'valid'
+         |         ELSE 'test' END AS split,
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |train_fps AS (
+         |  SELECT DISTINCT fp FROM d WHERE split = 'train')
+         |SELECT lang, count(*) AS n_test,
+         |  CAST(sum(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_leaked
+         |FROM d LEFT JOIN train_fps t ON d.fp = t.fp
+         |WHERE d.split = 'test'
+         |GROUP BY 1""".stripMargin),
     Q("q66_stratified_sample", stratifiedSample _,
       s"""WITH ranked AS (
          |  SELECT lang, source, n_chars,

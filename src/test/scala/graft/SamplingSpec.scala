@@ -44,6 +44,19 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("cross-split leakage bounded by test size, consistent with split") {
+    val rows = Sampling.crossSplitLeakage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_leaked") >= 0)
+      assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_test"))
+    }
+    val testTotal = Sampling.trainTestSplit(spark, sf).collect()
+      .filter(_.getAs[String]("split") == "test")
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("n_test")).sum === testTotal)
+  }
+
   test("full outer join accounts for every active customer once") {
     val rows = JoinsSetOps.fullOuterJoin(spark, sf).collect()
     val byPresence = rows.map(r =>
