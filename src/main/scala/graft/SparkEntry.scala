@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.catalog ++ Analytics.catalog ++ JoinsSetOps.catalog ++
       ScalarFuncs.catalog ++ Dedup.catalog ++ Similarity.catalog ++
       TextAnalysis.catalog ++ Multimodal.catalog ++ SkewJoin.catalog ++
-      ApproxAgg.catalog ++ Reshape.catalog ++ Sampling.catalog
+      ApproxAgg.catalog ++ Reshape.catalog ++ Sampling.catalog ++
+      StreamQueries.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

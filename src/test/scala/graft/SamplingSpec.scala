@@ -102,6 +102,18 @@ class SamplingSpec extends SparkSpec {
     assert(dfs.zip(dfs.tail).forall { case (x, y) => x >= y })
   }
 
+  test("streamed tumbling aggregation equals the batch plan") {
+    val streamed = graft.operators.StreamQueries
+      .streamTumbling(spark, sf).collect()
+      .map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    val batch = graft.streaming.EventStreams
+      .tumblingCounts(graft.sources.Tables.load(spark, sf, "events"))
+      .collect()
+      .map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("normalization never grows the corpus") {
     val rows = TextAnalysis.textNormalize(spark, sf).collect()
     assert(rows.nonEmpty)
