@@ -59,4 +59,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("EqualTo(o_orderstatus,F)"),
       s"status filter not pushed:\n$plan")
   }
+
+  test("q68: range join keeps its equi component — hash join, no NL/cartesian") {
+    val plan = planOf(graft.operators.JoinsSetOps.rangeJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degraded to nested loop:\n$plan")
+    assert(plan.contains("Join"), s"no join found:\n$plan")
+  }
+
+  test("q64: hash sample is scan→filter→agg with a single exchange") {
+    val plan = planOf(graft.operators.Sampling.hashSample(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly the groupBy exchange, got $exchanges:\n$plan")
+  }
+
+  test("q70: corpus top-k plans as TakeOrderedAndProject over the agg") {
+    val plan = planOf(graft.operators.TextAnalysis.topNgrams(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+  }
+
+  test("q66: stratified sample window is partitioned (no global sort)") {
+    val plan = planOf(graft.operators.Sampling.stratifiedSample(spark, sf))
+    assert(plan.contains("Window"), s"no window:\n$plan")
+    assert(!plan.contains("Window [") ||
+      !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"unpartitioned window:\n$plan")
+  }
 }
