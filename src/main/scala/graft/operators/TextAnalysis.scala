@@ -289,6 +289,30 @@ object TextAnalysis {
            sum(length(col("text")) - length(col("norm")))
              .as("chars_removed"))
 
+  /** Document chunking: split each document into fixed-size token windows
+    * (50 words here) — the pre-tokenization pass that turns a long-document
+    * corpus into training-sized pieces. One output row per (doc, chunk);
+    * chunk content is pinned by hash so the oracle verifies exact chunk
+    * boundaries, not just counts. Narrow shape: explode over the per-doc
+    * chunk index, then array-slice — no shuffle until the (tiny) output;
+    * each task chunks its own documents independently at any corpus size. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = 50
+    val w = split(col("text"), " ")
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), w.as("w"),
+        explode(sequence(lit(0),
+          ceil(size(w) / lit(chunk.toDouble)).cast("int") - 1))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("w"), col("chunk_id") * chunk + 1, lit(chunk)))
+          .as("n_tokens"),
+        md5(array_join(
+          slice(col("w"), col("chunk_id") * chunk + 1, lit(chunk)), " "))
+          .as("chunk_hash"))
+  }
+
   private def hitsSql(lang: String): String = {
     val lst = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(string_split(text, ' '), tk -> list_contains($lst, tk)))"
@@ -453,6 +477,21 @@ object TextAnalysis {
         |  round(avg(re_tokens), 4) AS avg_re_tokens,
         |  round(avg(re_tokens / ws_tokens), 6) AS avg_ratio
         |FROM d GROUP BY 1""".stripMargin),
+    Q("q77_chunk_documents", chunkDocuments _,
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, CAST(ceil(len(ws) / 50.0) AS INT))) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(list_slice(ws, chunk_id * 50 + 1, chunk_id * 50 + 50))
+        |    AS INT) AS n_tokens,
+        |  md5(array_to_string(
+        |    list_slice(ws, chunk_id * 50 + 1, chunk_id * 50 + 50), ' '))
+        |    AS chunk_hash
+        |FROM c""".stripMargin),
     Q("q70_top_ngrams", topNgrams _,
       """WITH bg AS (
         |  SELECT doc_id,

@@ -114,6 +114,23 @@ class SamplingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("chunking covers every token exactly once, full chunks except last") {
+    val chunks = TextAnalysis.chunkDocuments(spark, sf).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byDoc.keySet === words.keySet)
+    byDoc.foreach { case (doc, cs) =>
+      assert(cs.map(_.getAs[Int]("n_tokens")).sum === words(doc))
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_id"))
+      sorted.init.foreach(c => assert(c.getAs[Int]("n_tokens") === 50))
+      assert(sorted.map(_.getAs[Int]("chunk_id")).toSeq ===
+        sorted.indices.toSeq)
+    }
+  }
+
   test("normalization never grows the corpus") {
     val rows = TextAnalysis.textNormalize(spark, sf).collect()
     assert(rows.nonEmpty)
