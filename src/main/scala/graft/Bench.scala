@@ -18,10 +18,15 @@ object Bench {
     // compiles every operator's generated code and JITs window/agg/join
     // paths, so the timed pass below measures steady-state throughput.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Two warm rounds: sf0.001 compiles every operator's generated code;
+    // sf0.01 is big enough that AQE picks the same physical-plan shapes
+    // (join strategies, partial-agg paths) the timed sf0.1 pass will run,
+    // so their codegen + C2 JIT also happens outside the timing.
     if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
-      val warmDir = "/root/testdata/sf0.001"
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { wd =>
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, wd).count() catch { case _: Throwable => }
+        }
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
