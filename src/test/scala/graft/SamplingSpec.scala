@@ -131,6 +131,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("dq checks: one row per rule, clean synthetic data passes") {
+    val rows = graft.operators.DataQuality.dqChecks(spark, sf).collect()
+    assert(rows.length === 4)
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      val rate = r.getAs[Double]("violation_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_violations") <= n)
+    }
+    // the generator produces in-domain data: hard constraints hold
+    val byRule = rows.map(r =>
+      r.getAs[String]("rule_name") -> r.getAs[Long]("n_violations")).toMap
+    assert(byRule("custkey_present") === 0L)
+    assert(byRule("totalprice_positive") === 0L)
+  }
+
   test("normalization never grows the corpus") {
     val rows = TextAnalysis.textNormalize(spark, sf).collect()
     assert(rows.nonEmpty)
