@@ -183,6 +183,24 @@ object Analytics {
       .filter(col("n_orders") >= 2)
   }
 
+  /** Distribution window functions — percent_rank (relative rank in
+    * [0,1]) and cume_dist (fraction of rows ≤ current) — partitioned by
+    * priority so each window sorts one key group, never a global single
+    * partition. Tie-break on the unique order key keeps both engines'
+    * rank assignment identical. */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_orderpriority").as("priority"),
+        round(col("pr"), 6).as("pct_rank"),
+        round(col("cd"), 6).as("cume_dist"))
+  }
+
   /** Latest-record compaction (SCD-1 / CDC "current state"): one row per
     * user — their most recent event. The per-key top-1 window is the
     * at-scale shape for log→snapshot compaction: one shuffle on the key,
@@ -239,6 +257,14 @@ object Analytics {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q80_window_distribution", windowDistribution _,
+      """SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+        |  round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS cume_dist
+        |FROM orders
+        |QUALIFY o_orderkey < 500""".stripMargin),
     Q("q72_latest_snapshot", latestSnapshot _,
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type, value,

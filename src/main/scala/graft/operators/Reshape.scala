@@ -31,6 +31,27 @@ object Reshape {
         |GROUP BY 1""".stripMargin)
   }
 
+  /** Lateral join: correlated top-2 orders per customer — "for each row,
+    * run this subquery" semantics. Catalyst decorrelates the LIMIT'd
+    * correlated subquery into a window-rank over a hash join, so at scale
+    * it executes as one shuffle on the correlation key — no per-row
+    * subquery execution ever happens (the pitfall lateral syntax invites
+    * on engines that nest-loop it). */
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("lat_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("lat_orders")
+    spark.sql(
+      """SELECT c_custkey AS cust_id, o_orderkey AS order_id,
+        |  round(o_totalprice, 2) AS price
+        |FROM lat_customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM lat_orders WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC
+        |  LIMIT 2)
+        |WHERE c_custkey < 300""".stripMargin)
+  }
+
   /** Explode array → rows (wide→long), re-aggregated per vector bucket. */
   def explodeEmbeddings(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -40,6 +61,16 @@ object Reshape {
            round(sum(abs(col("x").cast("double"))), 4).as("abs_sum"))
 
   val catalog: Seq[Q] = Seq(
+    Q("q79_lateral_topk", lateralTopk _,
+      """SELECT c_custkey AS cust_id, o_orderkey AS order_id,
+        |  round(o_totalprice, 2) AS price
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC
+        |  LIMIT 2)
+        |WHERE c_custkey < 300""".stripMargin),
     Q("q49_pivot", pivotStatus _,
       """SELECT o_orderpriority AS priority,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,

@@ -80,6 +80,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
   }
 
+  test("q79: lateral top-k decorrelates — no nested loop over customers") {
+    val plan = planOf(graft.operators.Reshape.lateralTopk(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"got:\n$plan")
+    assert(plan.contains("Window") || plan.contains("TakeOrdered"),
+      s"no rank-based rewrite found:\n$plan")
+  }
+
   test("q66: stratified sample window is partitioned (no global sort)") {
     val plan = planOf(graft.operators.Sampling.stratifiedSample(spark, sf))
     assert(plan.contains("Window"), s"no window:\n$plan")
