@@ -43,6 +43,13 @@ object TextOps {
   def portableHash(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit engine-portable string hash: first 15 hex digits of md5.
+    * 60 (not 64) so the value parses into a signed BIGINT identically in
+    * Spark and DuckDB with headroom — the SimHash fingerprint built from
+    * it stays non-negative, making shifts/masks portable too. */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   val minhashPrime = 4294967311L // smallest prime > 2^32
 
   /** The i-th MinHash permutation h_i(x) = ((2i+1)·x + i·K) mod p applied
@@ -73,6 +80,12 @@ object TextOps {
     * so plain addition assembles the bit pattern (incl. the sign bit). */
   def simhashPack(bit: Int => Column): Column =
     (0 until 64).map(i =>
+      when(bit(i) >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** 60-bit variant of [[simhashPack]]: fingerprint stays non-negative,
+    * so the same shifts/masks work unchanged in DuckDB (oracle parity). */
+  def simhashPack60(bit: Int => Column): Column =
+    (0 until 60).map(i =>
       when(bit(i) >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
 
   /** SimHash LSH chunk keys over the packed long: `chunks` disjoint bit

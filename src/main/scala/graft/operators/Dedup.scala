@@ -137,26 +137,29 @@ object Dedup {
     verifyJaccard(cands, shingleExploded(candidateDocs(docs, cands)))
   }
 
-  /** SimHash near-dup (Charikar 2002): 64-bit signed fingerprint of the
-    * token multiset; candidates share one of 4 16-bit chunks (any pair at
+  /** SimHash near-dup (Charikar 2002): 60-bit fingerprint of the token
+    * multiset; candidates share one of 4 15-bit chunks (any pair at
     * hamming < 4 must collide; looser pairs may still collide and are kept
-    * iff hamming ≤ 3). Engine-specific hashing (xxhash64) → no oracle;
-    * spec cross-checks vs q34. */
+    * iff hamming ≤ 3). Hashing is the portable 60-bit md5 form
+    * ([[TextOps.portableHash60]] — 60 bits so the fingerprint stays a
+    * non-negative BIGINT in both engines), which lets the ENTIRE
+    * hash→bit-sums→pack→chunk-LSH→hamming pipeline be replicated in the
+    * DuckDB oracle; spec additionally cross-checks pairs vs q34. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // explode tokens → one xxhash64 per token, then 64 signed-sum
+    // explode tokens → one portable hash per token, then 60 signed-sum
     // aggregates (partial agg, codegen'd); bit i = sign of sum i.
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("tk"))
-      .select(col("doc_id"), xxhash64(col("tk")).as("h"))
-    val bitAggs = (0 until 64).map(i =>
+      .select(col("doc_id"), TextOps.portableHash60(col("tk")).as("h"))
+    val bitAggs = (0 until 60).map(i =>
       sum(TextOps.simhashContrib(i, col("h"))).as(s"b$i"))
     // fingerprint packed into ONE long: hamming = bit_count(xor), chunk
     // keys = shift+mask — all scalar codegen, no per-pair array walks.
     val docs = toks.groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
-        TextOps.simhashPack(i => col(s"b$i")).as("sim"))
-      .withColumn("chunks", TextOps.simhashChunkKeys(col("sim"), 4, 16))
+        TextOps.simhashPack60(i => col(s"b$i")).as("sim"))
+      .withColumn("chunks", TextOps.simhashChunkKeys(col("sim"), 4, 15))
     // single-pass in-chunk pair expansion (fingerprint carried along, so
     // the sketch pipeline runs once — not once per self-join side)
     docs.select(col("doc_id"), col("sim"), explode(col("chunks")).as("chunk"))
@@ -330,7 +333,31 @@ object Dedup {
         |FROM documents GROUP BY 1""".stripMargin),
     Q("q34_dedup_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
     Q("q35_dedup_minhash", minhash _, minhashSql),
-    Q.noOracle("q36_dedup_simhash", simhash _),
+    Q("q36_dedup_simhash", simhash _,
+      """WITH toks AS (
+        |  SELECT doc_id, ('0x' || substr(md5(u), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+        |        FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM toks, range(0, 60) t(i) GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+        |      AS BIGINT) AS sim
+        |  FROM bits GROUP BY 1),
+        |chunks AS (
+        |  SELECT doc_id, sim, c, (sim >> (c * 15)) & 32767 AS key
+        |  FROM fp, range(0, 4) t(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.sim AS sa, b.sim AS sb
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin),
     Q("q37_dedup_embedding", embeddingCosine _, embeddingCosineSql)
   )
 }
