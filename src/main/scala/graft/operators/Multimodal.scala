@@ -98,7 +98,38 @@ object Multimodal {
            min(col("meta.n_bytes")).as("min_bytes"),
            max(col("meta.n_bytes")).as("max_bytes"))
 
+  /** Declared query over the frame-sampling + resize path: sample every
+    * 2nd 64-byte frame, thumbnail to 16 bytes, aggregate per frame index.
+    * Thumbnail CONTENT is pinned via md5, so the oracle verifies exact
+    * byte ranges. (The oracle slices VARCHAR where Spark slices bytes —
+    * identical on this all-ASCII corpus, which the gate's sf dir is.) */
+  def frameStats(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir).filter(col("meta.n_bytes") > 0)
+    val thumbs = resizeFrames(frameSample(media, 64, 2), 16)
+    thumbs.groupBy(col("frame_idx"))
+      .agg(count(lit(1)).as("n_frames"),
+           countDistinct(md5(col("thumb"))).as("n_distinct_thumbs"),
+           sum(col("frame_bytes")).as("total_bytes"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q81_frame_stats", frameStats _,
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS nb
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(nb / 64.0) AS INT), 2)) AS frame_idx
+        |  FROM d),
+        |fr AS (
+        |  SELECT CAST(frame_idx AS INT) AS frame_idx,
+        |    substring(text, frame_idx * 64 + 1, 64) AS frame
+        |  FROM f)
+        |SELECT frame_idx, count(*) AS n_frames,
+        |  count(DISTINCT md5(substring(frame, 1, 16)))
+        |    AS n_distinct_thumbs,
+        |  CAST(sum(length(frame)) AS BIGINT) AS total_bytes
+        |FROM fr GROUP BY 1""".stripMargin),
     Q("q44_multimodal_meta", mediaMeta _,
       """SELECT source AS origin, count(*) AS n_media,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
