@@ -125,6 +125,35 @@ object EngineProperties extends Properties("graft") {
       plain == salted
     }
 
+  property("hash split is a stable partition: every key in exactly one split") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))) { ids =>
+      import spark.implicits._
+      val bucket = TextOps.portableHash(
+        concat(lit("smp:"), col("id").cast("string"))) % 100
+      val labeled = ids.distinct.toDF("id")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test"))
+      val once = labeled.collect().map(r => r.getLong(0) -> r.getString(1))
+      val again = labeled.collect().map(r => r.getLong(0) -> r.getString(1))
+      // deterministic (same assignment on re-run) and total (every id once)
+      once.toMap == again.toMap && once.length == ids.distinct.size
+    }
+
+  property("chunking partitions tokens: sizes sum to total, all full but last") =
+    forAll(Gen.choose(1, 230)) { n =>
+      import spark.implicits._
+      val text = (0 until n).map(i => s"w$i").mkString(" ")
+      val w = split(col("text"), " ")
+      val chunks = Seq(text).toDF("text")
+        .select(explode(sequence(lit(0),
+          ceil(size(w) / lit(50.0)).cast("int") - 1)).as("cid"),
+          size(slice(w, col("cid") * 50 + 1, lit(50))).as("ct"))
+        .orderBy("cid").collect().map(_.getInt(1))
+      chunks.sum == n && chunks.init.forall(_ == 50) &&
+        chunks.last == (if (n % 50 == 0) 50 else n % 50)
+    }
+
   property("header promotion: columns from row 0, data rows preserved") =
     forAll(Gen.choose(1, 4), Gen.choose(1, 5)) { (nCols, nRows) =>
       val header = (0 until nCols).map(i => s"col$i")
