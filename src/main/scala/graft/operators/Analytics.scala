@@ -201,6 +201,31 @@ object Analytics {
         round(col("cd"), 6).as("cume_dist"))
   }
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`, UNION ALL form — Spark does
+    * not yet support UNION-distinct recursion, so the recursion must be
+    * acyclic/bounded): generate a complete monthly calendar spine, then
+    * LEFT JOIN order aggregates onto it — the standard fix for time series
+    * that silently skip empty periods. The spine is driver-free: the
+    * recursion materializes ~24 rows per iteration inside the engine. */
+  def recursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("spine_orders")
+    spark.sql(
+      """WITH RECURSIVE months AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < TIMESTAMP '1996-12-01 00:00:00'),
+        |per_month AS (
+        |  SELECT date_trunc('MONTH', o_orderdate) AS m,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        |  FROM spine_orders GROUP BY 1)
+        |SELECT CAST(year(months.m) * 100 + month(months.m) AS INT)
+        |    AS year_month,
+        |  coalesce(n, 0) AS n_orders,
+        |  coalesce(spend, 0.0) AS spend
+        |FROM months LEFT JOIN per_month ON months.m = per_month.m""".stripMargin)
+  }
+
   /** Latest-record compaction (SCD-1 / CDC "current state"): one row per
     * user — their most recent event. The per-key top-1 window is the
     * at-scale shape for log→snapshot compaction: one shuffle on the key,
@@ -257,6 +282,21 @@ object Analytics {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q83_recursive_spine", recursiveSpine _,
+      """WITH RECURSIVE months AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < TIMESTAMP '1996-12-01 00:00:00'),
+        |per_month AS (
+        |  SELECT date_trunc('MONTH', o_orderdate) AS m,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(year(months.m) * 100 + month(months.m) AS INT)
+        |    AS year_month,
+        |  coalesce(n, 0) AS n_orders,
+        |  coalesce(spend, 0.0) AS spend
+        |FROM months LEFT JOIN per_month ON months.m = per_month.m""".stripMargin),
     Q("q80_window_distribution", windowDistribution _,
       """SELECT o_orderkey AS order_id, o_orderpriority AS priority,
         |  round(percent_rank() OVER (PARTITION BY o_orderpriority

@@ -70,10 +70,28 @@ object StreamQueries {
   def streamTumbling(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, dir)(EventStreams.tumblingCounts(_))
 
+  /** Sliding 2-hour/1-hour windows, executed as a stream; output epochs
+    * so the oracle's unnest-based window expansion aligns exactly
+    * (same shape as the batch twin q32). */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir) { ev =>
+      EventStreams.slidingCounts(ev)
+        .select(col("w_start").cast("long").as("w_start"), col("n"),
+          col("total"))
+    }
+
   val catalog: Seq[Q] = Seq(
     Q("q76_stream_tumbling", streamTumbling _,
       """SELECT date_trunc('minute', ts) AS bucket_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin),
+    Q("q82_stream_sliding", streamSliding _,
+      """SELECT CAST(epoch(ws) AS BIGINT) AS w_start, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM (SELECT value,
+        |        unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                date_trunc('hour', ts)]) AS ws
+        |      FROM events)
+        |GROUP BY 1""".stripMargin)
   )
 }

@@ -85,6 +85,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("l2_norm") > 0))
   }
 
+  test("recursive spine: complete 24-month calendar, totals preserved") {
+    val rows = Analytics.recursiveSpine(spark, sf).collect()
+    assert(rows.length === 24)
+    val months = rows.map(_.getAs[Int]("year_month")).sorted
+    assert(months.head === 199501 && months.last === 199612)
+    val spineTotal = rows.map(_.getAs[Long]("n_orders")).sum
+    val inRange = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= "1995-01-01" &&
+              col("o_orderdate") < "1997-01-01").count()
+    assert(spineTotal === inRange)
+  }
+
   test("latest snapshot: one row per user, carries that user's max second") {
     val snap = Analytics.latestSnapshot(spark, sf)
     val users = spark.read.parquet(s"$sf/events.parquet")
