@@ -146,19 +146,19 @@ object Dedup {
     * hash→bit-sums→pack→chunk-LSH→hamming pipeline be replicated in the
     * DuckDB oracle; spec additionally cross-checks pairs vs q34. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // explode tokens → one portable hash per token, then 60 signed-sum
-    // aggregates (partial agg, codegen'd); bit i = sign of sum i.
+    // explode tokens → one portable hash per token; bit i of the
+    // fingerprint = sign of the per-bit ±1 sum over all token hashes.
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("tk"))
       .select(col("doc_id"), TextOps.portableHash60(col("tk")).as("h"))
-    val bitAggs = (0 until 60).map(i =>
-      sum(TextOps.simhashContrib(i, col("h"))).as(s"b$i"))
-    // fingerprint packed into ONE long: hamming = bit_count(xor), chunk
-    // keys = shift+mask — all scalar codegen, no per-pair array walks.
+    // fingerprint aggregated by graft.functions.SimHashAgg: one mergeable
+    // 60-counter buffer per doc (decodes each hash once — replaced 60
+    // sum(CASE) aggregate expressions, the stage the weak-scaling probe
+    // showed dominating at 10x corpus size) packed into ONE long:
+    // hamming = bit_count(xor), chunk keys = shift+mask — all scalar
+    // codegen, no per-pair array walks.
     val docs = toks.groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        TextOps.simhashPack60(i => col(s"b$i")).as("sim"))
+      .agg(graft.functions.SimHashAgg.simhashFp(col("h"), 60).as("sim"))
       .withColumn("chunks", TextOps.simhashChunkKeys(col("sim"), 4, 15))
     // single-pass in-chunk pair expansion (fingerprint carried along, so
     // the sketch pipeline runs once — not once per self-join side)

@@ -43,4 +43,32 @@ class MinHashAggSpec extends SparkSpec {
     assert(one.values.forall(_.forall(v =>
       v >= 0 && v < TextOps.minhashPrime)))
   }
+
+  test("SimHashAgg fingerprint equals the 60-expression sum/pack form") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("tk"))
+      .select(col("doc_id"), TextOps.portableHash60(col("tk")).as("h"))
+    val viaAgg = toks.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashFp(col("h"), 60).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitAggs = (0 until 60).map(i =>
+      sum(TextOps.simhashContrib(i, col("h"))).as(s"b$i"))
+    val viaExprs = toks.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), TextOps.simhashPack60(i => col(s"b$i")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaExprs)
+    assert(viaAgg.values.forall(_ >= 0L)) // 60-bit: sign bit never set
+  }
+
+  test("SimHashAgg is merge-stable across partitionings") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("tk"))
+      .select(col("doc_id"), TextOps.portableHash60(col("tk")).as("h"))
+    def fp(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy(col("doc_id"))
+        .agg(graft.functions.SimHashAgg.simhashFp(col("h"), 60).as("sim"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(toks.coalesce(1)) === fp(toks.repartition(7)))
+  }
 }
