@@ -150,6 +150,18 @@ object JoinsSetOps {
         |GROUP BY GROUPING SETS ((lang, source), (lang), ())""".stripMargin)
   }
 
+  /** List aggregation with deterministic order: the distinct segments per
+    * nation as a sorted comma-joined string — collect_set is unordered and
+    * engine-specific, so the portable spelling is sort + join (DuckDB:
+    * string_agg DISTINCT ... ORDER BY). Set sizes are dim-bounded, so the
+    * grouped state stays small at any fact scale. */
+  def collectAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nation_id"))
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+             .as("segments"),
+           countDistinct(col("c_mktsegment")).as("n_segments"))
+
   /** Exact multi-expression distinct counts. */
   def countDistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -230,6 +242,12 @@ object JoinsSetOps {
         |  GROUPING(lang, source) AS gid
         |FROM documents
         |GROUP BY GROUPING SETS ((lang, source), (lang), ())""".stripMargin),
+    Q("q84_collect_agg", collectAgg _,
+      """SELECT c_nationkey AS nation_id,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+        |    AS segments,
+        |  count(DISTINCT c_mktsegment) AS n_segments
+        |FROM customer GROUP BY 1""".stripMargin),
     Q("q28_having", havingFilter _,
       """SELECT l_partkey AS part_id, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty
