@@ -245,6 +245,65 @@ object Analytics {
         round(col("value"), 6).as("last_value"))
   }
 
+  /** SCD-2 history build (slowly-changing dimension, type 2): compress a
+    * customer's order-priority timeline into effective-dated ranges —
+    * emit a row only where the tracked attribute CHANGES (lag filter),
+    * then close each range with the next change's start date (lead).
+    * The open range (valid_to null) is the current version. The standard
+    * warehouse pattern for turning an event/CDC feed into versioned
+    * dimension rows.
+    *
+    * Scale shape: two window passes over the same (custkey; date, orderkey)
+    * ordering — one hash exchange on the partition key, per-key state only;
+    * the second window runs on the already-compressed (much smaller) set. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev_p").isNull ||
+        col("prev_p") =!= col("o_orderpriority"))
+      // o_orderdate is TIMESTAMP_NTZ; NTZ→LTZ is identity under the UTC
+      // session timezone, and LTZ→long is epoch seconds (= oracle epoch())
+      .withColumn("valid_to_sec", lead(col("o_orderdate"), 1).over(w)
+        .cast("timestamp_ltz").cast("long"))
+      .select(col("o_custkey"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("timestamp_ltz").cast("long")
+          .as("valid_from_sec"),
+        col("valid_to_sec"),
+        col("valid_to_sec").isNull.as("is_current"))
+  }
+
+  /** Snapshot diff / period-over-period reconciliation: full-outer join of
+    * per-customer revenue between two order-year snapshots, classifying
+    * every customer as new / churned / retained and totalling both sides —
+    * the table-level "what changed between versions" audit that gates a
+    * warehouse publish. Year predicates are range filters (pushed to the
+    * scan); both snapshot aggregates are partial-agg'd before the join, so
+    * the full-outer join exchanges one row per customer, not per order. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def rev(y: Int) = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(s"$y-01-01") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as(s"rev_$y"))
+    rev(1997).join(rev(1998), Seq("o_custkey"), "full_outer")
+      .withColumn("status",
+        when(col("rev_1997").isNull, "new")
+          .when(col("rev_1998").isNull, "churned")
+          .otherwise("retained"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum(coalesce(col("rev_1997"), lit(0.0))), 2).as("old_rev"),
+           round(sum(coalesce(col("rev_1998"), lit(0.0))), 2).as("new_rev"),
+           sum(when(col("rev_1998") > col("rev_1997"), 1).otherwise(0))
+             .as("n_grew"))
+  }
+
   /** Statistical profile: stddev / correlation / covariance per group —
     * the numeric-health pass of a data-quality pipeline. All three are
     * single-pass mergeable aggregates (partial moments per partition,
@@ -315,6 +374,41 @@ object Analytics {
         |SELECT user_id, event_id AS last_event, event_type AS last_type,
         |  round(value, 6) AS last_value
         |FROM ranked WHERE rk = 1""".stripMargin),
+    Q("q86_scd2_history", scd2History _,
+      """WITH changes AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        |  FROM (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |          lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate, o_orderkey) AS prev_p
+        |        FROM orders WHERE o_custkey < 100)
+        |  WHERE prev_p IS NULL OR prev_p <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority AS priority,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS valid_from_sec,
+        |  CAST(floor(epoch(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey))) AS BIGINT) AS valid_to_sec,
+        |  (lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+        |FROM changes""".stripMargin),
+    Q("q87_snapshot_diff", snapshotDiff _,
+      """WITH r97 AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev_1997
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |r98 AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev_1998
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1),
+        |j AS (
+        |  SELECT CASE WHEN rev_1997 IS NULL THEN 'new'
+        |              WHEN rev_1998 IS NULL THEN 'churned'
+        |              ELSE 'retained' END AS status, rev_1997, rev_1998
+        |  FROM r97 FULL OUTER JOIN r98 USING (o_custkey))
+        |SELECT status, count(*) AS n_customers,
+        |  round(sum(coalesce(rev_1997, 0)), 2) AS old_rev,
+        |  round(sum(coalesce(rev_1998, 0)), 2) AS new_rev,
+        |  CAST(sum(CASE WHEN rev_1998 > rev_1997 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_grew
+        |FROM j GROUP BY 1""".stripMargin),
     Q("q73_stats_profile", statsProfile _,
       """SELECT l_returnflag AS flag, count(*) AS n,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -113,6 +113,31 @@ object Similarity {
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage/ANN
+    * compression step (4x smaller vectors, SIMD-friendly int8 dot
+    * products in serving systems): per vector, scale = 127/max|v|,
+    * q_i = round(v_i * scale), and the reconstruction error |v_i - q_i/scale|
+    * summarizes quantization quality per label. Pure per-row array math —
+    * narrow at any scale; the only shuffle is the final per-label stats.
+    * All arithmetic is widened to double BEFORE any op, so the oracle's
+    * IEEE-754 math is bit-identical. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("amax") > 0)
+      .withColumn("scale", lit(127.0) / col("amax"))
+      .withColumn("qerr", transform(col("v"),
+        x => abs(x - round(x * col("scale")) / col("scale"))))
+      .withColumn("mean_err",
+        aggregate(col("qerr"), lit(0.0), (acc, x) => acc + x) /
+          size(col("qerr")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg(col("amax")), 6).as("avg_amax"),
+           round(avg(col("mean_err")), 6).as("avg_mean_err"),
+           round(max(array_max(col("qerr"))), 6).as("max_err"))
+
   private def cosExpr(a: String, b: String): String =
     s"""list_aggregate(
        |      [CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)
@@ -121,6 +146,31 @@ object Similarity {
 
   val catalog: Seq[Q] = Seq(
     Q.noOracle("q48_ann_ivf", annIvf _),
+    Q("q89_embedding_quantize", embeddingQuantize _,
+      """WITH v AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS amax
+        |  FROM v),
+        |e AS (
+        |  SELECT label, amax,
+        |    list_transform(v,
+        |      x -> abs(x - round(x * (127.0 / amax)) / (127.0 / amax)))
+        |      AS qerr
+        |  FROM m WHERE amax > 0),
+        |d AS (
+        |  SELECT label, amax,
+        |    list_aggregate(qerr, 'sum') / len(qerr) AS mean_err,
+        |    list_max(qerr) AS max_err
+        |  FROM e)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(amax), 6) AS avg_amax,
+        |  round(avg(mean_err), 6) AS avg_mean_err,
+        |  round(max(max_err), 6) AS max_err
+        |FROM d GROUP BY 1""".stripMargin),
     Q("q38_ann_bruteforce", annBruteForce _,
       s"""WITH e AS (
          |  SELECT vec_id, embedding,

@@ -66,6 +66,48 @@ object StreamQueries {
     spark.table(name)
   }
 
+  /** Like [[runToTable]] but in APPEND output mode — required for
+    * stream-stream joins, where each matched row is final once emitted
+    * (no aggregate state to re-output). */
+  private def runAppendToTable(spark: SparkSession, dir: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file._
+    val srcDir = Files.createTempDirectory("graft_stream_src")
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet"))
+    def source(): DataFrame = spark.readStream.schema(rawSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_stream_${ctr.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    val q = transform(source()).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Stream-stream inner join executed as a stream: purchases within 30
+    * minutes after a click by the same user, both sides watermarked with a
+    * time-range join condition (the state-bounding requirement for
+    * unbounded joins — each side buffers only the watermark horizon).
+    * Here both streams read the same events feed and filter to their
+    * event type — the one-topic-many-consumers shape of a production bus. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame =
+    runAppendToTable(spark, dir) { ev =>
+      EventStreams.clickPurchaseJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"),
+          col("click_ts").cast("long").as("click_sec"),
+          col("purchase_ts").cast("long").as("purchase_sec"),
+          round(col("value"), 6).as("value"))
+    }
+
   /** Tumbling 1-minute windows per event type, executed as a stream. */
   def streamTumbling(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, dir)(EventStreams.tumblingCounts(_))
@@ -85,6 +127,15 @@ object StreamQueries {
       """SELECT date_trunc('minute', ts) AS bucket_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin),
+    Q("q88_stream_join", streamJoin _,
+      """SELECT c.user_id AS user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_sec,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec,
+        |  round(p.value, 6) AS value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin),
     Q("q82_stream_sliding", streamSliding _,
       """SELECT CAST(epoch(ws) AS BIGINT) AS w_start, count(*) AS n,
         |  round(sum(value), 2) AS total

@@ -289,6 +289,46 @@ object TextAnalysis {
            sum(length(col("text")) - length(col("norm")))
              .as("chars_removed"))
 
+  /** Repetition-based quality metrics (the Gopher/MassiveText repetition
+    * filters, Rae et al. 2021 §A1.1): per document, the fraction of tokens
+    * taken by the single most frequent word, the distinct/total token
+    * ratio, and the most-frequent-bigram fraction — high values flag
+    * boilerplate and degenerate (looping) text before it poisons a
+    * training corpus. Reported per language with a flagged-document count.
+    *
+    * Scale shape: two explode→count aggregations (both partial-agg'd, keyed
+    * by doc_id so they shuffle corpus-bounded counts, never pairs) joined
+    * back on doc_id; no window over the whole corpus. */
+  def repetitionQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+    val uni = tok.groupBy(col("doc_id"), col("lang"), col("w0"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_c"),
+           count(lit(1)).as("n_distinct"))
+    val bg = tok
+      .withColumn("w1", lead(col("w0"), 1).over(byPos))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_bg_c"))
+    uni.join(bg, Seq("doc_id"))
+      .withColumn("twf", col("top_c") / col("n_tokens"))
+      .withColumn("dr", col("n_distinct") / col("n_tokens"))
+      .withColumn("tbf", col("top_bg_c") / col("n_bg"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("twf")), 6).as("avg_top_word_frac"),
+           round(avg(col("dr")), 6).as("avg_distinct_ratio"),
+           round(avg(col("tbf")), 6).as("avg_top_bigram_frac"),
+           sum(when(col("tbf") >= 0.05, 1).otherwise(0)).as("n_flagged"))
+  }
+
   /** Document chunking: split each document into fixed-size token windows
     * (50 words here) — the pre-tokenization pass that turns a long-document
     * corpus into training-sized pieces. One output row per (doc, chunk);
@@ -522,6 +562,37 @@ object TextAnalysis {
         |  CAST(sum(length(text) - length(norm)) AS BIGINT)
         |    AS chars_removed
         |FROM d GROUP BY 1""".stripMargin),
+    Q("q85_repetition_quality", repetitionQuality _,
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w0
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, lang, sum(c) AS n_tokens, max(c) AS top_c,
+        |    count(*) AS n_distinct
+        |  FROM (SELECT doc_id, lang, w0, count(*) AS c
+        |        FROM tok GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |bgl AS (
+        |  SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+        |      AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents)),
+        |bg AS (
+        |  SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg_c
+        |  FROM (SELECT doc_id, bg, count(*) AS c FROM bgl GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |per_doc AS (
+        |  SELECT lang, top_c / n_tokens AS twf,
+        |    n_distinct / n_tokens AS dr, top_bg_c / n_bg AS tbf
+        |  FROM uni JOIN bg USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(twf), 6) AS avg_top_word_frac,
+        |  round(avg(dr), 6) AS avg_distinct_ratio,
+        |  round(avg(tbf), 6) AS avg_top_bigram_frac,
+        |  CAST(sum(CASE WHEN tbf >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM per_doc GROUP BY 1""".stripMargin),
     Q("q43_fingerprint", fingerprint _,
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keeper, count(*) AS n,
