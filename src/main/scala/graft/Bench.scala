@@ -34,10 +34,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line short enough that a tail-capture
+    // of the sbt log can't truncate it (r01's full-precision doubles made
+    // the line unparseable for the driver).
+    def f(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: the driver scrapes stdout, but also drop the JSON in
+    // a file so a log-capture truncation can never lose the round's numbers.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => }
+    println(json)
     spark.stop()
   }
 }

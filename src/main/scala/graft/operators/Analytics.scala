@@ -150,18 +150,47 @@ object Analytics {
           .as("gap_sec"))
   }
 
-  /** NTILE quartiles over a total order; per-quartile stats. A global
-    * (unpartitioned) window forces a single-partition sort — acceptable
-    * for ranked reporting output, but at 100 TB the right tool for
-    * quantile BOUNDARIES is the sketch/exact percentile path (q46/q47). */
+  /** NTILE quartiles over a total order; per-quartile stats — WITHOUT the
+    * global single-partition sort an `ntile() OVER (ORDER BY ...)` window
+    * forces (the r01 scale-killer).
+    *
+    * The trick: the aggregated output (count / min / max per quartile)
+    * is fully determined by the total count n and eight ORDER STATISTICS
+    * of the price column. ntile's bucket sizes are c_i = i·(n/4)+min(i, n%4)
+    * cumulative, so quartile i is exactly {positions c_{i-1}+1 .. c_i} of
+    * the (price, orderkey) total order — and the price at global position k
+    * is invariant to how ties are ordered, so min_price(i) = os(c_{i-1}+1)
+    * and max_price(i) = os(c_i) where os(k) is the k-th smallest price.
+    * Even when tied prices straddle a boundary, ntile fills the lower
+    * bucket to exactly c_i rows, so counts and price extrema agree with
+    * the oracle's real ntile run row-for-row.
+    *
+    * os(k) = exact percentile at fraction (k−1)/(n−1) (Spark interpolates
+    * at index p·(n−1) = k−1, i.e. no interpolation) — one mergeable
+    * aggregate buffer, no WindowExec, no global sort. Driver traffic is
+    * two scalars (the count, then the 8-value array literal shaping the
+    * output), O(1) at any scale. */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    t(spark, dir, "orders")
-      .withColumn("quartile", ntile(4).over(w))
-      .groupBy(col("quartile"))
-      .agg(count(lit(1)).as("n"),
-           round(min(col("o_totalprice")), 2).as("min_price"),
-           round(max(col("o_totalprice")), 2).as("max_price"))
+    val o = t(spark, dir, "orders")
+    val n = o.count()
+    val qsz = n / 4
+    val rem = (n % 4).toInt
+    val c = (0 to 4).map(i => i * qsz + math.min(i, rem)) // cumulative sizes
+    val positions = (1 to 4).flatMap(i => Seq(c(i - 1) + 1, c(i)))
+    val fracs = positions
+      .map(k => java.lang.Double.toString((k - 1).toDouble / (n - 1)))
+      .mkString(", ")
+    val sizes = (1 to 4).map(i => c(i) - c(i - 1))
+    o.agg(expr(s"percentile(o_totalprice, array($fracs))").as("ps"))
+      .select(explode(expr(
+        """transform(sequence(1, 4), i ->
+          |  struct(i AS q, ps[2*(i-1)] AS lo, ps[2*i-1] AS hi))"""
+          .stripMargin)).as("s"))
+      .select(col("s.q").cast("int").as("quartile"),
+        element_at(
+          array(sizes.map(v => lit(v)): _*), col("s.q")).as("n"),
+        round(col("s.lo"), 2).as("min_price"),
+        round(col("s.hi"), 2).as("max_price"))
   }
 
   /** Navigation window functions: first/last/nth over an explicit frame
@@ -304,21 +333,53 @@ object Analytics {
              .as("n_grew"))
   }
 
-  /** Statistical profile: stddev / correlation / covariance per group —
-    * the numeric-health pass of a data-quality pipeline. All three are
-    * single-pass mergeable aggregates (partial moments per partition,
-    * merged at the exchange), so the profile costs one shuffle of
-    * constant-size state per group at any scale. */
-  def statsProfile(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag").as("flag"))
+  /** Statistical profile: stddev / correlation / covariance / skewness per
+    * group — the numeric-health pass of a data-quality pipeline.
+    *
+    * The moments are composed explicitly from sums of centered powers
+    * (two passes: means, then centered sums) rather than the built-in
+    * `skewness`/`corr` aggregates, because the built-ins embody
+    * engine-specific formula choices — Spark's `skewness` is the
+    * POPULATION statistic g1 = (m3/n)/(m2/n)^1.5 while DuckDB's is the
+    * bias-corrected SAMPLE statistic (×√(n(n−1))/(n−2)) — a genuine
+    * cross-engine mismatch (the one red row of CORRECTNESS_r01). Spelling
+    * one formula identically in both engines restores bit-level parity;
+    * centering on the group mean first also keeps the sums small enough
+    * that summation-order drift dies in the rounding.
+    *
+    * Scale shape: the means pass and the centered pass are both mergeable
+    * hash aggregates on the same 3-group key; the join in between moves
+    * 3 rows (broadcast). Two scans instead of one is the price of exact
+    * cross-engine parity, not of the statistics themselves. */
+  def statsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val means = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(avg(col("l_quantity")).as("mq"),
+           avg(col("l_extendedprice")).as("mp"),
+           avg(col("l_discount")).as("md"),
+           avg(col("l_tax")).as("mt"))
+    li.join(broadcast(means), li("l_returnflag") === means("flag"))
+      .groupBy(col("flag"))
       .agg(count(lit(1)).as("n"),
-           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-           round(corr(col("l_quantity"), col("l_extendedprice")), 6)
-             .as("corr_qty_price"),
-           round(covar_samp(col("l_discount"), col("l_tax")), 6)
-             .as("cov_disc_tax"),
-           round(skewness(col("l_extendedprice")), 4).as("skew_price"))
+        sum((col("l_quantity") - col("mq")) * (col("l_quantity") - col("mq")))
+          .as("s2q"),
+        sum((col("l_quantity") - col("mq")) *
+            (col("l_extendedprice") - col("mp"))).as("spq"),
+        sum((col("l_extendedprice") - col("mp")) *
+            (col("l_extendedprice") - col("mp"))).as("s2p"),
+        sum((col("l_discount") - col("md")) * (col("l_tax") - col("mt")))
+          .as("sdt"),
+        sum((col("l_extendedprice") - col("mp")) *
+            (col("l_extendedprice") - col("mp")) *
+            (col("l_extendedprice") - col("mp"))).as("s3p"))
+      .select(col("flag"), col("n"),
+        round(sqrt(col("s2q") / (col("n") - 1)), 4).as("sd_qty"),
+        round(col("spq") / sqrt(col("s2q") * col("s2p")), 4)
+          .as("corr_qty_price"),
+        round(col("sdt") / (col("n") - 1), 6).as("cov_disc_tax"),
+        round((col("s3p") / col("n")) /
+          pow(col("s2p") / col("n"), 1.5), 4).as("skew_price"))
+  }
 
   /** Table profiling: per-column null counts, distinct counts, ranges —
     * the schema-drift / data-quality summary an ingestion pipeline emits
@@ -410,12 +471,26 @@ object Analytics {
         |    AS BIGINT) AS n_grew
         |FROM j GROUP BY 1""".stripMargin),
     Q("q73_stats_profile", statsProfile _,
-      """SELECT l_returnflag AS flag, count(*) AS n,
-        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        |  round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
-        |  round(skewness(l_extendedprice), 4) AS skew_price
-        |FROM lineitem GROUP BY 1""".stripMargin),
+      """WITH m AS (
+        |  SELECT l_returnflag AS flag,
+        |    avg(l_quantity) AS mq, avg(l_extendedprice) AS mp,
+        |    avg(l_discount) AS md, avg(l_tax) AS mt
+        |  FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT flag, count(*) AS n,
+        |    sum((l_quantity - mq) * (l_quantity - mq)) AS s2q,
+        |    sum((l_quantity - mq) * (l_extendedprice - mp)) AS spq,
+        |    sum((l_extendedprice - mp) * (l_extendedprice - mp)) AS s2p,
+        |    sum((l_discount - md) * (l_tax - mt)) AS sdt,
+        |    sum((l_extendedprice - mp) * (l_extendedprice - mp)
+        |        * (l_extendedprice - mp)) AS s3p
+        |  FROM lineitem JOIN m ON l_returnflag = m.flag GROUP BY 1)
+        |SELECT flag, n,
+        |  round(sqrt(s2q / (n - 1)), 4) AS sd_qty,
+        |  round(spq / sqrt(s2q * s2p), 4) AS corr_qty_price,
+        |  round(sdt / (n - 1), 6) AS cov_disc_tax,
+        |  round((s3p / n) / pow(s2p / n, 1.5), 4) AS skew_price
+        |FROM s""".stripMargin),
     Q("q74_profile_table", profileTable _,
       """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
         |  count(o_orderkey) AS n_nonnull,

@@ -36,11 +36,18 @@ object StreamQueries {
     StructField("props", StringType)))
 
   /** Run a streaming transform over the events file source to completion,
-    * returning the memory-sink table. Complete output mode: the sink holds
-    * the full aggregate state — the memory-bounded choice for a bounded
-    * replay; a production continuous run would use append/update with the
-    * watermark expiring state. */
-  private def runToTable(spark: SparkSession, dir: String)(
+    * returning the memory-sink table. `complete` mode holds the full
+    * aggregate state in the sink — the memory-bounded choice for a bounded
+    * replay; `append` is required for stream-stream joins, where each
+    * matched row is final once emitted.
+    *
+    * NOTE: oracle equivalence (q76/q82/q88 vs their batch SQL) relies on
+    * the staged source being a SINGLE file — one micro-batch, so the
+    * watermark never advances mid-run and no late row is ever dropped.
+    * A multi-file out-of-order staging would make the watermark drop rows
+    * the batch oracle keeps; the single-link staging below pins this. */
+  private def runToTable(spark: SparkSession, dir: String,
+      mode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     // The file source streams a DIRECTORY (new files appear → new
     // micro-batches); the sf dir holds one file per table, so stage a
@@ -50,44 +57,26 @@ object StreamQueries {
     val srcDir = Files.createTempDirectory("graft_stream_src")
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       Paths.get(dir, "events.parquet"))
-    val raw = spark.readStream.schema(rawSchema)
-      .parquet(srcDir.toString)
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val name = s"graft_stream_${ctr.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt").toString
-    val q = transform(ev).writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
-
-  /** Like [[runToTable]] but in APPEND output mode — required for
-    * stream-stream joins, where each matched row is final once emitted
-    * (no aggregate state to re-output). */
-  private def runAppendToTable(spark: SparkSession, dir: String)(
-      transform: DataFrame => DataFrame): DataFrame = {
-    import java.nio.file._
-    val srcDir = Files.createTempDirectory("graft_stream_src")
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      Paths.get(dir, "events.parquet"))
-    def source(): DataFrame = spark.readStream.schema(rawSchema)
+    val ev = spark.readStream.schema(rawSchema)
       .parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_stream_${ctr.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt").toString
-    val q = transform(source()).writeStream
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+    val q = transform(ev).writeStream
       .format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // The memory sink holds the results; the staging/checkpoint dirs are
+    // one-shot — drop them so bench/verify iterations don't accumulate.
+    def rmTree(p: Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+    rmTree(srcDir); rmTree(ckpt)
     spark.table(name)
   }
 
@@ -98,7 +87,7 @@ object StreamQueries {
     * Here both streams read the same events feed and filter to their
     * event type — the one-topic-many-consumers shape of a production bus. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame =
-    runAppendToTable(spark, dir) { ev =>
+    runToTable(spark, dir, mode = "append") { ev =>
       EventStreams.clickPurchaseJoin(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"))
