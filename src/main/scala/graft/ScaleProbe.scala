@@ -48,11 +48,20 @@ object ScaleProbe {
     rep(li) { (d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + i * keySpan)
     }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    Seq("customer", "supplier", "part", "nation", "region", "events",
-      "embeddings").foreach { t =>
-      Tables.load(spark, base, t).write.mode("overwrite")
-        .parquet(s"$out/$t.parquet")
-    }
+    // 10x embeddings with shifted vec_ids: replicas are EXACT vector dups
+    // (cos = 1 cliques), probing cell-bucketed embedding dedup at a 10x
+    // duplication rate — candidate pairs should track cell occupancy
+    // (k = N/32 cells keeps ~32-vector cells → linear in N), never N²
+    val emb = Tables.load(spark, base, "embeddings")
+    rep(emb) { (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + i * keySpan)
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    Seq("customer", "supplier", "part", "nation", "region", "events")
+      .foreach { t =>
+        Tables.load(spark, base, t).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+      }
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -71,6 +80,7 @@ object ScaleProbe {
       time(s"simhash_$tag")(operators.Dedup.simhash(spark, dir).count())
       time(s"top_ngrams_$tag")(operators.TextAnalysis.topNgrams(spark, dir).count())
       time(s"split_$tag")(operators.Sampling.trainTestSplit(spark, dir).count())
+      time(s"emb_dedup_$tag")(operators.Dedup.embeddingCosine(spark, dir).count())
     }
     spark.stop()
   }

@@ -42,6 +42,18 @@ object VectorOps {
   def cosinePrenormed(dotCol: Column, normA: Column, normB: Column): Column =
     dotCol / (normA * normB)
 
+  /** Σ a_i·c_i for a float vector against a double vector (centroid):
+    * float→double cast then left-to-right fold — the identical operation
+    * sequence as the oracle's list-comprehension + list_aggregate('sum'),
+    * so centroid-assignment scores compare bit-for-bit. */
+  def dotFloatDouble(a: Column, c: Column): Column =
+    aggregate(zip_with(asDouble(a), c, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm of a double vector (sequential fold). */
+  def l2NormDouble(c: Column): Column =
+    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+
   /** Sign-bit LSH bucket over the first `nBits` dimensions (axis-aligned
     * hyperplanes — deterministic, engine-portable). Random-hyperplane LSH
     * (Charikar 2002) would use projected gaussians; axis planes keep the

@@ -100,15 +100,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Near-dup by exact 3-word-shingle Jaccard over prefix-bucket candidate
-    * pairs (docs sharing their first 30 chars — a deterministic 1-band LSH;
-    * the general banded form is [[minhash]]). Output: pairs with J ≥ 0.5. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-    val cands = pairsWithin(
-      docs.select(substring(col("text"), 1, 30).as("bucket"), col("doc_id")),
-      "bucket")
+  /** Near-dup by exact 3-word-shingle Jaccard. Candidates come from FOUR
+    * independent min-shingle-hash buckets (1-row bands of the [[minhash]]
+    * hash family): docs agreeing on any of the four per-doc minima are
+    * candidates, so recall at J is 1-(1-J)^4 (~94% at J = 0.5, →1 above)
+    * REGARDLESS of where in the document the overlap sits — the r01
+    * 30-char-prefix bucketing was a recall hole for prefix-divergent
+    * near-dups (caught by the spec's divergent-prefix pair). Exact
+    * verification is unchanged. Output: pairs with J ≥ 0.5. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3))
+
+  /** [[ngramJaccard]] over an arbitrary (doc_id, text) frame (spec entry
+    * point; docs must already carry ≥3 words). */
+  def ngramJaccardOn(docs: DataFrame): DataFrame = {
+    val hashed = shingleExploded(docs)
+      .select(col("doc_id"), TextOps.portableHash(col("s")).as("x"))
+    val minsAgg = (0 until 4).map(j =>
+      min((lit(2L * j + 1) * col("x") + lit(j * 2654435761L))
+        % lit(4294967311L)).as(s"m$j"))
+    val keyed = hashed.groupBy(col("doc_id"))
+      .agg(minsAgg.head, minsAgg.tail: _*)
+      .select(col("doc_id"), explode(array((0 until 4).map(j =>
+        concat_ws(":", lit(j), col(s"m$j"))): _*)).as("bucket"))
+    val cands = pairsWithin(keyed, "bucket")
     verifyJaccard(cands, shingleExploded(candidateDocs(docs, cands)))
   }
 
@@ -177,11 +193,108 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
-  /** Embedding-cosine near-dup: norms precomputed per vector (narrow),
-    * then pair join + dot product. At this corpus size the pair join is a
-    * broadcast nested loop; the 100 TB path is [[Similarity.annLsh]]-style
-    * sign-bucketing first. Threshold J ≥ 0.5. */
+  /** Embedding-cosine near-dup, candidate-then-verify (the r01 version was
+    * an all-pairs BroadcastNestedLoop — O(N²) dot products, dead at 100 TB;
+    * kept as [[embeddingCosineAllPairs]] for the spec-side recall check).
+    *
+    * Candidates come from SemDeDup-style coarse clustering (Abbas et al.
+    * 2023; the IVF cell idea of FAISS): vectors in the same k-means cell
+    * are candidates, everything else is pruned. Sign-LSH was measured
+    * unusable here: any banding loose enough to catch a cos≈0.5 pair
+    * admits 40–65% of ALL pairs (bit-agreement ≈ 2/3 at 60°), while
+    * k=16 cells admit 6% with full recall on the true pairs.
+    *
+    * Everything is deterministic and engine-portable by construction:
+    * seeds are the k lowest vec_ids; centroids are recomputed in EXACT
+    * integer space (vectors quantized to round(1000·x) — summation order
+    * can't perturb integer sums), so centroid doubles are identical in
+    * both engines; assignment scores are per-row left-to-right folds.
+    * Two Lloyd rounds, ties broken by cell id.
+    *
+    * Scale shape: quantize/assign are narrow per-row passes against a
+    * broadcast k-row centroid table; centroid recompute is a mergeable
+    * integer aggregate on (cell, dim); candidate generation is the
+    * in-cell pair expansion (one shuffle on cell); verify touches
+    * candidates only. At 100 TB, k grows with N (cells of ~constant
+    * size) and assignment uses an ANN probe instead of the dense k-scan,
+    * but the pipeline shape is unchanged. */
+  /** Final (vec_id, cell) assignment of [[embeddingCosine]]'s k-means —
+    * exposed for recall/occupancy inspection in specs. */
+  private[graft] def embeddingCells(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e0 = t(spark, dir, "embeddings")
+    // cells of ~32 vectors: k grows with N so in-cell candidate pairs stay
+    // LINEAR in N (the weak-scaling property ScaleProbe measures); floor
+    // of 16 keeps small corpora clustered, cap bounds the centroid
+    // literal. The oracle computes the identical k from count(*).
+    val k = math.max(16L, math.min(4096L, e0.count() / 32)).toInt
+    val e = e0
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("nrm"),
+        transform(col("embedding"), x =>
+          floor(lit(1000.0) * x.cast("double") + lit(0.5)).cast("long"))
+          .as("qv"))
+    // Nearest centroid by cosine. The centroid table (k rows) joins via
+    // BroadcastHashJoin on a constant derived key — `vec_id * 0` is
+    // deliberately column-derived, NOT a literal: a literal key would
+    // constant-fold into a nested-loop cross join, while a non-foldable
+    // expression keeps the equi-join (and Catalyst can't fold x*0 under
+    // null semantics). The argmax is max_by over (score, -cell): a
+    // MERGEABLE aggregate, so the k scored rows per vector collapse
+    // map-side and the shuffle carries one row per vector. Ties → lowest
+    // cell id, matching the oracle's (score DESC, cell ASC) row_number.
+    def assign(cents: DataFrame): DataFrame =
+      e.withColumn("jk", col("vec_id") * 0)
+        .join(broadcast(cents.withColumn("jk",
+          col("cell").cast("long") * 0)), Seq("jk"))
+        .withColumn("score",
+          VectorOps.dotFloatDouble(col("embedding"), col("c")) /
+            (col("nrm") * VectorOps.l2NormDouble(col("c"))))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"),
+          struct(col("score"), (-col("cell")).as("nc"))).as("cell"),
+          first(col("qv")).as("qv"))
+    val seeds = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("qv"), v => v.cast("double")).as("c"))
+    // one Lloyd step in exact integer space: per-(cell, dim) sums are
+    // order-invariant bigints, so the recomputed centroid doubles are
+    // bit-identical in any engine
+    val cents = assign(seeds)
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "qx")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("qx")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+        x => x.getField("s").cast("double") / x.getField("cnt")).as("c"))
+    assign(cents).select(col("vec_id"), col("cell"))
+  }
+
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("nrm"))
+    val cands = pairsWithin(embeddingCells(spark, dir)
+      .select(col("cell"), col("vec_id").as("doc_id")), "cell")
+    // exact cosine verification on candidate pairs only
+    def side(p: String, v: String, en: String, nn: String) =
+      e.select(col("vec_id").as(v), col("embedding").as(en),
+        col("nrm").as(nn))
+    cands.select(col("doc_a").as("v1"), col("doc_b").as("v2"))
+      .join(side("a", "v1", "e1", "n1"), Seq("v1"))
+      .join(side("b", "v2", "e2", "n2"), Seq("v2"))
+      .withColumn("cos", round(
+        VectorOps.cosinePrenormed(VectorOps.dot(col("e1"), col("e2")),
+          col("n1"), col("n2")), 6))
+      .filter(col("cos") >= 0.5)
+      .select(col("v1"), col("v2"), col("cos"))
+  }
+
+  /** All-pairs exact embedding cosine — O(N²), NOT registered as a query;
+    * exists solely as the ground truth for [[embeddingCosine]]'s recall
+    * check in `DedupSpec` at small sf. */
+  def embeddingCosineAllPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         VectorOps.l2Norm(col("embedding")).as("nrm"))
@@ -197,23 +310,22 @@ object Dedup {
       .select(col("v1"), col("v2"), col("cos"))
   }
 
-  /** Duplicate-cluster resolution: connected components over the near-dup
-    * pair graph (pairs are transitive in practice — a dedup pipeline keeps
-    * one doc per CLUSTER, not per pair). Iterative min-label propagation:
-    * each round every vertex takes the min component label among itself
-    * and its neighbors; converges in O(graph diameter) rounds. The label
-    * frame is localCheckpoint'ed each round to truncate lineage (the
-    * standard guard for iterative DataFrame algorithms), and convergence
-    * is detected by the monotonically non-increasing label sum. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val sym = edges
-      .unionByName(edges.select(col("doc_b").as("doc_a"),
-        col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-    // seed with round-0 propagation already applied: label = min(self,
-    // neighbors) — most near-dup components are cliques, so this converges
-    // one round earlier
+  /** Connected components over an undirected edge list — min-label
+    * propagation PLUS pointer jumping (comp := label(comp) each round, the
+    * Shiloach–Vishkin shortcut), so convergence is O(log diameter) rounds
+    * instead of O(diameter): a 60-hop chain resolves in ~7 rounds where
+    * plain propagation needs 59. Each round: one neighbor-min shuffle, one
+    * label-of-label hash join, a `localCheckpoint` to truncate lineage
+    * (the standard guard for iterative DataFrame algorithms), and an O(1)
+    * driver scalar (the label sum — monotonically decreasing, fixed point
+    * = converged). Still decreasing at `maxIters` → loud failure, never
+    * silently-wrong labels. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e2 = edges.toDF("src", "dst")
+    val sym = e2.unionByName(
+      e2.select(col("dst").as("src"), col("src").as("dst")))
+    // seed with round-0 propagation applied: label = min(self, neighbors) —
+    // near-dup components are mostly cliques, which converge immediately
     var labels = sym.groupBy(col("src").as("doc_id"))
       .agg(least(col("src"), min(col("dst"))).as("comp"))
       .localCheckpoint(true)
@@ -222,67 +334,145 @@ object Dedup {
     var prevSum = Long.MaxValue
     var curSum = labelSum()
     var iter = 0
-    while (curSum < prevSum && iter < 20) {
+    while (curSum < prevSum && iter < maxIters) {
       val prop = sym.join(labels, sym("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
-      labels = labels
+      val stepped = labels
         .join(prop, labels("doc_id") === prop("dst"), "left_outer")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"))
+      // pointer jump: chase one level of indirection so label chains halve
+      val lol = stepped.select(col("doc_id").as("pj_id"),
+        col("comp").as("pj_comp"))
+      labels = stepped
+        .join(lol, stepped("comp") === lol("pj_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("pj_comp"), col("comp")))
             .as("comp"))
         .localCheckpoint(true)
       prevSum = curSum
       curSum = labelSum()
       iter += 1
     }
+    if (curSum < prevSum)
+      throw new IllegalStateException(
+        s"connectedComponents still propagating after $maxIters rounds — " +
+          "raise maxIters (graph diameter exceeds 2^rounds)")
     labels
   }
 
+  /** Duplicate-cluster resolution: connected components over the near-dup
+    * pair graph (pairs are transitive in practice — a dedup pipeline keeps
+    * one doc per CLUSTER, not per pair). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Shared candidate-generation SQL: four independent min-shingle-hash
+    * buckets over the `docs` CTE (which must expose doc_id, sh). */
+  private val minBucketCandSql =
+    """shx AS (
+      |  SELECT doc_id, ('0x' || substr(md5(u), 1, 8))::BIGINT AS x
+      |  FROM (SELECT doc_id, unnest(sh) AS u FROM docs)),
+      |mins AS (
+      |  SELECT doc_id, j,
+      |    min(((2 * j + 1) * x + j * 2654435761) % 4294967311) AS m
+      |  FROM shx, range(0, 4) t(j) GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM mins a JOIN mins b
+      |    ON a.j = b.j AND a.m = b.m AND a.doc_id < b.doc_id)""".stripMargin
+
   private val ngramJaccardSql =
-    """WITH docs AS (
-      |  SELECT doc_id, substr(text, 1, 30) AS bucket,
-      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                   for i in range(1, len(w) - 1)]) AS sh
-      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
-      |        FROM documents)
-      |  WHERE len(w) >= 3)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  round(len(list_intersect(a.sh, b.sh)) /
-      |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-      |FROM docs a JOIN docs b
-      |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |WHERE round(len(list_intersect(a.sh, b.sh)) /
-      |      len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5""".stripMargin
-
-  private val embeddingCosineSql =
-    """WITH e AS (
-      |  SELECT vec_id, embedding,
-      |    sqrt(list_aggregate(list_transform(embedding,
-      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
-      |  FROM embeddings),
-      |p AS (
-      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
-      |    round(list_aggregate(
-      |      [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-      |       for i in range(1, len(a.embedding) + 1)], 'sum')
-      |      / (a.nrm * b.nrm), 6) AS cos
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      |SELECT v1, v2, cos FROM p WHERE cos >= 0.5""".stripMargin
-
-  private val dupClustersSql =
-    """WITH RECURSIVE docs AS (
-      |  SELECT doc_id, substr(text, 1, 30) AS bucket,
+    s"""WITH docs AS (
+      |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                   for i in range(1, len(w) - 1)]) AS sh
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
       |        FROM documents)
       |  WHERE len(w) >= 3),
+      |$minBucketCandSql
+      |SELECT doc_a, doc_b,
+      |  round(len(list_intersect(da.sh, db.sh)) /
+      |        len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
+      |FROM cand
+      |  JOIN docs da ON da.doc_id = doc_a
+      |  JOIN docs db ON db.doc_id = doc_b
+      |WHERE round(len(list_intersect(da.sh, db.sh)) /
+      |      len(list_distinct(list_concat(da.sh, db.sh))), 6) >= 0.5""".stripMargin
+
+  /** Replicates the full deterministic pipeline: integer quantize → seed →
+    * assign → exact-integer centroid → re-assign → in-cell pairs → verify.
+    * Dim is fixed at 64 (the embeddings table schema). */
+  private val embeddingCosineSql =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_aggregate(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+      |    [CAST(floor(1000.0 * CAST(x AS DOUBLE) + 0.5) AS BIGINT)
+      |     for x in embedding] AS qv
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(vec_id AS INT) AS cell,
+      |    list_transform(qv, v -> CAST(v AS DOUBLE)) AS c
+      |  FROM q WHERE vec_id <
+      |    (SELECT greatest(16, least(4096, count(*) // 32)) FROM q)),
+      |a1 AS (
+      |  SELECT vec_id, qv, cell FROM (
+      |    SELECT q.vec_id, q.qv, s.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        (list_aggregate([CAST(q.embedding[i] AS DOUBLE) * s.c[i]
+      |          for i in range(1, 65)], 'sum')
+      |         / (q.nrm * sqrt(list_aggregate([s.c[i] * s.c[i]
+      |          for i in range(1, 65)], 'sum')))) DESC,
+      |        s.cell ASC) AS rn
+      |    FROM q CROSS JOIN seeds s) WHERE rn = 1),
+      |sums AS (
+      |  SELECT cell, u.pos AS pos, sum(u.qx) AS s, count(*) AS cnt
+      |  FROM (SELECT cell, unnest([{'pos': i, 'qx': qv[i]}
+      |        for i in range(1, 65)]) AS u FROM a1)
+      |  GROUP BY 1, 2),
+      |cents AS (
+      |  SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
+      |  FROM sums GROUP BY 1),
+      |a2 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT q.vec_id, cn.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        (list_aggregate([CAST(q.embedding[i] AS DOUBLE) * cn.c[i]
+      |          for i in range(1, 65)], 'sum')
+      |         / (q.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
+      |          for i in range(1, 65)], 'sum')))) DESC,
+      |        cn.cell ASC) AS rn
+      |    FROM q CROSS JOIN cents cn) WHERE rn = 1),
       |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM docs a JOIN docs b
-      |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |  WHERE round(len(list_intersect(a.sh, b.sh)) /
-      |        len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2
+      |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT v1, v2,
+      |    round(list_aggregate([CAST(x.embedding[i] AS DOUBLE)
+      |        * CAST(y.embedding[i] AS DOUBLE)
+      |      for i in range(1, 65)], 'sum') / (x.nrm * y.nrm), 6) AS cos
+      |  FROM pairs JOIN q x ON x.vec_id = v1 JOIN q y ON y.vec_id = v2)
+      |SELECT v1, v2, cos FROM scored WHERE cos >= 0.5""".stripMargin
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE docs AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   for i in range(1, len(w) - 1)]) AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |$minBucketCandSql,
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM cand
+      |    JOIN docs da ON da.doc_id = doc_a
+      |    JOIN docs db ON db.doc_id = doc_b
+      |  WHERE round(len(list_intersect(da.sh, db.sh)) /
+      |        len(list_distinct(list_concat(da.sh, db.sh))), 6) >= 0.5),
       |sym AS (
       |  SELECT doc_a AS s, doc_b AS d FROM pairs
       |  UNION

@@ -24,6 +24,53 @@ class DedupSpec extends SparkSpec {
       s"missing: ${exactPairs.diff(mhPairs)}")
   }
 
+  test("embedding dedup: cell-bucketed candidates recover the all-pairs result") {
+    val bucketed = Dedup.embeddingCosine(spark, sf)
+      .select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = Dedup.embeddingCosineAllPairs(spark, sf)
+      .select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification is identical exact cosine, so bucketed ⊆ all-pairs is
+    // structural; equality is the recall check for the k-means cells
+    assert(bucketed === allPairs,
+      s"cells missed near-dup pairs: ${allPairs.diff(bucketed)}")
+  }
+
+  test("jaccard min-shingle buckets catch prefix-divergent near-dups") {
+    import spark.implicits._
+    // (1,2) share all of doc 1's shingles (J = 6/11 ≥ 0.5) but differ in
+    // their first 30 chars — the pair the r01 prefix bucketing missed
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different leading prefix here " +
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated words entirely nothing shared with others at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardOn(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("connected components: diameter-59 chain resolves via pointer jumping") {
+    import spark.implicits._
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size === 60)
+    assert(labels.values.forall(_ === 0L),
+      s"chain not fully labeled: ${labels.filter(_._2 != 0L)}")
+  }
+
+  test("connected components: unconverged at maxIters fails loudly") {
+    import spark.implicits._
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2).collect()
+    }
+  }
+
   test("simhash near-dup pairs overlap the jaccard near-dups") {
     val sh = Dedup.simhash(spark, sf)
       .select("doc_a", "doc_b").collect()

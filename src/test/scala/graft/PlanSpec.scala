@@ -87,6 +87,19 @@ class PlanSpec extends SparkSpec {
       s"no rank-based rewrite found:\n$plan")
   }
 
+  test("q37: embedding dedup is cell-bucketed — no all-pairs nested loop") {
+    val plan = planOf(graft.operators.Dedup.embeddingCosine(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"embedding dedup degraded to an all-pairs join:\n$plan")
+  }
+
+  test("q61: quartiles have no window and no global sort in the plan") {
+    val plan = planOf(Analytics.ntileQuartiles(spark, sf))
+    assert(!plan.contains("Window"), s"window crept back in:\n$plan")
+    assert(!plan.contains("Sort "), s"global sort crept back in:\n$plan")
+  }
+
   test("q66: stratified sample window is partitioned (no global sort)") {
     val plan = planOf(graft.operators.Sampling.stratifiedSample(spark, sf))
     assert(plan.contains("Window"), s"no window:\n$plan")
