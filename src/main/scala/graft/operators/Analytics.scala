@@ -381,15 +381,13 @@ object Analytics {
           pow(col("s2p") / col("n"), 1.5), 4).as("skew_price"))
   }
 
-  /** Table profiling: per-column null counts, distinct counts, ranges —
-    * the schema-drift / data-quality summary an ingestion pipeline emits
-    * per batch. One aggregation pass per profiled column over the same
-    * scan (Spark collapses them via scan reuse); output is long-form
-    * (one row per column) so downstream checks are column-generic. */
-  def profileTable(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders")
-    def prof(c: String): DataFrame =
-      o.agg(count(lit(1)).as("n_rows"),
+  /** Column-generic long-form profile (one row per profiled column): the
+    * schema-drift / data-quality summary an ingestion pipeline emits per
+    * batch. One aggregation pass per profiled column over the same scan
+    * (Spark collapses them via scan reuse). */
+  def profileOf(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"),
             count(col(c)).as("n_nonnull"),
             countDistinct(col(c)).as("ndv"),
             round(min(col(c)).cast("double"), 4).as("min_v"),
@@ -397,8 +395,35 @@ object Analytics {
             round(avg(col(c)), 4).as("avg_v"))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
           col("ndv"), col("min_v"), col("max_v"), col("avg_v"))
-    Seq("o_orderkey", "o_custkey", "o_totalprice").map(prof)
-      .reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+
+  /** Table profiling over the orders table (see [[profileOf]]). */
+  def profileTable(spark: SparkSession, dir: String): DataFrame =
+    profileOf(t(spark, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+
+  /** Profile DRIFT between two snapshots — the per-batch ingestion monitor
+    * a 100 TB pipeline runs before publishing: profile both snapshots
+    * column-generically ([[profileOf]]), join on column name (tiny — one
+    * row per column), and emit the deltas a drift alert would threshold
+    * on. Snapshots here are order-year slices (range filters pushed to the
+    * scan); in production they'd be consecutive partition loads. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    def snap(y: Int): DataFrame = profileOf(
+      t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$y-01-01") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01")), cols)
+    val a = snap(1997).select(col("col_name"), col("n_rows").as("n_old"),
+      col("ndv").as("ndv_old"), col("avg_v").as("avg_old"))
+    val b = snap(1998).select(col("col_name"), col("n_rows").as("n_new"),
+      col("ndv").as("ndv_new"), col("avg_v").as("avg_new"))
+    a.join(b, Seq("col_name"))
+      .select(col("col_name"), col("n_old"), col("n_new"),
+        (col("n_new") - col("n_old")).as("row_delta"),
+        col("ndv_old"), col("ndv_new"),
+        col("avg_old"), col("avg_new"),
+        round(col("avg_new") - col("avg_old"), 4).as("avg_drift"))
   }
 
   val catalog: Seq[Q] = Seq(
@@ -513,6 +538,40 @@ object Analytics {
         |  round(CAST(max(o_totalprice) AS DOUBLE), 4),
         |  round(avg(o_totalprice), 4)
         |FROM orders""".stripMargin),
+    Q("q90_profile_drift", profileDrift _,
+      """WITH o97 AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |o98 AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01'),
+        |p97 AS (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_old,
+        |    count(DISTINCT o_orderkey) AS ndv_old,
+        |    round(avg(o_orderkey), 4) AS avg_old FROM o97
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(DISTINCT o_custkey),
+        |    round(avg(o_custkey), 4) FROM o97
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(DISTINCT o_totalprice),
+        |    round(avg(o_totalprice), 4) FROM o97),
+        |p98 AS (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_new,
+        |    count(DISTINCT o_orderkey) AS ndv_new,
+        |    round(avg(o_orderkey), 4) AS avg_new FROM o98
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(DISTINCT o_custkey),
+        |    round(avg(o_custkey), 4) FROM o98
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(DISTINCT o_totalprice),
+        |    round(avg(o_totalprice), 4) FROM o98)
+        |SELECT col_name, n_old, n_new,
+        |  CAST(n_new - n_old AS BIGINT) AS row_delta,
+        |  ndv_old, ndv_new, avg_old, avg_new,
+        |  round(avg_new - avg_old, 4) AS avg_drift
+        |FROM p97 JOIN p98 USING (col_name)""".stripMargin),
     Q("q63_asof_join", asofJoin _,
       """WITH marked AS (
         |  SELECT user_id, event_id, event_type,

@@ -67,6 +67,71 @@ object CensusPipeline {
       .agg(round(avg(col("Graduation_Rate")), 6).as("avg_graduation_rate"),
            round(avg(col("Median_Household_Income")), 6).as("avg_income"))
 
+  /** S6 persistent-catalog DDL parity (`report.md:372-434` runs
+    * `CREATE DATABASE` + `CREATE EXTERNAL TABLE ... ROW FORMAT ... LOCATION`
+    * + the view DDL of `report.md:451-494`): the same statements a user
+    * would port from Athena verbatim, in Spark's dialect — database in the
+    * session catalog, tables as `USING CSV` with a declared schema and
+    * header skip over the at-rest CSV directories, star views ON TOP OF
+    * the catalog tables (not temp views). Everything downstream (the fact
+    * view, the chart query) then runs by catalog name only. */
+  def registerCatalog(spark: SparkSession, csvDir: String,
+      db: String = "census_db"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def table(name: String, schema: String, loc: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+      spark.sql(
+        s"""CREATE TABLE $db.$name ($schema)
+           |USING CSV OPTIONS (header 'true', path '$loc')""".stripMargin)
+    }
+    table("states", "state STRING, state_id INT, year INT",
+      s"$csvDir/states")
+    table("median_household_incomes",
+      "median_household_income DOUBLE, state_id INT, year INT",
+      s"$csvDir/median_household_incomes")
+    table("graduation_rates",
+      "graduation_rate DOUBLE, state_id INT, year INT",
+      s"$csvDir/graduation_rates")
+    // star views over catalog tables (report.md:451-494)
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $db.state_dim AS
+         |SELECT DISTINCT state_id, state AS State FROM $db.states"""
+        .stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $db.year_dim AS
+         |SELECT DISTINCT year AS Year FROM $db.states""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $db.median_household_income_measure AS
+         |SELECT DISTINCT median_household_income AS Median_Household_Income,
+         |  state_id, year AS year_id
+         |FROM $db.median_household_incomes""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $db.graduation_rate_measure AS
+         |SELECT DISTINCT graduation_rate AS Graduation_Rate,
+         |  state_id, year AS year_id
+         |FROM $db.graduation_rates""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $db.income_vs_graduation_fact AS
+         |SELECT s.State, y.Year, i.Median_Household_Income,
+         |  g.Graduation_Rate
+         |FROM $db.median_household_income_measure i
+         |  JOIN $db.graduation_rate_measure g
+         |    ON i.state_id = g.state_id AND i.year_id = g.year_id
+         |  JOIN $db.state_dim s ON g.state_id = s.state_id
+         |  JOIN $db.year_dim y ON g.year_id = y.Year""".stripMargin)
+  }
+
+  /** EP3 chart (`report.md:509-515`) by catalog name only — proves the
+    * DDL-defined star is queryable exactly like the Athena original. */
+  def chartFromCatalog(spark: SparkSession, yr: Int,
+      db: String = "census_db"): DataFrame =
+    spark.sql(
+      s"""SELECT State,
+         |  round(avg(Graduation_Rate), 6) AS avg_graduation_rate,
+         |  round(avg(Median_Household_Income), 6) AS avg_income
+         |FROM $db.income_vs_graduation_fact
+         |WHERE Year = $yr GROUP BY State""".stripMargin)
+
   /** The reference's WHOLE pipeline as one call — what a user of
     * `census-asc5-data-pipeline` runs today, end to end:
     * staged payload dirs (S1, one dir per logical table, one JSON file per

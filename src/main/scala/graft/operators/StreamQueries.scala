@@ -101,6 +101,29 @@ object StreamQueries {
   def streamTumbling(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, dir)(EventStreams.tumblingCounts(_))
 
+  /** Sessionization executed THROUGH the streaming engine: Spark's
+    * `session_window` (dynamic-gap event-time sessions — state merges
+    * adjacent windows as events arrive; the managed-state form of what
+    * `flatMapGroupsWithState` hand-rolls). 30-minute gap, per-user event
+    * count + value total, keyed by the session's first event time.
+    *
+    * Gap-boundary semantics pinned for the oracle: an event exactly
+    * 1800 s after the previous one starts a NEW session (session windows
+    * are half-open [start, start+gap)), so the batch oracle breaks
+    * sessions on `epoch diff >= 1800` — note q30's batch sessionizer uses
+    * `> 1800`; both are valid session definitions, but only `>=` matches
+    * the streaming operator's. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir) { ev =>
+      ev.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total"))
+        .select(col("user_id"),
+          col("sw.start").cast("long").as("sess_start"),
+          col("n_events"), col("total"))
+    }
+
   /** Sliding 2-hour/1-hour windows, executed as a stream; output epochs
     * so the oracle's unnest-based window expansion aligns exactly
     * (same shape as the batch twin q32). */
@@ -125,6 +148,23 @@ object StreamQueries {
         |  ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin),
+    Q("q91_stream_sessionize", streamSessionize _,
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, value, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total
+        |FROM sess GROUP BY user_id, sid""".stripMargin),
     Q("q82_stream_sliding", streamSliding _,
       """SELECT CAST(epoch(ws) AS BIGINT) AS w_start, count(*) AS n,
         |  round(sum(value), 2) AS total

@@ -117,6 +117,36 @@ class CensusParitySpec extends SparkSpec {
       s == "Puerto Rico" && g.isEmpty }) // the NULL is load-bearing
   }
 
+  test("catalog DDL (S6): CREATE DATABASE/TABLE/VIEW star == golden fact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    // at-rest CSVs in the reference layout (one dir per logical table)
+    Csv.write(states, s"$base/states", single = true)
+    Csv.write(incomes, s"$base/median_household_incomes", single = true)
+    Csv.write(rates, s"$base/graduation_rates", single = true)
+    CensusPipeline.registerCatalog(spark, base, db = "census_ddl_spec")
+    // the DDL-defined objects are real catalog entries, not temp views
+    assert(spark.catalog.databaseExists("census_ddl_spec"))
+    assert(spark.catalog.tableExists("census_ddl_spec.states"))
+    assert(spark.catalog.tableExists(
+      "census_ddl_spec.income_vs_graduation_fact"))
+    // the same 104-row fact the reference publishes, by catalog name only
+    val fact = spark.table("census_ddl_spec.income_vs_graduation_fact")
+    assert(fact.count() === 104)
+    val ms = fact.filter(col("State") === "Mississippi" &&
+      col("Year") === 2017).collect()(0)
+    assert(ms.getAs[Double]("Median_Household_Income") === 42009.0)
+    assert(ms.getAs[Double]("Graduation_Rate") === 21.3)
+    // chart over the catalog star == chart over the DataFrame star
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows(CensusPipeline.chartFromCatalog(spark, 2018,
+        db = "census_ddl_spec")) ===
+      rows(CensusPipeline.chart(
+        CensusPipeline.fact(states, incomes, rates), 2018)))
+  }
+
   test("CSV sink/scan roundtrip incl. malformed-to-null (S4/S5/P6)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
