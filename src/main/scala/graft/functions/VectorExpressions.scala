@@ -67,11 +67,68 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product of a float vector against a DOUBLE vector (centroid
+  * scoring in the k-means embedding-dedup path). Identical operation
+  * sequence to the `zip_with`+`aggregate` composition and the oracle's
+  * list-comprehension sum: float→double cast, multiply, left-to-right
+  * accumulate — bit-identical, codegen'd, zero allocation. */
+case class DotFloatDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_fd expects (array<float>, array<double>), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} +=
+         |    ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for the native dot product. */
   def dotNative(a: Column, b: Column): Column =
     GraftBridge.column(DotProductFloat(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for the native float×double dot product. */
+  def dotFloatDoubleNative(a: Column, c: Column): Column =
+    GraftBridge.column(DotFloatDouble(
+      GraftBridge.expression(a), GraftBridge.expression(c)))
 
   /** SQL registration (`SELECT graft_dot(a, b)`), for the SQL surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -45,8 +45,15 @@ object VectorOps {
   /** Σ a_i·c_i for a float vector against a double vector (centroid):
     * float→double cast then left-to-right fold — the identical operation
     * sequence as the oracle's list-comprehension + list_aggregate('sum'),
-    * so centroid-assignment scores compare bit-for-bit. */
+    * so centroid-assignment scores compare bit-for-bit. Native codegen'd
+    * form ([[VectorExpressions.DotFloatDouble]]); the built-in
+    * zip_with+aggregate spelling is bit-identical but interpreted. */
   def dotFloatDouble(a: Column, c: Column): Column =
+    VectorExpressions.dotFloatDoubleNative(a, c)
+
+  /** Built-in higher-order spelling of [[dotFloatDouble]] (spec
+    * cross-check). */
+  def dotFloatDoubleBuiltin(a: Column, c: Column): Column =
     aggregate(zip_with(asDouble(a), c, (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 

@@ -78,23 +78,33 @@ object Dedup {
         .distinct(),
       Seq("doc_id"), "left_semi")
 
-  /** Exact Jaccard for candidate pairs, computed as aggregation over the
-    * exploded shingle relation (|∩| = shingles present on both sides,
-    * |∪| = distinct shingles on either) — no interpreted array ops, and
-    * at scale the joins move only candidate-matched shingle rows. */
-  private def verifyJaccard(cands: DataFrame, shEx: DataFrame): DataFrame = {
-    val ea = cands.join(shEx.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("s"),
-        lit(1).as("ha"), lit(0).as("hb"))
-    val eb = cands.join(shEx.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("s"),
-        lit(0).as("ha"), lit(1).as("hb"))
-    ea.unionByName(eb)
-      .groupBy(col("doc_a"), col("doc_b"), col("s"))
-      .agg(max(col("ha")).as("in_a"), max(col("hb")).as("in_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("in_a") * col("in_b")).as("inter"),
-        count(lit(1)).as("uni"))
+  /** Exact Jaccard for candidate pairs. Per candidate doc, the shingle SET
+    * is materialized once as a sorted-free array of 60-bit portable hashes
+    * (strings never cross the verify shuffle); each pair is then one
+    * codegen'd `array_intersect` — O(|sh_a|+|sh_b|) per pair, no exploded
+    * pair-shingle relation, no wide groupBy. Hashing is md5-derived
+    * ([[TextOps.portableHash60]]) so the oracle's hash sets are the
+    * identical values — jaccard over hashes equals jaccard over shingles
+    * in BOTH engines even in the (≈2⁻⁶⁰) collision case, because the
+    * collision would be the same on both sides.
+    *
+    * The candidate frame and the per-doc set frame are each consumed by
+    * two operators downstream; both are tiny relative to the corpus
+    * (candidates, not documents), so they're `localCheckpoint`ed to stop
+    * the candidate-generation pipeline re-executing per consumer. */
+  private def verifyJaccard(cands0: DataFrame, docs: DataFrame): DataFrame = {
+    val cands = cands0.localCheckpoint(true)
+    val shSets = shingleExploded(candidateDocs(docs, cands))
+      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+      .localCheckpoint(true)
+    cands
+      .join(shSets.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
+        Seq("doc_a"))
+      .join(shSets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+        Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("uni", size(col("ha")) + size(col("hb")) - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -125,7 +135,7 @@ object Dedup {
       .select(col("doc_id"), explode(array((0 until 4).map(j =>
         concat_ws(":", lit(j), col(s"m$j"))): _*)).as("bucket"))
     val cands = pairsWithin(keyed, "bucket")
-    verifyJaccard(cands, shingleExploded(candidateDocs(docs, cands)))
+    verifyJaccard(cands, docs)
   }
 
   /** MinHash + banded LSH near-dup (Broder 1997; k=64 hashes, 16 bands ×
@@ -136,21 +146,30 @@ object Dedup {
     * ENTIRE sketch→bands→candidates→verify pipeline is replicated in the
     * DuckDB oracle — full cross-engine parity for an LSH operator.
     * `DedupSpec` additionally checks it recovers exactly the q34 pairs. */
-  def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val k = 64
+  /** Per-doc 64-hash MinHash signatures — the sketch stage of [[minhash]]
+    * (exposed so `PlanSpec` can assert partial aggregation on the
+    * pre-checkpoint plan: the registered query's final plan starts at the
+    * checkpointed candidate RDD, hiding the upstream aggregate). */
+  private[graft] def minhashSigs(spark: SparkSession,
+      dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
     // explode → one portable hash per shingle (codegen'd), then the
     // MinHashAgg buffer with map-side partial agg: the shuffle carries
     // k values per document.
-    val hashed = shingleExploded(docs)
+    shingleExploded(docs)
       .select(col("doc_id"), TextOps.portableHash(col("s")).as("x"))
-    val sigs = hashed.groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashAgg.minhashSig(col("x"), k).as("sig"))
-    val banded = sigs.select(col("doc_id"),
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("x"), 64).as("sig"))
+  }
+
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+    val banded = minhashSigs(spark, dir).select(col("doc_id"),
       explode(TextOps.minhashBands(col("sig"), 16, 4)).as("band"))
     val cands = pairsWithin(banded, "band")
-    verifyJaccard(cands, shingleExploded(candidateDocs(docs, cands)))
+    verifyJaccard(cands, docs)
   }
 
   /** SimHash near-dup (Charikar 2002): 60-bit fingerprint of the token
@@ -245,11 +264,14 @@ object Dedup {
     // cell id, matching the oracle's (score DESC, cell ASC) row_number.
     def assign(cents: DataFrame): DataFrame =
       e.withColumn("jk", col("vec_id") * 0)
-        .join(broadcast(cents.withColumn("jk",
-          col("cell").cast("long") * 0)), Seq("jk"))
+        .join(broadcast(cents
+          // per-cell constant — computed k times here instead of N·k times
+          // inside the scoring row; same IEEE sequence, same value
+          .withColumn("cnorm", VectorOps.l2NormDouble(col("c")))
+          .withColumn("jk", col("cell").cast("long") * 0)), Seq("jk"))
         .withColumn("score",
           VectorOps.dotFloatDouble(col("embedding"), col("c")) /
-            (col("nrm") * VectorOps.l2NormDouble(col("c"))))
+            (col("nrm") * col("cnorm")))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cell"),
           struct(col("score"), (-col("cell")).as("nc"))).as("cell"),
@@ -322,8 +344,11 @@ object Dedup {
     * silently-wrong labels. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e2 = edges.toDF("src", "dst")
+    // the edge list is consumed by EVERY propagation round — checkpoint it
+    // once so the (possibly expensive) upstream pair pipeline never re-runs
     val sym = e2.unionByName(
       e2.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     // seed with round-0 propagation applied: label = min(self, neighbors) —
     // near-dup components are mostly cliques, which converge immediately
     var labels = sym.groupBy(col("src").as("doc_id"))
@@ -388,19 +413,25 @@ object Dedup {
     s"""WITH docs AS (
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                   for i in range(1, len(w) - 1)]) AS sh
+      |                   for i in range(1, len(w) - 1)]) AS sh,
+      |    list_distinct(list_transform(
+      |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |       for i in range(1, len(w) - 1)],
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
       |        FROM documents)
       |  WHERE len(w) >= 3),
       |$minBucketCandSql
       |SELECT doc_a, doc_b,
-      |  round(len(list_intersect(da.sh, db.sh)) /
-      |        len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
+      |  round(len(list_intersect(da.hs, db.hs)) /
+      |        (len(da.hs) + len(db.hs)
+      |         - len(list_intersect(da.hs, db.hs))), 6) AS jaccard
       |FROM cand
       |  JOIN docs da ON da.doc_id = doc_a
       |  JOIN docs db ON db.doc_id = doc_b
-      |WHERE round(len(list_intersect(da.sh, db.sh)) /
-      |      len(list_distinct(list_concat(da.sh, db.sh))), 6) >= 0.5""".stripMargin
+      |WHERE round(len(list_intersect(da.hs, db.hs)) /
+      |      (len(da.hs) + len(db.hs)
+      |       - len(list_intersect(da.hs, db.hs))), 6) >= 0.5""".stripMargin
 
   /** Replicates the full deterministic pipeline: integer quantize → seed →
     * assign → exact-integer centroid → re-assign → in-cell pairs → verify.
@@ -461,7 +492,11 @@ object Dedup {
     s"""WITH RECURSIVE docs AS (
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                   for i in range(1, len(w) - 1)]) AS sh
+      |                   for i in range(1, len(w) - 1)]) AS sh,
+      |    list_distinct(list_transform(
+      |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |       for i in range(1, len(w) - 1)],
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
       |        FROM documents)
       |  WHERE len(w) >= 3),
@@ -471,8 +506,9 @@ object Dedup {
       |  FROM cand
       |    JOIN docs da ON da.doc_id = doc_a
       |    JOIN docs db ON db.doc_id = doc_b
-      |  WHERE round(len(list_intersect(da.sh, db.sh)) /
-      |        len(list_distinct(list_concat(da.sh, db.sh))), 6) >= 0.5),
+      |  WHERE round(len(list_intersect(da.hs, db.hs)) /
+      |        (len(da.hs) + len(db.hs)
+      |         - len(list_intersect(da.hs, db.hs))), 6) >= 0.5),
       |sym AS (
       |  SELECT doc_a AS s, doc_b AS d FROM pairs
       |  UNION
@@ -487,7 +523,11 @@ object Dedup {
   private val minhashSql =
     """WITH docs AS (
       |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                                for i in range(1, len(w) - 1)]) AS sh
+      |                                for i in range(1, len(w) - 1)]) AS sh,
+      |    list_distinct(list_transform(
+      |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |       for i in range(1, len(w) - 1)],
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
       |        FROM documents)
       |  WHERE len(w) >= 3),
@@ -507,13 +547,15 @@ object Dedup {
       |  FROM bands a JOIN bands b
       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b,
-      |  round(len(list_intersect(da.sh, db.sh)) /
-      |        len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
+      |  round(len(list_intersect(da.hs, db.hs)) /
+      |        (len(da.hs) + len(db.hs)
+      |         - len(list_intersect(da.hs, db.hs))), 6) AS jaccard
       |FROM cand
       |  JOIN docs da ON da.doc_id = doc_a
       |  JOIN docs db ON db.doc_id = doc_b
-      |WHERE round(len(list_intersect(da.sh, db.sh)) /
-      |      len(list_distinct(list_concat(da.sh, db.sh))), 6) >= 0.5""".stripMargin
+      |WHERE round(len(list_intersect(da.hs, db.hs)) /
+      |      (len(da.hs) + len(db.hs)
+      |       - len(list_intersect(da.hs, db.hs))), 6) >= 0.5""".stripMargin
 
   val catalog: Seq[Q] = Seq(
     Q("q53_dup_clusters", dupClusters _, dupClustersSql),

@@ -47,7 +47,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q35: MinHashAgg runs as partial+final ObjectHashAggregate") {
-    val plan = planOf(graft.operators.Dedup.minhash(spark, sf))
+    val plan = planOf(graft.operators.Dedup.minhashSigs(spark, sf))
     assert(plan.contains("ObjectHashAggregate"), s"got:\n$plan")
     assert(plan.contains("partial_minhashagg") ||
       plan.toLowerCase.contains("partial_minhashagg"),

@@ -16,6 +16,19 @@ class VectorSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("native float×double dot is bit-identical to built-in composition") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+      .withColumn("c", transform(col("embedding"),
+        x => x.cast("double") * lit(1.0000001)))
+    val diff = e
+      .withColumn("d_native",
+        VectorOps.dotFloatDouble(col("embedding"), col("c")))
+      .withColumn("d_builtin",
+        VectorOps.dotFloatDoubleBuiltin(col("embedding"), col("c")))
+      .filter(col("d_native") =!= col("d_builtin")) // exact, no tolerance
+    assert(diff.count() === 0)
+  }
+
   test("native dot registered for SQL surface") {
     VectorExpressions.register(spark)
     spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
