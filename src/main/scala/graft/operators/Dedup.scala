@@ -31,6 +31,35 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Incremental ingestion NEAR-dup dedup — the shape every
+    * continuously-fed corpus runs per batch: dedup the NEW batch against
+    * the EXISTING corpus, never corpus×corpus. Batch = doc_id ≡ 0 (mod 5)
+    * simulates the increment. The corpus side is its MinHash band index
+    * (16×4 band keys per doc — at 100 TB this is the thing you PERSIST
+    * between batches, bucketed by band key); the batch computes its own
+    * signatures, probes the index with a band equi-join, and exact
+    * Jaccard verifies the candidates. Per batch doc: the lowest matching
+    * corpus keeper, the match count, and the best J. Each increment costs
+    * one scan of the batch plus one co-located join — never a re-dedup
+    * of the corpus. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+    val banded = minhashSigs(spark, dir).select(col("doc_id"),
+      explode(TextOps.minhashBands(col("sig"), 16, 4)).as("band"))
+    val corpusIndex = banded.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("band"))
+    val cands = banded.filter(col("doc_id") % 5 === 0)
+      .join(corpusIndex, Seq("band"))
+      .select(col("doc_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(cands, docs)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("keeper"),
+        count(lit(1)).as("n_matches"),
+        round(max(col("jaccard")), 6).as("best_jaccard"))
+  }
+
   /** Candidate-pair expansion from a (key, doc_id) relation: one pass,
     * groupBy key + collect + in-group pair enumeration. Replaces the
     * self-equi-join (which would re-execute the upstream sketch pipeline
@@ -520,8 +549,10 @@ object Dedup {
       |  FROM sym JOIN reach ON sym.s = reach.v)
       |SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1""".stripMargin
 
-  private val minhashSql =
-    """WITH docs AS (
+  /** Shared minhash CTE chain: docs (shingles + hash sets) -> per-shingle
+    * hashes -> 64-perm signatures -> 16x4 band keys. */
+  private val minhashCtesSql =
+    """docs AS (
       |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                                for i in range(1, len(w) - 1)]) AS sh,
       |    list_distinct(list_transform(
@@ -541,7 +572,10 @@ object Dedup {
       |bands AS (
       |  SELECT doc_id, i // 4 AS b,
       |    string_agg(m::VARCHAR, '-' ORDER BY i) AS key
-      |  FROM sig GROUP BY 1, 2),
+      |  FROM sig GROUP BY 1, 2)""".stripMargin
+
+  private val minhashSql =
+    s"""WITH $minhashCtesSql,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
@@ -559,6 +593,26 @@ object Dedup {
 
   val catalog: Seq[Q] = Seq(
     Q("q53_dup_clusters", dupClusters _, dupClustersSql),
+    Q("q93_incremental_dedup", incrementalDedup _,
+      s"""WITH $minhashCtesSql,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    round(len(list_intersect(da.hs, db.hs)) /
+        |          (len(da.hs) + len(db.hs)
+        |           - len(list_intersect(da.hs, db.hs))), 6) AS jaccard
+        |  FROM cand
+        |    JOIN docs da ON da.doc_id = doc_a
+        |    JOIN docs db ON db.doc_id = doc_b
+        |  WHERE round(len(list_intersect(da.hs, db.hs)) /
+        |        (len(da.hs) + len(db.hs)
+        |         - len(list_intersect(da.hs, db.hs))), 6) >= 0.5)
+        |SELECT doc_a AS doc_id, min(doc_b) AS keeper,
+        |  count(*) AS n_matches, round(max(jaccard), 6) AS best_jaccard
+        |FROM j GROUP BY 1""".stripMargin),
     Q("q33_dedup_exact", exact _,
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         |  count(*) AS n_copies

@@ -124,6 +124,23 @@ object StreamQueries {
           col("n_events"), col("total"))
     }
 
+  /** Streaming dedup through the engine:
+    * `dropDuplicatesWithinWatermark` on (user, type, minute) — the
+    * state-BOUNDED streaming distinct (plain dropDuplicates keeps every
+    * key forever; the watermark variant expires keys once the 30-minute
+    * horizon passes, the only form that survives an unbounded feed).
+    * First occurrence of each key emits immediately in append mode; with
+    * the single-file staging (one micro-batch, see [[runToTable]]) the
+    * result is exactly the batch DISTINCT, which is the oracle. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir, mode = "append") { ev =>
+      ev.withWatermark("ts", "30 minutes")
+        .withColumn("bucket", date_trunc("minute", col("ts")))
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket")
+        .select(col("user_id"), col("event_type"),
+          col("bucket").cast("long").as("bucket_sec"))
+    }
+
   /** Sliding 2-hour/1-hour windows, executed as a stream; output epochs
     * so the oracle's unnest-based window expansion aligns exactly
     * (same shape as the batch twin q32). */
@@ -148,6 +165,10 @@ object StreamQueries {
         |  ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin),
+    Q("q94_stream_dedup", streamDedup _,
+      """SELECT DISTINCT user_id, event_type,
+        |  CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_sec
+        |FROM events""".stripMargin),
     Q("q91_stream_sessionize", streamSessionize _,
       """WITH flagged AS (
         |  SELECT user_id, ts, value, event_id,

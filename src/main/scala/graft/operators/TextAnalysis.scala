@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.functions.TextOps
 import graft.sources.Tables
 
 /** Text-analysis operators for LLM training-data pipelines: language ID
@@ -289,6 +290,81 @@ object TextAnalysis {
            sum(length(col("text")) - length(col("norm")))
              .as("chars_removed"))
 
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap method,
+    * Brown et al. 2020 §C): a deterministic 5% of documents stand in for
+    * the held-out benchmark set (md5 bucket, same discipline as
+    * `Sampling`); any OTHER document sharing ≥1 3-word shingle with a
+    * benchmark document is flagged as contaminated, with the shared-shingle
+    * count and the lowest matching benchmark doc.
+    *
+    * Scale shape: the benchmark side is small by construction (benchmarks
+    * are fixed-size while the corpus grows), so its shingle set
+    * broadcasts; the corpus side streams through one codegen'd explode →
+    * broadcast-hash join → partial-agg count. No pair expansion at all —
+    * the join key is the shingle. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val docs = t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("is_bench",
+        TextOps.portableHash(
+          concat(lit("bench:"), col("doc_id").cast("string"))) % 100 < 5)
+    def shingles(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(byPos))
+      .withColumn("w2", lead(col("w"), 2).over(byPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+      .distinct()
+    val benchSh = shingles(docs.filter(col("is_bench")))
+      .select(col("doc_id").as("bench_id"), col("s"))
+    shingles(docs.filter(!col("is_bench")))
+      .join(broadcast(benchSh), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared"),
+        min(col("bench_id")).as("bench_doc"))
+  }
+
+  /** BM25 ranking (Robertson-Spärck Jones; k1 = 1.2, b = 0.75) for a fixed
+    * 3-term query — the keyword-retrieval primitive next to the embedding
+    * ANN path. Exact tf/df/dl statistics; corpus scalars (N, avgdl) ride a
+    * broadcast 1-row aggregate. Per-term contributions are pivoted to
+    * fixed columns and summed in a FIXED order (s_join + s_filter +
+    * s_scan) so both engines run the identical IEEE sequence; top-10 is
+    * TakeOrderedAndProject — no global sort. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "filter", "scan")
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = tok.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("part",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    def termCol(w: String) =
+      coalesce(max(when(col("w") === w, col("part"))), lit(0.0))
+    scored.groupBy(col("doc_id"))
+      .agg(termCol("join").as("s1"), termCol("filter").as("s2"),
+        termCol("scan").as("s3"))
+      .select(col("doc_id"),
+        round(col("s1") + col("s2") + col("s3"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   /** Repetition-based quality metrics (the Gopher/MassiveText repetition
     * filters, Rae et al. 2021 §A1.1): per document, the fraction of tokens
     * taken by the single most frequent word, the distinct/total token
@@ -359,6 +435,48 @@ object TextAnalysis {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q92_decontaminate", decontaminate _,
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 100) < 5 AS is_bench,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |bsh AS (
+        |  SELECT doc_id AS bench_id, unnest(sh) AS s FROM docs
+        |  WHERE is_bench),
+        |csh AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM docs WHERE NOT is_bench)
+        |SELECT doc_id, count(DISTINCT s) AS n_shared,
+        |  min(bench_id) AS bench_doc
+        |FROM csh JOIN bsh USING (s)
+        |GROUP BY 1""".stripMargin),
+    Q("q95_bm25", bm25 _,
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM tok
+        |  WHERE w IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS part
+        |  FROM tf JOIN dfreq USING (w)
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    CROSS JOIN stats)
+        |SELECT doc_id,
+        |  round(coalesce(max(CASE WHEN w = 'join' THEN part END), 0.0)
+        |      + coalesce(max(CASE WHEN w = 'filter' THEN part END), 0.0)
+        |      + coalesce(max(CASE WHEN w = 'scan' THEN part END), 0.0), 6)
+        |    AS score
+        |FROM scored GROUP BY 1
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin),
     Q("q52_winnowing", winnowing _,
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

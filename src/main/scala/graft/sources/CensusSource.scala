@@ -14,32 +14,52 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 source for Census-API-shaped payload directories: each
-  * file holds one JSON array-of-arrays response (row 0 = header,
-  * reference `extractCensusACS5.py:26-34`), e.g. one staged file per
-  * (year, measure) fetch.
+/** DataSource V2 source for Census-API-shaped payloads: each location
+  * holds one JSON array-of-arrays response (row 0 = header, reference
+  * `extractCensusACS5.py:26-34`).
   *
-  * This is the scale-out form of S1 (SURVEY.md §2.1): ingest parallelism =
-  * number of staged payload files — one InputPartition per file, decoded
-  * on executors; only the header row is read on the driver (schema
-  * inference). All cells surface as strings, exactly like the reference's
-  * pandas frame; typing happens downstream at a declared schema.
+  * Two location modes (S1, SURVEY.md §2.1):
+  *  - `path`: a directory of staged payload files — e.g. one file per
+  *    (year, measure) fetch landed by an upstream collector;
+  *  - `urls`: comma-separated HTTP(S) endpoints fetched LIVE on the
+  *    executors (the reference's `requests.get(api.census.gov...)`,
+  *    `extractCensusACS5.py:26-27`). `HttpIngestSpec` exercises this
+  *    against an in-process HTTP server — the offline-harness stand-in
+  *    for the Census API.
+  *
+  * Ingest parallelism = number of locations: one InputPartition per
+  * file/URL, decoded (or fetched+decoded) on executors; only the header
+  * row is materialized on the driver (schema inference). All cells
+  * surface as strings, exactly like the reference's pandas frame; typing
+  * happens downstream at a declared schema.
   *
   * Usage: `spark.read.format("graft.sources.CensusSource")
-  *   .option("path", dir).load()`
+  *   .option("path", dir).load()` or `.option("urls", "http://...,http://...")`.
   */
 class CensusSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CensusSource.headerSchema(options.get("path"))
+    CensusSource.headerSchema(CensusSource.locations(
+      Option(options.get("path")), Option(options.get("urls"))))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new CensusTable(schema, properties.get("path"))
+    new CensusTable(schema, CensusSource.locations(
+      Option(properties.get("path")), Option(properties.get("urls"))))
 }
 
 object CensusSource {
   private[sources] val mapper = new ObjectMapper
+
+  /** Resolve the partition list: staged files under `path`, or the
+    * explicit `urls` — exactly one of the two must be set. */
+  private[sources] def locations(path: Option[String],
+      urls: Option[String]): Seq[String] = (path, urls) match {
+    case (Some(dir), None) => listPayloads(dir)
+    case (None, Some(us)) => us.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    case _ => throw new IllegalArgumentException(
+      "census source needs exactly one of: path (staged dir), urls (live fetch)")
+  }
 
   private[sources] def listPayloads(dir: String): Seq[String] = {
     val p = new Path(dir)
@@ -47,8 +67,23 @@ object CensusSource {
     fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted.toSeq
   }
 
-  private[sources] def parse(fs: FileSystem, file: String): Seq[Seq[String]] = {
-    val in = fs.open(new Path(file))
+  private def isHttp(loc: String): Boolean =
+    loc.startsWith("http://") || loc.startsWith("https://")
+
+  private[sources] def open(loc: String): java.io.InputStream =
+    if (isHttp(loc)) {
+      val conn = new java.net.URL(loc).openConnection()
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.getInputStream
+    } else {
+      val p = new Path(loc)
+      FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+        .open(p)
+    }
+
+  private[sources] def parse(loc: String): Seq[Seq[String]] = {
+    val in = open(loc)
     try {
       val root = mapper.readTree(in)
       (0 until root.size()).map { i =>
@@ -58,49 +93,45 @@ object CensusSource {
     } finally in.close()
   }
 
-  /** Header = row 0 of the lexicographically first payload (all payloads
-    * of one logical table share a header, as in the reference API). */
-  def headerSchema(dir: String): StructType = {
-    val files = listPayloads(dir)
-    require(files.nonEmpty, s"no payload files under $dir")
-    val p = new Path(files.head)
-    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
-    val header = parse(fs, files.head).head
+  /** Header = row 0 of the first location (all payloads of one logical
+    * table share a header, as in the reference API). */
+  def headerSchema(locs: Seq[String]): StructType = {
+    require(locs.nonEmpty, "no payload locations")
+    val header = parse(locs.head).head
     StructType(header.map(name => StructField(name, StringType)))
   }
 }
 
-private class CensusTable(schema: StructType, path: String)
+private class CensusTable(schema: StructType, locs: Seq[String])
     extends Table with SupportsRead {
-  override def name(): String = s"census($path)"
+  override def name(): String = s"census(${locs.head}${
+    if (locs.size > 1) s",+${locs.size - 1}" else ""})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CensusScan(schema, path)
+    () => new CensusScan(schema, locs)
 }
 
-private class CensusScan(schema: StructType, path: String) extends Scan with Batch {
+private class CensusScan(schema: StructType, locs: Seq[String])
+    extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    CensusSource.listPayloads(path)
-      .map(f => CensusInputPartition(f): InputPartition).toArray
+    locs.map(f => CensusInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new CensusReaderFactory(schema)
 }
 
-private case class CensusInputPartition(file: String) extends InputPartition
+private case class CensusInputPartition(loc: String) extends InputPartition
 
 private class CensusReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[CensusInputPartition].file
+    val loc = p.asInstanceOf[CensusInputPartition].loc
     new PartitionReader[InternalRow] {
-      private val fs = FileSystem.get(new Path(file).toUri,
-        new org.apache.hadoop.conf.Configuration())
       // row 0 is the header — skip it; remaining rows are data
-      private val it = CensusSource.parse(fs, file).drop(1).iterator
+      private val it = CensusSource.parse(loc).drop(1).iterator
       private var cur: Seq[String] = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow =
