@@ -426,7 +426,57 @@ object Analytics {
         round(col("avg_new") - col("avg_old"), 4).as("avg_drift"))
   }
 
+  /** Ordered funnel analysis (view → click → purchase, strictly later
+    * steps): per user, first view, first click AFTER that view, first
+    * purchase AFTER that click; one summary row with per-step user counts
+    * and mean click→purchase latency. The stepwise-min formulation is the
+    * scale shape: each step is a partial-agg'd min keyed by user (shuffle
+    * carries one row per user per step), never a per-user event-sequence
+    * sort. Seconds-granularity comparisons keep both engines' timestamp
+    * precision aligned. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("v_sec"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("sec") > col("v_sec"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("c_sec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("sec") > col("c_sec"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("p_sec"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("c_sec")).as("n_click"),
+        count(col("p_sec")).as("n_purchase"),
+        round(avg(col("p_sec") - col("c_sec")), 4)
+          .as("avg_click_to_buy_sec"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q96_funnel", funnel _,
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, min(sec) AS v_sec FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(sec) AS c_sec
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND sec > v_sec GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(sec) AS p_sec
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec > c_sec GROUP BY 1)
+        |SELECT count(*) AS n_view, count(c_sec) AS n_click,
+        |  count(p_sec) AS n_purchase,
+        |  round(avg(p_sec - c_sec), 4) AS avg_click_to_buy_sec
+        |FROM v LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)""".stripMargin),
     Q("q83_recursive_spine", recursiveSpine _,
       """WITH RECURSIVE months AS (
         |  SELECT TIMESTAMP '1995-01-01 00:00:00' AS m

@@ -100,6 +100,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"global sort crept back in:\n$plan")
   }
 
+  test("q92: decontamination joins the broadcast benchmark shingle set") {
+    val plan = planOf(graft.operators.TextAnalysis.decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"pair expansion crept in:\n$plan")
+  }
+
+  test("q95: BM25 top-10 plans as TakeOrderedAndProject") {
+    val plan = planOf(graft.operators.TextAnalysis.bm25(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+  }
+
+  test("q96: funnel is stepwise partial-agg'd mins — no window, no sort") {
+    val plan = planOf(Analytics.funnel(spark, sf))
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+    assert("partial_min".r.findAllIn(plan).size >= 3,
+      s"step mins not partially aggregated:\n$plan")
+  }
+
   test("q66: stratified sample window is partitioned (no global sort)") {
     val plan = planOf(graft.operators.Sampling.stratifiedSample(spark, sf))
     assert(plan.contains("Window"), s"no window:\n$plan")
