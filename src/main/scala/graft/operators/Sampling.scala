@@ -111,7 +111,38 @@ object Sampling {
   private val bucketSql =
     "(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
 
+  /** Training-data MIXING: per-source sampling rates (the Pile/Dolma-style
+    * source-weighting step that rebalances a crawl before training).
+    * Rates here derive deterministically from the source name (hash into
+    * [25, 100)% — a stand-in for the curated weight table, which at scale
+    * is a broadcast dim); membership is the same scan-local hash-bucket
+    * decision as every sampler in this file, so re-runs and corpus growth
+    * never flip a document's fate. Output: per-source kept/total/rate. */
+  def dataMix(spark: SparkSession, dir: String): DataFrame = {
+    val rate =
+      TextOps.portableHash(concat(lit("mix:"), col("source"))) % 75 + 25
+    val keep =
+      TextOps.portableHash(
+        concat(lit("mixdoc:"), col("doc_id").cast("string"))) % 100 < rate
+    t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(keep, 1).otherwise(0)).as("n_kept"),
+        min(rate).as("rate_pct"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q97_data_mix", dataMix _,
+      """SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN
+        |    (('0x' || substr(md5('mixdoc:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 100) <
+        |    ((('0x' || substr(md5('mix:' || source), 1, 8))
+        |      ::BIGINT % 75) + 25)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min((('0x' || substr(md5('mix:' || source), 1, 8))
+        |    ::BIGINT % 75) + 25) AS rate_pct
+        |FROM documents GROUP BY 1""".stripMargin),
     Q("q64_hash_sample", hashSample _,
       s"""SELECT lang, count(*) AS n_sampled,
          |  round(avg(n_chars), 4) AS avg_chars,

@@ -365,6 +365,35 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** Sequence PACKING: assemble documents into fixed-token-budget training
+    * sequences (the "pack to context length" prep step). Greedy linear
+    * packing per (lang, shard): documents stream in doc_id order, a
+    * running token count assigns each doc to the sequence where it starts
+    * (floor(cum_before / budget) — the standard streaming approximation
+    * of bin packing). Sharding by doc_id % 16 is what makes it
+    * DISTRIBUTED: each shard packs independently after one hash exchange,
+    * no global order; at scale shards ≫ cores and the window state is one
+    * running sum per shard. Budget = 128 tokens. Output: per-language
+    * packing statistics. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 16).as("shard"),
+        size(split(col("text"), " ")).as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("toks")) / lit(128)))
+      .groupBy(col("lang"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_seqs"),
+        round(avg(col("n_docs")), 4).as("avg_docs_per_seq"),
+        round(avg(col("toks")), 4).as("avg_tokens_per_seq"),
+        max(col("toks")).as("max_tokens"))
+  }
+
   /** Repetition-based quality metrics (the Gopher/MassiveText repetition
     * filters, Rae et al. 2021 §A1.1): per document, the fraction of tokens
     * taken by the single most frequent word, the distinct/total token
@@ -435,6 +464,25 @@ object TextAnalysis {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q98_pack_sequences", packSequences _,
+      """WITH d AS (
+        |  SELECT doc_id, lang, doc_id % 16 AS shard,
+        |    len(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, shard, toks,
+        |    sum(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |s AS (
+        |  SELECT lang, shard, floor((cum - toks) / 128) AS seq_id,
+        |    count(*) AS n_docs, sum(toks) AS toks
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_seqs,
+        |  round(avg(n_docs), 4) AS avg_docs_per_seq,
+        |  round(avg(toks), 4) AS avg_tokens_per_seq,
+        |  CAST(max(toks) AS BIGINT) AS max_tokens
+        |FROM s GROUP BY 1""".stripMargin),
     Q("q92_decontaminate", decontaminate _,
       """WITH docs AS (
         |  SELECT doc_id,
