@@ -157,4 +157,31 @@ class SamplingSpec extends SparkSpec {
       assert(r.getAs[Long]("chars_removed") >= 0)
     }
   }
+
+  test("data mix: kept within totals, rates in [25,100), deterministic") {
+    val a = graft.operators.Sampling.dataMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    a.foreach { case (_, total, kept, rate) =>
+      assert(kept <= total)
+      assert(rate >= 25 && rate < 100)
+    }
+    val b = graft.operators.Sampling.dataMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSet === b.toSet) // re-run never moves a document
+  }
+
+  test("sequence packing: seqs bounded by budget + one straddling doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val maxDocToks = docs
+      .select(size(split(col("text"), " ")).as("t"))
+      .agg(max(col("t"))).collect()(0).getInt(0)
+    graft.operators.TextAnalysis.packSequences(spark, sf).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("n_seqs") > 0)
+        assert(r.getAs[Double]("avg_docs_per_seq") >= 1.0)
+        // a sequence holds at most budget-1 tokens before the doc that
+        // overflows it, so its total is < 128 + longest doc
+        assert(r.getAs[Long]("max_tokens") < 128L + maxDocToks)
+      }
+  }
 }
