@@ -82,5 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))
+    // float-vector × double-vector (centroid scoring) for SQL users
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_fd"),
+      new ExpressionInfo(classOf[graft.functions.DotFloatDouble].getName,
+        "graft_dot_fd"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.DotFloatDouble(exprs.head, exprs(1))))
   }
 }

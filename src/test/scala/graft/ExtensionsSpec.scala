@@ -44,4 +44,21 @@ class ExtensionsSpec extends SparkSpec {
       .collect()
     assert(rows.forall(_.getDouble(0) > 0))
   }
+
+  test("graft_dot_fd scores a float vector against a double centroid in SQL") {
+    val s2 = spark.newSession()
+    // drive the injectFunction path directly via a session registration
+    graft.functions.VectorExpressions.register(s2)
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_fd",
+      exprs => graft.functions.DotFloatDouble(exprs(0), exprs(1)),
+      "scala_udf")
+    s2.read.parquet(s"$sf/embeddings.parquet").limit(3)
+      .createOrReplaceTempView("ext_vecs_fd")
+    val rows = s2.sql(
+      """SELECT graft_dot_fd(embedding,
+        |  transform(embedding, x -> CAST(x AS DOUBLE))) AS d
+        |FROM ext_vecs_fd""".stripMargin).collect()
+    assert(rows.forall(_.getDouble(0) > 0))
+  }
 }
