@@ -224,21 +224,26 @@ object Dedup {
     val docs = toks.groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg.simhashFp(col("h"), 60).as("sim"))
       .withColumn("chunks", TextOps.simhashChunkKeys(col("sim"), 4, 15))
-    // single-pass in-chunk pair expansion (fingerprint carried along, so
-    // the sketch pipeline runs once — not once per self-join side)
-    docs.select(col("doc_id"), col("sim"), explode(col("chunks")).as("chunk"))
-      .groupBy(col("chunk"))
-      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          when(x.getField("doc_id") < y.getField("doc_id"), struct(x.as("a"), y.as("b")))
-            .otherwise(struct(y.as("a"), x.as("b")))))).as("ps"))
-      .select(explode(col("ps")).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        TextOps.hamming(col("p.a.sim"), col("p.b.sim")).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+    // In-chunk pair expansion as a SELF-JOIN on the checkpointed keyed
+    // frame (sketch pipeline still runs once). SimHash chunk keys are
+    // HOT — common tokens bias the fingerprint bits, so single chunk
+    // buckets reach hundreds of docs (measured 260 at sf0.1) — and the
+    // r01 collect_list + nested-transform expansion materialized
+    // C(bucket,2) structs inside one row: GC-heavy and the source of
+    // multi-second run-to-run bench variance. The equi-join streams the
+    // identical pair set through whole-stage codegen with O(1) row state;
+    // hamming filters BEFORE the pair dedup so only near-dups shuffle.
+    val keyed = docs
+      .select(col("doc_id"), col("sim"), explode(col("chunks")).as("chunk"))
+      .localCheckpoint(true)
+    keyed.select(col("chunk"), col("doc_id").as("doc_a"), col("sim").as("sa"))
+      .join(keyed.select(col("chunk"), col("doc_id").as("doc_b"),
+        col("sim").as("sb")), Seq("chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextOps.hamming(col("sa"), col("sb")).as("hamming"))
       .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-dup, candidate-then-verify (the r01 version was
