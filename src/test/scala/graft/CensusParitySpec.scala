@@ -147,6 +147,29 @@ class CensusParitySpec extends SparkSpec {
         CensusPipeline.fact(states, incomes, rates), 2018)))
   }
 
+  test("catalog DDL (S6): CTAS and INSERT INTO managed parquet tables") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS census_ctas_spec")
+    spark.sql("DROP TABLE IF EXISTS census_ctas_spec.states_snapshot")
+    states.createOrReplaceTempView("ctas_states_src")
+    try {
+      // CTAS materializes a year slice as a managed parquet table
+      spark.sql(
+        """CREATE TABLE census_ctas_spec.states_snapshot USING PARQUET AS
+          |SELECT * FROM ctas_states_src WHERE year = 2017""".stripMargin)
+      assert(spark.table("census_ctas_spec.states_snapshot").count() === 52)
+      // INSERT INTO appends the next batch — the incremental-load verb
+      spark.sql(
+        """INSERT INTO census_ctas_spec.states_snapshot
+          |SELECT * FROM ctas_states_src WHERE year = 2018""".stripMargin)
+      val t = spark.table("census_ctas_spec.states_snapshot")
+      assert(t.count() === 104)
+      assert(t.filter(col("year") === 2018).count() === 52)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS census_ctas_spec.states_snapshot")
+      spark.sql("DROP DATABASE IF EXISTS census_ctas_spec")
+    }
+  }
+
   test("CSV sink/scan roundtrip incl. malformed-to-null (S4/S5/P6)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
