@@ -62,12 +62,23 @@ object StreamQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft_stream_ckpt")
-    val q = transform(ev).writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stateful operators allocate one state-store instance PER shuffle
+    // partition per operator — at this feed volume 32 partitions is pure
+    // store-init/commit overhead (a stream-stream join runs 4 stores per
+    // partition). Scope the partition count down for the streaming run
+    // and restore afterwards; a production deployment sizes this to the
+    // key cardinality instead. The value is pinned into the query's
+    // checkpoint, so it stays consistent for the query's lifetime.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      transform(ev).writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     // The memory sink holds the results; the staging/checkpoint dirs are
     // one-shot — drop them so bench/verify iterations don't accumulate.
