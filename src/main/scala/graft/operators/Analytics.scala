@@ -166,29 +166,47 @@ object Analytics {
     * the oracle's real ntile run row-for-row.
     *
     * os(k) = exact percentile at fraction (k−1)/(n−1) (Spark interpolates
-    * at index p·(n−1) = k−1, i.e. no interpolation) — one mergeable
-    * aggregate buffer, no WindowExec, no global sort. Driver traffic is
-    * two scalars (the count, then the 8-value array literal shaping the
-    * output), O(1) at any scale. */
+    * at index p·(n−1) = k−1, i.e. no interpolation) — a mergeable
+    * aggregate whose buffer is O(NDV of the price column) (a value→count
+    * map, partial-agg'd per partition), traded against the r01 version's
+    * full single-partition ROW sort: no row ever shuffles, but a column
+    * with unbounded NDV would need the q46 sketch path instead (exact
+    * ntile parity inherently needs exact order statistics). Driver
+    * traffic is two scalars (the count, then the 8-value array literal
+    * shaping the output), O(1) at any scale.
+    *
+    * Small-n edges (empty/1/2/3-row tables): empty quartiles are emitted
+    * by ntile as no row at all, and n = 1 would make the fraction 0/0 —
+    * both handled by dropping empty quartiles and pinning n = 1 to
+    * fraction 0. */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val n = o.count()
+    if (n == 0) {
+      import spark.implicits._
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("quartile", "n", "min_price", "max_price")
+    }
     val qsz = n / 4
     val rem = (n % 4).toInt
     val c = (0 to 4).map(i => i * qsz + math.min(i, rem)) // cumulative sizes
-    val positions = (1 to 4).flatMap(i => Seq(c(i - 1) + 1, c(i)))
+    val quartiles = (1 to 4).filter(i => c(i) > c(i - 1)) // ntile emits no
+    val positions = quartiles.flatMap(i => Seq(c(i - 1) + 1, c(i))) // empty q
     val fracs = positions
-      .map(k => java.lang.Double.toString((k - 1).toDouble / (n - 1)))
+      .map(k => java.lang.Double.toString(
+        if (n == 1) 0.0 else (k - 1).toDouble / (n - 1)))
       .mkString(", ")
-    val sizes = (1 to 4).map(i => c(i) - c(i - 1))
+    val sizes = quartiles.map(i => c(i) - c(i - 1))
+    val nq = quartiles.size
     o.agg(expr(s"percentile(o_totalprice, array($fracs))").as("ps"))
       .select(explode(expr(
-        """transform(sequence(1, 4), i ->
-          |  struct(i AS q, ps[2*(i-1)] AS lo, ps[2*i-1] AS hi))"""
+        s"""transform(sequence(1, $nq), i ->
+           |  struct(i AS q, ps[2*(i-1)] AS lo, ps[2*i-1] AS hi))"""
           .stripMargin)).as("s"))
-      .select(col("s.q").cast("int").as("quartile"),
-        element_at(
-          array(sizes.map(v => lit(v)): _*), col("s.q")).as("n"),
+      .select(
+        element_at(array(quartiles.map(v => lit(v)): _*), col("s.q"))
+          .cast("int").as("quartile"),
+        element_at(array(sizes.map(v => lit(v)): _*), col("s.q")).as("n"),
         round(col("s.lo"), 2).as("min_price"),
         round(col("s.hi"), 2).as("max_price"))
   }

@@ -45,8 +45,11 @@ object Dedup {
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
+    // both join sides derive from the same banded frame — checkpoint so
+    // the 64-perm signature aggregation runs once, not once per side
     val banded = minhashSigs(spark, dir).select(col("doc_id"),
       explode(TextOps.minhashBands(col("sig"), 16, 4)).as("band"))
+      .localCheckpoint(true)
     val corpusIndex = banded.filter(col("doc_id") % 5 =!= 0)
       .select(col("doc_id").as("corpus_id"), col("band"))
     val cands = banded.filter(col("doc_id") % 5 === 0)
@@ -84,7 +87,7 @@ object Dedup {
     * materialized — ~2.5x faster than explode(transform(...)) and the rows
     * stream straight into downstream partial aggregation. distinct()
     * mirrors the per-document shingle-SET semantics. */
-  private def shingleExploded(docs: DataFrame): DataFrame = {
+  private[operators] def shingleExploded(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     docs
       .select(col("doc_id"),

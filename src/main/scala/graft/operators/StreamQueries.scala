@@ -71,15 +71,18 @@ object StreamQueries {
     // checkpoint, so it stays consistent for the query's lifetime.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
-      transform(ev).writeStream
+    try {
+      val q = transform(ev).writeStream
         .format("memory").queryName(name)
         .outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
+      q.awaitTermination()
+      // restore only AFTER the run: start() returns before the query
+      // thread clones the session, so an earlier restore races the
+      // snapshot and the stream could still see the old value
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
     // The memory sink holds the results; the staging/checkpoint dirs are
     // one-shot — drop them so bench/verify iterations don't accumulate.
     def rmTree(p: Path): Unit = {
@@ -184,7 +187,7 @@ object StreamQueries {
       """WITH flagged AS (
         |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
         |      THEN 1 ELSE 0 END AS ns
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
@@ -194,7 +197,7 @@ object StreamQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM flagged)
         |SELECT user_id,
-        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        |  CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS sess_start,
         |  count(*) AS n_events, round(sum(value), 2) AS total
         |FROM sess GROUP BY user_id, sid""".stripMargin),
     Q("q82_stream_sliding", streamSliding _,

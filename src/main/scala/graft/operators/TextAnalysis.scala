@@ -303,25 +303,14 @@ object TextAnalysis {
     * broadcast-hash join → partial-agg count. No pair expansion at all —
     * the join key is the shingle. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val docs = t(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
       .withColumn("is_bench",
         TextOps.portableHash(
           concat(lit("bench:"), col("doc_id").cast("string"))) % 100 < 5)
-    def shingles(d: DataFrame): DataFrame = d
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead(col("w"), 1).over(byPos))
-      .withColumn("w2", lead(col("w"), 2).over(byPos))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
-      .distinct()
-    val benchSh = shingles(docs.filter(col("is_bench")))
+    val benchSh = Dedup.shingleExploded(docs.filter(col("is_bench")))
       .select(col("doc_id").as("bench_id"), col("s"))
-    shingles(docs.filter(!col("is_bench")))
+    Dedup.shingleExploded(docs.filter(!col("is_bench")))
       .join(broadcast(benchSh), Seq("s"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("s")).as("n_shared"),

@@ -56,6 +56,32 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.topNgrams(spark, emptyDir).count() === 0)
   }
 
+  test("ntile quartiles handle 0-5 row order tables like real ntile") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (n <- 0 to 5) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ntile_$n").toString
+      val rows = (1 to n).map(i => (i.toLong, i * 10.0))
+      rows.toDF("o_orderkey", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      val got = graft.operators.Analytics.ntileQuartiles(spark, dir)
+        .collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val want = rows.toDF("o_orderkey", "o_totalprice")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(got === want, s"n=$n")
+    }
+  }
+
   test("connected components converges immediately on an empty edge list") {
     import spark.implicits._
     val labels = graft.operators.Dedup.connectedComponents(

@@ -60,9 +60,16 @@ class HttpIngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
-  test("census source rejects ambiguous location options") {
+  test("census source rejects missing and ambiguous location options") {
+    // neither option
     intercept[Exception] {
       spark.read.format("graft.sources.CensusSource").load()
+    }
+    // both options — ambiguous, must throw rather than silently pick one
+    intercept[Exception] {
+      spark.read.format("graft.sources.CensusSource")
+        .option("path", "/tmp/nowhere")
+        .option("urls", "http://127.0.0.1:9/x").load()
     }
   }
 }
