@@ -135,6 +135,12 @@ object Dedup {
         Seq("doc_a"))
       .join(shSets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
         Seq("doc_b"))
+      // size-ratio prefilter: J ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
+      // incompatible set sizes can't reach the threshold — pruned BEFORE
+      // the per-pair intersect. A semantic no-op (the J ≥ 0.5 filter
+      // below would drop them anyway), so the oracle needs no mirror.
+      .filter(least(size(col("ha")), size(col("hb"))) * 2 >=
+        greatest(size(col("ha")), size(col("hb"))))
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("uni", size(col("ha")) + size(col("hb")) - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))

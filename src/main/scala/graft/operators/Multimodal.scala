@@ -112,7 +112,73 @@ object Multimodal {
            sum(col("frame_bytes")).as("total_bytes"))
   }
 
+  /** Media near-dup on DECODED FEATURES (the step after [[decodeFeatures]]
+    * in a real pipeline: perceptual dedup on extracted image/audio
+    * features, not raw bytes): per payload, the 16-bucket byte histogram
+    * (the stub decoder's feature, here as portable expressions so the
+    * oracle mirrors it bit-for-bit), candidates = payloads sharing the
+    * 1/128-quantized histogram signature (a bucket equi-join — 1.4% of
+    * pairs on the gate corpus), verification = exact L1 distance of the
+    * normalized histograms ≤ 0.005.
+    *
+    * Scale shape: feature extraction is narrow per-row; the signature
+    * join is the only shuffle; L1 runs on candidates only. Swapping the
+    * byte histogram for real embeddings (CLIP etc.) keeps the plan — it's
+    * the [[graft.operators.Dedup.embeddingCosine]] discipline on the
+    * multimodal path. */
+  def mediaHistDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir).filter(col("meta.n_bytes") > 0)
+    val hist = media.select(col("doc_id"),
+      col("meta.n_bytes").cast("long").as("n"),
+      transform(sequence(lit(0), lit(15)), b =>
+        size(filter(
+          transform(split(decode(col("payload"), "UTF-8"), ""),
+            c => (ascii(c) / lit(16)).cast("int")),
+          x => x === b)).cast("long")).as("h"))
+    val sig = hist.withColumn("qsig",
+      concat_ws("-", transform(col("h"),
+        v => (v * 128 / col("n")).cast("long").cast("string"))))
+      .localCheckpoint(true)
+    sig.select(col("qsig"), col("doc_id").as("doc_a"), col("h").as("ha"),
+        col("n").as("na"))
+      .join(sig.select(col("qsig"), col("doc_id").as("doc_b"),
+        col("h").as("hb"), col("n").as("nb")), Seq("qsig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("l1", round(
+        aggregate(zip_with(col("ha"), col("hb"), (x, y) =>
+          abs(x.cast("double") / col("na") - y.cast("double") / col("nb"))),
+          lit(0.0), (acc, x) => acc + x), 6))
+      .filter(col("l1") <= 0.005)
+      .select(col("doc_a"), col("doc_b"), col("l1"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q99_media_histdup", mediaHistDedup _,
+      """WITH codes AS (
+        |  SELECT doc_id, len(text) AS n,
+        |    [unicode(text[i]) // 16 for i in range(1, len(text) + 1)] AS bs
+        |  FROM documents WHERE len(text) > 0),
+        |hist AS (
+        |  SELECT doc_id, n,
+        |    [len(list_filter(bs, x -> x = b)) for b in range(0, 16)] AS h
+        |  FROM codes),
+        |sig AS (
+        |  SELECT doc_id, n, h,
+        |    list_aggregate([CAST(h[i] * 128 // n AS VARCHAR)
+        |      for i in range(1, 17)], 'string_agg', '-') AS qsig
+        |  FROM hist),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.h AS ha, a.n AS na, b.h AS hb, b.n AS nb
+        |  FROM sig a JOIN sig b
+        |    ON a.qsig = b.qsig AND a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    round(list_aggregate([abs(CAST(ha[i] AS DOUBLE) / na
+        |        - CAST(hb[i] AS DOUBLE) / nb) for i in range(1, 17)],
+        |      'sum'), 6) AS l1
+        |  FROM cand)
+        |SELECT doc_a, doc_b, l1 FROM scored WHERE l1 <= 0.005""".stripMargin),
     Q("q81_frame_stats", frameStats _,
       """WITH d AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS nb
