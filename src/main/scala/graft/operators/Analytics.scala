@@ -473,7 +473,33 @@ object Analytics {
           .as("avg_click_to_buy_sec"))
   }
 
+  /** Cohort retention matrix (daily cohorts): users grouped by first-seen
+    * day, counted on each subsequent active day — the product-analytics
+    * staple next to the funnel. Three partial-agg'd passes (first-seen
+    * min per user, distinct active days, the matrix count); the join
+    * carries one row per (user, active day), never raw events. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("c").cast("long").as("cohort_sec"),
+        datediff(col("d"), col("c")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q100_cohort_retention", cohortRetention _,
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d FROM events),
+        |cohort AS (SELECT user_id, min(d) AS c FROM e GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, d FROM e)
+        |SELECT CAST(epoch(c) AS BIGINT) AS cohort_sec,
+        |  CAST(date_diff('day', c, d) AS INT) AS offset_days,
+        |  count(*) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin),
     Q("q96_funnel", funnel _,
       """WITH e AS (
         |  SELECT user_id, event_type,
