@@ -137,10 +137,13 @@ object Dedup {
         Seq("doc_b"))
       // size-ratio prefilter: J ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
       // incompatible set sizes can't reach the threshold — pruned BEFORE
-      // the per-pair intersect. A semantic no-op (the J ≥ 0.5 filter
-      // below would drop them anyway), so the oracle needs no mirror.
-      .filter(least(size(col("ha")), size(col("hb"))) * 2 >=
-        greatest(size(col("ha")), size(col("hb"))))
+      // the per-pair intersect. The downstream filter is on round(J, 6),
+      // which admits true J down to 0.4999995, so the bound here uses
+      // that exact boundary (integer cross-multiply, no float) to stay a
+      // TRUE no-op the oracle needs no mirror for.
+      .filter(least(size(col("ha")), size(col("hb"))).cast("long")
+          * 10000000L >=
+        greatest(size(col("ha")), size(col("hb"))).cast("long") * 4999995L)
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("uni", size(col("ha")) + size(col("hb")) - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))

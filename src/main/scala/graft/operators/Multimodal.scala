@@ -114,9 +114,10 @@ object Multimodal {
 
   /** Media near-dup on DECODED FEATURES (the step after [[decodeFeatures]]
     * in a real pipeline: perceptual dedup on extracted image/audio
-    * features, not raw bytes): per payload, the 16-bucket byte histogram
-    * (the stub decoder's feature, here as portable expressions so the
-    * oracle mirrors it bit-for-bit), candidates = payloads sharing the
+    * features, not raw bytes): per payload, a 16-bucket codepoint/16
+    * histogram (the character-space analog of the stub decoder's byte
+    * histogram, as portable expressions so the oracle mirrors it
+    * bit-for-bit on any input), candidates = payloads sharing the
     * 1/128-quantized histogram signature (a bucket equi-join — 1.4% of
     * pairs on the gate corpus), verification = exact L1 distance of the
     * normalized histograms ≤ 0.005.
@@ -127,14 +128,21 @@ object Multimodal {
     * the [[graft.operators.Dedup.embeddingCosine]] discipline on the
     * multimodal path. */
   def mediaHistDedup(spark: SparkSession, dir: String): DataFrame = {
-    val media = mediaTable(spark, dir).filter(col("meta.n_bytes") > 0)
-    val hist = media.select(col("doc_id"),
-      col("meta.n_bytes").cast("long").as("n"),
-      transform(sequence(lit(0), lit(15)), b =>
-        size(filter(
-          transform(split(decode(col("payload"), "UTF-8"), ""),
-            c => (ascii(c) / lit(16)).cast("int")),
-          x => x === b)).cast("long")).as("h"))
+    val media = mediaTable(spark, dir)
+    // histogram over CODEPOINT/16 buckets, normalized by the CHARACTER
+    // count — the exact quantity the oracle computes from text[i], so
+    // parity holds beyond ASCII too (codepoints ≥ 256 count toward n but
+    // land in no bucket, identically on both sides). `codes` is projected
+    // ONCE, not re-derived inside each of the 16 bucket lambdas (HOFs run
+    // interpreted with no cross-lambda subexpression reuse).
+    val hist = media
+      .withColumn("codes",
+        transform(split(decode(col("payload"), "UTF-8"), ""),
+          c => (ascii(c) / lit(16)).cast("int")))
+      .select(col("doc_id"), size(col("codes")).cast("long").as("n"),
+        transform(sequence(lit(0), lit(15)), b =>
+          size(filter(col("codes"), x => x === b)).cast("long")).as("h"))
+      .filter(col("n") > 0)
     val sig = hist.withColumn("qsig",
       concat_ws("-", transform(col("h"),
         v => (v * 128 / col("n")).cast("long").cast("string"))))
