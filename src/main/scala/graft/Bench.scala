@@ -42,22 +42,24 @@ object Bench {
       if (ckptHeavy(name)) System.gc() // outside the timing
       name -> dt
     }
-    // Millisecond precision keeps the line short enough that a tail-capture
-    // of the sbt log can't truncate it (r01's full-precision doubles made
-    // the line unparseable for the driver).
+    // The stdout line must survive a bounded tail-capture of the sbt log:
+    // r02's line with 100 full query names was ~2.9 kB and the capture
+    // began mid-line ("parsed": null). Short keys (q73 not
+    // q73_stats_profile) + millisecond precision keep it ~1.4 kB; the
+    // full-name map goes to bench_out.json as the durable copy.
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
+    def jsonLine(kv: Iterable[(String, Double)]): String = {
+      val qs = kv.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces: the driver scrapes stdout, but also drop the JSON in
-    // a file so a log-capture truncation can never lose the round's numbers.
+    }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+      java.nio.file.Paths.get("bench_out.json"), jsonLine(results) + "\n")
     catch { case _: Throwable => }
-    println(json)
+    println(jsonLine(results.map { case (k, v) =>
+      k.takeWhile(_ != '_') -> v }))
     spark.stop()
   }
 }

@@ -354,49 +354,71 @@ object Analytics {
   /** Statistical profile: stddev / correlation / covariance / skewness per
     * group — the numeric-health pass of a data-quality pipeline.
     *
-    * The moments are composed explicitly from sums of centered powers
-    * (two passes: means, then centered sums) rather than the built-in
-    * `skewness`/`corr` aggregates, because the built-ins embody
+    * The moments are composed explicitly from raw sums rather than the
+    * built-in `skewness`/`corr` aggregates, because the built-ins embody
     * engine-specific formula choices — Spark's `skewness` is the
     * POPULATION statistic g1 = (m3/n)/(m2/n)^1.5 while DuckDB's is the
     * bias-corrected SAMPLE statistic (×√(n(n−1))/(n−2)) — a genuine
-    * cross-engine mismatch (the one red row of CORRECTNESS_r01). Spelling
-    * one formula identically in both engines restores bit-level parity;
-    * centering on the group mean first also keeps the sums small enough
-    * that summation-order drift dies in the rounding.
+    * cross-engine mismatch (the one red row of CORRECTNESS_r01).
     *
-    * Scale shape: the means pass and the centered pass are both mergeable
-    * hash aggregates on the same 3-group key; the join in between moves
-    * 3 rows (broadcast). Two scans instead of one is the price of exact
-    * cross-engine parity, not of the statistics themselves. */
+    * Cross-engine bit-parity discipline (the r02 red row was a
+    * summation-ORDER flip: double `sum` merges in task-completion order,
+    * so the last-ulp value — and thus a round() at a .00005 boundary —
+    * depends on the partition count): every aggregated sum here is an
+    * EXACT DECIMAL over values shifted by a fixed per-column constant
+    * (all four columns sit on decimal grids: integer qty, scale-2
+    * price/discount/tax). Exact sums are order-independent, so Spark and
+    * DuckDB produce bit-identical aggregates no matter the parallelism;
+    * the post-aggregation scalar math is spelled identically in both
+    * engines using only correctly-rounded IEEE ops (+,−,×,÷,sqrt) —
+    * `pow(y,1.5)` is deliberately `y*sqrt(y)` because pow carries no
+    * rounding guarantee across libm implementations.
+    *
+    * The constant shift (25 for qty, 50000 for price) keeps the cubed
+    * decimals inside precision 38: |dp|≤6e4 → dp³ ≤ 2.2e14 at scale 6,
+    * and the decimal(38,6) sum holds ~1e10 rows of those — 100 TB head
+    * room. Scale shape: ONE scan, one mergeable hash aggregate on the
+    * 3-value group key (the r01 version needed two scans and a join). */
   def statsProfile(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    val means = li.groupBy(col("l_returnflag").as("flag"))
-      .agg(avg(col("l_quantity")).as("mq"),
-           avg(col("l_extendedprice")).as("mp"),
-           avg(col("l_discount")).as("md"),
-           avg(col("l_tax")).as("mt"))
-    li.join(broadcast(means), li("l_returnflag") === means("flag"))
-      .groupBy(col("flag"))
+    // The shift happens in the double domain (exact: both operands on a
+    // grid far below 2^53) and the cast lands on the grid value, so both
+    // engines materialize identical decimals. Tight precisions keep the
+    // cube inside width 38 in BOTH engines' multiplication rules
+    // (DuckDB sums operand widths: 9+18+... must stay ≤ 38).
+    val dq = (col("l_quantity") - lit(25.0)).cast("decimal(9,0)")
+    val dp = (col("l_extendedprice") - lit(50000.0)).cast("decimal(9,2)")
+    val dd = col("l_discount").cast("decimal(4,2)")
+    val dt = col("l_tax").cast("decimal(4,2)")
+    val n = col("n").cast("double")
+    val mq = col("sq").cast("double") / n
+    val mp = col("sp").cast("double") / n
+    val md = col("sd").cast("double") / n
+    val mt = col("st").cast("double") / n
+    // Centered sums from shifted raw sums: Σ(x−μ)² = Σd² − n·μd²,
+    // Σ(x−μ)(y−ν) = Σdxdy − n·μd·νd, Σ(x−μ)³ = Σd³ − 3μd·Σd² + 2n·μd³.
+    val s2q = col("sqq").cast("double") - n * mq * mq
+    val s2p = col("spp").cast("double") - n * mp * mp
+    val spq = col("sqp").cast("double") - n * mq * mp
+    val sdt = col("sdt").cast("double") - n * md * mt
+    val s3p = col("sppp").cast("double") - lit(3) * mp * col("spp").cast("double") +
+      lit(2) * n * mp * mp * mp
+    val v2p = s2p / n
+    li.groupBy(col("l_returnflag").as("flag"))
       .agg(count(lit(1)).as("n"),
-        sum((col("l_quantity") - col("mq")) * (col("l_quantity") - col("mq")))
-          .as("s2q"),
-        sum((col("l_quantity") - col("mq")) *
-            (col("l_extendedprice") - col("mp"))).as("spq"),
-        sum((col("l_extendedprice") - col("mp")) *
-            (col("l_extendedprice") - col("mp"))).as("s2p"),
-        sum((col("l_discount") - col("md")) * (col("l_tax") - col("mt")))
-          .as("sdt"),
-        sum((col("l_extendedprice") - col("mp")) *
-            (col("l_extendedprice") - col("mp")) *
-            (col("l_extendedprice") - col("mp"))).as("s3p"))
+        sum(dq).as("sq"), sum(dq * dq).as("sqq"),
+        sum(dp).as("sp"), sum(dp * dp).as("spp"),
+        sum(dq * dp).as("sqp"),
+        sum(dd).as("sd"), sum(dt).as("st"), sum(dd * dt).as("sdt"),
+        // dp² widened explicitly before the third multiply: DuckDB executes
+        // DECIMAL(18,4)×DECIMAL(9,2) in int64 and overflows on real data;
+        // DECIMAL(29,4) forces the int128 kernel there and is a no-op here.
+        sum((dp * dp).cast("decimal(29,4)") * dp).as("sppp"))
       .select(col("flag"), col("n"),
-        round(sqrt(col("s2q") / (col("n") - 1)), 4).as("sd_qty"),
-        round(col("spq") / sqrt(col("s2q") * col("s2p")), 4)
-          .as("corr_qty_price"),
-        round(col("sdt") / (col("n") - 1), 6).as("cov_disc_tax"),
-        round((col("s3p") / col("n")) /
-          pow(col("s2p") / col("n"), 1.5), 4).as("skew_price"))
+        round(sqrt(s2q / (n - 1)), 4).as("sd_qty"),
+        round(spq / sqrt(s2q * s2p), 4).as("corr_qty_price"),
+        round(sdt / (n - 1), 6).as("cov_disc_tax"),
+        round((s3p / n) / (v2p * sqrt(v2p)), 4).as("skew_price"))
   }
 
   /** Column-generic long-form profile (one row per profiled column): the
@@ -590,26 +612,50 @@ object Analytics {
         |    AS BIGINT) AS n_grew
         |FROM j GROUP BY 1""".stripMargin),
     Q("q73_stats_profile", statsProfile _,
-      """WITH m AS (
+      // Mirrors the exact-decimal shifted-moment formulation: every sum is
+      // an exact (order-independent) decimal, all scalar math afterwards
+      // uses only correctly-rounded IEEE ops spelled identically to the
+      // Spark side (y*sqrt(y), never pow) — see statsProfile's doc.
+      """WITH d AS (
         |  SELECT l_returnflag AS flag,
-        |    avg(l_quantity) AS mq, avg(l_extendedprice) AS mp,
-        |    avg(l_discount) AS md, avg(l_tax) AS mt
-        |  FROM lineitem GROUP BY 1),
+        |    CAST(l_quantity - 25.0 AS DECIMAL(9,0)) AS dq,
+        |    CAST(l_extendedprice - 50000.0 AS DECIMAL(9,2)) AS dp,
+        |    CAST(l_discount AS DECIMAL(4,2)) AS dd,
+        |    CAST(l_tax AS DECIMAL(4,2)) AS dt
+        |  FROM lineitem),
         |s AS (
         |  SELECT flag, count(*) AS n,
-        |    sum((l_quantity - mq) * (l_quantity - mq)) AS s2q,
-        |    sum((l_quantity - mq) * (l_extendedprice - mp)) AS spq,
-        |    sum((l_extendedprice - mp) * (l_extendedprice - mp)) AS s2p,
-        |    sum((l_discount - md) * (l_tax - mt)) AS sdt,
-        |    sum((l_extendedprice - mp) * (l_extendedprice - mp)
-        |        * (l_extendedprice - mp)) AS s3p
-        |  FROM lineitem JOIN m ON l_returnflag = m.flag GROUP BY 1)
+        |    sum(dq) AS sq, sum(dq * dq) AS sqq,
+        |    sum(dp) AS sp, sum(dp * dp) AS spp,
+        |    sum(dq * dp) AS sqp,
+        |    sum(dd) AS sd, sum(dt) AS st, sum(dd * dt) AS sdt,
+        |    sum(CAST(dp * dp AS DECIMAL(29,4)) * dp) AS sppp
+        |  FROM d GROUP BY 1),
+        |e AS (
+        |  SELECT flag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mq,
+        |    CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mp,
+        |    CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS md,
+        |    CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS mt,
+        |    CAST(sqq AS DOUBLE) AS sqqd, CAST(spp AS DOUBLE) AS sppd,
+        |    CAST(sqp AS DOUBLE) AS sqpd, CAST(sdt AS DOUBLE) AS sdtd,
+        |    CAST(sppp AS DOUBLE) AS spppd
+        |  FROM s),
+        |c AS (
+        |  SELECT flag, n, nd,
+        |    sqqd - nd * mq * mq AS s2q,
+        |    sppd - nd * mp * mp AS s2p,
+        |    sqpd - nd * mq * mp AS spq,
+        |    sdtd - nd * md * mt AS sdt2,
+        |    spppd - 3 * mp * sppd + 2 * nd * mp * mp * mp AS s3p,
+        |    (sppd - nd * mp * mp) / nd AS v2p
+        |  FROM e)
         |SELECT flag, n,
-        |  round(sqrt(s2q / (n - 1)), 4) AS sd_qty,
+        |  round(sqrt(s2q / (nd - 1)), 4) AS sd_qty,
         |  round(spq / sqrt(s2q * s2p), 4) AS corr_qty_price,
-        |  round(sdt / (n - 1), 6) AS cov_disc_tax,
-        |  round((s3p / n) / pow(s2p / n, 1.5), 4) AS skew_price
-        |FROM s""".stripMargin),
+        |  round(sdt2 / (nd - 1), 6) AS cov_disc_tax,
+        |  round((s3p / nd) / (v2p * sqrt(v2p)), 4) AS skew_price
+        |FROM c""".stripMargin),
     Q("q74_profile_table", profileTable _,
       """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
         |  count(o_orderkey) AS n_nonnull,
