@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.functions.TextOps
+import graft.functions.{BloomFilterOps, TextOps}
 import graft.sources.Tables
 
 /** Text-analysis operators for LLM training-data pipelines: language ID
@@ -317,6 +317,50 @@ object TextAnalysis {
         min(col("bench_id")).as("bench_doc"))
   }
 
+  /** Bloom-prefiltered benchmark decontamination — same contract as
+    * [[decontaminate]] (q92) but the broadcast artifact is a fixed-size
+    * 512 KiB bloom BITSET ([[graft.functions.BloomAgg]]) instead of the
+    * benchmark's full shingle-string set. The corpus side probes the
+    * bitset with a codegen'd expression ([[graft.functions.BloomMightContain]])
+    * and only survivors (true matches + the small false-positive residue)
+    * reach the exact shingle join, which removes the false positives — the
+    * result is EXACTLY the n-gram-overlap semantics, so the oracle is the
+    * exact SQL with no bloom in it.
+    *
+    * Scale rationale: benchmark suites are fixed-size while the corpus
+    * grows without bound, so the broadcast side must not scale with
+    * benchmark text volume. The bitset is O(#shingles) BITS (~1.2 bytes/
+    * element at 1% FP with 5 hashes) vs ~40+ bytes/element for broadcast
+    * strings, and the probe runs inside whole-stage codegen on the scan
+    * side — at 100 TB the exact join then processes ~1% of shingles
+    * instead of all of them. Reports per-source contamination shares, the
+    * publish-gate view a curation pipeline acts on. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("is_bench",
+        TextOps.portableHash(
+          concat(lit("bench:"), col("doc_id").cast("string"))) % 100 < 5)
+    val benchSh = Dedup.shingleExploded(docs.filter(col("is_bench")))
+      .select(col("s")).distinct()
+    val bloom = benchSh.agg(BloomFilterOps.bloomAgg(
+      TextOps.portableHash60(col("s")), 1 << 22, 5).as("bf"))
+    val hits = Dedup.shingleExploded(docs.filter(!col("is_bench")))
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFilterOps.bloomContains(
+        col("bf"), TextOps.portableHash60(col("s")), 5))
+      .join(broadcast(benchSh), Seq("s")) // exact verify: false positives out
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    docs.filter(!col("is_bench"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contam_share",
+        round(col("n_contaminated") / col("n_docs"), 6))
+  }
+
   /** BM25 ranking (Robertson-Spärck Jones; k1 = 1.2, b = 0.75) for a fixed
     * 3-term query — the keyword-retrieval primitive next to the embedding
     * ANN path. Exact tf/df/dl statistics; corpus scalars (N, avgdl) ride a
@@ -489,6 +533,32 @@ object TextAnalysis {
         |SELECT doc_id, count(DISTINCT s) AS n_shared,
         |  min(bench_id) AS bench_doc
         |FROM csh JOIN bsh USING (s)
+        |GROUP BY 1""".stripMargin),
+    // Oracle is the EXACT overlap query — the bloom prefilter has no
+    // false negatives and the exact join removes its false positives, so
+    // the bloom is invisible in the result.
+    Q("q101_bloom_decontaminate", bloomDecontaminate _,
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    (('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 100) < 5 AS is_bench,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w) - 1)]) AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(sh) AS s FROM docs WHERE is_bench),
+        |hits AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs
+        |        WHERE NOT is_bench) c
+        |  JOIN bsh USING (s))
+        |SELECT source, count(*) AS n_docs,
+        |  count(h.doc_id) AS n_contaminated,
+        |  round(count(h.doc_id) / count(*), 6) AS contam_share
+        |FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE NOT d.is_bench
         |GROUP BY 1""".stripMargin),
     Q("q95_bm25", bm25 _,
       """WITH tok AS (
