@@ -155,6 +155,20 @@ object StreamQueries {
           col("bucket").cast("long").as("bucket_sec"))
     }
 
+  /** Custom state through the engine: [[EventStreams.enrichStateful]]
+    * (flatMapGroupsWithState) annotating every event with gap-since-
+    * previous and running index per user. The one streaming surface that
+    * was previously spec-only; with the single-file staging (one
+    * micro-batch) the emitted rows equal the batch lag()/row_number()
+    * windows, which is the oracle. */
+  def streamUserState(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir, mode = "append") { ev =>
+      import spark.implicits._
+      EventStreams.enrichStateful(
+        ev.select(col("user_id"), col("event_id"), col("ts"))
+          .as[EventStreams.Ev2]).toDF()
+    }
+
   /** Sliding 2-hour/1-hour windows, executed as a stream; output epochs
     * so the oracle's unnest-based window expansion aligns exactly
     * (same shape as the batch twin q32). */
@@ -200,6 +214,15 @@ object StreamQueries {
         |  CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS sess_start,
         |  count(*) AS n_events, round(sum(value), 2) AS total
         |FROM sess GROUP BY user_id, sid""".stripMargin),
+    Q("q102_stream_user_state", streamUserState _,
+      """SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |  coalesce(CAST(floor(epoch(ts)) AS BIGINT) -
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w, -1) AS gap_sec,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
+        .stripMargin),
     Q("q82_stream_sliding", streamSliding _,
       """SELECT CAST(epoch(ws) AS BIGINT) AS w_start, count(*) AS n,
         |  round(sum(value), 2) AS total

@@ -85,6 +85,39 @@ object EventStreams {
   case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long,
                            n_events: Int, total_value: Double)
 
+  case class Ev2(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class UserProgress(lastSec: Long, n: Long)
+  case class EnrichedEv(user_id: Long, event_id: Long, sec: Long,
+                        gap_sec: Long, seq: Long)
+
+  /** Stateful per-user event enrichment via flatMapGroupsWithState: each
+    * event is annotated with the gap (seconds) since that user's previous
+    * event (−1 for the first ever) and the user's running event index —
+    * the dwell-time / nth-interaction features a training pipeline derives
+    * from clickstreams. Unlike a batch lag() window this carries state
+    * ACROSS micro-batches: per user the state is two longs, O(1) forever.
+    * Events inside a batch are sorted by (ts, event_id) so tie order — and
+    * therefore the oracle (lag/row_number over the same ordering) — is
+    * deterministic. */
+  def enrichStateful(events: Dataset[Ev2]): Dataset[EnrichedEv] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserProgress, EnrichedEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev2], state: GroupState[UserProgress]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(UserProgress(-1L, 0L))
+          val out = sorted.map { e =>
+            val sec = e.ts.getTime / 1000L
+            val gap = if (st.lastSec < 0) -1L else sec - st.lastSec
+            st = UserProgress(sec, st.n + 1)
+            EnrichedEv(user, e.event_id, sec, gap, st.n)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Custom stateful sessionizer: emits a session when a subsequent event
     * arrives more than `gapSec` after the previous one. State per user is
     * one open-session buffer — O(1) per key regardless of stream length.

@@ -103,6 +103,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful enrichment carries gap/index state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Ev2]
+    val q = EventStreams.enrichStateful(ms.toDS())
+      .writeStream.format("memory").queryName("stateenrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(EventStreams.Ev2(7, 100, ts("2024-01-01 00:00:00")),
+                 EventStreams.Ev2(7, 101, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // Second batch: gap must be measured against batch-1's last event.
+      ms.addData(EventStreams.Ev2(7, 102, ts("2024-01-01 01:10:00")))
+      q.processAllAvailable()
+      val rows = spark.table("stateenrich").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("gap_sec"), r.getAs[Long]("seq"))).toMap
+      assert(rows(100L) === (-1L, 1L))
+      assert(rows(101L) === (600L, 2L))
+      assert(rows(102L) === (3600L, 3L)) // state crossed the batch boundary
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases within 30 min of a click, per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
