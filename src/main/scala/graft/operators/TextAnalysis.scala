@@ -361,6 +361,35 @@ object TextAnalysis {
         round(col("n_contaminated") / col("n_docs"), 6))
   }
 
+  /** Terms a curation pipeline blocks (stand-in for a 100k-term list). */
+  val blocklist: Seq[String] = Seq("slow", "leak", "broken")
+
+  /** Blocklist filtering — flag documents containing any blocked term and
+    * report per-source block shares (the wordlist-filter stage of corpus
+    * curation, e.g. toxicity/spam term lists).
+    *
+    * Scale shape: the blocklist is joined as a BROADCAST TABLE, not
+    * inlined as an `isin` literal — real blocklists run to 10^5 terms,
+    * which would blow up the plan as literals but broadcast fine as a
+    * frame. Corpus side is one codegen'd explode → broadcast-hash
+    * semi-join → distinct doc ids; no shuffle carries tokens. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bl = blocklist.toDF("w")
+    val docs = t(spark, dir, "documents")
+    val blocked = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(bl), Seq("w"))
+      .select(col("doc_id")).distinct()
+      .withColumn("blocked", lit(1))
+    docs.join(blocked, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("blocked")).as("n_blocked"))
+      .withColumn("block_share",
+        round(col("n_blocked") / col("n_docs"), 6))
+  }
+
   /** BM25 ranking (Robertson-Spärck Jones; k1 = 1.2, b = 0.75) for a fixed
     * 3-term query — the keyword-retrieval primitive next to the embedding
     * ANN path. Exact tf/df/dl statistics; corpus scalars (N, avgdl) ride a
@@ -559,6 +588,17 @@ object TextAnalysis {
         |  round(count(h.doc_id) / count(*), 6) AS contam_share
         |FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE NOT d.is_bench
+        |GROUP BY 1""".stripMargin),
+    Q("q103_blocklist_filter", blocklistFilter _,
+      """WITH b AS (
+        |  SELECT doc_id
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w IN ('slow', 'leak', 'broken') GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |  count(b.doc_id) AS n_blocked,
+        |  round(count(b.doc_id) / count(*), 6) AS block_share
+        |FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
         |GROUP BY 1""".stripMargin),
     Q("q95_bm25", bm25 _,
       """WITH tok AS (

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrderOps
+import graft.operators.Layout
+
+class ZOrderSpec extends SparkSpec {
+
+  private def bucketed = spark.read.parquet(s"$sf/orders.parquet")
+    .select(col("o_orderkey"),
+      col("o_custkey").bitwiseAND(lit(255L)).as("xb"),
+      floor(col("o_totalprice") / lit(2048.0)).cast("long")
+        .bitwiseAND(lit(255L)).as("yb"))
+
+  test("codegen'd interleave equals the expanded shift/mask arithmetic") {
+    val mismatches = bucketed
+      .withColumn("z", ZOrderOps.zorder2(col("xb"), col("yb")))
+      .withColumn("z2", expr(ZOrderOps.expandedSql("xb", "yb")))
+      .filter(col("z") =!= col("z2")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("interleave is a bijection on the 16-bit grid (corner values)") {
+    for ((x, y) <- Seq((0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L),
+                       (0xFFFFL, 0xFFFFL), (1L, 2L))) {
+      val z = ZOrderOps.interleave16(x, y)
+      // de-interleave by extracting even/odd bits
+      var (dx, dy) = (0L, 0L)
+      for (i <- 0 until 16) {
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert((dx, dy) === (x & 0xFFFFL, y & 0xFFFFL))
+    }
+  }
+
+  test("range-partitioning by z shrinks per-partition bboxes on BOTH dims") {
+    val parts = bucketed
+      .withColumn("z", ZOrderOps.zorder2(col("xb"), col("yb")))
+      .repartitionByRange(16, col("z"))
+      .select(spark_partition_id().as("p"), col("xb"), col("yb"))
+      .groupBy(col("p"))
+      .agg((max(col("xb")) - min(col("xb"))).as("xr"),
+           (max(col("yb")) - min(col("yb"))).as("yr"))
+      .collect()
+    val avgPerim = parts.map(r =>
+      r.getAs[Long]("xr") + r.getAs[Long]("yr")).sum.toDouble / parts.length
+    // Unclustered both ranges are ~255+255 = 510 in every partition; a
+    // 16-way z-range split must cut the average bounding-box perimeter
+    // substantially on the two dims TOGETHER (that's the whole point).
+    assert(parts.length > 1 && avgPerim < 300, s"avgPerim=$avgPerim")
+  }
+
+  test("q104 returns the 100 lowest z-values with deterministic ties") {
+    val rows = Layout.zorderCluster(spark, sf).collect()
+    assert(rows.length === 100)
+    val zs = rows.map(_.getAs[Long]("z"))
+    assert(zs.sameElements(zs.sorted))
+    // z must actually be the interleave of the row's buckets
+    rows.foreach { r =>
+      assert(r.getAs[Long]("z") ===
+        ZOrderOps.interleave16(r.getAs[Long]("xb"), r.getAs[Long]("yb")))
+    }
+  }
+}
