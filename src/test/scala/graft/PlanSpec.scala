@@ -127,4 +127,28 @@ class PlanSpec extends SparkSpec {
       !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
       s"unpartitioned window:\n$plan")
   }
+
+  test("q101: bloom build is an ObjectHashAggregate; probe stays codegen'd; " +
+      "no nested-loop anywhere") {
+    val plan = planOf(graft.operators.TextAnalysis.bloomDecontaminate(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bloom bitset not built as a typed aggregate:\n$plan")
+    assert(plan.contains("bloommightcontain"),
+      s"bloom probe missing from the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"got:\n$plan")
+  }
+
+  test("q103: blocklist joins as a broadcast hash join, never a literal isin") {
+    val plan = planOf(graft.operators.TextAnalysis.blocklistFilter(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist not broadcast-joined:\n$plan")
+  }
+
+  test("q104: z-order top-k is TakeOrderedAndProject over a single " +
+      "codegen'd projection — no exchange, no sort") {
+    val plan = planOf(graft.operators.Layout.zorderCluster(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"z computation should be scan-local:\n$plan")
+  }
 }
