@@ -325,6 +325,52 @@ object Analytics {
         col("valid_to_sec").isNull.as("is_current"))
   }
 
+  /** MERGE / upsert — the CDC-apply primitive (Delta/Iceberg `MERGE INTO`
+    * re-expressed as a full-outer join): a per-user profile snapshot built
+    * from events before a cutoff is merged with an incremental batch of
+    * later events. Matched keys update (extend last_seen, add counts and
+    * totals), unmatched batch keys insert, untouched target keys carry
+    * over — each row labeled with its merge action, the audit a CDC
+    * pipeline logs per apply.
+    *
+    * Correctness invariant (spec-pinned): merge(profile(<T), batch(≥T))
+    * == profile(all) — incremental maintenance equals full rebuild. Value
+    * sums are exact decimals (cent grid), so add-of-partials is
+    * bit-identical to the one-shot sum in BOTH engines at ANY parallelism
+    * (the q73 discipline).
+    *
+    * Scale shape: both sides are partial-agg'd to one row per user before
+    * the full-outer join, which shuffles profiles, not events; in a real
+    * deployment the target side is the stored table (no recompute) and
+    * only the batch aggregate runs per apply. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cutSec = 1705708800L // 2024-01-20 00:00:00 UTC, mid-stream
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        col("value").cast("decimal(12,2)").as("v"))
+    def prof(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
+      .agg(min(col("sec")).as("f"), max(col("sec")).as("l"),
+        count(lit(1)).as("n"), sum(col("v")).as("tot"))
+    val target = prof(ev.filter(col("sec") < cutSec)).select(
+      col("user_id").as("t_user"), col("f").as("t_f"), col("l").as("t_l"),
+      col("n").as("t_n"), col("tot").as("t_tot"))
+    val batch = prof(ev.filter(col("sec") >= cutSec)).select(
+      col("user_id").as("b_user"), col("f").as("b_f"), col("l").as("b_l"),
+      col("n").as("b_n"), col("tot").as("b_tot"))
+    target.join(batch, col("t_user") === col("b_user"), "full_outer")
+      .select(
+        coalesce(col("t_user"), col("b_user")).as("user_id"),
+        coalesce(col("t_f"), col("b_f")).as("first_seen"),
+        coalesce(col("b_l"), col("t_l")).as("last_seen"),
+        (coalesce(col("t_n"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
+          .as("n_events"),
+        round((coalesce(col("t_tot"), lit(0)) +
+          coalesce(col("b_tot"), lit(0))).cast("double"), 2).as("total"),
+        when(col("t_user").isNull, "insert")
+          .when(col("b_user").isNull, "carryover")
+          .otherwise("update").as("action"))
+  }
+
   /** Snapshot diff / period-over-period reconciliation: full-outer join of
     * per-customer revenue between two order-year snapshots, classifying
     * every customer as new / churned / retained and totalling both sides —
@@ -566,6 +612,29 @@ object Analytics {
         |    ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS cume_dist
         |FROM orders
         |QUALIFY o_orderkey < 500""".stripMargin),
+    Q("q105_merge_upsert", mergeUpsert _,
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, min(sec) AS f, max(sec) AS l, count(*) AS n,
+        |    sum(v) AS tot
+        |  FROM ev WHERE sec < 1705708800 GROUP BY 1),
+        |b AS (
+        |  SELECT user_id, min(sec) AS f, max(sec) AS l, count(*) AS n,
+        |    sum(v) AS tot
+        |  FROM ev WHERE sec >= 1705708800 GROUP BY 1)
+        |SELECT coalesce(t.user_id, b.user_id) AS user_id,
+        |  coalesce(t.f, b.f) AS first_seen,
+        |  coalesce(b.l, t.l) AS last_seen,
+        |  CAST(coalesce(t.n, 0) + coalesce(b.n, 0) AS BIGINT) AS n_events,
+        |  round(CAST(coalesce(t.tot, 0) + coalesce(b.tot, 0) AS DOUBLE), 2)
+        |    AS total,
+        |  CASE WHEN t.user_id IS NULL THEN 'insert'
+        |       WHEN b.user_id IS NULL THEN 'carryover'
+        |       ELSE 'update' END AS action
+        |FROM t FULL OUTER JOIN b ON t.user_id = b.user_id""".stripMargin),
     Q("q72_latest_snapshot", latestSnapshot _,
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type, value,

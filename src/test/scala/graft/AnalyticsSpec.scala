@@ -115,6 +115,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("merge upsert: incremental maintenance equals full rebuild") {
+    val merged = Analytics.mergeUpsert(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("first_seen"), r.getAs[Long]("last_seen"),
+         r.getAs[Long]("n_events"), r.getAs[Double]("total"))).toMap
+    val full = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .groupBy(col("user_id"))
+      .agg(min(col("sec")).as("f"), max(col("sec")).as("l"),
+        count(lit(1)).as("n"),
+        round(sum(col("v")).cast("double"), 2).as("tot"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("f"), r.getAs[Long]("l"),
+         r.getAs[Long]("n"), r.getAs[Double]("tot"))).toMap
+    assert(merged === full)
+  }
+
+  test("merge upsert: actions partition the keyspace") {
+    val acts = Analytics.mergeUpsert(spark, sf)
+      .groupBy(col("action")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(acts.keySet.subsetOf(Set("insert", "carryover", "update")))
+    assert(acts.getOrElse("update", 0L) > 0L) // mid-stream cut → overlaps
+  }
+
   test("profile table: row counts consistent, key column unique") {
     val rows = Analytics.profileTable(spark, sf).collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap
