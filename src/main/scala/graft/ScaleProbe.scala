@@ -81,6 +81,8 @@ object ScaleProbe {
       time(s"top_ngrams_$tag")(operators.TextAnalysis.topNgrams(spark, dir).count())
       time(s"split_$tag")(operators.Sampling.trainTestSplit(spark, dir).count())
       time(s"emb_dedup_$tag")(operators.Dedup.embeddingCosine(spark, dir).count())
+      time(s"bloom_decon_$tag")(
+        operators.TextAnalysis.bloomDecontaminate(spark, dir).count())
     }
     spark.stop()
   }

@@ -81,25 +81,28 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-  /** (doc_id, shingle) exploded relation. Built from posexplode + window
-    * lead() instead of an interpreted array transform: split/posexplode/
-    * concat_ws are whole-stage-codegen'd and no per-doc array is ever
-    * materialized — ~2.5x faster than explode(transform(...)) and the rows
-    * stream straight into downstream partial aggregation. distinct()
-    * mirrors the per-document shingle-SET semantics. */
-  private[operators] def shingleExploded(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+  /** (doc_id, shingle) exploded relation — NARROW up to the distinct():
+    * split once per doc, explode an offset sequence, pick the three words
+    * with codegen'd `element_at`. The r1/r2 window-`lead` formulation was
+    * locally faster than an interpreted `transform(...)` lambda, but it
+    * SHUFFLED every token (partitionBy doc_id) before the shingle even
+    * existed — at 100 TB that's a full-corpus exchange on top of the one
+    * the distinct() already needs. This form is scan-local until the
+    * distinct, all whole-stage-codegen'd (explode/sequence/element_at are
+    * not lambda HOFs); measured local-parity with the window form (the
+    * shuffle it removes is cheap at sf0.1 — it is NOT cheap at 100 TB).
+    * distinct() mirrors the per-document shingle-SET semantics. */
+  private[operators] def shingleExploded(docs: DataFrame): DataFrame =
     docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 2)).as("i"))
       .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"), col("w"),
-        lead(col("w"), 1).over(w).as("w1"),
-        lead(col("w"), 2).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+        concat_ws(" ", element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2)).as("s"))
       .distinct()
-  }
 
   /** Restrict a documents frame to those appearing in candidate pairs —
     * shingling for verification then runs on candidates only (semi-join

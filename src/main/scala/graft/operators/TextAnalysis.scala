@@ -195,15 +195,18 @@ object TextAnalysis {
     * one join — the LM "training" and "scoring" are the same distributed
     * pass shape at any corpus size. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // Narrow bigram formation (explode an offset sequence + element_at,
+    // same discipline as Dedup.shingleExploded): no token shuffle before
+    // the count aggregations — scan-local until the partial aggs.
     val bg = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
       .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
-      .withColumn("w1", lead(col("w0"), 1).over(byPos))
-      .filter(col("w1").isNotNull)
-      .select(col("doc_id"), col("lang"), col("w0"),
-        concat_ws(" ", col("w0"), col("w1")).as("bg"))
+        element_at(col("ws"), col("i")).as("w0"),
+        concat_ws(" ", element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1)).as("bg"))
     val bgc = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
     val w1c = bg.groupBy(col("w0")).agg(count(lit(1)).as("c_w1"))
     bg.join(bgc, Seq("bg")).join(w1c, Seq("w0"))
