@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.functions.{KMinValuesAgg, TextOps}
 import graft.sources.Tables
 
 /** Approximate and order-statistic aggregates.
@@ -41,8 +42,60 @@ object ApproxAgg {
         round(element_at(col("ps"), 3), 4).as("p75"),
         col("n"))
 
+  /** K-Minimum-Values distinct sketch per return flag — the
+    * approximate-distinct whose estimate IS oracle-checkable: the k
+    * smallest distinct portable hashes are order- and merge-independent,
+    * so both engines compute the identical sketch and the identical
+    * (k−1)·2^32/h_k estimate (unlike HLL in q46, whose register layout is
+    * engine-private). The `exact_distinct` column is the accuracy
+    * reference — at 100 TB you would drop it; the sketch column is the
+    * one whose exchange carries k longs per group instead of the
+    * distinct-key set. Groups with fewer than k distinct values report
+    * the buffer size, which is exact. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_partkey"),
+        TextOps.portableHash(col("l_partkey").cast("string")).as("h"))
+      .groupBy(col("flag"))
+      .agg(KMinValuesAgg.kMinValues(col("h"), k).as("kmv"),
+        countDistinct(col("l_partkey")).as("exact_distinct"))
+      .select(col("flag"),
+        size(col("kmv")).cast("long").as("n_buf"),
+        round(when(size(col("kmv")) < k,
+            size(col("kmv")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            element_at(col("kmv"), k).cast("double")), 4)
+          .as("est_distinct"),
+        col("exact_distinct"))
+  }
+
   val catalog: Seq[Q] = Seq(
     Q.noOracle("q46_approx_agg", approxAgg _),
+    Q("q106_kmv_distinct", kmvDistinct _,
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, h,
+        |    row_number() OVER (PARTITION BY flag ORDER BY h) AS rk
+        |  FROM h),
+        |cnt AS (SELECT flag, count(*) AS nh FROM h GROUP BY 1),
+        |k64 AS (SELECT flag, h AS h64 FROM r WHERE rk = 64),
+        |e AS (
+        |  SELECT l_returnflag AS flag,
+        |    count(DISTINCT l_partkey) AS exact_distinct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT cnt.flag AS flag,
+        |  CAST(least(nh, 64) AS BIGINT) AS n_buf,
+        |  round(CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+        |    ELSE 63.0 * 4294967296.0 / CAST(h64 AS DOUBLE) END, 4)
+        |    AS est_distinct,
+        |  exact_distinct
+        |FROM cnt LEFT JOIN k64 ON cnt.flag = k64.flag
+        |  JOIN e ON cnt.flag = e.flag""".stripMargin),
     Q("q47_percentiles", percentiles _,
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
