@@ -89,5 +89,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot_fd"),
       (exprs: Seq[Expression]) =>
         graft.functions.DotFloatDouble(exprs.head, exprs(1))))
+    // z-order / bloom / kmv for SQL users (sketch params must be literals,
+    // like every SQL aggregate's shape parameters)
+    def litInt(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(s"$what must be an " +
+        s"integer literal, got ${e.sql}")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[graft.functions.InterleaveBits16].getName,
+        "graft_zorder"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.InterleaveBits16(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName,
+        "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => graft.functions.BloomMightContain(
+        exprs.head, exprs(1), litInt(exprs(2), "numHashes"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[graft.functions.BloomAgg].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => graft.functions.BloomAgg(exprs.head,
+        litInt(exprs(1), "numBits"), litInt(exprs(2), "numHashes"))
+        .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmin"),
+      new ExpressionInfo(classOf[graft.functions.KMinValuesAgg].getName,
+        "graft_kmin"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KMinValuesAgg(exprs.head, litInt(exprs(1), "k"))
+          .toAggregateExpression()))
   }
 }

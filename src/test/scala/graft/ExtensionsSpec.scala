@@ -45,6 +45,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(0) > 0))
   }
 
+  test("graft_zorder / graft_bloom_agg / graft_bloom_contains / graft_kmin " +
+      "work from SQL") {
+    val s2 = spark.newSession()
+    val reg = s2.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_zorder",
+      exprs => graft.functions.InterleaveBits16(exprs(0), exprs(1)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => graft.functions.BloomAgg(exprs(0), 1 << 16, 5)
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      exprs => graft.functions.BloomMightContain(exprs(0), exprs(1), 5),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kmin",
+      exprs => graft.functions.KMinValuesAgg(exprs(0), 4)
+        .toAggregateExpression(), "scala_udf")
+    assert(s2.sql("SELECT graft_zorder(3L, 5L) AS z").collect()(0)
+      .getLong(0) === graft.functions.ZOrderOps.interleave16(3L, 5L))
+    val r = s2.sql(
+      """WITH v(x) AS (VALUES (10L), (20L), (30L), (7L), (7L))
+        |SELECT graft_kmin(x, 4) AS km,
+        |  graft_bloom_contains(graft_bloom_agg(x, 65536, 5), 20L, 5) AS inb,
+        |  graft_bloom_contains(graft_bloom_agg(x, 65536, 5), 999L, 5) AS outb
+        |FROM v""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) === Seq(7L, 10L, 20L, 30L))
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+  }
+
   test("graft_dot_fd scores a float vector against a double centroid in SQL") {
     val s2 = spark.newSession()
     // drive the injectFunction path directly via a session registration
