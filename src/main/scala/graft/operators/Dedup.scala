@@ -443,6 +443,29 @@ object Dedup {
     connectedComponents(
       ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
 
+  /** Canonical-document selection: after cluster resolution, a dedup
+    * pipeline keeps exactly ONE representative per near-dup cluster — by
+    * convention the longest document (most chars), ties to the lowest id.
+    * The "which duplicate survives" policy step between clustering and
+    * corpus publish.
+    *
+    * Scale shape: the window partitions by cluster id over CLUSTER MEMBERS
+    * only (≪ corpus — only docs that appear in a verified pair), per-key
+    * state, no global sort; the n_chars lookup is a hash join keyed on
+    * doc_id. */
+  def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupClusters(spark, dir)
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labels.join(docs, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("keeper"),
+        max(when(col("rk") === 1, col("n_chars"))).as("keeper_chars"))
+  }
+
   /** Shared candidate-generation SQL: four independent min-shingle-hash
     * buckets over the `docs` CTE (which must expose doc_id, sh). */
   private val minBucketCandSql =
@@ -537,8 +560,12 @@ object Dedup {
       |  FROM pairs JOIN q x ON x.vec_id = v1 JOIN q y ON y.vec_id = v2)
       |SELECT v1, v2, cos FROM scored WHERE cos >= 0.5""".stripMargin
 
-  private val dupClustersSql =
-    s"""WITH RECURSIVE docs AS (
+  /** Shared CC oracle CTE chain: shingled docs → min-bucket candidates →
+    * verified pairs → symmetric edges → recursive reachability. Ends at
+    * `reach`; consumers add their own final SELECT (q53 labels, q108
+    * canonical selection). */
+  private val ccCtesSql =
+    s"""docs AS (
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                   for i in range(1, len(w) - 1)]) AS sh,
@@ -566,8 +593,25 @@ object Dedup {
       |  SELECT s AS v, s AS r FROM sym
       |  UNION
       |  SELECT sym.d AS v, reach.r AS r
-      |  FROM sym JOIN reach ON sym.s = reach.v)
+      |  FROM sym JOIN reach ON sym.s = reach.v)""".stripMargin
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE $ccCtesSql
       |SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1""".stripMargin
+
+  private val canonicalSelectionSql =
+    s"""WITH RECURSIVE $ccCtesSql,
+      |labels AS (SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+      |ranked AS (
+      |  SELECT l.comp, l.doc_id, d.n_chars,
+      |    row_number() OVER (PARTITION BY l.comp
+      |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+      |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+      |SELECT comp, count(*) AS n_members,
+      |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keeper,
+      |  CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+      |    AS keeper_chars
+      |FROM ranked GROUP BY 1""".stripMargin
 
   /** Shared minhash CTE chain: docs (shingles + hash sets) -> per-shingle
     * hashes -> 64-perm signatures -> 16x4 band keys. */
@@ -613,6 +657,7 @@ object Dedup {
 
   val catalog: Seq[Q] = Seq(
     Q("q53_dup_clusters", dupClusters _, dupClustersSql),
+    Q("q108_canonical_selection", canonicalSelection _, canonicalSelectionSql),
     Q("q93_incremental_dedup", incrementalDedup _,
       s"""WITH $minhashCtesSql,
         |cand AS (

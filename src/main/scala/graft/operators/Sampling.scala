@@ -131,7 +131,74 @@ object Sampling {
         min(rate).as("rate_pct"))
   }
 
+  /** Temperature-weighted mixing (α = 0.5): per-source sampling weights
+    * ∝ n^α flatten the source distribution — the standard LLM-corpus
+    * rebalancing (rare sources over-sampled relative to their share,
+    * dominant sources down-sampled). Quota_s = min(n_s, ceil(T·w_s/Σw)),
+    * then a DETERMINISTIC hash-ranked selection fills each quota — no
+    * rand(), so re-runs and incremental corpus versions keep selections
+    * stable (same discipline as [[hashSample]]).
+    *
+    * Cross-engine determinism notes: α is exactly 0.5 because `sqrt` is
+    * correctly rounded IEEE (a general `pow(n, α)` is not portable);
+    * weights are rounded to a 6-decimal DECIMAL before summing so Σw is
+    * an EXACT order-independent sum (the q73 discipline).
+    *
+    * Scale shape: weights/quotas are one tiny aggregate (rows = #sources,
+    * broadcast back); selection is a per-source window rank — per-key
+    * state, no global sort. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val quotas = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs")), 6).cast("decimal(18,6)"))
+      .crossJoin(broadcast(
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .select(round(sqrt(col("n")), 6).cast("decimal(18,6)").as("w1"))
+          .agg(sum(col("w1")).as("w_total"))))
+      .select(col("source"), col("n_docs"),
+        least(col("n_docs"),
+          ceil(lit(200.0) * col("w").cast("double") /
+            col("w_total").cast("double")).cast("long")).as("quota"))
+    val rk = Window.partitionBy(col("source")).orderBy(
+      TextOps.portableHash(
+        concat(lit("tmix:"), col("doc_id").cast("string"))).asc,
+      col("doc_id").asc)
+    docs.withColumn("rk", row_number().over(rk))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(min(col("n_docs")).as("n_docs"), min(col("quota")).as("quota"),
+        count(lit(1)).as("n_selected"),
+        round(avg(col("n_chars")), 4).as("avg_chars_sel"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q107_temperature_mix", temperatureMix _,
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(round(sqrt(count(*)), 6) AS DECIMAL(18,6)) AS w
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(w) AS w_total FROM c),
+        |q AS (
+        |  SELECT source, n_docs,
+        |    least(n_docs, CAST(ceil(200.0 * CAST(w AS DOUBLE) /
+        |      CAST(w_total AS DOUBLE)) AS BIGINT)) AS quota
+        |  FROM c CROSS JOIN t),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        ::BIGINT ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT q.source AS source,
+        |  CAST(q.n_docs AS BIGINT) AS n_docs,
+        |  q.quota AS quota,
+        |  count(*) AS n_selected,
+        |  round(avg(r.n_chars), 4) AS avg_chars_sel
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.rk <= q.quota
+        |GROUP BY 1, 2, 3""".stripMargin),
     Q("q97_data_mix", dataMix _,
       """SELECT source, count(*) AS n_total,
         |  CAST(sum(CASE WHEN

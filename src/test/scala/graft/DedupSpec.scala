@@ -182,4 +182,25 @@ class DedupSpec extends SparkSpec {
       expr("aggregate(byte_hist, 0L, (a, x) -> a + x)") =!= col("n_bytes"))
     assert(bad.count() === 0)
   }
+
+  test("canonical selection keeps the longest member of each cluster") {
+    val labels = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byComp = labels.groupBy(_._2)
+    val sel = operators.Dedup.canonicalSelection(spark, sf).collect()
+      .map(r => r.getAs[Long]("comp") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("keeper"),
+         r.getAs[Long]("keeper_chars"))).toMap
+    assert(sel.keySet === byComp.keySet)
+    sel.foreach { case (comp, (n, keeper, kchars)) =>
+      val members = byComp(comp).map(_._1)
+      assert(n === members.length.toLong)
+      assert(members.contains(keeper))
+      val best = members.map(d => (chars(d), -d)).max
+      assert((kchars, -keeper) === best, s"comp=$comp")
+    }
+  }
 }

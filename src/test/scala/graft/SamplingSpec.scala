@@ -170,6 +170,20 @@ class SamplingSpec extends SparkSpec {
     assert(a.toSet === b.toSet) // re-run never moves a document
   }
 
+  test("temperature mix: quotas filled exactly, distribution flattened") {
+    val rows = graft.operators.Sampling.temperatureMix(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_selected") === r.getAs[Long]("quota"))
+      assert(r.getAs[Long]("quota") <= r.getAs[Long]("n_docs"))
+    }
+    // α = 0.5 flattening: selected shares must be more uniform than raw
+    // shares (ratio of max/min share shrinks) — unless already uniform.
+    val raw = rows.map(_.getAs[Long]("n_docs").toDouble)
+    val sel = rows.map(_.getAs[Long]("n_selected").toDouble)
+    if (raw.max / raw.min > 1.05)
+      assert(sel.max / sel.min <= raw.max / raw.min)
+  }
+
   test("sequence packing: seqs bounded by budget + one straddling doc") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val maxDocToks = docs
