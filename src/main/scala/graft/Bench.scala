@@ -35,13 +35,21 @@ object Bench {
     val ckptHeavy = Set("q34_dedup_ngram_jaccard", "q35_dedup_minhash",
       "q36_dedup_simhash", "q37_dedup_embedding", "q53_dup_clusters",
       "q54_corpus_pipeline", "q93_incremental_dedup")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (ckptHeavy(name)) System.gc() // outside the timing
-      name -> dt
+    // Two timed passes, min per query: a single pass is exposed to
+    // one-off GC/JIT/checkpoint-cleaner pauses (a 3.5 s query was
+    // measured once at 12.6 s purely from a pause landing inside it);
+    // min-of-2 reports reproducible steady-state cost.
+    def pass(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ckptHeavy(name)) System.gc() // outside the timing
+        name -> dt
     }
+    val p1 = pass()
+    val p2 = pass()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     // The stdout line must survive a bounded tail-capture of the sbt log:
     // r02's line with 100 full query names was ~2.9 kB and the capture
     // began mid-line ("parsed": null). Short keys (q73 not
