@@ -98,6 +98,83 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"),
            min(col("source")).as("first_source"))
 
+  /** Corpus-level span deduplication (the C4 / RefinedWeb line-dedup
+    * primitive, adapted to span granularity): split every document into
+    * non-overlapping 10-token spans, keep only the globally-first
+    * occurrence of each distinct span (ordered by doc_id, then span
+    * index), and rebuild documents from their surviving spans. At 100 TB
+    * this is the exact-substring dedup pass that runs before fuzzy
+    * (MinHash) dedup: one shuffle keyed on the span text to elect
+    * keepers, one shuffle keyed on doc_id to reassemble — both
+    * hash-partitioned, no global sort, no driver state. Span formation
+    * is scan-local (explode an index sequence + array slice, same shape
+    * as [[chunkDocuments]]).
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val span = 10
+    val w = split(col("text"), " ")
+    val spans = t(spark, dir, "documents")
+      .select(col("doc_id"), w.as("w"),
+        explode(sequence(lit(0),
+          ceil(size(w) / lit(span.toDouble)).cast("int") - 1)).as("idx"))
+      .select(col("doc_id"), col("idx").cast("int").as("idx"),
+        array_join(slice(col("w"), col("idx") * span + 1, lit(span)), " ")
+          .as("span"))
+    // Keeper election: first (doc_id, idx) occurrence per distinct span.
+    // Positions are encoded into one long so min() elects the keeper in a
+    // single partial-aggregatable pass (doc-local span counts < 100000).
+    val keepers = spans
+      .groupBy(col("span"))
+      .agg(min(col("doc_id") * 100000 + col("idx")).as("keep_pos"))
+    val kept = spans
+      .join(keepers, "span")
+      .where(col("doc_id") * 100000 + col("idx") === col("keep_pos"))
+    val nSpans = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / lit(span.toDouble))
+          .cast("int").as("n_spans"))
+    nSpans
+      .join(
+        kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("int").as("kept_spans"),
+               md5(array_join(transform(
+                 array_sort(collect_list(struct(col("idx"), col("span")))),
+                 s => s.getField("span")), " ")).as("rebuilt_hash")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("kept_spans"), lit(0)).as("kept_spans"),
+        coalesce(col("rebuilt_hash"), md5(lit(""))).as("rebuilt_hash"))
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models", table A1 subset): word-count bounds, mean word
+    * length bounds, and a minimum stopword-hit count. Emits the
+    * per-source rejection profile — the monitoring view a filtering
+    * pipeline tracks per ingestion batch. All rules are scan-local row
+    * expressions; the per-source rollup is the only shuffle.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    t(spark, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        size(tk).as("n_words"), stopHits(tk, "en").as("stop_hits"))
+      .withColumn("f_wc",
+        when(col("n_words") < 40 || col("n_words") > 100000, 1)
+          .otherwise(0))
+      .withColumn("mwl",
+        (col("n_chars") - (col("n_words") - 1)) / col("n_words"))
+      .withColumn("f_mwl",
+        when(col("mwl") < 3 || col("mwl") > 10, 1).otherwise(0))
+      .withColumn("f_stop", when(col("stop_hits") < 2, 1).otherwise(0))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("f_wc")).as("fail_word_count"),
+           sum(col("f_mwl")).as("fail_mean_word_len"),
+           sum(col("f_stop")).as("fail_stopwords"),
+           sum(when(col("f_wc") + col("f_mwl") + col("f_stop") === 0, 1)
+             .otherwise(0)).as("n_pass"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every positional 5-word
     * shingle, slide a window of w=3 hashes, record each window's minimum.
@@ -865,6 +942,56 @@ object TextAnalysis {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keeper, count(*) AS n,
         |  min(source) AS first_source
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin),
+    Q("q109_span_dedup", spanDedup _,
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sp AS (
+        |  SELECT doc_id, CAST(idx AS INT) AS idx,
+        |    array_to_string(
+        |      list_slice(ws, idx * 10 + 1, idx * 10 + 10), ' ') AS span
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(range(0, CAST(ceil(len(ws) / 10.0) AS INT)))
+        |            AS idx
+        |        FROM d)),
+        |keeper AS (
+        |  SELECT span, min(doc_id * 100000 + idx) AS keep_pos
+        |  FROM sp GROUP BY 1),
+        |kept AS (
+        |  SELECT sp.doc_id, sp.idx, sp.span
+        |  FROM sp JOIN keeper ON sp.span = keeper.span
+        |  WHERE sp.doc_id * 100000 + sp.idx = keeper.keep_pos)
+        |SELECT d.doc_id,
+        |  CAST(ceil(len(d.ws) / 10.0) AS INT) AS n_spans,
+        |  CAST(count(kept.idx) AS INT) AS kept_spans,
+        |  md5(coalesce(
+        |    string_agg(kept.span, ' ' ORDER BY kept.idx), ''))
+        |    AS rebuilt_hash
+        |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |GROUP BY 1, 2""".stripMargin),
+    Q("q110_gopher_rules", gopherRules _,
+      """WITH d AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '),
+        |      tk -> list_contains(['the', 'and', 'of', 'to', 'a', 'in',
+        |        'is', 'for', 'on'], tk))) AS stop_hits,
+        |    n_chars
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    CASE WHEN n_words < 40 OR n_words > 100000
+        |      THEN 1 ELSE 0 END AS f_wc,
+        |    CASE WHEN (n_chars - (n_words - 1)) / n_words < 3
+        |           OR (n_chars - (n_words - 1)) / n_words > 10
+        |      THEN 1 ELSE 0 END AS f_mwl,
+        |    CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS f_stop
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(f_wc) AS BIGINT) AS fail_word_count,
+        |  CAST(sum(f_mwl) AS BIGINT) AS fail_mean_word_len,
+        |  CAST(sum(f_stop) AS BIGINT) AS fail_stopwords,
+        |  CAST(sum(CASE WHEN f_wc + f_mwl + f_stop = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pass
+        |FROM f GROUP BY 1""".stripMargin)
   )
 }

@@ -203,4 +203,53 @@ class DedupSpec extends SparkSpec {
       assert((kchars, -keeper) === best, s"comp=$comp")
     }
   }
+
+  test("span dedup: keeps exactly one occurrence per distinct span") {
+    val out = TextAnalysis.spanDedup(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_spans"), r.getAs[Int]("kept_spans"),
+        r.getAs[String]("rebuilt_hash")))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.length === docs.size)
+    // Global invariant: total kept spans == count of distinct spans.
+    val allSpans = docs.toSeq.flatMap { case (_, text) =>
+      text.split(" ").grouped(10).map(_.mkString(" ")).toSeq
+    }
+    assert(out.map(_._3.toLong).sum === allSpans.distinct.length.toLong)
+    out.foreach { case (id, n, kept, hash) =>
+      val spans = docs(id).split(" ").grouped(10).map(_.mkString(" ")).toSeq
+      assert(n === spans.length, s"doc=$id")
+      assert(kept >= 0 && kept <= n, s"doc=$id")
+      // A doc keeping all its spans rebuilds to its original text.
+      if (kept == n) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(docs(id).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(hash === md, s"doc=$id")
+      }
+    }
+    // Duplicate docs exist in the corpus, so at least one span is dropped.
+    assert(out.exists(r => r._3 < r._2))
+  }
+
+  test("gopher rules: per-source counts are consistent and bounded") {
+    val rows = TextAnalysis.gopherRules(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      Seq("fail_word_count", "fail_mean_word_len", "fail_stopwords",
+        "n_pass").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= n, s"$c out of range")
+      }
+      // A doc passes iff it trips zero rules (pass + any-fail >= n_docs
+      // is not an identity since fails overlap, but pass <= n - max fail).
+      val maxFail = Seq("fail_word_count", "fail_mean_word_len",
+        "fail_stopwords").map(r.getAs[Long](_)).max
+      assert(r.getAs[Long]("n_pass") <= n - maxFail)
+    }
+  }
 }
