@@ -151,4 +151,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"z computation should be scan-local:\n$plan")
   }
+
+  test("q109: span dedup is hash-partitioned end to end — no nested " +
+      "loop, no global sort, scans pruned to (doc_id, text)") {
+    val plan = planOf(graft.operators.TextAnalysis.spanDedup(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"span dedup degraded to an all-pairs join:\n$plan")
+    assert(!plan.contains("Sort [s"), // no global (unpartitioned) sort
+      s"global sort crept in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"document scan not pruned to the two used columns:\n$plan")
+  }
+
+  test("q110: gopher rules are scan-local with a single agg exchange") {
+    val plan = planOf(graft.operators.TextAnalysis.gopherRules(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly the per-source rollup exchange, got $exchanges:" +
+        s"\n$plan")
+    assert(plan.contains("HashAggregate"), s"got:\n$plan")
+  }
 }
