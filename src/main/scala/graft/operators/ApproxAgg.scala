@@ -70,8 +70,66 @@ object ApproxAgg {
         col("exact_distinct"))
   }
 
+  /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005) over
+    * corpus tokens: d=4 portable-hash rows × w=64 counters, estimate =
+    * min over rows, reported beside the exact count for the top-20 tokens.
+    * The sketch is built as ONE hash-partitioned aggregation over
+    * (row, bucket) — 256 cells total regardless of corpus size — which is
+    * the point at 100 TB: counter build is a partial-agg'd shuffle of 256
+    * keys, never a per-token state. The md5-derived
+    * [[graft.functions.TextOps.portableHash]] makes every cell value and
+    * hence the ESTIMATE itself replicable in DuckDB, so unlike HLL (q46)
+    * the full sketch pipeline is oracle-checked, like KMV (q106).
+    * CMS guarantee (est >= true, overestimate only) is asserted in spec.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 64
+    def buckets(tok: org.apache.spark.sql.Column) = array(
+      (0 until d).map(i =>
+        TextOps.portableHash(concat(lit(s"cms$i:"), tok)) % w): _*)
+    val toks = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val counters = toks
+      .select(posexplode(buckets(col("tok"))).as(Seq("seed", "bucket")))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val truth = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("true_cnt"))
+    truth
+      .select(col("tok"), col("true_cnt"),
+        posexplode(buckets(col("tok"))).as(Seq("seed", "bucket")))
+      .join(counters, Seq("seed", "bucket"))
+      .groupBy(col("tok"), col("true_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .orderBy(col("true_cnt").desc, col("tok").asc)
+      .limit(20)
+  }
+
   val catalog: Seq[Q] = Seq(
     Q.noOracle("q46_approx_agg", approxAgg _),
+    Q("q112_cms_heavy_hitters", cmsHeavyHitters _,
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+        |seeded AS (
+        |  SELECT seed,
+        |    ('0x' || substr(md5('cms' || CAST(seed AS VARCHAR) || ':'
+        |      || tok), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM toks CROSS JOIN seeds),
+        |counters AS (
+        |  SELECT seed, bucket, count(*) AS cnt
+        |  FROM seeded GROUP BY 1, 2),
+        |truth AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY 1),
+        |tb AS (
+        |  SELECT tok, true_cnt, seed,
+        |    ('0x' || substr(md5('cms' || CAST(seed AS VARCHAR) || ':'
+        |      || tok), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM truth CROSS JOIN seeds)
+        |SELECT tok, true_cnt, min(cnt) AS cms_est
+        |FROM tb JOIN counters USING (seed, bucket)
+        |GROUP BY 1, 2
+        |ORDER BY true_cnt DESC, tok ASC LIMIT 20""".stripMargin),
     Q("q106_kmv_distinct", kmvDistinct _,
       """WITH h AS (
         |  SELECT DISTINCT l_returnflag AS flag,

@@ -169,6 +169,25 @@ object StreamQueries {
           .as[EventStreams.Ev2]).toDF()
     }
 
+  /** Stream-STATIC join through the engine: the unbounded events feed
+    * enriched with the bounded customer dimension — the canonical
+    * "enrich a stream with a slowly-changing lookup table" deployment.
+    * The static side is broadcast (no state store involved: stream-static
+    * joins keep NO join state, each micro-batch probes the static
+    * relation), then rolled up per (market segment, event type). At scale
+    * the same plan holds — the dimension broadcasts once per batch and
+    * the only stateful operator is the final aggregation. */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(
+      graft.sources.Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+    runToTable(spark, dir) { ev =>
+      ev.join(dim, ev("user_id") === dim("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    }
+  }
+
   /** Sliding 2-hour/1-hour windows, executed as a stream; output epochs
     * so the oracle's unnest-based window expansion aligns exactly
     * (same shape as the batch twin q32). */
@@ -223,6 +242,11 @@ object StreamQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
         .stripMargin),
+    Q("q111_stream_static_join", streamStaticEnrich _,
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |  count(*) AS n, round(sum(e.value), 2) AS total
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin),
     Q("q82_stream_sliding", streamSliding _,
       """SELECT CAST(epoch(ws) AS BIGINT) AS w_start, count(*) AS n,
         |  round(sum(value), 2) AS total

@@ -239,4 +239,29 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("tumb_real").count() === batch.count())
     } finally q.stop()
   }
+
+  test("stream-static join equals the batch join (no join state kept)") {
+    val out = operators.StreamQueries.streamStaticEnrich(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).sorted
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = ev.join(dim, ev("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).sorted
+    assert(out === batch)
+  }
+
+  test("cms heavy hitters: estimate only ever overestimates") {
+    val rows = operators.ApproxAgg.cmsHeavyHitters(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (t, e) = (r.getAs[Long]("true_cnt"), r.getAs[Long]("cms_est"))
+      assert(e >= t, s"CMS underestimated ${r.getAs[String]("tok")}")
+    }
+  }
 }
