@@ -39,17 +39,26 @@ object Bench {
     // one-off GC/JIT/checkpoint-cleaner pauses (a 3.5 s query was
     // measured once at 12.6 s purely from a pause landing inside it);
     // min-of-2 reports reproducible steady-state cost.
+    // A failed query records the sentinel -1.0, never its failure latency
+    // (a fast exception would otherwise win the min and report as a
+    // legitimate timing with no error signal in the JSON).
     def pass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         if (ckptHeavy(name)) System.gc() // outside the timing
-        name -> dt
+        name -> (if (ok) dt else -1.0)
     }
     val p1 = pass()
     val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // min over SUCCESSFUL passes only; -1.0 survives iff both failed.
+    val results = p1.map { case (k, v) =>
+      val good = Seq(v, p2(k)).filter(_ >= 0)
+      k -> (if (good.isEmpty) -1.0 else good.min)
+    }
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     // The stdout line must survive a bounded tail-capture of the sbt log:
     // r02's line with 100 full query names was ~2.9 kB and the capture
     // began mid-line ("parsed": null). Short keys (q73 not
@@ -60,14 +69,21 @@ object Bench {
     def jsonLine(kv: Iterable[(String, Double)]): String = {
       val qs = kv.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val total = results.values.filter(_ >= 0).sum
+      val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), jsonLine(results) + "\n")
     catch { case _: Throwable => }
-    println(jsonLine(results.map { case (k, v) =>
-      k.takeWhile(_ != '_') -> v }))
+    val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    require(short.size == results.size,
+      s"short bench keys collide: ${results.keys.toSeq.sorted}")
+    // stop Spark FIRST so its shutdown logging cannot land after the
+    // metric line — the driver parses the last stdout lines; fork's
+    // StdoutOutput (build.sbt) keeps the line free of "[info] " prefixes.
     spark.stop()
+    println(jsonLine(short))
+    System.out.flush()
   }
 }

@@ -461,10 +461,15 @@ object Analytics {
         // DECIMAL(29,4) forces the int128 kernel there and is a no-op here.
         sum((dp * dp).cast("decimal(29,4)") * dp).as("sppp"))
       .select(col("flag"), col("n"),
-        round(sqrt(s2q / (n - 1)), 4).as("sd_qty"),
-        round(spq / sqrt(s2q * s2p), 4).as("corr_qty_price"),
-        round(sdt / (n - 1), 6).as("cov_disc_tax"),
-        round((s3p / n) / (v2p * sqrt(v2p)), 4).as("skew_price"))
+        // `+ 0.0` normalizes IEEE signed zero: a tiny negative moment
+        // rounds to -0.0 in DuckDB (IEEE round) but +0.0 in Spark (Java
+        // BigDecimal has no signed zero) — numerically equal, hash-
+        // different (the r03 red row: flag 'N' cov_disc_tax ≈ −2.45e−07).
+        // IEEE guarantees −0.0 + 0.0 = +0.0; nonzero values are unchanged.
+        (round(sqrt(s2q / (n - 1)), 4) + lit(0.0)).as("sd_qty"),
+        (round(spq / sqrt(s2q * s2p), 4) + lit(0.0)).as("corr_qty_price"),
+        (round(sdt / (n - 1), 6) + lit(0.0)).as("cov_disc_tax"),
+        (round((s3p / n) / (v2p * sqrt(v2p)), 4) + lit(0.0)).as("skew_price"))
   }
 
   /** Column-generic long-form profile (one row per profiled column): the
@@ -509,7 +514,9 @@ object Analytics {
         (col("n_new") - col("n_old")).as("row_delta"),
         col("ndv_old"), col("ndv_new"),
         col("avg_old"), col("avg_new"),
-        round(col("avg_new") - col("avg_old"), 4).as("avg_drift"))
+        // + 0.0 canonicalizes signed zero (see statsProfile): a drift in
+        // (−5e−5, 0) rounds to DuckDB −0.0 vs Spark +0.0 otherwise.
+        (round(col("avg_new") - col("avg_old"), 4) + lit(0.0)).as("avg_drift"))
   }
 
   /** Ordered funnel analysis (view → click → purchase, strictly later
@@ -720,10 +727,10 @@ object Analytics {
         |    (sppd - nd * mp * mp) / nd AS v2p
         |  FROM e)
         |SELECT flag, n,
-        |  round(sqrt(s2q / (nd - 1)), 4) AS sd_qty,
-        |  round(spq / sqrt(s2q * s2p), 4) AS corr_qty_price,
-        |  round(sdt2 / (nd - 1), 6) AS cov_disc_tax,
-        |  round((s3p / nd) / (v2p * sqrt(v2p)), 4) AS skew_price
+        |  round(sqrt(s2q / (nd - 1)), 4) + 0.0 AS sd_qty,
+        |  round(spq / sqrt(s2q * s2p), 4) + 0.0 AS corr_qty_price,
+        |  round(sdt2 / (nd - 1), 6) + 0.0 AS cov_disc_tax,
+        |  round((s3p / nd) / (v2p * sqrt(v2p)), 4) + 0.0 AS skew_price
         |FROM c""".stripMargin),
     Q("q74_profile_table", profileTable _,
       """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
@@ -779,7 +786,7 @@ object Analytics {
         |SELECT col_name, n_old, n_new,
         |  CAST(n_new - n_old AS BIGINT) AS row_delta,
         |  ndv_old, ndv_new, avg_old, avg_new,
-        |  round(avg_new - avg_old, 4) AS avg_drift
+        |  round(avg_new - avg_old, 4) + 0.0 AS avg_drift
         |FROM p97 JOIN p98 USING (col_name)""".stripMargin),
     Q("q63_asof_join", asofJoin _,
       """WITH marked AS (

@@ -2,33 +2,118 @@
 """Local stand-in for the driver's correctness gate (NOT shipped library code).
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+       python3 tools/check.py --selftest
 
 Reads each <outDir>/<name>/ parquet (Spark result) and runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB over <sfDir>/*.parquet,
-then compares: row count, sorted-column names, and a hash of the
-column-name-sorted, row-sorted values (mirrors the driver contract).
+then compares: row count, sorted-column names, and a HASH of the
+column-name-sorted, row-sorted canonical value encoding.
+
+The encoding is EXACT — floats are rendered with repr(), which preserves
+the sign of zero ('-0.0' vs '0.0') and every last ulp. This mirrors the
+driver's hash comparison; the r1–r3 version of this gate compared with
+assert_frame_equal(atol=1e-9), under which -0.0 == +0.0, and that exact
+gap let q73's signed-zero divergence pass locally for three rounds while
+failing the driver's hash. --selftest seeds that fixture and asserts this
+gate now catches it.
 """
-import sys, os, json, glob
-import duckdb
-import pandas as pd
+import sys, os, json, glob, hashlib
+from decimal import Decimal
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+
+def canon_cell(v) -> str:
+    """Canonical exact string for one value. repr() on floats preserves
+    the zero sign and round-trips every bit; Decimals are normalized
+    through float64 so a decimal-vs-double dtype split between engines
+    (same numeric value) still compares equal."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(df) -> tuple:
+    """(sorted column names, sorted rows of canonical strings, sha256)."""
+    import pandas as pd
+    import numpy as np
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for comparison
-    for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(9)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    cols = list(df.columns)
+    enc_cols = []
+    for c in cols:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            enc_cols.append([canon_cell(float(x)) if not pd.isna(x)
+                             else ("NaN" if isinstance(x, float) and x != x
+                                   else "\x00NULL")
+                             for x in s.to_numpy()])
+        elif pd.api.types.is_integer_dtype(s):
+            enc_cols.append([str(int(x)) for x in s.to_numpy()])
+        elif pd.api.types.is_bool_dtype(s):
+            enc_cols.append([str(bool(x)) for x in s.to_numpy()])
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            ss = s.astype("datetime64[us]")
+            enc_cols.append(["\x00NULL" if pd.isna(x)
+                             else x.isoformat() for x in ss])
+        else:
+            enc_cols.append([canon_cell(x) if not (x is None or
+                             (isinstance(x, float) and x != x)) else
+                             ("NaN" if isinstance(x, float) and x != x
+                              else "\x00NULL")
+                             for x in s.to_numpy()])
+    rows = sorted(zip(*enc_cols)) if enc_cols and len(df) else []
+    h = hashlib.sha256()
+    for r in rows:
+        for cell in r:
+            h.update(cell.encode("utf-8"))
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return cols, rows, h.hexdigest()
+
+
+def first_diff(rows_a, rows_b):
+    for i, (ra, rb) in enumerate(zip(rows_a, rows_b)):
+        if ra != rb:
+            return i, ra, rb
+    return len(min(rows_a, rows_b, key=len)), None, None
+
+
+def selftest():
+    import pandas as pd
+    a = pd.DataFrame({"k": ["x", "y"], "v": [1.25, 0.0]})
+    b = pd.DataFrame({"k": ["x", "y"], "v": [1.25, -0.0]})
+    _, _, ha = canon(a)
+    _, _, hb = canon(b)
+    assert ha != hb, "gate MISSED a -0.0 vs +0.0 divergence"
+    c = pd.DataFrame({"v": [0.0 + 0.0], "k": ["y"]})  # normalized, cols shuffled
+    d = pd.DataFrame({"k": ["y"], "v": [-0.0 + 0.0]})
+    _, _, hc = canon(c)
+    _, _, hd = canon(d)
+    assert hc == hd, "+0.0 normalization must hash equal across col order"
+    e = pd.DataFrame({"v": pd.array([Decimal("1.50")], dtype=object)})
+    f = pd.DataFrame({"v": [1.5]})
+    assert canon(e)[2] == canon(f)[2], "decimal 1.50 must equal double 1.5"
+    print("selftest OK: -0.0 detected, +0.0 normalization stable, "
+          "decimal/double unified")
+
 
 def main():
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+        return
+    import duckdb
+    import pandas as pd
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -41,7 +126,8 @@ def main():
     n_pass = n_fail = n_noora = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        spark_df = pd.concat([pd.read_parquet(f) for f in files],
+                             ignore_index=True)
         if name not in oracle:
             print(f"  {name}: NO-ORACLE rows={len(spark_df)}")
             n_noora += 1
@@ -52,25 +138,25 @@ def main():
             print(f"✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
-        a, b = canon(spark_df), canon(duck_df)
-        if list(a.columns) != list(b.columns):
-            print(f"✗ {name}: COLUMN MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
+        cols_a, rows_a, hash_a = canon(spark_df)
+        cols_b, rows_b, hash_b = canon(duck_df)
+        if cols_a != cols_b:
+            print(f"✗ {name}: COLUMN MISMATCH spark={cols_a} duck={cols_b}")
             n_fail += 1
-            continue
-        if len(a) != len(b):
-            print(f"✗ {name}: ROWCOUNT spark={len(a)} duck={len(b)}")
+        elif len(rows_a) != len(rows_b):
+            print(f"✗ {name}: ROWCOUNT spark={len(rows_a)} duck={len(rows_b)}")
             n_fail += 1
-            continue
-        try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False,
-                                          check_exact=False, rtol=1e-9, atol=1e-9)
-            print(f"✓ {name}: rows={len(a)}")
+        elif hash_a != hash_b:
+            i, ra, rb = first_diff(rows_a, rows_b)
+            print(f"✗ {name}: HASH MISMATCH at sorted row {i}:\n"
+                  f"    spark={ra}\n    duck ={rb}\n    cols ={cols_a}")
+            n_fail += 1
+        else:
+            print(f"✓ {name}: rows={len(rows_a)} hash={hash_a[:12]}")
             n_pass += 1
-        except AssertionError as e:
-            print(f"✗ {name}: VALUE MISMATCH: {str(e)[:400]}")
-            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} no-oracle")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
