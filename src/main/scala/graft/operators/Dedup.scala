@@ -63,23 +63,25 @@ object Dedup {
         round(max(col("jaccard")), 6).as("best_jaccard"))
   }
 
-  /** Candidate-pair expansion from a (key, doc_id) relation: one pass,
-    * groupBy key + collect + in-group pair enumeration. Replaces the
-    * self-equi-join (which would re-execute the upstream sketch pipeline
-    * for each side). Pairs are least/greatest-normalized so the
-    * nondeterministic collect order cannot leak into results. Group sizes
-    * are near-dup cluster sizes — bounded in practice; a pathological hot
-    * key would need a cap, which belongs to the caller's semantics. */
-  private def pairsWithin(keyed: DataFrame, key: String): DataFrame =
-    keyed.groupBy(col(key)).agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
-        .as("ps"))
-      .select(explode(col("ps")).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+  /** Candidate-pair expansion from a (key, doc_id) relation as a SELF-
+    * EQUI-JOIN on the checkpointed keyed frame (upstream sketch pipeline
+    * still runs exactly once). The r1–r3 form was groupBy(key) +
+    * collect_list + in-group enumeration: one shuffle, but a hot key
+    * (degenerate band, boilerplate span — unavoidable in crawl data at
+    * 100 TB) builds an UNBOUNDED array in a single aggregation buffer and
+    * then C(n,2) structs inside one row. SimHash hit exactly this (260-doc
+    * chunk buckets) and switched to this expansion in r3; the equi-join
+    * streams the identical pair set through whole-stage codegen with O(1)
+    * row state — a hot key costs rows, never memory. doc_a < doc_b
+    * normalizes pair order (same as the old least/greatest). */
+  private[graft] def pairsWithin(keyed: DataFrame, key: String): DataFrame = {
+    val k = keyed.select(col(key), col("doc_id")).localCheckpoint(true)
+    k.select(col(key), col("doc_id").as("doc_a"))
+      .join(k.select(col(key), col("doc_id").as("doc_b")), Seq(key))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
 
   /** (doc_id, shingle) exploded relation — NARROW up to the distinct():
     * split once per doc, explode an offset sequence, pick the three words

@@ -110,26 +110,38 @@ object TextAnalysis {
     * is scan-local (explode an index sequence + array slice, same shape
     * as [[chunkDocuments]]).
     */
-  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOn(t(spark, dir, "documents"))
+
+  /** [[spanDedup]] over an arbitrary (doc_id, text) frame — spec entry
+    * point (the >100k-span-document election case needs a synthetic doc). */
+  private[graft] def spanDedupOn(documents: DataFrame): DataFrame = {
     val span = 10
     val w = split(col("text"), " ")
-    val spans = t(spark, dir, "documents")
+    val spans = documents
       .select(col("doc_id"), w.as("w"),
         explode(sequence(lit(0),
           ceil(size(w) / lit(span.toDouble)).cast("int") - 1)).as("idx"))
       .select(col("doc_id"), col("idx").cast("int").as("idx"),
         array_join(slice(col("w"), col("idx") * span + 1, lit(span)), " ")
           .as("span"))
-    // Keeper election: first (doc_id, idx) occurrence per distinct span.
-    // Positions are encoded into one long so min() elects the keeper in a
-    // single partial-aggregatable pass (doc-local span counts < 100000).
+      // 60-bit portable hash as the election shuffle key: ~10x fewer
+      // shuffle bytes than the 10-token span string at production span
+      // lengths, and engine-portable (md5-derived), so the one-in-2^60
+      // collision would be byte-identical in the oracle too.
+      .withColumn("sh", TextOps.portableHash60(col("span")))
+    // Keeper election: lexicographic min over struct(doc_id, idx) — a
+    // mergeable partial aggregate with NO encoding bound. The r3 form
+    // min(doc_id * 100000 + idx) silently mis-elected keepers once a
+    // document exceeded 100k spans (a 1M-token doc — plausible in crawl
+    // data); the struct min is exact at any span count.
     val keepers = spans
-      .groupBy(col("span"))
-      .agg(min(col("doc_id") * 100000 + col("idx")).as("keep_pos"))
+      .groupBy(col("sh"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep_pos"))
     val kept = spans
-      .join(keepers, "span")
-      .where(col("doc_id") * 100000 + col("idx") === col("keep_pos"))
-    val nSpans = t(spark, dir, "documents")
+      .join(keepers, "sh")
+      .where(struct(col("doc_id"), col("idx")) === col("keep_pos"))
+    val nSpans = documents
       .select(col("doc_id"),
         ceil(size(split(col("text"), " ")) / lit(span.toDouble))
           .cast("int").as("n_spans"))
@@ -954,13 +966,18 @@ object TextAnalysis {
         |          unnest(range(0, CAST(ceil(len(ws) / 10.0) AS INT)))
         |            AS idx
         |        FROM d)),
+        |sph AS (
+        |  SELECT doc_id, idx, span,
+        |    ('0x' || substr(md5(span), 1, 15))::BIGINT AS sh
+        |  FROM sp),
         |keeper AS (
-        |  SELECT span, min(doc_id * 100000 + idx) AS keep_pos
-        |  FROM sp GROUP BY 1),
+        |  SELECT sh, min(struct_pack(d := doc_id, i := idx)) AS keep_pos
+        |  FROM sph GROUP BY 1),
         |kept AS (
-        |  SELECT sp.doc_id, sp.idx, sp.span
-        |  FROM sp JOIN keeper ON sp.span = keeper.span
-        |  WHERE sp.doc_id * 100000 + sp.idx = keeper.keep_pos)
+        |  SELECT sph.doc_id, sph.idx, sph.span
+        |  FROM sph JOIN keeper ON sph.sh = keeper.sh
+        |  WHERE struct_pack(d := sph.doc_id, i := sph.idx)
+        |          = keeper.keep_pos)
         |SELECT d.doc_id,
         |  CAST(ceil(len(d.ws) / 10.0) AS INT) AS n_spans,
         |  CAST(count(kept.idx) AS INT) AS kept_spans,

@@ -214,12 +214,13 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     assert(out.length === docs.size)
     // Global invariant: total kept spans == count of distinct spans.
+    // split(" ", -1) keeps trailing empty tokens, matching Spark's split()
     val allSpans = docs.toSeq.flatMap { case (_, text) =>
-      text.split(" ").grouped(10).map(_.mkString(" ")).toSeq
+      text.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
     }
     assert(out.map(_._3.toLong).sum === allSpans.distinct.length.toLong)
     out.foreach { case (id, n, kept, hash) =>
-      val spans = docs(id).split(" ").grouped(10).map(_.mkString(" ")).toSeq
+      val spans = docs(id).split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
       assert(n === spans.length, s"doc=$id")
       assert(kept >= 0 && kept <= n, s"doc=$id")
       // A doc keeping all its spans rebuilds to its original text.
@@ -232,6 +233,46 @@ class DedupSpec extends SparkSpec {
     }
     // Duplicate docs exist in the corpus, so at least one span is dropped.
     assert(out.exists(r => r._3 < r._2))
+  }
+
+  test("span dedup: keeper election is exact past 100k spans per doc") {
+    import spark.implicits._
+    // Shared span S sits at idx 100001 in doc 1 and idx 0 in doc 2. The
+    // r3 arithmetic encoding min(doc_id*100000+idx) scored doc 2 lower
+    // (200000 < 200001) and mis-elected it; the lexicographic
+    // struct(doc_id, idx) min keeps doc 1's occurrence.
+    val s = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val doc1 = (0 until 100001 * 10).map(i => s"a$i").mkString(" ") + " " + s
+    val doc2 = s + " " + (0 until 10).map(i => s"b$i").mkString(" ")
+    val out = TextAnalysis.spanDedupOn(
+        Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_spans"), r.getAs[Int]("kept_spans")))).toMap
+    assert(out(1L) === ((100002, 100002))) // doc 1 keeps ALL spans incl. S
+    assert(out(2L) === ((2, 1)))           // doc 2 drops its copy of S
+  }
+
+  test("pairsWithin: one pathological 10k-id bucket streams, no giant buffer") {
+    import spark.implicits._
+    // One degenerate key shared by 10,000 docs (the empty-ish-document /
+    // boilerplate-band scenario at 100 TB) plus a normal 3-doc bucket.
+    // The r1-r3 collect_list expansion would materialize C(10000,2) ≈ 5e7
+    // structs inside ONE aggregation row here; the self-equi-join streams
+    // them with O(1) row state — this passes in seconds within the test
+    // JVM's modest heap precisely because no buffer holds the bucket.
+    val keyed = ((1L to 10000L).map(("hot", _)) ++ Seq(("cold", 1L),
+      ("cold", 20001L), ("cold", 20002L))).toDF("bucket", "doc_id")
+    val pairs = Dedup.pairsWithin(keyed, "bucket")
+    // Plan must be the equi-join expansion, not a collect_list aggregation.
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), plan.take(600))
+    assert(plan.contains("Join"), plan.take(600))
+    val n = pairs.count()
+    // C(10000,2) + C(3,2), minus the one pair present in both buckets'
+    // expansions... cold = {1, 20001, 20002}: (1,20001),(1,20002),
+    // (20001,20002) are all outside the hot range, so no overlap.
+    assert(n === 10000L * 9999L / 2 + 3L)
   }
 
   test("gopher rules: per-source counts are consistent and bounded") {
