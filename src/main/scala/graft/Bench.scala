@@ -66,24 +66,28 @@ object Bench {
     // full-name map goes to bench_out.json as the durable copy.
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def jsonLine(kv: Iterable[(String, Double)]): String = {
+    // One naming scheme per line: the stdout line uses short keys in BOTH
+    // `queries` and `failed` (so a consumer can cross-reference them);
+    // bench_out.json carries full names in both.
+    def jsonLine(kv: Iterable[(String, Double)], fl: Seq[String]): String = {
       val qs = kv.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
-      val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+      val fj = fl.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), jsonLine(results) + "\n")
+      java.nio.file.Paths.get("bench_out.json"), jsonLine(results, failed) + "\n")
     catch { case _: Throwable => }
-    val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val short = results.map { case (k, v) => shortKey(k) -> v }
     require(short.size == results.size,
       s"short bench keys collide: ${results.keys.toSeq.sorted}")
     // stop Spark FIRST so its shutdown logging cannot land after the
     // metric line — the driver parses the last stdout lines; fork's
     // StdoutOutput (build.sbt) keeps the line free of "[info] " prefixes.
     spark.stop()
-    println(jsonLine(short))
+    println(jsonLine(short, failed.map(shortKey)))
     System.out.flush()
   }
 }

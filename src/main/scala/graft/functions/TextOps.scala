@@ -50,6 +50,16 @@ object TextOps {
   def portableHash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Second independent 60-bit portable hash: hex digits 17–31 of the
+    * SAME md5 (disjoint from [[portableHash60]]'s 1–15). Pairing the two
+    * gives a 120-bit key from one md5 evaluation — for keys that must be
+    * collision-free in practice (span dedup election), where a single
+    * 60-bit key's birthday bound at the 100 TB design point (~1e12
+    * distinct spans → n²/2^61 ≈ 1e5 expected collisions) is not
+    * acceptable but 120 bits (n²/2^121 ≈ 4e-13) is. */
+  def portableHash60b(s: Column): Column =
+    conv(substring(md5(s), 17, 15), 16, 10).cast("long")
+
   val minhashPrime = 4294967311L // smallest prime > 2^32
 
   /** The i-th MinHash permutation h_i(x) = ((2i+1)·x + i·K) mod p applied

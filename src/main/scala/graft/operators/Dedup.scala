@@ -75,7 +75,11 @@ object Dedup {
     * row state — a hot key costs rows, never memory. doc_a < doc_b
     * normalizes pair order (same as the old least/greatest). */
   private[graft] def pairsWithin(keyed: DataFrame, key: String): DataFrame = {
-    val k = keyed.select(col(key), col("doc_id")).localCheckpoint(true)
+    // lazy checkpoint: materialization happens inside the first action's
+    // lifecycle (an eager one runs a job at plan-BUILD time, even if the
+    // caller never executes the result, and pins executor storage from
+    // construction until ContextCleaner GC).
+    val k = keyed.select(col(key), col("doc_id")).localCheckpoint(false)
     k.select(col(key), col("doc_id").as("doc_a"))
       .join(k.select(col(key), col("doc_id").as("doc_b")), Seq(key))
       .filter(col("doc_a") < col("doc_b"))

@@ -71,43 +71,58 @@ object Similarity {
     * nearest centroid, fine search only within that cell. The scale shape
     * of FAISS-IVF: centroid table is tiny (broadcast), assignment is one
     * narrow pass, fine search touches ~N/cells candidates per query.
-    * Engine-specific float centroid arithmetic → no oracle; `DedupSpec`
-    * bounds recall against [[annBruteForce]]. */
+    *
+    * Fully oracle-checked (was rows-only through r4): centroids are the
+    * means of INTEGER-QUANTIZED vectors (`floor(1000·x + 0.5)` longs), so
+    * per-dimension sums are exact and the centroid doubles bit-identical
+    * in any engine — the same grid trick as q37's
+    * [[graft.operators.Dedup.embeddingCells]]. Probe scores divide
+    * bit-identical doubles, ties break on lowest cell; the fine-search
+    * cosine is the q38-proven widened-float form. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = t(spark, dir, "embeddings")
-    // cell index: label -> centroid (typed aggregation, partial-agg merge)
-    val centroids = e.select(col("label"), col("embedding"))
-      .as[(Int, Array[Float])]
+      .withColumn("qv", transform(col("embedding"), x =>
+        floor(lit(1000.0) * x.cast("double") + lit(0.5)).cast("long")))
+    // cell index: label -> exact-grid centroid (typed aggregation,
+    // partial-agg merge: one (dim+1)-long buffer per cell on the shuffle)
+    val centroids = e.select(col("label"), col("qv"))
+      .as[(Int, Array[Long])]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(CentroidAggregator.toColumn)
-      .toDF("cell", "centroid")
-      .withColumn("centroid",
-        transform(col("centroid"), x => x.cast("float")))
-    // probe: assign each query to its nearest centroid (centroid table is
-    // tiny -> broadcast; assignment is a narrow pass per query)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cell").asc)
+      .toDF("cell", "c")
+    // probe: assign each query to its nearest centroid. Broadcast join on
+    // a column-derived constant key (see embeddingCells: a literal key
+    // would constant-fold into a nested-loop cross join); the argmax is
+    // max_by over (score, -cell) — MERGEABLE, so the k scored rows per
+    // query collapse map-side.
     val assigned = e.filter(col("vec_id") < 50)
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim",
-        VectorOps.cosine(col("embedding"), col("centroid")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("cell"))
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("nrm"))
+      .withColumn("jk", col("vec_id") * 0)
+      .join(broadcast(centroids
+        .withColumn("cnorm", VectorOps.l2NormDouble(col("c")))
+        .withColumn("jk", col("cell").cast("long") * 0)), Seq("jk"))
+      .withColumn("score",
+        VectorOps.dotFloatDouble(col("embedding"), col("c")) /
+          (col("nrm") * col("cnorm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"),
+        struct(col("score"), (-col("cell")).as("nc"))).as("cell"),
+        first(col("embedding")).as("qe"), first(col("nrm")).as("qn"))
+      .select(col("vec_id").as("q_id"), col("qe"), col("qn"), col("cell"))
     // fine search within the probed cell only
-    val cands = e.select(col("vec_id").as("cand_id"), col("embedding"),
-      VectorOps.l2Norm(col("embedding")).as("nrm"),
+    val cands = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"),
+      VectorOps.l2Norm(col("embedding")).as("cn"),
       col("label").as("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     assigned.join(cands, Seq("cell"))
       .filter(col("q_id") =!= col("cand_id"))
       .withColumn("cos", round(VectorOps.cosinePrenormed(
-        VectorOps.dot(col("qe"), col("embedding")),
-        VectorOps.l2Norm(col("qe")), col("nrm")), 6))
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
@@ -145,7 +160,45 @@ object Similarity {
        |      / ($a.nrm * $b.nrm)""".stripMargin
 
   val catalog: Seq[Q] = Seq(
-    Q.noOracle("q48_ann_ivf", annIvf _),
+    Q("q48_ann_ivf", annIvf _,
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         |    [CAST(floor(1000.0 * CAST(x AS DOUBLE) + 0.5) AS BIGINT)
+         |     for x in embedding] AS qv
+         |  FROM embeddings),
+         |sums AS (
+         |  SELECT label AS cell, u.pos AS pos, sum(u.qx) AS s,
+         |    count(*) AS cnt
+         |  FROM (SELECT label, unnest([{'pos': i, 'qx': qv[i]}
+         |        for i in range(1, 65)]) AS u FROM e)
+         |  GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
+         |  FROM sums GROUP BY 1),
+         |probe AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT e.vec_id, cn.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (list_aggregate([CAST(e.embedding[i] AS DOUBLE) * cn.c[i]
+         |          for i in range(1, 65)], 'sum')
+         |         / (e.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
+         |          for i in range(1, 65)], 'sum')))) DESC,
+         |        cn.cell ASC) AS rn
+         |    FROM e CROSS JOIN cents cn WHERE e.vec_id < 50) WHERE rn = 1),
+         |scored AS (
+         |  SELECT p.q_id, c.vec_id AS cand_id,
+         |    round(${cosExpr("q", "c")}, 6) AS cos
+         |  FROM probe p
+         |    JOIN e q ON q.vec_id = p.q_id
+         |    JOIN e c ON c.label = p.cell AND c.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, cand_id ASC) AS INT) AS rn
+         |  FROM scored)
+         |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin),
     Q("q89_embedding_quantize", embeddingQuantize _,
       """WITH v AS (
         |  SELECT label,

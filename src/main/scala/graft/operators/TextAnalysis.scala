@@ -125,21 +125,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("idx").cast("int").as("idx"),
         array_join(slice(col("w"), col("idx") * span + 1, lit(span)), " ")
           .as("span"))
-      // 60-bit portable hash as the election shuffle key: ~10x fewer
-      // shuffle bytes than the 10-token span string at production span
-      // lengths, and engine-portable (md5-derived), so the one-in-2^60
-      // collision would be byte-identical in the oracle too.
+      // 120-bit portable election key: two disjoint 60-bit halves of ONE
+      // md5 — still ~5-10x fewer shuffle bytes than the 10-token span
+      // string at production span lengths, and engine-portable. 120 bits
+      // matters: a single 60-bit key at the 100 TB design point (~1e12
+      // distinct spans) expects n²/2^61 ≈ 1e5 birthday collisions, each
+      // silently merging two distinct spans (and the oracle, using the
+      // same hash, could never surface it); at 120 bits the expectation
+      // is ~4e-13 — the operator is exact in practice.
       .withColumn("sh", TextOps.portableHash60(col("span")))
+      .withColumn("sh2", TextOps.portableHash60b(col("span")))
     // Keeper election: lexicographic min over struct(doc_id, idx) — a
     // mergeable partial aggregate with NO encoding bound. The r3 form
     // min(doc_id * 100000 + idx) silently mis-elected keepers once a
     // document exceeded 100k spans (a 1M-token doc — plausible in crawl
     // data); the struct min is exact at any span count.
     val keepers = spans
-      .groupBy(col("sh"))
+      .groupBy(col("sh"), col("sh2"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("keep_pos"))
     val kept = spans
-      .join(keepers, "sh")
+      .join(keepers, Seq("sh", "sh2"))
       .where(struct(col("doc_id"), col("idx")) === col("keep_pos"))
     val nSpans = documents
       .select(col("doc_id"),
@@ -968,14 +973,17 @@ object TextAnalysis {
         |        FROM d)),
         |sph AS (
         |  SELECT doc_id, idx, span,
-        |    ('0x' || substr(md5(span), 1, 15))::BIGINT AS sh
+        |    ('0x' || substr(md5(span), 1, 15))::BIGINT AS sh,
+        |    ('0x' || substr(md5(span), 17, 15))::BIGINT AS sh2
         |  FROM sp),
         |keeper AS (
-        |  SELECT sh, min(struct_pack(d := doc_id, i := idx)) AS keep_pos
-        |  FROM sph GROUP BY 1),
+        |  SELECT sh, sh2,
+        |    min(struct_pack(d := doc_id, i := idx)) AS keep_pos
+        |  FROM sph GROUP BY 1, 2),
         |kept AS (
         |  SELECT sph.doc_id, sph.idx, sph.span
-        |  FROM sph JOIN keeper ON sph.sh = keeper.sh
+        |  FROM sph JOIN keeper
+        |    ON sph.sh = keeper.sh AND sph.sh2 = keeper.sh2
         |  WHERE struct_pack(d := sph.doc_id, i := sph.idx)
         |          = keeper.keep_pos)
         |SELECT d.doc_id,

@@ -54,14 +54,21 @@ def canon(df) -> tuple:
     for c in cols:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
+            # Widen to float64 FIRST so a float32-vs-float64 dtype split
+            # between engines (same stored value) encodes identically.
+            s64 = s.astype("float64")
             enc_cols.append([canon_cell(float(x)) if not pd.isna(x)
                              else ("NaN" if isinstance(x, float) and x != x
                                    else "\x00NULL")
-                             for x in s.to_numpy()])
+                             for x in s64.to_numpy()])
         elif pd.api.types.is_integer_dtype(s):
-            enc_cols.append([str(int(x)) for x in s.to_numpy()])
+            # Nullable Int64 carries pd.NA, on which int() raises — the
+            # gate must report a mismatch, not crash.
+            enc_cols.append(["\x00NULL" if pd.isna(x) else str(int(x))
+                             for x in s.to_numpy()])
         elif pd.api.types.is_bool_dtype(s):
-            enc_cols.append([str(bool(x)) for x in s.to_numpy()])
+            enc_cols.append(["\x00NULL" if pd.isna(x) else str(bool(x))
+                             for x in s.to_numpy()])
         elif pd.api.types.is_datetime64_any_dtype(s):
             ss = s.astype("datetime64[us]")
             enc_cols.append(["\x00NULL" if pd.isna(x)
@@ -104,8 +111,16 @@ def selftest():
     e = pd.DataFrame({"v": pd.array([Decimal("1.50")], dtype=object)})
     f = pd.DataFrame({"v": [1.5]})
     assert canon(e)[2] == canon(f)[2], "decimal 1.50 must equal double 1.5"
+    import numpy as np
+    g = pd.DataFrame({"v": pd.array([1, None], dtype="Int64")})
+    _, rows_g, _ = canon(g)  # must not raise on pd.NA
+    assert rows_g[0] == ("\x00NULL",), "nullable-int NA must encode as NULL"
+    i32 = pd.DataFrame({"v": np.array([1.5, 0.25], dtype=np.float32)})
+    i64 = pd.DataFrame({"v": np.array([1.5, 0.25], dtype=np.float64)})
+    assert canon(i32)[2] == canon(i64)[2], \
+        "float32 vs float64 dtype split on equal values must hash equal"
     print("selftest OK: -0.0 detected, +0.0 normalization stable, "
-          "decimal/double unified")
+          "decimal/double unified, nullable-int NA safe, f32/f64 unified")
 
 
 def main():
