@@ -84,6 +84,106 @@ object ScaleProbe {
       time(s"bloom_decon_$tag")(
         operators.TextAnalysis.bloomDecontaminate(spark, dir).count())
     }
+
+    streamingProbe(spark, base)
     spark.stop()
+  }
+
+  /** Streaming rate/backpressure probe: the same watermarked tumbling
+    * aggregation over a 1x and a 10x events feed, staged as time-ordered
+    * chunk files replayed one file per micro-batch (maxFilesPerTrigger=1),
+    * APPEND mode — so the watermark genuinely advances between batches and
+    * evicts closed windows from the state store. The 10x feed extends the
+    * TIME axis (replica i shifts ts by i*span), the worst case for naive
+    * state: 10x the windows ever seen. Evidence for the watermark-bounded-
+    * state claim = peak state-store rows stay flat at 1x vs 10x (bounded by
+    * watermark horizon / window size × event types, NOT by input size)
+    * while rows/s stays in the same band. */
+  private def streamingProbe(spark: SparkSession, base: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+    val keySpan = 100000000L
+    val evBase = Tables.load(spark, base, "events")
+    val bounds = evBase.agg(min(col("ts")), max(col("ts"))).head()
+    val spanSec = java.time.Duration.between(
+      bounds.getTimestamp(0).toInstant,
+      bounds.getTimestamp(1).toInstant).getSeconds + 60
+    val minTs = bounds.getTimestamp(0).toInstant.getEpochSecond
+
+    // Stage `reps` time-shifted replicas as `chunks` time-contiguous files
+    // (same per-file volume at both scales → comparable micro-batches).
+    def stage(tag: String, reps: Int, chunks: Int): String = {
+      val dir = Paths.get(s"target/stream_$tag")
+      rmTree(dir); Files.createDirectories(dir)
+      val ev = (0 until reps).map { i =>
+        evBase.withColumn("event_id", col("event_id") + lit(i * keySpan))
+          .withColumn("ts",
+            col("ts") + expr(s"INTERVAL ${i * spanSec} SECONDS"))
+      }.reduce(_ unionByName _)
+      val chunkLen = math.max(1L, spanSec.toDouble.toLong * reps / chunks)
+      val chunked = ev.withColumn("chunk",
+        least(lit(chunks - 1),
+          floor((unix_timestamp(col("ts")) - lit(minTs)) / chunkLen)))
+      (0 until chunks).foreach { i =>
+        val tmp = Paths.get(s"target/stream_${tag}_tmp")
+        rmTree(tmp)
+        chunked.filter(col("chunk") === i).drop("chunk")
+          .coalesce(1).write.parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = dir.resolve(f"chunk-$i%03d.parquet")
+        Files.move(part, dst)
+        // file-source batch order follows modification time
+        dst.toFile.setLastModified(1700000000000L + i * 1000L)
+        rmTree(tmp)
+      }
+      dir.toString
+    }
+
+    // Replay the staged feed through the watermarked tumbling agg; report
+    // (input rows, processing secs, peak state rows, final state rows).
+    def run(tag: String, stageDir: String): (Long, Double, Long, Long) = {
+      val ckpt = Files.createTempDirectory("graft_probe_ckpt")
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val ev = spark.readStream.schema(evBase.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir)
+        val q = streaming.EventStreams.tumblingCounts(ev).writeStream
+          .format("memory").queryName(s"probe_$tag")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val progs = q.recentProgress.toSeq
+        val inRows = progs.map(_.numInputRows).sum
+        val secs = progs.map(p =>
+          Option(p.durationMs.get("triggerExecution"))
+            .fold(0L)(_.longValue())).sum / 1000.0
+        val states = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+        (inRows, secs, states.maxOption.getOrElse(0L),
+          states.lastOption.getOrElse(0L))
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        rmTree(ckpt)
+      }
+    }
+
+    println("--- streaming probe (watermarked tumbling agg, append) ---")
+    Seq(("stream1x", 1, 8), ("stream10x", 10, 80)).foreach {
+      case (tag, reps, chunks) =>
+        val dir = stage(tag, reps, chunks)
+        val (rows, secs, peak, fin) = run(tag, dir)
+        println(f"$tag%-12s rows=$rows%9d  proc=$secs%7.2fs  " +
+          f"rate=${rows / math.max(secs, 0.001)}%9.0f rows/s  " +
+          f"state_peak=$peak%7d  state_final=$fin%7d")
+    }
   }
 }

@@ -14,14 +14,22 @@ object TextOps {
   def words(text: Column): Column = split(text, " ")
 
   /** Distinct 3-word shingles (the standard near-dup unit for text).
-    * Guard: fewer than 3 words → empty set. */
+    * Guard: fewer than 3 words → empty set.
+    *
+    * Built from `zip_with` over three shifted slices so the lambda bodies
+    * reference ONLY their lambda variables: an outer `element_at(w, i)`
+    * inside a HOF lambda re-evaluates `w` (the whole split) per element —
+    * O(tokens²) per document. The slices are plain per-row expressions,
+    * evaluated once. */
   def shingles3(text: Column): Column = {
     val w = words(text)
+    val n = greatest(size(w) - 2, lit(0))
     when(size(w) >= 3,
-      array_distinct(transform(
-        sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ",
-          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
+      array_distinct(zip_with(
+        zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(w, lit(3), n),
+        (ab, c) => concat_ws(" ", ab, c))))
       .otherwise(array().cast("array<string>"))
   }
 

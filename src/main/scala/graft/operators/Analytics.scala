@@ -474,19 +474,25 @@ object Analytics {
 
   /** Column-generic long-form profile (one row per profiled column): the
     * schema-drift / data-quality summary an ingestion pipeline emits per
-    * batch. One aggregation pass per profiled column over the same scan
-    * (Spark collapses them via scan reuse). */
-  def profileOf(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.map { c =>
-      df.agg(count(lit(1)).as("n_rows"),
-            count(col(c)).as("n_nonnull"),
-            countDistinct(col(c)).as("ndv"),
-            round(min(col(c)).cast("double"), 4).as("min_v"),
-            round(max(col(c)).cast("double"), 4).as("max_v"),
-            round(avg(col(c)), 4).as("avg_v"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
-          col("ndv"), col("min_v"), col("max_v"), col("avg_v"))
-    }.reduce(_ unionByName _)
+    * batch. ONE aggregation pass for any column count — all per-column
+    * stats are sibling aggregates in a single `agg` (one table scan;
+    * Spark plans the multiple exact `countDistinct`s with a map-side
+    * Expand rather than re-scanning), then the wide one-row result is
+    * unpivoted to long form with `inline`, which is driver-free. */
+  def profileOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      round(min(col(c)).cast("double"), 4).as(s"min_$c"),
+      round(max(col(c)).cast("double"), 4).as(s"max_$c"),
+      round(avg(col(c)), 4).as(s"avg_$c")) }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    one.select(inline(array(cols.map { c => struct(
+      lit(c).as("col_name"), col("n_rows"),
+      col(s"nn_$c").as("n_nonnull"), col(s"ndv_$c").as("ndv"),
+      col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
+      col(s"avg_$c").as("avg_v")) }: _*)))
+  }
 
   /** Table profiling over the orders table (see [[profileOf]]). */
   def profileTable(spark: SparkSession, dir: String): DataFrame =
@@ -564,7 +570,125 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Equi-width histogram (20 bins) of order totals — the distribution-
+    * shape profile next to q74's scalar stats. Two passes: a one-row
+    * min/max agg broadcast back over the scan (the q50 scalar-subquery
+    * shape), then a narrow per-row bin assignment + one partial-agg'd
+    * count per bin. Bin edges are pure double arithmetic on the exact
+    * min/max (order-independent aggregates), so edges and assignment are
+    * bit-identical cross-engine; `+ 0.0` canonicalizes signed zero. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_totalprice").as("x"))
+    val stats = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    o.crossJoin(broadcast(stats))
+      .withColumn("w", (col("mx") - col("mn")) / lit(20.0))
+      .withColumn("bin",
+        least(lit(19L), floor((col("x") - col("mn")) / col("w"))).cast("int"))
+      .withColumn("lo", round(col("mn") + col("bin") * col("w"), 4) +
+        lit(0.0))
+      .withColumn("hi",
+        round(col("mn") + (col("bin") + lit(1)) * col("w"), 4) + lit(0.0))
+      .groupBy(col("bin"))
+      .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Time-series gap fill with last-observation-carried-forward: per-user
+    * hourly rollup, a generated hour spine between each user's first and
+    * last active hour (sequence + explode — distributed, no driver range),
+    * left join, then LOCF via last(ignoreNulls) over an ordered per-user
+    * window. The window is keyed on user_id, so state is one partition's
+    * users at a time; the spine is bounded by horizon/granularity, never
+    * by event volume. */
+  def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value")), 2).as("v"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("v").isNull)
+      .select(col("user_id"), col("hr"), col("v_filled"), col("is_gap"))
+  }
+
+  /** CDC changelog apply: treat the events feed as an ordered changelog
+    * (signup→INSERT, error→DELETE, anything else→UPDATE) and materialize
+    * the final per-key state — the upstream half of q105's MERGE, for
+    * feeds that arrive as op-tagged rows (Debezium/binlog shape). The
+    * last-writer-wins election is a single `max_by` over the total
+    * (ts, event_id) order — a MERGEABLE aggregate, so each key collapses
+    * map-side and there is no per-key window sort; keys whose final op is
+    * DELETE drop out. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("op",
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_changes"),
+        max_by(col("op"), struct(col("ts"), col("event_id"))).as("last_op"),
+        max_by(col("value"),
+          struct(col("ts"), col("event_id"))).as("lv"))
+      .filter(col("last_op") =!= "D")
+      .select(col("user_id"), col("last_op"),
+        (round(col("lv"), 2) + lit(0.0)).as("last_value"),
+        col("n_changes"))
+
   val catalog: Seq[Q] = Seq(
+    Q("q113_histogram", histogram _,
+      """WITH s AS (
+        |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(least(19, floor((o_totalprice - mn) / ((mx - mn) / 20.0)))
+        |      AS INT) AS bin,
+        |    mn, (mx - mn) / 20.0 AS w
+        |  FROM orders, s)
+        |SELECT bin,
+        |  min(round(mn + bin * w, 4) + 0.0) AS lo,
+        |  min(round(mn + (bin + 1) * w, 4) + 0.0) AS hi,
+        |  count(*) AS n
+        |FROM b GROUP BY 1""".stripMargin),
+    Q("q115_gapfill_locf", gapFillLocf _,
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    round(sum(value), 2) AS v
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(hr), max(hr),
+        |    INTERVAL 1 HOUR)) AS hr
+        |  FROM hourly GROUP BY user_id)
+        |SELECT s.user_id, s.hr,
+        |  last_value(h.v IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  h.v IS NULL AS is_gap
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.user_id = h.user_id AND s.hr = h.hr""".stripMargin),
+    Q("q116_cdc_apply", cdcApply _,
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D'
+        |         ELSE 'U' END AS op
+        |  FROM events),
+        |last AS (
+        |  SELECT user_id, op AS last_op, value FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |n AS (SELECT user_id, count(*) AS n_changes FROM c GROUP BY 1)
+        |SELECT l.user_id, l.last_op,
+        |  round(l.value, 2) + 0.0 AS last_value, n.n_changes
+        |FROM last l JOIN n USING (user_id)
+        |WHERE l.last_op <> 'D'""".stripMargin),
     Q("q100_cohort_retention", cohortRetention _,
       """WITH e AS (
         |  SELECT user_id, date_trunc('day', ts) AS d FROM events),

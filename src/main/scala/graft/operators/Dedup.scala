@@ -100,7 +100,9 @@ object Dedup {
     * distinct() mirrors the per-document shingle-SET semantics. */
   private[operators] def shingleExploded(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        graft.functions.Barrier.materialized(split(col("text"), " "))
+          .as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), size(col("ws")) - 2)).as("i"))

@@ -170,7 +170,35 @@ object JoinsSetOps {
            countDistinct(concat_ws("|", col("o_orderstatus"),
              col("o_orderpriority"))).as("n_combo"))
 
+  /** Blocked fuzzy join (record linkage): candidate pairs come from a
+    * BLOCKING-KEY equi-join (the last name token), then an exact
+    * edit-distance verify keeps pairs with levenshtein ≤ 3. The classic
+    * dedup/linkage shape at scale: never all-pairs — candidates are
+    * C(block size, 2) per block, shuffled on the block key like any
+    * equi-join; the expensive distance runs on candidates only. Names are
+    * de-duplicated first (the value domain, typically ≪ row count). */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = t(spark, dir, "part").select(col("p_name")).distinct()
+      .withColumn("block_key", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("block_key"))
+    val b = names.select(col("p_name").as("name_b"), col("block_key"))
+    a.join(b, Seq("block_key"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= 3)
+      .select(col("block_key"), col("name_a"), col("name_b"), col("lev"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q114_fuzzy_join", fuzzyJoin _,
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS block_key
+        |      FROM n)
+        |SELECT a.block_key, a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+        |FROM k a JOIN k b
+        |  ON a.block_key = b.block_key AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin),
     Q("q16_outer_join", outerJoin _,
       """SELECT c_nationkey AS nation_id,
         |  count(DISTINCT c_custkey) AS n_customers,

@@ -39,8 +39,12 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     q.join(c, col("q_id") =!= col("cand_id"))
+      // + 0.0 canonicalizes IEEE signed zero (see Analytics.statsProfile):
+      // a cosine in (-5e-7, 0) rounds to -0.0 in DuckDB but +0.0 via
+      // Spark's BigDecimal Round, and the hash gate is representation-exact.
       .withColumn("cos", round(VectorOps.cosinePrenormed(
-        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6))
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6) +
+        lit(0.0))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
@@ -59,8 +63,12 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id").asc)
     q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("cand_id"))
+      // + 0.0 canonicalizes IEEE signed zero (see Analytics.statsProfile):
+      // a cosine in (-5e-7, 0) rounds to -0.0 in DuckDB but +0.0 via
+      // Spark's BigDecimal Round, and the hash gate is representation-exact.
       .withColumn("cos", round(VectorOps.cosinePrenormed(
-        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6))
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6) +
+        lit(0.0))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
@@ -121,8 +129,12 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id").asc)
     assigned.join(cands, Seq("cell"))
       .filter(col("q_id") =!= col("cand_id"))
+      // + 0.0 canonicalizes IEEE signed zero (see Analytics.statsProfile):
+      // a cosine in (-5e-7, 0) rounds to -0.0 in DuckDB but +0.0 via
+      // Spark's BigDecimal Round, and the hash gate is representation-exact.
       .withColumn("cos", round(VectorOps.cosinePrenormed(
-        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6))
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6) +
+        lit(0.0))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
@@ -172,7 +184,7 @@ object Similarity {
          |  SELECT label AS cell, u.pos AS pos, sum(u.qx) AS s,
          |    count(*) AS cnt
          |  FROM (SELECT label, unnest([{'pos': i, 'qx': qv[i]}
-         |        for i in range(1, 65)]) AS u FROM e)
+         |        for i in range(1, len(qv) + 1)]) AS u FROM e)
          |  GROUP BY 1, 2),
          |cents AS (
          |  SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
@@ -182,14 +194,14 @@ object Similarity {
          |    SELECT e.vec_id, cn.cell,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        (list_aggregate([CAST(e.embedding[i] AS DOUBLE) * cn.c[i]
-         |          for i in range(1, 65)], 'sum')
+         |          for i in range(1, len(e.embedding) + 1)], 'sum')
          |         / (e.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
-         |          for i in range(1, 65)], 'sum')))) DESC,
+         |          for i in range(1, len(cn.c) + 1)], 'sum')))) DESC,
          |        cn.cell ASC) AS rn
          |    FROM e CROSS JOIN cents cn WHERE e.vec_id < 50) WHERE rn = 1),
          |scored AS (
          |  SELECT p.q_id, c.vec_id AS cand_id,
-         |    round(${cosExpr("q", "c")}, 6) AS cos
+         |    round(${cosExpr("q", "c")}, 6) + 0.0 AS cos
          |  FROM probe p
          |    JOIN e q ON q.vec_id = p.q_id
          |    JOIN e c ON c.label = p.cell AND c.vec_id <> p.q_id),
@@ -232,7 +244,7 @@ object Similarity {
          |  FROM embeddings),
          |scored AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-         |    round(${cosExpr("q", "c")}, 6) AS cos
+         |    round(${cosExpr("q", "c")}, 6) + 0.0 AS cos
          |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 50),
          |ranked AS (
@@ -257,7 +269,7 @@ object Similarity {
          |  FROM embeddings),
          |scored AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-         |    round(${cosExpr("q", "c")}, 6) AS cos
+         |    round(${cosExpr("q", "c")}, 6) + 0.0 AS cos
          |  FROM e q JOIN e c
          |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
          |ranked AS (

@@ -117,11 +117,18 @@ object TextAnalysis {
     * point (the >100k-span-document election case needs a synthetic doc). */
   private[graft] def spanDedupOn(documents: DataFrame): DataFrame = {
     val span = 10
-    val w = split(col("text"), " ")
+    // Materialize the token array BEFORE the explode: without the barrier
+    // the optimizer inlines split(text) into the per-span projection (and
+    // an inferred join-key filter), re-splitting the whole document for
+    // every span — O(tokens × spans) per doc (see functions.Materialize).
     val spans = documents
-      .select(col("doc_id"), w.as("w"),
+      .select(col("doc_id"),
+        graft.functions.Barrier.materialized(split(col("text"), " "))
+          .as("w"))
+      .select(col("doc_id"), col("w"),
         explode(sequence(lit(0),
-          ceil(size(w) / lit(span.toDouble)).cast("int") - 1)).as("idx"))
+          ceil(size(col("w")) / lit(span.toDouble)).cast("int") - 1))
+          .as("idx"))
       .select(col("doc_id"), col("idx").cast("int").as("idx"),
         array_join(slice(col("w"), col("idx") * span + 1, lit(span)), " ")
           .as("span"))
@@ -293,7 +300,9 @@ object TextAnalysis {
     // same discipline as Dedup.shingleExploded): no token shuffle before
     // the count aggregations — scan-local until the partial aggs.
     val bg = t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Barrier.materialized(split(col("text"), " "))
+          .as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), col("lang"), col("ws"),
         explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
@@ -602,12 +611,14 @@ object TextAnalysis {
     * each task chunks its own documents independently at any corpus size. */
   def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
     val chunk = 50
-    val w = split(col("text"), " ")
     t(spark, dir, "documents")
       .filter(col("doc_id") < 200)
-      .select(col("doc_id"), w.as("w"),
+      .select(col("doc_id"),
+        graft.functions.Barrier.materialized(split(col("text"), " "))
+          .as("w"))
+      .select(col("doc_id"), col("w"),
         explode(sequence(lit(0),
-          ceil(size(w) / lit(chunk.toDouble)).cast("int") - 1))
+          ceil(size(col("w")) / lit(chunk.toDouble)).cast("int") - 1))
           .as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         size(slice(col("w"), col("chunk_id") * chunk + 1, lit(chunk)))
@@ -622,7 +633,86 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), tk -> list_contains($lst, tk)))"
   }
 
+  /** PII detection + redaction — the scrub pass every training-data
+    * pipeline runs before packing. Deterministic PII is synthesized per
+    * row (an email and a phone derived from doc_id — the fixture corpus
+    * carries none), then detected with `regexp_count` and redacted with
+    * `regexp_replace`, all scan-local row expressions (no shuffle at any
+    * scale). Patterns stay inside the RE2-compatible subset (character
+    * classes + bounded repeats, no lookaround) so Java and DuckDB regex
+    * semantics coincide. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    t(spark, dir, "documents").filter(col("doc_id") < 20)
+      .withColumn("aug", concat(col("text"), lit(" contact doc"),
+        col("doc_id").cast("string"),
+        lit("@example.com or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .withColumn("n_email",
+        regexp_count(col("aug"), lit(emailRe)).cast("int"))
+      .withColumn("n_phone",
+        regexp_count(col("aug"), lit(phoneRe)).cast("int"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"),
+        substring(col("redacted"), -40, 40).as("tail"))
+  }
+
+  /** Inverted index build (token → document frequency + first-5 posting
+    * list): the retrieval-side artifact next to TF-IDF/BM25 scoring. The
+    * posting list is rank-truncated BEFORE collection (row_number ≤ 5 over
+    * the per-token doc order), so no aggregation buffer ever holds a hot
+    * token's full posting set — the same bounded-state discipline as
+    * q79's lateral top-k; df still counts the full set. One shuffle keyed
+    * on token. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    tok.withColumn("rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(
+          sort_array(collect_list(when(col("rn") <= 5, col("doc_id")))),
+          x => x.cast("string")), ",").as("postings"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q117_pii_redact", piiRedact _,
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' contact doc' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or call +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\+1-555-[0-9]{4}')) AS INT) AS n_phone,
+        |  right(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g'), 40) AS tail
+        |FROM a""".stripMargin),
+    Q("q118_inverted_index", invertedIndex _,
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, u AS token FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+        |     FROM documents)
+        |  WHERE u <> ''),
+        |r AS (
+        |  SELECT token, doc_id,
+        |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |  FROM tok)
+        |SELECT token, count(*) AS df,
+        |  string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+        |    ',' ORDER BY doc_id) AS postings
+        |FROM r GROUP BY 1""".stripMargin),
     Q("q98_pack_sequences", packSequences _,
       """WITH d AS (
         |  SELECT doc_id, lang, doc_id % 16 AS shard,

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, JoinsSetOps, TextAnalysis}
+
+/** Specs for the round-6 pipeline operators: histogram, blocked fuzzy
+  * join, gap-fill LOCF, CDC apply, PII redaction, inverted index. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("histogram: bins partition all orders, edges ordered") {
+    val df = Analytics.histogram(spark, sf).cache()
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(df.agg(sum("n")).collect()(0).getLong(0) === orders)
+    assert(df.filter(col("bin") < 0 || col("bin") > 19).count() === 0)
+    assert(df.filter(col("lo") >= col("hi")).count() === 0)
+    df.unpersist()
+  }
+
+  test("fuzzy join: blocked candidates only, verified distance, canonical order") {
+    val df = JoinsSetOps.fuzzyJoin(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("name_a") >= col("name_b")).count() === 0)
+    assert(df.filter(col("lev") > 3 || col("lev") < 1).count() === 0)
+    // every pair shares its blocking key (the last name token)
+    val crossBlock = df.filter(
+      element_at(split(col("name_a"), " "), -1) =!=
+        element_at(split(col("name_b"), " "), -1)).count()
+    assert(crossBlock === 0)
+    df.unpersist()
+  }
+
+  test("gap fill: contiguous hourly spine per user, LOCF fills every gap") {
+    val df = Analytics.gapFillLocf(spark, sf).cache()
+    // spine is contiguous: rows per user == hours between min and max + 1
+    val bad = df.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"),
+        ((unix_timestamp(max(col("hr"))) - unix_timestamp(min(col("hr"))))
+          / 3600 + 1).as("expect"))
+      .filter(col("rows") =!= col("expect"))
+    assert(bad.count() === 0)
+    // after the first observation, every row is filled
+    assert(df.filter(col("v_filled").isNull && !col("is_gap")).count() === 0)
+    // real observations are never marked as gaps with a null fill
+    assert(df.filter(!col("is_gap")).count() > 0)
+    df.unpersist()
+  }
+
+  test("cdc apply: delete-terminated keys drop out, last-writer wins") {
+    val df = Analytics.cdcApply(spark, sf).cache()
+    assert(df.filter(col("last_op") === "D").count() === 0)
+    // cross-check against an independent window formulation
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expect = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .count()
+    assert(df.count() === expect)
+    df.unpersist()
+  }
+
+  test("pii redact: every synthesized email and phone found and removed") {
+    val df = TextAnalysis.piiRedact(spark, sf).cache()
+    assert(df.count() === 20)
+    assert(df.filter(col("n_email") =!= 1 || col("n_phone") =!= 1)
+      .count() === 0)
+    assert(df.filter(!col("tail").contains("<PHONE>")).count() === 0)
+    assert(df.filter(col("tail").contains("@example.com")).count() === 0)
+    df.unpersist()
+  }
+
+  test("inverted index: postings rank-truncated to 5, df counts full set") {
+    val df = TextAnalysis.invertedIndex(spark, sf).cache()
+    assert(df.count() > 0)
+    val withLen = df.withColumn("np",
+      when(col("postings") === "", lit(0))
+        .otherwise(size(split(col("postings"), ","))))
+    assert(withLen.filter(col("np") > 5).count() === 0)
+    assert(withLen.filter(col("np") > col("df")).count() === 0)
+    // spot-check one token's df against a direct distinct count
+    val tok = df.orderBy(col("df").desc).select("token")
+      .head().getString(0)
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .filter(col("tk") === tok).select("doc_id").distinct().count()
+    assert(df.filter(col("token") === tok).head().getAs[Long]("df")
+      === direct)
+    df.unpersist()
+  }
+}

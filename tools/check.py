@@ -54,13 +54,18 @@ def canon(df) -> tuple:
     for c in cols:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            # Widen to float64 FIRST so a float32-vs-float64 dtype split
-            # between engines (same stored value) encodes identically.
+            # Widen to float64 so a float32-vs-float64 dtype split between
+            # engines (same stored value) encodes identically — but take the
+            # NULL/NaN distinction from the ORIGINAL values: on a nullable
+            # Float64 extension column, astype("float64") folds pd.NA into
+            # NaN, which would encode a genuine NULL as "NaN".
             s64 = s.astype("float64")
-            enc_cols.append([canon_cell(float(x)) if not pd.isna(x)
-                             else ("NaN" if isinstance(x, float) and x != x
-                                   else "\x00NULL")
-                             for x in s64.to_numpy()])
+            # Iterate the ORIGINAL series (not .to_numpy(), which folds
+            # pd.NA into nan on masked arrays): element access yields
+            # pd.NA for NULL and nan for a genuine NaN.
+            enc_cols.append(["\x00NULL" if orig is pd.NA or orig is None
+                             else ("NaN" if x != x else canon_cell(float(x)))
+                             for orig, x in zip(iter(s), s64.to_numpy())])
         elif pd.api.types.is_integer_dtype(s):
             # Nullable Int64 carries pd.NA, on which int() raises — the
             # gate must report a mismatch, not crash.
@@ -119,8 +124,16 @@ def selftest():
     i64 = pd.DataFrame({"v": np.array([1.5, 0.25], dtype=np.float64)})
     assert canon(i32)[2] == canon(i64)[2], \
         "float32 vs float64 dtype split on equal values must hash equal"
+    # FloatingArray with an explicit mask: slot 1 is NULL, slot 2 a real NaN
+    # (pd.array(...) would silently fold the literal nan into NA).
+    fx = pd.DataFrame({"v": pd.arrays.FloatingArray(
+        np.array([1.5, 0.0, np.nan]), np.array([False, True, False]))})
+    _, rows_fx, _ = canon(fx)
+    assert sorted(r[0] for r in rows_fx) == ["\x00NULL", "1.5", "NaN"], \
+        "nullable-Float64 must keep NULL distinct from NaN after widening"
     print("selftest OK: -0.0 detected, +0.0 normalization stable, "
-          "decimal/double unified, nullable-int NA safe, f32/f64 unified")
+          "decimal/double unified, nullable-int NA safe, f32/f64 unified, "
+          "Float64 NULL!=NaN")
 
 
 def main():
