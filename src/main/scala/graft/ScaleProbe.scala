@@ -25,6 +25,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // `--stream-only` skips the batch replication/probes (they need the
+    // 10x staging write; the streaming probe stages its own feed).
+    if (args.contains("--stream-only")) {
+      streamingProbe(spark, base)
+      spark.stop()
+      return
+    }
+
     val keySpan = 100000000L
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
