@@ -158,7 +158,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"span dedup degraded to an all-pairs join:\n$plan")
-    assert(!plan.contains("Sort [s"), // no global (unpartitioned) sort
+    // No GLOBAL sort (`Sort [...], true` = requires a range exchange over
+    // the whole dataset). Partition-LOCAL sorts (`..., false`) feeding the
+    // struct-min SortAggregate / sort-merge join are the hash-partitioned
+    // discipline this test exists to pin, not a violation of it.
+    assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isEmpty,
       s"global sort crept in:\n$plan")
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"document scan not pruned to the two used columns:\n$plan")
