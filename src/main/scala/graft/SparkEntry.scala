@@ -17,7 +17,8 @@ object SparkEntry {
       ScalarFuncs.catalog ++ Dedup.catalog ++ Similarity.catalog ++
       TextAnalysis.catalog ++ Multimodal.catalog ++ SkewJoin.catalog ++
       ApproxAgg.catalog ++ Reshape.catalog ++ Sampling.catalog ++
-      StreamQueries.catalog ++ DataQuality.catalog ++ Layout.catalog
+      StreamQueries.catalog ++ DataQuality.catalog ++ Layout.catalog ++
+      Graph.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

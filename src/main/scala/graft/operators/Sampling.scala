@@ -108,6 +108,34 @@ object Sampling {
            sum(coalesce(col("leaked"), lit(0))).as("n_leaked"))
   }
 
+  /** Per-domain document cap — the domain-balancing pass (C4's and
+    * RefinedWeb's per-host limits): keep at most `cap` documents per
+    * source, chosen by deterministic hash rank, so no single domain
+    * dominates the training mix however skewed the crawl is. Emits one
+    * row per KEPT document (doc granularity — the strongest oracle) with
+    * its rank and the source's pre-cap size.
+    *
+    * Scale shape: one shuffle keyed on source; per-key state is the
+    * window's running counter only. A pathologically hot domain is the
+    * classic skew case — at 100 TB the `rk <= cap` filter composes with a
+    * hash-bucket pre-filter (keep only buckets that can rank under the
+    * cap) to bound the sorted input, the same guard noted on
+    * [[stratifiedSample]]. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 10
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hv").asc, col("doc_id").asc)
+    t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        TextOps.portableHash(
+          concat(lit("cap:"), col("doc_id").cast("string"))).as("hv"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_in_source",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rk") <= cap)
+      .select(col("source"), col("doc_id"), col("rk"), col("n_in_source"))
+  }
+
   private val bucketSql =
     "(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
 
@@ -174,6 +202,20 @@ object Sampling {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q121_domain_cap", domainCap _,
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY hv ASC, doc_id ASC) AS INT) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_in_source
+        |  FROM h)
+        |SELECT source, doc_id, rk, n_in_source FROM r
+        |WHERE rk <= 10""".stripMargin),
     Q("q107_temperature_mix", temperatureMix _,
       """WITH c AS (
         |  SELECT source, count(*) AS n_docs,

@@ -165,6 +165,28 @@ object Similarity {
            round(avg(col("mean_err")), 6).as("avg_mean_err"),
            round(max(array_max(col("qerr"))), 6).as("max_err"))
 
+  /** L2 normalization + per-vector component stats — the vector
+    * preprocessing pass before cosine-metric ANN indexing or k-means
+    * (normalize once, then every cosine is a plain dot product). Pure
+    * per-row array math, narrow at any scale; all arithmetic widens
+    * float→double BEFORE any op and the fold is sequential, so the
+    * doubles are bit-identical cross-engine (q38's proven idiom). The
+    * `+ 0.0` canonicalizes IEEE signed zero for the exact-repr hash
+    * gate (see Analytics.statsProfile). */
+  def vecNormalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nrm", VectorOps.l2Norm(col("embedding")))
+      .select(col("vec_id"),
+        (round(col("nrm"), 6) + lit(0.0)).as("norm_r"),
+        (round(element_at(col("v"), 1) / col("nrm"), 6) + lit(0.0))
+          .as("first_r"),
+        (round(aggregate(col("v"), lit(0.0), (a, x) => a + x) /
+          size(col("v")), 6) + lit(0.0)).as("mean_r"),
+        (round(array_min(col("v")) / col("nrm"), 6) + lit(0.0)).as("min_r"),
+        (round(array_max(col("v")) / col("nrm"), 6) + lit(0.0)).as("max_r"))
+
   private def cosExpr(a: String, b: String): String =
     s"""list_aggregate(
        |      [CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)
@@ -172,6 +194,20 @@ object Similarity {
        |      / ($a.nrm * $b.nrm)""".stripMargin
 
   val catalog: Seq[Q] = Seq(
+    Q("q122_vec_normalize", vecNormalize _,
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id,
+        |  round(nrm, 6) + 0.0 AS norm_r,
+        |  round(v[1] / nrm, 6) + 0.0 AS first_r,
+        |  round(list_aggregate(v, 'sum') / len(v), 6) + 0.0 AS mean_r,
+        |  round(list_min(v) / nrm, 6) + 0.0 AS min_r,
+        |  round(list_max(v) / nrm, 6) + 0.0 AS max_r
+        |FROM e""".stripMargin),
     Q("q48_ann_ivf", annIvf _,
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding,

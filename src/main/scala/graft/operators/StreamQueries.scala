@@ -188,6 +188,27 @@ object StreamQueries {
     }
   }
 
+  /** Streaming DECONTAMINATION: stream-static left-anti join — events
+    * from a deterministic banned-user set (a hash slice of the customer
+    * dimension standing in for the curated denylist) are dropped from the
+    * feed in flight, then rolled up per event type. The streaming form of
+    * q103's blocklist filter: the denylist broadcasts per micro-batch,
+    * the anti-join keeps NO state (stream-static joins are stateless on
+    * the stream side), and the only stateful operator is the final
+    * aggregation — so the plan survives an unbounded feed at any scale. */
+  def streamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val banned = broadcast(
+      graft.sources.Tables.load(spark, dir, "customer")
+        .filter(graft.functions.TextOps.portableHash(
+          concat(lit("ban:"), col("c_custkey").cast("string"))) % 5 === 0)
+        .select(col("c_custkey")))
+    runToTable(spark, dir) { ev =>
+      ev.join(banned, ev("user_id") === banned("c_custkey"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    }
+  }
+
   /** Sliding 2-hour/1-hour windows, executed as a stream; output epochs
     * so the oracle's unnest-based window expansion aligns exactly
     * (same shape as the batch twin q32). */
@@ -247,6 +268,16 @@ object StreamQueries {
         |  count(*) AS n, round(sum(e.value), 2) AS total
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin),
+    Q("q124_stream_decontaminate", streamDecontaminate _,
+      """WITH banned AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE ('0x' || substr(md5('ban:' || CAST(c_custkey AS VARCHAR)),
+        |    1, 8))::BIGINT % 5 = 0)
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM banned b WHERE b.c_custkey = e.user_id)
+        |GROUP BY 1""".stripMargin),
     Q("q82_stream_sliding", streamSliding _,
       """SELECT CAST(epoch(ws) AS BIGINT) AS w_start, count(*) AS n,
         |  round(sum(value), 2) AS total

@@ -602,6 +602,61 @@ object TextAnalysis {
            sum(when(col("tbf") >= 0.05, 1).otherwise(0)).as("n_flagged"))
   }
 
+  /** BPE-style pair counting — the inner loop of tokenizer vocabulary
+    * induction (Sennrich et al. 2016): count every adjacent character
+    * pair across the corpus, weighted by word frequency; the top pair is
+    * the next merge. Output: the 20 most frequent pairs.
+    *
+    * Scale shape: exactly how production BPE trainers decompose the
+    * problem — aggregate the corpus to a (word, count) VOCABULARY first
+    * (one partial-agg'd shuffle; vocab ≪ corpus by Heaps' law), then
+    * expand pairs over vocabulary entries only, so the pair-count pass
+    * costs O(|vocab|·word_len) regardless of corpus size. The top-20 is
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wc = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+    wc.select(col("word"), col("n"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  /** Vocabulary-coverage / OOV-rate profiling: build the corpus top-K
+    * token vocabulary (K=20 here; the fixture corpus has ~31 distinct
+    * tokens so the tail is genuinely out-of-vocabulary), then measure
+    * each source's token coverage against it — the go/no-go check before
+    * committing a tokenizer vocab to a training run.
+    *
+    * Determinism: per-source OOV rate is computed as exact integer sums
+    * (Σ oov tokens / Σ tokens) with ONE final division — not an average
+    * of per-document float ratios — so the result is bit-identical on
+    * any partition count. Scale shape: vocab is top-K via
+    * TakeOrderedAndProject and broadcast to the token stream; the only
+    * corpus-sized shuffle is the final per-source partial agg. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tk"))
+      .filter(col("tk") =!= "")
+    val vocab = tok.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tk").asc)
+      .limit(20)
+      .select(col("tk"), lit(1).as("iv"))
+    tok.join(broadcast(vocab), Seq("tk"), "left_outer")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens"), 6) + lit(0.0))
+  }
+
   /** Document chunking: split each document into fixed-size token windows
     * (50 words here) — the pre-tokenization pass that turns a long-document
     * corpus into training-sized pieces. One output row per (doc, chunk);
@@ -683,6 +738,38 @@ object TextAnalysis {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q120_bpe_pairs", bpePairs _,
+      """WITH wc AS (
+        |  SELECT u AS word, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS u FROM documents)
+        |  WHERE u <> '' GROUP BY 1),
+        |p AS (
+        |  SELECT substr(word, i, 2) AS pair, n
+        |  FROM (SELECT word, n, unnest(range(1, len(word))) AS i
+        |        FROM wc WHERE len(word) >= 2))
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin),
+    Q("q123_oov_rate", oovRate _,
+      """WITH tok AS (
+        |  SELECT doc_id, source, u AS tk
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS u FROM documents)
+        |  WHERE u <> ''),
+        |vocab AS (
+        |  SELECT tk FROM (
+        |    SELECT tk, count(*) AS n FROM tok GROUP BY 1)
+        |  ORDER BY n DESC, tk ASC LIMIT 20),
+        |m AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok LEFT JOIN vocab v USING (tk))
+        |SELECT source,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) + 0.0 AS oov_rate
+        |FROM m GROUP BY 1""".stripMargin),
     Q("q117_pii_redact", piiRedact _,
       """WITH a AS (
         |  SELECT doc_id,

@@ -70,6 +70,78 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("pagerank: conserves scaled mass within damping, supplier-heavy top") {
+    val df = graft.operators.Graph.pagerank(spark, sf).cache()
+    // top-20 cap; sf0.001 has only 10 suppliers
+    assert(df.count() > 0 && df.count() <= 20)
+    // every rank has the 0.15·R0 floor and stays positive/bounded
+    assert(df.filter(col("pr") < 150000L).count() === 0)
+    // ranks are non-trivial: the top supplier outranks the floor
+    assert(df.agg(max("pr")).collect()(0).getLong(0) > 150000L)
+    // deterministic: a second evaluation is byte-identical
+    val again = graft.operators.Graph.pagerank(spark, sf)
+    assert(df.exceptAll(again).count() === 0)
+    assert(again.exceptAll(df).count() === 0)
+    df.unpersist()
+  }
+
+  test("bpe pairs: counts match a direct corpus scan") {
+    val df = TextAnalysis.bpePairs(spark, sf).cache()
+    assert(df.count() === 20)
+    // weighted vocab expansion == counting pairs over the raw corpus
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) >= 2)
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"))
+      .groupBy("pair").count()
+    val joined = df.join(direct, "pair")
+      .filter(col("cnt") =!= col("count"))
+    assert(joined.count() === 0)
+    df.unpersist()
+  }
+
+  test("domain cap: at most 10 kept per source, ranks contiguous") {
+    val df = graft.operators.Sampling.domainCap(spark, sf).cache()
+    val per = df.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"))
+    assert(per.filter(col("n") > 10).count() === 0)
+    // ranks are 1..n with no gaps (rank == count per source)
+    assert(per.filter(col("n") =!= col("mx")).count() === 0)
+    // sources under the cap keep everything
+    val totals = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("total"))
+    val under = per.join(totals, "source")
+      .filter(col("total") <= 10 && col("n") =!= col("total"))
+    assert(under.count() === 0)
+    df.unpersist()
+  }
+
+  test("vec normalize: norms positive, components within [-1, 1]") {
+    val df = graft.operators.Similarity.vecNormalize(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("norm_r") <= 0).count() === 0)
+    assert(df.filter(abs(col("first_r")) > 1.0 ||
+      abs(col("min_r")) > 1.0 || abs(col("max_r")) > 1.0).count() === 0)
+    assert(df.filter(col("min_r") > col("max_r")).count() === 0)
+    df.unpersist()
+  }
+
+  test("oov rate: integer tallies consistent, rate in [0, 1]") {
+    val df = TextAnalysis.oovRate(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_oov") > col("n_tokens")).count() === 0)
+    assert(df.filter(col("oov_rate") < 0 || col("oov_rate") > 1)
+      .count() === 0)
+    // tallies cover the whole corpus token stream
+    val totalTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .filter(col("tk") =!= "").count()
+    assert(df.agg(sum("n_tokens")).collect()(0).getLong(0) === totalTokens)
+    df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)

@@ -256,6 +256,21 @@ class StreamingSpec extends SparkSpec {
     assert(out === batch)
   }
 
+  test("stream decontamination: anti-join drops exactly the banned slice") {
+    val out = operators.StreamQueries.streamDecontaminate(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val banned = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(functions.TextOps.portableHash(
+        concat(lit("ban:"), col("c_custkey").cast("string"))) % 5 === 0)
+      .select(col("c_custkey"))
+    val expect = ev.join(banned,
+      ev("user_id") === banned("c_custkey"), "left_anti").count()
+    assert(out === expect)
+    // the filter is real: some events are actually dropped
+    assert(out < ev.count())
+  }
+
   test("cms heavy hitters: estimate only ever overestimates") {
     val rows = operators.ApproxAgg.cmsHeavyHitters(spark, sf).collect()
     assert(rows.length > 0)
