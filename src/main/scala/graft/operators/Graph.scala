@@ -81,6 +81,37 @@ object Graph {
       .select(col("s_suppkey"), col("s_name"), col("pr"))
   }
 
+  /** Degree-distribution profile of the full customer↔supplier purchase
+    * graph: per side, log2-bucketed degree histogram (bucket =
+    * `length(bin(deg))` = ⌊log2 deg⌋+1 — an integer-only log that both
+    * engines compute identically; a float `log2` could land on x.9999…
+    * at exact powers). The companion diagnostic to [[pagerank]]: a
+    * heavy-tailed degree histogram is what predicts hot vertices before
+    * an iterative job is launched. Scale shape: one distinct + two
+    * partial-agg'd groupBys over the checkpointed pair list; histogram
+    * output is O(log maxdeg) rows. */
+  def degreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    // both degree aggregations consume the pair list — materialize once
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .localCheckpoint(true)
+    val cdeg = pairs.groupBy(col("c").as("k"))
+      .agg(count(lit(1)).as("deg")).withColumn("side", lit("customer"))
+    val sdeg = pairs.groupBy(col("s").as("k"))
+      .agg(count(lit(1)).as("deg")).withColumn("side", lit("supplier"))
+    cdeg.unionByName(sdeg)
+      .withColumn("bucket", length(bin(col("deg"))))
+      .groupBy(col("side"), col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("total_edges"))
+  }
+
   /** One unrolled oracle iteration (DuckDB `//` = Spark `div` on
     * positive longs; DuckDB's HUGEINT sum re-narrows in the CAST). */
   private def prIterSql(i: Int): String =
@@ -93,6 +124,21 @@ object Graph {
        |    ON d.node = c.node)""".stripMargin
 
   val catalog: Seq[Q] = Seq(
+    Q("q128_degree_stats", degreeStats _,
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (
+        |  SELECT 'customer' AS side, count(*) AS deg
+        |  FROM pairs GROUP BY c
+        |  UNION ALL
+        |  SELECT 'supplier' AS side, count(*) AS deg
+        |  FROM pairs GROUP BY s)
+        |SELECT side, CAST(len(bin(deg)) AS INT) AS bucket,
+        |  count(*) AS n_nodes,
+        |  min(deg) AS min_deg, max(deg) AS max_deg,
+        |  CAST(sum(deg) AS BIGINT) AS total_edges
+        |FROM deg GROUP BY 1, 2""".stripMargin),
     Q("q119_pagerank", pagerank _,
       s"""WITH eraw AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

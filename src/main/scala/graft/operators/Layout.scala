@@ -34,7 +34,44 @@ object Layout {
       .limit(100)
   }
 
+  /** Shard manifest — the dataset-publishing step after all filtering and
+    * dedup: assign every document to one of 8 output shards by
+    * deterministic hash and emit the per-shard manifest (doc count, token
+    * total, id range, content checksum). The checksum is a SUM of per-doc
+    * portable hashes — an exact, order-independent integer, so two
+    * engines (or two runs at different parallelism) produce the same
+    * manifest bit-for-bit; that is what makes the manifest usable as a
+    * publish/consume integrity contract. One partial-agg'd shuffle of 8
+    * groups at any corpus size. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        (TextOps.portableHash(
+          concat(lit("shard:"), col("doc_id").cast("string"))) % 8)
+          .as("shard"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        TextOps.portableHash(md5(col("text"))).as("ch"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("ch")).as("checksum"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q126_shard_manifest", shardManifest _,
+      """SELECT
+        |  ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |    ::BIGINT % 8 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc,
+        |  CAST(sum(('0x' || substr(md5(md5(text)), 1, 8))::BIGINT)
+        |    AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1""".stripMargin),
     Q("q104_zorder_cluster", zorderCluster _,
       s"""WITH d AS (
          |  SELECT o_orderkey, (o_custkey & 255) AS xb,

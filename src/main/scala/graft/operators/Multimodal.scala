@@ -132,17 +132,23 @@ object Multimodal {
     // histogram over CODEPOINT/16 buckets, normalized by the CHARACTER
     // count — the exact quantity the oracle computes from text[i], so
     // parity holds beyond ASCII too (codepoints ≥ 256 count toward n but
-    // land in no bucket, identically on both sides). `codes` is projected
-    // ONCE, not re-derived inside each of the 16 bucket lambdas (HOFs run
-    // interpreted with no cross-lambda subexpression reuse).
+    // land in no bucket, identically on both sides). Shape: explode the
+    // characters and take 16 conditional sums in ONE aggregation pass —
+    // all whole-stage codegen with map-side partial agg, so the shuffle
+    // carries 17 longs per payload, never the characters. The r1–r5 form
+    // (transform + 16 filter() lambdas per row) ran every character
+    // through 17 INTERPRETED higher-order functions; HOF lambdas never
+    // enter codegen, and that interpreted scan dominated the query.
+    val bucketSums = (0 until 16).map(b =>
+      sum(when(col("bk") === b, 1L).otherwise(0L)).as(s"h$b"))
     val hist = media
-      .withColumn("codes",
-        transform(split(decode(col("payload"), "UTF-8"), ""),
-          c => (ascii(c) / lit(16)).cast("int")))
-      .select(col("doc_id"), size(col("codes")).cast("long").as("n"),
-        transform(sequence(lit(0), lit(15)), b =>
-          size(filter(col("codes"), x => x === b)).cast("long")).as("h"))
-      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        explode(split(decode(col("payload"), "UTF-8"), "")).as("c"))
+      .select(col("doc_id"), (ascii(col("c")) / lit(16)).cast("int").as("bk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bucketSums: _*)
+      .select(col("doc_id"), col("n"),
+        array((0 until 16).map(b => col(s"h$b")): _*).as("h"))
     val sig = hist.withColumn("qsig",
       concat_ws("-", transform(col("h"),
         v => (v * 128 / col("n")).cast("long").cast("string"))))

@@ -43,7 +43,41 @@ object SkewJoin {
            round(sum(col("l_extendedprice")), 2).as("revenue"))
   }
 
+  /** Key-skew diagnostics — the profiling pass that DECIDES whether a
+    * join needs salting: the 20 heaviest lineitem part keys with their
+    * absolute count, parts-per-million share, and a ×1000 skew factor
+    * vs the mean key (cnt · n_keys / total). All ratios are integer
+    * arithmetic (exact, order-independent); the corpus totals are one
+    * broadcast scalar row (accepted broadcast-scalar crossJoin pattern),
+    * and the top-20 is TakeOrderedAndProject. At 100 TB this runs as a
+    * cheap side pass over the join column only — the scan prunes to one
+    * column — and its output feeds [[saltedJoin]]'s salt-factor choice. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(col("l_partkey"))
+    val tot = li.agg(count(lit(1)).as("total"),
+      countDistinct(col("l_partkey")).as("n_keys"))
+    li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(cnt * 1000000) div total"))
+      .withColumn("skew_x1000", expr("(cnt * 1000 * n_keys) div total"))
+      .orderBy(col("cnt").desc, col("l_partkey").asc)
+      .limit(20)
+      .select(col("l_partkey"), col("cnt"), col("share_ppm"),
+        col("skew_x1000"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q127_skew_profile", skewProfile _,
+      """WITH tot AS (
+        |  SELECT count(*) AS total, count(DISTINCT l_partkey) AS n_keys
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, cnt,
+        |  CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+        |  CAST((cnt * 1000 * n_keys) // total AS BIGINT) AS skew_x1000
+        |FROM c CROSS JOIN tot
+        |ORDER BY cnt DESC, l_partkey ASC LIMIT 20""".stripMargin),
     Q("q45_salted_join", saltedSupplierJoin _,
       """SELECT s_nationkey AS nation_id, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty,

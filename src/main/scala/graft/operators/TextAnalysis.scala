@@ -322,6 +322,47 @@ object TextAnalysis {
            round(min(col("doc_score")), 4).as("min_lm"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document with the corpus bigram LM, then split each language into
+    * head/middle/tail terciles — the quality-stratification step that
+    * decides which slice of a crawl is worth training on.
+    *
+    * Determinism: the per-doc score is INTEGER arithmetic end-to-end —
+    * mean scaled conditional probability `Σ (c_bg·10⁶ div c_w1) div n` —
+    * so scores are exact and order-independent (a float log-prob mean
+    * would wobble in the last ulp and could flip tercile boundaries);
+    * ntile then runs over the total order (score desc, doc_id). Scale
+    * shape: same two count aggregations + join as [[bigramLm]]; the
+    * ntile window partitions per language over one row per document. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Barrier.materialized(split(col("text"), " "))
+          .as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("ws"), col("i")).as("w0"),
+        concat_ws(" ", element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1)).as("bg"))
+    val bgc = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val w1c = bg.groupBy(col("w0")).agg(count(lit(1)).as("c_w1"))
+    val doc = bg.join(bgc, Seq("bg")).join(w1c, Seq("w0"))
+      .withColumn("p6", expr("(c_bg * 1000000) div c_w1"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("CAST(sum(p6) div count(1) AS BIGINT)").as("score"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    doc.withColumn("bucket", ntile(3).over(w))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 4).as("avg_score"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+  }
+
   /** TF-IDF top terms per document (bounded to doc_id < 50): exact term
     * frequencies, document frequencies, and ln(N/df) weighting; the N
     * scalar is a broadcast 1-row aggregate — no driver-side action. */
@@ -770,6 +811,33 @@ object TextAnalysis {
         |  CAST(sum(oov) AS BIGINT) AS n_oov,
         |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) + 0.0 AS oov_rate
         |FROM m GROUP BY 1""".stripMargin),
+    Q("q125_perplexity_buckets", perplexityBuckets _,
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bgrel AS (
+        |  SELECT doc_id, lang, u.w0 AS w0, u.bg AS bg
+        |  FROM (SELECT doc_id, lang,
+        |          unnest([{'w0': ws[i], 'bg': ws[i] || ' ' || ws[i+1]}
+        |                  for i in range(1, len(ws))]) AS u
+        |        FROM w)),
+        |bgc AS (SELECT bg, count(*) AS c_bg FROM bgrel GROUP BY 1),
+        |w1c AS (SELECT w0, count(*) AS c_w1 FROM bgrel GROUP BY 1),
+        |doc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum((c_bg * 1000000) // c_w1) // count(*) AS BIGINT)
+        |      AS score
+        |  FROM bgrel JOIN bgc USING (bg) JOIN w1c USING (w0)
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT lang, doc_id, score,
+        |    CAST(ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id ASC) AS INT) AS bucket
+        |  FROM doc)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  round(avg(score), 4) AS avg_score,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM b GROUP BY 1, 2""".stripMargin),
     Q("q117_pii_redact", piiRedact _,
       """WITH a AS (
         |  SELECT doc_id,

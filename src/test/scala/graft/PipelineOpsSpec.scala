@@ -142,6 +142,71 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("perplexity buckets: terciles partition each language's docs") {
+    val df = graft.operators.TextAnalysis.perplexityBuckets(spark, sf)
+      .cache()
+    assert(df.filter(col("bucket") < 1 || col("bucket") > 3).count() === 0)
+    // bucket doc counts per lang differ by at most 1 (ntile invariant)
+    val spread = df.groupBy("lang")
+      .agg((max("n_docs") - min("n_docs")).as("d"))
+      .filter(col("d") > 1)
+    assert(spread.count() === 0)
+    // head bucket scores dominate tail bucket scores within each lang
+    val h = df.filter(col("bucket") === 1)
+      .select(col("lang"), col("min_score").as("head_min"))
+    val t3 = df.filter(col("bucket") === 3)
+      .select(col("lang"), col("max_score").as("tail_max"))
+    assert(h.join(t3, "lang").filter(col("head_min") < col("tail_max"))
+      .count() === 0)
+    df.unpersist()
+  }
+
+  test("shard manifest: shards partition the corpus, checksum is exact") {
+    val df = graft.operators.Layout.shardManifest(spark, sf).cache()
+    assert(df.count() <= 8)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(df.agg(sum("n_docs")).collect()(0).getLong(0) === docs)
+    // checksum is an order-independent integer: re-evaluation matches
+    val again = graft.operators.Layout.shardManifest(spark, sf)
+      .withColumnRenamed("checksum", "ck2").select("shard", "ck2")
+    assert(df.join(again, "shard")
+      .filter(col("checksum") =!= col("ck2")).count() === 0)
+    df.unpersist()
+  }
+
+  test("skew profile: shares and skew factors consistent with counts") {
+    val df = graft.operators.SkewJoin.skewProfile(spark, sf).cache()
+    assert(df.count() === 20)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    // ppm share recomputes from the raw count (integer division)
+    assert(df.filter(col("share_ppm") =!=
+      expr(s"(cnt * 1000000) div $total")).count() === 0)
+    // heavy keys: every listed key is at least the mean (skew >= 1000)
+    assert(df.filter(col("skew_x1000") < 1000).count() === 0)
+    df.unpersist()
+  }
+
+  test("degree stats: node totals match, buckets cover degrees") {
+    val df = graft.operators.Graph.degreeStats(spark, sf).cache()
+    // bucket bound: 2^(bucket-1) <= min_deg <= max_deg < 2^bucket
+    assert(df.filter(col("min_deg") <
+      pow(lit(2.0), col("bucket") - 1).cast("long")).count() === 0)
+    assert(df.filter(col("max_deg") >=
+      pow(lit(2.0), col("bucket")).cast("long")).count() === 0)
+    // per-side node totals equal the distinct key counts in the pair list
+    val pairs = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().cache()
+    val nCust = pairs.select("o_custkey").distinct().count()
+    val nSupp = pairs.select("l_suppkey").distinct().count()
+    val bySide = df.groupBy("side").agg(sum("n_nodes").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide("customer") === nCust)
+    assert(bySide("supplier") === nSupp)
+    pairs.unpersist(); df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)
