@@ -230,6 +230,51 @@ object Analytics {
       .filter(col("n_orders") >= 2)
   }
 
+  /** Time-based RANGE window frame — the trailing-hour moving aggregate
+    * (rolling rate limits, burst detection, per-entity load monitoring).
+    * Every other window in the suite uses ROW frames; a RANGE frame is a
+    * different operator contract: the frame is bounded by the ORDER
+    * column's VALUE (here seconds, trailing 3600 s inclusive), so ties
+    * and gaps behave identically in any engine. The summed measure is
+    * integer cents (`floor(value·100 + 0.5)` — DuckDB's double→int CAST
+    * rounds where Spark's truncates, so the floor form is the portable
+    * one), making the windowed sums exact at any partition count. One
+    * shuffle on user_id; per-key state is the trailing window buffer. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3599, 0)
+    t(spark, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("sec"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("sec"),
+        col("n_1h"), col("cents_1h"))
+  }
+
+  /** Per-group mode (most frequent value) via the MERGEABLE argmax —
+    * `min_by` over (−count, value) after a count aggregation — not a
+    * window: the shuffle carries one partial row per (user, type), the
+    * argmax collapses map-side, and no per-user sort ever runs. The
+    * window row_number formulation (the oracle) is what this replaces at
+    * scale. Tie-break: highest count, then lexicographically smallest
+    * type — total order, deterministic in both engines. */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "events")
+      .filter(col("user_id") < 200)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"),
+          struct((-col("c")).as("nc"), col("event_type"))).as("top_type"),
+        min_by(col("c"),
+          struct((-col("c")).as("nc"), col("event_type"))).as("n_top"),
+        sum(col("c")).as("n_total"))
+  }
+
   /** Distribution window functions — percent_rank (relative rank in
     * [0,1]) and cume_dist (fraction of rows ≤ current) — partitioned by
     * priority so each window sorts one key group, never a global single
@@ -643,6 +688,31 @@ object Analytics {
         col("n_changes"))
 
   val catalog: Seq[Q] = Seq(
+    Q("q129_range_frame", rangeFrame _,
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 50)
+        |SELECT user_id, event_id, sec,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin),
+    Q("q131_mode_per_group", modePerGroup _,
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY c DESC, event_type ASC) AS rn,
+        |    sum(c) OVER (PARTITION BY user_id) AS tot
+        |  FROM c)
+        |SELECT user_id, event_type AS top_type, c AS n_top,
+        |  CAST(tot AS BIGINT) AS n_total
+        |FROM r WHERE rn = 1""".stripMargin),
     Q("q113_histogram", histogram _,
       """WITH s AS (
         |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx

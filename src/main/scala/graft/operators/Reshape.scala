@@ -52,6 +52,26 @@ object Reshape {
         |WHERE c_custkey < 300""".stripMargin)
   }
 
+  /** UNPIVOT (wide→long) — the inverse of [[pivotStatus]], via Spark's
+    * native `Dataset.unpivot` (the melt operation metric stores and
+    * profilers need when a wide per-entity table feeds a generic
+    * (entity, metric, value) sink). All three metrics are exact integers
+    * (balance pre-quantized to cents PER ROW, then summed — a summed
+    * double quantized after the fact would be order-dependent), so the
+    * long output is bit-stable. Narrow: unpivot is a per-row flatMap, no
+    * shuffle beyond the source aggregation. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("nation_id"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+          .as("bal_cents"),
+        max(col("c_custkey")).as("max_custkey"))
+      .unpivot(
+        Array(col("nation_id")),
+        Array(col("n_customers"), col("bal_cents"), col("max_custkey")),
+        "metric", "value")
+
   /** Explode array → rows (wide→long), re-aggregated per vector bucket. */
   def explodeEmbeddings(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -61,6 +81,22 @@ object Reshape {
            round(sum(abs(col("x").cast("double"))), 4).as("abs_sum"))
 
   val catalog: Seq[Q] = Seq(
+    Q("q130_unpivot", unpivotMetrics _,
+      """WITH wide AS (
+        |  SELECT CAST(c_nationkey AS INT) AS nation_id,
+        |    count(*) AS n_customers,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS bal_cents,
+        |    max(c_custkey) AS max_custkey
+        |  FROM customer GROUP BY 1)
+        |SELECT nation_id, 'n_customers' AS metric, n_customers AS value
+        |FROM wide
+        |UNION ALL
+        |SELECT nation_id, 'bal_cents' AS metric, bal_cents AS value
+        |FROM wide
+        |UNION ALL
+        |SELECT nation_id, 'max_custkey' AS metric, max_custkey AS value
+        |FROM wide""".stripMargin),
     Q("q79_lateral_topk", lateralTopk _,
       """SELECT c_custkey AS cust_id, o_orderkey AS order_id,
         |  round(o_totalprice, 2) AS price

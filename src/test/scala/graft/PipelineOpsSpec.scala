@@ -207,6 +207,62 @@ class PipelineOpsSpec extends SparkSpec {
     pairs.unpersist(); df.unpersist()
   }
 
+  test("range frame: trailing-hour sums match a self-join recompute") {
+    val df = Analytics.rangeFrame(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_1h") < 1).count() === 0)
+    // independent recompute: value-range self-join (inclusive 3600s window)
+    val e = df.select(col("user_id"), col("event_id"), col("sec"),
+      col("cents_1h")).cache()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("user_id") < 50)
+      .select(col("user_id").as("u2"), col("ts").cast("long").as("s2"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c2"))
+    val recomputed = e.join(ev, col("user_id") === col("u2") &&
+        col("s2") >= col("sec") - 3599 && col("s2") <= col("sec"))
+      .groupBy(col("event_id")).agg(sum(col("c2")).as("expect"))
+    val bad = e.join(recomputed, "event_id")
+      .filter(col("cents_1h") =!= col("expect"))
+    assert(bad.count() === 0)
+    e.unpersist(); df.unpersist()
+  }
+
+  test("unpivot: three rows per nation, values round-trip the wide form") {
+    val df = graft.operators.Reshape.unpivotMetrics(spark, sf).cache()
+    val nations = df.select("nation_id").distinct().count()
+    assert(df.count() === nations * 3)
+    val metrics = df.select("metric").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(metrics === Array("bal_cents", "max_custkey", "n_customers"))
+    // n_customers metric sums back to the customer row count
+    val total = df.filter(col("metric") === "n_customers")
+      .agg(sum("value")).collect()(0).getLong(0)
+    assert(total ===
+      spark.read.parquet(s"$sf/customer.parquet").count())
+    df.unpersist()
+  }
+
+  test("mode per group: argmax matches the window formulation") {
+    val df = Analytics.modePerGroup(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_top") > col("n_total")).count() === 0)
+    import org.apache.spark.sql.expressions.Window
+    val c = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("user_id") < 200)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("c").desc, col("event_type").asc)
+    val viaWindow = c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("wt"),
+        col("c").as("wc"))
+    val bad = df.join(viaWindow, "user_id")
+      .filter(col("top_type") =!= col("wt") || col("n_top") =!= col("wc"))
+    assert(bad.count() === 0)
+    df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)
