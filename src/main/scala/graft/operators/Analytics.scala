@@ -211,6 +211,46 @@ object Analytics {
         round(col("s.hi"), 2).as("max_price"))
   }
 
+  /** Equi-DEPTH histogram (decile bins, ~equal row counts per bin) — the
+    * statistics pass a cost-based optimizer or data profiler runs next to
+    * the equi-width q113. Scale-correct formulation: the 9 interior
+    * boundaries come from ONE mergeable `percentile` aggregate (no
+    * global sort — the naive ntile-over-everything form needs a range
+    * exchange of the whole table, exactly what q61 exists to avoid);
+    * rows then assign bins against the broadcast boundary row with 9
+    * codegen'd comparisons and aggregate per bin. Ties at a boundary go
+    * to the lower bin (strict `>`), identically in both engines. */
+  def equidepthBins(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val fracs = (1 to 9).map(i => s"0.$i").mkString(", ")
+    val bounds = o.agg(
+      expr(s"percentile(o_totalprice, array($fracs))").as("bs"))
+    val bin = (1 to 9)
+      .map(i => when(col("o_totalprice") > element_at(col("bs"), i), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bin", bin.cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+  }
+
+  /** Rolling distinct-user counts over sliding 2-hour windows — the
+    * DAU/WAU family of engagement metrics. Two-level aggregation: the
+    * first groupBy (window × user) is partial-agg'd so the shuffle
+    * carries one row per active (window, user), the second collapses to
+    * one row per window — never a COUNT(DISTINCT) holding a user set per
+    * window in one buffer. Exact integers end-to-end. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("w.start").cast("long").as("w_start"))
+      .agg(count(lit(1)).as("active_users"), sum(col("c")).as("n_events"))
+
   /** Navigation window functions: first/last/nth over an explicit frame
     * (last_value needs the full-partition frame — the classic footgun:
     * the default frame ends at CURRENT ROW). */
@@ -688,6 +728,37 @@ object Analytics {
         col("n_changes"))
 
   val catalog: Seq[Q] = Seq(
+    Q("q132_equidepth_bins", equidepthBins _,
+      """WITH b AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_totalprice,
+        |    CAST(CASE WHEN o_totalprice > bs[1] THEN 1 ELSE 0 END
+        |       + CASE WHEN o_totalprice > bs[2] THEN 1 ELSE 0 END
+        |       + CASE WHEN o_totalprice > bs[3] THEN 1 ELSE 0 END
+        |       + CASE WHEN o_totalprice > bs[4] THEN 1 ELSE 0 END
+        |       + CASE WHEN o_totalprice > bs[5] THEN 1 ELSE 0 END
+        |       + CASE WHEN o_totalprice > bs[6] THEN 1 ELSE 0 END
+        |       + CASE WHEN o_totalprice > bs[7] THEN 1 ELSE 0 END
+        |       + CASE WHEN o_totalprice > bs[8] THEN 1 ELSE 0 END
+        |       + CASE WHEN o_totalprice > bs[9] THEN 1 ELSE 0 END
+        |      AS INT) AS bin
+        |  FROM orders CROSS JOIN b)
+        |SELECT bin, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM a GROUP BY 1""".stripMargin),
+    Q("q133_rolling_dau", rollingActiveUsers _,
+      """SELECT CAST(epoch(ws) AS BIGINT) AS w_start,
+        |  count(DISTINCT user_id) AS active_users,
+        |  count(*) AS n_events
+        |FROM (SELECT user_id,
+        |        unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                date_trunc('hour', ts)]) AS ws
+        |      FROM events)
+        |GROUP BY 1""".stripMargin),
     Q("q129_range_frame", rangeFrame _,
       """WITH e AS (
         |  SELECT user_id, event_id,

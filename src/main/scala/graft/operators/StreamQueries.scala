@@ -209,6 +209,24 @@ object StreamQueries {
     }
   }
 
+  /** CHAINED stateful streaming: per-hour distinct-user counts computed
+    * as dropDuplicates (stateful op 1: first (user, hour) occurrence
+    * wins) feeding a grouped count (stateful op 2) — the streamed form
+    * of q133's distinct-user metric and the multi-stateful-operator
+    * pipeline shape (dedup → aggregate) Spark supports since chained
+    * stateful operators landed. Both operators key on event time, so
+    * the watermark bounds BOTH state stores at scale. */
+  def streamDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir) { ev =>
+      ev.withWatermark("ts", "30 minutes")
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .dropDuplicates("user_id", "hr")
+        .groupBy(col("hr"))
+        .agg(count(lit(1)).as("active_users"))
+        .select(col("hr").cast("long").as("hr_start"),
+          col("active_users"))
+    }
+
   /** Sliding 2-hour/1-hour windows, executed as a stream; output epochs
     * so the oracle's unnest-based window expansion aligns exactly
     * (same shape as the batch twin q32). */
@@ -268,6 +286,10 @@ object StreamQueries {
         |  count(*) AS n, round(sum(e.value), 2) AS total
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin),
+    Q("q134_stream_distinct_users", streamDistinctUsers _,
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_start,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM events GROUP BY 1""".stripMargin),
     Q("q124_stream_decontaminate", streamDecontaminate _,
       """WITH banned AS (
         |  SELECT c_custkey FROM customer

@@ -263,6 +263,26 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("equi-depth bins: bins cover all rows, depths near-balanced") {
+    val df = Analytics.equidepthBins(spark, sf).cache()
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(df.agg(sum("n")).collect()(0).getLong(0) === orders)
+    assert(df.filter(col("bin") < 0 || col("bin") > 9).count() === 0)
+    assert(df.filter(col("min_price") > col("max_price")).count() === 0)
+    // equi-depth property: no bin holds more than 2x its fair share
+    assert(df.filter(col("n") > orders / 5).count() === 0)
+    df.unpersist()
+  }
+
+  test("rolling dau: every event lands in exactly two sliding windows") {
+    val df = Analytics.rollingActiveUsers(spark, sf).cache()
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(df.agg(sum("n_events")).collect()(0).getLong(0) === 2 * events)
+    assert(df.filter(col("active_users") > col("n_events")).count() === 0)
+    assert(df.filter(col("active_users") < 1).count() === 0)
+    df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)

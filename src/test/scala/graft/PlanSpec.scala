@@ -168,6 +168,54 @@ class PlanSpec extends SparkSpec {
       s"document scan not pruned to the two used columns:\n$plan")
   }
 
+  test("q120: BPE pair top-20 is TakeOrderedAndProject over partial aggs") {
+    val plan = planOf(graft.operators.TextAnalysis.bpePairs(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"got:\n$plan")
+  }
+
+  test("q123: OOV vocab membership joins broadcast, never shuffles tokens " +
+      "against the vocab") {
+    val plan = planOf(graft.operators.TextAnalysis.oovRate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab not broadcast-joined:\n$plan")
+  }
+
+  test("q127: skew profile is one agg + broadcast scalar + top-k — " +
+      "no global sort") {
+    val plan = planOf(graft.operators.SkewJoin.skewProfile(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+    assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isEmpty,
+      s"global sort crept in:\n$plan")
+  }
+
+  test("q126: shard manifest is scan-local hashing with a single " +
+      "agg exchange") {
+    val plan = planOf(graft.operators.Layout.shardManifest(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly the per-shard rollup exchange, got $exchanges:" +
+        s"\n$plan")
+  }
+
+  test("q131: mode-per-group is two mergeable aggs — no window, no sort " +
+      "beyond the aggregation") {
+    val plan = planOf(graft.operators.Analytics.modePerGroup(spark, sf))
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+    assert(plan.contains("HashAggregate") ||
+      plan.contains("ObjectHashAggregate"), s"got:\n$plan")
+  }
+
+  test("q121: domain cap window partitions by source (no global sort) " +
+      "and the scan prunes to the used columns") {
+    val plan = planOf(graft.operators.Sampling.domainCap(spark, sf))
+    assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isEmpty,
+      s"global sort crept in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"document scan not pruned:\n$plan")
+  }
+
   test("q110: gopher rules are scan-local with a single agg exchange") {
     val plan = planOf(graft.operators.TextAnalysis.gopherRules(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).size

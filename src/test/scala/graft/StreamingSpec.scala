@@ -271,6 +271,17 @@ class StreamingSpec extends SparkSpec {
     assert(out < ev.count())
   }
 
+  test("chained stateful stream (dedup -> agg) equals batch distinct") {
+    val out = operators.StreamQueries.streamDistinctUsers(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_trunc("hour", col("ts")).cast("long").as("hr_start"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out === batch)
+  }
+
   test("cms heavy hitters: estimate only ever overestimates") {
     val rows = operators.ApproxAgg.cmsHeavyHitters(spark, sf).collect()
     assert(rows.length > 0)
