@@ -251,6 +251,54 @@ object Analytics {
       .groupBy(col("w.start").cast("long").as("w_start"))
       .agg(count(lit(1)).as("active_users"), sum(col("c")).as("n_events"))
 
+  /** Feature-map assembly — the feature-store pattern: collapse each
+    * user's event history into one deterministic "type:count" feature
+    * string (the stringly-typed stand-in for a map column, which neither
+    * engine hash-orders identically — sort + join is the portable
+    * spelling, same discipline as q84). Per-user state is bounded by the
+    * EVENT-TYPE cardinality (a handful), not the event count: the first
+    * aggregation collapses to (user, type) partial rows map-side. */
+  def featureMap(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("user_id") < 100)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("event_type").as("t"),
+            col("c").as("n")))),
+          s => concat_ws(":", s.getField("t"), s.getField("n"))), ",")
+          .as("features"),
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_events"))
+
+  /** Event-sequence pattern detection (MATCH_RECOGNIZE-lite): order each
+    * user's events into a type sequence and count behavioral patterns —
+    * immediate click→purchase conversions and error,error bursts. The
+    * patterns are LITERAL substrings (both engines scan non-overlapping
+    * left-to-right identically; fancy regex across engines is where
+    * semantics fork). The per-user sequence buffer is the standard
+    * sequence-mining state — bounded by per-user event count; a
+    * production deployment caps or windows it per session. */
+  def eventPattern(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("user_id") < 100)
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("sec").as("s"),
+            col("event_id").as("e"), col("event_type").as("t")))),
+          s => s.getField("t")), ",").as("seq"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        regexp_count(col("seq"), lit("click,purchase")).cast("int")
+          .as("n_quick_conversions"),
+        regexp_count(col("seq"), lit("error,error")).cast("int")
+          .as("n_error_bursts"))
+
   /** Navigation window functions: first/last/nth over an explicit frame
     * (last_value needs the full-partition frame — the classic footgun:
     * the default frame ends at CURRENT ROW). */
@@ -728,6 +776,28 @@ object Analytics {
         col("n_changes"))
 
   val catalog: Seq[Q] = Seq(
+    Q("q135_feature_map", featureMap _,
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events WHERE user_id < 100 GROUP BY 1, 2)
+        |SELECT user_id,
+        |  string_agg(event_type || ':' || CAST(c AS VARCHAR), ','
+        |    ORDER BY event_type) AS features,
+        |  count(*) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS n_events
+        |FROM c GROUP BY 1""".stripMargin),
+    Q("q136_event_pattern", eventPattern _,
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+        |    count(*) AS n_events
+        |  FROM events WHERE user_id < 100 GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(seq, 'click,purchase')) AS INT)
+        |    AS n_quick_conversions,
+        |  CAST(len(regexp_extract_all(seq, 'error,error')) AS INT)
+        |    AS n_error_bursts
+        |FROM s""".stripMargin),
     Q("q132_equidepth_bins", equidepthBins _,
       """WITH b AS (
         |  SELECT quantile_cont(o_totalprice,

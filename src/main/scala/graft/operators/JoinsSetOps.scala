@@ -170,6 +170,36 @@ object JoinsSetOps {
            countDistinct(concat_ws("|", col("o_orderstatus"),
              col("o_orderpriority"))).as("n_combo"))
 
+  /** Bucketed interval-index lookup — a PURE interval join (no natural
+    * equi key: classify each order's price into irregular bands), made
+    * hash-joinable by interval bucketing: each band explodes into the
+    * fixed-width buckets it overlaps, each probe row computes its single
+    * bucket, and the join runs as a bucket EQUI-join with the exact
+    * interval check as a post-join verify. The discipline that keeps
+    * IP-geo/price-band/time-slab lookups off BroadcastNestedLoopJoin at
+    * scale (`PlanSpec` pins no-NL) — q68's advice ("always surface an
+    * equi component") applied when no key exists naturally. Bands are
+    * quadratic-width (genuinely irregular, so no single stride could
+    * serve as the band id directly). */
+  def intervalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val step = 6000L
+    val bands = spark.range(10).select(col("id").as("band"),
+        (col("id") * col("id") * step).as("lo"),
+        ((col("id") + 1) * (col("id") + 1) * step).as("hi"))
+      .withColumn("bucket",
+        explode(sequence(expr("lo div 6000"), expr("(hi - 1) div 6000"))))
+    val probes = t(spark, dir, "orders")
+      .select(col("o_totalprice"),
+        expr("CAST(floor(o_totalprice / 6000.0) AS BIGINT)").as("bucket"))
+    probes.join(broadcast(bands), Seq("bucket"))
+      .filter(col("o_totalprice") >= col("lo") &&
+        col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+  }
+
   /** Blocked fuzzy join (record linkage): candidate pairs come from a
     * BLOCKING-KEY equi-join (the last name token), then an exact
     * edit-distance verify keeps pairs with levenshtein ≤ 3. The classic
@@ -190,6 +220,17 @@ object JoinsSetOps {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q137_interval_index", intervalIndex _,
+      """WITH bands AS (
+        |  SELECT i AS band, i * i * 6000 AS lo,
+        |    (i + 1) * (i + 1) * 6000 AS hi
+        |  FROM (SELECT unnest(range(10)) AS i))
+        |SELECT b.band, count(*) AS n,
+        |  round(min(o.o_totalprice), 2) AS min_price,
+        |  round(max(o.o_totalprice), 2) AS max_price
+        |FROM orders o JOIN bands b
+        |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY 1""".stripMargin),
     Q("q114_fuzzy_join", fuzzyJoin _,
       """WITH n AS (SELECT DISTINCT p_name FROM part),
         |k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS block_key

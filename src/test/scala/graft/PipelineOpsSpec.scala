@@ -283,6 +283,72 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("feature map: sorted type:count string matches per-type counts") {
+    val df = Analytics.featureMap(spark, sf).cache()
+    assert(df.count() > 0)
+    // features holds exactly n_types entries, sorted by type
+    val bad = df.filter(size(split(col("features"), ",")) =!= col("n_types"))
+    assert(bad.count() === 0)
+    val unsorted = df.filter(
+      array_join(array_sort(split(col("features"), ",")), ",")
+        =!= col("features"))
+    assert(unsorted.count() === 0)
+    // counts in the string sum to n_events
+    val sums = df.withColumn("parsed",
+      aggregate(transform(split(col("features"), ","),
+        e => element_at(split(e, ":"), 2).cast("long")),
+        lit(0L), (a, x) => a + x))
+    assert(sums.filter(col("parsed") =!= col("n_events")).count() === 0)
+    df.unpersist()
+  }
+
+  test("event pattern: literal substring counts match a manual recompute") {
+    val df = Analytics.eventPattern(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_quick_conversions") < 0 ||
+      col("n_error_bursts") < 0).count() === 0)
+    // recompute one user's sequence with a window and compare
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val seqs = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("user_id") < 100)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("rn").as("r"), col("event_type").as("t")))),
+        s => s.getField("t")), ",").as("seq2"))
+      .select(col("user_id"),
+        regexp_count(col("seq2"), lit("click,purchase")).cast("int")
+          .as("cp2"))
+    val bad = df.join(seqs, "user_id")
+      .filter(col("n_quick_conversions") =!= col("cp2"))
+    assert(bad.count() === 0)
+    df.unpersist()
+  }
+
+  test("interval index: bucketed equi-join equals the direct interval join") {
+    val df = graft.operators.JoinsSetOps.intervalIndex(spark, sf).cache()
+    assert(df.count() > 0)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val direct = orders
+      .filter(col("o_totalprice") >= 0 && col("o_totalprice") < 600000)
+      .count()
+    assert(df.agg(sum("n")).collect()(0).getLong(0) === direct)
+    // band bounds respected
+    val bands = (0 until 10).map(i => (i.toLong, i.toLong * i * 6000,
+      (i + 1L) * (i + 1) * 6000))
+    bands.foreach { case (b, lo, hi) =>
+      val row = df.filter(col("band") === b).collect()
+      row.foreach { r =>
+        assert(r.getAs[Double]("min_price") >= lo)
+        assert(r.getAs[Double]("max_price") < hi)
+      }
+    }
+    df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)

@@ -216,6 +216,15 @@ class PlanSpec extends SparkSpec {
       s"document scan not pruned:\n$plan")
   }
 
+  test("q137: pure-interval lookup joins on the bucket equi key — " +
+      "never a nested loop") {
+    val plan = planOf(graft.operators.JoinsSetOps.intervalIndex(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval lookup degraded to a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"got:\n$plan")
+  }
+
   test("q110: gopher rules are scan-local with a single agg exchange") {
     val plan = planOf(graft.operators.TextAnalysis.gopherRules(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).size
