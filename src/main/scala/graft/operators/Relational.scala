@@ -212,7 +212,50 @@ object Relational {
         |FROM census_fact WHERE year = 1996 GROUP BY state""".stripMargin)
   }
 
+  /** Schema evolution on read — the lakehouse reality that a dataset
+    * directory holds files written by DIFFERENT pipeline generations:
+    * gen1 (the 1997 slice) lands three columns, gen2 (1998) adds
+    * `o_orderpriority`. `mergeSchema` unions the footers; gen1 rows
+    * surface the added column as NULL, which the query then audits per
+    * priority (the "how much of the corpus predates field X" question
+    * every evolving 100 TB dataset answers constantly). The staged dirs
+    * are session-temp simulation inputs derived deterministically from
+    * the orders table, so the result — and the oracle — depend only on
+    * the sf tables. Money is summed as per-row integer cents (exact,
+    * order-independent). */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo").toString
+    val o = t(spark, dir, "orders")
+    o.filter(inYear(col("o_orderdate"), 1997))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$base/gen=1")
+    o.filter(inYear(col("o_orderdate"), 1998))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$base/gen=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen=1", s"$base/gen=2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q138_schema_evolution", schemaEvolution _,
+      """WITH u AS (
+        |  SELECT NULL AS pr, o_totalprice FROM orders
+        |  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+        |  UNION ALL
+        |  SELECT o_orderpriority AS pr, o_totalprice FROM orders
+        |  WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1999-01-01')
+        |SELECT coalesce(pr, '<pre-schema>') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM u GROUP BY 1""".stripMargin),
     Q("q01_star_fact", starFact _,
       """SELECT n_name AS nation, r_name AS region,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

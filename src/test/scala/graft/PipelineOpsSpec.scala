@@ -349,6 +349,20 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("schema evolution: pre-schema rows audit as exactly the 1997 slice") {
+    val df = graft.operators.Relational.schemaEvolution(spark, sf).cache()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val y97 = o.filter(graft.operators.Relational.inYear(
+      col("o_orderdate"), 1997)).count()
+    val y98 = o.filter(graft.operators.Relational.inYear(
+      col("o_orderdate"), 1998)).count()
+    val pre = df.filter(col("priority") === "<pre-schema>")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(pre === y97)
+    assert(df.agg(sum("n")).collect()(0).getLong(0) === y97 + y98)
+    df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)
