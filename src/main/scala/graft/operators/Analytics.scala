@@ -251,6 +251,28 @@ object Analytics {
       .groupBy(col("w.start").cast("long").as("w_start"))
       .agg(count(lit(1)).as("active_users"), sum(col("c")).as("n_events"))
 
+  /** The ranking-function trio on TIED keys — rank (gaps after ties),
+    * dense_rank (no gaps), row_number (total order) diverge exactly when
+    * the ORDER key has duplicates, so the window orders by a coarse
+    * price bucket: rank/dense_rank are deterministic under ties by
+    * definition; row_number gets the unique orderkey tie-break. One
+    * shuffle on the partition key, per-key sorted state — the standard
+    * windowed shape. */
+  def rankTrio(spark: SparkSession, dir: String): DataFrame = {
+    val wr = Window.partitionBy(col("o_custkey")).orderBy(col("bucket"))
+    val wn = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("bucket"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 20)
+      .withColumn("bucket",
+        floor(col("o_totalprice") / 10000).cast("long"))
+      .select(col("o_custkey").as("cust_id"),
+        col("o_orderkey").as("order_id"), col("bucket"),
+        rank().over(wr).as("rnk"),
+        dense_rank().over(wr).as("drnk"),
+        row_number().over(wn).as("rn"))
+  }
+
   /** Feature-map assembly — the feature-store pattern: collapse each
     * user's event history into one deterministic "type:count" feature
     * string (the stringly-typed stand-in for a map column, which neither
@@ -776,6 +798,19 @@ object Analytics {
         col("n_changes"))
 
   val catalog: Seq[Q] = Seq(
+    Q("q140_rank_trio", rankTrio _,
+      """SELECT o_custkey AS cust_id, o_orderkey AS order_id,
+        |  CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,
+        |  CAST(rank() OVER wr AS INT) AS rnk,
+        |  CAST(dense_rank() OVER wr AS INT) AS drnk,
+        |  CAST(row_number() OVER wn AS INT) AS rn
+        |FROM orders WHERE o_custkey < 20
+        |WINDOW
+        |  wr AS (PARTITION BY o_custkey
+        |    ORDER BY CAST(floor(o_totalprice / 10000) AS BIGINT)),
+        |  wn AS (PARTITION BY o_custkey
+        |    ORDER BY CAST(floor(o_totalprice / 10000) AS BIGINT),
+        |      o_orderkey)""".stripMargin),
     Q("q135_feature_map", featureMap _,
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS c

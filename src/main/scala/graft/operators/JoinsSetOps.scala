@@ -81,6 +81,26 @@ object JoinsSetOps {
     both.unionByName(only95)
   }
 
+  /** INTERSECT ALL / EXCEPT ALL — the BAG-semantics set operations
+    * (multiplicities preserved: a customer ordering 3× in 1995 and 2× in
+    * 1996 contributes 2 to the intersection and 1 to the difference),
+    * a different operator contract from q21's set forms — Spark plans
+    * them as a count-compare aggregation + generate, never a distinct.
+    * Same partial-agg'd shuffle shape as any groupBy at scale. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def custs(y: Int): DataFrame =
+      o.filter(Relational.inYear(col("o_orderdate"), y))
+        .select(col("o_custkey"))
+    val ia = custs(1995).intersectAll(custs(1996))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    val ea = custs(1995).exceptAll(custs(1996))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    ia.unionByName(ea)
+  }
+
   /** HAVING — post-aggregation filter. */
   def havingFilter(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -220,6 +240,20 @@ object JoinsSetOps {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q139_setops_all", setOpsAll _,
+      """WITH c95 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'),
+        |c96 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'),
+        |ia AS (SELECT count(*) AS n FROM
+        |  (SELECT * FROM c95 INTERSECT ALL SELECT * FROM c96)),
+        |ea AS (SELECT count(*) AS n FROM
+        |  (SELECT * FROM c95 EXCEPT ALL SELECT * FROM c96))
+        |SELECT 'intersect_all' AS op, n FROM ia
+        |UNION ALL
+        |SELECT 'except_all' AS op, n FROM ea""".stripMargin),
     Q("q137_interval_index", intervalIndex _,
       """WITH bands AS (
         |  SELECT i AS band, i * i * 6000 AS lo,

@@ -363,6 +363,38 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("setops all: bag multiplicities obey min/difference identities") {
+    val df = graft.operators.JoinsSetOps.setOpsAll(spark, sf).cache()
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    def custs(y: Int) = o.filter(graft.operators.Relational.inYear(
+      col("o_orderdate"), y)).select(col("o_custkey"))
+    val c95 = custs(1995).count()
+    // |A ∩all B| + |A \all B| = |A| (bag identity)
+    assert(rows("intersect_all") + rows("except_all") === c95)
+    // bag intersection is at least the set intersection
+    val setInter = custs(1995).intersect(custs(1996)).count()
+    assert(rows("intersect_all") >= setInter)
+    df.unpersist()
+  }
+
+  test("rank trio: gaps after ties for rank, none for dense_rank, " +
+      "row_number total") {
+    val df = Analytics.rankTrio(spark, sf).cache()
+    assert(df.count() > 0)
+    // row_number is 1..n per customer
+    val per = df.groupBy("cust_id")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"))
+    assert(per.filter(col("n") =!= col("mx")).count() === 0)
+    // dense_rank never exceeds rank; both never exceed row count
+    assert(df.filter(col("drnk") > col("rnk")).count() === 0)
+    val joined = df.join(per, "cust_id")
+    assert(joined.filter(col("rnk") > col("n")).count() === 0)
+    // ties exist in the fixture (the trio actually diverges somewhere)
+    assert(df.filter(col("rnk") =!= col("drnk")).count() > 0)
+    df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)
