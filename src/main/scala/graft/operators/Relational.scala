@@ -243,7 +243,71 @@ object Relational {
           .as("cents"))
   }
 
+  /** JSON-lines source — the object-store event-feed format (one JSON
+    * object per line). The feed is staged deterministically from the
+    * events table (to_json → text sink), then read back with a DECLARED
+    * schema — schema-on-read, no inference pass (inference scans the
+    * data twice and guesses types; a production reader always declares).
+    * Money re-enters as per-row integer cents. The JSON round-trip is
+    * exact: doubles render as shortest-repr and parse back bit-equal. */
+  def jsonlSource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_jsonl").toString
+    t(spark, dir, "events").filter(col("event_id") < 2000)
+      .select(to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))).as("value"))
+      .write.mode("overwrite").text(s"$base/feed")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read.schema(schema).json(s"$base/feed")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+  }
+
+  /** ORC round-trip — the second columnar at-rest format next to
+    * parquet (Hive-lineage deployments): write a year slice as ORC,
+    * read it back, aggregate. Predicate/column pushdown applies to the
+    * ORC scan the same as parquet. Result depends only on the orders
+    * table, so the oracle reads that directly. */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_orc").toString
+    t(spark, dir, "orders")
+      .filter(inYear(col("o_orderdate"), 1997))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(s"$base/orders97")
+    spark.read.orc(s"$base/orders97")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q141_jsonl_source", jsonlSource _,
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events WHERE event_id < 2000
+        |GROUP BY 1""".stripMargin),
+    Q("q142_orc_roundtrip", orcRoundTrip _,
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY 1""".stripMargin),
     Q("q138_schema_evolution", schemaEvolution _,
       """WITH u AS (
         |  SELECT NULL AS pr, o_totalprice FROM orders

@@ -395,6 +395,24 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("jsonl source: declared-schema read round-trips the staged feed") {
+    val df = graft.operators.Relational.jsonlSource(spark, sf).cache()
+    val direct = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id") < 2000).count()
+    assert(df.agg(sum("n")).collect()(0).getLong(0) === direct)
+    assert(df.filter(col("n_users") > col("n")).count() === 0)
+    df.unpersist()
+  }
+
+  test("orc roundtrip: slice counts and key ranges survive the format") {
+    val df = graft.operators.Relational.orcRoundTrip(spark, sf).cache()
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(graft.operators.Relational.inYear(col("o_orderdate"), 1997))
+    assert(df.agg(sum("n")).collect()(0).getLong(0) === direct.count())
+    assert(df.filter(col("min_key") > col("max_key")).count() === 0)
+    df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)
