@@ -81,6 +81,81 @@ object JoinsSetOps {
     both.unionByName(only95)
   }
 
+  /** Shipping-priority composite (the TPC-H Q3 shape): 3-way
+    * customer⋈orders⋈lineitem join filtered on both date sides, grouped
+    * revenue per order, top 10 by revenue. The canonical "join big facts
+    * then rank" OLAP composite: both date filters push to the scans,
+    * revenue is per-row integer cents summed exactly, and the top-10 is
+    * TakeOrderedAndProject. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1996-07-01 00:00:00")
+    val c = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(cutoff))
+      .select(col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) " +
+          "AS BIGINT)").as("rev_cents"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey").as("order_id"),
+        col("o_orderdate").cast("date").cast("string").as("order_date"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_cents").desc, col("order_id").asc)
+      .limit(10)
+  }
+
+  /** Returned-items report (the TPC-H Q10 shape): revenue lost to
+    * returns per customer over a quarter — customer⋈orders⋈lineitem
+    * with a return-flag filter, top 20 by lost revenue. Same discipline
+    * as [[shippingPriority]]: pushed filters, exact cents, heap top-k. */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1995-10-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) " +
+          "AS BIGINT)").as("rev_cents"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey").as("cust_id"), col("c_mktsegment"))
+      .agg(sum(col("rev_cents")).as("lost_cents"),
+        count(lit(1)).as("n_returned"))
+      .orderBy(col("lost_cents").desc, col("cust_id").asc)
+      .limit(20)
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other — the semantic a plain equi-join silently drops
+    * (its NULL = NULL is UNKNOWN). Sides derive nullable keys from the
+    * order status ('O' → NULL, the q58 trick); the result's NULL-key
+    * group is exactly what the plain join would lose. Catalyst still
+    * plans `<=>` as a hash join (the null-safe comparison is a valid
+    * equi key), so the scale shape is unchanged. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(expr("nullif(o_orderstatus, 'O')").as("k"),
+        col("o_totalprice"))
+    val a = o.groupBy(col("k")).agg(count(lit(1)).as("n_a"))
+    val b = o.groupBy(col("k").as("kb"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .as("cents_b"))
+    a.join(b, a("k") <=> b("kb"))
+      .select(coalesce(col("k"), lit("<null>")).as("status"),
+        col("n_a"), col("cents_b"))
+  }
+
   /** INTERSECT ALL / EXCEPT ALL — the BAG-semantics set operations
     * (multiplicities preserved: a customer ordering 3× in 1995 and 2× in
     * 1996 contributes 2 to the intersection and 1 to the difference),
@@ -240,6 +315,41 @@ object JoinsSetOps {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q143_shipping_priority", shippingPriority _,
+      """SELECT o_orderkey AS order_id,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < '1996-07-01'
+        |  AND l_shipdate >= '1996-07-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, order_id ASC LIMIT 10""".stripMargin),
+    Q("q144_returned_items", returnedItems _,
+      """SELECT c_custkey AS cust_id, c_mktsegment,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS lost_cents,
+        |  count(*) AS n_returned
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= '1995-10-01' AND o_orderdate < '1996-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2
+        |ORDER BY lost_cents DESC, cust_id ASC LIMIT 20""".stripMargin),
+    Q("q145_nullsafe_join", nullSafeJoin _,
+      """WITH o AS (
+        |  SELECT nullif(o_orderstatus, 'O') AS k, o_totalprice
+        |  FROM orders),
+        |a AS (SELECT k, count(*) AS n_a FROM o GROUP BY 1),
+        |b AS (SELECT k AS kb,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents_b
+        |  FROM o GROUP BY 1)
+        |SELECT coalesce(a.k, '<null>') AS status, a.n_a, b.cents_b
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.kb""".stripMargin),
     Q("q139_setops_all", setOpsAll _,
       """WITH c95 AS (
         |  SELECT o_custkey FROM orders

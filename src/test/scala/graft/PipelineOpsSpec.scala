@@ -413,6 +413,46 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("shipping priority: top-10 descending revenue, all positive") {
+    val df = graft.operators.JoinsSetOps.shippingPriority(spark, sf).cache()
+    assert(df.count() <= 10 && df.count() > 0)
+    assert(df.filter(col("revenue_cents") <= 0 || col("n_lines") < 1)
+      .count() === 0)
+    val revs = df.select("revenue_cents").collect().map(_.getLong(0))
+    assert(revs.sameElements(revs.sorted(Ordering[Long].reverse)))
+    df.unpersist()
+  }
+
+  test("returned items: only R-flag revenue counted, quarter respected") {
+    val df = graft.operators.JoinsSetOps.returnedItems(spark, sf).cache()
+    assert(df.count() > 0 && df.count() <= 20)
+    assert(df.filter(col("lost_cents") <= 0).count() === 0)
+    // independent recompute of one customer's lost revenue
+    val top = df.head()
+    val cust = top.getAs[Long]("cust_id")
+    val direct = spark.sql(s"""
+      SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        + 0.5) AS BIGINT)) AS BIGINT) AS c
+      FROM parquet.`$sf/orders.parquet` o
+        JOIN parquet.`$sf/lineitem.parquet` l ON o_orderkey = l_orderkey
+      WHERE o_custkey = $cust AND l_returnflag = 'R'
+        AND o_orderdate >= '1995-10-01' AND o_orderdate < '1996-01-01'
+      """).collect()(0).getLong(0)
+    assert(top.getAs[Long]("lost_cents") === direct)
+    df.unpersist()
+  }
+
+  test("null-safe join: the NULL-key group survives the join") {
+    val df = graft.operators.JoinsSetOps.nullSafeJoin(spark, sf).cache()
+    // one row per distinct nullable status, INCLUDING the null group
+    assert(df.filter(col("status") === "<null>").count() === 1)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val nullCount = o.filter(col("o_orderstatus") === "O").count()
+    assert(df.filter(col("status") === "<null>")
+      .head().getAs[Long]("n_a") === nullCount)
+    df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)
