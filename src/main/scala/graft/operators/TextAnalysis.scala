@@ -698,6 +698,42 @@ object TextAnalysis {
         round(col("n_oov") / col("n_tokens"), 6) + lit(0.0))
   }
 
+  /** URL canonicalization — the crawl-dedup prerequisite (the same page
+    * arrives as `HTTP://Host/path/?utm_source=x` and `http://host/path`):
+    * lowercase scheme+host, strip tracking params, drop a trailing
+    * slash, then count how many raw variants collapse per canonical
+    * URL. Deterministic synthetic URLs are derived per row (the fixture
+    * carries none — same synthesis pattern as [[piiRedact]]), with case
+    * and utm noise keyed off doc_id so collisions are real. All
+    * scan-local regex/string expressions in the RE2-safe subset; the
+    * only shuffle is the final canonical-URL aggregation. */
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, "HTTP://WWW.").otherwise("http://www."),
+      col("source"), lit(".example.com/docs/"),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0, "/").otherwise(""),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=feed&utm_campaign=c"),
+          (col("doc_id") % 7).cast("string"))).otherwise(lit("")))
+    t(spark, dir, "documents")
+      .withColumn("raw_url", raw)
+      .withColumn("canon",
+        regexp_replace(
+          regexp_replace(
+            // lowercase scheme://host, keep the path's case
+            concat(lower(regexp_extract(col("raw_url"),
+              "^([a-zA-Z]+://[^/]+)", 1)),
+              regexp_extract(col("raw_url"), "^[a-zA-Z]+://[^/]+(.*)$", 1)),
+            "\\?utm_[a-z_]+=[a-z0-9]+(&utm_[a-z_]+=[a-z0-9]+)*$", ""),
+          "/$", ""))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("raw_url")).as("n_variants"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_variants") >= 2)
+  }
+
   /** Document chunking: split each document into fixed-size token windows
     * (50 words here) — the pre-tokenization pass that turns a long-document
     * corpus into training-sized pieces. One output row per (doc, chunk);
@@ -779,6 +815,32 @@ object TextAnalysis {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q146_url_normalize", urlNormalize _,
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.'
+        |          ELSE 'http://www.' END)
+        |    || source || '.example.com/docs/'
+        |    || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0
+        |          THEN '?utm_source=feed&utm_campaign=c'
+        |            || CAST(doc_id % 7 AS VARCHAR)
+        |          ELSE '' END) AS raw_url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, raw_url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(raw_url, '^([a-zA-Z]+://[^/]+)', 1))
+        |        || regexp_extract(raw_url, '^[a-zA-Z]+://[^/]+(.*)$', 1),
+        |      '\?utm_[a-z_]+=[a-z0-9]+(&utm_[a-z_]+=[a-z0-9]+)*$', ''),
+        |      '/$', '') AS canon
+        |  FROM raw)
+        |SELECT canon, count(*) AS n_raw,
+        |  count(DISTINCT raw_url) AS n_variants,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY 1
+        |HAVING count(DISTINCT raw_url) >= 2""".stripMargin),
     Q("q120_bpe_pairs", bpePairs _,
       """WITH wc AS (
         |  SELECT u AS word, count(*) AS n

@@ -453,6 +453,20 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("url normalize: canonical form collapses case/utm/slash variants") {
+    val df = TextAnalysis.urlNormalize(spark, sf).cache()
+    assert(df.count() > 0)
+    // every reported group genuinely collapses ≥2 distinct raw forms
+    assert(df.filter(col("n_variants") < 2).count() === 0)
+    assert(df.filter(col("n_raw") < col("n_variants")).count() === 0)
+    // canonical URLs carry no tracking params, no trailing slash, and a
+    // lowercase scheme+host
+    assert(df.filter(col("canon").contains("utm_")).count() === 0)
+    assert(df.filter(col("canon").endsWith("/")).count() === 0)
+    assert(df.filter(!col("canon").startsWith("http://www.")).count() === 0)
+    df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)
