@@ -91,6 +91,13 @@ object ScaleProbe {
       time(s"emb_dedup_$tag")(operators.Dedup.embeddingCosine(spark, dir).count())
       time(s"bloom_decon_$tag")(
         operators.TextAnalysis.bloomDecontaminate(spark, dir).count())
+      // graph family: 10x FACTS over FIXED dims means the distinct
+      // (cust, supp) edge list saturates — cost should track the
+      // distinct-input scan (linear), while the iterative rounds' cost
+      // (keyed on the saturated edge list) should stay nearly flat
+      time(s"pagerank_$tag")(operators.Graph.pagerank(spark, dir).count())
+      time(s"degree_stats_$tag")(
+        operators.Graph.degreeStats(spark, dir).count())
     }
 
     streamingProbe(spark, base)
