@@ -154,6 +154,32 @@ object EngineProperties extends Properties("graft") {
         chunks.last == (if (n % 50 == 0) 50 else n % 50)
     }
 
+  property("connected components equals reference union-find on random graphs") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))) { rawEdges =>
+      val edges = rawEdges.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        import spark.implicits._
+        val got = graft.operators.Dedup
+          .connectedComponents(edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        // reference union-find over the same edges
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(v => v -> find(v)).toMap
+        // same vertex set, and the PARTITIONS agree (operator labels are
+        // min-of-component, union-find roots after path compression too)
+        got.length == want.size && got.forall { case (v, c) => want(v) == c }
+      }
+    }
+
   property("header promotion: columns from row 0, data rows preserved") =
     forAll(Gen.choose(1, 4), Gen.choose(1, 5)) { (nCols, nRows) =>
       val header = (0 until nCols).map(i => s"col$i")
