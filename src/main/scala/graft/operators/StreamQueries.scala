@@ -209,6 +209,50 @@ object StreamQueries {
     }
   }
 
+  /** Stream-stream LEFT OUTER join — the semantic inner joins can't
+    * express: a click with NO purchase inside the 30-minute horizon must
+    * still emit (with NULLs) once the watermark proves no match can
+    * arrive. Unmatched-row emission is watermark-FINALIZED — the
+    * trailing no-data micro-batch after AvailableNow drains the source
+    * advances the watermark past all buffered clicks, flushing the NULL
+    * rows; without it an outer join would silently behave inner. Both
+    * sides watermarked + time-range condition = bounded state, as q88.
+    *
+    * The click side stops days before the feed's end (fixed cutoff):
+    * an unmatched click only finalizes once the watermark passes its
+    * whole match window, so clicks inside the last (delay + horizon) of
+    * the stream are inherently un-finalizable in a bounded replay — a
+    * boundary the batch oracle cannot portably mirror. Production
+    * continuous streams have no end, so no such edge exists there. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir, mode = "append") { ev =>
+      // the cutoff filter sits ABOVE the watermark node: the watermark
+      // must observe the click stream's full time axis to finalize the
+      // last kept clicks (a pre-watermark filter caps the observed max
+      // and stalls the watermark at cutoff − delay, silently dropping
+      // the final hour's unmatched clicks)
+      val c = ev.filter(col("event_type") === "click")
+        .withWatermark("ts", "30 minutes")
+        .filter(col("ts") < lit(java.sql.Timestamp.valueOf(
+          "2024-01-25 00:00:00")))
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"), col("value"))
+      c.join(p,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") +
+              expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .select(col("user_id"), col("click_id"),
+          col("click_ts").cast("long").as("click_sec"),
+          col("purchase_ts").cast("long").as("purchase_sec"),
+          round(col("value"), 6).as("value"))
+    }
+
   /** CHAINED stateful streaming: per-hour distinct-user counts computed
     * as dropDuplicates (stateful op 1: first (user, hour) occurrence
     * wins) feeding a grouped count (stateful op 2) — the streamed form
@@ -286,6 +330,17 @@ object StreamQueries {
         |  count(*) AS n, round(sum(e.value), 2) AS total
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin),
+    Q("q147_stream_outer_join", streamOuterJoin _,
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_sec,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec,
+        |  round(p.value, 6) AS value
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
+        |  AND c.ts < TIMESTAMP '2024-01-25 00:00:00'""".stripMargin),
     Q("q134_stream_distinct_users", streamDistinctUsers _,
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_start,
         |  count(DISTINCT user_id) AS active_users

@@ -282,6 +282,26 @@ class StreamingSpec extends SparkSpec {
     assert(out === batch)
   }
 
+  test("stream outer join: unmatched clicks emit NULL rows after watermark") {
+    val out = operators.StreamQueries.streamOuterJoin(spark, sf).cache()
+    val unmatched = out.filter(col("purchase_sec").isNull).count()
+    // batch recompute of clicks with no purchase in the window
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val c = ev.filter(col("event_type") === "click" &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
+      .select(col("user_id"), col("event_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val expected = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"),
+        "left_anti").count()
+    assert(unmatched === expected)
+    assert(unmatched > 0, "fixture should contain unmatched clicks")
+    out.unpersist()
+  }
+
   test("cms heavy hitters: estimate only ever overestimates") {
     val rows = operators.ApproxAgg.cmsHeavyHitters(spark, sf).collect()
     assert(rows.length > 0)
