@@ -251,6 +251,30 @@ object Analytics {
       .groupBy(col("w.start").cast("long").as("w_start"))
       .agg(count(lit(1)).as("active_users"), sum(col("c")).as("n_events"))
 
+  /** FILTER-clause aggregation + exact weighted average: several
+    * differently-conditioned aggregates in ONE pass over lineitem (the
+    * SQL:2003 FILTER clause — each aggregate sees its own predicate, no
+    * self-joins, no second scan), plus the quantity-weighted mean price
+    * as exact integer sums with one final division (weighted doubles
+    * summed then divided would be partial-agg-order dependent). One
+    * partial-agg'd shuffle regardless of how many filtered aggregates
+    * ride along. */
+  def filteredAggs(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("fa_lineitem")
+    spark.sql(
+      """SELECT l_returnflag AS flag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  count(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    FILTER (WHERE l_quantity >= 30) AS BIGINT) AS bulk_cents,
+        |  round(CAST(sum(CAST(floor(l_extendedprice * l_quantity * 100
+        |      + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / sum(CAST(l_quantity AS BIGINT)) / 100.0, 4)
+        |    AS wavg_price
+        |FROM fa_lineitem GROUP BY 1""".stripMargin)
+  }
+
   /** The ranking-function trio on TIED keys — rank (gaps after ties),
     * dense_rank (no gaps), row_number (total order) diverge exactly when
     * the ORDER key has duplicates, so the window orders by a coarse
@@ -798,6 +822,18 @@ object Analytics {
         col("n_changes"))
 
   val catalog: Seq[Q] = Seq(
+    Q("q148_filtered_aggs", filteredAggs _,
+      """SELECT l_returnflag AS flag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  count(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    FILTER (WHERE l_quantity >= 30) AS BIGINT) AS bulk_cents,
+        |  round(CAST(sum(CAST(floor(l_extendedprice * l_quantity * 100
+        |      + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / sum(CAST(l_quantity AS BIGINT)) / 100.0, 4)
+        |    AS wavg_price
+        |FROM lineitem GROUP BY 1""".stripMargin),
     Q("q140_rank_trio", rankTrio _,
       """SELECT o_custkey AS cust_id, o_orderkey AS order_id,
         |  CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,

@@ -467,6 +467,22 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("filtered aggs: filtered counts bounded, weighted avg within range") {
+    val df = Analytics.filteredAggs(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_discounted") > col("n") ||
+      col("n_bulk") > col("n")).count() === 0)
+    // weighted avg lies within the per-flag price min/max
+    val bounds = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+    val bad = df.join(bounds, "flag")
+      .filter(col("wavg_price") < col("lo") || col("wavg_price") > col("hi"))
+    assert(bad.count() === 0)
+    df.unpersist()
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)
