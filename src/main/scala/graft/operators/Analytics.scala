@@ -251,6 +251,24 @@ object Analytics {
       .groupBy(col("w.start").cast("long").as("w_start"))
       .agg(count(lit(1)).as("active_users"), sum(col("c")).as("n_events"))
 
+  /** Per-group top-k WITHOUT a window: the custom mergeable bounded-heap
+    * aggregate ([[graft.functions.TopKAgg]]) keeps the 3 best (price, id)
+    * pairs per customer through partial aggregation — the shuffle carries
+    * ≤3 pairs per group where the window-rank idiom sorts every group's
+    * full row set. The oracle IS that window formulation: identical
+    * results, different physical contract. Prices compare as exact
+    * integer cents so the total order (cents desc, id asc) is portable. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 300)
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+        col("o_orderkey"), 3).as("top"))
+      .select(col("cust_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("cust_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("order_id"), col("s.key").as("cents"))
+
   /** FILTER-clause aggregation + exact weighted average: several
     * differently-conditioned aggregates in ONE pass over lineitem (the
     * SQL:2003 FILTER clause — each aggregate sees its own predicate, no
@@ -822,6 +840,16 @@ object Analytics {
         col("n_changes"))
 
   val catalog: Seq[Q] = Seq(
+    Q("q149_topk_per_group", topkPerGroup _,
+      """WITH r AS (
+        |  SELECT o_custkey AS cust_id, o_orderkey AS order_id,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |        DESC, o_orderkey ASC) AS rk
+        |  FROM orders WHERE o_custkey < 300)
+        |SELECT cust_id, CAST(rk AS INT) AS rk, order_id, cents
+        |FROM r WHERE rk <= 3""".stripMargin),
     Q("q148_filtered_aggs", filteredAggs _,
       """SELECT l_returnflag AS flag,
         |  count(*) AS n,

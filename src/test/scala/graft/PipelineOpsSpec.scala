@@ -483,6 +483,30 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("topk agg: bounded-heap result equals window rank at any partitioning") {
+    import graft.functions.TopKAgg
+    import org.apache.spark.sql.expressions.Window
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    def viaAgg(parts: Int) = o.repartition(parts)
+      .groupBy(col("o_custkey"))
+      .agg(TopKAgg.topK(col("cents"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("o_custkey"), col("pos"), col("s.id"), col("s.key"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("cents").desc, col("o_orderkey").asc)
+    val viaWindow = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), (col("rn") - 1).cast("int").as("pos"),
+        col("o_orderkey").as("id"), col("cents").as("key"))
+    Seq(1, 7).foreach { p =>
+      val a = viaAgg(p)
+      assert(a.exceptAll(viaWindow).count() === 0, s"parts=$p extra rows")
+      assert(viaWindow.exceptAll(a).count() === 0, s"parts=$p missing rows")
+    }
+  }
+
   test("inverted index: postings rank-truncated to 5, df counts full set") {
     val df = TextAnalysis.invertedIndex(spark, sf).cache()
     assert(df.count() > 0)

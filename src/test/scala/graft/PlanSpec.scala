@@ -225,6 +225,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"got:\n$plan")
   }
 
+  test("q149: top-k per group runs as a bounded-heap aggregate — " +
+      "no window, no per-group sort") {
+    val plan = planOf(graft.operators.Analytics.topkPerGroup(spark, sf))
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$plan")
+  }
+
   test("q110: gopher rules are scan-local with a single agg exchange") {
     val plan = planOf(graft.operators.TextAnalysis.gopherRules(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).size
