@@ -122,5 +122,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.KMinValuesAgg(exprs.head, litInt(exprs(1), "k"))
           .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.functions.TopKAgg].getName,
+        "graft_topk"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.TopKAgg(exprs.head, exprs(1),
+          litInt(exprs(2), "k")).toAggregateExpression()))
   }
 }

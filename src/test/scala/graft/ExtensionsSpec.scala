@@ -73,6 +73,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getBoolean(1) && !r.getBoolean(2))
   }
 
+  test("graft_topk keeps the k best (key, id) pairs from SQL") {
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => graft.functions.TopKAgg(exprs(0), exprs(1), 2)
+        .toAggregateExpression(), "scala_udf")
+    val r = s2.sql(
+      """WITH v(k, id) AS (VALUES (10L, 1L), (30L, 2L), (30L, 3L), (5L, 4L))
+        |SELECT graft_topk(k, id, 2) AS top FROM v""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    // best first: key 30 tie broken to the LOWER id, then the other 30
+    assert(r.map(x => (x.getLong(0), x.getLong(1))) ===
+      Seq((30L, 2L), (30L, 3L)))
+  }
+
   test("graft_dot_fd scores a float vector against a double centroid in SQL") {
     val s2 = spark.newSession()
     // drive the injectFunction path directly via a session registration
