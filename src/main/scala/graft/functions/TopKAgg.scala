@@ -6,7 +6,7 @@ import java.util.Comparator
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -20,7 +20,12 @@ import org.apache.spark.sql.types._
   * per-group state are O(k) regardless of group size — the same
   * bounded-buffer discipline as [[KMinValuesAgg]].
   *
-  * Deterministic: the k best pairs of a set under a TOTAL order
+  * BAG semantics: a (key, id) pair appearing twice in the input occupies
+  * two of the k slots (the buffer counts multiplicity), exactly like the
+  * window-rank formulation — top-k membership is never silently
+  * deduplicated.
+  *
+  * Deterministic: the k best pairs of a multiset under a TOTAL order
   * (key desc, id asc) do not depend on arrival or merge order, so the
   * result is bit-identical at any parallelism and replicable by a
   * window-rank oracle.
@@ -31,77 +36,81 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]] {
+  extends TypedImperativeAggregate[TopKAgg.Buf] with ImplicitCastInputTypes {
 
   require(k >= 1, s"k must be >= 1, got $k")
 
-  // ascending GOODNESS: smaller key first; for equal keys the HIGHER id
-  // sits earlier (is worse) — so first() is always the eviction victim
-  private def cmp: Comparator[(Long, Long)] = new Comparator[(Long, Long)] {
-    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
-      val c = java.lang.Long.compare(a._1, b._1)
-      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+  import TopKAgg.{Buf, cmp}
+
+  // the AbstractDataType return type is private[sql]; the inferred
+  // Seq[LongType.type] conforms covariantly
+  override def inputTypes = Seq(LongType, LongType)
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  private def offer(buf: Buf, p: (Long, Long), times: Int): Unit = {
+    var t = times
+    while (t > 0 && buf.n < k) { buf.addOne(p); t -= 1 }
+    while (t > 0 && cmp.compare(p, buf.m.firstKey()) > 0) {
+      buf.addOne(p)
+      buf.dropWorst()
+      t -= 1
     }
   }
 
-  override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
-    new java.util.TreeSet[(Long, Long)](cmp)
-
-  private def offer(buf: java.util.TreeSet[(Long, Long)],
-      p: (Long, Long)): Unit = {
-    if (buf.size < k) buf.add(p)
-    else if (cmp.compare(p, buf.first()) > 0) {
-      if (buf.add(p)) buf.pollFirst()
-    }
-  }
-
-  override def update(buf: java.util.TreeSet[(Long, Long)],
-      input: InternalRow): java.util.TreeSet[(Long, Long)] = {
+  override def update(buf: Buf, input: InternalRow): Buf = {
     val kv = key.eval(input)
     val iv = id.eval(input)
     if (kv != null && iv != null)
-      offer(buf, (kv.asInstanceOf[Long], iv.asInstanceOf[Long]))
+      offer(buf, (kv.asInstanceOf[Long], iv.asInstanceOf[Long]), 1)
     buf
   }
 
-  override def merge(a: java.util.TreeSet[(Long, Long)],
-      b: java.util.TreeSet[(Long, Long)]): java.util.TreeSet[(Long, Long)] = {
-    val it = b.descendingIterator() // best of b first; stop early when a
-    var continue = true             // is full and b's rest can't compete
+  override def merge(a: Buf, b: Buf): Buf = {
+    val it = b.m.descendingMap().entrySet().iterator() // best of b first
+    var continue = true // stop once a is full and b's rest can't compete
     while (continue && it.hasNext) {
-      val p = it.next()
-      if (a.size < k || cmp.compare(p, a.first()) > 0) offer(a, p)
+      val e = it.next()
+      if (a.n < k || cmp.compare(e.getKey, a.m.firstKey()) > 0)
+        offer(a, e.getKey, e.getValue)
       else continue = false
     }
     a
   }
 
-  override def eval(buf: java.util.TreeSet[(Long, Long)]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.descendingIterator() // best first
+  override def eval(buf: Buf): Any = {
+    val out = new Array[Any](buf.n)
+    val it = buf.m.descendingMap().entrySet().iterator() // best first
     var i = 0
     while (it.hasNext) {
-      val p = it.next()
-      out(i) = InternalRow(p._1, p._2)
-      i += 1
+      val e = it.next()
+      var c = e.getValue
+      while (c > 0) { out(i) = InternalRow(e.getKey._1, e.getKey._2); i += 1
+        c -= 1 }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(
-      buf: java.util.TreeSet[(Long, Long)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(16 * buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) { val p = it.next(); bb.putLong(p._1); bb.putLong(p._2) }
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(20 * buf.m.size)
+    val it = buf.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey._1); bb.putLong(e.getKey._2); bb.putInt(e.getValue)
+    }
     bb.array()
   }
 
-  override def deserialize(
-      bytes: Array[Byte]): java.util.TreeSet[(Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
-    val s = createAggregationBuffer()
-    while (bb.hasRemaining) s.add((bb.getLong(), bb.getLong()))
-    s
+    val buf = new Buf
+    while (bb.hasRemaining) {
+      val p = (bb.getLong(), bb.getLong())
+      val c = bb.getInt()
+      buf.m.put(p, c)
+      buf.n += c
+    }
+    buf
   }
 
   override def dataType: DataType = ArrayType(
@@ -122,8 +131,36 @@ case class TopKAgg(
 }
 
 object TopKAgg {
+
+  // ascending GOODNESS: smaller key first; for equal keys the HIGHER id
+  // sits earlier (is worse) — so firstKey() is always the eviction victim
+  private[functions] val cmp: Comparator[(Long, Long)] =
+    new Comparator[(Long, Long)] {
+      override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+    }
+
+  /** Multiset of ≤ k (key, id) pairs: TreeMap pair → multiplicity plus a
+    * total count — duplicate pairs occupy distinct top-k slots. */
+  final class Buf {
+    val m = new java.util.TreeMap[(Long, Long), Int](cmp)
+    var n = 0
+    def addOne(p: (Long, Long)): Unit = {
+      m.merge(p, 1, (a: Int, b: Int) => a + b)
+      n += 1
+    }
+    def dropWorst(): Unit = {
+      val e = m.firstEntry()
+      if (e.getValue > 1) m.put(e.getKey, e.getValue - 1)
+      else m.remove(e.getKey)
+      n -= 1
+    }
+  }
+
   /** Column API: array of the k best (key, id) structs, best first
-    * (key desc, id asc). */
+    * (key desc, id asc); duplicate pairs keep their multiplicity. */
   def topK(key: Column, id: Column, k: Int): Column =
     GraftBridge.column(TopKAgg(GraftBridge.expression(key),
       GraftBridge.expression(id), k).toAggregateExpression())

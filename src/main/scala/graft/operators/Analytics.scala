@@ -888,7 +888,8 @@ object Analytics {
     Q("q136_event_pattern", eventPattern _,
       """WITH s AS (
         |  SELECT user_id,
-        |    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+        |    string_agg(event_type, ','
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS seq,
         |    count(*) AS n_events
         |  FROM events WHERE user_id < 100 GROUP BY 1)
         |SELECT user_id, n_events,

@@ -282,10 +282,11 @@ object JoinsSetOps {
         (col("id") * col("id") * step).as("lo"),
         ((col("id") + 1) * (col("id") + 1) * step).as("hi"))
       .withColumn("bucket",
-        explode(sequence(expr("lo div 6000"), expr("(hi - 1) div 6000"))))
+        explode(sequence(expr(s"lo div $step"),
+          expr(s"(hi - 1) div $step"))))
     val probes = t(spark, dir, "orders")
       .select(col("o_totalprice"),
-        expr("CAST(floor(o_totalprice / 6000.0) AS BIGINT)").as("bucket"))
+        expr(s"CAST(floor(o_totalprice / $step.0) AS BIGINT)").as("bucket"))
     probes.join(broadcast(bands), Seq("bucket"))
       .filter(col("o_totalprice") >= col("lo") &&
         col("o_totalprice") < col("hi"))

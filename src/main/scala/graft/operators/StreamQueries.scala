@@ -254,17 +254,25 @@ object StreamQueries {
     }
 
   /** CHAINED stateful streaming: per-hour distinct-user counts computed
-    * as dropDuplicates (stateful op 1: first (user, hour) occurrence
-    * wins) feeding a grouped count (stateful op 2) — the streamed form
-    * of q133's distinct-user metric and the multi-stateful-operator
-    * pipeline shape (dedup → aggregate) Spark supports since chained
-    * stateful operators landed. Both operators key on event time, so
-    * the watermark bounds BOTH state stores at scale. */
+    * as a watermark-bounded dedup (stateful op 1: first (user, hour)
+    * occurrence wins) feeding a grouped count (stateful op 2) — the
+    * streamed form of q133's distinct-user metric and the
+    * multi-stateful-operator pipeline shape (dedup → aggregate).
+    *
+    * The dedup is `dropDuplicatesWithinWatermark`, NOT plain
+    * dropDuplicates: the derived `hr` key carries no event-time tag, so
+    * a plain dedup would keep every (user, hour) ever seen — unbounded
+    * state on an unbounded feed (the q94 lesson). The WithinWatermark
+    * form evicts on the watermark unconditionally; its delay (61 min)
+    * exceeds the hour-window span, so a (user, hour) entry provably
+    * outlives every duplicate that is not already watermark-late —
+    * eviction can never re-admit a duplicate, and per-hour counts stay
+    * exact. */
   def streamDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, dir) { ev =>
-      ev.withWatermark("ts", "30 minutes")
+      ev.withWatermark("ts", "61 minutes")
         .withColumn("hr", date_trunc("hour", col("ts")))
-        .dropDuplicates("user_id", "hr")
+        .dropDuplicatesWithinWatermark("user_id", "hr")
         .groupBy(col("hr"))
         .agg(count(lit(1)).as("active_users"))
         .select(col("hr").cast("long").as("hr_start"),

@@ -86,6 +86,23 @@ class ExtensionsSpec extends SparkSpec {
     // best first: key 30 tie broken to the LOWER id, then the other 30
     assert(r.map(x => (x.getLong(0), x.getLong(1))) ===
       Seq((30L, 2L), (30L, 3L)))
+    // BAG semantics: a duplicated (key, id) pair fills two top-k slots,
+    // exactly like the window-rank formulation would emit two rows
+    val dup = s2.sql(
+      """WITH v(k, id) AS (VALUES (10L, 1L), (10L, 1L), (5L, 2L))
+        |SELECT graft_topk(k, id, 2) AS top FROM v""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(dup.map(x => (x.getLong(0), x.getLong(1))) ===
+      Seq((10L, 1L), (10L, 1L)))
+    // analysis-time typing: an INT key is implicitly cast, not a
+    // task-time ClassCastException (k is pinned to 2 by this temp
+    // registration; the injectFunction path reads the literal)
+    val cast = s2.sql(
+      """WITH v(k, id) AS (VALUES (7, 1L), (9, 2L))
+        |SELECT graft_topk(k, id, 2) AS top FROM v""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(cast.map(x => (x.getLong(0), x.getLong(1))) ===
+      Seq((9L, 2L), (7L, 1L)))
   }
 
   test("graft_dot_fd scores a float vector against a double centroid in SQL") {
