@@ -474,6 +474,89 @@ object Dedup {
         max(when(col("rk") === 1, col("n_chars"))).as("keeper_chars"))
   }
 
+  /** EXACT set-similarity self-join (prefix filtering — SSJoin/PPJoin,
+    * Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) on the same predicate
+    * as [[ngramJaccard]]: 3-word-shingle Jaccard ≥ 0.5. Where q34's
+    * minhash buckets are probabilistic (recall 1-(1-J)^4), the prefix
+    * filter is a GUARANTEE: order every shingle by global (frequency,
+    * shingle) — rarest first — and keep each document's first
+    * |s| − ⌈t·|s|⌉ + 1 shingles; any pair with J ≥ t must share a prefix
+    * shingle, so candidates ⊇ true pairs by construction and the verified
+    * output EQUALS the brute-force join (spec-pinned vs
+    * [[ngramJaccardOn]]'s ground truth and q34's output).
+    *
+    * Scale shape: frequency table is one partial-agg'd count keyed on the
+    * shingle; the rank-and-slice window partitions per document (bounded
+    * by doc length, never corpus); candidates come from the equi-join on
+    * prefix shingles — rare-first ordering makes prefix buckets the
+    * SMALLEST buckets in the corpus (the hot boilerplate shingles that
+    * would explode a naive shingle-join are exactly the ones prefix
+    * filtering skips); verification touches candidates only. ⌈t·n⌉ is
+    * computed as (n+1) div 2 — integer-only, no float boundary. */
+  def setsimExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+    // consumed by the frequency agg AND the rank join — shingle once
+    val sh = shingleExploded(docs).localCheckpoint(true)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val wOrd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("f"), col("s"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(freq, Seq("s"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(expr("rn <= n - (n + 1) div 2 + 1"))
+      .select(col("doc_id"), col("s"))
+    verifyJaccard(pairsWithin(prefix, "s"), docs)
+  }
+
+  /** Edit-distance similarity self-join on part names (Ed-Join shape,
+    * Xiao et al. VLDB'08): find name pairs within Levenshtein distance
+    * d = 2. A single edit disturbs at most q = 2 of a string's q-grams,
+    * so under a global (frequency, bigram) total order any pair within
+    * distance d shares at least one of each side's q·d + 1 = 5 RAREST
+    * bigrams — the candidate join is on those prefix bigrams only, and a
+    * codegen'd `levenshtein` verifies. A length filter (|len_a − len_b| ≤
+    * d, a Levenshtein lower bound) prunes before the O(len²) DP runs.
+    * Names are first collapsed to distincts with their part counts, so
+    * the similarity join runs on the NAME DOMAIN (≪ rows at 100 TB — the
+    * dedup-then-join discipline every entity-resolution pipeline uses).
+    * Recall is spec-pinned against the brute-force all-pairs join. */
+  def editJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = 2
+    // consumed by the bigram pipeline and both final join-backs
+    val names = t(spark, dir, "part")
+      .groupBy(col("p_name").as("nm"))
+      .agg(count(lit(1)).as("n_parts"))
+      .localCheckpoint(true)
+    val grams = names
+      .select(col("nm"),
+        explode(sequence(lit(1), length(col("nm")) - 1)).as("i"))
+      .select(col("nm"), col("nm").substr(col("i"), lit(2)).as("bg"))
+      .distinct()
+    val freq = grams.groupBy(col("bg")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("nm")).orderBy(col("f"), col("bg"))
+    val prefix = grams.join(freq, Seq("bg"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 * d + 1)
+      .select(col("bg"), col("nm"))
+      .localCheckpoint(true)
+    val hits = prefix.select(col("bg"), col("nm").as("name_a"))
+      .join(prefix.select(col("bg"), col("nm").as("name_b")), Seq("bg"))
+      .filter(col("name_a") < col("name_b"))
+      .dropDuplicates("name_a", "name_b")
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= d)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= d)
+    hits
+      .join(names.select(col("nm").as("name_a"),
+        col("n_parts").as("n_parts_a")), Seq("name_a"))
+      .join(names.select(col("nm").as("name_b"),
+        col("n_parts").as("n_parts_b")), Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+  }
+
   /** Shared candidate-generation SQL: four independent min-shingle-hash
     * buckets over the `docs` CTE (which must expose doc_id, sh). */
   private val minBucketCandSql =
@@ -515,7 +598,7 @@ object Dedup {
 
   /** Replicates the full deterministic pipeline: integer quantize → seed →
     * assign → exact-integer centroid → re-assign → in-cell pairs → verify.
-    * Dim is fixed at 64 (the embeddings table schema). */
+    * Dimension comes from the arrays themselves, never a hardcoded 64. */
   private val embeddingCosineSql =
     """WITH q AS (
       |  SELECT vec_id, embedding,
@@ -534,15 +617,15 @@ object Dedup {
       |    SELECT q.vec_id, q.qv, s.cell,
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |        (list_aggregate([CAST(q.embedding[i] AS DOUBLE) * s.c[i]
-      |          for i in range(1, 65)], 'sum')
+      |          for i in range(1, len(q.embedding) + 1)], 'sum')
       |         / (q.nrm * sqrt(list_aggregate([s.c[i] * s.c[i]
-      |          for i in range(1, 65)], 'sum')))) DESC,
+      |          for i in range(1, len(s.c) + 1)], 'sum')))) DESC,
       |        s.cell ASC) AS rn
       |    FROM q CROSS JOIN seeds s) WHERE rn = 1),
       |sums AS (
       |  SELECT cell, u.pos AS pos, sum(u.qx) AS s, count(*) AS cnt
       |  FROM (SELECT cell, unnest([{'pos': i, 'qx': qv[i]}
-      |        for i in range(1, 65)]) AS u FROM a1)
+      |        for i in range(1, len(qv) + 1)]) AS u FROM a1)
       |  GROUP BY 1, 2),
       |cents AS (
       |  SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
@@ -552,9 +635,9 @@ object Dedup {
       |    SELECT q.vec_id, cn.cell,
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |        (list_aggregate([CAST(q.embedding[i] AS DOUBLE) * cn.c[i]
-      |          for i in range(1, 65)], 'sum')
+      |          for i in range(1, len(q.embedding) + 1)], 'sum')
       |         / (q.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
-      |          for i in range(1, 65)], 'sum')))) DESC,
+      |          for i in range(1, len(cn.c) + 1)], 'sum')))) DESC,
       |        cn.cell ASC) AS rn
       |    FROM q CROSS JOIN cents cn) WHERE rn = 1),
       |pairs AS (
@@ -564,7 +647,8 @@ object Dedup {
       |  SELECT v1, v2,
       |    round(list_aggregate([CAST(x.embedding[i] AS DOUBLE)
       |        * CAST(y.embedding[i] AS DOUBLE)
-      |      for i in range(1, 65)], 'sum') / (x.nrm * y.nrm), 6) AS cos
+      |      for i in range(1, len(x.embedding) + 1)], 'sum')
+      |      / (x.nrm * y.nrm), 6) AS cos
       |  FROM pairs JOIN q x ON x.vec_id = v1 JOIN q y ON y.vec_id = v2)
       |SELECT v1, v2, cos FROM scored WHERE cos >= 0.5""".stripMargin
 
@@ -663,7 +747,72 @@ object Dedup {
       |      (len(da.hs) + len(db.hs)
       |       - len(list_intersect(da.hs, db.hs))), 6) >= 0.5""".stripMargin
 
+  /** Prefix-filter similarity-join oracle: identical global ordering
+    * (frequency asc, shingle asc), identical integer prefix length,
+    * identical hashed-shingle verification as [[ngramJaccardSql]]. */
+  private val setsimExactSql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   for i in range(1, len(w) - 1)]) AS sh,
+      |    list_distinct(list_transform(
+      |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |       for i in range(1, len(w) - 1)],
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |u AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM docs),
+      |f AS (SELECT s, count(*) AS f FROM u GROUP BY 1),
+      |r AS (
+      |  SELECT doc_id, s, n,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY f.f, s) AS rn
+      |  FROM u JOIN f USING (s)),
+      |p AS (SELECT doc_id, s FROM r WHERE rn <= n - (n + 1) // 2 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(len(list_intersect(da.hs, db.hs)) /
+      |        (len(da.hs) + len(db.hs)
+      |         - len(list_intersect(da.hs, db.hs))), 6) AS jaccard
+      |FROM cand
+      |  JOIN docs da ON da.doc_id = doc_a
+      |  JOIN docs db ON db.doc_id = doc_b
+      |WHERE round(len(list_intersect(da.hs, db.hs)) /
+      |      (len(da.hs) + len(db.hs)
+      |       - len(list_intersect(da.hs, db.hs))), 6) >= 0.5""".stripMargin
+
+  private val editJoinSql =
+    """WITH names AS (
+      |  SELECT p_name AS nm, count(*) AS n_parts FROM part GROUP BY 1),
+      |g AS (
+      |  SELECT nm, unnest(list_distinct([substr(nm, i, 2)
+      |    for i in range(1, len(nm))])) AS bg FROM names),
+      |f AS (SELECT bg, count(*) AS f FROM g GROUP BY 1),
+      |r AS (
+      |  SELECT nm, bg,
+      |    row_number() OVER (PARTITION BY nm ORDER BY f.f, bg) AS rn
+      |  FROM g JOIN f USING (bg)),
+      |p AS (SELECT bg, nm FROM r WHERE rn <= 5),
+      |cand AS (
+      |  SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+      |  FROM p a JOIN p b ON a.bg = b.bg AND a.nm < b.nm),
+      |hits AS (
+      |  SELECT name_a, name_b,
+      |    CAST(levenshtein(name_a, name_b) AS INT) AS dist
+      |  FROM cand
+      |  WHERE abs(len(name_a) - len(name_b)) <= 2
+      |    AND levenshtein(name_a, name_b) <= 2)
+      |SELECT name_a, name_b, dist,
+      |  na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b
+      |FROM hits
+      |  JOIN names na ON na.nm = name_a
+      |  JOIN names nb ON nb.nm = name_b""".stripMargin
+
   val catalog: Seq[Q] = Seq(
+    Q("q150_setsim_exact", setsimExact _, setsimExactSql),
+    Q("q151_edit_join", editJoin _, editJoinSql),
     Q("q53_dup_clusters", dupClusters _, dupClustersSql),
     Q("q108_canonical_selection", canonicalSelection _, canonicalSelectionSql),
     Q("q93_incremental_dedup", incrementalDedup _,

@@ -201,7 +201,45 @@ object Sampling {
         round(avg(col("n_chars")), 4).as("avg_chars_sel"))
   }
 
+  /** WINDOW-FREE deterministic per-group sampling: k orders per priority
+    * class, elected by content hash through the bounded-heap
+    * [[graft.functions.TopKAgg]] — same reproducible-sampling semantics
+    * as [[domainCap]] (q121), but where q121's window must SORT each
+    * partition's full group to rank it, the heap aggregate keeps O(k)
+    * state per group and combines map-side, so the shuffle carries at
+    * most k (hash, id) pairs per group per mapper instead of every row.
+    * At 100 TB with hot groups (a domain with 10⁹ docs), that is the
+    * difference between a skew-prone sort and a flat mergeable agg.
+    * Hash order is descending with id-asc ties — the exact order the
+    * oracle's window replicates; determinism is inherited from the
+    * md5-derived hash ([[TextOps.portableHash]]). */
+  def groupSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        TextOps.portableHash(
+          concat(lit("gs:"), col("o_orderkey").cast("string"))).as("h"),
+        col("o_orderkey"))
+      .groupBy(col("priority"))
+      .agg(graft.functions.TopKAgg.topK(col("h"), col("o_orderkey"), 5)
+        .as("top"))
+      .select(col("priority"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("priority"), (col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("order_id"), col("s.key").as("h"))
+
   val catalog: Seq[Q] = Seq(
+    Q("q152_group_sample", groupSample _,
+      """WITH h AS (
+        |  SELECT o_orderpriority AS priority, o_orderkey,
+        |    ('0x' || substr(md5('gs:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS h
+        |  FROM orders),
+        |r AS (
+        |  SELECT priority, o_orderkey, h,
+        |    row_number() OVER (PARTITION BY priority
+        |      ORDER BY h DESC, o_orderkey ASC) AS rk
+        |  FROM h)
+        |SELECT priority, CAST(rk AS INT) AS rk, o_orderkey AS order_id, h
+        |FROM r WHERE rk <= 5""".stripMargin),
     Q("q121_domain_cap", domainCap _,
       """WITH h AS (
         |  SELECT source, doc_id,

@@ -275,6 +275,64 @@ class DedupSpec extends SparkSpec {
     assert(n === 10000L * 9999L / 2 + 3L)
   }
 
+  test("setsim prefix filter equals brute-force jaccard join (exact recall)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.length >= 3)
+    val sets = docs.map { case (id, w) =>
+      id -> w.sliding(3).map(_.mkString(" ")).toSet }
+    // brute force with the SAME rounded-threshold semantics as the
+    // operator's verify (round-half-up at 6 places, then >= 0.5)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if j >= BigDecimal("0.5")
+    } yield (a, b)).toSet
+    val out = Dedup.setsimExact(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === brute, s"missed: ${brute.diff(out)} extra: ${out.diff(brute)}")
+    // the probabilistic q34 candidates can only ever be a subset
+    val mh = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(out))
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("edit join recalls every true distance<=2 name pair with counts") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_name").collect().map(_.getString(0))
+    val counts = parts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val names = counts.keys.toArray
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && math.abs(a.length - b.length) <= 2 && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    val out = Dedup.editJoin(spark, sf).collect()
+    val outPairs = out.map(r =>
+      (r.getAs[String]("name_a"), r.getAs[String]("name_b"))).toSet
+    assert(outPairs === brute,
+      s"missed: ${brute.diff(outPairs)} extra: ${outPairs.diff(brute)}")
+    out.foreach { r =>
+      assert(r.getAs[Int]("dist") ===
+        lev(r.getAs[String]("name_a"), r.getAs[String]("name_b")))
+      assert(r.getAs[Long]("n_parts_a") === counts(r.getAs[String]("name_a")))
+      assert(r.getAs[Long]("n_parts_b") === counts(r.getAs[String]("name_b")))
+    }
+  }
+
   test("gopher rules: per-source counts are consistent and bounded") {
     val rows = TextAnalysis.gopherRules(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/documents.parquet").count()

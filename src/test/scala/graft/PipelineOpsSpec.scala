@@ -85,6 +85,28 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("triangles: degree-oriented count equals the id-oriented join") {
+    val row = graft.operators.Graph.triangles(spark, sf).collect()(0)
+    // reference: the oracle's id-ordered orientation, run through Spark
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = l.as("a").join(l.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct().cache()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .count()
+    assert(row.getAs[Long]("n_triangles") === tri)
+    assert(row.getAs[Long]("n_edges") === e.count())
+    assert(row.getAs[Long]("n_wedges") >= tri * 3)
+    assert(row.getAs[Long]("closure_ppm") ===
+      3000000L * tri / row.getAs[Long]("n_wedges"))
+    e.unpersist()
+  }
+
   test("bpe pairs: counts match a direct corpus scan") {
     val df = TextAnalysis.bpePairs(spark, sf).cache()
     assert(df.count() === 20)

@@ -233,6 +233,23 @@ class PlanSpec extends SparkSpec {
       s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$plan")
   }
 
+  test("q152: group sample is a bounded-heap aggregate — no window sort") {
+    val plan = planOf(graft.operators.Sampling.groupSample(spark, sf))
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKAgg should plan as ObjectHashAggregate:\n$plan")
+  }
+
+  test("q150/q151: prefix-filter joins are equi-joins, never cartesian") {
+    Seq(graft.operators.Dedup.setsimExact(spark, sf),
+        graft.operators.Dedup.editJoin(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"similarity join degenerated to all-pairs:\n$plan")
+    }
+  }
+
   test("q110: gopher rules are scan-local with a single agg exchange") {
     val plan = planOf(graft.operators.TextAnalysis.gopherRules(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).size

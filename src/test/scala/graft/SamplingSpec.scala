@@ -19,6 +19,27 @@ class SamplingSpec extends SparkSpec {
     assert(frac > 0.02 && frac < 0.25, s"sample fraction $frac")
   }
 
+  test("group sample: heap aggregate matches the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Sampling.groupSample(spark, sf).collect()
+      .map(r => (r.getAs[String]("priority"), r.getAs[Int]("rk"),
+        r.getAs[Long]("order_id"))).toSet
+    val h = graft.functions.TextOps.portableHash(
+      concat(lit("gs:"), col("o_orderkey").cast("string")))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("h").desc, col("o_orderkey").asc)
+    val ref = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("h", h)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Int]("rk"),
+        r.getAs[Long]("o_orderkey"))).toSet
+    assert(out === ref)
+    // every priority class fills its full quota on this corpus
+    assert(out.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("train/valid/test split partitions the corpus, train dominant") {
     val rows = Sampling.trainTestSplit(spark, sf).collect()
     val bySplit = rows.groupBy(_.getAs[String]("split"))
