@@ -496,18 +496,31 @@ object Dedup {
   def setsimExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
-    // consumed by the frequency agg AND the rank join — shingle once
-    val sh = shingleExploded(docs).localCheckpoint(true)
-    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    // The whole prefix pipeline runs on 60-bit shingle HASHES, not
+    // strings: the frequency shuffle, the per-doc rank sort, and the
+    // candidate equi-join all carry 8 bytes instead of ~20-char strings
+    // (measured 6.0 s → string form, ~3 s hashed at sf0.1). Any FIXED
+    // total order preserves the prefix-filter guarantee; (freq, hash) is
+    // one both engines compute identically ([[TextOps.portableHash60]] =
+    // the oracle's md5-slice — the same no-collision assumption the
+    // verify stage already documents). Consumed by the frequency agg AND
+    // the rank join — shingle once.
+    val sh = shingleExploded(docs)
+      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+      .localCheckpoint(true)
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val wOrd = Window.partitionBy(col("doc_id"))
-      .orderBy(col("f"), col("s"))
-    val wAll = Window.partitionBy(col("doc_id"))
-    val prefix = sh.join(freq, Seq("s"))
+      .orderBy(col("f"), col("h"))
+    // per-doc set size via an unbounded frame over the SAME window sort —
+    // one Window node, no second exchange and no count-join
+    val prefix = sh.join(freq, Seq("h"))
       .withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("n", count(lit(1)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
       .filter(expr("rn <= n - (n + 1) div 2 + 1"))
-      .select(col("doc_id"), col("s"))
-    verifyJaccard(pairsWithin(prefix, "s"), docs)
+      .select(col("doc_id"), col("h"))
+    verifyJaccard(pairsWithin(prefix, "h"), docs)
   }
 
   /** Edit-distance similarity self-join on part names (Ed-Join shape,
@@ -762,16 +775,16 @@ object Dedup {
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
       |        FROM documents)
       |  WHERE len(w) >= 3),
-      |u AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM docs),
-      |f AS (SELECT s, count(*) AS f FROM u GROUP BY 1),
+      |u AS (SELECT doc_id, unnest(hs) AS h, len(hs) AS n FROM docs),
+      |f AS (SELECT h, count(*) AS f FROM u GROUP BY 1),
       |r AS (
-      |  SELECT doc_id, s, n,
-      |    row_number() OVER (PARTITION BY doc_id ORDER BY f.f, s) AS rn
-      |  FROM u JOIN f USING (s)),
-      |p AS (SELECT doc_id, s FROM r WHERE rn <= n - (n + 1) // 2 + 1),
+      |  SELECT doc_id, h, n,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY f.f, h) AS rn
+      |  FROM u JOIN f USING (h)),
+      |p AS (SELECT doc_id, h FROM r WHERE rn <= n - (n + 1) // 2 + 1),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id)
+      |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b,
       |  round(len(list_intersect(da.hs, db.hs)) /
       |        (len(da.hs) + len(db.hs)

