@@ -91,6 +91,12 @@ object ScaleProbe {
       time(s"emb_dedup_$tag")(operators.Dedup.embeddingCosine(spark, dir).count())
       time(s"bloom_decon_$tag")(
         operators.TextAnalysis.bloomDecontaminate(spark, dir).count())
+      // prefix-filter exact similarity join at a 10x duplication rate:
+      // replicas form J≈1 cliques, so OUTPUT pairs grow ~45x (C(10,2) per
+      // original near-dup) while candidate-generation cost should track
+      // the corpus (freq agg + per-doc rank) plus the clique pairs —
+      // never documents²
+      time(s"setsim_$tag")(operators.Dedup.setsimExact(spark, dir).count())
       // graph family: 10x FACTS over FIXED dims means the distinct
       // (cust, supp) edge list saturates — cost should track the
       // distinct-input scan (linear), while the iterative rounds' cost

@@ -839,7 +839,89 @@ object Analytics {
         (round(col("lv"), 2) + lit(0.0)).as("last_value"),
         col("n_changes"))
 
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE purchase days (the
+    * classic streak/retention primitive — rn-difference grouping: within
+    * a user, consecutive days share `day − row_number`). The window
+    * partitions per user over that user's DISTINCT ACTIVE DAYS — state
+    * is bounded by the calendar horizon, not event volume, because the
+    * distinct() collapses events to days before any sort. Every output
+    * is an integer count or a date — engine-exact. */
+  def islands(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days
+      .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("sd"),
+        max(col("d")).as("ed"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"),
+        // dates ship as ISO strings: pandas has no date dtype, so a DATE
+        // column reaches the gate as date objects from parquet but
+        // datetime64 from DuckDB — representation mismatch on equal values
+        min(col("sd")).cast("string").as("first_day"),
+        max(col("ed")).cast("string").as("last_day"))
+  }
+
+  /** Incremental rollup / re-aggregation: daily partial aggregates
+    * (sum/count/min/max — all ALGEBRAIC) merged into weekly finals FROM
+    * THE PARTIALS, never re-reading the raw feed. This is the rollup-
+    * table pattern every warehouse runs nightly; its correctness
+    * contract is that merged-partials == direct aggregation, and the
+    * oracle IS the direct weekly aggregation over raw events — the
+    * hash gate proves mergeability end-to-end. Money is per-row integer
+    * cents (exact, order-independent); both levels are partial-agg'd
+    * shuffles of one row per group. */
+  def rollupMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    daily
+      .groupBy(date_trunc("week", col("day")).cast("date").cast("string")
+          .as("week"),
+        col("event_type"))
+      .agg(sum(col("s")).as("total_cents"), sum(col("n")).as("n_events"),
+        min(col("mn")).as("min_cents"), max(col("mx")).as("max_cents"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q154_islands", islands _,
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS INT) AS grp
+        |  FROM days),
+        |s AS (
+        |  SELECT user_id, grp, count(*) AS len, min(d) AS sd, max(d) AS ed
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS active_days,
+        |  CAST(min(sd) AS VARCHAR) AS first_day,
+        |  CAST(max(ed) AS VARCHAR) AS last_day
+        |FROM s GROUP BY 1""".stripMargin),
+    Q("q155_rollup_merge", rollupMerge _,
+      """SELECT
+        |  CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+        |    AS VARCHAR) AS week,
+        |  event_type,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  count(*) AS n_events,
+        |  min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS min_cents,
+        |  max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
+        |FROM events GROUP BY 1, 2""".stripMargin),
     Q("q149_topk_per_group", topkPerGroup _,
       """WITH r AS (
         |  SELECT o_custkey AS cust_id, o_orderkey AS order_id,

@@ -315,7 +315,46 @@ object JoinsSetOps {
       .select(col("block_key"), col("name_a"), col("name_b"), col("lev"))
   }
 
+  /** Correlated EXISTS / NOT EXISTS, written as SQL subqueries (the form
+    * analysts actually write) and DECORRELATED by Catalyst into the
+    * semi/anti hash joins q17/q18 build explicitly — customers with at
+    * least one urgent order and no completed order above 9000. The value
+    * of declaring this through the optimizer rather than hand-building
+    * the joins: at 100 TB the same query text survives statistics
+    * changes (broadcast vs shuffle side-picking is AQE's call), and a
+    * correlated subquery that DIDN'T decorrelate would be a per-row
+    * nested loop — `PlanSpec` pins that both subqueries plan as hash
+    * joins, no nested loop. */
+  def existsJoin(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("ex_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("ex_orders")
+    spark.sql(
+      """SELECT c_custkey AS cust_id, c_name AS name
+        |FROM ex_customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM ex_orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM ex_orders o2
+        |    WHERE o2.o_custkey = c.c_custkey
+        |      AND o2.o_orderstatus = 'F'
+        |      AND o2.o_totalprice > 9000)""".stripMargin)
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q156_exists_join", existsJoin _,
+      """SELECT c_custkey AS cust_id, c_name AS name
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = c.c_custkey
+        |      AND o2.o_orderstatus = 'F'
+        |      AND o2.o_totalprice > 9000)""".stripMargin),
     Q("q143_shipping_priority", shippingPriority _,
       """SELECT o_orderkey AS order_id,
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,

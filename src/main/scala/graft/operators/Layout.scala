@@ -60,7 +60,81 @@ object Layout {
         sum(col("ch")).as("checksum"))
   }
 
+  /** Zone-map pruning audit — the measurable form of this module's whole
+    * reason to exist: bucket orders 64 ways under TWO layouts (natural
+    * key order = insertion-time files; Morton order = z-prefix files),
+    * compute each bucket's (xb, yb) bounding box — exactly the min/max
+    * stats a parquet footer carries — and count how many buckets a
+    * 2-dimensional box predicate (xb∈[64,127] ∧ yb∈[0,63]) could skip.
+    * Natural order is selective on NEITHER dimension (every bucket's
+    * bbox spans the full space → 0 skipped); z-prefix buckets are tight
+    * on BOTH → most skipped. The z bucket is the 6-bit Morton prefix
+    * (z >> 10) — contiguous z-ranges, no sort needed; the natural bucket
+    * is `key·64 div (max+1)` via one broadcast scalar. Output is 2 rows
+    * of integer counts — engine-exact, and the skip ratio it shows is
+    * the scan-cost model for the layout choice at 100 TB. */
+  def layoutPruning(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(255L)).as("xb"),
+        floor(col("o_totalprice") / lit(2048.0)).cast("long")
+          .bitwiseAND(lit(255L)).as("yb"))
+      .withColumn("z", ZOrderOps.zorder2(col("xb"), col("yb")))
+    val mk = d.agg(max(col("o_orderkey")).as("mx"))
+    val buckets = d.crossJoin(broadcast(mk))
+      .select(lit("natural").as("layout"),
+        expr("o_orderkey * 64 div (mx + 1)").as("bucket"),
+        col("xb"), col("yb"))
+      .unionByName(d.select(lit("zorder").as("layout"),
+        shiftright(col("z"), 10).cast("long").as("bucket"),
+        col("xb"), col("yb")))
+    val hit = col("mxx") >= 64 && col("mnx") <= 127 &&
+      col("mxy") >= 0 && col("mny") <= 63
+    buckets
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xb")).as("mnx"), max(col("xb")).as("mxx"),
+        min(col("yb")).as("mny"), max(col("yb")).as("mxy"),
+        sum(when(col("xb").between(64, 127) &&
+          col("yb").between(0, 63), 1L).otherwise(0L)).as("nm"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_hit_buckets"),
+        sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(col("nm")).as("rows_matching"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q157_layout_pruning", layoutPruning _,
+      s"""WITH d AS (
+         |  SELECT o_orderkey, (o_custkey & 255) AS xb,
+         |    (CAST(floor(o_totalprice / 2048.0) AS BIGINT) & 255) AS yb
+         |  FROM orders),
+         |z AS (
+         |  SELECT o_orderkey, xb, yb,
+         |    (${ZOrderOps.expandedSql("xb", "yb")}) AS z
+         |  FROM d),
+         |mk AS (SELECT max(o_orderkey) AS mx FROM d),
+         |b AS (
+         |  SELECT 'natural' AS layout,
+         |    o_orderkey * 64 // (mx + 1) AS bucket, xb, yb FROM z, mk
+         |  UNION ALL
+         |  SELECT 'zorder' AS layout, z >> 10 AS bucket, xb, yb FROM z),
+         |g AS (
+         |  SELECT layout, bucket, count(*) AS n,
+         |    min(xb) AS mnx, max(xb) AS mxx,
+         |    min(yb) AS mny, max(yb) AS mxy,
+         |    sum(CASE WHEN xb BETWEEN 64 AND 127 AND yb BETWEEN 0 AND 63
+         |        THEN 1 ELSE 0 END) AS nm
+         |  FROM b GROUP BY 1, 2)
+         |SELECT layout, count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN mxx >= 64 AND mnx <= 127
+         |      AND mxy >= 0 AND mny <= 63 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit_buckets,
+         |  CAST(sum(CASE WHEN mxx >= 64 AND mnx <= 127
+         |      AND mxy >= 0 AND mny <= 63 THEN n ELSE 0 END) AS BIGINT)
+         |    AS rows_scanned,
+         |  CAST(sum(nm) AS BIGINT) AS rows_matching
+         |FROM g GROUP BY 1""".stripMargin),
     Q("q126_shard_manifest", shardManifest _,
       """SELECT
         |  ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))

@@ -97,6 +97,71 @@ class AnalyticsSpec extends SparkSpec {
     assert(spineTotal === inRange)
   }
 
+  test("islands: streaks tile each user's purchase days exactly") {
+    val days = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.toEpochDay)).toMap
+    val out = Analytics.islands(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_streaks"), r.getAs[Long]("longest_streak"),
+         r.getAs[Long]("active_days"))).toMap
+    assert(out.keySet === days.keySet)
+    days.foreach { case (u, ds) =>
+      // local recompute: split the sorted day list into consecutive runs
+      val runs = scala.collection.mutable.ListBuffer(1L)
+      ds.sliding(2).filter(_.length == 2).foreach { w =>
+        if (w(1).toEpochDay - w(0).toEpochDay == 1) runs(runs.length - 1) += 1
+        else runs += 1L
+      }
+      val (n, longest, active) = out(u)
+      assert(n === runs.length.toLong, s"user=$u")
+      assert(active === ds.length.toLong, s"user=$u")
+      assert(longest === runs.max, s"user=$u")
+    }
+  }
+
+  test("rollup merge: weekly totals from daily partials equal direct agg") {
+    val merged = Analytics.rollupMerge(spark, sf).collect()
+      .map(r => (r.getAs[String]("week"),
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("total_cents"), r.getAs[Long]("n_events"),
+         r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"))).toMap
+    val direct = graft.sources.Tables.load(spark, sf, "events")
+      .select(date_trunc("week", to_date(col("ts"))).cast("date").as("week"),
+        col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("week"), col("event_type"))
+      .agg(sum(col("cents")).as("t"), count(lit(1)).as("n"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("week").toString,
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("t"), r.getAs[Long]("n"),
+         r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    assert(merged === direct)
+  }
+
+  test("exists join: subquery form equals the explicit semi/anti joins") {
+    val viaSql = JoinsSetOps.existsJoin(spark, sf).collect()
+      .map(_.getAs[Long]("cust_id")).toSet
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val bigF = o.filter(col("o_orderstatus") === "F" &&
+        col("o_totalprice") > 9000)
+      .select(col("o_custkey"))
+    val viaJoins = c
+      .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .join(bigF, c("c_custkey") === bigF("o_custkey"), "left_anti")
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    assert(viaSql === viaJoins)
+    assert(viaSql.nonEmpty)
+  }
+
   test("latest snapshot: one row per user, carries that user's max second") {
     val snap = Analytics.latestSnapshot(spark, sf)
     val users = spark.read.parquet(s"$sf/events.parquet")

@@ -250,6 +250,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q156: correlated EXISTS decorrelates to hash semi/anti joins") {
+    val plan = planOf(graft.operators.JoinsSetOps.existsJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"correlated subquery failed to decorrelate:\n$plan")
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+  }
+
   test("q110: gopher rules are scan-local with a single agg exchange") {
     val plan = planOf(graft.operators.TextAnalysis.gopherRules(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).size

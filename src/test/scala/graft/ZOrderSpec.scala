@@ -62,4 +62,26 @@ class ZOrderSpec extends SparkSpec {
         ZOrderOps.interleave16(r.getAs[Long]("xb"), r.getAs[Long]("yb")))
     }
   }
+
+  test("q157: z-prefix buckets prune the box query, natural order cannot") {
+    val rows = Layout.layoutPruning(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_hit_buckets"),
+         r.getAs[Long]("rows_scanned"), r.getAs[Long]("rows_matching"))).toMap
+    val (natB, natHit, natScan, natMatch) = rows("natural")
+    val (zB, zHit, zScan, zMatch) = rows("zorder")
+    // same predicate, same rows — only the layout differs
+    assert(natMatch === zMatch && natMatch > 0)
+    // the query box [64,128)x[0,64) is a Morton-aligned quad: its top-4
+    // interleaved bits are fixed, so it spans exactly 4 of the 64
+    // z-prefix buckets — and those buckets contain ONLY box rows
+    assert(zHit <= 4, s"zorder hit $zHit of $zB buckets")
+    assert(zScan === zMatch, "z-prefix buckets should be exact")
+    // natural (insertion) order is selective on neither dimension:
+    // nearly every bucket's bbox intersects the box
+    assert(natHit >= natB / 2, s"natural hit only $natHit of $natB")
+    // the box covers 1/16 of the space; natural order reads ~everything
+    assert(natScan > 5L * natMatch,
+      s"natural order scanned $natScan for $natMatch matches")
+  }
 }
