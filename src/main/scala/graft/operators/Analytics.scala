@@ -892,7 +892,58 @@ object Analytics {
         min(col("mn")).as("min_cents"), max(col("mx")).as("max_cents"))
   }
 
+  /** Chi-square contingency audit of the lang × source distribution —
+    * the independence check a corpus curator runs before trusting a
+    * stratified mix ("is language balance uniform across sources?").
+    * Cell counts aggregate ONCE; row/column/grand totals re-aggregate
+    * from those partials (the q155 mergeability discipline — one corpus
+    * scan total). Expected counts and χ² contributions are derived
+    * per-cell from exact integer tallies with plain IEEE multiply/
+    * divide — no pow(), no float accumulation — so both engines produce
+    * bit-identical doubles. */
+  def contingency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint(true) // four consumers, one corpus scan
+    val rows = cells.groupBy(col("lang")).agg(sum(col("obs")).as("r"))
+    val cols = cells.groupBy(col("source")).agg(sum(col("obs")).as("c"))
+    val n = cells.agg(sum(col("obs")).as("n"))
+    val e = (col("r") * col("c")).cast("double") / col("n")
+    // the FULL margin grid, not just observed cells: an empty (lang,
+    // source) cell still has exp > 0 and contributes (0−e)²/e = e to
+    // χ² — dropping zero cells understates the statistic
+    rows.crossJoin(cols)
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("obs"),
+        round(e, 6).as("exp_r"),
+        round((col("obs") - e) * (col("obs") - e) / e, 6).as("contrib_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q159_contingency", contingency _,
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS r
+        |      FROM cells GROUP BY 1),
+        |c AS (SELECT source, CAST(sum(obs) AS BIGINT) AS c
+        |      FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |grid AS (
+        |  SELECT r.lang, c.source, r.r, c.c,
+        |    COALESCE(cells.obs, 0) AS obs
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.lang = r.lang
+        |    AND cells.source = c.source)
+        |SELECT lang, source, CAST(obs AS BIGINT) AS obs,
+        |  round(CAST(r * c AS DOUBLE) / n.n, 6) AS exp_r,
+        |  round((obs - CAST(r * c AS DOUBLE) / n.n)
+        |      * (obs - CAST(r * c AS DOUBLE) / n.n)
+        |      / (CAST(r * c AS DOUBLE) / n.n), 6) AS contrib_r
+        |FROM grid CROSS JOIN n""".stripMargin),
     Q("q154_islands", islands _,
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d

@@ -814,7 +814,48 @@ object TextAnalysis {
           x => x.cast("string")), ",").as("postings"))
   }
 
+  /** Shingle-novelty scoring — the curation signal DUAL to dedup: the
+    * share of a document's 3-shingles that appear NOWHERE else in the
+    * corpus (corpus frequency 1). Near-dups score ≈0, templated/
+    * boilerplate text scores low, genuinely novel text scores high —
+    * the ranking a data-mixing pipeline uses to up-weight fresh content
+    * after dedup has removed the copies. Cost shape is q150's first
+    * half verbatim: one partial-agg'd frequency count keyed on the
+    * 60-bit shingle hash, one join back, one per-doc aggregate; the
+    * ratio is exact integer ppm (one `div`, no float accumulation). */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+    val sh = Dedup.shingleExploded(docs)
+      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+      .localCheckpoint(true)
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    sh.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("n_unique * 1000000 div n_shingles").as("novelty_ppm"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q158_shingle_novelty", shingleNovelty _,
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |       for i in range(1, len(w) - 1)],
+        |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |u AS (SELECT doc_id, unnest(hs) AS h FROM docs),
+        |f AS (SELECT h, count(*) AS f FROM u GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST(sum(CASE WHEN f.f = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM u JOIN f USING (h) GROUP BY 1""".stripMargin),
     Q("q146_url_normalize", urlNormalize _,
       """WITH raw AS (
         |  SELECT doc_id,

@@ -162,6 +162,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(viaSql.nonEmpty)
   }
 
+  test("contingency: expected counts tile the margins, contributions >= 0") {
+    val rows = Analytics.contingency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    // expected counts sum back to N (within float wiggle)
+    assert(math.abs(rows.map(_.getAs[Double]("exp_r")).sum - n) < 1e-3)
+    // observed counts sum exactly to N
+    assert(rows.map(_.getAs[Long]("obs")).sum === n)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("exp_r") > 0)
+      assert(r.getAs[Double]("contrib_r") >= 0)
+    }
+  }
+
+  test("shingle novelty: unique counts bounded, near-dup docs score low") {
+    val out = graft.operators.TextAnalysis.shingleNovelty(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"),
+         r.getAs[Long]("novelty_ppm"))).toMap
+    out.values.foreach { case (nsh, nu, ppm) =>
+      assert(nu >= 0 && nu <= nsh)
+      assert(ppm === nu * 1000000L / nsh)
+    }
+    // docs in a verified near-dup pair share most shingles — their
+    // novelty must sit below the corpus median
+    val dupDocs = graft.operators.Dedup.ngramJaccard(spark, sf)
+      .collect().flatMap(r => Seq(r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"))).toSet
+    if (dupDocs.nonEmpty) {
+      val ppms = out.values.map(_._3).toSeq.sorted
+      val median = ppms(ppms.length / 2)
+      dupDocs.foreach { d =>
+        assert(out(d)._3 <= median, s"near-dup doc $d scored above median")
+      }
+    }
+  }
+
   test("latest snapshot: one row per user, carries that user's max second") {
     val snap = Analytics.latestSnapshot(spark, sf)
     val users = spark.read.parquet(s"$sf/events.parquet")
