@@ -34,7 +34,8 @@ object Bench {
     // multi-second variance to LATER queries — collect right after each
     val ckptHeavy = Set("q34_dedup_ngram_jaccard", "q35_dedup_minhash",
       "q36_dedup_simhash", "q37_dedup_embedding", "q53_dup_clusters",
-      "q54_corpus_pipeline", "q93_incremental_dedup")
+      "q54_corpus_pipeline", "q93_incremental_dedup",
+      "q150_setsim_exact", "q153_triangles", "q158_shingle_novelty")
     // Two timed passes, min per query: a single pass is exposed to
     // one-off GC/JIT/checkpoint-cleaner pauses (a 3.5 s query was
     // measured once at 12.6 s purely from a pause landing inside it);
