@@ -106,7 +106,60 @@ object ApproxAgg {
       .limit(20)
   }
 
+  /** Portable-HLL distinct per return flag — the HLL whose ESTIMATE is
+    * oracle-checked, closing the gap q46 documents (the built-in HLL++'s
+    * registers are engine-private; [[graft.functions.HllAgg]]'s are the
+    * deterministic function of portable md5 hashes). The harmonic-mean
+    * denominator is the exact integer Σ 2^(55−M[j]) folded sequentially
+    * over the 64-register array; the raw-HLL estimate α·m²·2⁵⁵/S uses
+    * only IEEE multiply/divide on that integer — bit-identical in both
+    * engines at any parallelism. `exact_distinct` rides along as the
+    * accuracy reference (drop it at 100 TB — it is the expensive one:
+    * ITS exchange carries the distinct keys, the sketch's carries 64
+    * bytes per group). */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_partkey"),
+        TextOps.portableHash60(col("l_partkey").cast("string")).as("h"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("exact_distinct"),
+        graft.functions.HllAgg.hllRegs(col("h")).as("regs"))
+      .select(col("flag"), col("n_rows"), col("exact_distinct"),
+        expr("aggregate(regs, CAST(0 AS BIGINT), " +
+          "(a, r) -> a + shiftleft(CAST(1 AS BIGINT), 55 - r))").as("s"))
+      .select(col("flag"), col("n_rows"), col("exact_distinct"),
+        round(lit(graft.functions.HllAgg.Alpha) * lit(4096.0) *
+          lit((1L << 55).toDouble) / col("s"), 4).as("hll_estimate"))
+
   val catalog: Seq[Q] = Seq(
+    Q("q160_hll_portable", hllDistinct _,
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag, l_partkey AS pk,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, h >> 54 AS bkt,
+        |    max(CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+        |        ELSE 55 - len(bin(h & ((1::BIGINT << 54) - 1))) END) AS m
+        |  FROM h GROUP BY 1, 2),
+        |g AS (
+        |  SELECT f.flag, t.b AS bkt, COALESCE(r.m, 0) AS m
+        |  FROM (SELECT DISTINCT flag FROM h) f
+        |  CROSS JOIN range(0, 64) t(b)
+        |  LEFT JOIN r ON r.flag = f.flag AND r.bkt = t.b),
+        |s AS (
+        |  SELECT flag, CAST(sum(1::BIGINT << (55 - m)) AS BIGINT) AS s
+        |  FROM g GROUP BY 1),
+        |e AS (
+        |  SELECT flag, count(*) AS n_rows,
+        |    CAST(count(DISTINCT pk) AS BIGINT) AS exact_distinct
+        |  FROM h GROUP BY 1)
+        |SELECT e.flag AS flag, e.n_rows, e.exact_distinct,
+        |  round(0.709::DOUBLE * 4096.0::DOUBLE
+        |    * 36028797018963968.0::DOUBLE / s.s, 4) AS hll_estimate
+        |FROM e JOIN s USING (flag)""".stripMargin),
     Q.noOracle("q46_approx_agg", approxAgg _),
     Q("q112_cms_heavy_hitters", cmsHeavyHitters _,
       """WITH toks AS (

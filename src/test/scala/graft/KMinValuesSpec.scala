@@ -37,4 +37,41 @@ class KMinValuesSpec extends SparkSpec {
         s"flag=${r.getString(0)} est=$est exact=$exact")
     }
   }
+
+  private def hashed60 = spark.read.parquet(s"$sf/lineitem.parquet")
+    .select(TextOps.portableHash60(col("l_partkey").cast("string")).as("h"))
+
+  test("hll registers are partition-invariant and match a local recompute") {
+    val local = new Array[Int](64)
+    hashed60.distinct().collect().map(_.getLong(0)).foreach { h =>
+      val bkt = (h >>> 54).toInt & 63
+      val rest = h & ((1L << 54) - 1)
+      val rho = if (rest == 0L) 55
+        else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (rho > local(bkt)) local(bkt) = rho
+    }
+    for (parts <- Seq(1, 7)) {
+      val regs = hashed60.repartition(parts)
+        .agg(graft.functions.HllAgg.hllRegs(col("h")).as("regs"))
+        .collect()(0).getSeq[Int](0)
+      assert(regs === local.toSeq, s"parts=$parts")
+    }
+  }
+
+  test("q160 portable-HLL estimate lands within 35% of exact") {
+    ApproxAgg.hllDistinct(spark, sf).collect().foreach { r =>
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(est > 0)
+      assert(math.abs(est - exact) / exact < 0.35,
+        s"flag=${r.getString(0)} est=$est exact=$exact")
+    }
+  }
+
+  test("hll on empty input yields all-zero registers") {
+    val regs = hashed60.filter(col("h") < 0) // portable hash is >= 0
+      .agg(graft.functions.HllAgg.hllRegs(col("h")).as("regs"))
+      .collect()(0).getSeq[Int](0)
+    assert(regs === Seq.fill(64)(0))
+  }
 }
