@@ -34,20 +34,25 @@ import org.apache.spark.sql.types._
   */
 case class HllAgg(
     child: Expression,
+    m: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
 
-  import HllAgg.M
+  require(HllAgg.Alpha.contains(m), s"m must be one of 16/32/64, got $m")
 
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+  private val bits = java.lang.Integer.numberOfTrailingZeros(m)
+  private val restBits = 60 - bits
+  private val rhoMax = restBits + 1
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
   private def offer(buf: Array[Byte], h: Long): Unit = {
-    val bkt = (h >>> 54).toInt & (M - 1)
-    val rest = h & ((1L << 54) - 1)
+    val bkt = (h >>> restBits).toInt & (m - 1)
+    val rest = h & ((1L << restBits) - 1)
     val rho =
-      if (rest == 0L) 55
-      else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (rest == 0L) rhoMax
+      else rhoMax - (64 - java.lang.Long.numberOfLeadingZeros(rest))
     if (rho > buf(bkt)) buf(bkt) = rho.toByte
   }
 
@@ -59,14 +64,14 @@ case class HllAgg(
 
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     var i = 0
-    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a
   }
 
   override def eval(buf: Array[Byte]): Any = {
-    val out = new Array[Any](M)
+    val out = new Array[Any](m)
     var i = 0
-    while (i < M) { out(i) = buf(i).toInt; i += 1 }
+    while (i < m) { out(i) = buf(i).toInt; i += 1 }
     new GenericArrayData(out)
   }
 
@@ -91,15 +96,13 @@ case class HllAgg(
 }
 
 object HllAgg {
-  /** Register count (fixed so the oracle's grid and α constant match). */
-  val M = 64
+  /** α constants from the HLL paper, per supported register count —
+    * LITERALS both engines parse to the same double, never a computed
+    * expression. */
+  val Alpha: Map[Int, Double] = Map(16 -> 0.673, 32 -> 0.697, 64 -> 0.709)
 
-  /** α₆₄ from the HLL paper; a LITERAL both engines parse to the same
-    * double, never a computed expression. */
-  val Alpha = 0.709
-
-  /** Column API: the 64 HLL register maxima of the 60-bit hash column. */
-  def hllRegs(h: Column): Column =
-    GraftBridge.column(HllAgg(GraftBridge.expression(h))
+  /** Column API: the m HLL register maxima of the 60-bit hash column. */
+  def hllRegs(h: Column, m: Int): Column =
+    GraftBridge.column(HllAgg(GraftBridge.expression(h), m)
       .toAggregateExpression())
 }

@@ -124,12 +124,12 @@ object ApproxAgg {
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("l_partkey")).as("exact_distinct"),
-        graft.functions.HllAgg.hllRegs(col("h")).as("regs"))
+        graft.functions.HllAgg.hllRegs(col("h"), 64).as("regs"))
       .select(col("flag"), col("n_rows"), col("exact_distinct"),
         expr("aggregate(regs, CAST(0 AS BIGINT), " +
           "(a, r) -> a + shiftleft(CAST(1 AS BIGINT), 55 - r))").as("s"))
       .select(col("flag"), col("n_rows"), col("exact_distinct"),
-        round(lit(graft.functions.HllAgg.Alpha) * lit(4096.0) *
+        round(lit(graft.functions.HllAgg.Alpha(64)) * lit(4096.0) *
           lit((1L << 55).toDouble) / col("s"), 4).as("hll_estimate"))
 
   val catalog: Seq[Q] = Seq(

@@ -289,7 +289,67 @@ object StreamQueries {
           col("total"))
     }
 
+  /** SKETCHED streaming distinct: per-day distinct-user estimate through
+    * the portable HLL ([[graft.functions.HllAgg]]) running INSIDE a
+    * watermarked streaming aggregation. This is the canonical sketch
+    * use-case Structured Streaming forces: `COUNT(DISTINCT)` is
+    * unsupported on streams (it would need unbounded per-key state), so
+    * production pipelines keep a mergeable sketch per window — state is
+    * 16 registers per day regardless of user volume, and the watermark
+    * still bounds how many windows live in the store. The oracle
+    * replicates registers AND estimate from the batch table: stream ==
+    * batch == DuckDB, the full triangle (and `StreamingSpec` pins
+    * stream == batch-Spark row equality). What this query evidences is
+    * determinism + bounded state; ACCURACY of the raw estimator is
+    * q160's spec, at cardinalities inside its n ≳ 2.5m range — the
+    * smallest fixture's ~13 users/day undershoots that, exactly the
+    * regime where real HLLs switch to the linear-counting branch this
+    * portable form deliberately omits (ln() is not cross-engine-exact). */
+  def streamHll(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir) { ev =>
+      ev.withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.HllAgg.hllRegs(
+            graft.functions.TextOps.portableHash60(
+              col("user_id").cast("string")), 16).as("regs"))
+        .select(col("window.start").cast("long").as("day_start"),
+          col("n_events"),
+          expr("aggregate(regs, CAST(0 AS BIGINT), " +
+            "(a, r) -> a + shiftleft(CAST(1 AS BIGINT), 57 - r))").as("s"))
+        .select(col("day_start"), col("n_events"),
+          round(lit(graft.functions.HllAgg.Alpha(16)) * lit(256.0) *
+            lit((1L << 57).toDouble) / col("s"), 4).as("hll_users"))
+    }
+
   val catalog: Seq[Q] = Seq(
+    Q("q161_stream_hll", streamHll _,
+      """WITH h AS (
+        |  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+        |    AS day_start,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT day_start, h >> 56 AS bkt,
+        |    max(CASE WHEN (h & ((1::BIGINT << 56) - 1)) = 0 THEN 57
+        |        ELSE 57 - len(bin(h & ((1::BIGINT << 56) - 1))) END) AS m
+        |  FROM h GROUP BY 1, 2),
+        |g AS (
+        |  SELECT d.day_start, t.b AS bkt, COALESCE(r.m, 0) AS m
+        |  FROM (SELECT DISTINCT day_start FROM h) d
+        |  CROSS JOIN range(0, 16) t(b)
+        |  LEFT JOIN r ON r.day_start = d.day_start AND r.bkt = t.b),
+        |s AS (
+        |  SELECT day_start, CAST(sum(1::BIGINT << (57 - m)) AS BIGINT) AS s
+        |  FROM g GROUP BY 1),
+        |e AS (SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+        |        AS day_start, count(*) AS n_events
+        |      FROM events GROUP BY 1)
+        |SELECT e.day_start, e.n_events,
+        |  round(0.673::DOUBLE * 256.0::DOUBLE
+        |    * 144115188075855872.0::DOUBLE / s.s, 4) AS hll_users
+        |FROM e JOIN s USING (day_start)""".stripMargin),
     Q("q76_stream_tumbling", streamTumbling _,
       """SELECT date_trunc('minute', ts) AS bucket_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total

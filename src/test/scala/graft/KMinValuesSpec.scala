@@ -52,7 +52,7 @@ class KMinValuesSpec extends SparkSpec {
     }
     for (parts <- Seq(1, 7)) {
       val regs = hashed60.repartition(parts)
-        .agg(graft.functions.HllAgg.hllRegs(col("h")).as("regs"))
+        .agg(graft.functions.HllAgg.hllRegs(col("h"), 64).as("regs"))
         .collect()(0).getSeq[Int](0)
       assert(regs === local.toSeq, s"parts=$parts")
     }
@@ -70,7 +70,7 @@ class KMinValuesSpec extends SparkSpec {
 
   test("hll on empty input yields all-zero registers") {
     val regs = hashed60.filter(col("h") < 0) // portable hash is >= 0
-      .agg(graft.functions.HllAgg.hllRegs(col("h")).as("regs"))
+      .agg(graft.functions.HllAgg.hllRegs(col("h"), 64).as("regs"))
       .collect()(0).getSeq[Int](0)
     assert(regs === Seq.fill(64)(0))
   }

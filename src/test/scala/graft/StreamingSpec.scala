@@ -282,6 +282,30 @@ class StreamingSpec extends SparkSpec {
     assert(out === batch)
   }
 
+  test("streamed HLL sketch equals the batch aggregation row-for-row") {
+    val out = operators.StreamQueries.streamHll(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_trunc("day", col("ts")).cast("long").as("day_start"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.HllAgg.hllRegs(
+          graft.functions.TextOps.portableHash60(
+            col("user_id").cast("string")), 16).as("regs"))
+      .select(col("day_start"), col("n_events"),
+        expr("aggregate(regs, CAST(0 AS BIGINT), " +
+          "(a, r) -> a + shiftleft(CAST(1 AS BIGINT), 57 - r))").as("s"))
+      .select(col("day_start"), col("n_events"),
+        round(lit(graft.functions.HllAgg.Alpha(16)) * lit(256.0) *
+          lit((1L << 57).toDouble) / col("s"), 4).as("hll_users"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(out === batch)
+    // estimates are positive and finite even at tiny day cardinality
+    assert(out.forall(r => r._3 > 0 && !r._3.isInfinite))
+  }
+
   test("stream outer join: unmatched clicks emit NULL rows after watermark") {
     val out = operators.StreamQueries.streamOuterJoin(spark, sf).cache()
     val unmatched = out.filter(col("purchase_sec").isNull).count()
