@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.functions.ZOrderOps
+import graft.functions.{HilbertOps, ZOrderOps}
 import graft.sources.Tables
 
 /** Data-layout operators: multi-dimensional clustering for scan pruning.
@@ -34,6 +34,26 @@ object Layout {
       .limit(100)
   }
 
+  /** Hilbert clustering key over the same (customer × price-bucket) grid
+    * as [[zorderCluster]]: each row's order-8 Hilbert index plus the 100
+    * lowest-index rows. The Hilbert walk never jumps across the space
+    * (consecutive indices are Manhattan-distance 1 — pinned exhaustively
+    * in `ZOrderSpec`), so the equal-count index ranges that
+    * `repartitionByRange` + parquet row-groups cut get tighter bounding
+    * boxes than the Z-curve's, i.e. more zone-map skips per scan; q157
+    * measures exactly that, three layouts side by side. The index is the
+    * codegen'd [[graft.functions.HilbertIndex2D8]]; the oracle replays
+    * the identical 8-round integer rotation walk as chained SQL stages. */
+  def hilbertCluster(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey").bitwiseAND(lit(255L)).as("xb"),
+      floor(col("o_totalprice") / lit(2048.0)).cast("long")
+        .bitwiseAND(lit(255L)).as("yb"))
+    d.withColumn("h", HilbertOps.hilbert2(col("xb"), col("yb")))
+      .orderBy(col("h").asc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** Shard manifest — the dataset-publishing step after all filtering and
     * dedup: assign every document to one of 8 output shards by
     * deterministic hash and emit the per-shard manifest (doc count, token
@@ -61,24 +81,27 @@ object Layout {
   }
 
   /** Zone-map pruning audit — the measurable form of this module's whole
-    * reason to exist: bucket orders 64 ways under TWO layouts (natural
-    * key order = insertion-time files; Morton order = z-prefix files),
-    * compute each bucket's (xb, yb) bounding box — exactly the min/max
-    * stats a parquet footer carries — and count how many buckets a
-    * 2-dimensional box predicate (xb∈[64,127] ∧ yb∈[0,63]) could skip.
-    * Natural order is selective on NEITHER dimension (every bucket's
-    * bbox spans the full space → 0 skipped); z-prefix buckets are tight
-    * on BOTH → most skipped. The z bucket is the 6-bit Morton prefix
-    * (z >> 10) — contiguous z-ranges, no sort needed; the natural bucket
-    * is `key·64 div (max+1)` via one broadcast scalar. Output is 2 rows
-    * of integer counts — engine-exact, and the skip ratio it shows is
-    * the scan-cost model for the layout choice at 100 TB. */
+    * reason to exist: bucket orders 64 ways under THREE layouts (natural
+    * key order = insertion-time files; Morton order = z-prefix files;
+    * Hilbert order = h-prefix files), compute each bucket's (xb, yb)
+    * bounding box — exactly the min/max stats a parquet footer carries —
+    * and count how many buckets a 2-dimensional box predicate
+    * (xb∈[64,127] ∧ yb∈[0,63]) could skip. Natural order is selective on
+    * NEITHER dimension (every bucket's bbox spans the full space → 0
+    * skipped); z/h-prefix buckets are tight on BOTH → most skipped, with
+    * Hilbert's jump-free walk at least as tight as Morton's. The curve
+    * bucket is the 6-bit index prefix (>> 10) — contiguous ranges, no
+    * sort needed; the natural bucket is `key·64 div (max+1)` via one
+    * broadcast scalar. Output is 3 rows of integer counts —
+    * engine-exact, and the skip ratio it shows is the scan-cost model
+    * for the layout choice at 100 TB. */
   def layoutPruning(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "orders").select(col("o_orderkey"),
         col("o_custkey").bitwiseAND(lit(255L)).as("xb"),
         floor(col("o_totalprice") / lit(2048.0)).cast("long")
           .bitwiseAND(lit(255L)).as("yb"))
       .withColumn("z", ZOrderOps.zorder2(col("xb"), col("yb")))
+      .withColumn("hv", HilbertOps.hilbert2(col("xb"), col("yb")))
     val mk = d.agg(max(col("o_orderkey")).as("mx"))
     val buckets = d.crossJoin(broadcast(mk))
       .select(lit("natural").as("layout"),
@@ -86,6 +109,9 @@ object Layout {
         col("xb"), col("yb"))
       .unionByName(d.select(lit("zorder").as("layout"),
         shiftright(col("z"), 10).cast("long").as("bucket"),
+        col("xb"), col("yb")))
+      .unionByName(d.select(lit("hilbert").as("layout"),
+        shiftright(col("hv"), 10).cast("long").as("bucket"),
         col("xb"), col("yb")))
     val hit = col("mxx") >= 64 && col("mnx") <= 127 &&
       col("mxy") >= 0 && col("mny") <= 63
@@ -113,12 +139,16 @@ object Layout {
          |  SELECT o_orderkey, xb, yb,
          |    (${ZOrderOps.expandedSql("xb", "yb")}) AS z
          |  FROM d),
+         |base AS (SELECT o_orderkey, xb, yb, xb AS x, yb AS y FROM d),
+         |${HilbertOps.chainSql("base", "o_orderkey, xb, yb")},
          |mk AS (SELECT max(o_orderkey) AS mx FROM d),
          |b AS (
          |  SELECT 'natural' AS layout,
          |    o_orderkey * 64 // (mx + 1) AS bucket, xb, yb FROM z, mk
          |  UNION ALL
-         |  SELECT 'zorder' AS layout, z >> 10 AS bucket, xb, yb FROM z),
+         |  SELECT 'zorder' AS layout, z >> 10 AS bucket, xb, yb FROM z
+         |  UNION ALL
+         |  SELECT 'hilbert' AS layout, h >> 10 AS bucket, xb, yb FROM h8),
          |g AS (
          |  SELECT layout, bucket, count(*) AS n,
          |    min(xb) AS mnx, max(xb) AS mxx,
@@ -146,6 +176,15 @@ object Layout {
         |  CAST(sum(('0x' || substr(md5(md5(text)), 1, 8))::BIGINT)
         |    AS BIGINT) AS checksum
         |FROM documents GROUP BY 1""".stripMargin),
+    Q("q162_hilbert_cluster", hilbertCluster _,
+      s"""WITH d AS (
+         |  SELECT o_orderkey, (o_custkey & 255) AS xb,
+         |    (CAST(floor(o_totalprice / 2048.0) AS BIGINT) & 255) AS yb
+         |  FROM orders),
+         |base AS (SELECT o_orderkey, xb, yb, xb AS x, yb AS y FROM d),
+         |${HilbertOps.chainSql("base", "o_orderkey, xb, yb")}
+         |SELECT o_orderkey, xb, yb, CAST(h AS BIGINT) AS h
+         |FROM h8 ORDER BY h ASC, o_orderkey ASC LIMIT 100""".stripMargin),
     Q("q104_zorder_cluster", zorderCluster _,
       s"""WITH d AS (
          |  SELECT o_orderkey, (o_custkey & 255) AS xb,

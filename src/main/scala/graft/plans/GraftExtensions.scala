@@ -103,6 +103,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.InterleaveBits16(exprs.head, exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[graft.functions.HilbertIndex2D8].getName,
+        "graft_hilbert"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.HilbertIndex2D8(exprs.head, exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName,
         "graft_bloom_contains"),
