@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.{KMinValuesAgg, TextOps}
@@ -132,7 +133,81 @@ object ApproxAgg {
         round(lit(graft.functions.HllAgg.Alpha(64)) * lit(4096.0) *
           lit((1L << 55).toDouble) / col("s"), 4).as("hll_estimate"))
 
+  /** Fixed-range equi-width histogram sketch with quantile read-out —
+    * the quantile summary that is actually deployable at 100 TB: 64
+    * integer bin counts over a declared [0, 131072) value range, built by
+    * ONE partial-agg'd `groupBy(flag, bin)` (map-side combine collapses
+    * every partition to ≤64 cells before the shuffle), mergeable across
+    * partitions/engines/streams by plain addition, and — unlike
+    * `percentile_approx`'s engine-private GK summary — a deterministic
+    * function of the data, so estimate AND error vs the exact quantile
+    * are both oracle-checked. Quantile read-out interpolates linearly
+    * inside the bin that crosses the target rank (cum−c < q·n ≤ cum);
+    * the window that finds it runs over 64 rows per group, never the
+    * data. Bin width 2048 over a fixed range is the sketch's declared
+    * contract, exactly like CMS's (d, w) or HLL's m — fixed constants
+    * are what make the state mergeable without re-binning. */
+  def histogramQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val width = 2048.0
+    val binned = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        least(lit(63L), greatest(lit(0L),
+          floor(col("l_extendedprice") / lit(width)).cast("long")))
+          .as("bin"))
+      .groupBy(col("flag"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = binned
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("flag")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("flag"))))
+    def est(q: Double) = {
+      val target = lit(q) * col("n")
+      val crosses = (col("cum") - col("c")) < target && target <= col("cum")
+      max(when(crosses, round(lit(width) * (col("bin") +
+        (target - (col("cum") - col("c"))) / col("c")), 4)))
+    }
+    val exact = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4)
+          .as("p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_exact"))
+    cum.groupBy(col("flag"))
+      .agg(max(col("n")).as("n_rows"),
+        est(0.5).as("p50_hist"), est(0.95).as("p95_hist"))
+      .join(exact, Seq("flag"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q163_histogram_quantile", histogramQuantile _,
+      """WITH d AS (
+        |  SELECT l_returnflag AS flag,
+        |    least(63, greatest(0,
+        |      CAST(floor(l_extendedprice / 2048.0) AS BIGINT))) AS bin
+        |  FROM lineitem),
+        |b AS (SELECT flag, bin, count(*) AS c FROM d GROUP BY 1, 2),
+        |w AS (
+        |  SELECT flag, bin, c,
+        |    CAST(sum(c) OVER (PARTITION BY flag ORDER BY bin)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM b),
+        |x AS (
+        |  SELECT flag, max(n) AS n_rows,
+        |    max(CASE WHEN cum - c < 0.5 * n AND 0.5 * n <= cum
+        |        THEN round(2048.0 * (bin + (0.5 * n - (cum - c)) / c), 4)
+        |        END) AS p50_hist,
+        |    max(CASE WHEN cum - c < 0.95 * n AND 0.95 * n <= cum
+        |        THEN round(2048.0 * (bin + (0.95 * n - (cum - c)) / c), 4)
+        |        END) AS p95_hist
+        |  FROM w GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag AS flag,
+        |    round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |    round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact
+        |  FROM lineitem GROUP BY 1)
+        |SELECT x.flag AS flag, n_rows, p50_hist, p95_hist,
+        |  p50_exact, p95_exact
+        |FROM x JOIN e USING (flag)""".stripMargin),
     Q("q160_hll_portable", hllDistinct _,
       """WITH h AS (
         |  SELECT l_returnflag AS flag, l_partkey AS pk,

@@ -68,6 +68,18 @@ class KMinValuesSpec extends SparkSpec {
     }
   }
 
+  test("q163 histogram quantile is within one bin width of exact") {
+    // The equi-width sketch's worst case is the bin width (2048): the
+    // true quantile lies somewhere in the crossing bin, the estimate
+    // interpolates inside it.
+    ApproxAgg.histogramQuantile(spark, sf).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("p50_hist") -
+        r.getAs[Double]("p50_exact")) <= 2048.0)
+      assert(math.abs(r.getAs[Double]("p95_hist") -
+        r.getAs[Double]("p95_exact")) <= 2048.0)
+    }
+  }
+
   test("hll on empty input yields all-zero registers") {
     val regs = hashed60.filter(col("h") < 0) // portable hash is >= 0
       .agg(graft.functions.HllAgg.hllRegs(col("h"), 64).as("regs"))
