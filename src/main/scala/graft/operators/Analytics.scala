@@ -922,7 +922,45 @@ object Analytics {
         round((col("obs") - e) * (col("obs") - e) / e, 6).as("contrib_r"))
   }
 
+  /** Skyline (Pareto frontier) per brand: the parts no other same-brand
+    * part beats on BOTH axes (lower price, larger size, strict on one) —
+    * multi-objective shortlisting (cheapest-per-capability, best
+    * quality-per-token) without collapsing the axes into one weighted
+    * score. 2-D skylines reduce to one window pass: sort (price asc,
+    * size desc) and keep rows whose size exceeds the running max of all
+    * earlier rows — every preceding row has price ≤ current (and > size
+    * when price ties), so `running max ≥ size` ⟺ dominated. Points are
+    * pre-deduplicated (identical points tie, never dominate). One
+    * shuffle on brand; the sort is per-group local. The oracle computes
+    * the frontier by the DEFINITION (NOT EXISTS dominance anti-join) —
+    * an independent algorithm, so agreement checks the semantics, not
+    * the implementation. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = t(spark, dir, "part")
+      .groupBy(col("p_brand").as("brand"),
+        col("p_retailprice").as("price"), col("p_size").as("psize"))
+      .agg(count(lit(1)).as("n_parts"))
+    val w = Window.partitionBy(col("brand"))
+      .orderBy(col("price").asc, col("psize").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("mx", max(col("psize")).over(w))
+      .filter(col("mx").isNull || col("mx") < col("psize"))
+      .select(col("brand"), col("price"), col("psize"), col("n_parts"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q164_skyline", skyline _,
+      """WITH pts AS (
+        |  SELECT p_brand AS brand, p_retailprice AS price,
+        |    p_size AS psize, count(*) AS n_parts
+        |  FROM part GROUP BY 1, 2, 3)
+        |SELECT brand, price, psize, n_parts
+        |FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.brand = a.brand AND b.price <= a.price
+        |    AND b.psize >= a.psize
+        |    AND (b.price < a.price OR b.psize > a.psize))""".stripMargin),
     Q("q159_contingency", contingency _,
       """WITH cells AS (
         |  SELECT lang, source, count(*) AS obs

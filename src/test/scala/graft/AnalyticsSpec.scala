@@ -257,4 +257,27 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(rows("o_orderkey").getAs[Long]("ndv") === n) // primary key
   }
+
+  test("skyline equals the brute-force dominance definition") {
+    val out = Analytics.skyline(spark, sf).collect()
+      .map(r => (r.getAs[String]("brand"), r.getAs[Double]("price"),
+        r.getAs[Int]("psize"))).toSet
+    val pts = spark.read.parquet(s"$sf/part.parquet")
+      .select(org.apache.spark.sql.functions.col("p_brand"),
+        org.apache.spark.sql.functions.col("p_retailprice"),
+        org.apache.spark.sql.functions.col("p_size"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    val brute = pts.filter { case (b, p, s) =>
+      !pts.exists { case (b2, p2, s2) =>
+        b2 == b && p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.toSet
+    assert(out === brute)
+    assert(out.nonEmpty)
+    // no skyline point dominates another (mutual non-dominance)
+    for ((b, p, s) <- out; (b2, p2, s2) <- out
+         if b == b2 && (p, s) != (p2, s2)) {
+      assert(!(p2 <= p && s2 >= s), s"($b2,$p2,$s2) dominates ($b,$p,$s)")
+    }
+  }
 }
