@@ -948,7 +948,54 @@ object Analytics {
       .select(col("brand"), col("price"), col("psize"), col("n_parts"))
   }
 
+  /** Robust outlier detection via median/MAD — the screen a quality
+    * pipeline runs before trusting mean/stddev profiling (q73's moments
+    * are themselves dragged by the outliers they'd flag; the median and
+    * the median-absolute-deviation have a 50% breakdown point). Two
+    * exact order statistics per group: the account-balance median, then
+    * the median of |x − med| after a broadcast join of the per-group
+    * medians back onto the rows — each is Spark `percentile` ↔ DuckDB
+    * `quantile_cont`, whose linear interpolation is bit-identical
+    * across engines (the q47/q61 recipe), so the 3×MAD cut compares
+    * identical doubles on both sides and needs no rounding at all.
+    * Group cardinality is tiny (segments); rows stream through two
+    * partial-agg shuffles keyed on the group — no global sort. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+      .localCheckpoint(true) // three consumers, one scan
+    val med = cust.groupBy(col("segment"))
+      .agg(expr("percentile(bal, 0.5)").as("med"))
+    val dev = cust.join(broadcast(med), Seq("segment"))
+      .withColumn("dev", abs(col("bal") - col("med")))
+    val mad = dev.groupBy(col("segment"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("segment"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_far"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q168_mad_outliers", madOutliers _,
+      """WITH c AS (
+        |  SELECT c_mktsegment AS segment, c_acctbal AS bal FROM customer),
+        |m AS (
+        |  SELECT segment, quantile_cont(bal, 0.5) AS med
+        |  FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT c.segment, bal, med, abs(bal - med) AS dev
+        |  FROM c JOIN m USING (segment)),
+        |md AS (
+        |  SELECT segment, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.segment, count(*) AS n, min(med) AS med, min(mad) AS mad,
+        |  CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_far
+        |FROM d JOIN md USING (segment)
+        |GROUP BY 1""".stripMargin),
     Q("q164_skyline", skyline _,
       """WITH pts AS (
         |  SELECT p_brand AS brand, p_retailprice AS price,

@@ -226,7 +226,59 @@ object Sampling {
       .select(col("priority"), (col("pos") + 1).cast("int").as("rk"),
         col("s.id").as("order_id"), col("s.key").as("h"))
 
+  /** Deterministic contrastive negative sampling — the pair-mining step
+    * of embedding/reranker training (in-batch negatives leak structure;
+    * corpus-wide uniform negatives need exactly this shape). For each
+    * anchor document, k=4 negatives are drawn by hashing (anchor, slot)
+    * onto the dense doc_id domain — no `rand()` (re-runs must rebuild
+    * identical training pairs) and, critically at 100 TB, no global
+    * row_number to index the corpus: the id domain IS the address space,
+    * so sampling is a narrow per-row map and the only shuffle is the
+    * equi-join that fetches each negative's metadata. A hash that lands
+    * on the anchor itself steps forward one slot (mod n), so every
+    * anchor gets exactly k true negatives. The corpus size is a
+    * broadcast scalar. */
+  def negativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n"))
+    val raw = docs.select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"), col("n"),
+        explode(sequence(lit(0), lit(3))).as("slot"))
+      .withColumn("cand",
+        TextOps.portableHash(concat(lit("neg:"), col("doc_id").cast("string"),
+          lit("#"), col("slot").cast("string"))) % col("n"))
+      .withColumn("neg_id",
+        when(col("cand") === col("doc_id"),
+          (col("cand") + 1) % col("n")).otherwise(col("cand")))
+    raw.join(docs.select(col("doc_id").as("neg_id"),
+        col("lang").as("neg_lang"), col("source").as("neg_source")),
+        Seq("neg_id"))
+      .select(col("doc_id"), col("slot"), col("lang"), col("neg_id"),
+        col("neg_lang"), col("neg_source"),
+        (col("lang") === col("neg_lang")).as("same_lang"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q167_negative_sampling", negativeSample _,
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT d.doc_id, d.lang, n.n, s.slot,
+        |    ('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR) || '#'
+        |        || CAST(s.slot AS VARCHAR)), 1, 8))::BIGINT % n.n AS cand
+        |  FROM documents d
+        |  CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS slot) s),
+        |fix AS (
+        |  SELECT doc_id, slot, lang,
+        |    CASE WHEN cand = doc_id THEN (cand + 1) % n ELSE cand END
+        |      AS neg_id
+        |  FROM raw)
+        |SELECT fix.doc_id, CAST(fix.slot AS INT) AS slot, fix.lang,
+        |  fix.neg_id,
+        |  d2.lang AS neg_lang, d2.source AS neg_source,
+        |  fix.lang = d2.lang AS same_lang
+        |FROM fix JOIN documents d2 ON d2.doc_id = fix.neg_id""".stripMargin),
     Q("q152_group_sample", groupSample _,
       """WITH h AS (
         |  SELECT o_orderpriority AS priority, o_orderkey,

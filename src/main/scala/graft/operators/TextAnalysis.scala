@@ -838,7 +838,135 @@ object TextAnalysis {
         expr("n_unique * 1000000 div n_shingles").as("novelty_ppm"))
   }
 
+  /** Bigram association ("lift", the log-free core of PMI): how much more
+    * often two tokens co-occur adjacently than independence predicts —
+    * lift(x,y) = P(xy) / (P(x)·P(y)) = c_xy·U² / (N·c_x·c_y). The score a
+    * collocation extractor / tokenizer-merge pass ranks candidate pairs
+    * by (BPE merges are exactly "highest adjacent-pair count"; lift adds
+    * the independence correction so "of the" doesn't beat "New York").
+    * Everything before the final division is an exact integer tally —
+    * two partial-agg'd counts off ONE scan-local bigram formation (the
+    * q59 narrow explode) — and the division multiplies in a fixed
+    * left-to-right order both engines replicate bit-identically. No log:
+    * lift ranks identically to PMI (log is monotone) without the
+    * cross-engine libm hazard. Min-support filter keeps noise pairs out;
+    * the top-20 cut is totally ordered (lift desc, bigram asc). */
+  def bigramLift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Barrier.materialized(split(col("text"), " "))
+          .as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .localCheckpoint(true) // unigram + bigram passes share the scan
+    val uni = toks
+      .select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .localCheckpoint(true)
+    val totals = uni.agg(sum(col("c_w")).as("u_total")).localCheckpoint(true)
+    val bg = toks
+      .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(element_at(col("ws"), col("i")).as("w0"),
+        element_at(col("ws"), col("i") + 1).as("w1"))
+    val bgc = bg.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("c_xy"))
+    val nbg = bg.agg(count(lit(1)).as("n_bg"))
+    bgc.filter(col("c_xy") >= 20)
+      .join(uni.withColumnRenamed("w", "w0").withColumnRenamed("c_w", "c_x"),
+        Seq("w0"))
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_y"),
+        Seq("w1"))
+      .crossJoin(broadcast(nbg))
+      .crossJoin(broadcast(totals))
+      // fixed evaluation order: ((c_xy·U)·U) / ((N·c_x)·c_y)
+      .withColumn("lift",
+        round(col("c_xy").cast("double") * col("u_total") * col("u_total") /
+          (col("n_bg").cast("double") * col("c_x") * col("c_y")), 6))
+      .select(concat_ws(" ", col("w0"), col("w1")).as("bigram"),
+        col("c_xy"), col("c_x"), col("c_y"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  /** SHARDED posting lists — the scale-hardened companion to q118's
+    * inverted index. q118's shape (one posting list per token) has an
+    * unbounded aggregation buffer: a stopword's postings at 100 TB are
+    * the whole corpus in one collect. Here postings are built per
+    * (token, shard) with shard = doc_id div 100 — each collect bounded
+    * by the shard width, the layout real indexes use (a term's postings
+    * split across segment files). Global document frequency
+    * re-aggregates from the shard partials (q155 mergeability
+    * discipline: the raw token explode is scanned once). Postings ship
+    * delta-encoded (head + gaps), the on-disk encoding search engines
+    * use — and the gap arithmetic doubles as an order check the hash
+    * gate verifies. */
+  def invertedIndexSharded(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("token"))
+      .localCheckpoint(true) // shard postings + global df share the pass
+    val shard = tok
+      .groupBy(col("token"), (col("doc_id") / 100).cast("int").as("shard"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+    val df_ = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    shard.join(df_, Seq("token")).filter(col("df") >= 40)
+      .select(col("token"), col("shard"), col("df"),
+        size(col("ids")).as("shard_df"),
+        element_at(col("ids"), 1).as("head"),
+        // size==1 guard: Spark sequence(2,1) DESCENDS ([2,1]) rather than
+        // yielding an empty range, and DuckDB's string_agg over an empty
+        // list is NULL — both sides pin the singleton case to ''
+        when(size(col("ids")) < 2, lit("")).otherwise(concat_ws(",",
+          transform(sequence(lit(2), size(col("ids"))),
+            i => element_at(col("ids"), i) - element_at(col("ids"), i - 1))))
+          .as("gaps"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q165_bigram_lift", bigramLift _,
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |uni AS (
+        |  SELECT w, count(*) AS c_w
+        |  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+        |ut AS (SELECT CAST(sum(c_w) AS BIGINT) AS u_total FROM uni),
+        |bg AS (
+        |  SELECT ws[i] AS w0, ws[i + 1] AS w1
+        |  FROM toks, unnest(range(1, len(ws))) AS u(i)),
+        |bgc AS (SELECT w0, w1, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+        |nbg AS (SELECT count(*) AS n_bg FROM bg)
+        |SELECT w0 || ' ' || w1 AS bigram, c_xy,
+        |  ux.c_w AS c_x, uy.c_w AS c_y,
+        |  round(CAST(c_xy AS DOUBLE) * u_total * u_total /
+        |    (CAST(n_bg AS DOUBLE) * ux.c_w * uy.c_w), 6) AS lift
+        |FROM bgc
+        |JOIN uni ux ON ux.w = bgc.w0
+        |JOIN uni uy ON uy.w = bgc.w1
+        |CROSS JOIN nbg CROSS JOIN ut
+        |WHERE c_xy >= 20
+        |ORDER BY lift DESC, bigram ASC
+        |LIMIT 20""".stripMargin),
+    Q("q166_sharded_postings", invertedIndexSharded _,
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+        |    AS token
+        |  FROM documents),
+        |shard AS (
+        |  SELECT token, CAST(doc_id // 100 AS INT) AS shard,
+        |    list_sort(list(DISTINCT doc_id)) AS ids
+        |  FROM tok GROUP BY 1, 2),
+        |gdf AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        |SELECT shard.token, shard.shard, df,
+        |  CAST(len(ids) AS INT) AS shard_df,
+        |  ids[1] AS head,
+        |  CASE WHEN len(ids) < 2 THEN '' ELSE
+        |    list_aggregate(
+        |      list_transform(range(2, len(ids) + 1),
+        |                     i -> CAST(ids[i] - ids[i - 1] AS VARCHAR)),
+        |      'string_agg', ',') END AS gaps
+        |FROM shard JOIN gdf ON gdf.token = shard.token
+        |WHERE df >= 40""".stripMargin),
     Q("q158_shingle_novelty", shingleNovelty _,
       """WITH docs AS (
         |  SELECT doc_id,
