@@ -60,35 +60,33 @@ object Bench {
       k -> (if (good.isEmpty) -1.0 else good.min)
     }
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    // The stdout line must survive a bounded tail-capture of the sbt log:
-    // r02's line with 100 full query names was ~2.9 kB and the capture
-    // began mid-line ("parsed": null). Short keys (q73 not
-    // q73_stats_profile) + millisecond precision keep it ~1.4 kB; the
-    // full-name map goes to bench_out.json as the durable copy.
+    // The stdout line must survive a bounded ~2,000-char tail-capture of
+    // the sbt log: r02's line with 100 full query names was ~2.9 kB and
+    // r06's with 168 short keys was ~4 kB — both captured mid-line
+    // ("parsed": null). The stdout line is therefore COMPACT: totals +
+    // failed list + only the top-8 slowest per-query entries (the contract
+    // shape survives, the size cannot grow with query count). The full
+    // per-query map goes to bench_out.json as the durable copy.
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // One naming scheme per line: the stdout line uses short keys in BOTH
-    // `queries` and `failed` (so a consumer can cross-reference them);
-    // bench_out.json carries full names in both.
     def jsonLine(kv: Iterable[(String, Double)], fl: Seq[String]): String = {
       val qs = kv.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
       val fj = fl.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), jsonLine(results, failed) + "\n")
     catch { case _: Throwable => }
     def shortKey(k: String): String = k.takeWhile(_ != '_')
-    val short = results.map { case (k, v) => shortKey(k) -> v }
-    require(short.size == results.size,
-      s"short bench keys collide: ${results.keys.toSeq.sorted}")
+    val topSlow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => shortKey(k) -> v }
     // stop Spark FIRST so its shutdown logging cannot land after the
     // metric line — the driver parses the last stdout lines; fork's
     // StdoutOutput (build.sbt) keeps the line free of "[info] " prefixes.
     spark.stop()
-    println(jsonLine(short, failed.map(shortKey)))
+    println(jsonLine(topSlow, failed.map(shortKey)))
     System.out.flush()
   }
 }
