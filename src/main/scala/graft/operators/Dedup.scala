@@ -74,18 +74,38 @@ object Dedup {
     * streams the identical pair set through whole-stage codegen with O(1)
     * row state — a hot key costs rows, never memory. doc_a < doc_b
     * normalizes pair order (same as the old least/greatest). */
-  private[graft] def pairsWithin(keyed: DataFrame, key: String): DataFrame = {
+  private[graft] def pairsWithin(keyed: DataFrame, key: String,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // lazy checkpoint: materialization happens inside the first action's
     // lifecycle (an eager one runs a job at plan-BUILD time, even if the
     // caller never executes the result, and pins executor storage from
     // construction until ContextCleaner GC).
     val k = keyed.select(col(key), col("doc_id")).localCheckpoint(false)
-    k.select(col(key), col("doc_id").as("doc_a"))
-      .join(k.select(col(key), col("doc_id").as("doc_b")), Seq(key))
+    // Hot-bucket cap: the equi-join form streams a degenerate bucket
+    // without buffering it, but it still EMITS C(n,2) pairs — one
+    // boilerplate shingle shared by 100k crawl docs would flood the
+    // verify stage with 5e9 candidates. A bucket that large carries no
+    // discriminative signal (every LSH dedup drops super-buckets; same
+    // discipline as winnowing's between(2, 50)), so callers opt in to a
+    // size cap: per-key counts partial-agg map-side, and the filter join
+    // shares the self-join's key partitioning. The cap is mirrored in
+    // the DuckDB oracles so parity holds at ANY scale factor.
+    val capped = if (maxBucket == Int.MaxValue) k else
+      k.join(
+        k.groupBy(col(key)).agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBucket).select(col(key)),
+        Seq(key))
+    capped.select(col(key), col("doc_id").as("doc_a"))
+      .join(capped.select(col(key), col("doc_id").as("doc_b")), Seq(key))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Bucket-size cap for the probabilistic candidate generators (q34
+    * minhash-bucket, q35 banded-LSH): buckets above this emit no pairs.
+    * Mirrored in [[minBucketCandSql]] / [[minhashSql]]. */
+  private[graft] val MaxBucket = 1000
 
   /** (doc_id, shingle) exploded relation — NARROW up to the distinct():
     * split once per doc, explode an offset sequence, pick the three words
@@ -186,7 +206,7 @@ object Dedup {
       .agg(minsAgg.head, minsAgg.tail: _*)
       .select(col("doc_id"), explode(array((0 until 4).map(j =>
         concat_ws(":", lit(j), col(s"m$j"))): _*)).as("bucket"))
-    val cands = pairsWithin(keyed, "bucket")
+    val cands = pairsWithin(keyed, "bucket", MaxBucket)
     verifyJaccard(cands, docs)
   }
 
@@ -220,7 +240,7 @@ object Dedup {
       .filter(size(split(col("text"), " ")) >= 3)
     val banded = minhashSigs(spark, dir).select(col("doc_id"),
       explode(TextOps.minhashBands(col("sig"), 16, 4)).as("band"))
-    val cands = pairsWithin(banded, "band")
+    val cands = pairsWithin(banded, "band", MaxBucket)
     verifyJaccard(cands, docs)
   }
 
@@ -542,7 +562,13 @@ object Dedup {
       .groupBy(col("p_name").as("nm"))
       .agg(count(lit(1)).as("n_parts"))
       .localCheckpoint(true)
+    // length >= 2 before the gram explode (as bpePairs does): for a
+    // 1-char name Spark's sequence(1, 0) DESCENDS to [1, 0] and would
+    // emit spurious grams, while the oracle's range(1, len) is empty —
+    // a latent engine divergence even though degenerate grams can't
+    // pair two distinct names today.
     val grams = names
+      .filter(length(col("nm")) >= 2)
       .select(col("nm"),
         explode(sequence(lit(1), length(col("nm")) - 1)).as("i"))
       .select(col("nm"), col("nm").substr(col("i"), lit(2)).as("bg"))
@@ -580,10 +606,14 @@ object Dedup {
       |  SELECT doc_id, j,
       |    min(((2 * j + 1) * x + j * 2654435761) % 4294967311) AS m
       |  FROM shx, range(0, 4) t(j) GROUP BY 1, 2),
+      |bsz AS (
+      |  SELECT j, m, count(*) AS n FROM mins GROUP BY 1, 2),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM mins a JOIN mins b
-      |    ON a.j = b.j AND a.m = b.m AND a.doc_id < b.doc_id)""".stripMargin
+      |    ON a.j = b.j AND a.m = b.m AND a.doc_id < b.doc_id
+      |  JOIN bsz ON bsz.j = a.j AND bsz.m = a.m
+      |  WHERE bsz.n <= 1000)""".stripMargin
 
   private val ngramJaccardSql =
     s"""WITH docs AS (
@@ -745,10 +775,14 @@ object Dedup {
 
   private val minhashSql =
     s"""WITH $minhashCtesSql,
+      |bsz AS (
+      |  SELECT b, key, count(*) AS n FROM bands GROUP BY 1, 2),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
-      |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+      |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+      |  JOIN bsz ON bsz.b = a.b AND bsz.key = a.key
+      |  WHERE bsz.n <= 1000)
       |SELECT doc_a, doc_b,
       |  round(len(list_intersect(da.hs, db.hs)) /
       |        (len(da.hs) + len(db.hs)

@@ -273,6 +273,14 @@ class DedupSpec extends SparkSpec {
     // expansions... cold = {1, 20001, 20002}: (1,20001),(1,20002),
     // (20001,20002) are all outside the hot range, so no overlap.
     assert(n === 10000L * 9999L / 2 + 3L)
+    // With the hot-bucket cap (the q34/q35 callers' configuration) the
+    // degenerate bucket emits NOTHING — no C(10000,2) candidate flood at
+    // the verify stage — while the normal bucket's pairs survive intact.
+    val capped = Dedup.pairsWithin(keyed, "bucket", maxBucket = 100)
+    val cplan = capped.queryExecution.executedPlan.toString
+    assert(cplan.contains("count"), cplan.take(600)) // cap visible in plan
+    val cp = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp === Set((1L, 20001L), (1L, 20002L), (20001L, 20002L)))
   }
 
   test("setsim prefix filter equals brute-force jaccard join (exact recall)") {
