@@ -46,6 +46,27 @@ case class TopKAgg(
   // Seq[LongType.type] conforms covariantly
   override def inputTypes = Seq(LongType, LongType)
 
+  // ImplicitCastInputTypes would happily insert DOUBLE->LONG casts, which
+  // TRUNCATE and quietly change ranking semantics for SQL callers of
+  // graft_topk. Integral widening stays implicit; fractional inputs must
+  // fail loudly (the caller can cast explicitly if truncation is meant).
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def fractional(e: Expression): Boolean = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        fractional(c.child)
+      case other => other.dataType match {
+        case DoubleType | FloatType | _: DecimalType => true
+        case _ => false
+      }
+    }
+    if (fractional(key) || fractional(id))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_topk arguments must be integral; a fractional key/id would " +
+          "be truncated — cast explicitly if that is intended")
+    else super.checkInputDataTypes()
+  }
+
   override def createAggregationBuffer(): Buf = new Buf
 
   private def offer(buf: Buf, p: (Long, Long), times: Int): Unit = {

@@ -909,7 +909,11 @@ object Analytics {
     val rows = cells.groupBy(col("lang")).agg(sum(col("obs")).as("r"))
     val cols = cells.groupBy(col("source")).agg(sum(col("obs")).as("c"))
     val n = cells.agg(sum(col("obs")).as("n"))
-    val e = (col("r") * col("c")).cast("double") / col("n")
+    // widen BEFORE multiplying: at 100-TB margins a 64-bit r*c product
+    // overflows (and DuckDB's BIGINT product errors); double*long is
+    // bit-identical to the old form wherever r*c < 2^53, i.e. at every
+    // fixture scale — the oracle mirrors the cast placement
+    val e = col("r").cast("double") * col("c") / col("n")
     // the FULL margin grid, not just observed cells: an empty (lang,
     // source) cell still has exp > 0 and contributes (0−e)²/e = e to
     // χ² — dropping zero cells understates the statistic
@@ -1024,10 +1028,10 @@ object Analytics {
         |  LEFT JOIN cells ON cells.lang = r.lang
         |    AND cells.source = c.source)
         |SELECT lang, source, CAST(obs AS BIGINT) AS obs,
-        |  round(CAST(r * c AS DOUBLE) / n.n, 6) AS exp_r,
-        |  round((obs - CAST(r * c AS DOUBLE) / n.n)
-        |      * (obs - CAST(r * c AS DOUBLE) / n.n)
-        |      / (CAST(r * c AS DOUBLE) / n.n), 6) AS contrib_r
+        |  round(CAST(r AS DOUBLE) * c / n.n, 6) AS exp_r,
+        |  round((obs - CAST(r AS DOUBLE) * c / n.n)
+        |      * (obs - CAST(r AS DOUBLE) * c / n.n)
+        |      / (CAST(r AS DOUBLE) * c / n.n), 6) AS contrib_r
         |FROM grid CROSS JOIN n""".stripMargin),
     Q("q154_islands", islands _,
       """WITH days AS (

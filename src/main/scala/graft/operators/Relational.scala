@@ -220,6 +220,19 @@ object Relational {
     * second timed pass, other scales' reuse) hit the cache. */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  // staged dirs are JVM-lifetime caches; without a shutdown hook repeated
+  // harness runs accumulate /tmp garbage (one dir per kind x sf per run)
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedDirs.values().forEach { base =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(Path.of(base)).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => } // best-effort cleanup only
+      }))
+  }
   private def stagedDir(kind: String, dir: String)(
       write: String => Unit): String =
     stagedDirs.computeIfAbsent((kind, dir), { _ =>

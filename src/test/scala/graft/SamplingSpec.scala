@@ -205,6 +205,27 @@ class SamplingSpec extends SparkSpec {
       assert(sel.max / sel.min <= raw.max / raw.min)
   }
 
+  test("negative sampling: id domain is dense (the guarantee k=4 rests on)") {
+    // negativeSample addresses negatives by hashing onto [0, n) and
+    // joining on doc_id — with id GAPS the inner join silently drops
+    // slots, and the oracle shares the assumption so the hash gate
+    // cannot catch it. Pin the density precondition loudly here.
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        count(lit(1)).as("n")).collect()(0)
+    assert(ids.getAs[Long]("mn") === 0L, "doc_id domain must start at 0")
+    assert(ids.getAs[Long]("mx") === ids.getAs[Long]("n") - 1,
+      "doc_id domain has gaps — negativeSample's per-anchor k is broken")
+    // and the guarantee itself: exactly 4 true negatives per anchor
+    val out = Sampling.negativeSample(spark, sf)
+    val n = ids.getAs[Long]("n")
+    assert(out.count() === 4L * n)
+    assert(out.filter(col("neg_id") === col("doc_id")).count() === 0L)
+    val perAnchor = out.groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+      .filter(col("k") =!= 4).count()
+    assert(perAnchor === 0L)
+  }
+
   test("sequence packing: seqs bounded by budget + one straddling doc") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val maxDocToks = docs
