@@ -18,7 +18,7 @@ object SparkEntry {
       TextAnalysis.catalog ++ Multimodal.catalog ++ SkewJoin.catalog ++
       ApproxAgg.catalog ++ Reshape.catalog ++ Sampling.catalog ++
       StreamQueries.catalog ++ DataQuality.catalog ++ Layout.catalog ++
-      Graph.catalog
+      Graph.catalog ++ Stats.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Q
+
+/** Table/column statistics + cost-based-optimizer evidence.
+  *
+  * Everywhere else the engine reads parquet by PATH, so Catalyst only ever
+  * sees file-size estimates and join order is view-text order (plus AQE's
+  * runtime demotions). That is fine for the shapes in this catalog, but a
+  * 100 TB warehouse does not hand-order its joins: it collects catalog
+  * statistics (`ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`) and
+  * lets `CostBasedJoinReorder` pick the join order from rowCount +
+  * selectivity. This operator registers the TPC-H-ish tables as external
+  * catalog tables, analyzes them once per (JVM, sf dir), and runs a
+  * 4-table star query written in a deliberately BAD textual order
+  * (fact ⋈ fact-sized first, selective dims last) — `PlanSpec` asserts the
+  * optimizer reorders it under CBO and leaves it in text order without.
+  */
+object Stats {
+
+  /** One catalog database per sf dir (bench warms several dirs in one
+    * JVM); value = database name once tables are created + analyzed. */
+  private val analyzed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val tables = Seq("orders", "customer", "nation", "region")
+
+  /** Create external parquet tables for `dir` and ANALYZE them; enable
+    * CBO + join reorder (sticky: path-based relations elsewhere carry no
+    * catalog stats, so CBO is a no-op for every other query). */
+  private[graft] def ensureStats(spark: SparkSession, dir: String): String =
+    analyzed.computeIfAbsent(dir, { _ =>
+      val db = "graft_cbo" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      tables.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+        spark.sql(
+          s"""CREATE TABLE $db.$t USING parquet
+             |LOCATION '$dir/$t.parquet'""".stripMargin)
+        spark.sql(
+          s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      db
+    })
+
+  /** Asia-region revenue by nation, written fact-first so only the CBO
+    * can rescue the join order. Money is exact per-row integer cents
+    * (the established cross-engine recipe). */
+  def cboJoinReorder(spark: SparkSession, dir: String): DataFrame = {
+    val db = ensureStats(spark, dir)
+    spark.sql(
+      s"""SELECT n.n_name AS nation, count(*) AS n_orders,
+         |  sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+         |FROM $db.orders o
+         |  JOIN $db.customer c ON o.o_custkey = c.c_custkey
+         |  JOIN $db.nation n ON c.c_nationkey = n.n_nationkey
+         |  JOIN $db.region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |GROUP BY n.n_name""".stripMargin)
+  }
+
+  val catalog: Seq[Q] = Seq(
+    Q("q170_cbo_join_reorder", cboJoinReorder _,
+      """SELECT n.n_name AS nation, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name""".stripMargin)
+  )
+}

@@ -259,6 +259,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
 
+  test("q170: catalog stats drive CostBasedJoinReorder off text order") {
+    import graft.operators.Stats
+    // builds tables + ANALYZE, enables CBO (sticky for this session)
+    val withCbo = Stats.cboJoinReorder(spark, sf)
+    // catalog stats actually landed: every base relation resolves with a
+    // rowCount (the precondition CostBasedJoinReorder requires)
+    val leavesStats = withCbo.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.rowCount)
+    assert(leavesStats.forall(_.isDefined),
+      s"missing catalog rowCounts: $leavesStats")
+    def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+        .map(s => Seq("orders", "customer", "nation", "region")
+          .find(t => s.contains(s"/$t.parquet") || s.contains(s".$t"))
+          .getOrElse("?"))
+    val cboOrder = leafOrder(withCbo)
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    val textOrder = try leafOrder(Stats.cboJoinReorder(spark, sf))
+      finally spark.conf.set("spark.sql.cbo.enabled", prev)
+    // without CBO the optimizer keeps the (deliberately bad) text order
+    assert(textOrder === Seq("orders", "customer", "nation", "region"),
+      s"baseline no longer text order: $textOrder")
+    // with stats the reorder must move a selective dim ahead of the fact
+    assert(cboOrder !== textOrder,
+      s"CostBasedJoinReorder left the join in text order: $cboOrder")
+    // and the result itself is plan-independent (oracle-gated too)
+    val n = withCbo.collect().length
+    assert(n >= 1 && n <= 5, s"expected 1..5 ASIA nations, got $n")
+  }
+
   test("q110: gopher rules are scan-local with a single agg exchange") {
     val plan = planOf(graft.operators.TextAnalysis.gopherRules(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).size
