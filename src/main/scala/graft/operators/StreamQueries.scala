@@ -253,6 +253,42 @@ object StreamQueries {
           round(col("value"), 6).as("value"))
     }
 
+  /** Stream-stream FULL OUTER join — the symmetric completion of q147:
+    * unmatched CLICKS (no purchase in the 30-minute horizon) and
+    * unmatched PURCHASES (no preceding click) both emit NULL-extended
+    * rows once the watermark proves no match can arrive. The cutoff now
+    * applies to BOTH sides: an unmatched purchase finalizes only when
+    * the watermark passes its own match window [ts − horizon, ts], so
+    * rows inside the feed's last (delay + horizon) are un-finalizable
+    * in a bounded replay on either side — same boundary, both streams.
+    * As in q147 the cutoff filters sit ABOVE the watermark nodes so the
+    * watermark observes each stream's full time axis. */
+  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir, mode = "append") { ev =>
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))
+      val c = ev.filter(col("event_type") === "click")
+        .withWatermark("ts", "30 minutes")
+        .filter(col("ts") < cutoff)
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "30 minutes")
+        .filter(col("ts") < cutoff)
+        .select(col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"), col("value"))
+      c.join(p,
+          col("c_user") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") +
+              expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+        .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+          col("click_id"),
+          col("click_ts").cast("long").as("click_sec"),
+          col("purchase_ts").cast("long").as("purchase_sec"),
+          round(col("value"), 6).as("value"))
+    }
+
   /** CHAINED stateful streaming: per-hour distinct-user counts computed
     * as a watermark-bounded dedup (stateful op 1: first (user, hour)
     * occurrence wins) feeding a grouped count (stateful op 2) — the
@@ -409,6 +445,20 @@ object StreamQueries {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click'
         |  AND c.ts < TIMESTAMP '2024-01-25 00:00:00'""".stripMargin),
+    Q("q169_stream_full_outer", streamFullOuterJoin _,
+      """SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |  c.event_id AS click_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_sec,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec,
+        |  round(p.value, 6) AS value
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click'
+        |        AND ts < TIMESTAMP '2024-01-25 00:00:00') c
+        |FULL JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase'
+        |        AND ts < TIMESTAMP '2024-01-25 00:00:00') p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin),
     Q("q134_stream_distinct_users", streamDistinctUsers _,
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_start,
         |  count(DISTINCT user_id) AS active_users

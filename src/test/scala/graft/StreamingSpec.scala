@@ -326,6 +326,33 @@ class StreamingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("stream full outer join: unmatched == batch anti-join on BOTH sides") {
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))
+    val out = operators.StreamQueries.streamFullOuterJoin(spark, sf).cache()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val c = ev.filter(col("event_type") === "click" && col("ts") < cutoff)
+      .select(col("user_id"), col("event_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase" && col("ts") < cutoff)
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val joinCond = col("user_id") === col("pu") &&
+      col("pts") >= col("cts") &&
+      col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES")
+    // click side: rows with NULL purchase == clicks with no purchase
+    val unmatchedClicks = out.filter(col("purchase_sec").isNull).count()
+    assert(unmatchedClicks === c.join(p, joinCond, "left_anti").count())
+    // purchase side: rows with NULL click == purchases with no click
+    val unmatchedPurchases = out.filter(col("click_id").isNull).count()
+    assert(unmatchedPurchases === p.join(c, joinCond, "left_anti").count())
+    assert(unmatchedClicks > 0 && unmatchedPurchases > 0,
+      "fixture should exercise both unmatched sides")
+    // matched rows equal the inner join's
+    val matched = out.filter(col("click_id").isNotNull &&
+      col("purchase_sec").isNotNull).count()
+    assert(matched === c.join(p, joinCond).count())
+    out.unpersist()
+  }
+
   test("cms heavy hitters: estimate only ever overestimates") {
     val rows = operators.ApproxAgg.cmsHeavyHitters(spark, sf).collect()
     assert(rows.length > 0)
