@@ -166,7 +166,105 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("l1"))
   }
 
+  /** Perceptual near-dup via a dHash-style 60-bit signature (the
+    * gradient-hash used for image dedup: downscale, then hash the SIGN of
+    * adjacent-cell differences — robust to global brightness/scale shifts
+    * where q99's histogram L1 is global-feature only).
+    *
+    * STUB "downscale": the payload is carved into 61 equal segments and
+    * each segment's mean codepoint stands in for a grayscale cell (a real
+    * codec would decode pixels first; the signature/LSH plumbing is what
+    * this query exercises). Bit j = 1 iff mean(seg j+1) > mean(seg j) —
+    * compared EXACTLY via integer cross-multiply (sum_b · cnt_a), no
+    * float division, so both engines compute identical bits. The 60-bit
+    * packed BIGINT then reuses q36's machinery: 4 × 15-bit chunk keys
+    * (any pair at hamming < 4 shares a chunk), candidates from the
+    * chunk equi-join, `bit_count(xor)` hamming verify ≤ 3.
+    *
+    * Scale shape: segment sums are one narrow pass + partial-agg'd
+    * groupBy; the only wide ops are the per-doc array assembly and the
+    * chunk-keyed candidate join; hamming runs on candidates only — the
+    * [[graft.operators.Dedup.simhash]] discipline on the multimodal
+    * path. `PlanSpec` pins no-cartesian. */
+  def mediaPerceptualHash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val d = mediaTable(spark, dir)
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("s"))
+      .withColumn("n", length(col("s")))
+      .filter(col("n") >= 61) // every segment non-empty
+    // char → (segment, codepoint): seg = floor(pos·61/n) partitions the
+    // payload into 61 runs of ±1 length, identically in integer math on
+    // both engines. Explode + conditional-sum aggregation: the shuffle
+    // carries 61 (sum, cnt) longs per doc, never the characters.
+    val segSums = d
+      .select(col("doc_id"), col("n"),
+        posexplode(split(col("s"), "")).as(Seq("p", "c")))
+      .select(col("doc_id"),
+        expr("(p * 61) div n").as("seg"), ascii(col("c")).as("cp"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(sum(col("cp")).as("sm"), count(lit(1)).as("cnt"))
+    val arrs = segSums.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("seg"), col("sm"), col("cnt")))).as("a"))
+      .select(col("doc_id"),
+        expr("transform(a, x -> x.sm)").as("ss"),
+        expr("transform(a, x -> x.cnt)").as("cs"))
+    // pack the 60 adjacent-segment comparisons into one BIGINT (0-based
+    // array indexing here; the oracle's DuckDB lists are 1-based)
+    val docs = arrs.select(col("doc_id"),
+      expr("""aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+             |  (acc, j) -> acc + IF(ss[j+1] * cs[j] > ss[j] * cs[j+1],
+             |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
+        .stripMargin).as("fp"))
+      .withColumn("chunks", TextOps.simhashChunkKeys(col("fp"), 4, 15))
+    val keyed = docs
+      .select(col("doc_id"), col("fp"), explode(col("chunks")).as("chunk"))
+      .localCheckpoint(true)
+    keyed.select(col("chunk"), col("doc_id").as("doc_a"), col("fp").as("fa"))
+      .join(keyed.select(col("chunk"), col("doc_id").as("doc_b"),
+        col("fp").as("fb")), Seq("chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextOps.hamming(col("fa"), col("fb")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q171_media_phash", mediaPerceptualHash _,
+      """WITH d AS (
+        |  SELECT doc_id, text, len(text) AS n FROM documents
+        |  WHERE len(text) >= 61),
+        |ch AS (
+        |  SELECT doc_id, ((i - 1) * 61) // n AS seg, unicode(text[i]) AS cp
+        |  FROM (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i
+        |        FROM d)),
+        |segs AS (
+        |  SELECT doc_id, seg, CAST(sum(cp) AS BIGINT) AS sm,
+        |    count(*) AS cnt
+        |  FROM ch GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT doc_id, list(sm ORDER BY seg) AS ss,
+        |    list(cnt ORDER BY seg) AS cs
+        |  FROM segs GROUP BY 1),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_aggregate([CASE WHEN ss[j+2] * cs[j+1]
+        |          > ss[j+1] * cs[j+2]
+        |        THEN (1::BIGINT << j) ELSE 0::BIGINT END
+        |      for j in range(0, 60)], 'sum') AS BIGINT) AS fp
+        |  FROM arr),
+        |chunks AS (
+        |  SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS key
+        |  FROM fp, range(0, 4) t(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.fp AS fa, b.fp AS fb
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin),
     Q("q99_media_histdup", mediaHistDedup _,
       """WITH codes AS (
         |  SELECT doc_id, len(text) AS n,
