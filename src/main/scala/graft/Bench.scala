@@ -11,6 +11,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q108_canonical_selection,q53_dup_clusters narrows
+    // the run for isolated steady-state measurement of one query (regression
+    // triage without the other 167 sharing the JVM); unset = full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     // Warm the JVM/codegen/parquet-footer paths outside any query's timing
     // (otherwise Map iteration order decides which query absorbs the
     // first-action JIT/codegen warmup — measured ~8s of pure cold-start on
@@ -24,7 +33,7 @@ object Bench {
     // so their codegen + C2 JIT also happens outside the timing.
     if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
       Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { wd =>
-        SparkEntry.queries.foreach { case (_, fn) =>
+        selected.foreach { case (_, fn) =>
           try fn(spark, wd).count() catch { case _: Throwable => }
         }
       }
@@ -43,7 +52,7 @@ object Bench {
     // A failed query records the sentinel -1.0, never its failure latency
     // (a fast exception would otherwise win the min and report as a
     // legitimate timing with no error signal in the JSON).
-    def pass(): Map[String, Double] = SparkEntry.queries.map {
+    def pass(): Map[String, Double] = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -52,7 +61,12 @@ object Bench {
         if (ckptHeavy(name)) System.gc() // outside the timing
         name -> (if (ok) dt else -1.0)
     }
+    // the shared cluster-label cache (Dedup.dupClusters) must be paid
+    // exactly once per pass — cleared here so pass 2's min is a real
+    // recompute, not a cache hit
+    graft.operators.Dedup.clearCcCache()
     val p1 = pass()
+    graft.operators.Dedup.clearCcCache()
     val p2 = pass()
     // min over SUCCESSFUL passes only; -1.0 survives iff both failed.
     val results = p1.map { case (k, v) =>

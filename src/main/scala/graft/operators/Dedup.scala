@@ -464,12 +464,29 @@ object Dedup {
     labels
   }
 
+  /** Cluster labels are a genuine pipeline-stage artifact: q53 publishes
+    * them, q108 selects canonicals from them, q54 filters the corpus by
+    * them. Computing the iterative CC three times per run was q108's
+    * entire cost profile (r6 bench: ~3 s of its 3.9 s was the embedded
+    * re-clustering), so the labels memoize per (session, dir) — whichever
+    * consumer runs first pays, order-independent. The frame is already
+    * localCheckpointed by [[connectedComponents]], so the cache holds a
+    * materialized RDD, not a lazy lineage. [[graft.Bench]] clears it
+    * between timed passes so every pass still pays the full cost once. */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private[graft] def clearCcCache(): Unit = ccCache.clear()
+
   /** Duplicate-cluster resolution: connected components over the near-dup
     * pair graph (pairs are transitive in practice — a dedup pipeline keeps
     * one doc per CLUSTER, not per pair). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+    ccCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir), { _ =>
+        connectedComponents(
+          ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+      })
 
   /** Canonical-document selection: after cluster resolution, a dedup
     * pipeline keeps exactly ONE representative per near-dup cluster — by
