@@ -97,6 +97,11 @@ object ScaleProbe {
       // the corpus (freq agg + per-doc rank) plus the clique pairs —
       // never documents²
       time(s"setsim_$tag")(operators.Dedup.setsimExact(spark, dir).count())
+      // asymmetric containment at the same duplication rate: replica
+      // cliques are mutual containments, so output grows like setsim's;
+      // the probe watches that the full-index probe join stays linear
+      time(s"containment_$tag")(
+        operators.Dedup.containmentJoin(spark, dir).count())
       // graph family: 10x FACTS over FIXED dims means the distinct
       // (cust, supp) edge list saturates — cost should track the
       // distinct-input scan (linear), while the iterative rounds' cost

@@ -560,6 +560,75 @@ object Dedup {
     verifyJaccard(pairsWithin(prefix, "h"), docs)
   }
 
+  /** EXACT containment-similarity join: C(A,B) = |A∩B| / |A| ≥ 0.8 over
+    * 3-word-shingle sets — the ASYMMETRIC near-dup case Jaccard misses: a
+    * short document quoted inside a much longer one has tiny J (union is
+    * dominated by B) but containment ≈ 1. The dedup signal for
+    * quote/excerpt/boilerplate-inclusion chains in crawl corpora.
+    *
+    * Prefix-filter guarantee, asymmetric form: C ≥ t admits (after the
+    * rounded-threshold boundary, true C down to 0.7999995) at most
+    * |A| − ⌈0.7999995·|A|⌉ misses from A, so A's first
+    * p = |A| − ⌈0.7999995·|A|⌉ + 1 shingles under the global rare-first
+    * order must intersect B — the PROBE side slices to p rarest shingles,
+    * while the INDEX side stays the full shingle relation (B is
+    * unbounded: anything can contain A). The ceiling is exact integer
+    * arithmetic ((7999995·n + 9999999) div 10⁷) — no float boundary.
+    * Pairs are ORDERED (doc_a contained-in doc_b), not a<b normalized.
+    *
+    * Scale shape: candidates = prefix-probe ⋈ full-index equi-join on the
+    * 60-bit shingle hash; rare-first prefixes hit the SMALLEST buckets
+    * (hot boilerplate shingles are skipped by construction, exactly as
+    * q150); an integer size prefilter (|B| can't be smaller than the
+    * required intersection) prunes before the per-pair intersect; exact
+    * verify touches candidates only. Spec pins equality to the
+    * brute-force all-ordered-pairs join at sf0.001. */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containmentJoinOn(t(spark, dir, "documents"))
+
+  /** [[containmentJoin]] over an arbitrary (doc_id, text) frame (spec
+    * entry point for the synthetic short-in-long asymmetry fixture). */
+  private[graft] def containmentJoinOn(docs0: DataFrame): DataFrame = {
+    val docs = docs0.filter(size(split(col("text"), " ")) >= 3)
+    val sh = shingleExploded(docs)
+      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+      .localCheckpoint(true)
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val wOrd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("f"), col("h"))
+    val prefix = sh.join(freq, Seq("h"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(expr(
+        "rn <= n - (7999995L * n + 9999999L) div 10000000L + 1"))
+      .select(col("doc_id"), col("h"))
+    val cands = prefix.select(col("h"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val shSets = shingleExploded(candidateDocs(docs, cands))
+      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+      .localCheckpoint(true)
+    cands
+      .join(shSets.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
+        Seq("doc_a"))
+      .join(shSets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+        Seq("doc_b"))
+      // |A∩B| ≤ |B|, so C ≥ t needs |B|·10⁷ ≥ |A|·7999995 — integer
+      // cross-multiply, a TRUE no-op the oracle needs no mirror for
+      .filter(size(col("hb")).cast("long") * 10000000L >=
+        size(col("ha")).cast("long") * 7999995L)
+      .withColumn("containment",
+        round(size(array_intersect(col("ha"), col("hb"))) /
+          size(col("ha")), 6))
+      .filter(col("containment") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Edit-distance similarity self-join on part names (Ed-Join shape,
     * Xiao et al. VLDB'08): find name pairs within Levenshtein distance
     * d = 2. A single edit disturbs at most q = 2 of a string's q-grams,
@@ -847,6 +916,41 @@ object Dedup {
       |      (len(da.hs) + len(db.hs)
       |       - len(list_intersect(da.hs, db.hs))), 6) >= 0.5""".stripMargin
 
+  /** Asymmetric prefix-filter oracle: probe side sliced to the rarest
+    * p = n − ⌈0.7999995·n⌉ + 1 shingles, index side the FULL shingle
+    * relation, ordered pairs, containment normalized by |A|. */
+  private val containmentJoinSql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   for i in range(1, len(w) - 1)]) AS sh,
+      |    list_distinct(list_transform(
+      |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |       for i in range(1, len(w) - 1)],
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |u AS (SELECT doc_id, unnest(hs) AS h, len(hs) AS n FROM docs),
+      |f AS (SELECT h, count(*) AS f FROM u GROUP BY 1),
+      |r AS (
+      |  SELECT doc_id, h, n,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY f.f, h) AS rn
+      |  FROM u JOIN f USING (h)),
+      |p AS (SELECT doc_id, h FROM r
+      |      WHERE rn <= n - (7999995 * n + 9999999) // 10000000 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM p a JOIN u b ON a.h = b.h AND a.doc_id <> b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(len(list_intersect(da.hs, db.hs)) / len(da.hs), 6)
+      |    AS containment
+      |FROM cand
+      |  JOIN docs da ON da.doc_id = doc_a
+      |  JOIN docs db ON db.doc_id = doc_b
+      |WHERE round(len(list_intersect(da.hs, db.hs)) / len(da.hs), 6)
+      |  >= 0.8""".stripMargin
+
   private val editJoinSql =
     """WITH names AS (
       |  SELECT p_name AS nm, count(*) AS n_parts FROM part GROUP BY 1),
@@ -876,6 +980,7 @@ object Dedup {
 
   val catalog: Seq[Q] = Seq(
     Q("q150_setsim_exact", setsimExact _, setsimExactSql),
+    Q("q172_containment_join", containmentJoin _, containmentJoinSql),
     Q("q151_edit_join", editJoin _, editJoinSql),
     Q("q53_dup_clusters", dupClusters _, dupClustersSql),
     Q("q108_canonical_selection", canonicalSelection _, canonicalSelectionSql),

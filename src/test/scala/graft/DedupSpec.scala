@@ -283,6 +283,43 @@ class DedupSpec extends SparkSpec {
     assert(cp === Set((1L, 20001L), (1L, 20002L), (20001L, 20002L)))
   }
 
+  test("containment join equals brute-force ordered-pair containment") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.length >= 3)
+    val sets = docs.map { case (id, w) =>
+      id -> w.sliding(3).map(_.mkString(" ")).toSet }
+    // ORDERED pairs (A contained in B), same rounded-threshold semantics
+    // as the operator's verify (round-half-up at 6 places, then >= 0.8)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = (sa & sb).size
+      c = BigDecimal(inter.toDouble / sa.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if c >= BigDecimal("0.8")
+    } yield (a, b)).toSet
+    val out = Dedup.containmentJoin(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === brute,
+      s"missed: ${brute.diff(out)} extra: ${out.diff(brute)}")
+    assert(out.nonEmpty, "fixture should contain containment pairs")
+    // the asymmetric semantics themselves (one-way containment of a short
+    // doc in a long one) are pinned synthetically — sf0.001's organic
+    // pairs all happen to be mutual near-dups
+    import spark.implicits._
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ")
+    val syn = Seq(
+      (1L, quote),
+      (2L, quote + " " + (1 to 200).map(i => s"f$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val synOut = Dedup.containmentJoinOn(syn)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(synOut === Set((1L, 2L)),
+      s"short-in-long must contain one way only, got $synOut")
+  }
+
   test("setsim prefix filter equals brute-force jaccard join (exact recall)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
