@@ -289,6 +289,35 @@ object StreamQueries {
           round(col("value"), 6).as("value"))
     }
 
+  /** Stream-stream LEFT SEMI join — completes the stream-join family
+    * (inner q88 / left outer q147 / full outer q169): each click emits AT
+    * MOST ONCE, as soon as any purchase lands in its 30-minute horizon —
+    * the "did this impression convert?" dedup that an inner join answers
+    * with one row PER purchase. Unlike the outer joins no finalization
+    * cutoff is needed: a semi row emits on its first match (never on
+    * watermark timeout), and unmatched clicks emit nothing, so the
+    * bounded replay's trailing edge has nothing left to finalize. State
+    * stays watermark-bounded on both sides exactly as the inner join. */
+  def streamSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir, mode = "append") { ev =>
+      val c = ev.filter(col("event_type") === "click")
+        .withWatermark("ts", "30 minutes")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+      c.join(p,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") +
+              expr("INTERVAL 30 MINUTES"),
+          "left_semi")
+        .select(col("user_id"), col("click_id"),
+          col("click_ts").cast("long").as("click_sec"))
+    }
+
   /** CHAINED stateful streaming: per-hour distinct-user counts computed
     * as a watermark-bounded dedup (stateful op 1: first (user, hour)
     * occurrence wins) feeding a grouped count (stateful op 2) — the
@@ -445,6 +474,17 @@ object StreamQueries {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click'
         |  AND c.ts < TIMESTAMP '2024-01-25 00:00:00'""".stripMargin),
+    Q("q173_stream_semi_join", streamSemiJoin _,
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_sec
+        |FROM events c
+        |WHERE c.event_type = 'click'
+        |  AND EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.event_type = 'purchase'
+        |      AND p.user_id = c.user_id
+        |      AND p.ts >= c.ts
+        |      AND p.ts <= c.ts + INTERVAL 30 MINUTE)""".stripMargin),
     Q("q169_stream_full_outer", streamFullOuterJoin _,
       """SELECT coalesce(c.user_id, p.user_id) AS user_id,
         |  c.event_id AS click_id,

@@ -353,6 +353,25 @@ class StreamingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("stream semi join: each converting click exactly once == batch semi") {
+    val out = operators.StreamQueries.streamSemiJoin(spark, sf).cache()
+    // at most once per click: click_id is unique in the output
+    assert(out.count() === out.select("click_id").distinct().count())
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val expected = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"),
+        "left_semi").count()
+    assert(out.count() === expected)
+    assert(out.count() > 0, "fixture should contain converting clicks")
+    out.unpersist()
+  }
+
   test("cms heavy hitters: estimate only ever overestimates") {
     val rows = operators.ApproxAgg.cmsHeavyHitters(spark, sf).collect()
     assert(rows.length > 0)
