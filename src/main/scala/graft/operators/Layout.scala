@@ -80,6 +80,36 @@ object Layout {
         sum(col("ch")).as("checksum"))
   }
 
+  /** Deterministic corpus shuffle — the training-order permutation every
+    * LLM data pipeline needs before writing shards: a reproducible
+    * pseudo-random global order with NO `rand()` (re-runs and resumed jobs
+    * must rebuild the identical order) and NO global sort — documents
+    * hash to a shard (q126's assignment) and are ordered WITHIN the shard
+    * by an independent order hash, so the only wide operation is the
+    * per-shard window and the order is as good as the hash is uniform.
+    *
+    * Scale shape: shard count is a PARAMETER that grows with the corpus
+    * (constant docs-per-shard — 8 here for the fixture); each shard's
+    * sort is per-partition local state, never a global sort, and the
+    * hash order is stable under any partitioning. Output is one row per
+    * doc (doc → (shard, position)); the spec pins that positions form an
+    * exact permutation of 1..|shard| and re-runs are identical. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    import org.apache.spark.sql.expressions.Window
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        (TextOps.portableHash(
+          concat(lit("shard:"), col("doc_id").cast("string"))) % 8)
+          .cast("int").as("shard"),
+        TextOps.portableHash60(
+          concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+    d.withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Zone-map pruning audit — the measurable form of this module's whole
     * reason to exist: bucket orders 64 ways under THREE layouts (natural
     * key order = insertion-time files; Morton order = z-prefix files;
@@ -165,6 +195,18 @@ object Layout {
          |    AS rows_scanned,
          |  CAST(sum(nm) AS BIGINT) AS rows_matching
          |FROM g GROUP BY 1""".stripMargin),
+    Q("q174_corpus_shuffle", corpusShuffle _,
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 8 AS shard,
+        |    ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM h""".stripMargin),
     Q("q126_shard_manifest", shardManifest _,
       """SELECT
         |  ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))

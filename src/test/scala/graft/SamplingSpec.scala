@@ -226,6 +226,28 @@ class SamplingSpec extends SparkSpec {
     assert(perAnchor === 0L)
   }
 
+  test("corpus shuffle: per-shard positions are an exact permutation") {
+    val out = graft.operators.Layout.corpusShuffle(spark, sf).cache()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() === n) // every doc exactly once
+    // positions within a shard are exactly 1..|shard| (no gaps, no dups)
+    val bad = out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("cnt"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"),
+        countDistinct(col("pos")).as("nd"))
+      .filter(col("mx") =!= col("cnt") || col("mn") =!= 1 ||
+        col("nd") =!= col("cnt"))
+      .count()
+    assert(bad === 0L)
+    // deterministic: a re-run builds the identical order
+    val again = graft.operators.Layout.corpusShuffle(spark, sf)
+    assert(out.except(again).count() === 0L &&
+      again.except(out).count() === 0L)
+    // and it is not the identity order (the hash actually shuffles)
+    assert(out.filter(col("pos") === col("doc_id") + 1).count() < n / 2)
+    out.unpersist()
+  }
+
   test("sequence packing: seqs bounded by budget + one straddling doc") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val maxDocToks = docs
