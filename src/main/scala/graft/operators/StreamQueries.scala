@@ -318,6 +318,44 @@ object StreamQueries {
           col("click_ts").cast("long").as("click_sec"))
     }
 
+  /** CHAINED stateful streaming, join → windowed aggregation: the
+    * stream-stream click⋈purchase join feeding a tumbling per-hour
+    * conversion rollup — TWO stateful operators in one query, with the
+    * event-time watermark PROPAGATED through the join to the window
+    * (re-declaring it downstream is an analysis error under chained
+    * stateful operators). The click side keeps q147's fixed cutoff
+    * ABOVE the watermark node: the global watermark still advances to
+    * the feed's end − delay, which is past every kept window's close,
+    * so append mode flushes ALL windows and the batch oracle needs no
+    * watermark modeling — just the same cutoff. */
+  def streamJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir, mode = "append") { ev =>
+      val c = ev.filter(col("event_type") === "click")
+        .withWatermark("ts", "30 minutes")
+        .filter(col("ts") < lit(java.sql.Timestamp.valueOf(
+          "2024-01-25 00:00:00")))
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"), col("value"))
+      val joined = c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr("INTERVAL 30 MINUTES"))
+      // NO watermark re-declaration here: with chained stateful operators
+      // the engine PROPAGATES event time through the join (re-defining it
+      // on the joined stream is an analysis error), so click_ts arrives
+      // at the window already watermark-tagged
+      joined
+        .groupBy(window(col("click_ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_conversions"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").cast("long").as("hr_start"),
+          col("n_conversions"), col("total_value"))
+    }
+
   /** CHAINED stateful streaming: per-hour distinct-user counts computed
     * as a watermark-bounded dedup (stateful op 1: first (user, hour)
     * occurrence wins) feeding a grouped count (stateful op 2) — the
@@ -474,6 +512,15 @@ object StreamQueries {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click'
         |  AND c.ts < TIMESTAMP '2024-01-25 00:00:00'""".stripMargin),
+    Q("q175_stream_join_agg", streamJoinAgg _,
+      """SELECT CAST(epoch(date_trunc('hour', c.ts)) AS BIGINT) AS hr_start,
+        |  count(*) AS n_conversions, round(sum(p.value), 2) AS total_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.ts < TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY 1""".stripMargin),
     Q("q173_stream_semi_join", streamSemiJoin _,
       """SELECT c.user_id, c.event_id AS click_id,
         |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_sec

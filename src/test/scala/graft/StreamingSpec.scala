@@ -372,6 +372,29 @@ class StreamingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("chained stateful join->window agg equals batch join+agg") {
+    val out = operators.StreamQueries.streamJoinAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)))).sortBy(_._1)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val c = ev.filter(col("event_type") === "click" &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
+      .select(col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("value"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(date_trunc("hour", col("cts")).as("hr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("tv"))
+      .select(col("hr").cast("long"), col("n"), col("tv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)))).sortBy(_._1)
+    assert(out.nonEmpty, "fixture should produce conversion windows")
+    assert(out === batch)
+  }
+
   test("cms heavy hitters: estimate only ever overestimates") {
     val rows = operators.ApproxAgg.cmsHeavyHitters(spark, sf).collect()
     assert(rows.length > 0)
