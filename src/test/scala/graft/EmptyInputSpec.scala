@@ -56,6 +56,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.topNgrams(spark, emptyDir).count() === 0)
   }
 
+  test("round-7 operators return empty on an empty corpus") {
+    import graft.operators.{Dedup, Layout, Multimodal}
+    assert(Dedup.containmentJoin(spark, emptyDir).count() === 0)
+    assert(Multimodal.mediaPerceptualHash(spark, emptyDir).count() === 0)
+    assert(Layout.corpusShuffle(spark, emptyDir).count() === 0)
+  }
+
   test("ntile quartiles handle 0-5 row order tables like real ntile") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

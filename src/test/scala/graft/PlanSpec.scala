@@ -240,14 +240,17 @@ class PlanSpec extends SparkSpec {
       s"TopKAgg should plan as ObjectHashAggregate:\n$plan")
   }
 
-  test("q150/q151: prefix-filter joins are equi-joins, never cartesian") {
+  test("q150/q151/q171/q172: candidate joins are equi-joins, never cartesian") {
     Seq(graft.operators.Dedup.setsimExact(spark, sf),
-        graft.operators.Dedup.editJoin(spark, sf)).foreach { df =>
-      val plan = planOf(df)
-      assert(!plan.contains("CartesianProduct") &&
-        !plan.contains("BroadcastNestedLoop"),
-        s"similarity join degenerated to all-pairs:\n$plan")
-    }
+        graft.operators.Dedup.editJoin(spark, sf),
+        graft.operators.Dedup.containmentJoin(spark, sf),
+        graft.operators.Multimodal.mediaPerceptualHash(spark, sf))
+      .foreach { df =>
+        val plan = planOf(df)
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoop"),
+          s"similarity join degenerated to all-pairs:\n$plan")
+      }
   }
 
   test("q156: correlated EXISTS decorrelates to hash semi/anti joins") {
