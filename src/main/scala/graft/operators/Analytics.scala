@@ -868,6 +868,43 @@ object Analytics {
         max(col("ed")).cast("string").as("last_day"))
   }
 
+  /** Interval-union length (the overlap-merging dual of q154's
+    * gaps-and-islands): each event opens a 30-minute activity interval;
+    * overlapping/adjacent intervals per user merge, and the answer is
+    * the total COVERED time — "how long was this user actually active",
+    * the utilization/billing metric a distinct-count or a raw sum of
+    * window lengths both get wrong (overlaps double-count).
+    *
+    * Classic sweep in one window pass: sorted by start, an interval
+    * starts a new merged run iff its start exceeds the running max of
+    * all earlier ends (start == prev end merges — closed-open
+    * adjacency); run id = running sum of the flag. All integer epoch
+    * seconds — exact in both engines. One shuffle on user_id; the
+    * window state is O(1) per user (running max + running sum), never
+    * the user's row set. */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val iv = t(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("long").as("st"))
+      .distinct()
+      .withColumn("en", col("st") + 1800)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("st"))
+    iv
+      .withColumn("pmax", max(col("en")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("ien") - col("ist")).as("covered_sec"),
+        min(col("ist")).as("first_sec"),
+        max(col("ien")).as("last_sec"))
+  }
+
   /** Incremental rollup / re-aggregation: daily partial aggregates
     * (sum/count/min/max — all ALGEBRAIC) merged into weekly finals FROM
     * THE PARTIALS, never re-reading the raw feed. This is the rollup-
@@ -1033,6 +1070,33 @@ object Analytics {
         |      * (obs - CAST(r AS DOUBLE) * c / n.n)
         |      / (CAST(r AS DOUBLE) * c / n.n), 6) AS contrib_r
         |FROM grid CROSS JOIN n""".stripMargin),
+    Q("q176_interval_union", intervalUnion _,
+      """WITH iv AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS st
+        |  FROM events),
+        |e AS (SELECT user_id, st, st + 1800 AS en FROM iv),
+        |f AS (
+        |  SELECT user_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, st, en,
+        |    CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS ni
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, st, en,
+        |    sum(ni) OVER (PARTITION BY user_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM g),
+        |i AS (
+        |  SELECT user_id, grp, min(st) AS ist, max(en) AS ien
+        |  FROM h GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(ien - ist) AS BIGINT) AS covered_sec,
+        |  min(ist) AS first_sec, max(ien) AS last_sec
+        |FROM i GROUP BY 1""".stripMargin),
     Q("q154_islands", islands _,
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d

@@ -280,4 +280,33 @@ class AnalyticsSpec extends SparkSpec {
       assert(!(p2 <= p && s2 >= s), s"($b2,$p2,$s2) dominates ($b,$p,$s)")
     }
   }
+
+  test("interval union: covered time equals brute-force sweep per user") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Analytics.intervalUnion(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("covered_sec"),
+          r.getAs[Long]("first_sec"), r.getAs[Long]("last_sec")))).toMap
+    // brute force: merge sorted [s, s+1800) intervals per user in Scala
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"),
+        expr("CAST(ts div 1000000000 AS BIGINT)").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+    evs.foreach { case (u, starts) =>
+      var merged = List.empty[(Long, Long)] // reversed
+      starts.foreach { s =>
+        merged match {
+          case (a, b) :: rest if s <= b => merged = (a, math.max(b, s + 1800)) :: rest
+          case _ => merged = (s, s + 1800) :: merged
+        }
+      }
+      val (n, cov) = (merged.length.toLong,
+        merged.map { case (a, b) => b - a }.sum)
+      val got = out(u)
+      assert(got._1 === n && got._2 === cov, s"user $u: got $got want ($n,$cov)")
+      assert(got._3 === merged.map(_._1).min && got._4 === merged.map(_._2).max)
+      assert(cov <= got._4 - got._3) // covered never exceeds the span
+    }
+  }
 }
