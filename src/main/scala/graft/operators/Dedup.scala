@@ -785,7 +785,7 @@ object Dedup {
     * verified pairs → symmetric edges → recursive reachability. Ends at
     * `reach`; consumers add their own final SELECT (q53 labels, q108
     * canonical selection). */
-  private val ccCtesSql =
+  private[operators] val ccCtesSql =
     s"""docs AS (
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

@@ -1262,28 +1262,12 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3""".stripMargin),
     Q("q54_corpus_pipeline", corpusPipeline _,
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, substr(text, 1, 30) AS bucket,
-        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                   for i in range(1, len(w) - 1)]) AS sh
-        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
-        |        FROM documents)
-        |  WHERE len(w) >= 3),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM docs a JOIN docs b
-        |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.sh, b.sh)) /
-        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
-        |sym AS (
-        |  SELECT doc_a AS s, doc_b AS d FROM pairs
-        |  UNION
-        |  SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT s AS v, s AS r FROM sym
-        |  UNION
-        |  SELECT sym.d AS v, reach.r AS r
-        |  FROM sym JOIN reach ON sym.s = reach.v),
+      // the loser filter replicates the Spark path structurally: the
+      // SAME candidate CTE chain as the q53/q108 oracles (min-bucket
+      // candidates + hot-bucket cap + hashed-set verify + recursive CC),
+      // not the r1 30-char-prefix scheme that matched only by
+      // coincidence of verified pairs
+      s"""WITH RECURSIVE ${graft.operators.Dedup.ccCtesSql},
         |comp AS (
         |  SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1)
         |SELECT lang, count(*) AS n_docs,
