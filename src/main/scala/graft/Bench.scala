@@ -44,7 +44,8 @@ object Bench {
     val ckptHeavy = Set("q34_dedup_ngram_jaccard", "q35_dedup_minhash",
       "q36_dedup_simhash", "q37_dedup_embedding", "q53_dup_clusters",
       "q54_corpus_pipeline", "q93_incremental_dedup",
-      "q150_setsim_exact", "q153_triangles", "q158_shingle_novelty")
+      "q150_setsim_exact", "q153_triangles", "q158_shingle_novelty",
+      "q171_media_phash", "q172_containment_join")
     // Two timed passes, min per query: a single pass is exposed to
     // one-off GC/JIT/checkpoint-cleaner pauses (a 3.5 s query was
     // measured once at 12.6 s purely from a pause landing inside it);
