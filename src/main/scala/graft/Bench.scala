@@ -62,12 +62,12 @@ object Bench {
         if (ckptHeavy(name)) System.gc() // outside the timing
         name -> (if (ok) dt else -1.0)
     }
-    // the shared cluster-label cache (Dedup.dupClusters) must be paid
+    // shared stage caches (cluster labels, hashed shingles) must be paid
     // exactly once per pass — cleared here so pass 2's min is a real
     // recompute, not a cache hit
-    graft.operators.Dedup.clearCcCache()
+    graft.operators.Dedup.clearStageCaches()
     val p1 = pass()
-    graft.operators.Dedup.clearCcCache()
+    graft.operators.Dedup.clearStageCaches()
     val p2 = pass()
     // min over SUCCESSFUL passes only; -1.0 survives iff both failed.
     val results = p1.map { case (k, v) =>

@@ -476,7 +476,12 @@ object Dedup {
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
-  private[graft] def clearCcCache(): Unit = ccCache.clear()
+  /** Drop all shared-stage memos (cluster labels + hashed shingles) so a
+    * bench pass pays every stage exactly once. */
+  private[graft] def clearStageCaches(): Unit = {
+    ccCache.clear()
+    shCache.clear()
+  }
 
   /** Duplicate-cluster resolution: connected components over the near-dup
     * pair graph (pairs are transitive in practice — a dedup pipeline keeps
@@ -530,21 +535,33 @@ object Dedup {
     * would explode a naive shingle-join are exactly the ones prefix
     * filtering skips); verification touches candidates only. ⌈t·n⌉ is
     * computed as (n+1) div 2 — integer-only, no float boundary. */
+  /** The (doc_id, 60-bit shingle hash) relation both prefix-filter joins
+    * (q150 setsim, q172 containment) run on. A pipeline-stage artifact
+    * like the CC labels: shingle-and-hash the corpus ONCE per (session,
+    * sf dir) — whichever consumer runs first pays; [[graft.Bench]]
+    * clears between passes. The whole prefix pipeline runs on HASHES,
+    * not strings: the frequency shuffle, the per-doc rank sort, and the
+    * candidate equi-join all carry 8 bytes instead of ~20-char strings
+    * (measured 6.0 s string form, ~3 s hashed at sf0.1). Any FIXED
+    * total order preserves the prefix-filter guarantee; (freq, hash) is
+    * one both engines compute identically ([[TextOps.portableHash60]] =
+    * the oracle's md5-slice — the same no-collision assumption the
+    * verify stage already documents). */
+  private val shCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def hashedShingles60(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame =
+    shCache.computeIfAbsent((System.identityHashCode(spark), dir), { _ =>
+      shingleExploded(docs)
+        .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+        .localCheckpoint(true)
+    })
+
   def setsimExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
-    // The whole prefix pipeline runs on 60-bit shingle HASHES, not
-    // strings: the frequency shuffle, the per-doc rank sort, and the
-    // candidate equi-join all carry 8 bytes instead of ~20-char strings
-    // (measured 6.0 s → string form, ~3 s hashed at sf0.1). Any FIXED
-    // total order preserves the prefix-filter guarantee; (freq, hash) is
-    // one both engines compute identically ([[TextOps.portableHash60]] =
-    // the oracle's md5-slice — the same no-collision assumption the
-    // verify stage already documents). Consumed by the frequency agg AND
-    // the rank join — shingle once.
-    val sh = shingleExploded(docs)
-      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
-      .localCheckpoint(true)
+    val sh = hashedShingles60(spark, dir, docs)
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("f"), col("h"))
@@ -583,16 +600,23 @@ object Dedup {
     * required intersection) prunes before the per-pair intersect; exact
     * verify touches candidates only. Spec pins equality to the
     * brute-force all-ordered-pairs join at sf0.001. */
-  def containmentJoin(spark: SparkSession, dir: String): DataFrame =
-    containmentJoinOn(t(spark, dir, "documents"))
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+    containmentFrom(docs, hashedShingles60(spark, dir, docs))
+  }
 
   /** [[containmentJoin]] over an arbitrary (doc_id, text) frame (spec
-    * entry point for the synthetic short-in-long asymmetry fixture). */
+    * entry point for the synthetic short-in-long asymmetry fixture —
+    * builds its own shingle relation, never the shared cache). */
   private[graft] def containmentJoinOn(docs0: DataFrame): DataFrame = {
     val docs = docs0.filter(size(split(col("text"), " ")) >= 3)
-    val sh = shingleExploded(docs)
+    containmentFrom(docs, shingleExploded(docs)
       .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+  }
+
+  private def containmentFrom(docs: DataFrame, sh: DataFrame): DataFrame = {
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("f"), col("h"))
