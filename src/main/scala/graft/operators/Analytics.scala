@@ -882,9 +882,14 @@ object Analytics {
     * seconds — exact in both engines. One shuffle on user_id; the
     * window state is O(1) per user (running max + running sum), never
     * the user's row set. */
-  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
-    val iv = t(spark, dir, "events")
-      .select(col("user_id"), col("ts").cast("long").as("st"))
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame =
+    intervalUnionOn(t(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("long").as("st")))
+
+  /** [[intervalUnion]] over an arbitrary (user_id, st) frame of epoch-
+    * second interval starts (property-test entry point). */
+  private[graft] def intervalUnionOn(starts: DataFrame): DataFrame = {
+    val iv = starts
       .distinct()
       .withColumn("en", col("st") + 1800)
     val w = Window.partitionBy(col("user_id")).orderBy(col("st"))

@@ -180,6 +180,53 @@ object EngineProperties extends Properties("graft") {
       }
     }
 
+  property("interval union: covered time equals the sweep on any start set") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 3L),
+      Gen.choose(0L, 20000L)))) { pairs =>
+      import spark.implicits._
+      val out = graft.operators.Analytics
+        .intervalUnionOn(pairs.toDF("user_id", "st")).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_sessions"), r.getAs[Long]("covered_sec"))))
+        .toMap
+      pairs.groupBy(_._1).forall { case (u, ps) =>
+        var merged = List.empty[(Long, Long)]
+        ps.map(_._2).distinct.sorted.foreach { s =>
+          merged = merged match {
+            case (a, b) :: rest if s <= b =>
+              (a, math.max(b, s + 1800)) :: rest
+            case m => (s, s + 1800) :: m
+          }
+        }
+        out(u) == ((merged.length.toLong,
+          merged.map { case (a, b) => b - a }.sum))
+      }
+    }
+
+  property("containment join equals brute force on any tiny corpus") = {
+    // tiny vocab forces real overlaps; docs of 3..12 words over 6 terms
+    val doc: Gen[List[String]] = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx")))
+    forAll(Gen.choose(2, 5).flatMap(k => Gen.listOfN(k, doc))) { ds =>
+      import spark.implicits._
+      val docs = ds.zipWithIndex.map { case (w, i) =>
+        (i.toLong, w.mkString(" ")) }
+      val sets = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet }
+      val brute = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        c = BigDecimal((sa & sb).size.toDouble / sa.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        if c >= BigDecimal("0.8")
+      } yield (a, b)).toSet
+      val got = graft.operators.Dedup
+        .containmentJoinOn(docs.toDF("doc_id", "text"))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Prop(got == brute) :| s"got=$got want=$brute"
+    }
+  }
+
   property("header promotion: columns from row 0, data rows preserved") =
     forAll(Gen.choose(1, 4), Gen.choose(1, 5)) { (nCols, nRows) =>
       val header = (0 until nCols).map(i => s"col$i")
