@@ -43,7 +43,62 @@ object DataQuality {
     }.reduce(_ unionByName _)
   }
 
+  /** Robust outlier detection via MAD (median absolute deviation): the
+    * modified z-score 0.6745·(x − med)/MAD flags anomalies without the
+    * mean/stddev's sensitivity to the outliers themselves (one extreme
+    * value drags a z-score gate, never a MAD gate) — the screen an
+    * ingestion pipeline runs on value-like columns per segment.
+    *
+    * Exactness: both engines interpolate the median identically
+    * (percentile ↔ quantile_cont, the proven q61 recipe); the per-row
+    * abs/sub/mul/div are single IEEE ops on identical doubles.
+    * Groups with MAD = 0 (degenerate: over half the values identical)
+    * are excluded in BOTH engines rather than dividing by zero.
+    *
+    * Scale shape: two partial-agg'd percentile passes (the per-group
+    * sketch buffers are bounded) + two broadcast join-backs of the tiny
+    * per-group medians; the flagging pass is scan-local. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        col("o_totalprice").as("p"))
+    val med = o.groupBy(col("priority"))
+      .agg(expr("percentile(p, 0.5D)").as("med"))
+    val dev = o.join(broadcast(med), Seq("priority"))
+      .withColumn("ad", abs(col("p") - col("med")))
+    val mad = dev.groupBy(col("priority"))
+      .agg(expr("percentile(ad, 0.5D)").as("mad"))
+    dev.join(broadcast(mad.filter(col("mad") > 0)), Seq("priority"))
+      .withColumn("z", lit(0.6745) * (col("p") - col("med")) / col("mad"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(abs(col("z")) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("z"))), 6).as("max_robust_z"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q179_mad_outliers", madOutliers _,
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority, o_totalprice AS p
+        |  FROM orders),
+        |m AS (
+        |  SELECT priority, quantile_cont(p, 0.5) AS med
+        |  FROM o GROUP BY 1),
+        |d AS (
+        |  SELECT o.priority, p, med, abs(p - med) AS ad
+        |  FROM o JOIN m USING (priority)),
+        |md AS (
+        |  SELECT priority, quantile_cont(ad, 0.5) AS mad
+        |  FROM d GROUP BY 1),
+        |s AS (
+        |  SELECT d.priority, p, med, mad,
+        |    0.6745 * (p - med) / mad AS z
+        |  FROM d JOIN md USING (priority) WHERE mad > 0)
+        |SELECT priority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(max(abs(z)), 6) AS max_robust_z
+        |FROM s GROUP BY 1""".stripMargin),
     Q("q78_dq_checks", dqChecks _,
       """WITH w AS (
         |  SELECT count(*) AS n_rows,

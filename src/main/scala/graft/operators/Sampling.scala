@@ -226,6 +226,31 @@ object Sampling {
       .select(col("priority"), (col("pos") + 1).cast("int").as("rk"),
         col("s.id").as("order_id"), col("s.key").as("h"))
 
+  /** Per-key rate limiting — the abuse/robot throttle an event-ingestion
+    * pipeline applies before anything downstream: keep the FIRST 3 events
+    * per (user, hour), count the rest as dropped. Window-free via the
+    * bounded-heap [[graft.functions.TopKAgg]] (key = negated epoch second
+    * → earliest-first; ties to the lowest event id): O(k) state per
+    * user-hour through partial aggregation, immune to a hot key that
+    * floods one hour with millions of events — exactly the key shape
+    * rate limiting exists to absorb. A window row_number would SORT the
+    * flood; the heap carries 3 rows of it. Oracle is the window form. */
+  def rateLimit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("hour", col("ts")).cast("long").as("hr_start"),
+        col("ts").cast("long").as("sec"), col("event_id"))
+    ev.groupBy(col("user_id"), col("hr_start"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.TopKAgg.topK(-col("sec"), col("event_id"), 3)
+          .as("top"))
+      .select(col("user_id"), col("hr_start"), col("n_events"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("user_id"), col("hr_start"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("event_id"), col("n_events"))
+  }
+
   /** Deterministic contrastive negative sampling — the pair-mining step
     * of embedding/reranker training (in-batch negatives leak structure;
     * corpus-wide uniform negatives need exactly this shape). For each
@@ -260,6 +285,21 @@ object Sampling {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q178_rate_limit", rateLimit _,
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_start,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, hr_start, event_id,
+        |    row_number() OVER (PARTITION BY user_id, hr_start
+        |      ORDER BY sec ASC, event_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY user_id, hr_start) AS n_events
+        |  FROM e)
+        |SELECT user_id, hr_start, CAST(rk AS INT) AS rk, event_id,
+        |  n_events
+        |FROM r WHERE rk <= 3""".stripMargin),
     Q("q167_negative_sampling", negativeSample _,
       """WITH n AS (SELECT count(*) AS n FROM documents),
         |raw AS (

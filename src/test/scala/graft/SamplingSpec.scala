@@ -226,6 +226,68 @@ class SamplingSpec extends SparkSpec {
     assert(perAnchor === 0L)
   }
 
+  test("mad outliers: robust gate unmoved by planting one extreme value") {
+    import graft.operators.DataQuality
+    val base = DataQuality.madOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_orders"),
+        r.getAs[Long]("n_outliers"), r.getAs[Double]("max_robust_z"))))
+      .toMap
+    assert(base.nonEmpty)
+    base.values.foreach { case (n, k, z) =>
+      assert(k <= n); assert(z >= 0.0)
+    }
+    // robustness property: a single planted extreme value must not
+    // change the MEDIAN/MAD enough to flip other rows' outlier status —
+    // n_outliers may grow by at most the one planted row (a mean/stddev
+    // z-score gate fails exactly this: one extreme inflates stddev and
+    // un-flags true outliers)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority", "o_totalprice")
+    orders.unionByName(Seq(("1-URGENT", 1e9))
+        .toDF("o_orderpriority", "o_totalprice"))
+      .write.parquet(s"$dir/orders.parquet")
+    val planted = DataQuality.madOutliers(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_orders"),
+        r.getAs[Long]("n_outliers")))).toMap
+    base.foreach { case (p, (n, k, _)) =>
+      val (n2, k2) = planted(p)
+      if (p == "1-URGENT") {
+        assert(n2 === n + 1)
+        assert(k2 === k + 1, s"planted extreme not flagged (or flipped " +
+          s"others): base=$k planted=$k2")
+      } else assert((n2, k2) === ((n, k)))
+    }
+  }
+
+  test("rate limit: heap form equals window row_number form") {
+    val out = Sampling.rateLimit(spark, sf).cache()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"),
+        expr("CAST(ts div 1000000000 AS BIGINT)").as("sec"),
+        expr("CAST(ts div 1000000000 div 3600 * 3600 AS BIGINT)")
+          .as("hr_start"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("hr_start"))
+      .orderBy(col("sec").asc, col("event_id").asc)
+    val want = ev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("user_id"), col("hr_start"), col("rk"), col("event_id"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val got = out.select("user_id", "hr_start", "rk", "event_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === want)
+    // at most 3 kept per user-hour; dropped count consistent
+    out.collect().foreach { r =>
+      assert(r.getAs[Int]("rk") <= 3)
+      assert(r.getAs[Long]("n_events") >= r.getAs[Int]("rk"))
+    }
+    out.unpersist()
+  }
+
   test("corpus shuffle: per-shard positions are an exact permutation") {
     val out = graft.operators.Layout.corpusShuffle(spark, sf).cache()
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
