@@ -910,6 +910,41 @@ object Analytics {
         max(col("ien")).as("last_sec"))
   }
 
+  /** Date-spine gap filling + period-over-period deltas: the dense
+    * calendar every BI rollup needs — a day with NO events must appear
+    * as an explicit zero row (a groupBy alone silently skips it, and a
+    * lag() over the sparse series then compares non-adjacent days). The
+    * spine is generated from the feed's own [min, max] day bounds
+    * (broadcast scalars), crossed with the observed type dimension,
+    * left-joined to the daily counts, zero-filled, then day-over-day
+    * delta via lag over the DENSE series. Days ship as epoch seconds
+    * (the no-DATE-columns gate rule). All integer arithmetic.
+    *
+    * Scale shape: the daily rollup is the only input-sized aggregation
+    * (partial-agg'd); the spine is days × types (thousands of rows at
+    * any corpus size) so the cross join, zero-fill join, and lag window
+    * all run on calendar-sized data, never events. */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast("long").as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = bounds
+      .select(explode(sequence(col("mn"), col("mx"),
+        lit(86400L))).as("day"))
+    val types = daily.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    spine.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta", col("n") - col("prev_n"))
+      .select(col("day"), col("event_type"), col("n"), col("prev_n"),
+        col("delta"))
+  }
+
   /** Incremental rollup / re-aggregation: daily partial aggregates
     * (sum/count/min/max — all ALGEBRAIC) merged into weekly finals FROM
     * THE PARTIALS, never re-reading the raw feed. This is the rollup-
@@ -1075,6 +1110,28 @@ object Analytics {
         |      * (obs - CAST(r AS DOUBLE) * c / n.n)
         |      / (CAST(r AS DOUBLE) * c / n.n), 6) AS contrib_r
         |FROM grid CROSS JOIN n""".stripMargin),
+    Q("q180_date_spine", dateSpine _,
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+        |spine AS (
+        |  SELECT unnest(range(mn, mx + 1, 86400)) AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |dense AS (
+        |  SELECT s.day, t.event_type, COALESCE(d.n, 0) AS n
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN daily d
+        |    ON d.day = s.day AND d.event_type = t.event_type)
+        |SELECT day, event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(lag(n) OVER (PARTITION BY event_type ORDER BY day)
+        |    AS BIGINT) AS prev_n,
+        |  CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY day)
+        |    AS BIGINT) AS delta
+        |FROM dense""".stripMargin),
     Q("q176_interval_union", intervalUnion _,
       """WITH iv AS (
         |  SELECT DISTINCT user_id,

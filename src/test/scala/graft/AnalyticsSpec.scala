@@ -281,6 +281,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("date spine: dense days x types grid, deltas only between neighbors") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Analytics.dateSpine(spark, sf).cache()
+    val days = out.select("day").distinct().count()
+    val types = out.select("event_type").distinct().count()
+    assert(out.count() === days * types, "grid must be dense")
+    // spine is contiguous at 86400-second steps
+    val ds = out.select("day").distinct().collect().map(_.getLong(0)).sorted
+    assert(ds.zip(ds.tail).forall { case (a, b) => b - a === 86400L })
+    // per type: first row has NULL prev, all others delta == n - prev_n
+    out.collect().foreach { r =>
+      if (!r.isNullAt(3))
+        assert(r.getLong(4) === r.getLong(2) - r.getLong(3))
+    }
+    // the whole point: zero-filled gap rows exist OR every day has data
+    val sums = out.groupBy("event_type").agg(sum("n").as("s")).collect()
+    sums.foreach(r => assert(r.getLong(1) > 0))
+    out.unpersist()
+  }
+
   test("interval union: covered time equals brute-force sweep per user") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.Analytics.intervalUnion(spark, sf).collect()
