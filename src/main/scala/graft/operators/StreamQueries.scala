@@ -382,6 +382,37 @@ object StreamQueries {
           col("active_users"))
     }
 
+  /** The q134 chained stateful pipeline (watermarked dedup → grouped
+    * count) executed on the ROCKSDB state store — the production state
+    * backend at scale: the default HDFSBacked provider keeps every
+    * version of state on the JVM heap (state size competes with
+    * execution memory and GC), while RocksDB keeps it off-heap with
+    * incremental checkpointing, which is what lets stream state grow to
+    * the watermark bound instead of the heap bound. Same plan, same
+    * oracle, different storage engine — the parity result is the
+    * evidence the pipeline is not accidentally coupled to the default
+    * provider's semantics. Conf is scoped to this query (set before
+    * start, restored after termination; the provider is pinned into the
+    * query's checkpoint for its lifetime). */
+  def streamRocksdb(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try runToTable(spark, dir) { ev =>
+      ev.withWatermark("ts", "61 minutes")
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .dropDuplicatesWithinWatermark("user_id", "hr")
+        .groupBy(col("hr"))
+        .agg(count(lit(1)).as("active_users"))
+        .select(col("hr").cast("long").as("hr_start"),
+          col("active_users"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Sliding 2-hour/1-hour windows, executed as a stream; output epochs
     * so the oracle's unnest-based window expansion aligns exactly
     * (same shape as the batch twin q32). */
@@ -547,6 +578,10 @@ object StreamQueries {
         |  ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin),
     Q("q134_stream_distinct_users", streamDistinctUsers _,
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_start,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM events GROUP BY 1""".stripMargin),
+    Q("q181_stream_rocksdb", streamRocksdb _,
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_start,
         |  count(DISTINCT user_id) AS active_users
         |FROM events GROUP BY 1""".stripMargin),

@@ -395,6 +395,19 @@ class StreamingSpec extends SparkSpec {
     assert(out === batch)
   }
 
+  test("rocksdb state store produces the identical chained-stateful result") {
+    val rocks = operators.StreamQueries.streamRocksdb(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val heap = operators.StreamQueries.streamDistinctUsers(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rocks === heap)
+    assert(rocks.nonEmpty)
+    // the provider conf was restored (scoped to the query)
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").forall(
+        !_.contains("RocksDB")))
+  }
+
   test("cms heavy hitters: estimate only ever overestimates") {
     val rows = operators.ApproxAgg.cmsHeavyHitters(spark, sf).collect()
     assert(rows.length > 0)
