@@ -112,6 +112,50 @@ object Multimodal {
            sum(col("frame_bytes")).as("total_bytes"))
   }
 
+  /** Ingest a DIRECTORY OF MEDIA FILES through Spark's built-in
+    * `binaryFile` source — the real on-disk shape of a multimodal
+    * corpus (one image/audio blob per object-store key) as opposed to
+    * [[mediaTable]]'s column-embedded payloads. The source lists files
+    * distributed, reads each as one row (path, length, content binary),
+    * and supports pushdown on the file metadata. The staged fixture
+    * (one .bin per doc_id, payload = the doc's bytes) is written once
+    * per (JVM, sf dir) — driver-side ONLY because it simulates the
+    * external input; the query itself is fully distributed. Content
+    * identity is pinned via md5 so the oracle verifies exact bytes. */
+  private val binDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      binDirs.values().forEach { base =>
+        try {
+          import java.nio.file.{Files, Path}
+          Files.walk(Path.of(base))
+            .sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => }
+      }))
+  }
+
+  def binaryFileSource(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Path}
+    val base = binDirs.computeIfAbsent(dir, { _ =>
+      val b = Files.createTempDirectory("graft_binfiles").toString
+      mediaTable(spark, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("payload")).collect()
+        .foreach { r =>
+          Files.write(Path.of(b, f"doc_${r.getLong(0)}%05d.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      b
+    })
+    spark.read.format("binaryFile").load(base)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+  }
+
   /** Media near-dup on DECODED FEATURES (the step after [[decodeFeatures]]
     * in a real pipeline: perceptual dedup on extracted image/audio
     * features, not raw bytes): per payload, a 16-bucket codepoint/16
@@ -231,6 +275,11 @@ object Multimodal {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q182_binaryfile_source", binaryFileSource _,
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 50""".stripMargin),
     Q("q171_media_phash", mediaPerceptualHash _,
       """WITH d AS (
         |  SELECT doc_id, text, len(text) AS n FROM documents

@@ -103,6 +103,20 @@ class SourcesSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("binaryFile source: one row per staged blob, exact byte identity") {
+    val out = graft.operators.Multimodal.binaryFileSource(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size === 50)
+    val want = graft.operators.Multimodal.mediaTable(spark, sf)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("meta.n_bytes").cast("long").as("nb"),
+        md5(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out === want)
+  }
+
   test("approx distinct within rsd bound of exact; approx median sane") {
     val exact = Tables.load(spark, sf, "orders")
       .groupBy(col("o_orderstatus"))
