@@ -60,10 +60,15 @@ case class TopKAgg(
         case _ => false
       }
     }
+    // NOTE: analyzer-inserted and user-written Cast nodes are
+    // indistinguishable, so CAST(x AS BIGINT) cannot serve as the escape
+    // hatch — the message points at conversions that produce a genuine
+    // LONG expression instead (floor/ceil return BIGINT).
     if (fractional(key) || fractional(id))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "graft_topk arguments must be integral; a fractional key/id would " +
-          "be truncated — cast explicitly if that is intended")
+          "be truncated. If truncation/rounding is intended, convert with " +
+          "floor(x) or ceil(x) (these return BIGINT)")
     else super.checkInputDataTypes()
   }
 

@@ -1040,8 +1040,12 @@ object Analytics {
     * across engines (the q47/q61 recipe), so the 3×MAD cut compares
     * identical doubles on both sides and needs no rounding at all.
     * Group cardinality is tiny (segments); rows stream through two
-    * partial-agg shuffles keyed on the group — no global sort. */
-  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    * partial-agg shuffles keyed on the group — no global sort.
+    *
+    * Sibling: [[graft.operators.DataQuality.robustZscoreGate]] (q179)
+    * normalizes to the modified z-score and excludes MAD=0 groups; this
+    * one counts raw deviations past the 3×MAD cut. */
+  def madCountGate(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
       .select(col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
       .localCheckpoint(true) // three consumers, one scan
@@ -1060,7 +1064,7 @@ object Analytics {
   }
 
   val catalog: Seq[Q] = Seq(
-    Q("q168_mad_outliers", madOutliers _,
+    Q("q168_mad_outliers", madCountGate _,
       """WITH c AS (
         |  SELECT c_mktsegment AS segment, c_acctbal AS bal FROM customer),
         |m AS (

@@ -57,8 +57,11 @@ object DataQuality {
     *
     * Scale shape: two partial-agg'd percentile passes (the per-group
     * sketch buffers are bounded) + two broadcast join-backs of the tiny
-    * per-group medians; the flagging pass is scan-local. */
-  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    * per-group medians; the flagging pass is scan-local.
+    *
+    * Sibling: [[graft.operators.Analytics.madCountGate]] (q168) is the
+    * un-normalized 3×MAD count gate on customer balances. */
+  def robustZscoreGate(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
       .select(col("o_orderpriority").as("priority"),
         col("o_totalprice").as("p"))
@@ -77,7 +80,7 @@ object DataQuality {
   }
 
   val catalog: Seq[Q] = Seq(
-    Q("q179_mad_outliers", madOutliers _,
+    Q("q179_robust_zscore", robustZscoreGate _,
       """WITH o AS (
         |  SELECT o_orderpriority AS priority, o_totalprice AS p
         |  FROM orders),

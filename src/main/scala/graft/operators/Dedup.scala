@@ -472,9 +472,13 @@ object Dedup {
     * consumer runs first pays, order-independent. The frame is already
     * localCheckpointed by [[connectedComponents]], so the cache holds a
     * materialized RDD, not a lazy lineage. [[graft.Bench]] clears it
-    * between timed passes so every pass still pays the full cost once. */
+    * between timed passes so every pass still pays the full cost once.
+    * Keyed by `spark.sessionUUID` (unique per session for the JVM's
+    * lifetime) — an identity hash can recur for a new session after an
+    * old one is GC'd and would hand out frames bound to a stopped
+    * context. */
   private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   /** Drop all shared-stage memos (cluster labels + hashed shingles) so a
     * bench pass pays every stage exactly once. */
@@ -488,7 +492,7 @@ object Dedup {
     * one doc per CLUSTER, not per pair). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     ccCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir), { _ =>
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir), { _ =>
         connectedComponents(
           ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
       })
@@ -546,22 +550,29 @@ object Dedup {
     * total order preserves the prefix-filter guarantee; (freq, hash) is
     * one both engines compute identically ([[TextOps.portableHash60]] =
     * the oracle's md5-slice — the same no-collision assumption the
-    * verify stage already documents). */
+    * verify stage already documents). Keyed by `spark.sessionUUID` like
+    * [[ccCache]]; the filtered corpus is derived INSIDE the builder so
+    * the cache key fully determines the cached relation (a `docs`
+    * parameter would invite callers to pass a different corpus and
+    * silently receive the first caller's shingles). */
   private val shCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  private def hashedShingles60(spark: SparkSession, dir: String,
-      docs: DataFrame): DataFrame =
-    shCache.computeIfAbsent((System.identityHashCode(spark), dir), { _ =>
-      shingleExploded(docs)
+  /** The ≥3-words corpus both prefix-filter consumers shingle over. */
+  private def shingleCorpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+
+  private def hashedShingles60(spark: SparkSession, dir: String): DataFrame =
+    shCache.computeIfAbsent((org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir), { _ =>
+      shingleExploded(shingleCorpus(spark, dir))
         .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
         .localCheckpoint(true)
     })
 
   def setsimExact(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-    val sh = hashedShingles60(spark, dir, docs)
+    val docs = shingleCorpus(spark, dir)
+    val sh = hashedShingles60(spark, dir)
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("f"), col("h"))
@@ -601,9 +612,8 @@ object Dedup {
     * verify touches candidates only. Spec pins equality to the
     * brute-force all-ordered-pairs join at sf0.001. */
   def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-    containmentFrom(docs, hashedShingles60(spark, dir, docs))
+    val docs = shingleCorpus(spark, dir)
+    containmentFrom(docs, hashedShingles60(spark, dir))
   }
 
   /** [[containmentJoin]] over an arbitrary (doc_id, text) frame (spec

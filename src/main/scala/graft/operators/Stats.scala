@@ -26,32 +26,44 @@ object Stats {
 
   private val tables = Seq("orders", "customer", "nation", "region")
 
-  /** Create external parquet tables for `dir` and ANALYZE them; enable
-    * CBO + join reorder (sticky: path-based relations elsewhere carry no
-    * catalog stats, so CBO is a no-op for every other query). */
+  /** Create external parquet tables for `dir` and ANALYZE them. The
+    * cached db name is re-validated against the live session catalog
+    * before reuse: ANALYZE state lives in the session's SharedState, so
+    * a cached name from a previous (stopped) SparkSession in the same
+    * JVM would point at tables that no longer exist. */
   private[graft] def ensureStats(spark: SparkSession, dir: String): String =
-    analyzed.computeIfAbsent(dir, { _ =>
-      val db = "graft_cbo" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      tables.foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $db.$t")
-        spark.sql(
-          s"""CREATE TABLE $db.$t USING parquet
-             |LOCATION '$dir/$t.parquet'""".stripMargin)
-        spark.sql(
-          s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    analyzed.compute(dir, { (_, cached) =>
+      if (cached != null &&
+          spark.catalog.tableExists(s"$cached.${tables.head}")) cached
+      else {
+        val db = "graft_cbo" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        tables.foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+          spark.sql(
+            s"""CREATE TABLE $db.$t USING parquet
+               |LOCATION '$dir/$t.parquet'""".stripMargin)
+          spark.sql(
+            s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+        }
+        db
       }
-      spark.conf.set("spark.sql.cbo.enabled", "true")
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-      db
     })
 
-  /** Asia-region revenue by nation, written fact-first so only the CBO
-    * can rescue the join order. Money is exact per-row integer cents
-    * (the established cross-engine recipe). */
-  def cboJoinReorder(spark: SparkSession, dir: String): DataFrame = {
+  /** The star query on a CLONED session (shared SparkContext + external
+    * catalog, isolated SQLConf) with CBO set as requested. Enabling
+    * cost-based reorder must never leak into the caller's session: a
+    * sticky `spark.conf.set` would silently re-plan every LATER query in
+    * the session under catalog-stats estimation — changed join shapes
+    * change float summation order, making hash parity order-dependent.
+    * The clone scopes the conf to exactly this query's lifetime. */
+  private[graft] def starQuery(spark: SparkSession, dir: String,
+      cbo: Boolean): DataFrame = {
     val db = ensureStats(spark, dir)
-    spark.sql(
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", cbo.toString)
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+    s2.sql(
       s"""SELECT n.n_name AS nation, count(*) AS n_orders,
          |  sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
          |FROM $db.orders o
@@ -61,6 +73,12 @@ object Stats {
          |WHERE r.r_name = 'ASIA'
          |GROUP BY n.n_name""".stripMargin)
   }
+
+  /** Asia-region revenue by nation, written fact-first so only the CBO
+    * can rescue the join order. Money is exact per-row integer cents
+    * (the established cross-engine recipe). */
+  def cboJoinReorder(spark: SparkSession, dir: String): DataFrame =
+    starQuery(spark, dir, cbo = true)
 
   val catalog: Seq[Q] = Seq(
     Q("q170_cbo_join_reorder", cboJoinReorder _,

@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unique-per-session id (classic.SparkSession.sessionUUID is not on
+    * the public base type): the cache key that survives session churn —
+    * an identity hash can recur after GC, a sessionUUID cannot. */
+  def sessionUUID(s: SparkSession): String =
+    s.asInstanceOf[classic.SparkSession].sessionUUID
 }

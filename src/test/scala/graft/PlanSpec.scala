@@ -264,7 +264,7 @@ class PlanSpec extends SparkSpec {
 
   test("q170: catalog stats drive CostBasedJoinReorder off text order") {
     import graft.operators.Stats
-    // builds tables + ANALYZE, enables CBO (sticky for this session)
+    // builds tables + ANALYZE; CBO is scoped to a cloned session inside
     val withCbo = Stats.cboJoinReorder(spark, sf)
     // catalog stats actually landed: every base relation resolves with a
     // rowCount (the precondition CostBasedJoinReorder requires)
@@ -278,16 +278,16 @@ class PlanSpec extends SparkSpec {
           .find(t => s.contains(s"/$t.parquet") || s.contains(s".$t"))
           .getOrElse("?"))
     val cboOrder = leafOrder(withCbo)
-    val prev = spark.conf.get("spark.sql.cbo.enabled")
-    spark.conf.set("spark.sql.cbo.enabled", "false")
-    val textOrder = try leafOrder(Stats.cboJoinReorder(spark, sf))
-      finally spark.conf.set("spark.sql.cbo.enabled", prev)
+    val textOrder = leafOrder(Stats.starQuery(spark, sf, cbo = false))
     // without CBO the optimizer keeps the (deliberately bad) text order
     assert(textOrder === Seq("orders", "customer", "nation", "region"),
       s"baseline no longer text order: $textOrder")
     // with stats the reorder must move a selective dim ahead of the fact
     assert(cboOrder !== textOrder,
       s"CostBasedJoinReorder left the join in text order: $cboOrder")
+    // and the CBO conf never leaked into the parent session
+    assert(spark.conf.get("spark.sql.cbo.enabled") === "false",
+      "q170 leaked spark.sql.cbo.enabled into the shared session")
     // and the result itself is plan-independent (oracle-gated too)
     val n = withCbo.collect().length
     assert(n >= 1 && n <= 5, s"expected 1..5 ASIA nations, got $n")

@@ -228,7 +228,7 @@ class SamplingSpec extends SparkSpec {
 
   test("mad outliers: robust gate unmoved by planting one extreme value") {
     import graft.operators.DataQuality
-    val base = DataQuality.madOutliers(spark, sf).collect()
+    val base = DataQuality.robustZscoreGate(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getAs[Long]("n_orders"),
         r.getAs[Long]("n_outliers"), r.getAs[Double]("max_robust_z"))))
       .toMap
@@ -248,7 +248,7 @@ class SamplingSpec extends SparkSpec {
     orders.unionByName(Seq(("1-URGENT", 1e9))
         .toDF("o_orderpriority", "o_totalprice"))
       .write.parquet(s"$dir/orders.parquet")
-    val planted = DataQuality.madOutliers(spark, dir).collect()
+    val planted = DataQuality.robustZscoreGate(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getAs[Long]("n_orders"),
         r.getAs[Long]("n_outliers")))).toMap
     base.foreach { case (p, (n, k, _)) =>
