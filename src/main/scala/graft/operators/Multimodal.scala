@@ -230,9 +230,16 @@ object Multimodal {
     * chunk-keyed candidate join; hamming runs on candidates only — the
     * [[graft.operators.Dedup.simhash]] discipline on the multimodal
     * path. `PlanSpec` pins no-cartesian. */
-  def mediaPerceptualHash(spark: SparkSession, dir: String): DataFrame = {
+  def mediaPerceptualHash(spark: SparkSession, dir: String): DataFrame =
+    mediaPerceptualHashOn(mediaTable(spark, dir))
+
+  /** [[mediaPerceptualHash]] over an arbitrary (doc_id, payload) frame —
+    * spec entry point for the planted near-dup/near-miss fixture (the
+    * sf0.01 gate corpus happens to contain zero qualifying pairs, so the
+    * unit-level evidence lives here). */
+  private[graft] def mediaPerceptualHashOn(media: DataFrame): DataFrame = {
     import graft.functions.TextOps
-    val d = mediaTable(spark, dir)
+    val d = media
       .select(col("doc_id"), decode(col("payload"), "UTF-8").as("s"))
       .withColumn("n", length(col("s")))
       .filter(col("n") >= 61) // every segment non-empty

@@ -27,7 +27,7 @@ object StreamQueries {
   /** events.parquet carries TIMESTAMP(NANOS) which Spark reads as a
     * nanosecond long under legacy.parquet.nanosAsLong; the stream source
     * needs the schema declared up front (no inference on streams). */
-  private val rawSchema: StructType = StructType(Seq(
+  private[graft] val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -329,7 +329,12 @@ object StreamQueries {
     * so append mode flushes ALL windows and the batch oracle needs no
     * watermark modeling — just the same cutoff. */
   def streamJoinAgg(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, dir, mode = "append") { ev =>
+    runToTable(spark, dir, mode = "append")(joinAggTransform)
+
+  /** The q175 transform body, exposed so `StreamingSpec`'s
+    * checkpoint-RESUME test can drive the same chained stateful plan
+    * across two separate query runs sharing one checkpoint. */
+  private[graft] def joinAggTransform(ev: DataFrame): DataFrame = {
       val c = ev.filter(col("event_type") === "click")
         .withWatermark("ts", "30 minutes")
         .filter(col("ts") < lit(java.sql.Timestamp.valueOf(
@@ -354,7 +359,7 @@ object StreamQueries {
           round(sum(col("value")), 2).as("total_value"))
         .select(col("window.start").cast("long").as("hr_start"),
           col("n_conversions"), col("total_value"))
-    }
+  }
 
   /** CHAINED stateful streaming: per-hour distinct-user counts computed
     * as a watermark-bounded dedup (stateful op 1: first (user, hour)

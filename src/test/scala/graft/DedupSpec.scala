@@ -396,4 +396,30 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_pass") <= n - maxFail)
     }
   }
+
+  test("q171 dHash: planted near-dup emerges, hamming-4 near-miss does not") {
+    import spark.implicits._
+    // The sf0.01 gate corpus contains ZERO qualifying dHash pairs (the
+    // CORRECTNESS row is 0-row-vacuous), so the operator's discrimination
+    // evidence lives here: a fixture where the signature bits are
+    // constructed by hand. 61 equal 2-char segments => the stub
+    // "downscale" mean of segment j is exactly its character's codepoint,
+    // and bit j = v(j+1) > v(j). Changing ONE interior segment value
+    // flips exactly its two adjacent bits.
+    def payload(vals: Seq[Int]): String =
+      vals.map(v => v.toChar.toString * 2).mkString
+    val base = (0 until 61).map(i => if (i % 2 == 0) 97 else 98) // a,b,a,b…
+    val nearDup = base.updated(1, 96)  // flips bits {0,1}: hamming(A,B)=2
+    val nearMiss = base.updated(3, 96) // flips {2,3} and {6,7}:
+      .updated(7, 96)                  //   hamming(A,C)=4, hamming(B,C)=6
+    val docs = Seq((1L, payload(base)), (2L, payload(nearDup)),
+        (3L, payload(nearMiss)))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.mediaPerceptualHashOn(docs).collect()
+    val pairs = out.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+    assert(out.head.getAs[Int]("hamming") === 2)
+  }
 }

@@ -416,4 +416,132 @@ class StreamingSpec extends SparkSpec {
       assert(e >= t, s"CMS underestimated ${r.getAs[String]("tok")}")
     }
   }
+
+  test("checkpoint RESUME: chained join->agg on RocksDB survives a restart " +
+      "with no loss and no duplicates") {
+    // The recovery property production streaming rests on, and the one
+    // thing the single-batch determinism recipe never exercises: run the
+    // q175 chained stateful pipeline (stream-stream join -> window agg)
+    // over TWO separate query runs sharing one checkpoint. Run 1 ends
+    // with a click (user 9, 02:40) still unmatched in join state and the
+    // 02:00 window still open; run 2 restarts FROM THE CHECKPOINT, feeds
+    // the matching purchase plus tail events, and must emit exactly the
+    // cross-restart conversion — provable only if the join state, the
+    // watermark, and the window state all came back from the checkpoint.
+    //
+    // Timing is exact to the minute because chained stateful operators
+    // give the DOWNSTREAM window agg a DELAYED watermark (global minus
+    // the join's 30-min interval bound — the join can emit rows that
+    // old). Run 1's watermark lands at 03:05: window 01:00 flushes
+    // (03:05−30min > 02:00), the 02:40 click's join state survives
+    // (03:05 < 02:40+30min), the 02:00 window stays open
+    // (03:05−30min < 03:00). Run 2's purchase sits at 03:08 — above the
+    // restored 03:05 watermark (not late) yet within the click's 30-min
+    // join horizon (≤ 03:10). The sink is the FILE sink (the memory
+    // sink refuses checkpoint recovery by design): its _spark_metadata
+    // commit log is the production exactly-once mechanism, so re-emission
+    // of run 1's finalized window would show up as a duplicate row when
+    // the output directory is read back.
+    import java.nio.file._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.StreamQueries
+    import scala.jdk.CollectionConverters._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val srcDir = Files.createTempDirectory("graft_resume_src")
+    val ckpt = Files.createTempDirectory("graft_resume_ckpt")
+    val outDir = Files.createTempDirectory("graft_resume_out")
+    try {
+      def ns(hhmm: String): Long =
+        ts(s"2024-01-01 $hhmm:00").getTime * 1000000L
+      def stage(name: String,
+          rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+        import spark.implicits._
+        val tmp = Files.createTempDirectory("graft_resume_stage")
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(part, srcDir.resolve(name))
+      }
+      def runOnce(): Unit = {
+        val ev = spark.readStream.schema(StreamQueries.rawSchema)
+          .parquet(srcDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = StreamQueries.joinAggTransform(ev).writeStream
+          .format("parquet").option("path", outDir.toString)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def sinkRows(): Seq[(Long, Long, Double)] =
+        spark.read.parquet(outDir.toString).collect().toSeq.map(r =>
+          (r.getAs[Long]("hr_start"), r.getAs[Long]("n_conversions"),
+            r.getAs[Double]("total_value")))
+      // run 1: one same-batch conversion in the 01:00 window; the 03:35
+      // tail rows on both sides pin the run-1 watermark at exactly 03:05
+      stage("batch1.parquet", Seq(
+        (1L, ns("01:50"), 7L, "click", 0.0, "{}"),
+        (2L, ns("01:52"), 7L, "purchase", 10.0, "{}"),
+        (3L, ns("02:40"), 9L, "click", 0.0, "{}"),
+        (4L, ns("02:45"), 99L, "purchase", 5.0, "{}"),
+        (5L, ns("03:35"), 11L, "click", 0.0, "{}"),
+        (6L, ns("03:35"), 12L, "purchase", 5.0, "{}")))
+      runOnce()
+      val run1 = sinkRows()
+      // run 2 (fresh query, same checkpoint): the purchase matching the
+      // checkpointed click, plus tail events pushing the watermark to
+      // 04:00 (delayed window watermark 03:30) so the 02:00 window flushes
+      stage("batch2.parquet", Seq(
+        (7L, ns("03:08"), 9L, "purchase", 20.0, "{}"),
+        (8L, ns("04:30"), 13L, "click", 0.0, "{}"),
+        (9L, ns("04:30"), 14L, "purchase", 1.0, "{}")))
+      runOnce()
+      val afterResume = sinkRows()
+      val run2 = afterResume.diff(run1)
+      def sec(hhmm: String): Long = ts(s"2024-01-01 $hhmm:00").getTime / 1000
+      assert(run1.toSet === Set((sec("01:00"), 1L, 10.0)),
+        s"run 1 emitted ${run1.toSeq}")
+      assert(run2.toSet === Set((sec("02:00"), 1L, 20.0)),
+        s"run 2 after restart emitted ${run2.toSeq}")
+      // no window emitted twice across the restart boundary: the sink
+      // holds exactly run1 + the one resumed window, no re-emissions
+      assert(afterResume.length === run1.length + 1,
+        s"duplicate emissions after resume: $afterResume")
+      // and the union equals the batch oracle over the full fixture
+      val all = spark.read.parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val c = all.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val p = all.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("value"))
+      val batch = c.join(p, col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .groupBy(window(col("click_ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_conversions"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").cast("long").as("hr_start"),
+          col("n_conversions"), col("total_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(afterResume.toSet === batch.toSet,
+        s"stream resume union $afterResume != batch ${batch.toSeq}")
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Seq(srcDir, ckpt, outDir).foreach { d =>
+        Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      }
+    }
+  }
 }
