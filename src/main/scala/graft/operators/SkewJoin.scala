@@ -66,6 +66,46 @@ object SkewJoin {
         col("skew_x1000"))
   }
 
+  /** AQE runtime skew-join split — the AUTOMATIC half of the skew story
+    * ([[saltedJoin]] is the explicit, planner-independent fallback): a
+    * deliberately skewed join (one key carrying ~99.5% of the big side)
+    * executed under adaptive query execution with the skew thresholds
+    * scoped down to fixture scale. At runtime AQE observes the hot
+    * shuffle partition, splits it into advisory-sized slices, and
+    * replicates the matching small-side partition — the plan's
+    * SortMergeJoin is marked `(skew=true)` and the big-side
+    * AQEShuffleRead reports skew splits. `PlanSpec` executes this and
+    * asserts the marker; `PlanDump` records the final adaptive plan in
+    * PLANS.md. At 100 TB this is what saves the unsuspecting user whose
+    * join key turns out heavy-tailed — with the thresholds at their
+    * production defaults (256 MB partitions, factor 5).
+    *
+    * Confs are scoped to a cloned session (the q170 discipline): skew
+    * detection factor 2 over the median and a 64 KB absolute floor, 16 KB
+    * advisory slices, broadcast disabled so the join actually shuffles
+    * (a broadcast join has no reducer partitions to skew). No downstream
+    * operator re-uses the join's hash partitioning — a skew split breaks
+    * that guarantee, and AQE would otherwise skip the optimization. */
+  private[graft] def aqeSkewJoin(spark: SparkSession): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // hot key 0 carries 199k of 200k rows; keys 1..999 get one row each
+    val big = s2.range(0, 200000).select(
+      when(col("id") < 199000, 0L).otherwise(col("id") % 1000).as("k"),
+      col("id").as("v"))
+    val small = s2.range(0, 1000).select(
+      col("id").as("k"), (col("id") * 7).as("w"))
+    big.join(small, Seq("k")).select(col("k"), col("v"), col("w"))
+  }
+
   val catalog: Seq[Q] = Seq(
     Q("q127_skew_profile", skewProfile _,
       """WITH tot AS (

@@ -293,6 +293,21 @@ class PlanSpec extends SparkSpec {
     assert(n >= 1 && n <= 5, s"expected 1..5 ASIA nations, got $n")
   }
 
+  test("AQE splits the skewed join partition at runtime (skew=true)") {
+    import graft.operators.SkewJoin
+    val df = SkewJoin.aqeSkewJoin(spark)
+    // AQE finalizes the plan only under execution — and only for THIS
+    // Dataset's own queryExecution, so collect() (count() would execute
+    // a different derived plan). The row count also pins correctness
+    // (199k hot-key rows + 1k singleton-key rows: the skew split must
+    // not duplicate or drop either side).
+    assert(df.collect().length === 200000)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not mark the skewed join:\n${finalPlan.take(2000)}")
+  }
+
   test("q110: gopher rules are scan-local with a single agg exchange") {
     val plan = planOf(graft.operators.TextAnalysis.gopherRules(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).size
