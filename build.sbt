@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC-thrashed the pair-join and memory-sink queries (measured 4.5x
   // run-to-run swings on the embedding brute-force query at sf0.1).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Pin the initial heap to the max: without it G1's adaptive sizing
+  // walks a different expansion path each JVM, and two benches of the
+  // SAME binary showed whole-run per-query baseline offsets from the
+  // differing GC ergonomics.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -31,12 +31,19 @@ object Bench {
     // sf0.01 is big enough that AQE picks the same physical-plan shapes
     // (join strategies, partial-agg paths) the timed sf0.1 pass will run,
     // so their codegen + C2 JIT also happens outside the timing.
+    // The timed dir itself is part of the warmup (measured: without it,
+    // two back-to-back full runs disagreed 9% on the SUITE total and 41%
+    // of queries moved >10% — all in the same direction, i.e. differing
+    // pre-timing JIT/page-cache state, not per-query noise; with it the
+    // timed passes start from the same steady state in every run).
     if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
-      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { wd =>
-        selected.foreach { case (_, fn) =>
-          try fn(spark, wd).count() catch { case _: Throwable => }
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", sfDir)
+        .foreach { wd =>
+          selected.foreach { case (_, fn) =>
+            try fn(spark, wd).count() catch { case _: Throwable => }
+          }
+          graft.operators.Dedup.clearStageCaches()
         }
-      }
     }
     // queries that localCheckpoint intermediate frames: their dead blocks
     // linger until the ContextCleaner's next GC and were measured adding
@@ -53,7 +60,8 @@ object Bench {
     // A failed query records the sentinel -1.0, never its failure latency
     // (a fast exception would otherwise win the min and report as a
     // legitimate timing with no error signal in the JSON).
-    def pass(): Map[String, Double] = selected.map {
+    def pass(sel: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]):
+        Map[String, Double] = sel.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -66,12 +74,36 @@ object Bench {
     // exactly once per pass — cleared here so pass 2's min is a real
     // recompute, not a cache hit
     graft.operators.Dedup.clearStageCaches()
-    val p1 = pass()
+    val p1 = pass(selected)
     graft.operators.Dedup.clearStageCaches()
-    val p2 = pass()
-    // min over SUCCESSFUL passes only; -1.0 survives iff both failed.
-    val results = p1.map { case (k, v) =>
-      val good = Seq(v, p2(k)).filter(_ >= 0)
+    val p2 = pass(selected)
+    var samples: Map[String, Seq[Double]] =
+      p1.map { case (k, v) => k -> Seq(v, p2(k)) }
+    // Adaptive resampling: a query whose two best timings disagree by
+    // >10% (and >50 ms — a 0.2 s query cannot be pinned tighter than
+    // scheduler jitter) caught a one-off pause (GC, checkpoint cleaner,
+    // JIT recompile) — min-of-2 would still report whichever run was
+    // luckier, and cross-ROUND comparisons then swing by that luck.
+    // Up to two extra rounds re-time JUST the still-unstable queries
+    // (a handful each — cheap) until their min rests on two agreeing
+    // samples; this is what makes per-query numbers adjudicable across
+    // rounds.
+    def unstable(ss: Seq[Double]): Boolean = {
+      val good = ss.filter(_ >= 0).sorted
+      good.size < 2 ||
+        (good(1) > good(0) * 1.10 && good(1) - good(0) > 0.05)
+    }
+    var extra = 0
+    while (extra < 2 && samples.values.exists(unstable)) {
+      val sel = selected.filter(kv => unstable(samples(kv._1)))
+      graft.operators.Dedup.clearStageCaches()
+      val px = pass(sel)
+      samples = samples ++ px.map { case (k, v) => k -> (samples(k) :+ v) }
+      extra += 1
+    }
+    // min over SUCCESSFUL samples only; -1.0 survives iff all failed.
+    val results = samples.map { case (k, ss) =>
+      val good = ss.filter(_ >= 0)
       k -> (if (good.isEmpty) -1.0 else good.min)
     }
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
@@ -84,12 +116,20 @@ object Bench {
     // per-query map goes to bench_out.json as the durable copy.
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // per-category subtotals: bounded by the CATEGORY count (8), never
+    // the query count, so they are safe in the compact stdout line too —
+    // successive rounds diff these to see where a total-time shift lives
+    val cats = SparkEntry.categories.toSeq.sortBy(_._1).map { case (c, qs) =>
+      c -> results.collect { case (k, v) if qs(k) && v >= 0 => v }.sum
+    }
     def jsonLine(kv: Iterable[(String, Double)], fl: Seq[String]): String = {
       val qs = kv.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
       val fj = fl.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+      val cj = cats.map { case (c, v) => "\"" + c + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"categories":$cj,"failed":$fj,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), jsonLine(results, failed) + "\n")

@@ -32,4 +32,21 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     catalog.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Category membership (derived from the owning operator catalogs) for
+    * the bench's per-category subtotals: with 181 queries a single total
+    * hides mix shifts between rounds — the fixed, small category axis is
+    * what successive verdicts can actually diff. */
+  def categories: Map[String, Set[String]] = Seq(
+    "relational" -> (Relational.catalog ++ JoinsSetOps.catalog ++
+      ScalarFuncs.catalog ++ Reshape.catalog ++ Stats.catalog),
+    "analytics" -> (Analytics.catalog ++ ApproxAgg.catalog ++
+      SkewJoin.catalog ++ DataQuality.catalog),
+    "dedup" -> (Dedup.catalog ++ Similarity.catalog),
+    "text" -> TextAnalysis.catalog,
+    "multimodal" -> Multimodal.catalog,
+    "sampling" -> (Sampling.catalog ++ Layout.catalog),
+    "graph" -> Graph.catalog,
+    "streaming" -> StreamQueries.catalog
+  ).map { case (k, v) => k -> v.map(_.name).toSet }.toMap
 }

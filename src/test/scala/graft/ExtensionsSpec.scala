@@ -61,8 +61,13 @@ class ExtensionsSpec extends SparkSpec {
     reg.createOrReplaceTempFunction("graft_kmin",
       exprs => graft.functions.KMinValuesAgg(exprs(0), 4)
         .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hilbert",
+      exprs => graft.functions.HilbertIndex2D8(exprs(0), exprs(1)),
+      "scala_udf")
     assert(s2.sql("SELECT graft_zorder(3L, 5L) AS z").collect()(0)
       .getLong(0) === graft.functions.ZOrderOps.interleave16(3L, 5L))
+    assert(s2.sql("SELECT graft_hilbert(3L, 5L) AS h").collect()(0)
+      .getLong(0) === graft.functions.HilbertOps.hilbert8(3L, 5L))
     val r = s2.sql(
       """WITH v(x) AS (VALUES (10L), (20L), (30L), (7L), (7L))
         |SELECT graft_kmin(x, 4) AS km,
