@@ -24,12 +24,13 @@ object StreamQueries {
 
   private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark reads as a
-    * nanosecond long under legacy.parquet.nanosAsLong; the stream source
-    * needs the schema declared up front (no inference on streams). */
+  /** events.parquet carries TIMESTAMP(MICROS) without UTC adjustment,
+    * which Spark reads as TIMESTAMP_NTZ; the stream source needs the
+    * schema declared up front (no inference on streams). The NTZ→LTZ
+    * normalization happens right after the source (Tables.normalizeTs). */
   private[graft] val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -57,9 +58,8 @@ object StreamQueries {
     val srcDir = Files.createTempDirectory("graft_stream_src")
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       Paths.get(dir, "events.parquet"))
-    val ev = spark.readStream.schema(rawSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(srcDir.toString))
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft_stream_ckpt")
     // Stateful operators allocate one state-store instance PER shuffle

@@ -22,17 +22,34 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
-    // with spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/Bench/
-    // tests) it arrives as a nanosecond LongType — convert to Spark's native
-    // microsecond TimestampType via integer division (a double roundtrip
-    // would lose precision at 1e18 magnitudes).
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize `events.ts` to Spark's native TimestampType (LTZ) whatever
+    * physical form the feed delivered it in. Generations of the testdata
+    * feed have shipped ts as TIMESTAMP(NANOS) (Spark rejects it natively;
+    * under spark.sql.legacy.parquet.nanosAsLong=true — set by Verify/
+    * Bench/tests — it arrives as a nanosecond LongType) and as
+    * TIMESTAMP(MICROS) without UTC adjustment (arrives as TIMESTAMP_NTZ).
+    * Downstream operators do epoch arithmetic (`ts.cast("long")` = epoch
+    * seconds), which Spark only defines on the LTZ type, so both forms
+    * funnel to LTZ here — the single normalization point for the engine,
+    * the stream source and the specs.
+    *  - ns long → integer division to micros (a double roundtrip would
+    *    lose precision at 1e18 magnitudes), then timestamp_micros.
+    *  - NTZ → cast to LTZ: reinterprets the wall-clock in the session
+    *    timezone, which every entry point pins to UTC, so the underlying
+    *    micros are bit-identical and DuckDB's naive `epoch(ts)` agrees. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Load with a broadcast hint when the table is a constant-size dim.

@@ -308,9 +308,8 @@ class AnalyticsSpec extends SparkSpec {
         ((r.getAs[Long]("n_sessions"), r.getAs[Long]("covered_sec"),
           r.getAs[Long]("first_sec"), r.getAs[Long]("last_sec")))).toMap
     // brute force: merge sorted [s, s+1800) intervals per user in Scala
-    val evs = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("user_id"),
-        expr("CAST(ts div 1000000000 AS BIGINT)").as("s"))
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("long").as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
     evs.foreach { case (u, starts) =>

@@ -236,7 +236,7 @@ class PipelineOpsSpec extends SparkSpec {
     // independent recompute: value-range self-join (inclusive 3600s window)
     val e = df.select(col("user_id"), col("event_id"), col("sec"),
       col("cents_1h")).cache()
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
       .filter(col("user_id") < 50)
       .select(col("user_id").as("u2"), col("ts").cast("long").as("s2"),
         expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c2"))
@@ -333,7 +333,7 @@ class PipelineOpsSpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("sec"), col("event_id"))
-    val seqs = spark.read.parquet(s"$sf/events.parquet")
+    val seqs = graft.sources.Tables.load(spark, sf, "events")
       .filter(col("user_id") < 100)
       .withColumn("sec", col("ts").cast("long"))
       .withColumn("rn", row_number().over(w))

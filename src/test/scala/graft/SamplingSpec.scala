@@ -263,11 +263,11 @@ class SamplingSpec extends SparkSpec {
 
   test("rate limit: heap form equals window row_number form") {
     val out = Sampling.rateLimit(spark, sf).cache()
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
       .select(col("user_id"),
-        expr("CAST(ts div 1000000000 AS BIGINT)").as("sec"),
-        expr("CAST(ts div 1000000000 div 3600 * 3600 AS BIGINT)")
-          .as("hr_start"), col("event_id"))
+        col("ts").cast("long").as("sec"),
+        expr("CAST(ts AS BIGINT) div 3600 * 3600").as("hr_start"),
+        col("event_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("hr_start"))
       .orderBy(col("sec").asc, col("event_id").asc)

@@ -244,8 +244,7 @@ class StreamingSpec extends SparkSpec {
     val out = operators.StreamQueries.streamStaticEnrich(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getDouble(3))).sorted
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = sources.Tables.load(spark, sf, "events")
     val dim = spark.read.parquet(s"$sf/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val batch = ev.join(dim, ev("user_id") === dim("c_custkey"))
@@ -274,8 +273,7 @@ class StreamingSpec extends SparkSpec {
   test("chained stateful stream (dedup -> agg) equals batch distinct") {
     val out = operators.StreamQueries.streamDistinctUsers(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    val batch = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = sources.Tables.load(spark, sf, "events")
       .groupBy(date_trunc("hour", col("ts")).cast("long").as("hr_start"))
       .agg(countDistinct(col("user_id")).as("active_users"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
@@ -286,8 +284,7 @@ class StreamingSpec extends SparkSpec {
     val out = operators.StreamQueries.streamHll(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
-    val batch = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = sources.Tables.load(spark, sf, "events")
       .groupBy(date_trunc("day", col("ts")).cast("long").as("day_start"))
       .agg(count(lit(1)).as("n_events"),
         graft.functions.HllAgg.hllRegs(
@@ -310,8 +307,7 @@ class StreamingSpec extends SparkSpec {
     val out = operators.StreamQueries.streamOuterJoin(spark, sf).cache()
     val unmatched = out.filter(col("purchase_sec").isNull).count()
     // batch recompute of clicks with no purchase in the window
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = sources.Tables.load(spark, sf, "events")
     val c = ev.filter(col("event_type") === "click" &&
         col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
       .select(col("user_id"), col("event_id"), col("ts").as("cts"))
@@ -329,8 +325,7 @@ class StreamingSpec extends SparkSpec {
   test("stream full outer join: unmatched == batch anti-join on BOTH sides") {
     val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))
     val out = operators.StreamQueries.streamFullOuterJoin(spark, sf).cache()
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = sources.Tables.load(spark, sf, "events")
     val c = ev.filter(col("event_type") === "click" && col("ts") < cutoff)
       .select(col("user_id"), col("event_id"), col("ts").as("cts"))
     val p = ev.filter(col("event_type") === "purchase" && col("ts") < cutoff)
@@ -357,8 +352,7 @@ class StreamingSpec extends SparkSpec {
     val out = operators.StreamQueries.streamSemiJoin(spark, sf).cache()
     // at most once per click: click_id is unique in the output
     assert(out.count() === out.select("click_id").distinct().count())
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = sources.Tables.load(spark, sf, "events")
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("ts").as("cts"))
     val p = ev.filter(col("event_type") === "purchase")
@@ -376,8 +370,7 @@ class StreamingSpec extends SparkSpec {
     val out = operators.StreamQueries.streamJoinAgg(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1),
         BigDecimal(r.getDouble(2)))).sortBy(_._1)
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = sources.Tables.load(spark, sf, "events")
     val c = ev.filter(col("event_type") === "click" &&
         col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
       .select(col("user_id"), col("ts").as("cts"))
@@ -463,15 +456,20 @@ class StreamingSpec extends SparkSpec {
         import spark.implicits._
         val tmp = Files.createTempDirectory("graft_resume_stage")
         rows.toDF("event_id", "ts", "user_id", "event_type", "value",
-          "props").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          "props")
+          // the feed's physical shape: TIMESTAMP(MICROS) without UTC
+          // adjustment, i.e. TIMESTAMP_NTZ — what rawSchema declares
+          .withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = Files.list(tmp).iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get
         Files.move(part, srcDir.resolve(name))
       }
       def runOnce(): Unit = {
-        val ev = spark.readStream.schema(StreamQueries.rawSchema)
-          .parquet(srcDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = sources.Tables.normalizeTs(
+          spark.readStream.schema(StreamQueries.rawSchema)
+            .parquet(srcDir.toString))
         val q = StreamQueries.joinAggTransform(ev).writeStream
           .format("parquet").option("path", outDir.toString)
           .outputMode("append")
@@ -514,8 +512,8 @@ class StreamingSpec extends SparkSpec {
       assert(afterResume.length === run1.length + 1,
         s"duplicate emissions after resume: $afterResume")
       // and the union equals the batch oracle over the full fixture
-      val all = spark.read.parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val all = sources.Tables.normalizeTs(
+        spark.read.parquet(srcDir.toString))
       val c = all.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"))
       val p = all.filter(col("event_type") === "purchase")
