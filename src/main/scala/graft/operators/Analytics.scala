@@ -474,9 +474,10 @@ object Analytics {
     * user — their most recent event. The per-key top-1 window is the
     * at-scale shape for log→snapshot compaction: one shuffle on the key,
     * per-partition sort, no global order. Ordering key is floor-seconds +
-    * event_id (not raw ts): the parquet timestamps are nanosecond and
-    * Spark truncates to µs, so sub-µs ordering would silently diverge
-    * between engines — the second+id key is total and portable. */
+    * event_id (not raw ts): the feed's physical timestamp precision has
+    * varied across generations (nanos, then micros), and sub-second
+    * ordering on a truncated value would silently diverge between
+    * engines — the second+id key is total and portable. */
   def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("sec").desc, col("event_id").desc)
