@@ -54,6 +54,27 @@ object Bench {
       "q54_corpus_pipeline", "q93_incremental_dedup",
       "q150_setsim_exact", "q153_triangles", "q158_shingle_novelty",
       "q171_media_phash", "q172_containment_join")
+    // Shared pipeline stages (cluster labels; hashed shingles) are
+    // memoized per (session, dir) and consumed by several queries. Each
+    // pass clears the memo and materializes the stage OUTSIDE any
+    // query's timing, reporting it as its own entry: every consumer then
+    // measures its marginal cost deterministically. (Leaving the build
+    // inside whichever consumer ran first was stable for full passes but
+    // luck-dependent in the adaptive resample's subsets — one consumer's
+    // min swung 0.25 s ↔ 2.9 s between runs of the same binary.) At
+    // 100 TB these stages are materialized intermediate tables, so a
+    // stage-priced bench line is also the truthful accounting.
+    val stageOf: Map[String, Set[String]] = Map(
+      "stage_cc_labels" -> Set("q53_dup_clusters", "q54_corpus_pipeline",
+        "q108_canonical_selection"),
+      "stage_hashed_shingles" -> Set("q150_setsim_exact",
+        "q172_containment_join"))
+    def runStage(sname: String): Unit = sname match {
+      case "stage_cc_labels" =>
+        graft.operators.Dedup.materializeLabels(spark, sfDir)
+      case "stage_hashed_shingles" =>
+        graft.operators.Dedup.materializeShingles(spark, sfDir)
+    }
     // Two timed passes, min per query: a single pass is exposed to
     // one-off GC/JIT/checkpoint-cleaner pauses (a 3.5 s query was
     // measured once at 12.6 s purely from a pause landing inside it);
@@ -62,21 +83,25 @@ object Bench {
     // (a fast exception would otherwise win the min and report as a
     // legitimate timing with no error signal in the JSON).
     def pass(sel: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]):
-        Map[String, Double] = sel.map {
-      case (name, fn) =>
+        Map[String, Double] = {
+      graft.operators.Dedup.clearStageCaches()
+      def time(body: => Unit): Double = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+        val ok = try { body; true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -1.0
+      }
+      val stages = stageOf.collect {
+        case (sname, grp) if grp.exists(sel.contains) =>
+          sname -> time(runStage(sname))
+      }
+      stages ++ sel.map { case (name, fn) =>
+        val v = time(fn(spark, sfDir).count())
         if (ckptHeavy(name)) System.gc() // outside the timing
-        name -> (if (ok) dt else -1.0)
+        name -> v
+      }
     }
-    // shared stage caches (cluster labels, hashed shingles) must be paid
-    // exactly once per pass — cleared here so pass 2's min is a real
-    // recompute, not a cache hit
-    graft.operators.Dedup.clearStageCaches()
     val p1 = pass(selected)
-    graft.operators.Dedup.clearStageCaches()
     val p2 = pass(selected)
     var samples: Map[String, Seq[Double]] =
       p1.map { case (k, v) => k -> Seq(v, p2(k)) }
@@ -96,8 +121,12 @@ object Bench {
     }
     var extra = 0
     while (extra < 2 && samples.values.exists(unstable)) {
-      val sel = selected.filter(kv => unstable(samples(kv._1)))
-      graft.operators.Dedup.clearStageCaches()
+      val un = samples.filter(kv => unstable(kv._2)).keys.toSet
+      // an unstable STAGE entry can only be re-timed by re-running its
+      // group's members; expand so the subset re-prices it
+      val want = un ++ stageOf.collect {
+        case (s, grp) if un(s) => grp }.flatten
+      val sel = selected.filter(kv => want(kv._1))
       val px = pass(sel)
       samples = samples ++ px.map { case (k, v) => k -> (samples(k) :+ v) }
       extra += 1
@@ -120,7 +149,10 @@ object Bench {
     // per-category subtotals: bounded by the CATEGORY count (8), never
     // the query count, so they are safe in the compact stdout line too —
     // successive rounds diff these to see where a total-time shift lives
-    val cats = SparkEntry.categories.toSeq.sortBy(_._1).map { case (c, qs) =>
+    // stage entries price dedup's shared pipeline stages — count them in
+    // the dedup subtotal so category sums still cover the whole total
+    val cats = SparkEntry.categories.toSeq.sortBy(_._1).map { case (c, qs0) =>
+      val qs = if (c == "dedup") qs0 ++ stageOf.keySet else qs0
       c -> results.collect { case (k, v) if qs(k) && v >= 0 => v }.sum
     }
     def jsonLine(kv: Iterable[(String, Double)], fl: Seq[String]): String = {
@@ -130,12 +162,16 @@ object Bench {
       val fj = fl.map("\"" + _ + "\"").mkString("[", ",", "]")
       val cj = cats.map { case (c, v) => "\"" + c + "\":" + f(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"categories":$cj,"failed":$fj,"sf":"$sfDir"}"""
+      // n_queries counts DECLARED queries; the per-query map additionally
+      // carries the stage_* entries pricing shared pipeline stages
+      val nq = results.keys.count(!_.startsWith("stage_"))
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":$nq,"queries":$qs,"categories":$cj,"failed":$fj,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), jsonLine(results, failed) + "\n")
     catch { case _: Throwable => }
-    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    def shortKey(k: String): String =
+      if (k.startsWith("stage_")) k else k.takeWhile(_ != '_')
     val topSlow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => shortKey(k) -> v }
     // stop Spark FIRST so its shutdown logging cannot land after the

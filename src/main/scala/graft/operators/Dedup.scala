@@ -487,6 +487,21 @@ object Dedup {
     shCache.clear()
   }
 
+  /** Bench hooks: materialize a shared stage OUTSIDE any query's timing
+    * so each consumer measures its marginal cost only. Without this, the
+    * stage's build cost lands on whichever consumer happens to run first
+    * in a pass — deterministic for a FULL pass (fixed iteration order)
+    * but luck-dependent for the adaptive resample's subsets, which made
+    * one consumer's reported min swing 12× between runs of the same
+    * binary. The stage itself is timed as its own bench entry (its cost
+    * stays in the suite total exactly once), which is also the honest
+    * 100-TB accounting: these stages are materialized intermediate
+    * tables there, not part of any single downstream query. */
+  private[graft] def materializeLabels(spark: SparkSession, dir: String): Unit =
+    dupClusters(spark, dir).count()
+  private[graft] def materializeShingles(spark: SparkSession, dir: String): Unit =
+    hashedShingles60(spark, dir).count()
+
   /** Duplicate-cluster resolution: connected components over the near-dup
     * pair graph (pairs are transitive in practice — a dedup pipeline keeps
     * one doc per CLUSTER, not per pair). */
