@@ -22,6 +22,32 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("state") === "28").count() === 2)
   }
 
+  test("normalizeTs: every physical ts form the feed has shipped loads " +
+      "to identical LTZ instants") {
+    import org.apache.spark.sql.types._
+    // one known instant: 2024-01-05 07:30:15 UTC
+    val micros = 1704439815000000L
+    val dir = Files.createTempDirectory("graft_tsforms")
+    // form 1: nanosecond long (TIMESTAMP(NANOS) under nanosAsLong)
+    spark.range(1).select(lit(micros * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ns")
+    // form 2: TIMESTAMP_NTZ micros (the current feed)
+    spark.range(1)
+      .select(timestamp_micros(lit(micros)).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ntz")
+    // form 3: already-LTZ micros (the normalized target — must pass through)
+    spark.range(1).select(timestamp_micros(lit(micros)).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ltz")
+    val outs = Seq("ns", "ntz", "ltz").map { form =>
+      val df = Tables.normalizeTs(spark.read.parquet(s"$dir/$form"))
+      assert(df.schema("ts").dataType === TimestampType,
+        s"$form did not normalize to LTZ")
+      df.select(col("ts").cast("long")).collect()(0).getLong(0)
+    }
+    assert(outs.distinct === Seq(micros / 1000000L),
+      s"forms disagree on the instant: $outs")
+  }
+
   test("partitioned parquet write prunes partitions on year predicate") {
     val dir = Files.createTempDirectory("graft_part").toString
     val orders = Tables.load(spark, sf, "orders")
