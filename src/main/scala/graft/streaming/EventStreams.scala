@@ -20,10 +20,12 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Declared source schema (events.parquet / a Kafka-JSON feed alike). */
+  /** Declared source schema (events.parquet / a Kafka-JSON feed alike);
+    * `ts` matches the feed's physical TIMESTAMP_NTZ — normalize to LTZ
+    * with [[graft.sources.Tables.normalizeTs]] before event-time ops. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
