@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // MICROS-no-UTC feed reads as LTZ at the scan itself (UTC session:
+      // bit-identical micros) so ts range predicates reach PushedFilters
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,8 +49,9 @@ object Bench {
           graft.operators.Dedup.clearStageCaches()
         }
     }
-    // Platform-speed calibration: a fixed, deterministic, pure-ALU work
-    // unit (8 threads × 2^27 SplitMix64 steps) timed around the suite.
+    // Platform-speed calibration (graft.Calib): a fixed, deterministic,
+    // pure-ALU work unit (N threads × 2^27 SplitMix64 steps) timed around
+    // the suite.
     // Two consecutive full runs of the SAME binary measured a uniform
     // ×1.17 and ×1.31 whole-suite offset with guest load ≈ 0 — host-level
     // CPU contention a VM guest cannot see or control. calib_sec makes
@@ -55,29 +59,13 @@ object Bench {
     // compared, separating "the code got slower" from "the box was
     // slower". min across probes (3 before + 3 after the timed passes) =
     // the run's best-case platform speed.
-    def calibProbe(): Double = {
-      val threads = 8
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { i =>
-        val th = new Thread(() => {
-          var x = 0x9e3779b97f4a7c15L + i
-          var acc = 0L
-          var n = 0
-          while (n < (1 << 27)) {
-            x += 0x9e3779b97f4a7c15L
-            var z = x
-            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-            acc ^= z ^ (z >>> 31)
-            n += 1
-          }
-          if (acc == 42L) println("") // keep the loop live
-        })
-        th.start(); th
-      }
-      ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
+    // Probe parallelism follows the suite's own (SPARK_GRAFT_CPUS), so the
+    // calib ratio tracks contention at the same saturation level the suite
+    // runs at — a fixed 8 threads on a 32-way suite under-sampled host
+    // contention; the count is recorded in bench_out.json so cross-host
+    // comparisons can see when two calib numbers measured different widths.
+    val calibThreads = cpus.toInt
+    def calibProbe(): Double = Calib.probe(calibThreads)
     val calibPre = (1 to 3).map(_ => calibProbe())
     // queries that localCheckpoint intermediate frames: their dead blocks
     // linger until the ContextCleaner's next GC and were measured adding
@@ -126,7 +114,13 @@ object Bench {
       }
       val stages = stageOf.collect {
         case (sname, grp) if grp.exists(sel.contains) =>
-          sname -> time(runStage(sname))
+          val v = sname -> time(runStage(sname))
+          // outside the timing, mirroring the ckptHeavy treatment: the
+          // PREVIOUS pass's stage checkpoints died at clearStageCaches()
+          // above, and their lingering executor blocks were the measured
+          // multi-second variance source for whatever query ran first
+          System.gc()
+          v
       }
       stages ++ sel.map { case (name, fn) =>
         val v = time(fn(spark, sfDir).count())
@@ -199,7 +193,7 @@ object Bench {
       // n_queries counts DECLARED queries; the per-query map additionally
       // carries the stage_* entries pricing shared pipeline stages
       val nq = results.keys.count(!_.startsWith("stage_"))
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":$nq,"calib_sec":${f(calib)},"queries":$qs,"categories":$cj,"failed":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":$nq,"calib_sec":${f(calib)},"calib_threads":$calibThreads,"queries":$qs,"categories":$cj,"failed":$fj,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), jsonLine(results, failed) + "\n")

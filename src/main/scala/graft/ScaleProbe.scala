@@ -21,6 +21,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // MICROS-no-UTC feed reads as LTZ at the scan itself (UTC session:
+      // bit-identical micros) so ts range predicates reach PushedFilters
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -28,7 +31,9 @@ object ScaleProbe {
     // `--stream-only` skips the batch replication/probes (they need the
     // 10x staging write; the streaming probe stages its own feed).
     if (args.contains("--stream-only")) {
+      println(f"calib_pre ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
       streamingProbe(spark, base)
+      println(f"calib_post ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
       spark.stop()
       return
     }
@@ -76,6 +81,13 @@ object ScaleProbe {
       val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
     }
+    // Platform calibration alongside every probe block (same probe as
+    // Bench's calib_sec, at this JVM's local[32] width): the 10× ratios
+    // below are only comparable across rounds after dividing by the calib
+    // ratio — SCALE.md's projection table cites the normalized values.
+    def calib(tag: String): Unit =
+      println(f"calib_${tag}%-22s ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
+    calib("pre")
     // warm both dirs outside timing
     Seq(base, out).foreach { d =>
       operators.Relational.starFact(spark, d).count()
@@ -111,7 +123,9 @@ object ScaleProbe {
         operators.Graph.degreeStats(spark, dir).count())
     }
 
+    calib("post_batch")
     streamingProbe(spark, base)
+    calib("post_stream")
     spark.stop()
   }
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CutOps
 import graft.Q
 import graft.sources.Tables
 
@@ -115,6 +116,23 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").cast("long").as("w_start"), col("n"),
               col("total"))
+
+  /** Time-slice scan — THE canonical access pattern on an event table at
+    * 100 TB: `ts BETWEEN … AND …` plus an event_type filter must prune
+    * parquet row groups via min/max statistics, or the query full-scans.
+    * The session reads the MICROS feed's ts as LTZ at the scan itself
+    * (spark.sql.parquet.inferTimestampNTZ.enabled=false under the
+    * UTC-pinned session — micros are bit-identical), so the range
+    * predicate lands in the scan's PushedFilters instead of dying against
+    * a cast Project (PlanSpec asserts it; PLANS.md carries the dump).
+    * Hour-of-day rollup over the selected day keeps the result compact. */
+  def timeSlice(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-11 00:00:00").cast("timestamp") &&
+        col("event_type").isin("purchase", "click"))
+      .groupBy(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
 
   /** Sort with explicit NULL placement: Spark defaults to NULLS FIRST on
     * ASC, DuckDB to NULLS LAST — a silent cross-engine divergence unless
@@ -983,7 +1001,7 @@ object Analytics {
     val cells = t(spark, dir, "documents")
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("obs"))
-      .localCheckpoint(true) // four consumers, one corpus scan
+      .cutLineage() // four consumers, one corpus scan
     val rows = cells.groupBy(col("lang")).agg(sum(col("obs")).as("r"))
     val cols = cells.groupBy(col("source")).agg(sum(col("obs")).as("c"))
     val n = cells.agg(sum(col("obs")).as("n"))
@@ -1049,7 +1067,7 @@ object Analytics {
   def madCountGate(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
       .select(col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
-      .localCheckpoint(true) // three consumers, one scan
+      .cutLineage() // three consumers, one scan
     val med = cust.groupBy(col("segment"))
       .agg(expr("percentile(bal, 0.5)").as("med"))
     val dev = cust.join(broadcast(med), Seq("segment"))
@@ -1688,6 +1706,14 @@ object Analytics {
         |        unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
         |                date_trunc('hour', ts)]) AS ws
         |      FROM events)
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin),
+    Q("q183_time_slice", timeSlice _,
+      """SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hr, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  AND event_type IN ('purchase', 'click')
+        |GROUP BY 1, 2""".stripMargin)
   )
 }

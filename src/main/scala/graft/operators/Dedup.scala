@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CutOps
 import graft.Q
 import graft.functions.{TextOps, VectorOps}
 import graft.sources.Tables
@@ -49,7 +50,7 @@ object Dedup {
     // the 64-perm signature aggregation runs once, not once per side
     val banded = minhashSigs(spark, dir).select(col("doc_id"),
       explode(TextOps.minhashBands(col("sig"), 16, 4)).as("band"))
-      .localCheckpoint(true)
+      .cutLineage()
     val corpusIndex = banded.filter(col("doc_id") % 5 =!= 0)
       .select(col("doc_id").as("corpus_id"), col("band"))
     val cands = banded.filter(col("doc_id") % 5 === 0)
@@ -80,7 +81,7 @@ object Dedup {
     // lifecycle (an eager one runs a job at plan-BUILD time, even if the
     // caller never executes the result, and pins executor storage from
     // construction until ContextCleaner GC).
-    val k = keyed.select(col(key), col("doc_id")).localCheckpoint(false)
+    val k = keyed.select(col(key), col("doc_id")).cutLineage(eager = false)
     // Hot-bucket cap: the equi-join form streams a degenerate bucket
     // without buffering it, but it still EMITS C(n,2) pairs — one
     // boilerplate shingle shared by 100k crawl docs would flood the
@@ -156,11 +157,11 @@ object Dedup {
     * (candidates, not documents), so they're `localCheckpoint`ed to stop
     * the candidate-generation pipeline re-executing per consumer. */
   private def verifyJaccard(cands0: DataFrame, docs: DataFrame): DataFrame = {
-    val cands = cands0.localCheckpoint(true)
+    val cands = cands0.cutLineage()
     val shSets = shingleExploded(candidateDocs(docs, cands))
       .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
-      .localCheckpoint(true)
+      .cutLineage()
     cands
       .join(shSets.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
         Seq("doc_a"))
@@ -278,7 +279,7 @@ object Dedup {
     // hamming filters BEFORE the pair dedup so only near-dups shuffle.
     val keyed = docs
       .select(col("doc_id"), col("sim"), explode(col("chunks")).as("chunk"))
-      .localCheckpoint(true)
+      .cutLineage()
     keyed.select(col("chunk"), col("doc_id").as("doc_a"), col("sim").as("sa"))
       .join(keyed.select(col("chunk"), col("doc_id").as("doc_b"),
         col("sim").as("sb")), Seq("chunk"))
@@ -425,12 +426,12 @@ object Dedup {
     // once so the (possibly expensive) upstream pair pipeline never re-runs
     val sym = e2.unionByName(
       e2.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .cutLineage()
     // seed with round-0 propagation applied: label = min(self, neighbors) —
     // near-dup components are mostly cliques, which converge immediately
     var labels = sym.groupBy(col("src").as("doc_id"))
       .agg(least(col("src"), min(col("dst"))).as("comp"))
-      .localCheckpoint(true)
+      .cutLineage()
     def labelSum(): Long = labels
       .agg(coalesce(sum(col("comp")), lit(0L))).collect()(0).getLong(0)
     var prevSum = Long.MaxValue
@@ -452,7 +453,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("pj_comp"), col("comp")))
             .as("comp"))
-        .localCheckpoint(true)
+        .cutLineage()
       prevSum = curSum
       curSum = labelSum()
       iter += 1
@@ -582,7 +583,7 @@ object Dedup {
     shCache.computeIfAbsent((org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir), { _ =>
       shingleExploded(shingleCorpus(spark, dir))
         .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
-        .localCheckpoint(true)
+        .cutLineage()
     })
 
   def setsimExact(spark: SparkSession, dir: String): DataFrame = {
@@ -638,7 +639,7 @@ object Dedup {
     val docs = docs0.filter(size(split(col("text"), " ")) >= 3)
     containmentFrom(docs, shingleExploded(docs)
       .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
-      .localCheckpoint(true))
+      .cutLineage())
   }
 
   private def containmentFrom(docs: DataFrame, sh: DataFrame): DataFrame = {
@@ -657,11 +658,11 @@ object Dedup {
       .join(sh.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .filter(col("doc_a") =!= col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .localCheckpoint(true)
+      .cutLineage()
     val shSets = shingleExploded(candidateDocs(docs, cands))
       .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
-      .localCheckpoint(true)
+      .cutLineage()
     cands
       .join(shSets.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
         Seq("doc_a"))
@@ -696,7 +697,7 @@ object Dedup {
     val names = t(spark, dir, "part")
       .groupBy(col("p_name").as("nm"))
       .agg(count(lit(1)).as("n_parts"))
-      .localCheckpoint(true)
+      .cutLineage()
     // length >= 2 before the gram explode (as bpePairs does): for a
     // 1-char name Spark's sequence(1, 0) DESCENDS to [1, 0] and would
     // emit spurious grams, while the oracle's range(1, len) is empty —
@@ -714,7 +715,7 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2 * d + 1)
       .select(col("bg"), col("nm"))
-      .localCheckpoint(true)
+      .cutLineage()
     val hits = prefix.select(col("bg"), col("nm").as("name_a"))
       .join(prefix.select(col("bg"), col("nm").as("name_b")), Seq("bg"))
       .filter(col("name_a") < col("name_b"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CutOps
 import graft.Q
 import graft.sources.Tables
 
@@ -57,7 +58,7 @@ object Graph {
     // edges+degree consumed by every round — materialize once
     val ew = sym.join(deg, sym("src") === deg("node"))
       .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint(true)
+      .cutLineage()
     val nodes = ew.select(col("src").as("node"), col("deg")).distinct()
     var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {
@@ -98,7 +99,7 @@ object Graph {
     val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     val cdeg = pairs.groupBy(col("c").as("k"))
       .agg(count(lit(1)).as("deg")).withColumn("side", lit("customer"))
     val sdeg = pairs.groupBy(col("s").as("k"))
@@ -139,7 +140,7 @@ object Graph {
       .filter(col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     val deg = e.select(col("u").as("nd"))
       .unionByName(e.select(col("v").as("nd")))
       .groupBy(col("nd")).agg(count(lit(1)).as("deg"))
@@ -150,7 +151,7 @@ object Graph {
       .join(deg.select(col("nd").as("v"), col("deg").as("dv")), Seq("v"))
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint(true)
+      .cutLineage()
     // Count via adjacency-array intersection, NOT a wedge self-join: a
     // triangle a→b→c closes at its first oriented edge (a,b) as a common
     // out-neighbor, so Δ = Σ_{(u,v)∈oe} |N⁺(u) ∩ N⁺(v)|. The wedge
@@ -164,7 +165,7 @@ object Graph {
     // under degree orientation is O(√E) (arboricity), so adjacency
     // arrays are bounded regardless of hot vertices. Measured 3.8 s.
     val adj = oe.groupBy(col("src")).agg(collect_list(col("dst")).as("ns"))
-      .localCheckpoint(true)
+      .cutLineage()
     val tri = oe
       .join(adj.select(col("src"), col("ns").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("ns").as("nv")), Seq("dst"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Ckpt.CutOps
 import graft.Q
 import graft.sources.Tables
 
@@ -196,7 +197,7 @@ object Multimodal {
     val sig = hist.withColumn("qsig",
       concat_ws("-", transform(col("h"),
         v => (v * 128 / col("n")).cast("long").cast("string"))))
-      .localCheckpoint(true)
+      .cutLineage()
     sig.select(col("qsig"), col("doc_id").as("doc_a"), col("h").as("ha"),
         col("n").as("na"))
       .join(sig.select(col("qsig"), col("doc_id").as("doc_b"),
@@ -270,7 +271,7 @@ object Multimodal {
       .withColumn("chunks", TextOps.simhashChunkKeys(col("fp"), 4, 15))
     val keyed = docs
       .select(col("doc_id"), col("fp"), explode(col("chunks")).as("chunk"))
-      .localCheckpoint(true)
+      .cutLineage()
     keyed.select(col("chunk"), col("doc_id").as("doc_a"), col("fp").as("fa"))
       .join(keyed.select(col("chunk"), col("doc_id").as("doc_b"),
         col("fp").as("fb")), Seq("chunk"))

@@ -24,17 +24,14 @@ object StreamQueries {
 
   private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** events.parquet carries TIMESTAMP(MICROS) without UTC adjustment,
-    * which Spark reads as TIMESTAMP_NTZ; the stream source needs the
-    * schema declared up front (no inference on streams). The NTZ→LTZ
-    * normalization happens right after the source (Tables.normalizeTs). */
-  private[graft] val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Declared stream-source schema, read from the staged feed's own
+    * parquet footer — see [[EventStreams.eventSchemaFor]]: the feed's
+    * physical ts form has flipped once already, and the footer-derived
+    * schema tracks a regeneration with no code edit. Whatever arrives,
+    * Tables.normalizeTs right after the source funnels ts to LTZ. */
+  private[graft] def rawSchemaOf(spark: SparkSession,
+      path: String): StructType =
+    EventStreams.eventSchemaFor(spark, path)
 
   /** Run a streaming transform over the events file source to completion,
     * returning the memory-sink table. `complete` mode holds the full
@@ -59,7 +56,8 @@ object StreamQueries {
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       Paths.get(dir, "events.parquet"))
     val ev = graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(rawSchema).parquet(srcDir.toString))
+      spark.readStream.schema(rawSchemaOf(spark, srcDir.toString))
+        .parquet(srcDir.toString))
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft_stream_ckpt")
     // Stateful operators allocate one state-store instance PER shuffle

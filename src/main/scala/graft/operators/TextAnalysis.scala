@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CutOps
 import graft.Q
 import graft.functions.{BloomFilterOps, TextOps}
 import graft.sources.Tables
@@ -828,7 +829,7 @@ object TextAnalysis {
       .filter(size(split(col("text"), " ")) >= 3)
     val sh = Dedup.shingleExploded(docs)
       .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
-      .localCheckpoint(true)
+      .cutLineage()
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("f"))
     sh.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
@@ -857,12 +858,12 @@ object TextAnalysis {
         graft.functions.Barrier.materialized(split(col("text"), " "))
           .as("ws"))
       .filter(size(col("ws")) >= 2)
-      .localCheckpoint(true) // unigram + bigram passes share the scan
+      .cutLineage() // unigram + bigram passes share the scan
     val uni = toks
       .select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-      .localCheckpoint(true)
-    val totals = uni.agg(sum(col("c_w")).as("u_total")).localCheckpoint(true)
+      .cutLineage()
+    val totals = uni.agg(sum(col("c_w")).as("u_total")).cutLineage()
     val bg = toks
       .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
       .select(element_at(col("ws"), col("i")).as("w0"),
@@ -902,7 +903,7 @@ object TextAnalysis {
     val tok = t(spark, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
         .as("token"))
-      .localCheckpoint(true) // shard postings + global df share the pass
+      .cutLineage() // shard postings + global df share the pass
     val shard = tok
       .groupBy(col("token"), (col("doc_id") / 100).cast("int").as("shard"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))

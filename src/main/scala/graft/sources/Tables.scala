@@ -30,16 +30,30 @@ object Tables {
     * feed have shipped ts as TIMESTAMP(NANOS) (Spark rejects it natively;
     * under spark.sql.legacy.parquet.nanosAsLong=true — set by Verify/
     * Bench/tests — it arrives as a nanosecond LongType) and as
-    * TIMESTAMP(MICROS) without UTC adjustment (arrives as TIMESTAMP_NTZ).
+    * TIMESTAMP(MICROS) without UTC adjustment.
     * Downstream operators do epoch arithmetic (`ts.cast("long")` = epoch
-    * seconds), which Spark only defines on the LTZ type, so both forms
-    * funnel to LTZ here — the single normalization point for the engine,
+    * seconds), which Spark only defines on the LTZ type, so every form
+    * funnels to LTZ here — the single normalization point for the engine,
     * the stream source and the specs.
     *  - ns long → integer division to micros (a double roundtrip would
     *    lose precision at 1e18 magnitudes), then timestamp_micros.
     *  - NTZ → cast to LTZ: reinterprets the wall-clock in the session
     *    timezone, which every entry point pins to UTC, so the underlying
-    *    micros are bit-identical and DuckDB's naive `epoch(ts)` agrees. */
+    *    micros are bit-identical and DuckDB's naive `epoch(ts)` agrees.
+    *    Reached only for parquet carrying Spark NTZ metadata: every entry
+    *    point sets spark.sql.parquet.inferTimestampNTZ.enabled=false, so
+    *    the metadata-less MICROS feed arrives from the scan already LTZ.
+    *    That conf is load-bearing for scale, not cosmetics: an NTZ scan
+    *    needs a `cast` Project on top, and a user's `ts BETWEEN …` range
+    *    predicate against the cast column never reaches PushedFilters —
+    *    no parquet row-group min/max pruning on the one access pattern an
+    *    event table at 100 TB exists to serve (PlanSpec pins the pushdown
+    *    via q183).
+    *  - LTZ → already the target; pass through untouched (keeps the scan
+    *    Project-free so range predicates push down).
+    * Any OTHER physical form is a new feed regeneration this adaptation
+    * point has not seen: fail loudly here rather than letting epoch
+    * arithmetic silently misread it downstream. */
   def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -48,7 +62,11 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unrecognized physical type $other — the " +
+          "feed was regenerated into a form normalizeTs (the single ts " +
+          "adaptation point) does not handle; add a case for it here")
     }
   }
 

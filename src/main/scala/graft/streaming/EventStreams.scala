@@ -20,16 +20,21 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Declared source schema (events.parquet / a Kafka-JSON feed alike);
-    * `ts` matches the feed's physical TIMESTAMP_NTZ — normalize to LTZ
-    * with [[graft.sources.Tables.normalizeTs]] before event-time ops. */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Declared source schema for an events file stream, derived from the
+    * feed's own parquet footer at stream start (streams require a declared
+    * schema — no inference at runtime). The feed's physical ts type has
+    * already flipped once (TIMESTAMP(NANOS)/ns-long → TIMESTAMP(MICROS));
+    * a statically declared form would break the stream source on the next
+    * regeneration while the batch path survives, so the declared schema
+    * is read from the same footer the batch reader sees — under the same
+    * session confs (nanosAsLong, inferTimestampNTZ), so stream and batch
+    * agree on the arrival type by construction, and
+    * [[graft.sources.Tables.normalizeTs]] stays the one downstream
+    * adaptation point for whatever form arrives. The footer read is one
+    * driver-side metadata fetch — O(1), not a data scan. */
+  def eventSchemaFor(spark: org.apache.spark.sql.SparkSession,
+                     feedPath: String): StructType =
+    spark.read.parquet(feedPath).schema
 
   /** Tumbling 1-minute event-time windows; late data beyond the watermark
     * is dropped (streaming) / ignored (batch: no-op). */

@@ -36,6 +36,24 @@ class PlanSpec extends SparkSpec {
       s"unused lineitem columns not pruned: ${readSchema.get}")
   }
 
+  test("q183: ts range + event_type both push into the events parquet scan") {
+    // The feed ships ts as TIMESTAMP(MICROS) without UTC adjustment; read
+    // naively (inferTimestampNTZ on) it arrives NTZ and the LTZ cast sits
+    // as a Project over the scan — every ts range predicate then stays
+    // ABOVE the scan and parquet row-group min/max pruning is lost, the
+    // scale-killer for the canonical time-slice access at 100 TB. The
+    // session-level inferTimestampNTZ=false makes the scan itself LTZ;
+    // this test pins that the bounds actually reach PushedFilters.
+    val plan = planOf(Analytics.timeSlice(spark, sf))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(ts") &&
+      plan.contains("LessThan(ts"),
+      s"ts range not pushed to the events scan:\n$plan")
+    assert(plan.contains("In(event_type") ||
+      plan.contains("EqualTo(event_type"),
+      s"event_type filter not pushed to the events scan:\n$plan")
+  }
+
   test("q12: top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = planOf(Analytics.topkOrders(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")

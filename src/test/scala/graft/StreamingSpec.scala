@@ -458,7 +458,7 @@ class StreamingSpec extends SparkSpec {
         rows.toDF("event_id", "ts", "user_id", "event_type", "value",
           "props")
           // the feed's physical shape: TIMESTAMP(MICROS) without UTC
-          // adjustment, i.e. TIMESTAMP_NTZ — what rawSchema declares
+          // adjustment (NTZ) — rawSchemaOf picks it up from the footer
           .withColumn("ts",
             timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -468,7 +468,8 @@ class StreamingSpec extends SparkSpec {
       }
       def runOnce(): Unit = {
         val ev = sources.Tables.normalizeTs(
-          spark.readStream.schema(StreamQueries.rawSchema)
+          spark.readStream
+            .schema(StreamQueries.rawSchemaOf(spark, srcDir.toString))
             .parquet(srcDir.toString))
         val q = StreamQueries.joinAggTransform(ev).writeStream
           .format("parquet").option("path", outDir.toString)
@@ -541,5 +542,54 @@ class StreamingSpec extends SparkSpec {
           .foreach(f => Files.deleteIfExists(f))
       }
     }
+  }
+
+  test("file stream source adapts to every physical ts form the feed has " +
+      "shipped: footer-derived schema, one code path, identical results") {
+    // The feed regenerated once already (TIMESTAMP(NANOS)/ns-long →
+    // TIMESTAMP(MICROS)); a statically declared stream schema breaks on
+    // the next flip while the batch path (normalizeTs) survives.
+    // rawSchemaOf reads the staged feed's own footer at stream start, so
+    // ns-long, NTZ and LTZ stagings all stream through the SAME pipeline
+    // — no per-form code — and must yield identical windows.
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.StreamQueries
+    import spark.implicits._
+    val base = Seq(
+      (1L, "2024-01-01 00:00:10", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:00:50", 1L, "click", 2.0),
+      (3L, "2024-01-01 00:01:10", 2L, "view", 3.0),
+      (4L, "2024-01-01 00:03:10", 2L, "purchase", 4.0))
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .withColumn("us", unix_timestamp(col("tss")) * 1000000L) // micros
+    val forms: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "ns" -> (col("us") * 1000L), // the r1–r7 nanosecond-long feed
+      "ntz" -> timestamp_micros(col("us")).cast("timestamp_ntz"),
+      "ltz" -> timestamp_micros(col("us"))) // the normalized target
+    val outs = forms.map { case (form, tsCol) =>
+      val dir = Files.createTempDirectory(s"graft_form_$form").toString
+      base.select(col("event_id"), tsCol.as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val ev = sources.Tables.normalizeTs(
+        spark.readStream.schema(StreamQueries.rawSchemaOf(spark, dir))
+          .parquet(dir))
+      val ckpt = Files.createTempDirectory(s"graft_form_ckpt_$form")
+      val q = EventStreams.tumblingCounts(ev).writeStream
+        .format("memory").queryName(s"form_$form")
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(s"form_$form").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("bucket_start").getTime,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("total"))).toSet
+    }
+    assert(outs.head.nonEmpty, "stream produced no windows")
+    assert(outs.distinct.size === 1,
+      s"physical ts forms disagree through the stream source: $outs")
   }
 }

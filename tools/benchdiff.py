@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Mechanical cross-round bench adjudication (NOT shipped library code).
+
+Usage: python3 tools/benchdiff.py <old_bench_out.json> <new_bench_out.json>
+
+Implements the SCALE.md Round-8 reproducibility study's decision rule so
+cross-round perf calls are a computation, not a judgement:
+
+1. Platform-normalize: calib_sec times a fixed pure-ALU work unit, so
+   (new_calib / old_calib) is the host-speed ratio between the two runs
+   (bigger calib = slower box). Every NEW time is multiplied by
+   old_calib/new_calib, i.e. re-expressed in old-run box-speed units,
+   before comparison. If the two runs probed with different thread counts
+   (calib_threads), the calib numbers measured different saturation widths
+   — the tool says so and refuses to normalize (raw comparison only).
+
+2. Adjudicate per query and per category with the 10%-or-50ms rule: a
+   normalized delta is REGRESSED/IMPROVED only if it moves >10% AND
+   >50 ms; inside that envelope the study showed same-binary runs
+   disagree, so the verdict is 'stable'. A query failed (-1) or absent on
+   either side is 'unadjudicable' (with the reason).
+
+Exit code 1 iff any query or category regressed — usable as a gate.
+"""
+import json
+import sys
+
+
+THRESH_REL = 0.10
+THRESH_ABS = 0.05  # seconds
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def verdict(old, new_norm):
+    d = new_norm - old
+    if abs(d) > THRESH_ABS and abs(d) > THRESH_REL * old:
+        return "REGRESSED" if d > 0 else "improved"
+    return "stable"
+
+
+def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    a, b = load(sys.argv[1]), load(sys.argv[2])
+    calib_a, calib_b = a.get("calib_sec"), b.get("calib_sec")
+    thr_a, thr_b = a.get("calib_threads"), b.get("calib_threads")
+    if calib_a and calib_b and (thr_a == thr_b or thr_a is None or
+                                thr_b is None):
+        norm = calib_a / calib_b  # multiply NEW times by this
+        print(f"calib: old={calib_a:.3f}s new={calib_b:.3f}s -> host-speed "
+              f"ratio {calib_b / calib_a:.3f} (new times x{norm:.3f} to "
+              f"normalize)")
+        if thr_a is None or thr_b is None:
+            print("  note: calib_threads missing on one side (pre-r9 file); "
+                  "assuming same probe width")
+    else:
+        norm = 1.0
+        if calib_a and calib_b:
+            print(f"calib_threads differ (old={thr_a} new={thr_b}): probes "
+                  "saturated different widths, calib not comparable -> RAW "
+                  "comparison, platform swings NOT factored out")
+        else:
+            print("calib_sec missing (pre-r8 file?) -> RAW comparison")
+
+    qa, qb = a.get("queries", {}), b.get("queries", {})
+    rows, unadj = [], []
+    for k in sorted(set(qa) | set(qb)):
+        if k not in qa or k not in qb:
+            unadj.append((k, "only in " + ("new" if k not in qa else "old")))
+            continue
+        if qa[k] < 0 or qb[k] < 0:
+            unadj.append((k, "failed in " + ("old" if qa[k] < 0 else "new")))
+            continue
+        nn = qb[k] * norm
+        rows.append((k, qa[k], qb[k], nn, verdict(qa[k], nn)))
+
+    print(f"\nper-category (normalized, {THRESH_REL:.0%}-or-"
+          f"{THRESH_ABS * 1000:.0f}ms rule):")
+    ca, cb = a.get("categories", {}), b.get("categories", {})
+    for c in sorted(set(ca) | set(cb)):
+        if c in ca and c in cb:
+            nn = cb[c] * norm
+            print(f"  {c:<12} {ca[c]:8.3f}s -> {nn:8.3f}s  "
+                  f"({nn - ca[c]:+7.3f}s)  {verdict(ca[c], nn)}")
+        else:
+            print(f"  {c:<12} only in one file")
+
+    moved = [r for r in rows if r[4] != "stable"]
+    print(f"\nper-query: {len(rows)} adjudicated, "
+          f"{sum(1 for r in rows if r[4] == 'stable')} stable, "
+          f"{sum(1 for r in rows if r[4] == 'improved')} improved, "
+          f"{sum(1 for r in rows if r[4] == 'REGRESSED')} regressed, "
+          f"{len(unadj)} unadjudicable")
+    for k, old, raw, nn, v in sorted(moved, key=lambda r: r[1] - r[3]):
+        print(f"  {v:<9} {k:<28} {old:7.3f}s -> {nn:7.3f}s normalized "
+              f"(raw {raw:.3f}s)")
+    for k, why in unadj:
+        print(f"  unadjudicable {k}: {why}")
+
+    ta, tb = a.get("value"), b.get("value")
+    if ta is not None and tb is not None:
+        print(f"\ntotal: {ta:.3f}s -> {tb * norm:.3f}s normalized "
+              f"(raw {tb:.3f}s)  {verdict(ta, tb * norm)}")
+    sys.exit(1 if any(r[4] == "REGRESSED" for r in moved) else 0)
+
+
+if __name__ == "__main__":
+    main()
