@@ -47,16 +47,17 @@ def main():
         sys.exit(__doc__)
     a, b = load(sys.argv[1]), load(sys.argv[2])
     calib_a, calib_b = a.get("calib_sec"), b.get("calib_sec")
-    thr_a, thr_b = a.get("calib_threads"), b.get("calib_threads")
-    if calib_a and calib_b and (thr_a == thr_b or thr_a is None or
-                                thr_b is None):
+    # pre-r9 files carry no calib_threads; their probe was HARDCODED at 8
+    # (Bench.scala history) — defaulting to "same as the other side" would
+    # normalize across incomparable widths and mis-adjudicate
+    thr_a = a.get("calib_threads", 8)
+    thr_b = b.get("calib_threads", 8)
+    if calib_a and calib_b and thr_a == thr_b:
         norm = calib_a / calib_b  # multiply NEW times by this
-        print(f"calib: old={calib_a:.3f}s new={calib_b:.3f}s -> host-speed "
-              f"ratio {calib_b / calib_a:.3f} (new times x{norm:.3f} to "
+        print(f"calib: old={calib_a:.3f}s new={calib_b:.3f}s "
+              f"({thr_a} threads) -> host-speed ratio "
+              f"{calib_b / calib_a:.3f} (new times x{norm:.3f} to "
               f"normalize)")
-        if thr_a is None or thr_b is None:
-            print("  note: calib_threads missing on one side (pre-r9 file); "
-                  "assuming same probe width")
     else:
         norm = 1.0
         if calib_a and calib_b:
