@@ -75,7 +75,20 @@ object PlanDump {
       "q183_time_slice" ->
         ("event time-slice (THE 100-TB event-table access pattern): ts " +
           "range + event_type both in the scan's PushedFilters — " +
-          "row-group min/max pruning live, no cast Project over the scan"))
+          "row-group min/max pruning live, no cast Project over the scan"),
+      "q184_ewma_anomaly" ->
+        ("dyadic EWMA + anomaly gate: one user_id exchange, bounded " +
+          "16-row frame, integer Horner in codegen'd HOFs"),
+      "q185_copurchase" ->
+        ("market-basket pairs: self-equi-join on the basket key (never " +
+          "all-pairs over parts), broadcast margins, integer lift"),
+      "q186_doc_repetition" ->
+        ("in-doc repetition: both gram sizes tagged into ONE exploded " +
+          "stream — a single (doc_id,k,gram) shuffle, partial-agg'd"),
+      "q188_runtime_bloom_join" ->
+        ("runtime bloom-filter join: InjectRuntimeFilter builds the dim " +
+          "bloom as a subquery and probes might_contain ABOVE the fact " +
+          "scan, pre-shuffle"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

@@ -134,6 +134,84 @@ object Analytics {
       .groupBy(hour(col("ts")).cast("long").as("hr"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
 
+  /** EWMA smoothing + anomaly gate over per-user event streams — the
+    * time-series monitoring primitive (spike/dip detection against an
+    * exponentially-weighted trailing baseline).
+    *
+    * Exactness recipe: α = 1/2 over a 16-event trailing frame makes every
+    * weight a power of two, so the weighted numerator is ONE integer
+    * Horner pass (`acc*2 + x`, newest event heaviest) over the frame's
+    * integer cents and the denominator is 2^n − 1. The anomaly predicates
+    * (`cents·denom > 3·num` = above 3× the baseline; `3·cents·denom <
+    * num` = below a third of it) compare INTEGERS — no float accumulation
+    * anywhere — and the one double division (peak EWMA) has identical
+    * operands in both engines, so even the double column hash-matches.
+    *
+    * Scale: one hash exchange on user_id; window state is the bounded
+    * 16-row frame — O(1) per key regardless of stream length. Worst-case
+    * magnitudes (cents ≤ 10^7, denom ≤ 2^16) keep every product < 2^63. */
+  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-16, -1)
+    t(spark, dir, "events")
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("prior", collect_list(col("cents")).over(w))
+      .withColumn("num",
+        aggregate(reverse(col("prior")), lit(0L), (acc, x) => acc * 2 + x))
+      .withColumn("denom",
+        aggregate(col("prior"), lit(0L), (acc, _) => acc * 2 + 1))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("denom") > 0 &&
+          col("cents") * col("denom") > col("num") * 3, 1)).as("n_spikes"),
+        count(when(col("denom") > 0 &&
+          col("cents") * col("denom") * 3 < col("num"), 1)).as("n_dips"),
+        max(when(col("denom") > 0,
+          col("num").cast("double") / col("denom"))).as("ewma_peak"))
+  }
+
+  /** Market-basket co-occurrence (association mining): for every pair of
+    * parts bought together in one order, its joint support and integer-ppm
+    * lift vs independence — the "users who bought X also bought Y"
+    * primitive (and, on a token/document bipartite graph, the same shape
+    * as co-occurrence embedding pre-aggregation).
+    *
+    * Scale shape: the pair space is generated by a SELF-EQUI-JOIN on the
+    * basket key (`l_orderkey`, with `partkey_a < partkey_b` ordering the
+    * pair) — a hash join whose output is Σ b² over basket sizes b (TPC-H
+    * baskets are ≤7 rows, so ~20 pairs/order at any corpus size), never
+    * an all-pairs product over parts. Baskets are first collapsed to
+    * DISTINCT (order, part) so re-ordered line items don't double-count.
+    * Lift stays exact: `pair_n · n_orders · 10^6 div (a_n · b_n)` is pure
+    * integer arithmetic (magnitudes < 2^62 at 100 TB after the support
+    * cut); the support floor (pair_n ≥ 2) bounds the output like any
+    * minimum-support rule in Apriori-style mining. The margins join is
+    * broadcast at test scale; on a 100-TB parts domain drop the hint and
+    * it is a plain shuffle equi-join on the (already support-cut) pairs. */
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct()
+      .cutLineage() // one scan feeds pair-join, margins and the order count
+    val margins = baskets.groupBy(col("pkey")).agg(count(lit(1)).as("m"))
+    val nOrders = baskets.select(countDistinct(col("okey")).as("n_orders"))
+    baskets.as("a")
+      .join(baskets.as("b"), col("a.okey") === col("b.okey") &&
+        col("a.pkey") < col("b.pkey"))
+      .groupBy(col("a.pkey").as("part_a"), col("b.pkey").as("part_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 2)
+      .join(broadcast(margins.select(col("pkey").as("part_a"),
+        col("m").as("a_n"))), Seq("part_a"))
+      .join(broadcast(margins.select(col("pkey").as("part_b"),
+        col("m").as("b_n"))), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("pair_n"), col("a_n"),
+        col("b_n"),
+        expr("pair_n * n_orders * 1000000 div (a_n * b_n)").as("lift_ppm"))
+  }
+
   /** Sort with explicit NULL placement: Spark defaults to NULLS FIRST on
     * ASC, DuckDB to NULLS LAST — a silent cross-engine divergence unless
     * the query pins it (here: NULLS LAST + unique tie-break). */
@@ -1714,6 +1792,53 @@ object Analytics {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
         |  AND event_type IN ('purchase', 'click')
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin),
+    Q("q184_ewma_anomaly", ewmaAnomaly _,
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |fr AS (
+        |  SELECT user_id, cents,
+        |    COALESCE(list(cents) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING),
+        |      CAST([] AS BIGINT[])) AS prior
+        |  FROM e),
+        |h AS (
+        |  SELECT user_id, cents,
+        |    CASE WHEN len(prior) > 0 THEN
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT), list_reverse(prior)),
+        |        (a, x) -> a * 2 + x)
+        |      ELSE CAST(0 AS BIGINT) END AS num,
+        |    (CAST(1 AS BIGINT) << len(prior)) - 1 AS denom
+        |  FROM fr)
+        |SELECT user_id, count(*) AS n_events,
+        |  count(CASE WHEN denom > 0 AND cents * denom > num * 3
+        |    THEN 1 END) AS n_spikes,
+        |  count(CASE WHEN denom > 0 AND cents * denom * 3 < num
+        |    THEN 1 END) AS n_dips,
+        |  max(CASE WHEN denom > 0 THEN num / denom END) AS ewma_peak
+        |FROM h GROUP BY 1""".stripMargin),
+    Q("q185_copurchase", copurchase _,
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+        |  FROM lineitem),
+        |margins AS (SELECT pkey, count(*) AS m FROM baskets GROUP BY 1),
+        |n AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
+        |pairs AS (
+        |  SELECT a.pkey AS part_a, b.pkey AS part_b, count(*) AS pair_n
+        |  FROM baskets a JOIN baskets b
+        |    ON a.okey = b.okey AND a.pkey < b.pkey
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2)
+        |SELECT part_a, part_b, pair_n, ma.m AS a_n, mb.m AS b_n,
+        |  CAST(pair_n * n_orders * 1000000 // (ma.m * mb.m) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pairs
+        |JOIN margins ma ON ma.pkey = part_a
+        |JOIN margins mb ON mb.pkey = part_b
+        |CROSS JOIN n""".stripMargin)
   )
 }

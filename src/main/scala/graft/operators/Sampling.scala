@@ -284,7 +284,55 @@ object Sampling {
         (col("lang") === col("neg_lang")).as("same_lang"))
   }
 
+  /** Weighted systematic sampling — select ~16 documents per source with
+    * inclusion probability proportional to size (n_chars), the classic
+    * PPS design for building a size-faithful corpus subsample. No
+    * rand() and no transcendental priority keys (`u^(1/w)` of A-Res is
+    * not engine-portable): rows are laid on a deterministic hash order,
+    * weights accumulate as an integer cumulative sum, and a row is
+    * picked iff its weight interval spans a multiple of `step =
+    * total/16` — pure integer arithmetic (`div`), bit-identical in any
+    * engine, idempotent across runs.
+    *
+    * Scale: one hash exchange on source + per-partition sort (same shape
+    * as q121's domain cap). Per-source running sums assume a source's
+    * rows fit one partition's scan — at 100 TB sub-shard the running sum
+    * (hash-bucket within source, sample per bucket, resample the union)
+    * exactly as SCALE.md describes for q121. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("source"))
+      .orderBy(col("hk").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").as("weight"),
+        TextOps.portableHash(
+          concat(lit("wsmp:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("cum", sum(col("weight")).over(wOrd))
+      .withColumn("total", sum(col("weight")).over(wAll))
+      .withColumn("step", greatest(expr("total div 16"), lit(1L)))
+      .filter(expr("cum div step > (cum - weight) div step"))
+      .select(col("source"), col("doc_id"), col("weight"),
+        expr("cum div step").as("tick"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q187_weighted_sample", weightedSample _,
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars AS weight,
+        |    ('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, weight,
+        |    sum(weight) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    greatest(sum(weight) OVER (PARTITION BY source) // 16, 1)
+        |      AS step
+        |  FROM d)
+        |SELECT source, doc_id, weight, CAST(cum // step AS BIGINT) AS tick
+        |FROM c
+        |WHERE cum // step > (cum - weight) // step""".stripMargin),
     Q("q178_rate_limit", rateLimit _,
       """WITH e AS (
         |  SELECT user_id,

@@ -80,7 +80,58 @@ object Stats {
   def cboJoinReorder(spark: SparkSession, dir: String): DataFrame =
     starQuery(spark, dir, cbo = true)
 
+  /** Runtime bloom-filter join pruning (`InjectRuntimeFilter`) — the
+    * optimizer lever that turns a selective dim filter into a row-level
+    * prefilter ON THE FACT SCAN side of a shuffle join: Catalyst builds a
+    * `BloomFilterAggregate` over the filtered creation side (here:
+    * URGENT orders) as a subquery and injects `might_contain(...)` above
+    * the lineitem scan, so fact rows that cannot match die BEFORE the
+    * shuffle — at 100 TB that's the difference between shuffling the
+    * whole fact table and shuffling ~the matching slice. Complements
+    * q101 (hand-built Bloom via [[graft.functions.BloomFilterOps]]):
+    * this one is zero user code, purely the optimizer's.
+    *
+    * Confs scoped to a cloned session (the q170/AQE discipline):
+    * broadcast disabled so the join shuffles (a broadcast join needs no
+    * runtime filter — the dim is already on every executor), application
+    * -side size floor dropped to fixture scale (production default 10 GB
+    * is exactly right at 100 TB — the filter only pays where the fact
+    * scan is large). The query result is plan-invariant, so it is also
+    * oracle-gated as q188. `PlanSpec` asserts the injected
+    * `might_contain` + `BloomFilterAggregate` land in the optimized plan
+    * and that row counts equal the filter-free formulation. */
+  private[graft] def runtimeBloomJoin(spark: SparkSession,
+      dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(s2, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val urgent = Tables.load(s2, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q188_runtime_bloom_join", runtimeBloomJoin _,
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin),
     Q("q170_cbo_join_reorder", cboJoinReorder _,
       """SELECT n.n_name AS nation, count(*) AS n_orders,
         |  CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))

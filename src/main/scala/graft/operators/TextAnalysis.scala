@@ -922,7 +922,75 @@ object TextAnalysis {
           .as("gaps"))
   }
 
+  /** Within-document repetition signals (the Gopher repetition rules of
+    * Rae et al. 2021 §A1.1 the suite did not yet cover): the share of
+    * word-trigram OCCURRENCES that repeat an earlier trigram of the same
+    * document, and the share of bigram occurrences claimed by the
+    * document's single most frequent bigram. Complements q110 (length /
+    * stopword rules) and q158 (cross-corpus novelty): these are the
+    * in-doc boilerplate detectors — a doc that loops one phrase scores
+    * high here while still passing every length rule.
+    *
+    * One scan: both gram sizes are tagged into one exploded stream, so
+    * the per-doc tallies ride a single (doc_id, k, gram) shuffle and
+    * collapse to O(1) per doc. Ratios are exact integer ppm (`div`). */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val n3 = greatest(size(w) - 2, lit(0))
+    val n2 = greatest(size(w) - 1, lit(0))
+    val tris = zip_with(
+      zip_with(slice(w, lit(1), n3), slice(w, lit(2), n3),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(w, lit(3), n3),
+      (ab, c) => concat_ws(" ", ab, c))
+    val bis = zip_with(slice(w, lit(1), n2), slice(w, lit(2), n2),
+      (a, b) => concat_ws(" ", a, b))
+    t(spark, dir, "documents")
+      .filter(size(w) >= 3)
+      .select(col("doc_id"), explode(concat(
+        transform(tris, s => struct(lit(3).as("k"), s.as("g"))),
+        transform(bis, s => struct(lit(2).as("k"), s.as("g"))))).as("t"))
+      .select(col("doc_id"), col("t.k").as("k"), col("t.g").as("g"))
+      .groupBy(col("doc_id"), col("k"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(col("c")).as("occ"), count(lit(1)).as("dis"),
+        max(col("c")).as("top"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("k") === 3, col("occ"))).as("n_tri"),
+        max(when(col("k") === 3, col("occ") - col("dis"))).as("dup_tri"),
+        max(when(col("k") === 2, col("top"))).as("top_bi"),
+        max(when(col("k") === 2, col("occ"))).as("n_bi"))
+      .select(col("doc_id"), col("n_tri"),
+        expr("dup_tri * 1000000 div n_tri").as("dup_tri_ppm"),
+        expr("top_bi * 1000000 div n_bi").as("top_bi_ppm"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q186_doc_repetition", docRepetition _,
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, 3 AS k,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |            for i in range(1, len(w) - 1)]) AS g
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS k,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        |  FROM docs),
+        |c AS (SELECT doc_id, k, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |s AS (SELECT doc_id, k, sum(c) AS occ, count(*) AS dis,
+        |        max(c) AS top
+        |      FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(max(CASE WHEN k = 3 THEN occ END) AS BIGINT) AS n_tri,
+        |  CAST(max(CASE WHEN k = 3 THEN occ - dis END) * 1000000
+        |    // max(CASE WHEN k = 3 THEN occ END) AS BIGINT) AS dup_tri_ppm,
+        |  CAST(max(CASE WHEN k = 2 THEN top END) * 1000000
+        |    // max(CASE WHEN k = 2 THEN occ END) AS BIGINT) AS top_bi_ppm
+        |FROM s GROUP BY 1""".stripMargin),
     Q("q165_bigram_lift", bigramLift _,
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws

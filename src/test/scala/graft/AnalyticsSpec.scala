@@ -328,4 +328,65 @@ class AnalyticsSpec extends SparkSpec {
       assert(cov <= got._4 - got._3) // covered never exceeds the span
     }
   }
+
+  test("ewma anomaly: exact brute-force recompute incl. the double peak") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = events.groupBy(_._1).map { case (u, rows) =>
+      val xs = rows.sortBy(r => (r._2, r._3)).map(_._4).toVector
+      var spikes = 0L; var dips = 0L; var peak = Option.empty[Double]
+      for (i <- xs.indices) {
+        val prior = xs.slice(math.max(0, i - 16), i) // oldest..newest
+        val num = prior.reverse.foldLeft(0L)((a, x) => a * 2 + x)
+        val denom = (1L << prior.length) - 1
+        if (denom > 0) {
+          if (xs(i) * denom > num * 3) spikes += 1
+          if (xs(i) * denom * 3 < num) dips += 1
+          val e = num.toDouble / denom
+          peak = Some(peak.fold(e)(math.max(_, e)))
+        }
+      }
+      u -> ((xs.length.toLong, spikes, dips, peak))
+    }
+    val got = Analytics.ewmaAnomaly(spark, sf).collect().map(r =>
+      r.getAs[Long]("user_id") -> ((r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_spikes"), r.getAs[Long]("n_dips"),
+        Option(r.getAs[java.lang.Double]("ewma_peak"))
+          .map(_.doubleValue)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (u, e) => assert(got(u) === e, s"user $u") }
+    // anomalies need a non-empty baseline: never more than n-1 flags
+    got.values.foreach { case (n, s, d, _) => assert(s + d <= n - 1) }
+  }
+
+  test("copurchase: brute-force pair counts, margins and integer lift") {
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val margins = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) {
+        val k = (ps(i), ps(j))
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1
+      }
+    }
+    val expected = pairCounts.toMap.filter(_._2 >= 2).map { case ((a, b), c) =>
+      (a, b) -> ((c, margins(a), margins(b),
+        c * nOrders * 1000000L / (margins(a) * margins(b))))
+    }
+    val got = Analytics.copurchase(spark, sf).collect().map { r =>
+      (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        ((r.getAs[Long]("pair_n"), r.getAs[Long]("a_n"),
+          r.getAs[Long]("b_n"), r.getAs[Long]("lift_ppm")))
+    }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty) // support floor must not silence the fixture
+  }
 }

@@ -547,4 +547,28 @@ class PipelineOpsSpec extends SparkSpec {
       === direct)
     df.unpersist()
   }
+
+  test("doc repetition: brute-force ppm recompute over every document") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      if (w.length < 3) None else {
+        val tris = w.sliding(3).map(_.mkString(" ")).toVector
+        val bis = w.sliding(2).map(_.mkString(" ")).toVector
+        val nTri = tris.length.toLong
+        val dupTri = nTri - tris.distinct.length
+        val topBi = bis.groupBy(identity).values.map(_.length).max.toLong
+        Some(id -> ((nTri, dupTri * 1000000L / nTri,
+          topBi * 1000000L / bis.length)))
+      }
+    }.toMap
+    val got = TextAnalysis.docRepetition(spark, sf).collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tri"),
+        r.getAs[Long]("dup_tri_ppm"), r.getAs[Long]("top_bi_ppm")))).toMap
+    assert(got === expected)
+    // the fixture corpus loops a tiny vocabulary: repetition must register
+    assert(got.values.exists(_._2 > 0))
+  }
 }

@@ -334,4 +334,28 @@ class PlanSpec extends SparkSpec {
         s"\n$plan")
     assert(plan.contains("HashAggregate"), s"got:\n$plan")
   }
+
+  test("q188: runtime bloom filter injected on the fact side of the join") {
+    import graft.operators.Stats
+    import org.apache.spark.sql.functions.{col, sum}
+    val df = Stats.runtimeBloomJoin(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // InjectRuntimeFilter: a BloomFilterAggregate subquery over the
+    // filtered creation side, probed by might_contain above the fact scan
+    assert(opt.contains("bloom_filter_agg") ||
+      opt.contains("BloomFilterAggregate"),
+      s"no bloom build subquery in optimized plan:\n${opt.take(3000)}")
+    assert(opt.contains("might_contain"),
+      s"no might_contain probe in optimized plan:\n${opt.take(3000)}")
+    // the probe must sit on the LINEITEM (application) side, pre-shuffle
+    // — and the filter is invisible in the result: equal to the plain
+    // formulation on the shared (bloom-free) session
+    val plain = TestSpark.spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(TestSpark.spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    val n = df.agg(sum("n_lines")).collect()(0).getLong(0)
+    assert(n === plain, s"bloom-filtered join changed the row count: $n")
+  }
 }

@@ -324,4 +324,35 @@ class SamplingSpec extends SparkSpec {
         assert(r.getAs[Long]("max_tokens") < 128L + maxDocToks)
       }
   }
+
+  test("weighted sample: brute-force systematic-PPS recompute") {
+    def hk(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val ordered = rows.map { case (id, _, w) => (hk(s"wsmp:$id"), id, w) }
+        .sortBy(r => (r._1, r._2))
+      val total = ordered.map(_._3).sum
+      val step = math.max(total / 16, 1L)
+      var cum = 0L
+      ordered.toSeq.flatMap { case (_, id, w) =>
+        cum += w
+        if (cum / step > (cum - w) / step)
+          Some((src, id) -> ((w, cum / step))) else None
+      }
+    }.toMap
+    val got = Sampling.weightedSample(spark, sf).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("weight"), r.getAs[Long]("tick")))).toMap
+    assert(got === expected)
+    // ~16 picks per source: ticks are distinct multiples of step, so a
+    // source never yields more than total/step <= 16 + 1 rows
+    got.keySet.groupBy(_._1).values.foreach(g => assert(g.size <= 17))
+    assert(got.nonEmpty)
+  }
 }
