@@ -88,7 +88,13 @@ object PlanDump {
       "q188_runtime_bloom_join" ->
         ("runtime bloom-filter join: InjectRuntimeFilter builds the dim " +
           "bloom as a subquery and probes might_contain ABOVE the fact " +
-          "scan, pre-shuffle"))
+          "scan, pre-shuffle"),
+      "q189_temporal_join" ->
+        ("point-in-time AS-OF join via the asof-union trick: versions + " +
+          "facts in one per-customer window stream — no range join"),
+      "q190_global_ordinals" ->
+        ("window-free global ordinals: bucketed windows + 64-row offset " +
+          "prefix sum — the only SinglePartition exchange is 64 rows"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

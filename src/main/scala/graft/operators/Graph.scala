@@ -193,7 +193,89 @@ object Graph {
        |    FROM ew JOIN r${i - 1} r ON ew.src = r.node GROUP BY 1) c
        |    ON d.node = c.node)""".stripMargin
 
+  /** Iterative core peel: drop nodes of degree < k (and their edges),
+    * repeat until the edge count is stable — the k-core fixpoint. One
+    * degree agg + two semi-shaped equi-joins per round over a
+    * checkpointed symmetric edge list; the only driver value per round
+    * is the O(1) edge count (the q53 connected-components discipline).
+    * Rounds are data-dependent but bounded by the longest peel cascade
+    * (≤ 6 at every tested SF; the safety guard caps runaway input). */
+  private[graft] def coreOf(sym: DataFrame, k: Int): DataFrame = {
+    var edges = sym.cutLineage()
+    var n = edges.count()
+    var converged = n == 0
+    var guard = 0
+    while (!converged && guard < 32) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kn"))
+      val nxt = edges
+        .join(keep.select(col("kn").as("src")), Seq("src"))
+        .join(keep.select(col("kn").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst")).cutLineage()
+      val m = nxt.count()
+      converged = m == n
+      n = m
+      edges = nxt
+      guard += 1
+    }
+    edges
+  }
+
+  /** 2-core decomposition of the support-2 co-purchase graph (parts as
+    * nodes, edges between parts bought together in ≥2 orders — q185's
+    * pair relation): iteratively peel degree-1 nodes until only the
+    * cycle-containing subgraph survives. The graph-cleanup primitive
+    * that strips pendant chains before community/cycle analysis; on
+    * this feed it is a real cascade (sf0.1: 5,922 nodes → 3 over 6
+    * peel rounds).
+    *
+    * Parity recipe: Spark loops to the FIXPOINT; the oracle unrolls 8
+    * peel rounds — identical results because peeling is monotone and
+    * idempotent past the fixpoint, and the spec pins fixpoint ≤ 8 at
+    * every gate SF (a planted chain-into-triangle fixture proves the
+    * multi-round cascade semantics besides). */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("u"), col("v"))
+    val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+    coreOf(sym, 2).groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+  }
+
+  /** One unrolled 2-core peel round for the DuckDB oracle. MATERIALIZED
+    * is load-bearing: each round reads its predecessor three times, and
+    * DuckDB inlines plain CTEs — 8 rounds would expand to 3^8 scans of
+    * the base table (observed as fd exhaustion, not just slowness). */
+  private def kcIterSql(i: Int): String =
+    s"""e$i AS MATERIALIZED (
+       |  SELECT c.src, c.dst FROM e${i - 1} c
+       |    JOIN (SELECT src FROM e${i - 1} GROUP BY 1
+       |          HAVING count(*) >= 2) a ON c.src = a.src
+       |    JOIN (SELECT src FROM e${i - 1} GROUP BY 1
+       |          HAVING count(*) >= 2) b ON c.dst = b.src)""".stripMargin
+
   val catalog: Seq[Q] = Seq(
+    Q("q192_kcore", kcore _,
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (
+         |  SELECT a.pk AS u, b.pk AS v FROM baskets a JOIN baskets b
+         |    ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+         |       UNION ALL SELECT v, u FROM pairs),
+         |${(1 to 8).map(kcIterSql).mkString(",\n")}
+         |SELECT src AS node, count(*) AS deg FROM e8 GROUP BY 1"""
+        .stripMargin),
     Q("q153_triangles", triangles _,
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -342,7 +342,107 @@ object JoinsSetOps {
         |      AND o2.o_totalprice > 9000)""".stripMargin)
   }
 
+  /** Point-in-time (temporal / AS-OF dimension) join — each fact row is
+    * matched to the dimension VERSION valid at its own timestamp: the
+    * warehouse time-travel join every SCD2 history (q86) exists to
+    * serve. Facts are line items at their ship date; the dimension is
+    * the customer's order-priority version history (consecutive runs
+    * collapsed, as in q86).
+    *
+    * The scalable formulation is the asof-union trick (q63's recipe,
+    * lifted cross-table): version-start rows and fact rows are tagged
+    * into ONE per-customer ordered stream (dims sort before facts at an
+    * equal second; among same-second dims the later version sorts last)
+    * and `last(dim_priority, ignoreNulls)` carries the valid version
+    * onto every fact — one hash exchange on cust + one per-partition
+    * sort, never a range join, never per-fact probing. The oracle is
+    * the declarative interval formulation (LEFT join on `vsec <= fsec`,
+    * arg_max over the version key) — the gate proves the two agree.
+    * Facts that predate every version (the feed ships some items before
+    * their order date) keep a NULL valid version — the honest AS-OF
+    * miss, not a dropped row. Rolled up by valid priority; `n_switched`
+    * counts facts whose valid version differs from their own order's
+    * priority (the rows a naive fact⋈dim-current join would get
+    * wrong). */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val versions = t(spark, dir, "orders")
+      .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(wOrd))
+      .filter(col("prev_p").isNull ||
+        col("prev_p") =!= col("o_orderpriority"))
+      .withColumn("version", row_number().over(wOrd).cast("long"))
+      .select(col("o_custkey").as("cust"),
+        col("o_orderdate").cast("timestamp_ltz").cast("long").as("sec"),
+        col("o_orderpriority").as("dim_priority"), col("version"))
+    val facts = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        col("l_shipdate").cast("timestamp_ltz").cast("long").as("sec"),
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lineno"),
+        col("o_orderpriority").as("own_priority"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+    val tagged = versions
+      .select(col("cust"), col("sec"), lit(1).as("is_dim"),
+        col("version").as("ord"), col("dim_priority"),
+        lit(null).cast("string").as("own_priority"),
+        lit(null).cast("long").as("cents"))
+      .unionByName(facts
+        .select(col("cust"), col("sec"), lit(0).as("is_dim"),
+          (col("okey") * 100 + col("lineno")).as("ord"),
+          lit(null).cast("string").as("dim_priority"),
+          col("own_priority"), col("cents")))
+    val wPit = Window.partitionBy(col("cust"))
+      .orderBy(col("sec").asc, col("is_dim").desc, col("ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("valid_priority",
+        last(col("dim_priority"), ignoreNulls = true).over(wPit))
+      .filter(col("is_dim") === 0)
+      .groupBy(col("valid_priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("valid_priority") =!= col("own_priority"), 1))
+          .as("n_switched"),
+        sum(col("cents")).as("cents"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q189_temporal_join", temporalJoin _,
+      """WITH v0 AS (
+        |  SELECT o_custkey AS cust, o_orderdate, o_orderkey,
+        |    o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_p
+        |  FROM orders),
+        |versions AS (
+        |  SELECT cust, CAST(epoch(o_orderdate) AS BIGINT) AS vsec,
+        |    o_orderpriority AS dim_priority,
+        |    row_number() OVER (PARTITION BY cust
+        |      ORDER BY o_orderdate, o_orderkey) AS version
+        |  FROM v0 WHERE prev_p IS NULL OR prev_p <> o_orderpriority),
+        |facts AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(epoch(l_shipdate) AS BIGINT) AS fsec,
+        |    l_orderkey, l_linenumber, o_orderpriority AS own_priority,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pit AS (
+        |  SELECT f.l_orderkey, f.l_linenumber, f.own_priority, f.cents,
+        |    arg_max(v.dim_priority, v.vsec * 1000000 + v.version)
+        |      AS valid_priority
+        |  FROM facts f LEFT JOIN versions v
+        |    ON f.cust = v.cust AND v.vsec <= f.fsec
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT valid_priority, count(*) AS n_lines,
+        |  count(CASE WHEN valid_priority <> own_priority THEN 1 END)
+        |    AS n_switched,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM pit GROUP BY 1""".stripMargin),
     Q("q156_exists_join", existsJoin _,
       """SELECT c_custkey AS cust_id, c_name AS name
         |FROM customer c

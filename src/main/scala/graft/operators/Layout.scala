@@ -159,7 +159,51 @@ object Layout {
         sum(col("nm")).as("rows_matching"))
   }
 
+  /** Window-free global ordinal assignment — contiguous 1..N ids in a
+    * deterministic pseudorandom order (the training-corpus "give every
+    * doc a stable shuffled ordinal" primitive). The naive form is
+    * `row_number() OVER (ORDER BY …)` = one single-partition sort of the
+    * whole corpus — the canonical scale-killer. The two-phase form here:
+    * rows hash into 64 buckets (deterministic md5 order within bucket,
+    * bounded window partitions), bucket COUNTS (64 rows) get exclusive
+    * prefix-sum offsets, and ordinal = offset(bucket) + rank-in-bucket.
+    * The only single-partition window runs over 64 count rows — O(1)
+    * data; everything row-scaled is hash-partitioned. Identical to the
+    * oracle's global `row_number() OVER (ORDER BY bucket, hk, doc_id)`
+    * by construction; contiguity is spec-asserted. At 100 TB raise the
+    * bucket count to O(executors·10) — the offset table stays tiny. */
+  def globalOrdinals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextOps
+    val wb = Window.partitionBy(col("bucket"))
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.portableHash(
+          concat(lit("ord:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("bucket", col("hk") % 64)
+      .withColumn("rn", row_number().over(wb).cast("long"))
+    val wOff = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    docs.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        (col("offset") + col("rn")).as("ordinal"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q190_global_ordinals", globalOrdinals _,
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT AS hk
+        |  FROM documents)
+        |SELECT doc_id, hk % 64 AS bucket,
+        |  row_number() OVER (ORDER BY hk % 64, hk, doc_id) AS ordinal
+        |FROM d""".stripMargin),
     Q("q157_layout_pruning", layoutPruning _,
       s"""WITH d AS (
          |  SELECT o_orderkey, (o_custkey & 255) AS xb,

@@ -167,6 +167,23 @@ object StreamQueries {
           .as[EventStreams.Ev2]).toDF()
     }
 
+  /** Streaming EWMA anomaly gate through the engine:
+    * [[EventStreams.ewmaStateful]] (flatMapGroupsWithState) — the
+    * deployment shape of batch q184: per-user dyadic EWMA baseline
+    * carried across micro-batches in O(1) bounded state (last ≤16
+    * integer cents), each event flagged against it the moment it
+    * arrives. With the single-file staging (one micro-batch) the
+    * emitted rows equal the batch trailing-frame windows, which is the
+    * oracle. */
+  def streamEwma(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir, mode = "append") { ev =>
+      import spark.implicits._
+      EventStreams.ewmaStateful(
+        ev.select(col("user_id"), col("event_id"), col("ts"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .as[EventStreams.Ev3]).toDF()
+    }
+
   /** Stream-STATIC join through the engine: the unbounded events feed
     * enriched with the bounded customer dimension — the canonical
     * "enrich a stream with a slowly-changing lookup table" deployment.
@@ -530,6 +547,31 @@ object StreamQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
         .stripMargin),
+    Q("q191_stream_ewma", streamEwma _,
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |fr AS (
+        |  SELECT user_id, event_id, cents,
+        |    COALESCE(list(cents) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING),
+        |      CAST([] AS BIGINT[])) AS prior
+        |  FROM e),
+        |h AS (
+        |  SELECT user_id, event_id, cents,
+        |    CASE WHEN len(prior) > 0 THEN
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT), list_reverse(prior)),
+        |        (a, x) -> a * 2 + x)
+        |      ELSE CAST(0 AS BIGINT) END AS num,
+        |    (CAST(1 AS BIGINT) << len(prior)) - 1 AS denom
+        |  FROM fr)
+        |SELECT user_id, event_id, num, denom,
+        |  (denom > 0 AND cents * denom > num * 3) AS is_spike,
+        |  (denom > 0 AND cents * denom * 3 < num) AS is_dip
+        |FROM h""".stripMargin),
     Q("q111_stream_static_join", streamStaticEnrich _,
       """SELECT c.c_mktsegment AS segment, e.event_type,
         |  count(*) AS n, round(sum(e.value), 2) AS total

@@ -125,6 +125,44 @@ object EventStreams {
       }
   }
 
+  case class Ev3(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                 cents: Long)
+  case class EwmaBuf(prior: Seq[Long]) // newest first, bounded to 16
+  case class EwmaEv(user_id: Long, event_id: Long, num: Long, denom: Long,
+                    is_spike: Boolean, is_dip: Boolean)
+
+  /** Streaming EWMA + anomaly gate — the stateful twin of batch q184:
+    * the same dyadic integer arithmetic (α=1/2 over the trailing 16
+    * events: numerator = one Horner pass newest-first, denominator =
+    * 2^n − 1, anomaly predicates compare integers), but the baseline is
+    * CARRIED ACROSS MICRO-BATCHES in per-user state — the last ≤16
+    * integer cents, O(1) per key forever. This is the deployment shape
+    * of q184: flag a metric spike the moment its event arrives, not at
+    * the end of a batch job. Events inside a batch are sorted by
+    * (ts-to-nanos, event_id) so tie order matches the batch oracle's
+    * window order. */
+  def ewmaStateful(events: Dataset[Ev3]): Dataset[EwmaEv] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaBuf, EwmaEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev3], state: GroupState[EwmaBuf]) =>
+          val sorted = it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var prior = state.getOption.getOrElse(EwmaBuf(Nil)).prior
+          val out = sorted.map { e =>
+            val num = prior.foldLeft(0L)((a, x) => a * 2 + x)
+            val denom = (1L << prior.length) - 1
+            val spike = denom > 0 && e.cents * denom > num * 3
+            val dip = denom > 0 && e.cents * denom * 3 < num
+            prior = (e.cents +: prior).take(16)
+            EwmaEv(user, e.event_id, num, denom, spike, dip)
+          }
+          state.update(EwmaBuf(prior))
+          out.iterator
+      }
+  }
+
   /** Custom stateful sessionizer: emits a session when a subsequent event
     * arrives more than `gapSec` after the previous one. State per user is
     * one open-session buffer — O(1) per key regardless of stream length.

@@ -548,6 +548,102 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("k-core: planted chain-into-triangle peels in a multi-round " +
+      "cascade; sf result equals brute-force peel") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant chain 3-4-5-6: node 6 falls first,
+    // then 5, then 4 — three cascading rounds before the fixpoint
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L))
+    val sym = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    val core = Graph.coreOf(sym, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core === Set((1L, 2L), (2L, 3L), (1L, 3L), (2L, 1L),
+      (3L, 2L), (3L, 1L)), s"2-core should be exactly the triangle: $core")
+    // full-query result equals an independent Scala peel at sf0.001
+    val got = Graph.kcore(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCounts((ps(i), ps(j))) =
+          pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    var edges = pairCounts.filter(_._2 >= 2).keySet
+      .flatMap(e => Seq(e, e.swap)).toSet
+    var stable = false
+    while (!stable) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      val nxt = edges.filter(e => keep(e._1) && keep(e._2))
+      stable = nxt == edges
+      edges = nxt
+    }
+    val expected = edges.groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    assert(got === expected)
+    got.values.foreach(d => assert(d >= 2))
+  }
+
+  test("temporal join: AS-OF rollup equals brute-force interval scan") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ltz").cast("long").as("sec"),
+        col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // versions: collapse consecutive same-priority runs per customer
+    val versions = orders.groupBy(_._1).view.mapValues { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val vs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String)] // (vsec, version, priority)
+      var prev: String = null
+      var v = 0L
+      sorted.foreach { case (_, _, sec, p) =>
+        v += 1
+        if (prev == null || prev != p) vs += ((sec, v, p))
+        prev = p
+      }
+      vs.toVector
+    }.toMap
+    // careful: version numbers count COLLAPSED rows (post-filter
+    // row_number) — renumber to match
+    val renumbered = versions.map { case (c, vs) =>
+      c -> vs.zipWithIndex.map { case ((s, _, p), i) => (s, i + 1L, p) }
+    }
+    val ordByKey = orders.map(r => r._2 -> ((r._1, r._4))).toMap
+    val facts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("timestamp_ltz").cast("long").as("sec"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("cents")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val agg = scala.collection.mutable
+      .Map.empty[Option[String], (Long, Long, Long)]
+    facts.foreach { case (okey, _, fsec, cents) =>
+      val (cust, own) = ordByKey(okey)
+      val valid = renumbered(cust).filter(_._1 <= fsec)
+        .sortBy(v => (v._1, v._2)).lastOption.map(_._3)
+      val switched = if (valid.exists(_ != own)) 1L else 0L
+      val (n, s, c) = agg.getOrElse(valid, (0L, 0L, 0L))
+      agg(valid) = (n + 1, s + switched, c + cents)
+    }
+    val got = JoinsSetOps.temporalJoin(spark, sf).collect().map(r =>
+      Option(r.getAs[String]("valid_priority")) ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_switched"),
+          r.getAs[Long]("cents")))).toMap
+    assert(got === agg.toMap)
+    // the AS-OF semantics must be non-trivial on this feed: some facts
+    // see an OLDER version than their own order's priority, and some
+    // predate every version (NULL group)
+    assert(agg.toMap.values.map(_._2).sum > 0)
+    assert(agg.contains(None))
+  }
+
   test("doc repetition: brute-force ppm recompute over every document") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text")).collect()

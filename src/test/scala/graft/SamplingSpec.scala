@@ -325,6 +325,30 @@ class SamplingSpec extends SparkSpec {
       }
   }
 
+  test("global ordinals: a contiguous 1..N permutation equal to the " +
+      "one-sort oracle, stable across runs") {
+    import graft.operators.Layout
+    def hk(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val got = Layout.globalOrdinals(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ordinal")).toMap
+    // contiguity: ordinals are exactly 1..N
+    assert(got.values.toVector.sorted === (1L to got.size.toLong).toVector)
+    // equality with the single-sort formulation (never executed at scale)
+    val expected = got.keys.toVector
+      .map(id => (hk(s"ord:$id"), id))
+      .sortBy { case (h, id) => (h % 64, h, id) }
+      .zipWithIndex.map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    assert(got === expected)
+    // idempotent: a re-run assigns every doc the same ordinal
+    val again = Layout.globalOrdinals(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ordinal")).toMap
+    assert(again === got)
+  }
+
   test("weighted sample: brute-force systematic-PPS recompute") {
     def hk(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")

@@ -592,4 +592,82 @@ class StreamingSpec extends SparkSpec {
     assert(outs.distinct.size === 1,
       s"physical ts forms disagree through the stream source: $outs")
   }
+
+  test("streaming EWMA: the baseline carries ACROSS micro-batches") {
+    // The q191 gate stages ONE file (one micro-batch), which never
+    // exercises the state carry. Here two files stream as two separate
+    // micro-batches (maxFilesPerTrigger=1): batch 1 builds user 7's
+    // 100-cent baseline, batch 2 opens with a 10x value — flaggable as
+    // a spike ONLY if the ≤16-cent state queue survived the batch
+    // boundary (reset state = empty prior = denom 0 = no flag).
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.StreamQueries
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val srcDir = Files.createTempDirectory("graft_ewma_src")
+    def stage(name: String, mtimeSec: Long,
+        rows: Seq[(Long, String, Long, String, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_ewma_stage")
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .withColumn("ts",
+          timestamp_micros(unix_timestamp(col("tss")) * 1000000L)
+            .cast("timestamp_ntz"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(name)
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    stage("b1.parquet", 1000L, Seq(
+      (1L, "2024-01-01 00:00:10", 7L, "click", 1.0),
+      (2L, "2024-01-01 00:01:10", 7L, "click", 1.0),
+      (3L, "2024-01-01 00:02:10", 7L, "click", 1.0)))
+    stage("b2.parquet", 2000L, Seq(
+      (4L, "2024-01-01 00:03:10", 7L, "click", 10.0),
+      (5L, "2024-01-01 00:04:10", 7L, "click", 1.0)))
+    val ev = sources.Tables.normalizeTs(
+      spark.readStream
+        .schema(StreamQueries.rawSchemaOf(spark, srcDir.toString))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString))
+    val ckpt = Files.createTempDirectory("graft_ewma_ckpt")
+    val q = EventStreams.ewmaStateful(
+      ev.select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .as[EventStreams.Ev3]).toDF()
+      .writeStream.format("memory").queryName("ewma_carry")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the two files really ran as two separate micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) === 2,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+    val got = spark.table("ewma_carry").collect().map(r =>
+      r.getAs[Long]("event_id") -> ((r.getAs[Long]("num"),
+        r.getAs[Long]("denom"), r.getAs[Boolean]("is_spike"),
+        r.getAs[Boolean]("is_dip")))).toMap
+    // brute force over the CONCATENATED sequence — only a surviving
+    // state queue reproduces it
+    val cents =
+      Seq(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 1000L, 5L -> 100L)
+    var prior = List.empty[Long] // newest first
+    val expected = cents.map { case (id, c) =>
+      val num = prior.foldLeft(0L)((a, x) => a * 2 + x)
+      val denom = (1L << prior.length) - 1
+      val out = id -> ((num, denom, denom > 0 && c * denom > num * 3,
+        denom > 0 && c * denom * 3 < num))
+      prior = (c :: prior).take(16)
+      out
+    }.toMap
+    assert(got === expected)
+    assert(got(4L)._3, "cross-batch baseline lost: spike not flagged")
+    assert(got(5L)._4, "dip vs the spike-inflated baseline not flagged")
+  }
 }
