@@ -94,7 +94,11 @@ object PlanDump {
           "facts in one per-customer window stream — no range join"),
       "q190_global_ordinals" ->
         ("window-free global ordinals: bucketed windows + 64-row offset " +
-          "prefix sum — the only SinglePartition exchange is 64 rows"))
+          "prefix sum — the only SinglePartition exchange is 64 rows"),
+      "q193_rank_transform" ->
+        ("sort-free global rank/percentile: width_bucket slices + " +
+          "bounded windows + O(1) offset prefix sum — no corpus-wide " +
+          "single-partition sort"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

@@ -212,6 +212,44 @@ object Analytics {
         expr("pair_n * n_orders * 1000000 div (a_n * b_n)").as("lift_ppm"))
   }
 
+  /** Per-row global rank + percentile (rank/quantile normalization — the
+    * ML feature transform) WITHOUT the single-partition global sort that
+    * `row_number() OVER (ORDER BY …)` costs: values range-bucket into 64
+    * monotone slices (`width_bucket` over broadcast min/max), rank
+    * within each slice under a bounded window, and an exclusive prefix
+    * sum over the 64 slice counts lifts local ranks to global ones —
+    * the q190 two-phase recipe, but on a VALUE order instead of a hash
+    * order (bucketing must be monotone in the ranked value, and ties
+    * stay inside one bucket because the bucket is a function of the
+    * value). The oracle IS the one-sort global row_number, so the gate
+    * proves the two-phase form exactly reproduces it. Integer ppm
+    * percentile; rank ties broken by order id. At 100 TB: more slices
+    * (and quantile-based boundaries against skew — `width_bucket` keeps
+    * correctness either way, balance is all that suffers). */
+  def rankTransform(spark: SparkSession, dir: String): DataFrame = {
+    val cents = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("order_id"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+    val bounds = cents.agg(min(col("cents")).as("mn"),
+      max(col("cents")).as("mx"), count(lit(1)).as("n_total"))
+    val wb = Window.partitionBy(col("b"))
+      .orderBy(col("cents").asc, col("order_id").asc)
+    val bucketed = cents.crossJoin(broadcast(bounds))
+      .withColumn("b", expr("width_bucket(cents, mn, mx + 1, 64)"))
+      .withColumn("rn", row_number().over(wb).cast("long"))
+    val wOff = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("b"), col("off"))
+    bucketed.join(broadcast(offsets), Seq("b"))
+      .select(col("order_id"), col("cents"),
+        (col("off") + col("rn")).as("rank_global"),
+        expr("(off + rn - 1) * 1000000 div (n_total - 1)").as("pct_ppm"))
+  }
+
   /** Sort with explicit NULL placement: Spark defaults to NULLS FIRST on
     * ASC, DuckDB to NULLS LAST — a silent cross-engine divergence unless
     * the query pins it (here: NULLS LAST + unique tie-break). */
@@ -1821,6 +1859,21 @@ object Analytics {
         |    THEN 1 END) AS n_dips,
         |  max(CASE WHEN denom > 0 THEN num / denom END) AS ewma_peak
         |FROM h GROUP BY 1""".stripMargin),
+    Q("q193_rank_transform", rankTransform _,
+      """WITH c AS (
+        |  SELECT o_orderkey AS order_id,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT order_id, cents,
+        |    CAST(row_number() OVER (ORDER BY cents, order_id) AS BIGINT)
+        |      AS rank_global,
+        |    count(*) OVER () AS n_total
+        |  FROM c)
+        |SELECT order_id, cents, rank_global,
+        |  CAST((rank_global - 1) * 1000000 // (n_total - 1) AS BIGINT)
+        |    AS pct_ppm
+        |FROM r""".stripMargin),
     Q("q185_copurchase", copurchase _,
       """WITH baskets AS (
         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey

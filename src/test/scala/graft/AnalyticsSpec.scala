@@ -363,6 +363,25 @@ class AnalyticsSpec extends SparkSpec {
     got.values.foreach { case (n, s, d, _) => assert(s + d <= n - 1) }
   }
 
+  test("rank transform: two-phase ranks equal the one-sort ground truth") {
+    val got = Analytics.rankTransform(spark, sf).collect().map(r =>
+      r.getAs[Long]("order_id") -> ((r.getAs[Long]("cents"),
+        r.getAs[Long]("rank_global"), r.getAs[Long]("pct_ppm")))).toMap
+    // contiguity: ranks are exactly 1..N
+    assert(got.values.map(_._2).toVector.sorted ===
+      (1L to got.size.toLong).toVector)
+    // equality with a driver-side full sort (never executed at scale)
+    val expected = got.toVector
+      .sortBy { case (id, (c, _, _)) => (c, id) }
+      .zipWithIndex.map { case ((id, (c, _, _)), i) =>
+        id -> ((c, i + 1L, i.toLong * 1000000L / (got.size - 1L)))
+      }.toMap
+    assert(got === expected)
+    // percentile endpoints: min -> 0 ppm, max -> exactly 1e6 ppm
+    assert(got.values.map(_._3).min === 0L)
+    assert(got.values.map(_._3).max === 1000000L)
+  }
+
   test("copurchase: brute-force pair counts, margins and integer lift") {
     val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).distinct().collect()

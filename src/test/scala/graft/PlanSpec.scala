@@ -335,6 +335,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"got:\n$plan")
   }
 
+  test("q190/q193: the only SinglePartition exchange carries the 64-row " +
+      "offset table, never the data") {
+    // q190: 1 single-partition exchange (the 64-row offsets window).
+    // q193: 3 — the scalar min/max/count aggregate's partial→final
+    // step adds two more; every one carries O(1) rows (bucket counts or
+    // one scalar row), never the corpus.
+    for ((df, maxSingle) <- Seq(
+        graft.operators.Layout.globalOrdinals(spark, sf) -> 1,
+        graft.operators.Analytics.rankTransform(spark, sf) -> 3)) {
+      val plan = df.queryExecution.executedPlan.toString
+      val single = "Exchange SinglePartition".r.findAllIn(plan).size
+      assert(single <= maxSingle,
+        s"SinglePartition exchanges: $single\n$plan")
+      // the claim that matters: the ROW-SCALED window (row_number per
+      // bucket) runs under a hash exchange on the bucket key
+      assert(plan.contains("Exchange hashpartitioning(b"), plan)
+      assert(
+        "windowspecdefinition\\(b(ucket)?#".r.findFirstIn(plan).isDefined,
+        plan)
+    }
+  }
+
   test("q188: runtime bloom filter injected on the fact side of the join") {
     import graft.operators.Stats
     import org.apache.spark.sql.functions.{col, sum}
