@@ -79,7 +79,89 @@ object DataQuality {
         round(max(abs(col("z"))), 6).as("max_robust_z"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the click and
+    * purchase value distributions — the distribution-level companion to
+    * the per-column moment drift of q90: D = max |F̂_click − F̂_purchase|
+    * over the value support, the standard "did this slice's distribution
+    * shift" monitor for training-data feeds. Everything is exact
+    * integers: per-value group tallies, CDF differences compared as
+    * cross-multiplied counts (`cc·n_p − cp·n_c`), the final D in ppm by
+    * one integer division, and the argmax location tie-broken to the
+    * smallest value via an integer composite key.
+    *
+    * The ECDF is computed DISTRIBUTED with the q190/q193 two-phase
+    * recipe — monotone `width_bucket` value slices, within-slice
+    * running sums under bounded windows, exclusive prefix sums over the
+    * 64 slice totals — never a corpus-wide single-partition sort. The
+    * oracle is the one-sort ECDF, so the gate proves the two-phase CDF
+    * equals it. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("g"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val bounds = ev.agg(min(col("cents")).as("mn"),
+      max(col("cents")).as("mx"),
+      count(when(col("g") === "click", 1)).as("n_c"),
+      count(when(col("g") === "purchase", 1)).as("n_p"))
+    val vals = ev.groupBy(col("cents"))
+      .agg(count(when(col("g") === "click", 1)).as("c"),
+        count(when(col("g") === "purchase", 1)).as("p"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("b", expr("width_bucket(cents, mn, mx + 1, 64)"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cc", sum(col("c")).over(wIn))
+      .withColumn("cp", sum(col("p")).over(wIn))
+    val wOff = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cum.groupBy(col("b"))
+      .agg(sum(col("c")).as("bc"), sum(col("p")).as("bp"))
+      .withColumn("oc", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .withColumn("op", coalesce(sum(col("bp")).over(wOff), lit(0L)))
+      .select(col("b"), col("oc"), col("op"))
+    cum.join(broadcast(offs), Seq("b"))
+      .select(col("cents"), col("n_c"), col("n_p"),
+        abs((col("oc") + col("cc")) * col("n_p") -
+          (col("op") + col("cp")) * col("n_c")).as("ad"))
+      .agg(max(col("n_c")).as("n_click"), max(col("n_p")).as("n_purchase"),
+        expr("CAST(max(ad) * 1000000 div (max(n_c) * max(n_p)) AS BIGINT)")
+          .as("d_ppm"),
+        expr("max_by(cents, ad * 10000000 - cents)").as("d_at_cents"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q195_ks_drift", ksDrift _,
+      """WITH e AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |n AS (
+        |  SELECT count(CASE WHEN g = 'click' THEN 1 END) AS n_c,
+        |    count(CASE WHEN g = 'purchase' THEN 1 END) AS n_p
+        |  FROM e),
+        |v AS (
+        |  SELECT cents,
+        |    count(CASE WHEN g = 'click' THEN 1 END) AS c,
+        |    count(CASE WHEN g = 'purchase' THEN 1 END) AS p
+        |  FROM e GROUP BY 1),
+        |w AS (
+        |  SELECT cents,
+        |    sum(c) OVER (ORDER BY cents) AS cc,
+        |    sum(p) OVER (ORDER BY cents) AS cp
+        |  FROM v),
+        |d AS (
+        |  SELECT cents, abs(cc * n.n_p - cp * n.n_c) AS ad
+        |  FROM w CROSS JOIN n)
+        |SELECT (SELECT n_c FROM n) AS n_click,
+        |  (SELECT n_p FROM n) AS n_purchase,
+        |  CAST(max(ad) * 1000000 //
+        |    ((SELECT n_c FROM n) * (SELECT n_p FROM n)) AS BIGINT)
+        |    AS d_ppm,
+        |  arg_max(cents, ad * 10000000 - cents) AS d_at_cents
+        |FROM d""".stripMargin),
     Q("q179_robust_zscore", robustZscoreGate _,
       """WITH o AS (
         |  SELECT o_orderpriority AS priority, o_totalprice AS p

@@ -966,7 +966,62 @@ object TextAnalysis {
         expr("top_bi * 1000000 div n_bi").as("top_bi_ppm"))
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009): map
+    * each document to a fixed 1024-dimension sparse vector with NO
+    * vocabulary pass — feature index = hash(token) mod dim, value
+    * accumulated with a second-hash ±1 sign (the signed variant that
+    * makes collision noise zero-mean). The featurizer behind
+    * vocabulary-free linear models / n-gram classifiers at corpus
+    * scale: one narrow map per token, one (doc, idx) shuffle, no global
+    * dictionary to build, broadcast or keep consistent across runs.
+    * The emitted per-doc summary pins the ENTIRE sparse vector: nnz,
+    * L1 mass, and an order-independent integer checksum Σ idx·value —
+    * any divergence in any component moves it. */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 1024
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .cutLineage() // token stream feeds the count and the feature aggs
+    val counts = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val feats = tok
+      .withColumn("hv", TextOps.portableHash(concat(lit("fh:"), col("w"))))
+      .select(col("doc_id"), (col("hv") % dim).as("idx"),
+        when(expr(s"hv div $dim % 2") === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("sgn")).as("val"))
+      .groupBy(col("doc_id"))
+      .agg(count(when(col("val") =!= 0, 1)).as("nnz"),
+        sum(abs(col("val"))).as("l1"),
+        sum(col("idx") * col("val")).as("checksum"))
+    counts.join(feats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("nnz"), col("l1"),
+        col("checksum"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q194_feature_hashing", featureHashing _,
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+        |f AS (
+        |  SELECT doc_id, hv % 1024 AS idx,
+        |    CASE WHEN (hv // 1024) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT doc_id,
+        |          ('0x' || substr(md5('fh:' || w), 1, 8))::BIGINT AS hv
+        |        FROM tok)),
+        |v AS (
+        |  SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS val
+        |  FROM f GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id,
+        |    count(CASE WHEN val <> 0 THEN 1 END) AS nnz,
+        |    CAST(sum(abs(val)) AS BIGINT) AS l1,
+        |    CAST(sum(idx * val) AS BIGINT) AS checksum
+        |  FROM v GROUP BY 1)
+        |SELECT s.doc_id AS doc_id, t.n_tokens, s.nnz, s.l1, s.checksum
+        |FROM s JOIN t ON s.doc_id = t.doc_id""".stripMargin),
     Q("q186_doc_repetition", docRepetition _,
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

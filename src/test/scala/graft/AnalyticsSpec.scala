@@ -363,6 +363,33 @@ class AnalyticsSpec extends SparkSpec {
     got.values.foreach { case (n, s, d, _) => assert(s + d <= n - 1) }
   }
 
+  test("KS drift: two-phase ECDF statistic equals brute-force one-pass") {
+    import graft.operators.DataQuality
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val clicks = ev.filter(_._1 == "click").map(_._2).sorted
+    val purch = ev.filter(_._1 == "purchase").map(_._2).sorted
+    val (nc, np) = (clicks.length.toLong, purch.length.toLong)
+    val support = (clicks ++ purch).distinct.sorted
+    var best = (-1L, Long.MaxValue) // (scaled |diff|, argmin cents)
+    support.foreach { v =>
+      val cc = clicks.count(_ <= v).toLong
+      val cp = purch.count(_ <= v).toLong
+      val ad = math.abs(cc * np - cp * nc)
+      if (ad > best._1 || (ad == best._1 && v < best._2)) best = (ad, v)
+    }
+    val r = DataQuality.ksDrift(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_click") === nc)
+    assert(r.getAs[Long]("n_purchase") === np)
+    assert(r.getAs[Long]("d_ppm") === best._1 * 1000000L / (nc * np))
+    assert(r.getAs[Long]("d_at_cents") === best._2)
+    // the statistic is non-degenerate on this feed
+    assert(r.getAs[Long]("d_ppm") > 0)
+  }
+
   test("rank transform: two-phase ranks equal the one-sort ground truth") {
     val got = Analytics.rankTransform(spark, sf).collect().map(r =>
       r.getAs[Long]("order_id") -> ((r.getAs[Long]("cents"),

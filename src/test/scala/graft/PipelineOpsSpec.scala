@@ -644,6 +644,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(agg.contains(None))
   }
 
+  test("feature hashing: brute-force 1024-dim signed vectors per doc") {
+    def hk(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val vec = new Array[Long](1024)
+      toks.foreach { w =>
+        val hv = hk(s"fh:$w")
+        val idx = (hv % 1024).toInt
+        vec(idx) += (if ((hv / 1024) % 2 == 0) 1L else -1L)
+      }
+      id -> ((toks.length.toLong, vec.count(_ != 0).toLong,
+        vec.map(math.abs).sum,
+        vec.zipWithIndex.map { case (v, i) => i * v }.sum))
+    }.toMap
+    val got = TextAnalysis.featureHashing(spark, sf).collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("nnz"), r.getAs[Long]("l1"),
+        r.getAs[Long]("checksum")))).toMap
+    assert(got === expected)
+    // collisions must actually occur at dim=1024 on this vocabulary —
+    // otherwise the test wouldn't cover the accumulate path
+    assert(got.values.exists { case (_, nnz, l1, _) => l1 > nnz })
+  }
+
   test("doc repetition: brute-force ppm recompute over every document") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
