@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CutOps
 import graft.Q
 import graft.functions.{KMinValuesAgg, TextOps}
 import graft.sources.Tables
@@ -177,7 +178,97 @@ object ApproxAgg {
       .join(exact, Seq("flag"))
   }
 
+  /** Sketch-driven join-cardinality estimation: how many keys of
+    * events.user_id also appear in customer.c_custkey — WITHOUT joining
+    * the tables — from two 64-value KMV (k-minimum-values) sketches:
+    * merge the per-side k-mins, take the k smallest of the union, and
+    * (a) estimate the union size from the k-th smallest hash
+    * ((k−1)·2^32 div h_k), (b) estimate Jaccard as the fraction of the
+    * merged sketch present in BOTH sides (any union-k-min drawn from a
+    * side is necessarily in that side's own k-min), (c) intersection ≈
+    * J·U. This is what a planner consults before choosing a join
+    * strategy at 100 TB — each side's sketch is one TakeOrderedAndProject
+    * over distinct keys (per-partition heaps, k values to the driver
+    * region, no global sort), sides never meet until the 64-row sketch
+    * join. Exact counts ride along as the error audit (cheap at gate
+    * SFs; the thing the sketch replaces at scale). md5-derived hashes →
+    * the whole estimator is oracle-checked, estimate included. */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    def keyed(df: DataFrame, keyCol: String): DataFrame =
+      df.select(col(keyCol).cast("long").as("key")).distinct()
+        .withColumn("h", TextOps.portableHash(
+          concat(lit("jc:"), col("key").cast("string"))))
+    val a = keyed(t(spark, dir, "events"), "user_id").cutLineage()
+    val b = keyed(t(spark, dir, "customer"), "c_custkey").cutLineage()
+    val ka = a.select(col("h")).distinct()
+      .orderBy(col("h").asc).limit(k).cutLineage()
+    val kb = b.select(col("h")).distinct()
+      .orderBy(col("h").asc).limit(k).cutLineage()
+    val merged = ka.unionByName(kb).distinct()
+      .orderBy(col("h").asc).limit(k).cutLineage()
+    val jn = merged.join(ka, Seq("h"), "left_semi")
+      .join(kb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("j_num"))
+    val ms = merged.agg(count(lit(1)).as("kmin_m"), max(col("h")).as("hk"))
+    val ex = a.select(col("key")).intersect(b.select(col("key")))
+      .agg(count(lit(1)).as("n_inter"))
+    val un = a.select(col("key")).union(b.select(col("key"))).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      .crossJoin(broadcast(ex)).crossJoin(broadcast(un))
+      .crossJoin(broadcast(ms)).crossJoin(broadcast(jn))
+      .withColumn("union_est", expr(
+        s"CAST(CASE WHEN kmin_m < $k THEN kmin_m " +
+          "ELSE 63 * 4294967296 div hk END AS BIGINT)"))
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        col("kmin_m"), col("union_est"),
+        expr("CAST(j_num * union_est div kmin_m AS BIGINT)")
+          .as("inter_est"),
+        expr("j_num * 1000000 div kmin_m").as("jaccard_ppm_est"),
+        expr("n_inter * 1000000 div n_union").as("jaccard_ppm_exact"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q196_join_cardinality", joinCardinality _,
+      """WITH a AS (
+        |  SELECT key, ('0x' || substr(md5('jc:' ||
+        |    CAST(key AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM (SELECT DISTINCT user_id AS key FROM events)),
+        |b AS (
+        |  SELECT key, ('0x' || substr(md5('jc:' ||
+        |    CAST(key AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM (SELECT DISTINCT c_custkey AS key FROM customer)),
+        |ka AS (SELECT DISTINCT h FROM a ORDER BY h LIMIT 64),
+        |kb AS (SELECT DISTINCT h FROM b ORDER BY h LIMIT 64),
+        |merged AS (
+        |  SELECT DISTINCT h
+        |  FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+        |  ORDER BY h LIMIT 64),
+        |jn AS (
+        |  SELECT count(*) AS j_num FROM merged m
+        |  WHERE EXISTS (SELECT 1 FROM ka WHERE ka.h = m.h)
+        |    AND EXISTS (SELECT 1 FROM kb WHERE kb.h = m.h)),
+        |ms AS (SELECT count(*) AS kmin_m, max(h) AS hk FROM merged),
+        |ex AS (
+        |  SELECT
+        |    (SELECT count(*) FROM a) AS n_a,
+        |    (SELECT count(*) FROM b) AS n_b,
+        |    (SELECT count(*) FROM
+        |      (SELECT key FROM a INTERSECT SELECT key FROM b)) AS n_inter,
+        |    (SELECT count(*) FROM
+        |      (SELECT key FROM a UNION SELECT key FROM b)) AS n_union)
+        |SELECT n_a, n_b, n_inter, n_union, kmin_m,
+        |  CAST(CASE WHEN kmin_m < 64 THEN kmin_m
+        |    ELSE 63 * 4294967296 // hk END AS BIGINT) AS union_est,
+        |  CAST(j_num * (CASE WHEN kmin_m < 64 THEN kmin_m
+        |    ELSE 63 * 4294967296 // hk END) // kmin_m AS BIGINT)
+        |    AS inter_est,
+        |  CAST(j_num * 1000000 // kmin_m AS BIGINT) AS jaccard_ppm_est,
+        |  CAST(n_inter * 1000000 // n_union AS BIGINT)
+        |    AS jaccard_ppm_exact
+        |FROM ex CROSS JOIN ms CROSS JOIN jn""".stripMargin),
     Q("q163_histogram_quantile", histogramQuantile _,
       """WITH d AS (
         |  SELECT l_returnflag AS flag,

@@ -95,4 +95,61 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("src", "dst"))
     assert(labels.count() === 0)
   }
+
+  private lazy val emptyStarDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_empty_star").toString
+    val events = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val orders = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    val lineitem = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)))
+    Seq("events" -> events, "orders" -> orders,
+      "lineitem" -> lineitem).foreach { case (name, schema) =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .write.parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  test("round-9 operators are defined on empty feeds (no throw, no hang)") {
+    import graft.operators.{Analytics, Graph, JoinsSetOps}
+    // iterative peel: the n==0 initial-convergence guard matters here
+    assert(Graph.kcore(spark, emptyStarDir).count() === 0)
+    assert(Analytics.ewmaAnomaly(spark, emptyStarDir).count() === 0)
+    assert(Analytics.copurchase(spark, emptyStarDir).count() === 0)
+    assert(Analytics.rankTransform(spark, emptyStarDir).count() === 0)
+    assert(JoinsSetOps.temporalJoin(spark, emptyStarDir).count() === 0)
+    // global aggregates return their defined single row on empty input
+    val ks = graft.operators.DataQuality.ksDrift(spark, emptyStarDir)
+      .collect()
+    assert(ks.length === 1 && ks(0).isNullAt(ks(0).fieldIndex("d_ppm")))
+  }
+
+  test("round-9 document operators return empty on an empty corpus") {
+    import graft.operators.{Layout, Sampling, TextAnalysis}
+    assert(TextAnalysis.docRepetition(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.featureHashing(spark, emptyDir).count() === 0)
+    assert(Sampling.weightedSample(spark, emptyDir).count() === 0)
+    assert(Layout.globalOrdinals(spark, emptyDir).count() === 0)
+  }
 }

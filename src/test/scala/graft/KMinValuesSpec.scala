@@ -86,4 +86,38 @@ class KMinValuesSpec extends SparkSpec {
       .collect()(0).getSeq[Int](0)
     assert(regs === Seq.fill(64)(0))
   }
+
+  test("join cardinality: estimator recomputes from scratch; union " +
+      "estimate within the k=64 KMV error band") {
+    def hk(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val aKeys = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val bKeys = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val ka = aKeys.map(x => hk(s"jc:$x")).toVector.sorted.take(64)
+    val kb = bKeys.map(x => hk(s"jc:$x")).toVector.sorted.take(64)
+    val merged = (ka ++ kb).distinct.sorted.take(64)
+    val jNum = merged.count(h => ka.contains(h) && kb.contains(h)).toLong
+    val m = merged.length.toLong
+    val unionEst =
+      if (m < 64) m else 63L * 4294967296L / merged.last
+    val r = ApproxAgg.joinCardinality(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_a") === aKeys.size.toLong)
+    assert(r.getAs[Long]("n_b") === bKeys.size.toLong)
+    assert(r.getAs[Long]("n_inter") === (aKeys & bKeys).size.toLong)
+    assert(r.getAs[Long]("n_union") === (aKeys | bKeys).size.toLong)
+    assert(r.getAs[Long]("kmin_m") === m)
+    assert(r.getAs[Long]("union_est") === unionEst)
+    assert(r.getAs[Long]("inter_est") === jNum * unionEst / m)
+    assert(r.getAs[Long]("jaccard_ppm_est") === jNum * 1000000L / m)
+    // accuracy: KMV with k=64 → stderr ≈ 1/sqrt(62) ≈ 12.7%; 35% = 2.7σ
+    val exactU = (aKeys | bKeys).size.toLong
+    assert(math.abs(r.getAs[Long]("union_est") - exactU) <=
+      (0.35 * exactU).toLong.max(2L))
+  }
 }
