@@ -670,4 +670,101 @@ class StreamingSpec extends SparkSpec {
     assert(got(4L)._3, "cross-batch baseline lost: spike not flagged")
     assert(got(5L)._4, "dip vs the spike-inflated baseline not flagged")
   }
+
+  test("foreachBatch idempotent upsert sink: a retried micro-batch " +
+      "applies as a no-op") {
+    // The production pattern for streaming CDC-apply into a plain table:
+    // foreachBatch + batchId-keyed commit markers. Spark's contract is
+    // AT-LEAST-ONCE delivery to foreachBatch — after a sink failure the
+    // SAME batch is redelivered with the SAME batchId, and exactly-once
+    // state is the SINK's job: apply(batch, id) must be idempotent in
+    // id. State here is a versioned per-user (n, cents) profile; the
+    // merge is read-current + unionByName + sum (the q105 MERGE shape),
+    // committed by writing v<id> then a marker; a redelivered id
+    // returns before touching state.
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.StreamQueries
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val srcDir = Files.createTempDirectory("graft_feb_src")
+    def stage(name: String, mtimeSec: Long,
+        rows: Seq[(Long, String, Long, String, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_feb_stage")
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .withColumn("ts",
+          timestamp_micros(unix_timestamp(col("tss")) * 1000000L)
+            .cast("timestamp_ntz"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(name)
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    stage("b1.parquet", 1000L, Seq(
+      (1L, "2024-01-01 00:00:10", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:01:10", 1L, "click", 2.0),
+      (3L, "2024-01-01 00:02:10", 2L, "view", 4.0)))
+    stage("b2.parquet", 2000L, Seq(
+      (4L, "2024-01-01 00:03:10", 1L, "purchase", 8.0),
+      (5L, "2024-01-01 00:04:10", 3L, "click", 16.0)))
+    val stateDir = Files.createTempDirectory("graft_feb_state")
+    def committed(): Seq[Long] = Files.list(stateDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("c"))
+      .map(_.drop(1).toLong).toSeq
+    def readState(): Map[Long, (Long, Long)] =
+      committed().maxOption match {
+        case None => Map.empty
+        case Some(v) => spark.read.parquet(s"$stateDir/v$v").collect()
+          .map(r => r.getAs[Long]("user_id") ->
+            ((r.getAs[Long]("n"), r.getAs[Long]("cents")))).toMap
+      }
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (Files.exists(stateDir.resolve(s"c$id"))) return // redelivery
+      val delta = batch.select(col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val merged = committed().maxOption match {
+        case None => delta
+        case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+          .unionByName(delta).groupBy("user_id")
+          .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/v$id")
+      Files.createFile(stateDir.resolve(s"c$id"))
+    }
+    val ev = sources.Tables.normalizeTs(
+      spark.readStream
+        .schema(StreamQueries.rawSchemaOf(spark, srcDir.toString))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString))
+    val ckpt = Files.createTempDirectory("graft_feb_ckpt")
+    val q = ev.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => applyBatch(df, id))
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val afterRun = readState()
+    // ground truth over ALL events
+    val want = Map(1L -> ((3L, 1100L)), 2L -> ((1L, 400L)),
+      3L -> ((1L, 1600L)))
+    assert(afterRun === want)
+    assert(committed().sorted === Seq(0L, 1L), committed().toString)
+    // simulate the at-least-once redelivery: re-apply batch 1's data
+    // with its original batchId — state must not change
+    applyBatch(spark.read.parquet(srcDir.resolve("b2.parquet").toString),
+      1L)
+    assert(readState() === want, "redelivered batch mutated state")
+    // and a GENUINELY new batch still applies (idempotence is keyed on
+    // batchId, not a frozen sink)
+    applyBatch(Seq((9L, 64.0)).toDF("user_id", "value"), 2L)
+    assert(readState()(9L) === ((1L, 6400L)))
+  }
 }
