@@ -121,6 +121,20 @@ object ScaleProbe {
       time(s"pagerank_$tag")(operators.Graph.pagerank(spark, dir).count())
       time(s"degree_stats_$tag")(
         operators.Graph.degreeStats(spark, dir).count())
+      // round-9 two-phase ops: 10x facts rank/bucket through the same 64
+      // slices — cost should track the scan, the offset table stays 64
+      // rows at any scale
+      time(s"rank_transform_$tag")(
+        operators.Analytics.rankTransform(spark, dir).count())
+      // basket self-join at 10x line items over FIXED parts: baskets per
+      // order grow only via replica orderkeys (same ~7-row baskets), so
+      // pair generation should scale with Σb² over 10x baskets — linear
+      time(s"copurchase_$tag")(
+        operators.Analytics.copurchase(spark, dir).count())
+      // iterative peel at 10x: support-2 edges densify (10x co-purchase
+      // support), rounds stay bounded by cascade depth — the probe
+      // watches per-round cost, which is keyed on the edge list
+      time(s"kcore_$tag")(operators.Graph.kcore(spark, dir).count())
     }
 
     calib("post_batch")

@@ -250,6 +250,65 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
   }
 
+  /** Synchronous label-propagation rounds (Raghavan et al. 2007, the
+    * deterministic variant): every node adopts the most frequent label
+    * among its neighbors, ties broken to the SMALLEST label — the
+    * argmax is one mergeable `min_by` over an integer composite key
+    * (−count·2^32 + label), so each round is one hash join (labels onto
+    * edge sources) + two partial-agg'd aggregations, state one long per
+    * node. Fixed round count: synchronous LPA may oscillate, so the
+    * contract is "labels after R rounds", identical in both engines —
+    * no convergence requirement, unlike [[coreOf]]'s monotone peel. */
+  private[graft] def lpaOf(sym: DataFrame, rounds: Int): DataFrame = {
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("lab", col("node")).cutLineage()
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("min_by(lab, -c * 4294967296 + lab)").as("lab"))
+        .cutLineage()
+    }
+    labels
+  }
+
+  /** Community detection on the support-2 co-purchase graph (the q192
+    * relation) via 4 synchronous label-propagation rounds; emitted as a
+    * community census (size + id range per final label). The cheap
+    * first-cut community structure a recommender derives from baskets —
+    * and, on a doc-similarity graph, the same shape as near-dup FAMILY
+    * detection beyond connected components (LPA splits components that
+    * CC merges through weak bridges). */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("u"), col("v"))
+    val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .cutLineage()
+    lpaOf(sym, 4)
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+  }
+
+  /** One unrolled synchronous LPA round for the DuckDB oracle. */
+  private def lpaIterSql(i: Int): String =
+    s"""l$i AS MATERIALIZED (
+       |  SELECT node, arg_min(lab, (-c) * 4294967296 + lab) AS lab
+       |  FROM (
+       |    SELECT e.dst AS node, l.lab AS lab, count(*) AS c
+       |    FROM e0 e JOIN l${i - 1} l ON e.src = l.node
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1)""".stripMargin
+
   /** One unrolled 2-core peel round for the DuckDB oracle. MATERIALIZED
     * is load-bearing: each round reads its predecessor three times, and
     * DuckDB inlines plain CTEs — 8 rounds would expand to 3^8 scans of
@@ -263,6 +322,23 @@ object Graph {
        |          HAVING count(*) >= 2) b ON c.dst = b.src)""".stripMargin
 
   val catalog: Seq[Q] = Seq(
+    Q("q197_label_propagation", labelPropagation _,
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (
+         |  SELECT a.pk AS u, b.pk AS v FROM baskets a JOIN baskets b
+         |    ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+         |       UNION ALL SELECT v, u FROM pairs),
+         |l0 AS MATERIALIZED (
+         |  SELECT node, node AS lab
+         |  FROM (SELECT DISTINCT src AS node FROM e0)),
+         |${(1 to 4).map(lpaIterSql).mkString(",\n")}
+         |SELECT lab AS community, count(*) AS n_members,
+         |  min(node) AS min_node, max(node) AS max_node
+         |FROM l4 GROUP BY 1""".stripMargin),
     Q("q192_kcore", kcore _,
       s"""WITH baskets AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

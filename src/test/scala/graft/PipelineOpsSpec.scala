@@ -590,6 +590,52 @@ class PipelineOpsSpec extends SparkSpec {
     got.values.foreach(d => assert(d >= 2))
   }
 
+  test("label propagation: planted bridge graph + brute-force rounds at sf") {
+    import graft.operators.Graph
+    import spark.implicits._
+    def bruteLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keySet.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        lab = adj.map { case (n, nbrs) =>
+          val counts = nbrs.groupBy(x => lab(x)).view.mapValues(_.size)
+          n -> counts.toSeq.map { case (l, c) => (-c.toLong, l) }.min._2
+        }
+      }
+      lab
+    }
+    // two triangles bridged by one edge: min labels win inside each
+    // clique; 4 rounds let label 1 leak across the bridge per the rule —
+    // whatever the outcome, engine == independent recompute
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val symSeq = und ++ und.map(e => (e._2, e._1))
+    val got = Graph.lpaOf(symSeq.toDF("src", "dst"), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === bruteLpa(symSeq, 4))
+    // full declared query at sf0.001 equals brute force on the real graph
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCounts((ps(i), ps(j))) =
+          pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val sfSym = pairCounts.filter(_._2 >= 2).keys.toSeq
+      .flatMap(e => Seq(e, e.swap))
+    val lab = bruteLpa(sfSym, 4)
+    val expected = lab.groupBy(_._2).map { case (community, m) =>
+      community -> ((m.size.toLong, m.keys.min, m.keys.max))
+    }
+    val gotQ = Graph.labelPropagation(spark, sf).collect().map(r =>
+      r.getAs[Long]("community") -> ((r.getAs[Long]("n_members"),
+        r.getAs[Long]("min_node"), r.getAs[Long]("max_node")))).toMap
+    assert(gotQ === expected)
+  }
+
   test("temporal join: AS-OF rollup equals brute-force interval scan") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_custkey"), col("o_orderkey"),
