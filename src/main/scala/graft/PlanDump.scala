@@ -98,7 +98,13 @@ object PlanDump {
       "q193_rank_transform" ->
         ("sort-free global rank/percentile: width_bucket slices + " +
           "bounded windows + O(1) offset prefix sum — no corpus-wide " +
-          "single-partition sort"))
+          "single-partition sort"),
+      "q195_ks_drift" ->
+        ("two-sample KS drift: distributed ECDF via the two-phase " +
+          "prefix-sum recipe, integer cross-multiplied CDF comparison"),
+      "q198_table_diff" ->
+        ("snapshot reconciliation: scan-local md5 fingerprints, " +
+          "full-outer hash join shuffles (key, fp, cents) — never rows"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

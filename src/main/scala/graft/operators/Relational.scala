@@ -322,7 +322,77 @@ object Relational {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  /** Table diff / reconciliation — the inverse of the CDC-apply family
+    * (q105 merges a batch in, THIS detects what changed between two
+    * pipeline generations): full-outer join on the key, rows classified
+    * added / removed / changed / unchanged by comparing md5 row
+    * fingerprints computed SCAN-LOCAL — so the join shuffles
+    * (key, 32-char fp, cents), never whole rows, the shape that makes
+    * regression-diffing two 100-TB snapshots affordable. v2 is derived
+    * from orders by deterministic rules (drop key%101, reprice key%97,
+    * re-key-insert key%103) so both engines build identical versions;
+    * the emitted census carries the cents delta per change class — the
+    * reconciliation number a data-regression gate alerts on. */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = t(spark, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("priority"),
+      col("o_custkey").as("cust"))
+    val v2 = v1.filter(col("key") % 101 =!= 0)
+      .withColumn("cents", when(col("key") % 97 === 0,
+        col("cents") + 100).otherwise(col("cents")))
+      .unionByName(v1.filter(col("key") % 103 === 0)
+        .withColumn("key", col("key") + lit(1000000000L)))
+    def fp(df: DataFrame, fpName: String, cName: String): DataFrame =
+      df.select(col("key"),
+        md5(concat_ws("|", col("cents"), col("status"), col("priority"),
+          col("cust"))).as(fpName),
+        col("cents").as(cName))
+    fp(v1, "fp1", "c1").join(fp(v2, "fp2", "c2"), Seq("key"), "full_outer")
+      .withColumn("change", when(col("fp1").isNull, "added")
+        .when(col("fp2").isNull, "removed")
+        .when(col("fp1") =!= col("fp2"), "changed")
+        .otherwise("unchanged"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
+          .as("cents_delta"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q198_table_diff", tableDiff _,
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS key,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderstatus AS status, o_orderpriority AS priority,
+        |    o_custkey AS cust
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT key,
+        |    CASE WHEN key % 97 = 0 THEN cents + 100 ELSE cents END
+        |      AS cents,
+        |    status, priority, cust
+        |  FROM v1 WHERE key % 101 <> 0
+        |  UNION ALL
+        |  SELECT key + 1000000000, cents, status, priority, cust
+        |  FROM v1 WHERE key % 103 = 0),
+        |a AS (SELECT key, md5(concat_ws('|', cents, status, priority,
+        |        cust)) AS fp1, cents AS c1 FROM v1),
+        |b AS (SELECT key, md5(concat_ws('|', cents, status, priority,
+        |        cust)) AS fp2, cents AS c2 FROM v2),
+        |j AS (
+        |  SELECT fp1, fp2, c1, c2
+        |  FROM a FULL OUTER JOIN b ON a.key = b.key)
+        |SELECT CASE WHEN fp1 IS NULL THEN 'added'
+        |    WHEN fp2 IS NULL THEN 'removed'
+        |    WHEN fp1 <> fp2 THEN 'changed'
+        |    ELSE 'unchanged' END AS change,
+        |  count(*) AS n,
+        |  CAST(sum(COALESCE(c2, 0) - COALESCE(c1, 0)) AS BIGINT)
+        |    AS cents_delta
+        |FROM j GROUP BY 1""".stripMargin),
     Q("q141_jsonl_source", jsonlSource _,
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users,

@@ -49,4 +49,29 @@ class RelationalSpec extends SparkSpec {
     assert(out.length > 0 && out.length <= 25)
     assert(out.forall(_.getAs[Double]("avg_rate") >= 0))
   }
+
+  test("table diff: change census equals the rule arithmetic exactly") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the synthesis rules partition the keyspace deterministically:
+    val removed = orders.filter(_._1 % 101 == 0)
+    val added = orders.filter(_._1 % 103 == 0)
+    val changed = orders.filter(o => o._1 % 97 == 0 && o._1 % 101 != 0)
+    val unchanged =
+      orders.length - removed.length - changed.length
+    val got = Relational.tableDiff(spark, sf).collect().map(r =>
+      r.getAs[String]("change") -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("cents_delta")))).toMap
+    assert(got("removed") === ((removed.length.toLong,
+      -removed.map(_._2).sum)))
+    assert(got("added") === ((added.length.toLong, added.map(_._2).sum)))
+    // every changed row is a +100-cent reprice
+    assert(got("changed") === ((changed.length.toLong,
+      changed.length.toLong * 100)))
+    assert(got("unchanged") === ((unchanged.toLong, 0L)))
+    // the census is non-degenerate: all four classes occur
+    assert(got.size === 4)
+  }
 }
