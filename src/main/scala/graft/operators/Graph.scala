@@ -261,14 +261,18 @@ object Graph {
     * no convergence requirement, unlike [[coreOf]]'s monotone peel. */
   private[graft] def lpaOf(sym: DataFrame, rounds: Int): DataFrame = {
     val nodes = sym.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("lab", col("node")).cutLineage()
+    var labels = nodes.withColumn("lab", col("node"))
+    // No per-round lineage cut: unlike [[coreOf]]'s unbounded
+    // convergence loop (whose per-round count() forces execution
+    // anyway), the round count here is FIXED, so the lineage is a
+    // bounded 4-level join tree Catalyst can optimize as one plan —
+    // only `sym` (consumed by every round) is materialized by callers.
     for (_ <- 1 to rounds) {
       labels = sym.join(labels, sym("src") === labels("node"))
         .groupBy(col("dst"), col("lab"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("dst").as("node"))
         .agg(expr("min_by(lab, -c * 4294967296 + lab)").as("lab"))
-        .cutLineage()
     }
     labels
   }
