@@ -284,6 +284,47 @@ object Analytics {
           .as("gap_sec"))
   }
 
+  /** Nearest-event join — the bidirectional completion of the as-of
+    * family (q63 carries the most recent PRIOR click; THIS matches each
+    * purchase to its nearest click in EITHER direction, ties to the
+    * prior side): the attribution/feature-gen semantics when "closest
+    * context" beats "last touch". Same scalable shape as q63 — ONE hash
+    * exchange on user_id + one per-partition sort feeding two frames
+    * (carry-forward `last(ignoreNulls)`, carry-backward
+    * `first(ignoreNulls)`); never a range join, never per-row probing.
+    * Integer microseconds end to end. */
+  def nearestJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wPrev = base.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    t(spark, dir, "events")
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("click_us",
+        when(col("event_type") === "click", col("us")))
+      .withColumn("prev_us",
+        last(col("click_us"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_us",
+        first(col("click_us"), ignoreNulls = true).over(wNext))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        when(col("prev_us").isNull && col("next_us").isNull, "none")
+          .when(col("next_us").isNull, "prior")
+          .when(col("prev_us").isNull, "next")
+          .when(col("us") - col("prev_us") <= col("next_us") - col("us"),
+            "prior")
+          .otherwise("next").as("src"),
+        when(col("prev_us").isNull && col("next_us").isNull,
+          lit(null).cast("long"))
+          .when(col("next_us").isNull, col("us") - col("prev_us"))
+          .when(col("prev_us").isNull, col("next_us") - col("us"))
+          .when(col("us") - col("prev_us") <= col("next_us") - col("us"),
+            col("us") - col("prev_us"))
+          .otherwise(col("next_us") - col("us")).as("gap_us"))
+  }
+
   /** NTILE quartiles over a total order; per-quartile stats — WITHOUT the
     * global single-partition sort an `ntile() OVER (ORDER BY ...)` window
     * forces (the r01 scale-killer).
@@ -1831,6 +1872,36 @@ object Analytics {
         |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
         |  AND event_type IN ('purchase', 'click')
         |GROUP BY 1, 2""".stripMargin),
+    Q("q199_nearest_join", nearestJoin _,
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+        |      AS click_us
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_us IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS prev_us,
+        |    first_value(click_us IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS next_us
+        |  FROM e)
+        |SELECT user_id, event_id AS purchase_id,
+        |  CASE WHEN prev_us IS NULL AND next_us IS NULL THEN 'none'
+        |       WHEN next_us IS NULL THEN 'prior'
+        |       WHEN prev_us IS NULL THEN 'next'
+        |       WHEN us - prev_us <= next_us - us THEN 'prior'
+        |       ELSE 'next' END AS src,
+        |  CASE WHEN prev_us IS NULL AND next_us IS NULL
+        |         THEN CAST(NULL AS BIGINT)
+        |       WHEN next_us IS NULL THEN us - prev_us
+        |       WHEN prev_us IS NULL THEN next_us - us
+        |       WHEN us - prev_us <= next_us - us THEN us - prev_us
+        |       ELSE next_us - us END AS gap_us
+        |FROM w WHERE event_type = 'purchase'""".stripMargin),
     Q("q184_ewma_anomaly", ewmaAnomaly _,
       """WITH e AS (
         |  SELECT user_id, ts, event_id,

@@ -363,6 +363,42 @@ class AnalyticsSpec extends SparkSpec {
     got.values.foreach { case (n, s, d, _) => assert(s + d <= n - 1) }
   }
 
+  test("nearest join: brute-force bidirectional nearest click per purchase") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.toSeq.sortBy(r => (r._3, r._2))
+      ordered.zipWithIndex.collect {
+        case ((_, eid, us, "purchase"), i) =>
+          val prev = ordered.take(i + 1).filter(_._4 == "click")
+            .lastOption.map(_._3)
+          val next = ordered.drop(i).filter(_._4 == "click")
+            .headOption.map(_._3)
+          val (src, gap) = (prev, next) match {
+            case (None, None) => ("none", None)
+            case (Some(p), None) => ("prior", Some(us - p))
+            case (None, Some(n)) => ("next", Some(n - us))
+            case (Some(p), Some(n)) =>
+              if (us - p <= n - us) ("prior", Some(us - p))
+              else ("next", Some(n - us))
+          }
+          (u, eid) -> ((src, gap))
+      }
+    }.toMap
+    val got = Analytics.nearestJoin(spark, sf).collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id")) ->
+        ((r.getAs[String]("src"),
+          Option(r.getAs[java.lang.Long]("gap_us")).map(_.longValue)))
+    ).toMap
+    assert(got === expected)
+    // both directions must actually occur on this feed
+    assert(got.values.exists(_._1 == "prior") &&
+      got.values.exists(_._1 == "next"))
+  }
+
   test("KS drift: two-phase ECDF statistic equals brute-force one-pass") {
     import graft.operators.DataQuality
     val ev = spark.read.parquet(s"$sf/events.parquet")
