@@ -47,6 +47,7 @@ object Bench {
             try fn(spark, wd).count() catch { case _: Throwable => }
           }
           graft.operators.Dedup.clearStageCaches()
+          graft.operators.Graph.clearStageCaches()
         }
     }
     // Platform-speed calibration (graft.Calib): a fixed, deterministic,
@@ -89,12 +90,16 @@ object Bench {
       "stage_cc_labels" -> Set("q53_dup_clusters", "q54_corpus_pipeline",
         "q108_canonical_selection"),
       "stage_hashed_shingles" -> Set("q150_setsim_exact",
-        "q172_containment_join"))
+        "q172_containment_join"),
+      "stage_support2_pairs" -> Set("q185_copurchase", "q192_kcore",
+        "q197_label_propagation"))
     def runStage(sname: String): Unit = sname match {
       case "stage_cc_labels" =>
         graft.operators.Dedup.materializeLabels(spark, sfDir)
       case "stage_hashed_shingles" =>
         graft.operators.Dedup.materializeShingles(spark, sfDir)
+      case "stage_support2_pairs" =>
+        graft.operators.Graph.materializeSupport2(spark, sfDir)
     }
     // Two timed passes, min per query: a single pass is exposed to
     // one-off GC/JIT/checkpoint-cleaner pauses (a 3.5 s query was
@@ -106,6 +111,7 @@ object Bench {
     def pass(sel: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]):
         Map[String, Double] = {
       graft.operators.Dedup.clearStageCaches()
+      graft.operators.Graph.clearStageCaches()
       def time(body: => Unit): Double = {
         val t0 = System.nanoTime()
         val ok = try { body; true } catch { case _: Throwable => false }
@@ -177,10 +183,13 @@ object Bench {
     // per-category subtotals: bounded by the CATEGORY count (8), never
     // the query count, so they are safe in the compact stdout line too —
     // successive rounds diff these to see where a total-time shift lives
-    // stage entries price dedup's shared pipeline stages — count them in
-    // the dedup subtotal so category sums still cover the whole total
+    // stage entries price shared pipeline stages — count each in its
+    // owning category so category sums still cover the whole total
+    val stageCat = Map("stage_cc_labels" -> "dedup",
+      "stage_hashed_shingles" -> "dedup",
+      "stage_support2_pairs" -> "graph")
     val cats = SparkEntry.categories.toSeq.sortBy(_._1).map { case (c, qs0) =>
-      val qs = if (c == "dedup") qs0 ++ stageOf.keySet else qs0
+      val qs = qs0 ++ stageCat.collect { case (s, sc) if sc == c => s }
       c -> results.collect { case (k, v) if qs(k) && v >= 0 => v }.sum
     }
     def jsonLine(kv: Iterable[(String, Double)], fl: Seq[String]): String = {

@@ -122,14 +122,24 @@ object DataQuality {
       .withColumn("oc", coalesce(sum(col("bc")).over(wOff), lit(0L)))
       .withColumn("op", coalesce(sum(col("bp")).over(wOff), lit(0L)))
       .select(col("b"), col("oc"), col("op"))
-    cum.join(broadcast(offs), Seq("b"))
+    val d = cum.join(broadcast(offs), Seq("b"))
       .select(col("cents"), col("n_c"), col("n_p"),
         abs((col("oc") + col("cc")) * col("n_p") -
           (col("op") + col("cp")) * col("n_c")).as("ad"))
+    // Argmax location as a TWO-STAGE aggregation (max ad, then min cents
+    // among rows attaining it) — a packed integer key (ad·10^7 − cents)
+    // would silently wrap once ad exceeds ~9·10^11 (ad ≤ n_c·n_p, far
+    // below the 100-TB design point) and assumed cents < 10^7. The extra
+    // pass re-reads only the per-distinct-value frame, not the corpus.
+    // (d_ppm's `ad · 10^6` stays in-range while n_c·n_p < 2^43 ≈ 9·10^12;
+    // past that, divide both counts by a common decimation factor first.)
+    val mx = d.agg(max(col("ad")).as("mx_ad"))
+    d.crossJoin(broadcast(mx))
       .agg(max(col("n_c")).as("n_click"), max(col("n_p")).as("n_purchase"),
         expr("CAST(max(ad) * 1000000 div (max(n_c) * max(n_p)) AS BIGINT)")
           .as("d_ppm"),
-        expr("max_by(cents, ad * 10000000 - cents)").as("d_at_cents"))
+        min(when(col("ad") === col("mx_ad"), col("cents")))
+          .as("d_at_cents"))
   }
 
   val catalog: Seq[Q] = Seq(
@@ -160,7 +170,8 @@ object DataQuality {
         |  CAST(max(ad) * 1000000 //
         |    ((SELECT n_c FROM n) * (SELECT n_p FROM n)) AS BIGINT)
         |    AS d_ppm,
-        |  arg_max(cents, ad * 10000000 - cents) AS d_at_cents
+        |  min(CASE WHEN ad = (SELECT max(ad) FROM d) THEN cents END)
+        |    AS d_at_cents
         |FROM d""".stripMargin),
     Q("q179_robust_zscore", robustZscoreGate _,
       """WITH o AS (

@@ -218,8 +218,58 @@ object Graph {
       edges = nxt
       guard += 1
     }
+    // A tripped guard means the returned edge set is NOT a k-core — fail
+    // loudly rather than hand a non-fixpoint result to a consumer (the
+    // unrolled oracle could stop early in the same region and mask it).
+    if (!converged)
+      throw new IllegalStateException(
+        s"coreOf(k=$k) not at fixpoint after $guard peel rounds " +
+          s"($n edges remain) — raise the guard for this cascade depth")
     edges
   }
+
+  /** The support-2 co-purchase pair relation — parts bought together in
+    * ≥2 orders, with joint support — is a genuine SHARED pipeline stage:
+    * q185 (association lift), q192 (k-core) and q197 (label propagation)
+    * all build their graph from this one basket self-join, and each was
+    * rebuilding it identically (~1.5 s × 3 at sf0.1). It memoizes per
+    * (session, dir) like [[Dedup]]'s cluster labels / hashed shingles:
+    * whichever consumer runs first pays, the frame is checkpointed so
+    * the cache holds a materialized RDD, and [[graft.Bench]] clears it
+    * between passes and prices the build as its own entry
+    * (`stage_support2_pairs`) so consumers report marginal cost — which
+    * is also the honest 100-TB accounting, where this relation is a
+    * materialized intermediate table built once per corpus generation.
+    * Scale shape: DISTINCT (order, part) baskets, then a self-equi-join
+    * on the basket key (output Σ b² over basket sizes, ≤~20 pairs/order
+    * on TPC-H-like feeds) with a partial-agg'd support count and the
+    * support-≥2 cut bounding the output like any minimum-support rule. */
+  private val s2Cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[graft] def clearStageCaches(): Unit = s2Cache.clear()
+
+  /** Bench hook: materialize the shared pair stage OUTSIDE any query's
+    * timing (see [[Dedup.materializeLabels]] for the rationale). */
+  private[graft] def materializeSupport2(spark: SparkSession,
+                                         dir: String): Unit =
+    support2Pairs(spark, dir).count()
+
+  private[operators] def support2Pairs(spark: SparkSession,
+                                       dir: String): DataFrame =
+    s2Cache.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir), { _ =>
+        val baskets = t(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        baskets.as("a")
+          .join(baskets.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("pair_n"))
+          .filter(col("pair_n") >= 2)
+          .cutLineage()
+      })
 
   /** 2-core decomposition of the support-2 co-purchase graph (parts as
     * nodes, edges between parts bought together in ≥2 orders — q185's
@@ -235,15 +285,7 @@ object Graph {
     * every gate SF (a planted chain-into-triangle fixture proves the
     * multi-round cascade semantics besides). */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      .select(col("u"), col("v"))
+    val pairs = support2Pairs(spark, dir).select(col("u"), col("v"))
     val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
     coreOf(sym, 2).groupBy(col("src").as("node"))
@@ -253,12 +295,15 @@ object Graph {
   /** Synchronous label-propagation rounds (Raghavan et al. 2007, the
     * deterministic variant): every node adopts the most frequent label
     * among its neighbors, ties broken to the SMALLEST label — the
-    * argmax is one mergeable `min_by` over an integer composite key
-    * (−count·2^32 + label), so each round is one hash join (labels onto
-    * edge sources) + two partial-agg'd aggregations, state one long per
-    * node. Fixed round count: synchronous LPA may oscillate, so the
-    * contract is "labels after R rounds", identical in both engines —
-    * no convergence requirement, unlike [[coreOf]]'s monotone peel. */
+    * argmax is one mergeable `min_by` over a STRUCT key ordered
+    * (−count, label): lexicographic struct comparison is exact for any
+    * 64-bit label, where the earlier packed key (−c·2^32 + lab) would
+    * silently invert the count order once labels crossed 2^32. Each
+    * round is one hash join (labels onto edge sources) + two
+    * partial-agg'd aggregations, state one long per node. Fixed round
+    * count: synchronous LPA may oscillate, so the contract is "labels
+    * after R rounds", identical in both engines — no convergence
+    * requirement, unlike [[coreOf]]'s monotone peel. */
   private[graft] def lpaOf(sym: DataFrame, rounds: Int): DataFrame = {
     val nodes = sym.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("lab", col("node"))
@@ -272,7 +317,8 @@ object Graph {
         .groupBy(col("dst"), col("lab"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("dst").as("node"))
-        .agg(expr("min_by(lab, -c * 4294967296 + lab)").as("lab"))
+        .agg(min_by(col("lab"),
+          struct((-col("c")).as("nc"), col("lab"))).as("lab"))
     }
     labels
   }
@@ -285,15 +331,7 @@ object Graph {
     * detection beyond connected components (LPA splits components that
     * CC merges through weak bridges). */
   def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      .select(col("u"), col("v"))
+    val pairs = support2Pairs(spark, dir).select(col("u"), col("v"))
     val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
       .cutLineage()
@@ -303,10 +341,14 @@ object Graph {
         max(col("node")).as("max_node"))
   }
 
-  /** One unrolled synchronous LPA round for the DuckDB oracle. */
+  /** One unrolled synchronous LPA round for the DuckDB oracle. DuckDB's
+    * arg_min takes no struct key, so the (−count, label) order is packed
+    * into a HUGEINT (−c·2^64 + lab): 128-bit, exact for any 64-bit
+    * label — the same total order as the Spark side's struct key. */
   private def lpaIterSql(i: Int): String =
     s"""l$i AS MATERIALIZED (
-       |  SELECT node, arg_min(lab, (-c) * 4294967296 + lab) AS lab
+       |  SELECT node,
+       |    arg_min(lab, (-c)::HUGEINT * 18446744073709551616 + lab) AS lab
        |  FROM (
        |    SELECT e.dst AS node, l.lab AS lab, count(*) AS c
        |    FROM e0 e JOIN l${i - 1} l ON e.src = l.node

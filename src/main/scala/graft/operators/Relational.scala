@@ -340,11 +340,17 @@ object Relational {
       col("o_orderstatus").as("status"),
       col("o_orderpriority").as("priority"),
       col("o_custkey").as("cust"))
+    // Synthetic inserts are re-keyed to −key−1 — a strictly-negative
+    // namespace disjoint from genuine (non-negative) keys at any SF,
+    // where a fixed offset (key + 10^9) would collide once real keys
+    // reach 10^9 (~SF 170) and silently merge an 'added' row onto a
+    // real key. (Plain negation is NOT disjoint: this feed carries an
+    // orderkey 0, and −0 = 0 recreates exactly that collision.)
     val v2 = v1.filter(col("key") % 101 =!= 0)
       .withColumn("cents", when(col("key") % 97 === 0,
         col("cents") + 100).otherwise(col("cents")))
       .unionByName(v1.filter(col("key") % 103 === 0)
-        .withColumn("key", col("key") + lit(1000000000L)))
+        .withColumn("key", -col("key") - 1))
     def fp(df: DataFrame, fpName: String, cName: String): DataFrame =
       df.select(col("key"),
         md5(concat_ws("|", col("cents"), col("status"), col("priority"),
@@ -376,7 +382,7 @@ object Relational {
         |    status, priority, cust
         |  FROM v1 WHERE key % 101 <> 0
         |  UNION ALL
-        |  SELECT key + 1000000000, cents, status, priority, cust
+        |  SELECT -key - 1, cents, status, priority, cust
         |  FROM v1 WHERE key % 103 = 0),
         |a AS (SELECT key, md5(concat_ws('|', cents, status, priority,
         |        cust)) AS fp1, cents AS c1 FROM v1),
