@@ -184,6 +184,31 @@ object StreamQueries {
           .as[EventStreams.Ev3]).toDF()
     }
 
+  /** Streaming AS-OF enrichment through the engine:
+    * [[EventStreams.asofEnrichStateful]] — the deployment shape of the
+    * batch temporal join q189: purchases act as the SCD2 dimension's
+    * version updates (the user's current spend level), clicks are the
+    * facts, and each click is enriched with the version valid at its own
+    * event time, carried per user in flatMapGroupsWithState state. Both
+    * flows ride the one staged feed (the CDC one-topic shape); with the
+    * single-file staging (one micro-batch, in-batch sort) the emitted
+    * rows equal the batch interval-join formulation, which is the
+    * oracle. The version ordinal (`ver_seq`) rides along — the field the
+    * two-batch spec uses to prove a version change between micro-batches
+    * re-routes subsequent facts. */
+  def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir, mode = "append") { ev =>
+      import spark.implicits._
+      EventStreams.asofEnrichStateful(
+        ev.filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("usec"),
+            when(col("event_type") === "click", 1).otherwise(0)
+              .as("is_fact"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .as[EventStreams.TagEv]).toDF()
+    }
+
   /** Stream-STATIC join through the engine: the unbounded events feed
     * enriched with the bounded customer dimension — the canonical
     * "enrich a stream with a slowly-changing lookup table" deployment.
@@ -572,6 +597,25 @@ object StreamQueries {
         |  (denom > 0 AND cents * denom > num * 3) AS is_spike,
         |  (denom > 0 AND cents * denom * 3 < num) AS is_dip
         |FROM h""".stripMargin),
+    Q("q200_stream_asof", streamAsofEnrich _,
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS usec
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS usec,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pit AS (
+        |  SELECT c.user_id, c.event_id, c.usec, p.cents,
+        |    row_number() OVER (PARTITION BY c.user_id, c.event_id
+        |      ORDER BY p.usec DESC NULLS LAST, p.event_id DESC) AS rn,
+        |    count(p.cents) OVER (PARTITION BY c.user_id, c.event_id)
+        |      AS ver_seq
+        |  FROM c LEFT JOIN p
+        |    ON p.user_id = c.user_id AND p.usec <= c.usec)
+        |SELECT user_id, event_id, usec, cents AS valid_cents,
+        |  CAST(ver_seq AS BIGINT) AS ver_seq
+        |FROM pit WHERE rn = 1""".stripMargin),
     Q("q111_stream_static_join", streamStaticEnrich _,
       """SELECT c.c_mktsegment AS segment, e.event_type,
         |  count(*) AS n, round(sum(e.value), 2) AS total

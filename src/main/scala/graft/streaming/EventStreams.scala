@@ -140,7 +140,10 @@ object EventStreams {
     * of q184: flag a metric spike the moment its event arrives, not at
     * the end of a batch job. Events inside a batch are sorted by
     * (ts-to-nanos, event_id) so tie order matches the batch oracle's
-    * window order. */
+    * window order. NOTE the `it.toSeq` sort buffers one key's slice of
+    * ONE micro-batch transiently (carried state stays O(1)); a 100-TB
+    * deployment bounds that buffer by sizing the trigger interval /
+    * `maxFilesPerTrigger`, exactly as it bounds shuffle spill. */
   def ewmaStateful(events: Dataset[Ev3]): Dataset[EwmaEv] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -163,9 +166,72 @@ object EventStreams {
       }
   }
 
+  /** One row of the tagged AS-OF stream: a dimension version-update
+    * (`is_fact` = 0, payload `cents`) or a fact to enrich (`is_fact` = 1).
+    * `usec` is event time in epoch micros — full ts resolution, so the
+    * "version at or before the fact" comparison matches a timestamp
+    * oracle exactly. */
+  case class TagEv(user_id: Long, event_id: Long, usec: Long,
+                   is_fact: Int, cents: Long)
+  /** Carried per-key state: the CURRENT dimension version (its event
+    * time, tie-breaking id, payload) plus the version ordinal — four
+    * longs per key, O(1) forever. */
+  case class AsofState(usec: Long, eid: Long, cents: Long, seq: Long)
+  case class AsofEv(user_id: Long, event_id: Long, usec: Long,
+                    valid_cents: Option[Long], ver_seq: Long)
+
+  /** Streaming AS-OF (point-in-time) enrichment — the deployment shape
+    * of batch q189's temporal join: a live fact stream enriched against
+    * a slowly-changing dimension, with the dimension's CURRENT version
+    * carried per key in `flatMapGroupsWithState` state. Both flows ride
+    * ONE tagged stream (the asof-union trick lifted into streaming —
+    * exactly how a CDC bus delivers dim updates and facts on one topic):
+    * within a batch rows sort by (usec, is_fact, event_id) so a version
+    * dated at the same instant as a fact is visible to it (dims first),
+    * and across micro-batches the state hands every later fact the last
+    * version adopted — the two-batch spec pins that a version change
+    * between batches re-routes subsequent facts. Facts that predate
+    * every version keep a NULL enrichment (the honest AS-OF miss).
+    *
+    * A version OLDER than the current one (out-of-order across a batch
+    * boundary) is ignored — the same "late data beyond the reorder
+    * horizon is dropped" contract a watermark gives windowed aggs; in a
+    * bounded single-batch replay the in-batch sort makes the result
+    * equal the batch interval-join oracle. State is four longs per key;
+    * the per-batch `it.toSeq` sort is trigger-interval-bounded (see
+    * [[ewmaStateful]]'s note). */
+  def asofEnrichStateful(tagged: Dataset[TagEv]): Dataset[AsofEv] = {
+    import tagged.sparkSession.implicits._
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TagEv], state: GroupState[AsofState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.usec, e.is_fact, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AsofEv]
+          sorted.foreach { e =>
+            if (e.is_fact == 0) {
+              if (st == null || e.usec > st.usec ||
+                  (e.usec == st.usec && e.event_id > st.eid))
+                st = AsofState(e.usec, e.event_id, e.cents,
+                  (if (st == null) 0L else st.seq) + 1L)
+            } else {
+              out += (if (st == null)
+                AsofEv(user, e.event_id, e.usec, None, 0L)
+              else
+                AsofEv(user, e.event_id, e.usec, Some(st.cents), st.seq))
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Custom stateful sessionizer: emits a session when a subsequent event
     * arrives more than `gapSec` after the previous one. State per user is
-    * one open-session buffer — O(1) per key regardless of stream length.
+    * one open-session buffer — O(1) per key regardless of stream length;
+    * the `it.toSeq` sort below buffers one key's per-batch slice only,
+    * bounded by the trigger interval (see [[ewmaStateful]]'s note).
     * (NoTimeout keeps it deterministic for tests; production would add
     * EventTimeTimeout to flush idle sessions at the watermark.) */
   def sessionizeStateful(events: Dataset[Ev], gapSec: Long)

@@ -126,6 +126,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming AS-OF: a version change between batches re-routes " +
+      "subsequent facts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventStreams.TagEv]
+    val q = EventStreams.asofEnrichStateful(ms.toDS())
+      .writeStream.format("memory").queryName("asofstate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: fact before any version (NULL miss), version v1 at
+      // t=100, fact at t=150 → enriched with v1; a SAME-instant fact at
+      // t=100 must also see v1 (dims sort before facts at equal usec)
+      ms.addData(
+        EventStreams.TagEv(5, 10, 50L, 1, 0L),
+        EventStreams.TagEv(5, 1, 100L, 0, 777L),
+        EventStreams.TagEv(5, 11, 100L, 1, 0L),
+        EventStreams.TagEv(5, 12, 150L, 1, 0L))
+      q.processAllAvailable()
+      // batch 2: version v2 at t=200, then facts at 250 and 260 — they
+      // must pick up v2, proving the carried version crossed the
+      // boundary AND was replaced by the in-between update
+      ms.addData(
+        EventStreams.TagEv(5, 13, 180L, 1, 0L), // still v1 via state
+        EventStreams.TagEv(5, 2, 200L, 0, 888L),
+        EventStreams.TagEv(5, 14, 250L, 1, 0L),
+        EventStreams.TagEv(5, 15, 260L, 1, 0L))
+      q.processAllAvailable()
+      val rows = spark.table("asofstate").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((Option(r.getAs[java.lang.Long]("valid_cents")).map(_.toLong),
+            r.getAs[Long]("ver_seq")))).toMap
+      assert(rows(10L) === ((None, 0L)))         // pre-version miss
+      assert(rows(11L) === ((Some(777L), 1L)))   // same-instant version
+      assert(rows(12L) === ((Some(777L), 1L)))
+      assert(rows(13L) === ((Some(777L), 1L)))   // v1 carried across batch
+      assert(rows(14L) === ((Some(888L), 2L)))   // re-routed to v2
+      assert(rows(15L) === ((Some(888L), 2L)))
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases within 30 min of a click, per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
