@@ -140,6 +140,94 @@ object Similarity {
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
   }
 
+  /** Product-quantization ANN with exact rerank — the vector-COMPRESSION
+    * scale path that completes the IVF story (q48): at 100 TB raw
+    * float32 embeddings don't fit an index, so candidates are stored as
+    * M=4 one-byte codes (one codeword id per 16-dim subspace) and the
+    * search scans codes, not vectors. Codebooks are the q48 exact-grid
+    * label centroids SLICED per subspace (the mean of a slice is the
+    * slice of the mean — deterministic, cross-engine-exact "training");
+    * assignment is argmin L2² to the sub-codebook (ties → lowest code;
+    * mergeable `min_by` over a (dist, code) struct). The ADC pass scores
+    * every candidate by the cosine of the query against the candidate's
+    * RECONSTRUCTED vector (codeword concat) — compressed-domain math
+    * only — keeps the top-10, and an exact rerank over just those 10
+    * raw vectors emits the final top-3: the standard
+    * coarse-search/rerank split of FAISS-style serving.
+    *
+    * Scale shape: codebooks are tiny (M·cells·subdim doubles →
+    * broadcast); assignment is one narrow pass; ADC is O(Q·N) over
+    * M-byte codes (compose with q48's cell probe to cut N); the rerank
+    * fetches raw vectors for only Q·10 candidates via an equi-join.
+    * Every double is a sequential fold over exact operands, so ADC
+    * ranks — and therefore the candidate CUT — are bit-identical to the
+    * oracle's. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val M = 4
+    val sub = 16
+    val e = t(spark, dir, "embeddings")
+      .withColumn("qv", transform(col("embedding"), x =>
+        floor(lit(1000.0) * x.cast("double") + lit(0.5)).cast("long")))
+    val centroids = e.select(col("label"), col("qv"))
+      .as[(Int, Array[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(CentroidAggregator.toColumn)
+      .toDF("cell", "c")
+    val codebook = centroids.select(col("cell").as("code"),
+      explode(expr(s"transform(sequence(0, ${M - 1}), " +
+        s"m -> struct(m AS m, slice(c, m * $sub + 1, $sub) AS cw))"))
+        .as("s"))
+      .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"))
+    val subv = e.select(col("vec_id").as("cand_id"),
+      explode(expr(s"transform(sequence(0, ${M - 1}), " +
+        s"m -> struct(m AS m, slice(qv, m * $sub + 1, $sub) AS sv))"))
+        .as("s"))
+      .select(col("cand_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val codes = subv.join(broadcast(codebook), Seq("m"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> " +
+          "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+          "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .groupBy(col("cand_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+    // reconstruction: concat the M codewords in subspace order (the map
+    // lookup pins order — collect_list alone is partition-order-dependent)
+    val recon = codes.join(broadcast(codebook), Seq("m", "code"))
+      .groupBy(col("cand_id"))
+      .agg(map_from_entries(collect_list(struct(col("m"), col("cw"))))
+        .as("mp"))
+      .select(col("cand_id"),
+        concat((0 until M).map(m => col("mp")(m)): _*).as("rvec"))
+      .withColumn("rn2", VectorOps.l2NormDouble(col("rvec")))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        VectorOps.l2Norm(col("embedding")).as("qn"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("cand_id").asc)
+    val top = q.join(recon, col("q_id") =!= col("cand_id"))
+      .withColumn("adc",
+        VectorOps.dotFloatDouble(col("qe"), col("rvec")) /
+          (col("qn") * col("rn2")))
+      .withColumn("rna", row_number().over(wAdc))
+      .filter(col("rna") <= 10)
+      .select(col("q_id"), col("qe"), col("qn"), col("cand_id"))
+    val cands = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"),
+      VectorOps.l2Norm(col("embedding")).as("cn"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    top.join(cands, Seq("cand_id"))
+      // + 0.0 canonicalizes IEEE signed zero (see Analytics.statsProfile)
+      .withColumn("cos", round(VectorOps.cosinePrenormed(
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6) +
+        lit(0.0))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the storage/ANN
     * compression step (4x smaller vectors, SIMD-friendly int8 dot
     * products in serving systems): per vector, scale = 127/max|v|,
@@ -241,6 +329,69 @@ object Similarity {
          |  FROM probe p
          |    JOIN e q ON q.vec_id = p.q_id
          |    JOIN e c ON c.label = p.cell AND c.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, cand_id ASC) AS INT) AS rn
+         |  FROM scored)
+         |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin),
+    Q("q201_ann_pq", annPq _,
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         |    [CAST(floor(1000.0 * CAST(x AS DOUBLE) + 0.5) AS BIGINT)
+         |     for x in embedding] AS qv
+         |  FROM embeddings),
+         |sums AS (
+         |  SELECT label AS cell, u.pos AS pos, sum(u.qx) AS s,
+         |    count(*) AS cnt
+         |  FROM (SELECT label, unnest([{'pos': i, 'qx': qv[i]}
+         |        for i in range(1, len(qv) + 1)]) AS u FROM e)
+         |  GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
+         |  FROM sums GROUP BY 1),
+         |cb AS (
+         |  SELECT t.m, cell AS code, c[t.m * 16 + 1 : t.m * 16 + 16] AS cw
+         |  FROM cents CROSS JOIN range(0, 4) t(m)),
+         |sv AS (
+         |  SELECT vec_id AS cand_id, t.m,
+         |    qv[t.m * 16 + 1 : t.m * 16 + 16] AS sv
+         |  FROM e CROSS JOIN range(0, 4) t(m)),
+         |codes AS (
+         |  SELECT cand_id, m, code FROM (
+         |    SELECT s.cand_id, s.m, cb.code,
+         |      row_number() OVER (PARTITION BY s.cand_id, s.m ORDER BY
+         |        list_aggregate([
+         |          (CAST(s.sv[i] AS DOUBLE) - cb.cw[i]) *
+         |          (CAST(s.sv[i] AS DOUBLE) - cb.cw[i])
+         |          for i in range(1, len(s.sv) + 1)], 'sum') ASC,
+         |        cb.code ASC) AS rnc
+         |    FROM sv s JOIN cb ON s.m = cb.m) WHERE rnc = 1),
+         |recon AS (
+         |  SELECT k.cand_id, flatten(list(cb.cw ORDER BY k.m)) AS rvec
+         |  FROM codes k JOIN cb ON k.m = cb.m AND k.code = cb.code
+         |  GROUP BY 1),
+         |adc AS (
+         |  SELECT q.vec_id AS q_id, r.cand_id,
+         |    list_aggregate([CAST(q.embedding[i] AS DOUBLE) * r.rvec[i]
+         |      for i in range(1, len(r.rvec) + 1)], 'sum')
+         |    / (q.nrm * sqrt(list_aggregate([r.rvec[i] * r.rvec[i]
+         |      for i in range(1, len(r.rvec) + 1)], 'sum'))) AS adc
+         |  FROM e q JOIN recon r ON r.cand_id <> q.vec_id
+         |  WHERE q.vec_id < 20),
+         |top AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc DESC, cand_id ASC) AS rna FROM adc)
+         |  WHERE rna <= 10),
+         |scored AS (
+         |  SELECT t.q_id, t.cand_id,
+         |    round(${cosExpr("q", "c")}, 6) + 0.0 AS cos
+         |  FROM top t
+         |    JOIN e q ON q.vec_id = t.q_id
+         |    JOIN e c ON c.vec_id = t.cand_id),
          |ranked AS (
          |  SELECT q_id, cand_id, cos,
          |    CAST(row_number() OVER (PARTITION BY q_id

@@ -70,6 +70,40 @@ class VectorSpec extends SparkSpec {
     pinPosZero(Similarity.annIvf(spark, tmp), "q48_ivf")
   }
 
+  test("PQ ANN recall vs brute force on a planted-cluster fixture") {
+    // 10 clusters × 10 members in 64 dims: each member is its cluster's
+    // base direction plus small deterministic noise, so every query's
+    // true nearest neighbors are its cluster mates. PQ codebooks derive
+    // from the label centroids, so the compressed-domain ADC scan must
+    // rank cluster mates at the top — recall@3 against the exact
+    // brute-force top-3 pins the quantizer's retrieval quality.
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("vecpq").toString
+    val rnd = new scala.util.Random(42)
+    val bases = Array.fill(10)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val rows = for (lab <- 0 until 10; i <- 0 until 10) yield {
+      val v = bases(lab).map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.05f)
+      ((lab * 10 + i).toLong, v, lab)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("rn") <= 3).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    val exact = top3(Similarity.annBruteForce(spark, tmp))
+    val pq = top3(Similarity.annPq(spark, tmp))
+    // brute force queries vec_id < 50, PQ queries vec_id < 20 — compare
+    // on the intersection (20 queries, all with 9 planted cluster mates)
+    val recalls = pq.map { case (q, got) =>
+      got.intersect(exact(q)).size.toDouble / 3.0 }
+    assert(recalls.size === 20)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"PQ recall@3 = $mean, expected >= 0.8")
+  }
+
   test("cosine is symmetric and self-cosine is 1") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(20)
     val selfCos = e.select(
