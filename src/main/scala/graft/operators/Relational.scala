@@ -233,7 +233,7 @@ object Relational {
         } catch { case _: Throwable => } // best-effort cleanup only
       }))
   }
-  private def stagedDir(kind: String, dir: String)(
+  private[operators] def stagedDir(kind: String, dir: String)(
       write: String => Unit): String =
     stagedDirs.computeIfAbsent((kind, dir), { _ =>
       val base = java.nio.file.Files

@@ -509,6 +509,64 @@ object TextAnalysis {
         round(col("n_contaminated") / col("n_docs"), 6))
   }
 
+  /** Decontamination against an EXTERNAL versioned benchmark manifest —
+    * the production shape of q92/q101: the held-out eval sets arrive as
+    * a second parquet input (benchmark name, entry id, text — staged
+    * once per (kind, sf) like the schema-evolution/ORC simulation
+    * inputs, standing in for the curated manifest a leakage-review
+    * process publishes), and the report is PER-BENCHMARK hit rates —
+    * the table a release gate signs off on ("this corpus touches qa_v1
+    * at 212 ppm"). Contamination predicate is the q92 n-gram method
+    * (shares ≥1 3-word shingle with any manifest entry).
+    *
+    * Scale shape: one 512 KiB bloom over ALL manifests' shingles
+    * prefilters the corpus stream (manifests are fixed-size while the
+    * corpus grows), survivors reach the exact shingle join which both
+    * removes false positives AND attaches the benchmark name — so the
+    * per-benchmark split costs nothing extra over q101's single-set
+    * path, and the oracle is the exact SQL with no bloom in it. */
+  def manifestDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("mh", TextOps.portableHash(
+        concat(lit("mani:"), col("doc_id").cast("string"))))
+    val base = Relational.stagedDir("eval_manifest", dir) { b =>
+      docs.filter(col("mh") % 100 < 6)
+        .select(expr("CASE mh % 3 WHEN 0 THEN 'qa_v1' " +
+            "WHEN 1 THEN 'summarize_v2' ELSE 'cloze_v1' END")
+            .as("benchmark"),
+          col("doc_id").as("bench_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$b/manifest")
+    }
+    val manifest = spark.read.parquet(s"$base/manifest")
+    val mSh = Dedup.shingleExploded(
+        manifest.select(col("bench_id").as("doc_id"), col("text")))
+      .join(broadcast(manifest.select(col("bench_id").as("doc_id"),
+        col("benchmark"))), Seq("doc_id"))
+      .select(col("benchmark"), col("s"))
+      .distinct()
+    val bloom = mSh.select(col("s")).distinct()
+      .agg(BloomFilterOps.bloomAgg(
+        TextOps.portableHash60(col("s")), 1 << 22, 5).as("bf"))
+    val corpus = docs.filter(col("mh") % 100 >= 6)
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    val hits = Dedup.shingleExploded(corpus)
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFilterOps.bloomContains(
+        col("bf"), TextOps.portableHash60(col("s")), 5))
+      .join(broadcast(mSh), Seq("s")) // exact verify + benchmark attach
+      .groupBy(col("benchmark"))
+      .agg(countDistinct(col("doc_id")).as("n_hits"))
+    manifest.groupBy(col("benchmark"))
+      .agg(count(lit(1)).as("n_entries"))
+      .join(hits, Seq("benchmark"), "left_outer")
+      .crossJoin(broadcast(nCorpus))
+      .select(col("benchmark"), col("n_entries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, CAST(0 AS BIGINT)) * 1000000 " +
+          "div greatest(n_corpus, 1)").as("hit_ppm"))
+  }
+
   /** Terms a curation pipeline blocks (stand-in for a 100k-term list). */
   val blocklist: Seq[String] = Seq("slow", "leak", "broken")
 
@@ -1286,6 +1344,37 @@ object TextAnalysis {
         |FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE NOT d.is_bench
         |GROUP BY 1""".stripMargin),
+    // Oracle derives the manifest inline from the same deterministic
+    // rules the staged parquet was written with; the bloom prefilter is
+    // invisible in the result (no false negatives, exact join removes
+    // false positives), as q101.
+    Q("q202_manifest_decontaminate", manifestDecontaminate _,
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('mani:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS mh,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in range(1, len(w) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |mani AS (
+        |  SELECT CASE mh % 3 WHEN 0 THEN 'qa_v1' WHEN 1 THEN 'summarize_v2'
+        |    ELSE 'cloze_v1' END AS benchmark, doc_id, sh
+        |  FROM d WHERE mh % 100 < 6),
+        |msh AS (SELECT DISTINCT benchmark, unnest(sh) AS s FROM mani),
+        |corpus AS (SELECT doc_id, sh FROM d WHERE mh % 100 >= 6),
+        |n AS (SELECT count(*) AS n_corpus FROM corpus),
+        |hits AS (
+        |  SELECT m.benchmark, count(DISTINCT c.doc_id) AS n_hits
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM corpus) c
+        |  JOIN msh m USING (s)
+        |  GROUP BY 1),
+        |ent AS (SELECT benchmark, count(*) AS n_entries FROM mani GROUP BY 1)
+        |SELECT e.benchmark, e.n_entries,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) * 1000000 //
+        |    greatest((SELECT n_corpus FROM n), 1) AS BIGINT) AS hit_ppm
+        |FROM ent e LEFT JOIN hits h USING (benchmark)""".stripMargin),
     Q("q103_blocklist_filter", blocklistFilter _,
       """WITH b AS (
         |  SELECT doc_id

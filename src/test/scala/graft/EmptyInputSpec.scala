@@ -152,4 +152,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sampling.weightedSample(spark, emptyDir).count() === 0)
     assert(Layout.globalOrdinals(spark, emptyDir).count() === 0)
   }
+
+  test("round-10 operators are defined on empty feeds") {
+    import graft.operators.{Similarity, TextAnalysis}
+    // PQ: empty codebooks + empty query set must flow through, not throw
+    assert(Similarity.annPq(spark, emptyDir).count() === 0)
+    // empty corpus → empty manifest → a 0-benchmark report
+    assert(TextAnalysis.manifestDecontaminate(spark, emptyDir)
+      .count() === 0)
+  }
 }
