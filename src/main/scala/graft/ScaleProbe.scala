@@ -70,7 +70,15 @@ object ScaleProbe {
       d.withColumn("vec_id", col("vec_id") + i * keySpan)
     }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    Seq("customer", "supplier", "part", "nation", "region", "events")
+    // 10x events with shifted event_ids, SAME value distribution: the KS
+    // probe's distinct-cents domain is fixed while tallies grow 10x —
+    // the ECDF pipeline's cost should track the scan, never the domain
+    val ev10 = Tables.load(spark, base, "events")
+    rep(ev10) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + i * keySpan)
+    }.write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    Seq("customer", "supplier", "part", "nation", "region")
       .foreach { t =>
         Tables.load(spark, base, t).write.mode("overwrite")
           .parquet(s"$out/$t.parquet")
@@ -126,15 +134,38 @@ object ScaleProbe {
       // rows at any scale
       time(s"rank_transform_$tag")(
         operators.Analytics.rankTransform(spark, dir).count())
-      // basket self-join at 10x line items over FIXED parts: baskets per
-      // order grow only via replica orderkeys (same ~7-row baskets), so
-      // pair generation should scale with Σb² over 10x baskets — linear
+      // shared support-2 pair stage priced SEPARATELY (the Bench
+      // discipline): its three consumers below then report marginal
+      // cost. Basket self-join at 10x line items over FIXED parts:
+      // pair generation scales with Σb² over 10x baskets — linear
+      operators.Graph.clearStageCaches()
+      time(s"support2_stage_$tag") {
+        operators.Graph.materializeSupport2(spark, dir); 0L }
       time(s"copurchase_$tag")(
         operators.Analytics.copurchase(spark, dir).count())
       // iterative peel at 10x: support-2 edges densify (10x co-purchase
       // support), rounds stay bounded by cascade depth — the probe
       // watches per-round cost, which is keyed on the edge list
       time(s"kcore_$tag")(operators.Graph.kcore(spark, dir).count())
+      // fixed-round LPA over the same densified edge list: 4 rounds of
+      // one edge-keyed join + two partial aggs — cost per round is
+      // O(edges), so the 10x ratio should track the edge densification
+      time(s"lpa_$tag")(
+        operators.Graph.labelPropagation(spark, dir).count())
+      // AS-OF union trick at 10x facts per customer: ONE hash exchange
+      // on cust + a per-partition sort over the 10x-deep tagged stream —
+      // the probe watches that no range join creeps in (linear-ish)
+      time(s"temporal_join_$tag")(
+        operators.JoinsSetOps.temporalJoin(spark, dir).count())
+      // two-phase distributed ECDF at 10x tallies over a FIXED value
+      // domain: per-value group rows are constant, offsets stay 64 —
+      // cost should track the events scan
+      time(s"ks_drift_$tag")(
+        operators.DataQuality.ksDrift(spark, dir).count())
+      // snapshot diff at 10x keys: scan-local fingerprints, the
+      // full-outer join shuffles (key, fp, cents) only — linear in keys
+      time(s"table_diff_$tag")(
+        operators.Relational.tableDiff(spark, dir).count())
     }
 
     calib("post_batch")

@@ -341,6 +341,68 @@ object Graph {
         max(col("node")).as("max_node"))
   }
 
+  /** Bounded multi-source BFS rounds: dist(v) = min hops to any seed,
+    * computed as R synchronous relaxation rounds (dist' = min(dist,
+    * min over in-neighbors dist+1)); nodes farther than R hops keep a
+    * NULL distance — the explicit "beyond the horizon" contract that
+    * makes a FIXED round count a complete semantics (like [[lpaOf]]'s
+    * labels-after-R-rounds), identical in both engines with no
+    * convergence requirement. The null algebra is spelled
+    * `least(coalesce(d, nd), coalesce(nd, d))` in BOTH engines so
+    * neither side depends on its native least()-vs-NULL behavior.
+    * Each round is one hash join (distances onto edge sources) + one
+    * partial-agg'd min keyed on the destination — O(edges) per round,
+    * one long of state per node. */
+  private[graft] def bfsOf(sym: DataFrame, seeds: DataFrame,
+                           rounds: Int): DataFrame = {
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var dist = nodes.join(seeds.withColumn("d0", lit(0L)),
+        nodes("node") === seeds("seed"), "left_outer")
+      .select(col("node"), col("d0").as("d"))
+    for (_ <- 1 to rounds) {
+      val prop = sym.join(dist, sym("src") === dist("node"))
+        .filter(col("d").isNotNull)
+        .groupBy(col("dst")).agg(min(col("d") + 1).as("nd"))
+      dist = dist.join(prop, dist("node") === prop("dst"), "left_outer")
+        .select(col("node"),
+          least(coalesce(col("d"), col("nd")),
+            coalesce(col("nd"), col("d"))).as("d"))
+    }
+    dist
+  }
+
+  /** Hop-distance census from a seed set over the support-2 co-purchase
+    * graph (the shared q185/q192/q197 stage — a fourth consumer): every
+    * part's distance to the nearest "anchor" part (deterministic hash
+    * slice standing in for a curated seed list — on a crawl graph this
+    * is distance-to-trusted-domain, the classic quality prior), bounded
+    * at 4 hops, unreachable-within-horizon reported as its own NULL
+    * class. Output is the per-distance census. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = support2Pairs(spark, dir).select(col("u"), col("v"))
+    val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .cutLineage()
+    val seeds = sym.select(col("src").as("seed")).distinct()
+      .filter(col("seed") % 97 === 0)
+    bfsOf(sym, seeds, 4)
+      .groupBy(col("d").as("hops"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+  }
+
+  /** One unrolled synchronous BFS relaxation round for the DuckDB
+    * oracle — the same coalesce-spelled null algebra as the Spark side. */
+  private def bfsIterSql(i: Int): String =
+    s"""d$i AS MATERIALIZED (
+       |  SELECT n.node,
+       |    least(coalesce(n.d, p.nd), coalesce(p.nd, n.d)) AS d
+       |  FROM d${i - 1} n LEFT JOIN (
+       |    SELECT e.dst AS node, min(l.d + 1) AS nd
+       |    FROM e0 e JOIN d${i - 1} l ON e.src = l.node
+       |    WHERE l.d IS NOT NULL GROUP BY 1) p
+       |    ON n.node = p.node)""".stripMargin
+
   /** One unrolled synchronous LPA round for the DuckDB oracle. DuckDB's
     * arg_min takes no struct key, so the (−count, label) order is packed
     * into a HUGEINT (−c·2^64 + lab): 128-bit, exact for any 64-bit
@@ -368,6 +430,24 @@ object Graph {
        |          HAVING count(*) >= 2) b ON c.dst = b.src)""".stripMargin
 
   val catalog: Seq[Q] = Seq(
+    Q("q203_bfs_hops", bfsHops _,
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (
+         |  SELECT a.pk AS u, b.pk AS v FROM baskets a JOIN baskets b
+         |    ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+         |       UNION ALL SELECT v, u FROM pairs),
+         |d0 AS MATERIALIZED (
+         |  SELECT node, CASE WHEN node % 97 = 0
+         |    THEN CAST(0 AS BIGINT) END AS d
+         |  FROM (SELECT DISTINCT src AS node FROM e0)),
+         |${(1 to 4).map(bfsIterSql).mkString(",\n")}
+         |SELECT d AS hops, count(*) AS n_nodes,
+         |  min(node) AS min_node, max(node) AS max_node
+         |FROM d4 GROUP BY 1""".stripMargin),
     Q("q197_label_propagation", labelPropagation _,
       s"""WITH baskets AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

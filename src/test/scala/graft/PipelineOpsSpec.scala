@@ -636,6 +636,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotQ === expected)
   }
 
+  test("BFS hops: planted path pins hop counts, the horizon, and the " +
+      "unreachable NULL class; sf census equals brute-force BFS") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // path 1-2-3-4-5-6-7, seed {1}: hops = index; 6 and 7 lie beyond
+    // the 4-hop horizon and must surface as NULL, not be dropped
+    val und = (1L to 6L).map(i => (i, i + 1))
+    val symSeq = und ++ und.map(e => (e._2, e._1))
+    val got = Graph.bfsOf(symSeq.toDF("src", "dst"),
+        Seq(1L).toDF("seed"), 4).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> Some(3L), 5L -> Some(4L), 6L -> None, 7L -> None))
+    // full declared query at sf0.001 equals an independent Scala BFS
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCounts((ps(i), ps(j))) =
+          pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val sfSym = pairCounts.filter(_._2 >= 2).keys.toSeq
+      .flatMap(e => Seq(e, e.swap))
+    val adj = sfSym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = adj.keySet.map(n =>
+      n -> (if (n % 97 == 0) Some(0L) else None)).toMap
+    for (_ <- 1 to 4) {
+      dist = dist.map { case (n, d) =>
+        val nbr = adj(n).flatMap(u => dist(u)).map(_ + 1)
+        n -> (d.toSeq ++ nbr).minOption
+      }
+    }
+    val expected = dist.groupBy(_._2.map(_.toString).orNull)
+      .map { case (hops, m) =>
+        hops -> ((m.size.toLong, m.keys.min, m.keys.max)) }
+    val gotQ = Graph.bfsHops(spark, sf).collect().map(r =>
+      (if (r.isNullAt(r.fieldIndex("hops"))) null
+       else r.getAs[Long]("hops").toString) ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("min_node"),
+          r.getAs[Long]("max_node")))).toMap
+    assert(gotQ === expected)
+  }
+
   test("temporal join: AS-OF rollup equals brute-force interval scan") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_custkey"), col("o_orderkey"),
