@@ -701,6 +701,54 @@ object Analytics {
         col("valid_to_sec").isNull.as("is_current"))
   }
 
+  /** SCD-2 MERGE — the incremental write path of the warehouse pattern
+    * q86 builds and q189 queries: given the CURRENT version history (the
+    * pre-cutoff timeline compressed to effective-dated versions) and a
+    * NEW SNAPSHOT (each key's first post-cutoff attribute), classify
+    * every key — `new_version` (attribute changed → the open version
+    * closes and a new one opens), `insert_key` (never seen before),
+    * `unchanged` (snapshot equals the open version), `untouched` (absent
+    * from the snapshot) — and emit the census with post-merge version
+    * totals, the apply-audit a dimension-maintenance job logs.
+    *
+    * Scale shape: the history side compresses with one hash exchange +
+    * per-key window (q86); both sides reduce to ONE row per key
+    * (mergeable min_by/max_by over (date, orderkey) struct keys — total
+    * order, no packed integers) before the full-outer join, which
+    * therefore shuffles dimension keys, never order rows. In a real
+    * deployment the history side is the stored table (no recompute) and
+    * only the snapshot aggregate runs per apply — q105's discipline
+    * lifted to versioned dimensions. */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderdate").as("d"),
+        col("o_orderkey").as("k"), col("o_orderpriority").as("p"))
+    val w = Window.partitionBy(col("cust")).orderBy(col("d"), col("k"))
+    val hist = o.filter(col("d") < cut)
+      .withColumn("prev_p", lag(col("p"), 1).over(w))
+      .filter(col("prev_p").isNull || col("prev_p") =!= col("p"))
+      .select(col("cust"), col("p"), col("d"), col("k"))
+    val cur = hist.groupBy(col("cust"))
+      .agg(count(lit(1)).as("n_versions"),
+        max_by(col("p"), struct(col("d"), col("k"))).as("open_p"))
+    val snap = o.filter(col("d") >= cut)
+      .groupBy(col("cust"))
+      .agg(min_by(col("p"), struct(col("d"), col("k"))).as("sp"))
+    cur.join(snap, Seq("cust"), "full_outer")
+      .withColumn("action",
+        when(col("open_p").isNull, "insert_key")
+          .when(col("sp").isNull, "untouched")
+          .when(col("sp") =!= col("open_p"), "new_version")
+          .otherwise("unchanged"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(coalesce(col("n_versions"), lit(0L)) +
+          when(col("action").isin("insert_key", "new_version"), 1L)
+            .otherwise(0L)).as("total_versions"),
+        min(col("cust")).as("min_cust"), max(col("cust")).as("max_cust"))
+  }
+
   /** MERGE / upsert — the CDC-apply primitive (Delta/Iceberg `MERGE INTO`
     * re-expressed as a full-outer join): a per-user profile snapshot built
     * from events before a cutoff is merged with an incremental batch of
@@ -1933,6 +1981,44 @@ object Analytics {
         |    THEN 1 END) AS n_dips,
         |  max(CASE WHEN denom > 0 THEN num / denom END) AS ewma_peak
         |FROM h GROUP BY 1""".stripMargin),
+    Q("q205_scd2_merge", scd2Merge _,
+      """WITH o AS (
+        |  SELECT o_custkey AS cust, o_orderdate AS d, o_orderkey AS k,
+        |    o_orderpriority AS p
+        |  FROM orders),
+        |hv AS (
+        |  SELECT cust, p, d, k,
+        |    lag(p) OVER (PARTITION BY cust ORDER BY d, k) AS prev_p
+        |  FROM o WHERE d < TIMESTAMP '1997-01-01 00:00:00'),
+        |hist AS (
+        |  SELECT cust, p, d, k FROM hv
+        |  WHERE prev_p IS NULL OR prev_p <> p),
+        |cur AS (
+        |  SELECT h.cust, n.n_versions, h.p AS open_p
+        |  FROM (SELECT cust, p, row_number() OVER (PARTITION BY cust
+        |          ORDER BY d DESC, k DESC) AS rn FROM hist) h
+        |  JOIN (SELECT cust, count(*) AS n_versions FROM hist
+        |        GROUP BY 1) n USING (cust)
+        |  WHERE h.rn = 1),
+        |snap AS (
+        |  SELECT cust, p AS sp FROM (
+        |    SELECT cust, p, row_number() OVER (PARTITION BY cust
+        |      ORDER BY d ASC, k ASC) AS rn
+        |    FROM o WHERE d >= TIMESTAMP '1997-01-01 00:00:00')
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT coalesce(c.cust, s.cust) AS cust, c.n_versions,
+        |    CASE WHEN c.open_p IS NULL THEN 'insert_key'
+        |      WHEN s.sp IS NULL THEN 'untouched'
+        |      WHEN s.sp <> c.open_p THEN 'new_version'
+        |      ELSE 'unchanged' END AS action
+        |  FROM cur c FULL JOIN snap s ON c.cust = s.cust)
+        |SELECT action, count(*) AS n_keys,
+        |  CAST(sum(COALESCE(n_versions, 0) +
+        |    CASE WHEN action IN ('insert_key', 'new_version')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS total_versions,
+        |  min(cust) AS min_cust, max(cust) AS max_cust
+        |FROM m GROUP BY 1""".stripMargin),
     Q("q193_rank_transform", rankTransform _,
       """WITH c AS (
         |  SELECT o_orderkey AS order_id,

@@ -501,7 +501,44 @@ object StreamQueries {
             lit((1L << 57).toDouble) / col("s"), 4).as("hll_users"))
     }
 
+  /** SKETCHED streaming top-k: per-day top-5 events by value through
+    * the bounded mergeable [[graft.functions.TopKAgg]] running INSIDE a
+    * watermarked streaming aggregation — the state-correct replacement
+    * for the window-rank top-k idiom, which streams cannot run at all
+    * (`row_number() OVER (ORDER BY …)` needs the window's full row set;
+    * unsupported on unbounded input). State per day-window is ≤ k
+    * (key, id) pairs regardless of event volume, merged across
+    * micro-batches through partial aggregation — the q161 discipline
+    * (HLL) applied to ranking. The post-agg explode is stateless. The
+    * oracle is the batch window-rank formulation — the gate proves the
+    * bounded buffer reproduces the exact top-k under the total
+    * (key desc, id asc) order. */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir) { ev =>
+      ev.withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(graft.functions.TopKAgg.topK(
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+          col("event_id"), 5).as("tk"))
+        .select(col("window.start").cast("long").as("day_start"),
+          posexplode(col("tk")))
+        .select(col("day_start"), (col("pos") + 1).as("rank"),
+          col("col.key").as("cents"), col("col.id").as("event_id"))
+    }
+
   val catalog: Seq[Q] = Seq(
+    Q("q204_stream_topk", streamTopk _,
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT day_start, cents, event_id,
+        |    CAST(row_number() OVER (PARTITION BY day_start
+        |      ORDER BY cents DESC, event_id ASC) AS INT) AS rank
+        |  FROM e)
+        |SELECT day_start, rank, cents, event_id FROM r
+        |WHERE rank <= 5""".stripMargin),
     Q("q161_stream_hll", streamHll _,
       """WITH h AS (
         |  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)

@@ -471,4 +471,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty) // support floor must not silence the fixture
   }
+
+  test("SCD2 merge census equals brute-force recompute") {
+    import graft.operators.Analytics
+    val cutSec = 852076800L // 1997-01-01 00:00:00 UTC
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp_ltz").cast("long").as("sec"),
+        col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val actions = orders.groupBy(_._1).map { case (cust, rows) =>
+      val pre = rows.filter(_._2 < cutSec).sortBy(r => (r._2, r._3))
+      val post = rows.filter(_._2 >= cutSec).sortBy(r => (r._2, r._3))
+      // collapse consecutive same-priority runs; head = open version
+      val versions = pre.foldLeft(List.empty[String])((acc, r) =>
+        if (acc.headOption.contains(r._4)) acc else r._4 :: acc)
+      val action = (versions.headOption, post.headOption.map(_._4)) match {
+        case (None, _) => "insert_key"
+        case (_, None) => "untouched"
+        case (Some(op), Some(s)) if s != op => "new_version"
+        case _ => "unchanged"
+      }
+      val nv = versions.size +
+        (if (action == "insert_key" || action == "new_version") 1 else 0)
+      (cust, action, nv.toLong)
+    }.toSeq
+    val expected = actions.groupBy(_._2).map { case (a, xs) =>
+      a -> ((xs.size.toLong, xs.map(_._3).sum,
+        xs.map(_._1).min, xs.map(_._1).max))
+    }
+    val got = Analytics.scd2Merge(spark, sf).collect().map(r =>
+      r.getAs[String]("action") -> ((r.getAs[Long]("n_keys"),
+        r.getAs[Long]("total_versions"), r.getAs[Long]("min_cust"),
+        r.getAs[Long]("max_cust")))).toMap
+    assert(got === expected)
+    // the fixture exercises the interesting classes, not just carryover
+    assert(got.contains("new_version") && got.contains("unchanged"))
+  }
 }

@@ -166,6 +166,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k: the bounded buffer merges across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RawEv]
+    val q = ms.toDF()
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.TopKAgg.topK(
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+        col("event_id"), 3).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).as("rank"), col("col.id").as("event_id"))
+      .writeStream.format("memory").queryName("topkstate")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      ms.addData(
+        RawEv(1, ts("2024-01-01 01:00:00"), 1, "click", 5.0, "{}"),
+        RawEv(2, ts("2024-01-01 02:00:00"), 1, "click", 9.0, "{}"),
+        RawEv(3, ts("2024-01-01 03:00:00"), 1, "click", 7.0, "{}"),
+        RawEv(4, ts("2024-01-01 04:00:00"), 1, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: a new maximum must enter, the old 3rd (id 1) must fall
+      ms.addData(RawEv(5, ts("2024-01-01 05:00:00"), 1, "click", 8.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("topkstate").collect()
+        .map(r => r.getAs[Int]("rank") -> r.getAs[Long]("event_id")).toMap
+      assert(got === Map(1 -> 2L, 2 -> 5L, 3 -> 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases within 30 min of a click, per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
