@@ -104,7 +104,22 @@ object PlanDump {
           "prefix-sum recipe, integer cross-multiplied CDF comparison"),
       "q198_table_diff" ->
         ("snapshot reconciliation: scan-local md5 fingerprints, " +
-          "full-outer hash join shuffles (key, fp, cents) — never rows"))
+          "full-outer hash join shuffles (key, fp, cents) — never rows"),
+      "q201_ann_pq" ->
+        ("product-quantization ANN: broadcast sub-codebooks, mergeable " +
+          "min_by code assignment, compressed-domain ADC scan, exact " +
+          "rerank joins raw vectors for top-10 only"),
+      "q202_manifest_decontaminate" ->
+        ("external-manifest decontamination: one bloom over all " +
+          "manifests' shingles prefilters the corpus stream, exact join " +
+          "attaches the benchmark — per-benchmark split costs nothing"),
+      "q203_bfs_hops" ->
+        ("bounded multi-source BFS over the shared support-2 stage: one " +
+          "hash join + partial-agg'd min per round, O(edges)/round"),
+      "q205_scd2_merge" ->
+        ("SCD2 merge: both sides reduce to one row per key (window " +
+          "compression / mergeable min_by) before the full-outer join — " +
+          "dimension keys shuffle, order rows never"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

@@ -701,6 +701,82 @@ object Analytics {
         col("valid_to_sec").isNull.as("is_current"))
   }
 
+  /** Exact WEIGHTED median per group — the order statistic q47/q168/q179
+    * don't cover: the median price where each row counts `l_quantity`
+    * times (the "typical unit price" a revenue analysis wants, robust to
+    * row-count vs volume mismatch). Integer-exact and portable: per
+    * (group, cents) weights partial-agg, cumulative weight under a
+    * per-group ordered window, weighted lower median = smallest cents
+    * with 2·cum ≥ total.
+    *
+    * Scale shape: the window runs over DISTINCT (group, cents) rows —
+    * bounded by the price grid (~10^7 values), NOT the corpus, so the
+    * per-group sort state is domain-bounded at any data size; beyond
+    * that, the q193 width_bucket two-phase recipe drops in unchanged.
+    * Everything before the window is one partial-agg'd shuffle. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("w"))
+      .groupBy(col("flag"), col("cents")).agg(sum(col("w")).as("w"))
+    val tot = grouped.groupBy(col("flag")).agg(sum(col("w")).as("tw"))
+    val wc = Window.partitionBy(col("flag")).orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped.withColumn("cum", sum(col("w")).over(wc))
+      .join(broadcast(tot), Seq("flag"))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col("flag"))
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("tw")).as("total_weight"))
+  }
+
+  /** Multi-touch attribution — the credit-assignment completion of the
+    * as-of family (q63/q199 find the single nearest click; this splits a
+    * purchase's value across ALL clicks in its trailing 24-hour
+    * window — sized so the feed genuinely produces multi-touch windows): linear attribution with an EXACT integer split — each
+    * touch gets `cents div n`, the remainder goes one cent at a time to
+    * the earliest touches — so total credit conserves the purchase total
+    * to the cent (spec-pinned), the invariant float shares can't give.
+    * Purchases with no touch in the window surface as the NULL-position
+    * class (the honest unattributed bucket). Output is the per-position
+    * census — the "how much does the 3rd touch matter" table.
+    *
+    * Scale shape: a user-keyed equi-join with the time window as part of
+    * the JOIN condition (left-outer so windowless purchases survive) —
+    * the q68 range-join discipline, per-user activity bounds the
+    * expansion; position/count windows partition by PURCHASE id, so
+    * window state is one attribution window's touches, never a user's
+    * history. Full-µs time resolution (the q200 lesson). */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), unix_micros(col("ts")).as("pt"),
+        col("event_id").as("pid"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("ct"),
+        col("event_id").as("cid"))
+    val touches = p.join(c,
+      col("u") === col("cu") && col("ct") <= col("pt") &&
+        col("ct") >= col("pt") - lit(86400000000L), "left_outer")
+    val wP = Window.partitionBy(col("pid"))
+    val wPos = Window.partitionBy(col("pid"))
+      .orderBy(col("ct").asc, col("cid").asc)
+    touches
+      .withColumn("n", count(col("cid")).over(wP))
+      .withColumn("pos",
+        when(col("cid").isNotNull, row_number().over(wPos)))
+      .withColumn("credit", when(col("n") === 0, col("cents"))
+        .otherwise(expr("cents div n") +
+          when(col("pos") <= col("cents") % col("n"), 1L).otherwise(0L)))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credit_cents"),
+        countDistinct(col("pid")).as("n_purchases"))
+  }
+
   /** SCD-2 MERGE — the incremental write path of the warehouse pattern
     * q86 builds and q189 queries: given the CURRENT version history (the
     * pre-cutoff timeline compressed to effective-dated versions) and a
@@ -1981,6 +2057,48 @@ object Analytics {
         |    THEN 1 END) AS n_dips,
         |  max(CASE WHEN denom > 0 THEN num / denom END) AS ewma_peak
         |FROM h GROUP BY 1""".stripMargin),
+    Q("q207_weighted_median", weightedMedian _,
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tw FROM g GROUP BY 1),
+        |c AS (
+        |  SELECT flag, cents,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cum
+        |  FROM g)
+        |SELECT c.flag, min(cents) AS wmedian_cents,
+        |  CAST(max(tw) AS BIGINT) AS total_weight
+        |FROM c JOIN t USING (flag)
+        |WHERE cum * 2 >= tw GROUP BY 1""".stripMargin),
+    Q("q206_attribution", attribution _,
+      """WITH p AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS pt, event_id AS pid,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS cu, epoch_us(ts) AS ct, event_id AS cid
+        |  FROM events WHERE event_type = 'click'),
+        |tch AS (
+        |  SELECT p.pid, p.cents, c.ct, c.cid
+        |  FROM p LEFT JOIN c ON p.u = c.cu AND c.ct <= p.pt
+        |    AND c.ct >= p.pt - 86400000000),
+        |w AS (
+        |  SELECT pid, cents,
+        |    count(cid) OVER (PARTITION BY pid) AS n,
+        |    CASE WHEN cid IS NOT NULL THEN
+        |      CAST(row_number() OVER (PARTITION BY pid
+        |        ORDER BY ct, cid) AS INT)
+        |    END AS pos
+        |  FROM tch)
+        |SELECT pos, count(*) AS n_touches,
+        |  CAST(sum(CASE WHEN n = 0 THEN cents
+        |    ELSE cents // n +
+        |      CASE WHEN pos <= cents % n THEN 1 ELSE 0 END END)
+        |    AS BIGINT) AS credit_cents,
+        |  count(DISTINCT pid) AS n_purchases
+        |FROM w GROUP BY 1""".stripMargin),
     Q("q205_scd2_merge", scd2Merge _,
       """WITH o AS (
         |  SELECT o_custkey AS cust, o_orderdate AS d, o_orderkey AS k,

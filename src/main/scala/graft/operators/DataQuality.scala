@@ -142,7 +142,73 @@ object DataQuality {
           .as("d_at_cents"))
   }
 
+  /** Per-slice OLS trend: slope / intercept / Pearson r of value-cents
+    * against time for each event type — the "is this metric drifting,
+    * and how fast" monitor that complements q90 (moment deltas) and
+    * q195 (distribution shift) with a fitted MODEL per slice. One
+    * mergeable pass: the five sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²) accumulate as EXACT decimal(38) integers (x = seconds
+    * from a fixed epoch, y = cents — products fit well inside 38
+    * digits), so partial aggregation is order-independent and the
+    * closed-form doubles are computed from bit-identical operands in a
+    * fixed expression order — cross-engine hashable, unlike any
+    * float-accumulating regression. Scale: one partial-agg'd shuffle of
+    * six numbers per group; nothing else. */
+  def groupRegression(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - lit(1704067200L)).as("x"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"))
+    val s = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x").cast("decimal(19,0)") * col("y"))
+          .cast("decimal(38,0)")).as("sxy"),
+        sum((col("x").cast("decimal(19,0)") * col("x"))
+          .cast("decimal(38,0)")).as("sxx"),
+        sum((col("y").cast("decimal(19,0)") * col("y"))
+          .cast("decimal(38,0)")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val num = nD * col("sxy").cast("double") - sxD * syD
+    val den = nD * col("sxx").cast("double") - sxD * sxD
+    s.select(col("event_type"), col("n"),
+      (round(num / den, 9) + lit(0.0)).as("slope_r"),
+      (round((syD - (num / den) * sxD) / nD, 6) + lit(0.0))
+        .as("intercept_r"),
+      (round(num / sqrt(den *
+        (nD * col("syy").cast("double") - syD * syD)), 9) + lit(0.0))
+        .as("corr_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q208_group_regression", groupRegression _,
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+        |    sum(y::HUGEINT * y) AS syy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 9) + 0.0
+        |    AS slope_r,
+        |  round((sy::DOUBLE -
+        |    ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |     (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+        |    * sx::DOUBLE) / n::DOUBLE, 6) + 0.0 AS intercept_r,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |      (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 9)
+        |    + 0.0 AS corr_r
+        |FROM s""".stripMargin),
     Q("q195_ks_drift", ksDrift _,
       """WITH e AS (
         |  SELECT event_type AS g,

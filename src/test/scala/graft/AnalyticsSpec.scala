@@ -472,6 +472,90 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty) // support floor must not silence the fixture
   }
 
+  test("group regression: planted perfect line recovers slope and r=1") {
+    import graft.operators.DataQuality
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("reg").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // cents = 7·x + 500 exactly → slope 7, Pearson r 1; a second noisy
+    // group pins that slices are fitted independently
+    val rows = (0 until 50).map { i =>
+      (i.toLong, new java.sql.Timestamp(t0.getTime + i * 1000L), 1L,
+        "line", (7L * i + 500L) / 100.0, "{}")
+    } ++ (0 until 50).map { i =>
+      (100L + i, new java.sql.Timestamp(t0.getTime + i * 1000L), 1L,
+        "noise", ((i * 37) % 11).toDouble, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = DataQuality.groupRegression(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("slope_r"), r.getAs[Double]("corr_r")))).toMap
+    assert(got("line")._1 === 7.0)
+    assert(got("line")._2 === 1.0)
+    assert(math.abs(got("noise")._2) < 0.9) // genuinely not a line
+  }
+
+  test("weighted median equals brute-force cumulative-weight scan") {
+    import graft.operators.Analytics
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+        expr("CAST(l_quantity AS BIGINT)")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val tot = rs.map(_._3).sum
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L
+      val med = sorted.find { r => cum += r._3; cum * 2 >= tot }.get._2
+      flag -> ((med, tot))
+    }
+    val got = Analytics.weightedMedian(spark, sf).collect()
+      .map(r => r.getAs[String]("flag") ->
+        ((r.getAs[Long]("wmedian_cents"),
+          r.getAs[Long]("total_weight")))).toMap
+    assert(got === expected)
+    // the weighted median must differ from the UNWEIGHTED one somewhere,
+    // or the weight column would be decoration
+    val unweighted = rows.groupBy(_._1).map { case (flag, rs) =>
+      val sorted = rs.map(_._2).sorted
+      flag -> sorted((sorted.length - 1) / 2)
+    }
+    assert(expected.exists { case (f, (m, _)) => unweighted(f) != m })
+  }
+
+  test("attribution: planted remainder split + cent conservation at sf") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    // user 1: three clicks then a 100.01 purchase → 10001 = 3334+3334+3333
+    // (remainder cents go to the EARLIEST touches); user 2: unattributed
+    val tmp = java.nio.file.Files.createTempDirectory("attr").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 13:00:00"), 1L, "purchase", 100.01, "{}"),
+      (5L, ts("2024-01-01 13:00:00"), 2L, "purchase", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Analytics.attribution(spark, tmp).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("credit_cents"),
+          r.getAs[Long]("n_purchases")))).toMap
+    assert(got === Map(
+      Some(1) -> ((1L, 3334L, 1L)), Some(2) -> ((1L, 3334L, 1L)),
+      Some(3) -> ((1L, 3333L, 1L)), None -> ((1L, 700L, 1L))))
+    // conservation on the real feed: total credit == total purchase cents
+    val credit = Analytics.attribution(spark, sf)
+      .agg(sum(col("credit_cents"))).collect()(0).getLong(0)
+    val cents = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")))
+      .collect()(0).getLong(0)
+    assert(credit === cents)
+  }
+
   test("SCD2 merge census equals brute-force recompute") {
     import graft.operators.Analytics
     val cutSec = 852076800L // 1997-01-01 00:00:00 UTC
