@@ -194,7 +194,75 @@ object Layout {
         (col("offset") + col("rn")).as("ordinal"))
   }
 
+  /** BUCKETED-table co-located join — the storage-layout half of the
+    * shuffle-minimization story the pruning/z-order family doesn't
+    * cover: orders and lineitem are written ONCE as managed tables
+    * bucketed (AND sorted) by the join key into the same bucket count,
+    * so the subsequent fact join reads bucket metadata, reports both
+    * sides hash-partitioned(8) at the SCAN, and runs the SortMergeJoin
+    * with NO shuffle exchange and NO sort on either side — at 100 TB
+    * this converts every repeated fact⋈fact join on the distribution
+    * key from a full-table shuffle into a metadata decision, which is
+    * why warehouse fact tables are bucketed at ingest. (Shuffle
+    * elimination is unconditional; SORT elimination additionally needs
+    * one file per bucket — the write repartitions on the bucket key to
+    * guarantee it — plus
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, opt-in
+    * since SPARK-28595.) The one-time
+    * bucketed write is the same staged-simulation-input discipline as
+    * the schema-evolution/ORC dirs (memoized per (dir, session
+    * catalog); the result depends only on the source tables, so the
+    * oracle reads those directly). `PlanSpec` asserts the exchange-free
+    * join shape with broadcast disabled. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val ot = s"graft_bk_orders_$tag"
+    val lt = s"graft_bk_lineitem_$tag"
+    Layout.synchronized {
+      if (!spark.catalog.tableExists(ot)) {
+        // the warehouse DIRECTORY outlives the in-memory catalog across
+        // JVMs: a fresh session knows no table but the location remains
+        // and saveAsTable refuses it — clear stale locations first
+        Seq(ot, lt).foreach { tn =>
+          val loc = java.nio.file.Paths.get(java.net.URI.create(
+            spark.conf.get("spark.sql.warehouse.dir")).getPath, tn)
+          if (java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+        // one file per bucket (repartition on the bucket key before the
+        // write): the scan only reports the sortBy ordering when each
+        // bucket is a single file — multiple per-bucket files are each
+        // sorted but not globally, so the join would re-sort
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(8, col("o_orderkey"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(ot)
+        t(spark, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+          .repartition(8, col("l_orderkey"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(lt)
+      }
+    }
+    spark.table(ot).join(spark.table(lt),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("cents"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q209_bucketed_join", bucketedJoin _,
+      """SELECT o_orderpriority AS priority, count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin),
     Q("q190_global_ordinals", globalOrdinals _,
       """WITH d AS (
         |  SELECT doc_id,

@@ -380,4 +380,29 @@ class PlanSpec extends SparkSpec {
     val n = df.agg(sum("n_lines")).collect()(0).getLong(0)
     assert(n === plain, s"bloom-filtered join changed the row count: $n")
   }
+
+  test("q209: bucketed tables join with NO shuffle and NO sort below " +
+      "the join") {
+    // broadcast disabled on a cloned session so the small side can't
+    // sidestep the claim — the join must be a SortMergeJoin fed by the
+    // bucketed scans' own hash partitioning and sort order
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    // scan-reported sort order was demoted to opt-in in Spark 3.0
+    // (SPARK-28595): with one file per bucket it is sound, and this conf
+    // is what a bucketed-warehouse deployment sets to claim it
+    s2.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val plan = graft.operators.Layout.bucketedJoin(s2, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"not a SortMergeJoin:\n$plan")
+    val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(!joinPart.contains("Sort ["),
+      s"bucketed join still sorts (sortBy metadata unused):\n$plan")
+    // exactly one exchange in the whole plan: the final rollup
+    val nEx = "Exchange ".r.findAllIn(plan).length
+    assert(nEx === 1, s"expected only the agg exchange, got $nEx:\n$plan")
+  }
 }
