@@ -701,6 +701,51 @@ object Analytics {
         col("valid_to_sec").isNull.as("is_current"))
   }
 
+  /** Gini concentration of order revenue — the inequality summary
+    * (Lorenz-curve area) a data-mix curator reads before capping
+    * domains (q121) or reweighting sources (q97): G = (2·Σ rᵢxᵢ −
+    * (n+1)·Σxᵢ) / (n·Σxᵢ) over value-sorted ranks. Composes two proven
+    * recipes: GLOBAL ranks come from the q193 two-phase width_bucket
+    * form (no corpus-wide single-partition sort — tie order among equal
+    * values provably cancels in Σ r·x, since equal x makes the tie
+    * block's contribution x·Σranks), and the sums are EXACT decimal(38)
+    * integers (the q208 discipline — Σ r·x overflows a long at ~10^6
+    * rows, silently in Spark), so the final double divides bit-identical
+    * operands. Oracle is the one-sort rank form — the gate again proves
+    * two-phase == one-sort. */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    val cents = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("order_id"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+    val bounds = cents.agg(min(col("cents")).as("mn"),
+      max(col("cents")).as("mx"), count(lit(1)).as("n_total"))
+    val wb = Window.partitionBy(col("b"))
+      .orderBy(col("cents").asc, col("order_id").asc)
+    val bucketed = cents.crossJoin(broadcast(bounds))
+      .withColumn("b", expr("width_bucket(cents, mn, mx + 1, 64)"))
+      .withColumn("rn", row_number().over(wb).cast("long"))
+    val wOff = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("b"), col("off"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    bucketed.join(broadcast(offsets), Seq("b"))
+      .select(col("cents"), (col("off") + col("rn")).as("r"),
+        col("n_total"))
+      .agg(max(col("n_total")).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum((col("r").cast("decimal(19,0)") * col("cents"))
+          .cast("decimal(38,0)")).as("srx"))
+      .select(col("n"), col("sx").cast("long").as("total_cents"),
+        (round((lit(2.0) * col("srx").cast("double") -
+          (nD + lit(1.0)) * sxD) / (nD * sxD), 9) + lit(0.0))
+          .as("gini_r"))
+  }
+
   /** Exact WEIGHTED median per group — the order statistic q47/q168/q179
     * don't cover: the median price where each row counts `l_quantity`
     * times (the "typical unit price" a revenue analysis wants, robust to
@@ -2057,6 +2102,25 @@ object Analytics {
         |    THEN 1 END) AS n_dips,
         |  max(CASE WHEN denom > 0 THEN num / denom END) AS ewma_peak
         |FROM h GROUP BY 1""".stripMargin),
+    Q("q210_gini", gini _,
+      """WITH c AS (
+        |  SELECT o_orderkey AS order_id,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents, order_id) AS BIGINT)
+        |      AS r,
+        |    count(*) OVER () AS n
+        |  FROM c),
+        |s AS (
+        |  SELECT max(n) AS n, sum(cents::HUGEINT) AS sx,
+        |    sum(r::HUGEINT * cents) AS srx
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total_cents,
+        |  round((2.0 * srx::DOUBLE - (n::DOUBLE + 1.0) * sx::DOUBLE) /
+        |    (n::DOUBLE * sx::DOUBLE), 9) + 0.0 AS gini_r
+        |FROM s""".stripMargin),
     Q("q207_weighted_median", weightedMedian _,
       """WITH g AS (
         |  SELECT l_returnflag AS flag,

@@ -472,6 +472,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty) // support floor must not silence the fixture
   }
 
+  test("gini: planted uniform gives 0, planted extreme gives (n-1)/n") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    def stage(vals: Seq[Double]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("gini").toString
+      vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, 1L, "O", v,
+          java.sql.Timestamp.valueOf("1995-06-01 00:00:00"), "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      tmp
+    }
+    val uni = Analytics.gini(spark, stage(Seq.fill(40)(25.0))).head()
+    assert(uni.getAs[Double]("gini_r") === 0.0)
+    // one order carries all revenue → G = (n-1)/n = 0.975 at n=40
+    val ext = Analytics.gini(spark,
+      stage(Seq.fill(39)(0.0) :+ 1000.0)).head()
+    assert(ext.getAs[Double]("gini_r") === 0.975)
+  }
+
   test("group regression: planted perfect line recovers slope and r=1") {
     import graft.operators.DataQuality
     import spark.implicits._
