@@ -701,6 +701,54 @@ object Analytics {
         col("valid_to_sec").isNull.as("is_current"))
   }
 
+  /** Peak session concurrency — the capacity-planning sweep over the
+    * q30 sessions: build each user's sessions (30-min-gap rule), emit
+    * +1/−1 boundary deltas, net them per second, and take the maximum
+    * of the running sum — "how many sessions were open at the busiest
+    * instant, and when". The classic interval-sweep that textbooks
+    * write as one global ORDER BY: here the running sum is the q190/
+    * q193 two-phase prefix-sum recipe (time-bucketed windows + a
+    * 64-row offset table), so no corpus-wide single-partition sort
+    * exists at any scale; the argmax instant is the ADVICE-proofed
+    * two-stage form (max, then min sec attaining it). Same-second
+    * boundary deltas are NETTED before the sweep, which makes the
+    * running value at each distinct second engine-independent of tie
+    * order. */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("sec").asc)
+    val wCum = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("prev", lag(col("sec"), 1).over(wU))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("sec") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(wCum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("sec")).as("s"), max(col("sec")).as("e"))
+    val deltas = sess.select(col("s").as("sec"), lit(1L).as("d"))
+      .unionByName(sess.select((col("e") + 1).as("sec"), lit(-1L).as("d")))
+      .groupBy(col("sec")).agg(sum(col("d")).as("d"))
+    val bounds = deltas.agg(min(col("sec")).as("mn"),
+      max(col("sec")).as("mx"))
+    val wB = Window.partitionBy(col("b")).orderBy(col("sec").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketed = deltas.crossJoin(broadcast(bounds))
+      .withColumn("b", expr("width_bucket(sec, mn, mx + 1, 64)"))
+      .withColumn("cum", sum(col("d")).over(wB))
+    val wOff = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col("b")).agg(sum(col("d")).as("bd"))
+      .withColumn("off", coalesce(sum(col("bd")).over(wOff), lit(0L)))
+      .select(col("b"), col("off"))
+    val run = bucketed.join(broadcast(offs), Seq("b"))
+      .select(col("sec"), (col("off") + col("cum")).as("conc"))
+    val mx = run.agg(max(col("conc")).as("mxc"))
+    run.crossJoin(broadcast(mx))
+      .agg(max(col("conc")).as("max_concurrency"),
+        min(when(col("conc") === col("mxc"), col("sec"))).as("at_sec"))
+  }
+
   /** Gini concentration of order revenue — the inequality summary
     * (Lorenz-curve area) a data-mix curator reads before capping
     * domains (q121) or reweighting sources (q97): G = (2·Σ rᵢxᵢ −
@@ -2102,6 +2150,33 @@ object Analytics {
         |    THEN 1 END) AS n_dips,
         |  max(CASE WHEN denom > 0 THEN num / denom END) AS ewma_peak
         |FROM h GROUP BY 1""".stripMargin),
+    Q("q211_max_concurrency", maxConcurrency _,
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, sec,
+        |    CASE WHEN lag(sec) OVER w IS NULL
+        |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |sx AS (
+        |  SELECT user_id, sec,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sid, min(sec) AS s, max(sec) AS e
+        |  FROM sx GROUP BY 1, 2),
+        |d AS (
+        |  SELECT sec, CAST(sum(d) AS BIGINT) AS d FROM (
+        |    SELECT s AS sec, 1 AS d FROM sess
+        |    UNION ALL SELECT e + 1, -1 FROM sess)
+        |  GROUP BY 1),
+        |r AS (SELECT sec, sum(d) OVER (ORDER BY sec) AS conc FROM d)
+        |SELECT CAST(max(conc) AS BIGINT) AS max_concurrency,
+        |  min(CASE WHEN conc = (SELECT max(conc) FROM r) THEN sec END)
+        |    AS at_sec
+        |FROM r""".stripMargin),
     Q("q210_gini", gini _,
       """WITH c AS (
         |  SELECT o_orderkey AS order_id,

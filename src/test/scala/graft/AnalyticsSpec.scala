@@ -472,6 +472,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty) // support floor must not silence the fixture
   }
 
+  test("max concurrency: planted overlap incl. inclusive session ends") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("conc").toString
+    val t0 = 1700000000000L
+    def ev(id: Long, u: Long, sec: Long) =
+      (id, new java.sql.Timestamp(t0 + sec * 1000), u, "click", 1.0, "{}")
+    // u1 session [0,100], u2 [50,150], u3 [100,100] — all three overlap
+    // exactly at sec 100 (ends are inclusive), so the peak is 3 there
+    Seq(ev(1, 1, 0), ev(2, 1, 100), ev(3, 2, 50), ev(4, 2, 150),
+      ev(5, 3, 100))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Analytics.maxConcurrency(spark, tmp).head()
+    assert(r.getAs[Long]("max_concurrency") === 3L)
+    assert(r.getAs[Long]("at_sec") === t0 / 1000 + 100)
+  }
+
   test("gini: planted uniform gives 0, planted extreme gives (n-1)/n") {
     import graft.operators.Analytics
     import spark.implicits._
