@@ -81,6 +81,31 @@ object ScalarFuncs {
            min(col("k")).as("k_min"),
            max(col("k")).as("k_max"))
 
+  /** Semi-structured JSON via the VARIANT type (Spark 4) — the
+    * schema-FLEXIBLE complement to q26's declared-schema from_json:
+    * `parse_json` shreds each props payload once into the binary
+    * variant encoding, then typed paths extract with `variant_get`
+    * (here through `try_variant_get`, which nulls rather than throws on
+    * a type mismatch — the tolerant read a heterogeneous 100-TB logging
+    * feed needs, where q26's fixed struct would silently null WHOLE
+    * payloads that don't match). A synthetic malformed slice (every
+    * 7th event's props corrupted) exercises the null path:
+    * `try_parse_json` nulls those rows and the census counts them —
+    * the malformed-share audit a real ingest reports. At scale the
+    * shredding is one codegen'd pass; the variant column is columnar
+    * binary, far cheaper to re-extract than re-parsing strings. */
+  def variantJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("raw", when(col("event_id") % 7 === 0,
+        concat(lit("not json:"), col("props"))).otherwise(col("props")))
+      .withColumn("v", try_parse_json(col("raw")))
+      .withColumn("k", expr("try_variant_get(v, '$.k', 'long')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("v").isNull, 1)).as("n_malformed"),
+        sum(col("k")).as("k_sum"),
+        count(when(col("k") % 2 === 0, 1)).as("n_even"))
+
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
@@ -180,6 +205,20 @@ object ScalarFuncs {
         |  WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket,
         |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
         |FROM orders GROUP BY 1""".stripMargin),
+    Q("q212_variant_json", variantJson _,
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS raw
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, raw,
+        |    CAST(json_extract_string(raw, '$.k') AS BIGINT) AS k
+        |  FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  count(CASE WHEN raw IS NULL THEN 1 END) AS n_malformed,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  count(CASE WHEN k % 2 = 0 THEN 1 END) AS n_even
+        |FROM x GROUP BY 1""".stripMargin),
     Q("q26_json_extract", jsonExtract _,
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
