@@ -88,7 +88,7 @@ object Bench {
     // stage-priced bench line is also the truthful accounting.
     val stageOf: Map[String, Set[String]] = Map(
       "stage_cc_labels" -> Set("q53_dup_clusters", "q54_corpus_pipeline",
-        "q108_canonical_selection"),
+        "q108_canonical_selection", "q213_survivorship"),
       "stage_hashed_shingles" -> Set("q150_setsim_exact",
         "q172_containment_join"),
       "stage_support2_pairs" -> Set("q185_copurchase", "q192_kcore",

@@ -536,6 +536,34 @@ object Dedup {
         max(when(col("rk") === 1, col("n_chars"))).as("keeper_chars"))
   }
 
+  /** Golden-record SURVIVORSHIP — the entity-resolution step after
+    * cluster detection (q53) and canonical selection (q108): q108 picks
+    * ONE representative row; survivorship MERGES fields from different
+    * members under per-field rules — the MDM "best of breed" record.
+    * Rules here: identity from the smallest id, text from the longest
+    * member (ties to the smaller id), source from the most recent
+    * member (max id as the recency proxy), volume as the cluster total.
+    *
+    * Scale shape: strictly better than q108's window — every rule is a
+    * MERGEABLE aggregate (min / max_by over a (n_chars, −id) struct /
+    * sum), so the whole merge is one partial-agg'd shuffle keyed on the
+    * cluster id over cluster MEMBERS only (≪ corpus); no window, no
+    * per-cluster sort. Labels come from the memoized CC stage. */
+  def survivorship(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupClusters(spark, dir)
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    labels.join(docs, Seq("doc_id"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("golden_id"),
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nid")))
+          .as("text_from"),
+        max_by(col("source"), col("doc_id")).as("latest_source"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
   /** EXACT set-similarity self-join (prefix filtering — SSJoin/PPJoin,
     * Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) on the same predicate
     * as [[ngramJaccard]]: 3-word-shingle Jaccard ≥ 0.5. Where q34's
@@ -1028,7 +1056,23 @@ object Dedup {
       |  JOIN names na ON na.nm = name_a
       |  JOIN names nb ON nb.nm = name_b""".stripMargin
 
+  private val survivorshipSql =
+    s"""WITH RECURSIVE $ccCtesSql,
+      |labels AS (SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+      |j AS (
+      |  SELECT l.comp, l.doc_id, d.n_chars, d.source,
+      |    row_number() OVER (PARTITION BY l.comp
+      |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+      |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+      |SELECT comp, count(*) AS n_members,
+      |  min(doc_id) AS golden_id,
+      |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS text_from,
+      |  arg_max(source, doc_id) AS latest_source,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM j GROUP BY 1""".stripMargin
+
   val catalog: Seq[Q] = Seq(
+    Q("q213_survivorship", survivorship _, survivorshipSql),
     Q("q150_setsim_exact", setsimExact _, setsimExactSql),
     Q("q172_containment_join", containmentJoin _, containmentJoinSql),
     Q("q151_edit_join", editJoin _, editJoinSql),
