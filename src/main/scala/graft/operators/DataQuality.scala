@@ -142,6 +142,38 @@ object DataQuality {
           .as("d_at_cents"))
   }
 
+  /** SEASONAL anomaly detection — the periodic complement to q184's
+    * local EWMA baseline: each (event type, calendar hour)'s revenue is
+    * compared against that slice's HOUR-OF-DAY baseline (the mean over
+    * all days at the same clock hour), and the top deviations surface
+    * as exact integer ratios (cents·n_hours·10^6 div hod_total — no
+    * float averaging). Catches the "3 AM spike" that a trailing-window
+    * baseline normalizes away after a few periods and a global mean
+    * never sees. Scale shape: two partial-agg'd groupBys (hourly
+    * totals ≪ events; baselines = 24·types rows, broadcast back); the
+    * top-20 is TakeOrderedAndProject under a total (ratio, hr, type)
+    * order — per-partition heaps, no global sort. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .as("cents"))
+    val baseline = hourly
+      .groupBy(col("event_type"), hour(col("hr")).as("hod"))
+      .agg(sum(col("cents")).as("hod_total"),
+        count(lit(1)).as("n_hours"))
+    hourly.withColumn("hod", hour(col("hr")))
+      .join(broadcast(baseline), Seq("event_type", "hod"))
+      .filter(col("hod_total") > 0)
+      .select(col("event_type"), col("hr").cast("long").as("hr_sec"),
+        col("cents"), col("n_hours"),
+        expr("cents * n_hours * 1000000 div hod_total").as("ratio_ppm"))
+      .orderBy(col("ratio_ppm").desc, col("hr_sec").asc,
+        col("event_type").asc)
+      .limit(20)
+  }
+
   /** Per-slice OLS trend: slope / intercept / Pearson r of value-cents
     * against time for each event type — the "is this metric drifting,
     * and how fast" monitor that complements q90 (moment deltas) and
@@ -184,6 +216,26 @@ object DataQuality {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q214_seasonal_anomaly", seasonalAnomaly _,
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, hour(hr) AS hod,
+        |    CAST(sum(cents) AS BIGINT) AS hod_total,
+        |    count(*) AS n_hours
+        |  FROM hourly GROUP BY 1, 2)
+        |SELECT h.event_type, CAST(epoch(h.hr) AS BIGINT) AS hr_sec,
+        |  h.cents, b.n_hours,
+        |  CAST(h.cents * b.n_hours * 1000000 // b.hod_total AS BIGINT)
+        |    AS ratio_ppm
+        |FROM hourly h JOIN base b
+        |  ON h.event_type = b.event_type AND hour(h.hr) = b.hod
+        |WHERE b.hod_total > 0
+        |ORDER BY ratio_ppm DESC, hr_sec ASC, h.event_type ASC
+        |LIMIT 20""".stripMargin),
     Q("q208_group_regression", groupRegression _,
       """WITH e AS (
         |  SELECT event_type,
