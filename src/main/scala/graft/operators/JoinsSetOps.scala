@@ -411,7 +411,83 @@ object JoinsSetOps {
         sum(col("cents")).as("cents"))
   }
 
+  /** INTERVAL-OVERLAP join — the two-sided completion of the interval
+    * family (q68 probes points into ranges, q137 indexes ranges for
+    * point lookups; THIS joins two interval sets on overlap): user
+    * sessions (q30 gap rule) against a daily promotion window
+    * (12:00–14:00 UTC), reporting per day how many sessions touched the
+    * window and the total overlap seconds — the campaign-exposure
+    * measurement shape.
+    *
+    * Scale recipe: candidates come from an EQUI-join on the day bucket
+    * (each session explodes to the days it spans — bounded by session
+    * length; `sequence` of day indices, pure integer arithmetic), and
+    * the exact half-open overlap `greatest(0, least(e+1, pe) −
+    * greatest(s, ps))` verifies on candidates only — the bucketed
+    * interval-join discipline (never a full interval cross product, the
+    * q34/q137 candidate-then-verify shape applied to time). */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("sec").asc)
+    val wCum = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("prev", lag(col("sec"), 1).over(wU))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("sec") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(wCum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("sec")).as("s"), max(col("sec")).as("e"))
+    val promos = ev.select((col("sec") / 86400).cast("long").as("day"))
+      .distinct()
+      .select(col("day"), (col("day") * 86400 + 12 * 3600).as("ps"),
+        (col("day") * 86400 + 14 * 3600).as("pe"))
+    sess
+      .withColumn("day", explode(sequence(
+        (col("s") / 86400).cast("long"), (col("e") / 86400).cast("long"))))
+      .join(promos, Seq("day"))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("e") + 1, col("pe")) - greatest(col("s"), col("ps"))))
+      .filter(col("ov") > 0)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("ov")).as("overlap_secs"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q215_interval_overlap", intervalOverlapJoin _,
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, sec,
+        |    CASE WHEN lag(sec) OVER w IS NULL
+        |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |sx AS (
+        |  SELECT user_id, sec,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sid, min(sec) AS s, max(sec) AS e
+        |  FROM sx GROUP BY 1, 2),
+        |promos AS (
+        |  SELECT day, day * 86400 + 12 * 3600 AS ps,
+        |    day * 86400 + 14 * 3600 AS pe
+        |  FROM (SELECT DISTINCT sec // 86400 AS day FROM e)),
+        |cand AS (
+        |  SELECT s.user_id, s.sid, s.s, s.e,
+        |    unnest(range(s.s // 86400, s.e // 86400 + 1)) AS day
+        |  FROM sess s),
+        |ov AS (
+        |  SELECT c.day, c.user_id, c.sid,
+        |    greatest(0, least(c.e + 1, p.pe) - greatest(c.s, p.ps)) AS ov
+        |  FROM cand c JOIN promos p ON c.day = p.day)
+        |SELECT day, count(*) AS n_sessions,
+        |  CAST(sum(ov) AS BIGINT) AS overlap_secs
+        |FROM ov WHERE ov > 0 GROUP BY 1""".stripMargin),
     Q("q189_temporal_join", temporalJoin _,
       """WITH v0 AS (
         |  SELECT o_custkey AS cust, o_orderdate, o_orderkey,
