@@ -701,6 +701,39 @@ object Analytics {
         col("valid_to_sec").isNull.as("is_current"))
   }
 
+  /** A/B conversion analysis over deterministic experiment cohorts —
+    * the experimentation primitive on top of the funnel family (q96
+    * counts steps; THIS compares two hash-assigned user cohorts on the
+    * click→purchase-within-30-min conversion predicate, the q173
+    * semantics): per cohort, distinct clickers, converted clickers, and
+    * the integer-ppm conversion rate. Cohort assignment is the salted
+    * md5 split every experiment platform uses (stable per user,
+    * uncorrelated with the q64/q65 sampling salts). Scale shape: the
+    * conversion test is ONE user-keyed semi-join with the time window
+    * in the join condition (state bounded like the q88 stream join);
+    * everything after is distinct + partial-agg'd counts. */
+  def abConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ct"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("pt"))
+    val converted = c.join(p, col("user_id") === col("pu") &&
+        col("pt") >= col("ct") &&
+        col("pt") <= col("ct") + lit(1800000000L), "left_semi")
+      .select(col("user_id")).distinct().withColumn("conv", lit(1))
+    c.select(col("user_id")).distinct()
+      .join(converted, Seq("user_id"), "left_outer")
+      .withColumn("cohort", when(graft.functions.TextOps.portableHash(
+          concat(lit("exp1:"), col("user_id").cast("string"))) % 2 === 0,
+        "control").otherwise("treatment"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_clickers"),
+        count(col("conv")).as("n_converted"))
+      .withColumn("conv_ppm",
+        expr("n_converted * 1000000 div greatest(n_clickers, 1)"))
+  }
+
   /** Peak session concurrency — the capacity-planning sweep over the
     * q30 sessions: build each user's sessions (30-min-gap rule), emit
     * +1/−1 boundary deltas, net them per second, and take the maximum
@@ -2150,6 +2183,30 @@ object Analytics {
         |    THEN 1 END) AS n_dips,
         |  max(CASE WHEN denom > 0 THEN num / denom END) AS ewma_peak
         |FROM h GROUP BY 1""".stripMargin),
+    Q("q216_ab_conversion", abConversion _,
+      """WITH c AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |conv AS (
+        |  SELECT DISTINCT cl.user_id
+        |  FROM (SELECT user_id, epoch_us(ts) AS ct FROM events
+        |        WHERE event_type = 'click') cl
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = cl.user_id
+        |      AND epoch_us(p.ts) >= cl.ct
+        |      AND epoch_us(p.ts) <= cl.ct + 1800000000)),
+        |g AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5('exp1:' ||
+        |      CAST(c.user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+        |      THEN 'control' ELSE 'treatment' END AS cohort,
+        |    count(*) AS n_clickers,
+        |    count(v.user_id) AS n_converted
+        |  FROM c LEFT JOIN conv v ON c.user_id = v.user_id
+        |  GROUP BY 1)
+        |SELECT cohort, n_clickers, n_converted,
+        |  CAST(n_converted * 1000000 // greatest(n_clickers, 1) AS BIGINT)
+        |    AS conv_ppm
+        |FROM g""".stripMargin),
     Q("q211_max_concurrency", maxConcurrency _,
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
