@@ -152,7 +152,10 @@ object DataQuality {
     * never sees. Scale shape: two partial-agg'd groupBys (hourly
     * totals ≪ events; baselines = 24·types rows, broadcast back); the
     * top-20 is TakeOrderedAndProject under a total (ratio, hr, type)
-    * order — per-partition heaps, no global sort. */
+    * order — per-partition heaps, no global sort. Magnitude bound:
+    * `cents·n_hours·10^6` stays in-range while hourly cents stay below
+    * ~10^10 (≈10^8 $/hour/type); past that, switch the ratio to the
+    * q208/q210 decimal(38) discipline before dividing. */
   def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val hourly = t(spark, dir, "events")
       .groupBy(col("event_type"),

@@ -58,6 +58,29 @@ def main():
               f"({thr_a} threads) -> host-speed ratio "
               f"{calib_b / calib_a:.3f} (new times x{norm:.3f} to "
               f"normalize)")
+        # DECOUPLING GUARD (added after a false round-10 'regression'):
+        # the calib probe is pure ALU; Spark's suite is memory/IO-mixed.
+        # When the host's ALU speed and its memory bandwidth move
+        # DIFFERENTLY (observed: calib 30% faster while raw shared-query
+        # times moved only -6%), normalizing by calib over-corrects and
+        # flags phantom regressions (or would mask real ones in the other
+        # direction). Cross-check: the raw like-for-like ratio over
+        # SHARED queries estimates how the suite actually scaled between
+        # the boxes+binaries; if it disagrees with the calib ratio by
+        # >15%, the probes decoupled -> fall back to RAW comparison
+        # (a genuine code regression still shows in raw).
+        qa0, qb0 = a.get("queries", {}), b.get("queries", {})
+        sh = [k for k in qa0 if k in qb0 and qa0[k] >= 0 and qb0[k] >= 0]
+        if sh:
+            r_raw = sum(qb0[k] for k in sh) / sum(qa0[k] for k in sh)
+            r_cal = calib_b / calib_a
+            if not (0.87 <= (r_raw / r_cal) <= 1.15):
+                print(f"calib DECOUPLED from suite: raw shared-query "
+                      f"ratio {r_raw:.3f} vs calib ratio {r_cal:.3f} — "
+                      "ALU speed and memory bandwidth moved differently; "
+                      "normalization would mis-adjudicate -> RAW "
+                      "comparison (platform swings NOT factored out)")
+                norm = 1.0
     else:
         norm = 1.0
         if calib_a and calib_b:
