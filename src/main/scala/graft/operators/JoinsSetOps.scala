@@ -411,6 +411,34 @@ object JoinsSetOps {
         sum(col("cents")).as("cents"))
   }
 
+  /** Join-preserving PSEUDONYMIZATION — the privacy primitive q117's
+    * redaction can't give: both sides' identifiers are replaced
+    * SCAN-LOCAL by a deterministic salted digest (md5 here, standing in
+    * for keyed HMAC — same plumbing, swap the kernel in deployment),
+    * and the join runs ON TOKENS, so raw identifiers never leave their
+    * scans, never co-locate, never ride a shuffle — the minimization
+    * property a data-clean-room or GDPR-pipelined join is built on.
+    * Determinism keeps equality (and therefore join semantics and
+    * distinct-user counts) intact; the distinct-token count rides along
+    * as the in-result injectivity evidence. The oracle tokenizes with
+    * the same portable digest, so the gate pins cross-engine token
+    * identity, not just the rollup. Spec-pinned invariant: the
+    * tokenized join equals the raw join row-for-row. */
+  def tokenizedJoin(spark: SparkSession, dir: String): DataFrame = {
+    def tok(c: org.apache.spark.sql.Column) =
+      md5(concat(lit("tok:"), c.cast("string")))
+    val ev = t(spark, dir, "events")
+      .select(tok(col("user_id")).as("token"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val dim = t(spark, dir, "customer")
+      .select(tok(col("c_custkey")).as("token"),
+        col("c_mktsegment").as("segment"))
+    ev.join(dim, Seq("token"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        countDistinct(col("token")).as("n_users"))
+  }
+
   /** INTERVAL-OVERLAP join — the two-sided completion of the interval
     * family (q68 probes points into ranges, q137 indexes ranges for
     * point lookups; THIS joins two interval sets on overlap): user
@@ -456,6 +484,21 @@ object JoinsSetOps {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q218_tokenized_join", tokenizedJoin _,
+      """WITH ev AS (
+        |  SELECT md5('tok:' || CAST(user_id AS VARCHAR)) AS token,
+        |    event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |dim AS (
+        |  SELECT md5('tok:' || CAST(c_custkey AS VARCHAR)) AS token,
+        |    c_mktsegment AS segment
+        |  FROM customer)
+        |SELECT segment, event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  count(DISTINCT token) AS n_users
+        |FROM ev JOIN dim USING (token)
+        |GROUP BY 1, 2""".stripMargin),
     Q("q215_interval_overlap", intervalOverlapJoin _,
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec

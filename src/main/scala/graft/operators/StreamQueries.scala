@@ -501,6 +501,29 @@ object StreamQueries {
             lit((1L << 57).toDouble) / col("s"), 4).as("hll_users"))
     }
 
+  /** DYNAMIC-gap session windows through the engine: the session gap is
+    * an EXPRESSION over the event (purchases hold a session open 60
+    * minutes, everything else 30) — the engagement-dependent timeout a
+    * fixed-gap sessionizer (q91) can't express, and a capability only
+    * the session_window operator has (the state store merges per-event
+    * [ts, ts+gap) windows as they overlap). The batch oracle is the
+    * running-max formulation: a new session starts exactly when an
+    * event's time reaches the max(ts+gap) of ALL its predecessors —
+    * equivalent to interval-merge because session ends are monotone
+    * across sessions — at full µs resolution. */
+  def streamDynamicSessions(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir) { ev =>
+      ev.groupBy(col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "purchase", lit("3600 seconds"))
+              .otherwise(lit("1800 seconds"))).as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total"))
+        .select(col("user_id"),
+          col("sw.start").cast("long").as("sess_start"),
+          col("n_events"), col("total"))
+    }
+
   /** SKETCHED streaming top-k: per-day top-5 events by value through
     * the bounded mergeable [[graft.functions.TopKAgg]] running INSIDE a
     * watermarked streaming aggregation — the state-correct replacement
@@ -527,6 +550,31 @@ object StreamQueries {
     }
 
   val catalog: Seq[Q] = Seq(
+    Q("q217_stream_dynamic_gap", streamDynamicSessions _,
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |    CASE WHEN event_type = 'purchase' THEN 3600000000
+        |      ELSE 1800000000 END AS gap
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, us, value, gap,
+        |    max(us + gap) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_end
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN prev_end IS NULL OR us >= prev_end
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM w),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, CAST(min(us) // 1000000 AS BIGINT) AS sess_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total
+        |FROM s GROUP BY user_id, sid""".stripMargin),
     Q("q204_stream_topk", streamTopk _,
       """WITH e AS (
         |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,

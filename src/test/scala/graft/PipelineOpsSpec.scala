@@ -683,6 +683,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotQ === expected)
   }
 
+  test("tokenized join equals the raw-id join (join preservation)") {
+    import graft.operators.JoinsSetOps
+    val tok = JoinsSetOps.tokenizedJoin(spark, sf).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[String]("event_type"))
+        -> ((r.getAs[Long]("n"), r.getAs[Long]("cents"),
+          r.getAs[Long]("n_users")))).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val cu = spark.read.parquet(s"$sf/customer.parquet")
+    val raw = ev.join(cu, ev("user_id") === cu("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect()
+      .map(r => (r.getAs[String]("c_mktsegment"),
+        r.getAs[String]("event_type"))
+        -> ((r.getAs[Long]("n"), r.getAs[Long]("cents"),
+          r.getAs[Long]("n_users")))).toMap
+    assert(tok === raw)
+    assert(tok.nonEmpty)
+  }
+
   test("temporal join: AS-OF rollup equals brute-force interval scan") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_custkey"), col("o_orderkey"),
