@@ -142,6 +142,44 @@ object DataQuality {
           .as("d_at_cents"))
   }
 
+  /** Exact Q-Q (quantile–quantile) table between the click and purchase
+    * value distributions — the 16-point drill-down behind q195's single
+    * KS statistic: for each sixteenth q, the exact order statistic of
+    * BOTH distributions (smallest cents whose cumulative count reaches
+    * ⌈q·n/16⌉ — the q207 weighted-median recipe generalized to a
+    * quantile grid) plus their integer-ppm ratio. The table a drift
+    * triage reads to see WHERE two distributions diverge, not just by
+    * how much. Scale shape: per-group cumulative counts over DISTINCT
+    * cents (domain-bounded, as q207); the 16-row quantile grid
+    * cross-joins broadcast; everything else is partial-agg'd. */
+  def qqTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("g"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val counts = ev.groupBy(col("g"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val wc = Window.partitionBy(col("g")).orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(wc))
+      .join(broadcast(tot), Seq("g"))
+    val grid = spark.range(1, 17).select(col("id").as("q"))
+    val qv = cum.crossJoin(broadcast(grid))
+      // target rank ⌈q·n/16⌉ computed as (q·n + 15) div 16 — integer-only
+      .filter(col("cum") >= expr("(q * n + 15) div 16"))
+      .groupBy(col("g"), col("q"))
+      .agg(min(col("cents")).as("v"))
+    qv.filter(col("g") === "click")
+      .select(col("q"), col("v").as("click_cents"))
+      .join(qv.filter(col("g") === "purchase")
+        .select(col("q"), col("v").as("purchase_cents")), Seq("q"))
+      .select(col("q"), col("click_cents"), col("purchase_cents"),
+        expr("click_cents * 1000000 div greatest(purchase_cents, 1)")
+          .as("ratio_ppm"))
+  }
+
   /** SEASONAL anomaly detection — the periodic complement to q184's
     * local EWMA baseline: each (event type, calendar hour)'s revenue is
     * compared against that slice's HOUR-OF-DAY baseline (the mean over
@@ -219,6 +257,30 @@ object DataQuality {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q220_qq_table", qqTable _,
+      """WITH e AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |counts AS (
+        |  SELECT g, cents, count(*) AS c FROM e GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n
+        |        FROM counts GROUP BY 1),
+        |cum AS (
+        |  SELECT counts.g, cents,
+        |    sum(c) OVER (PARTITION BY counts.g ORDER BY cents) AS cum,
+        |    t.n
+        |  FROM counts JOIN tot t ON counts.g = t.g),
+        |qv AS (
+        |  SELECT g, gr.q, min(cents) AS v
+        |  FROM cum CROSS JOIN range(1, 17) gr(q)
+        |  WHERE cum >= (gr.q * n + 15) // 16
+        |  GROUP BY 1, 2)
+        |SELECT c.q, c.v AS click_cents, p.v AS purchase_cents,
+        |  CAST(c.v * 1000000 // greatest(p.v, 1) AS BIGINT) AS ratio_ppm
+        |FROM (SELECT q, v FROM qv WHERE g = 'click') c
+        |JOIN (SELECT q, v FROM qv WHERE g = 'purchase') p USING (q)"""
+        .stripMargin),
     Q("q214_seasonal_anomaly", seasonalAnomaly _,
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hr,

@@ -256,7 +256,54 @@ object Layout {
       .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("cents"))
   }
 
+  /** Small-file COMPACTION planning — the maintenance half of the shard
+    * manifest (q126 describes the layout; THIS decides the rewrite):
+    * shards pack into target-size output files by the deterministic
+    * next-fit rule `file = cum_prev_bytes div target` (a shard goes
+    * wholly to the file its cumulative offset lands in — files may
+    * overshoot by < one shard, the standard next-fit bound, and the
+    * assignment is integer-exact and idempotent). Output is the
+    * per-file plan a compaction job executes. Scale shape: shard sizes
+    * are one partial-agg'd rollup (64 rows here; at 100 TB, one row per
+    * file — still ≪ data); the prefix sum runs over the MANIFEST, never
+    * the corpus, so the single-partition window carries manifest rows
+    * only (the q190 offset-table argument at the metadata tier). */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = 200000L
+    val shards = t(spark, dir, "documents")
+      .groupBy((col("doc_id") % 64).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    val wCum = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shards
+      .withColumn("cum_prev", coalesce(sum(col("bytes")).over(wCum),
+        lit(0L)))
+      .withColumn("file_id", expr(s"cum_prev div $target"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_shards"), sum(col("n_docs")).as("n_docs"),
+        sum(col("bytes")).as("total_bytes"),
+        min(col("shard")).as("first_shard"),
+        max(col("shard")).as("last_shard"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q219_compaction_plan", compactionPlan _,
+      """WITH shards AS (
+        |  SELECT doc_id % 64 AS shard, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT shard, n_docs, bytes,
+        |    COALESCE(sum(bytes) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM shards)
+        |SELECT CAST(cum_prev // 200000 AS BIGINT) AS file_id,
+        |  count(*) AS n_shards, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  min(shard) AS first_shard, max(shard) AS last_shard
+        |FROM c GROUP BY 1""".stripMargin),
     Q("q209_bucketed_join", bucketedJoin _,
       """SELECT o_orderpriority AS priority, count(*) AS n_lines,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))

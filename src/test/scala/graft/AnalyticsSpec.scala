@@ -472,6 +472,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty) // support floor must not silence the fixture
   }
 
+  test("compaction plan conserves bytes/docs and covers all shards") {
+    import graft.operators.Layout
+    val plan = Layout.compactionPlan(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val totBytes = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+    val totDocs = docs.count()
+    assert(plan.map(_.getAs[Long]("total_bytes")).sum === totBytes)
+    assert(plan.map(_.getAs[Long]("n_docs")).sum === totDocs)
+    assert(plan.map(_.getAs[Long]("n_shards")).sum === 64L)
+    // idempotent: re-planning yields the identical assignment
+    val again = Layout.compactionPlan(spark, sf).collect()
+    assert(plan.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
+  test("QQ table quantiles equal brute-force order statistics") {
+    import graft.operators.DataQuality
+    val byG = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def oq(g: String, q: Int): Long = {
+      val xs = byG(g)
+      xs(((q.toLong * xs.length + 15) / 16 - 1).toInt)
+    }
+    val got = DataQuality.qqTable(spark, sf).collect()
+      .map(r => r.getAs[Long]("q").toInt ->
+        ((r.getAs[Long]("click_cents"),
+          r.getAs[Long]("purchase_cents")))).toMap
+    (1 to 16).foreach { q =>
+      assert(got(q) === ((oq("click", q), oq("purchase", q))))
+    }
+  }
+
   test("max concurrency: planted overlap incl. inclusive session ends") {
     import graft.operators.Analytics
     import spark.implicits._
