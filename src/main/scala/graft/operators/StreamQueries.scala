@@ -501,6 +501,30 @@ object StreamQueries {
             lit((1L << 57).toDouble) / col("s"), 4).as("hll_users"))
     }
 
+  /** Stateful sessionization WITH event-time timeout through the
+    * engine: [[EventStreams.sessionizeTimeout]] — sessions close when a
+    * successor event exceeds the gap (as q91's family) AND idle
+    * sessions FLUSH when the watermark passes (last + gap), removing
+    * their state — the state-hygiene discipline that keeps the live-key
+    * count bounded on an unbounded feed. In the bounded replay the
+    * trailing AvailableNow batch advances the watermark to the feed's
+    * end − delay, so every session idle longer than (gap + delay)
+    * before the end flushes; the oracle models exactly that boundary
+    * (each user's last session emits iff (end + gap)·1000 < final
+    * watermark ms) — the same finalization modeling as q147. The
+    * emitted columns are the exact session identity (start/end/count);
+    * the float total stays out of the gate by design. */
+  def streamSessionTimeout(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir, mode = "append") { ev =>
+      import spark.implicits._
+      EventStreams.sessionizeTimeout(
+        ev.withWatermark("ts", "30 minutes")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[EventStreams.Ev], gapSec = 1800).toDF()
+        .select(col("user_id"), col("start_sec"), col("end_sec"),
+          col("n_events"))
+    }
+
   /** DYNAMIC-gap session windows through the engine: the session gap is
     * an EXPRESSION over the event (purchases hold a session open 60
     * minutes, everything else 30) — the engagement-dependent timeout a
@@ -550,6 +574,35 @@ object StreamQueries {
     }
 
   val catalog: Seq[Q] = Seq(
+    Q("q221_stream_session_timeout", streamSessionTimeout _,
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    value FROM events),
+        |wm AS (
+        |  SELECT CAST(max(epoch_ms(ts)) AS BIGINT) - 1800000 AS wm_ms
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, sec,
+        |    CASE WHEN lag(sec) OVER w IS NULL
+        |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |s AS (
+        |  SELECT user_id, sec,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sid, min(sec) AS start_sec, max(sec) AS end_sec,
+        |    CAST(count(*) AS INT) AS n_events
+        |  FROM s GROUP BY 1, 2),
+        |sess2 AS (
+        |  SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+        |  FROM sess)
+        |SELECT user_id, start_sec, end_sec, n_events
+        |FROM sess2
+        |WHERE sid < last_sid
+        |  OR (end_sec + 1800) * 1000 < (SELECT wm_ms FROM wm)"""
+        .stripMargin),
     Q("q217_stream_dynamic_gap", streamDynamicSessions _,
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, value,

@@ -227,13 +227,66 @@ object EventStreams {
       }
   }
 
+  /** Stateful sessionizer WITH event-time timeout — the production form
+    * [[sessionizeStateful]]'s scaladoc promises: a session also closes
+    * when the user goes idle past the gap and the WATERMARK proves no
+    * in-gap event can still arrive (`GroupStateTimeout.EventTimeTimeout`
+    * + `setTimeoutTimestamp(lastSec + gap)`), so idle users' sessions
+    * flush instead of squatting in the state store forever — the state-
+    * HYGIENE half of the bounded-state story (NoTimeout bounds state per
+    * key; the timeout bounds the number of LIVE keys). Sessions closed
+    * by a successor event emit exactly as before; a timed-out flush
+    * emits on the timeout invocation (empty iterator, hasTimedOut) and
+    * removes the state. In a bounded replay, sessions idle less than
+    * (gap + watermark delay) before the stream's end are un-flushable —
+    * the same finalization boundary as the outer joins (q147). */
+  def sessionizeTimeout(events: Dataset[Ev], gapSec: Long)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionBuf]) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            val b = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(user, b.startSec, b.lastSec, b.n, b.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val closed = Seq.newBuilder[ClosedSession]
+            var buf = state.getOption.orNull
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000L
+              buf match {
+                case null =>
+                  buf = SessionBuf(sec, sec, 1, e.value)
+                case b if sec - b.lastSec > gapSec =>
+                  closed += ClosedSession(user, b.startSec, b.lastSec,
+                    b.n, b.total)
+                  buf = SessionBuf(sec, sec, 1, e.value)
+                case b =>
+                  buf = SessionBuf(b.startSec, sec, b.n + 1,
+                    b.total + e.value)
+              }
+            }
+            if (buf != null) {
+              state.update(buf)
+              state.setTimeoutTimestamp((buf.lastSec + gapSec) * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Custom stateful sessionizer: emits a session when a subsequent event
     * arrives more than `gapSec` after the previous one. State per user is
     * one open-session buffer — O(1) per key regardless of stream length;
     * the `it.toSeq` sort below buffers one key's per-batch slice only,
     * bounded by the trigger interval (see [[ewmaStateful]]'s note).
     * (NoTimeout keeps it deterministic for tests; production would add
-    * EventTimeTimeout to flush idle sessions at the watermark.) */
+    * EventTimeTimeout to flush idle sessions at the watermark — see
+    * [[sessionizeTimeout]].) */
   def sessionizeStateful(events: Dataset[Ev], gapSec: Long)
       : Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

@@ -103,6 +103,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout flushes an idle open session at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RawEv]
+    val q = EventStreams.sessionizeTimeout(
+        ms.toDF().withWatermark("ts", "30 minutes")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[EventStreams.Ev], gapSec = 1800)
+      .writeStream.format("memory").queryName("sesstimeout")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(RawEv(1, ts("2024-01-01 00:00:00"), 9, "click", 1.0, "{}"),
+                 RawEv(2, ts("2024-01-01 00:05:00"), 9, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("sesstimeout").count() === 0) // session open
+      // another USER's far-future event advances the global watermark
+      // past user 9's (last + gap) timeout
+      ms.addData(RawEv(3, ts("2024-01-01 06:00:00"), 8, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      ms.addData(RawEv(4, ts("2024-01-01 06:01:00"), 8, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      val flushed = spark.table("sesstimeout").collect()
+        .filter(_.getAs[Long]("user_id") == 9L)
+      assert(flushed.length === 1, "idle session did not flush on timeout")
+      assert(flushed(0).getAs[Int]("n_events") === 2)
+      assert(flushed(0).getAs[Long]("end_sec") ===
+        ts("2024-01-01 00:05:00").getTime / 1000)
+    } finally q.stop()
+  }
+
   test("stateful enrichment carries gap/index state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
