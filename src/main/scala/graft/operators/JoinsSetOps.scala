@@ -411,6 +411,58 @@ object JoinsSetOps {
         sum(col("cents")).as("cents"))
   }
 
+  /** Typed COGROUP reconciliation — the `KeyValueGroupedDataset.cogroup`
+    * surface: both relations hash to the key once and each key's two
+    * iterators stream through ARBITRARY Scala logic — the typed escape
+    * hatch for per-key algorithms that outgrow SQL (sequence alignment,
+    * custom matching). Here the per-key logic is an invoice audit (does
+    * the order's stored total equal the recomputed line-item sum at the
+    * TPC-H formula, within per-line rounding slack; orphans on either
+    * side classified), chosen precisely BECAUSE it is also
+    * SQL-expressible — the DuckDB oracle proves the typed path computes
+    * exactly what the relational one would, so reaching for cogroup
+    * never silently changes semantics. Money stays exact: per-line
+    * cents from one fixed-order double product + floor, summed as
+    * longs. Scale: one co-partitioned shuffle on the key; per-key state
+    * is the iterators, never a collected corpus. */
+  def cogroupReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .as[(Long, Double, String)]
+    val lines = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .as[(Long, Double, Double, Double)]
+    orders.groupByKey(_._1).cogroup(lines.groupByKey(_._1)) {
+      (_, os, ls) =>
+        val osSeq = os.toSeq
+        var n = 0L
+        var cents = 0L
+        ls.foreach { l =>
+          n += 1
+          cents += math.floor(
+            l._2 * (1 - l._3) * (1 + l._4) * 100 + 0.5).toLong
+        }
+        if (osSeq.isEmpty)
+          Iterator.single(("orphan_lines", "none", n, cents))
+        else {
+          val o = osSeq.head
+          val oc = math.floor(o._2 * 100 + 0.5).toLong
+          val delta = cents - oc
+          val status =
+            if (n == 0) "no_lines"
+            else if (math.abs(delta) <= n) "matched"
+            else "drifted"
+          Iterator.single((status, o._3, n, delta))
+        }
+    }.toDF("status", "priority", "n_lines", "delta_cents")
+      .groupBy(col("status"), col("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_lines")).as("n_lines"),
+        sum(col("delta_cents")).as("delta_cents"))
+  }
+
   /** Join-preserving PSEUDONYMIZATION — the privacy primitive q117's
     * redaction can't give: both sides' identifiers are replaced
     * SCAN-LOCAL by a deterministic salted digest (md5 here, standing in
@@ -484,6 +536,32 @@ object JoinsSetOps {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q222_cogroup_reconcile", cogroupReconcile _,
+      """WITH l AS (
+        |  SELECT l_orderkey AS k, count(*) AS n,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS oc,
+        |    o_orderpriority AS priority
+        |  FROM orders),
+        |j AS (
+        |  SELECT COALESCE(o.priority, 'none') AS priority,
+        |    COALESCE(l.n, 0) AS n,
+        |    CASE WHEN o.k IS NULL THEN l.cents
+        |      ELSE COALESCE(l.cents, 0) - o.oc END AS delta,
+        |    CASE WHEN o.k IS NULL THEN 'orphan_lines'
+        |      WHEN COALESCE(l.n, 0) = 0 THEN 'no_lines'
+        |      WHEN abs(COALESCE(l.cents, 0) - o.oc) <= l.n
+        |        THEN 'matched'
+        |      ELSE 'drifted' END AS status
+        |  FROM o FULL JOIN l ON o.k = l.k)
+        |SELECT status, priority, count(*) AS n_orders,
+        |  CAST(sum(n) AS BIGINT) AS n_lines,
+        |  CAST(sum(delta) AS BIGINT) AS delta_cents
+        |FROM j GROUP BY 1, 2""".stripMargin),
     Q("q218_tokenized_join", tokenizedJoin _,
       """WITH ev AS (
         |  SELECT md5('tok:' || CAST(user_id AS VARCHAR)) AS token,
