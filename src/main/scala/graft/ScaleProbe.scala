@@ -166,6 +166,16 @@ object ScaleProbe {
       // full-outer join shuffles (key, fp, cents) only — linear in keys
       time(s"table_diff_$tag")(
         operators.Relational.tableDiff(spark, dir).count())
+      // round-10 ops over the replicated events: the attribution join's
+      // expansion is bounded by per-user in-window activity (events
+      // replicate by id, not per-user density, so ~linear); the gini
+      // rank recipe and the concurrency sweep both ride the two-phase
+      // prefix sum — no single-partition sort to blow up
+      time(s"attribution_$tag")(
+        operators.Analytics.attribution(spark, dir).count())
+      time(s"gini_$tag")(operators.Analytics.gini(spark, dir).count())
+      time(s"max_concurrency_$tag")(
+        operators.Analytics.maxConcurrency(spark, dir).count())
     }
 
     calib("post_batch")

@@ -1492,7 +1492,94 @@ object Analytics {
           .as("n_far"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next = dst | current = src) as exact integer ppm, the behavioral
+    * fingerprint behind next-action prediction and bot detection (bots
+    * show near-deterministic rows; humans spread). Where q136 counts a
+    * few REGEX-pinned patterns inside concatenated sequence strings,
+    * this is the full state-space census: every (src, dst) adjacency,
+    * no pattern list. Shape: one user-keyed exchange + in-partition
+    * sort gives each event its successor (`lead` at full-µs order,
+    * event_id tiebreak); counts partial-agg to a |types|² relation and
+    * the row-normalizing window runs on THAT — bounded by the state
+    * space, never the corpus. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wSrc = Window.partitionBy(col("src_type"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"),
+        col("next_type").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("src_n", sum(col("n")).over(wSrc))
+      .select(col("src_type"), col("dst_type"), col("n"),
+        expr("CAST(n * 1000000 DIV src_n AS BIGINT)").as("ppm"))
+  }
+
+  /** Time-weighted average value per event type (TWAP — the standard
+    * correction for irregularly-sampled series, where a plain mean
+    * overweights bursts): each event's value "holds" until the same
+    * user's next event, weighs by the exact µs hold length, and the
+    * hold is attributed to the held event's type. Each user's final
+    * event has no hold interval and drops out — the bounded-horizon
+    * contract (an as-of-now variant would need a closing timestamp
+    * argument). Exactness: Σ cents·µs overflows a long (~1e18 per row
+    * is representable but sums aren't), so products accumulate as
+    * decimal(38,0) — Spark's decimal sum == DuckDB's HUGEINT sum — and
+    * the closing double conversion + two divisions run in an identical
+    * expression order in both engines. Shape: the same one user-keyed
+    * exchange as [[markovTransitions]], then a partial-agg'd fold to
+    * |types| rows. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("wus", col("next_us") - col("us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_holds"),
+        sum(col("wus")).as("held_us"),
+        sum(col("cents").cast("decimal(38,0)") * col("wus")).as("cw"))
+      .select(col("event_type"), col("n_holds"), col("held_us"),
+        (round(col("cw").cast("double") / col("held_us").cast("double")
+          / lit(100.0), 6) + lit(0.0)).as("twap"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q225_markov_transitions", markovTransitions _,
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS src_type, next_type AS dst_type,
+        |    count(*) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n,
+        |  CAST(n * 1000000 //
+        |    (sum(n) OVER (PARTITION BY src_type)) AS BIGINT) AS ppm
+        |FROM c""".stripMargin),
+    Q("q226_twap", twap _,
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS wus
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_holds,
+        |  CAST(sum(wus) AS BIGINT) AS held_us,
+        |  round(CAST(sum(cents::HUGEINT * wus) AS DOUBLE)
+        |    / CAST(sum(wus) AS DOUBLE) / 100.0, 6) + 0.0 AS twap
+        |FROM s WHERE wus IS NOT NULL GROUP BY 1""".stripMargin),
     Q("q168_mad_outliers", madCountGate _,
       """WITH c AS (
         |  SELECT c_mktsegment AS segment, c_acctbal AS bal FROM customer),

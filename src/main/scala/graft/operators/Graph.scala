@@ -403,6 +403,103 @@ object Graph {
        |    WHERE l.d IS NOT NULL GROUP BY 1) p
        |    ON n.node = p.node)""".stripMargin
 
+  /** Bounded multi-source WEIGHTED relaxation rounds (Bellman–Ford in
+    * its natural distributed form): dist(v) = min path cost to any seed
+    * over paths of ≤ R edges, each round one hash join (distances onto
+    * edge sources) + one partial-agg'd min keyed on the destination —
+    * exactly [[bfsOf]] with the +1 hop increment generalized to the
+    * edge's integer weight. The fixed round count is again the complete
+    * contract ("cheapest within R hops", beyond-horizon = NULL): true
+    * Bellman–Ford iterates to |V|−1 rounds, but on a co-occurrence
+    * graph the analytic question is proximity within a bounded radius,
+    * and a bounded round count is what makes the cost O(R·edges)
+    * instead of diameter-dependent. Weights stay integers (no float
+    * accumulation — path costs compare exactly in both engines). */
+  private[graft] def spOf(symw: DataFrame, seeds: DataFrame,
+                          rounds: Int): DataFrame = {
+    val nodes = symw.select(col("src").as("node")).distinct()
+    var dist = nodes.join(seeds.withColumn("d0", lit(0L)),
+        nodes("node") === seeds("seed"), "left_outer")
+      .select(col("node"), col("d0").as("d"))
+    for (_ <- 1 to rounds) {
+      val prop = symw.join(dist, symw("src") === dist("node"))
+        .filter(col("d").isNotNull)
+        .groupBy(col("dst")).agg(min(col("d") + col("w")).as("nd"))
+      dist = dist.join(prop, dist("node") === prop("dst"), "left_outer")
+        .select(col("node"),
+          least(coalesce(col("d"), col("nd")),
+            coalesce(col("nd"), col("d"))).as("d"))
+    }
+    dist
+  }
+
+  /** Cheapest-path census over the support-2 co-purchase graph (a fifth
+    * consumer of the shared q185/q192/q197/q203 stage): edge cost =
+    * 10^6 div pair support — strongly co-purchased parts are "close" —
+    * and dist(v) = cheapest ≤4-edge path to the same anchor slice q203
+    * seeds from. Where q203's hop count treats every edge alike, this
+    * is the affinity-weighted proximity a recommender actually ranks
+    * by. Output: census per 250k-cost band (NULL band = beyond the
+    * 4-hop horizon), with exact min/max cost per band. */
+  def cheapestPath(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = support2Pairs(spark, dir)
+      .select(col("u"), col("v"),
+        expr("CAST(1000000 DIV pair_n AS BIGINT)").as("w"))
+    val symw = pairs.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(
+        pairs.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .cutLineage()
+    val seeds = symw.select(col("src").as("seed")).distinct()
+      .filter(col("seed") % 97 === 0)
+    spOf(symw, seeds, 4)
+      .groupBy(expr("CAST(d DIV 250000 AS BIGINT)").as("cost_band"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_cost"),
+        max(col("d")).as("max_cost"), min(col("node")).as("min_node"))
+  }
+
+  /** One unrolled weighted relaxation round for the DuckDB oracle —
+    * [[bfsIterSql]] with the edge weight in place of the unit hop. */
+  private def spIterSql(i: Int): String =
+    s"""d$i AS MATERIALIZED (
+       |  SELECT n.node,
+       |    least(coalesce(n.d, p.nd), coalesce(p.nd, n.d)) AS d
+       |  FROM d${i - 1} n LEFT JOIN (
+       |    SELECT e.dst AS node, min(l.d + e.w) AS nd
+       |    FROM e0 e JOIN d${i - 1} l ON e.src = l.node
+       |    WHERE l.d IS NOT NULL GROUP BY 1) p
+       |    ON n.node = p.node)""".stripMargin
+
+  /** Item-item cosine similarity over basket co-occurrence (the
+    * item-based collaborative-filtering core, Sarwar et al. 2001):
+    * sim(i,j) = |orders with both| / sqrt(|orders with i|·|orders with
+    * j|), computed only on the support-≥2 pairs the shared stage
+    * already materialized — the minimum-support cut IS the candidate
+    * prefilter that keeps this far from all-pairs at scale. Per-part
+    * basket frequencies are one partial-agg'd count joined onto the
+    * pair list twice (a dim-sized relation — broadcastable). The
+    * cosine is bit-portable: freq products are exact in double up to
+    * 2^52, and sqrt + one division are single correctly-rounded IEEE
+    * ops, so both engines produce the identical double before the
+    * stabilizing round. Top-20 via TakeOrderedAndProject — no global
+    * sort. */
+  def itemSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val freq = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .groupBy(col("pk")).agg(count(lit(1)).as("freq"))
+    val fu = freq.select(col("pk").as("pk_u"), col("freq").as("freq_u"))
+    val fv = freq.select(col("pk").as("pk_v"), col("freq").as("freq_v"))
+    support2Pairs(spark, dir)
+      .join(fu, col("u") === col("pk_u"))
+      .join(fv, col("v") === col("pk_v"))
+      .select(col("u"), col("v"), col("pair_n"), col("freq_u"),
+        col("freq_v"),
+        (round(col("pair_n") /
+          sqrt(col("freq_u") * col("freq_v")), 9) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   /** One unrolled synchronous LPA round for the DuckDB oracle. DuckDB's
     * arg_min takes no struct key, so the (−count, label) order is packed
     * into a HUGEINT (−c·2^64 + lab): 128-bit, exact for any 64-bit
@@ -448,6 +545,46 @@ object Graph {
          |SELECT d AS hops, count(*) AS n_nodes,
          |  min(node) AS min_node, max(node) AS max_node
          |FROM d4 GROUP BY 1""".stripMargin),
+    Q("q223_cheapest_path", cheapestPath _,
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (
+         |  SELECT a.pk AS u, b.pk AS v, count(*) AS pair_n
+         |  FROM baskets a JOIN baskets b
+         |    ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst,
+         |    CAST(1000000 // pair_n AS BIGINT) AS w FROM pairs
+         |  UNION ALL
+         |  SELECT v, u, CAST(1000000 // pair_n AS BIGINT) FROM pairs),
+         |d0 AS MATERIALIZED (
+         |  SELECT node, CASE WHEN node % 97 = 0
+         |    THEN CAST(0 AS BIGINT) END AS d
+         |  FROM (SELECT DISTINCT src AS node FROM e0)),
+         |${(1 to 4).map(spIterSql).mkString(",\n")}
+         |SELECT CAST(d // 250000 AS BIGINT) AS cost_band,
+         |  count(*) AS n_nodes, min(d) AS min_cost, max(d) AS max_cost,
+         |  min(node) AS min_node
+         |FROM d4 GROUP BY 1""".stripMargin),
+    Q("q227_item_similarity", itemSimilarity _,
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS pair_n
+        |  FROM baskets a JOIN baskets b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |freq AS (SELECT pk, count(*) AS freq FROM baskets GROUP BY 1)
+        |SELECT p.u, p.v, p.pair_n,
+        |  fu.freq AS freq_u, fv.freq AS freq_v,
+        |  round(p.pair_n / sqrt(fu.freq * fv.freq), 9) + 0.0 AS cos
+        |FROM pairs p
+        |  JOIN freq fu ON p.u = fu.pk
+        |  JOIN freq fv ON p.v = fv.pk
+        |ORDER BY cos DESC, p.u, p.v LIMIT 20""".stripMargin),
     Q("q197_label_propagation", labelPropagation _,
       s"""WITH baskets AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

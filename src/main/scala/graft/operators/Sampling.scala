@@ -316,7 +316,77 @@ object Sampling {
         expr("cum div step").as("tick"))
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): weighted
+    * without-replacement top-k per stratum with the Horvitz–Thompson
+    * threshold estimator. Each row gets priority w/u (u uniform from the
+    * deterministic md5 hash); the k highest-priority rows are the
+    * sample, and ŵ = max(w, τ) with τ = the (k+1)-th priority makes
+    * subset-sum estimates unbiased — the published scheme q187's
+    * systematic sampler deliberately avoided (its scaladoc: `u^(1/w)`
+    * is transcendental, not engine-portable). The portability fix here
+    * is a FIXED-POINT priority: p = w·2^42 div (h+1) is pure integer
+    * arithmetic — bit-identical in any engine, and order-isomorphic to
+    * w/u up to the 2^-42 quantization grid (ties broken by doc_id).
+    * That integer key is exactly what [[graft.functions.TopKAgg]]
+    * carries: the shuffle moves ≤6 pairs per stratum through partial
+    * aggregation — no per-stratum sort, the scale-correct shape q149
+    * established — and the sampled ids then fetch their rows back by a
+    * broadcast join (rank-then-fetch, as q201's rerank). τ returns to
+    * weight units through one correctly-rounded division, so the HT
+    * weight is portable too. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val wSrc = Window.partitionBy(col("source"))
+    val top = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.portableHash(
+          concat(lit("pri:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("p", expr("n_chars * 4398046511104 DIV (hk + 1)"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topK(col("p"), col("doc_id"), 6)
+        .as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("doc_id"), col("s.key").as("p"))
+      .withColumn("tau", max(when(col("rk") === 6, col("p"))).over(wSrc))
+      .filter(col("rk") <= 5)
+    docs.select(col("doc_id").as("d_id"), col("n_chars").as("weight"))
+      .join(broadcast(top), col("doc_id") === col("d_id"))
+      .select(col("source"), col("rk"), col("doc_id"), col("weight"),
+        col("p"),
+        (round(greatest(
+          coalesce(col("tau").cast("double") / lit(4398046511104.0),
+            lit(0.0)),
+          col("weight").cast("double")), 9) + lit(0.0)).as("ht_weight"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q224_priority_sample", prioritySample _,
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5('pri:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT AS hk
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(n_chars * 4398046511104 // (hk + 1) AS BIGINT) AS p
+        |  FROM d),
+        |r AS (
+        |  SELECT source, doc_id, n_chars, p,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY p DESC, doc_id ASC) AS rk
+        |  FROM pr),
+        |tt AS (
+        |  SELECT source, doc_id, n_chars, p, rk,
+        |    max(CASE WHEN rk = 6 THEN p END)
+        |      OVER (PARTITION BY source) AS tau
+        |  FROM r)
+        |SELECT source, CAST(rk AS INT) AS rk, doc_id,
+        |  n_chars AS weight, p,
+        |  round(greatest(
+        |    coalesce(CAST(tau AS DOUBLE) / 4398046511104.0, 0.0),
+        |    CAST(n_chars AS DOUBLE)), 9) + 0.0 AS ht_weight
+        |FROM tt WHERE rk <= 5""".stripMargin),
     Q("q187_weighted_sample", weightedSample _,
       """WITH d AS (
         |  SELECT doc_id, source, n_chars AS weight,

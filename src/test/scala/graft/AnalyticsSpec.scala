@@ -5,6 +5,68 @@ import graft.operators.{Analytics, JoinsSetOps, ScalarFuncs}
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("markov transitions: equals a per-user brute-force sequence walk; " +
+      "rows normalize to <= 1e6 ppm per source state") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(r => (r._4, r._2)).map(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => trans((a, b)) = trans.getOrElse((a, b), 0L) + 1L
+        case _ =>
+      }
+    }
+    val srcTotals = trans.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val expected = trans.map { case ((s, d), n) =>
+      (s, d) -> ((n, n * 1000000L / srcTotals(s))) }.toMap
+    val got = Analytics.markovTransitions(spark, sf).collect().map(r =>
+      (r.getAs[String]("src_type"), r.getAs[String]("dst_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("ppm")))).toMap
+    assert(got === expected)
+    // each source state's row ppms must sum to at most 1e6 (floor div
+    // loses at most |dst states| ppm)
+    got.groupBy(_._1._1).foreach { case (s, m) =>
+      val tot = m.values.map(_._2).sum
+      assert(tot <= 1000000L && tot > 1000000L - 100L,
+        s"source $s ppm total $tot")
+    }
+  }
+
+  test("twap: equals a brute-force per-user hold-interval recompute") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val holds = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._4, r._2)).toSeq.sliding(2).collect {
+        case Seq(a, b) => (a._3, a._5, b._4 - a._4)
+      }
+    }.toSeq
+    val expected = holds.groupBy(_._1).map { case (tpe, hs) =>
+      val heldUs = hs.map(_._3).sum
+      val cw = hs.map(h => BigInt(h._2) * BigInt(h._3)).sum
+      val twap = math.round(
+        cw.toDouble / heldUs.toDouble / 100.0 * 1e6) / 1e6
+      tpe -> ((hs.size.toLong, heldUs, twap))
+    }
+    val got = Analytics.twap(spark, sf).collect().map(r =>
+      r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_holds"), r.getAs[Long]("held_us"),
+          r.getAs[Double]("twap")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (tpe, (n, h, tw)) =>
+      val g = got(tpe)
+      assert(g._1 === n && g._2 === h, s"$tpe counts: $g vs ($n,$h)")
+      assert(math.abs(g._3 - tw) < 1e-6, s"$tpe twap: ${g._3} vs $tw")
+    }
+  }
+
   test("topk: exactly 100 rows, monotone non-increasing price") {
     val rows = Analytics.topkOrders(spark, sf)
       .collect().map(_.getAs[Double]("price"))

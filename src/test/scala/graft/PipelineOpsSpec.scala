@@ -683,6 +683,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotQ === expected)
   }
 
+  test("weighted relaxation: planted detour where the cheap route is NOT " +
+      "the fewest-hop route; beyond-horizon nodes surface as NULL") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // 1→4 direct costs 10; 1-2-3-4 at unit costs totals 3: a BFS (hops)
+    // would take the direct edge, the weighted relaxation must not —
+    // but for nodes PAST 4 the expensive direct edge is the only way to
+    // stay inside the 4-edge horizon (6 = 1-4-5-6 at cost 12, where the
+    // cheap detour would need 5 edges). 8 needs 5 edges on ANY route —
+    // past the horizon, so it must surface NULL.
+    val und = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (6L, 7L, 1L), (7L, 8L, 1L))
+    val symSeq = und ++ und.map(e => (e._2, e._1, e._3))
+    val got = Graph.spOf(symSeq.toDF("src", "dst", "w"),
+        Seq(1L).toDF("seed"), 4).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> Some(3L), 5L -> Some(4L), 6L -> Some(12L), 7L -> Some(13L),
+      8L -> None))
+  }
+
+  test("item similarity: cosine equals a brute-force basket recompute, " +
+      "bounded by 1, ordered by similarity") {
+    import graft.operators.Graph
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val freq = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCounts((ps(i), ps(j))) =
+          pairCounts.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val expected = pairCounts.filter(_._2 >= 2).toSeq.map {
+      case ((u, v), n) =>
+        val cos = math.round(n / math.sqrt(
+          (freq(u) * freq(v)).toDouble) * 1e9) / 1e9
+        (u, v, n, freq(u), freq(v), cos)
+    }.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = Graph.itemSimilarity(spark, sf).collect().map(r =>
+      (r.getAs[Long]("u"), r.getAs[Long]("v"), r.getAs[Long]("pair_n"),
+        r.getAs[Long]("freq_u"), r.getAs[Long]("freq_v"),
+        r.getAs[Double]("cos"))).toSeq
+    assert(got.size === expected.size)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 === e._1 && g._2 === e._2 && g._3 === e._3 &&
+        g._4 === e._4 && g._5 === e._5, s"pair mismatch: $g vs $e")
+      assert(math.abs(g._6 - e._6) < 1e-9, s"cos mismatch: $g vs $e")
+      assert(g._6 > 0.0 && g._6 <= 1.0)
+    }
+  }
+
   test("tokenized join equals the raw-id join (join preservation)") {
     import graft.operators.JoinsSetOps
     val tok = JoinsSetOps.tokenizedJoin(spark, sf).collect()

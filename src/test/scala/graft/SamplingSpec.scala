@@ -19,6 +19,46 @@ class SamplingSpec extends SparkSpec {
     assert(frac > 0.02 && frac < 0.25, s"sample fraction $frac")
   }
 
+  test("priority sample: heap form equals the window-rank formulation; " +
+      "HT weight is max(weight, tau) and never below the raw weight") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextOps
+    val got = Sampling.prioritySample(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rk")) ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+          r.getAs[Long]("p"), r.getAs[Double]("ht_weight")))).toMap
+    // independent window-rank recompute of the same fixed-point priority
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("p").desc, col("doc_id").asc)
+    val ref = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.portableHash(
+          concat(lit("pri:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("p", expr("n_chars * 4398046511104 DIV (hk + 1)"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("tau", max(when(col("rk") === 6, col("p")))
+        .over(Window.partitionBy(col("source"))))
+      .filter(col("rk") <= 5)
+      .collect()
+      .map { r =>
+        val tau = if (r.isNullAt(r.fieldIndex("tau"))) None
+          else Some(r.getAs[Long]("tau"))
+        (r.getAs[String]("source"), r.getAs[Int]("rk")) ->
+          ((r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+            r.getAs[Long]("p"), tau))
+      }.toMap
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (k, (docId, nc, p, tau)) =>
+      val g = got(k)
+      assert(g._1 === docId && g._2 === nc && g._3 === p, s"row $k: $g")
+      val want = math.max(nc.toDouble,
+        tau.map(_.toDouble / 4398046511104.0).getOrElse(0.0))
+      assert(math.abs(g._4 - math.round(want * 1e9) / 1e9) < 1e-6,
+        s"ht_weight $k: ${g._4} vs $want")
+      assert(g._4 >= nc.toDouble, s"HT below raw weight at $k")
+    }
+  }
+
   test("group sample: heap aggregate matches the window-rank formulation") {
     import org.apache.spark.sql.expressions.Window
     val out = Sampling.groupSample(spark, sf).collect()
