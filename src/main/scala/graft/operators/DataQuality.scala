@@ -256,7 +256,67 @@ object DataQuality {
         .as("corr_r"))
   }
 
+  /** Shannon entropy + KL divergence of each customer segment's
+    * event-type mix against the global mix — the information-theoretic
+    * drift/skew monitor complementing q195's KS statistic (KS compares
+    * one numeric distribution's shape; KL here scores CATEGORICAL
+    * composition, the "this segment's traffic mix looks nothing like
+    * the corpus" alarm, and entropy flags near-deterministic segments
+    * outright). Numerics: all counts are exact integers from one
+    * partial-agg'd pass; `ln` appears only in per-term closed-form
+    * expressions evaluated in an identical order in both engines (the
+    * q60/q95 precedent), the per-segment term count is bounded by the
+    * type alphabet — so the float sums span ≤|types| addends and the
+    * stabilizing round(·,6) sits ~10 orders above any summation-order
+    * wobble. Shape: counts collapse to a |segments|×|types| relation
+    * before ANY float math; the global mix and its total broadcast. */
+  def typeEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val cu = t(spark, dir, "customer")
+    val counts = ev.join(cu, ev("user_id") === cu("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val glob = counts.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("g"))
+    val tot = glob.agg(sum(col("g")).as("nn"))
+    counts.join(broadcast(glob), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("segment"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * log(col("c"))).as("clc"),
+        sum(col("c") * log(col("g"))).as("clg"),
+        min(col("nn")).as("nn"))
+      .select(col("segment"), col("n"), col("n_types"),
+        (round(log(col("n")) - col("clc") / col("n"), 6) + lit(0.0))
+          .as("entropy"),
+        (round(col("clc") / col("n") - log(col("n"))
+          - col("clg") / col("n") + log(col("nn")), 6) + lit(0.0))
+          .as("kl_vs_global"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q229_type_entropy", typeEntropy _,
+      """WITH counts AS (
+        |  SELECT c_mktsegment AS segment, event_type, count(*) AS c
+        |  FROM events JOIN customer ON user_id = c_custkey
+        |  GROUP BY 1, 2),
+        |gmix AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS g
+        |  FROM counts GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM gmix),
+        |agg AS (
+        |  SELECT segment, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*) AS n_types,
+        |    sum(c * ln(c)) AS clc, sum(c * ln(g)) AS clg,
+        |    min(nn) AS nn
+        |  FROM counts JOIN gmix USING (event_type) CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT segment, n, n_types,
+        |  round(ln(n) - clc / n, 6) + 0.0 AS entropy,
+        |  round(clc / n - ln(n) - clg / n + ln(nn), 6) + 0.0
+        |    AS kl_vs_global
+        |FROM agg""".stripMargin),
     Q("q220_qq_table", qqTable _,
       """WITH e AS (
         |  SELECT event_type AS g,

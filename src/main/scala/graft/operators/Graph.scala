@@ -457,6 +457,59 @@ object Graph {
         max(col("d")).as("max_cost"), min(col("node")).as("min_node"))
   }
 
+  /** Frequent 3-itemsets by Apriori candidate generation (Agrawal &
+    * Srikant 1994, level 3): candidate triples come from joining the
+    * support-≥2 PAIR relation on a shared prefix — (a,b)+(a,c) → (a,b,c)
+    * — then pruning any candidate whose third side (b,c) is not itself
+    * frequent (a semi-join against the same pair relation; the downward-
+    * closure property makes this prune exact, not heuristic). Only the
+    * surviving candidates are counted against the baskets, as three
+    * cascading equi-joins on the order key with the candidate filter
+    * pushed into each probe. This is THE reason level-2 support pruning
+    * exists: the naive baskets³ self-join is Σ b³ over basket sizes,
+    * while candidates are bounded by the (already support-cut) pair
+    * list's prefix-join. Baskets here are per-CUSTOMER (everything a
+    * customer ever bought) scoped to one part-key category slice —
+    * order-level baskets go support-starved above sf0.01 (a measured 1
+    * surviving candidate at sf0.1), and category-scoped mining is the
+    * production framing anyway (affinities are mined within a
+    * department, not across the whole catalog; at 100 TB each category
+    * slice is an independent, embarrassingly-parallel mining job). The
+    * basket relation is checkpointed once and probed five times.
+    * Top-20 via TakeOrderedAndProject. */
+  def itemsets3(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+      .distinct()
+      .cutLineage()
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.ck") === col("b.ck") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 2)
+      .select(col("u"), col("v"))
+    val cand = pairs.as("p1")
+      .join(pairs.as("p2"),
+        col("p1.u") === col("p2.u") && col("p1.v") < col("p2.v"))
+      .select(col("p1.u").as("a"), col("p1.v").as("b"),
+        col("p2.v").as("c"))
+      .join(pairs.select(col("u").as("b"), col("v").as("c")),
+        Seq("b", "c"), "left_semi")
+    cand
+      .join(baskets.select(col("ck"), col("pk").as("a")), Seq("a"))
+      .join(baskets.select(col("ck"), col("pk").as("b")), Seq("ck", "b"))
+      .join(baskets.select(col("ck"), col("pk").as("c")), Seq("ck", "c"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .orderBy(col("sup").desc, col("a"), col("b"), col("c"))
+      .limit(20)
+  }
+
   /** One unrolled weighted relaxation round for the DuckDB oracle —
     * [[bfsIterSql]] with the edge weight in place of the unit hop. */
   private def spIterSql(i: Int): String =
@@ -568,6 +621,30 @@ object Graph {
          |  count(*) AS n_nodes, min(d) AS min_cost, max(d) AS max_cost,
          |  min(node) AS min_node
          |FROM d4 GROUP BY 1""".stripMargin),
+    Q("q228_itemsets3", itemsets3 _,
+      """WITH baskets AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_partkey % 4 = 0),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.pk AS u, b.pk AS v FROM baskets a JOIN baskets b
+        |    ON a.ck = b.ck AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |cand AS (
+        |  SELECT p1.u AS a, p1.v AS b, p2.v AS c
+        |  FROM pairs p1 JOIN pairs p2
+        |    ON p1.u = p2.u AND p1.v < p2.v
+        |  WHERE EXISTS (SELECT 1 FROM pairs p3
+        |    WHERE p3.u = p1.v AND p3.v = p2.v)),
+        |tri AS (
+        |  SELECT cd.a, cd.b, cd.c, count(*) AS sup
+        |  FROM cand cd
+        |  JOIN baskets x ON x.pk = cd.a
+        |  JOIN baskets y ON y.ck = x.ck AND y.pk = cd.b
+        |  JOIN baskets z ON z.ck = x.ck AND z.pk = cd.c
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT a, b, c, sup FROM tri
+        |ORDER BY sup DESC, a, b, c LIMIT 20""".stripMargin),
     Q("q227_item_similarity", itemSimilarity _,
       """WITH baskets AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

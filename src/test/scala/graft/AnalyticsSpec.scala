@@ -67,6 +67,71 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("itemsets3: Apriori-pruned mining equals a brute-force triple " +
+      "census (the prune loses nothing)") {
+    import graft.operators.Graph
+    val baskets = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute force: every within-basket triple, NO candidate pruning
+    val triCounts = scala.collection.mutable
+      .Map.empty[(Long, Long, Long), Long]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length;
+           k <- (j + 1) until ps.length) {
+        val t3 = (ps(i), ps(j), ps(k))
+        triCounts(t3) = triCounts.getOrElse(t3, 0L) + 1L
+      }
+    }
+    val expected = triCounts.filter(_._2 >= 2).toSeq
+      .map { case ((a, b, c), s) => (a, b, c, s) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(20)
+    val got = Graph.itemsets3(spark, sf).collect().map(r =>
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+        r.getAs[Long]("sup"))).toSeq
+    assert(got === expected)
+  }
+
+  test("type entropy: equals a brute-force categorical recompute; " +
+      "KL vs global is non-negative") {
+    import graft.operators.DataQuality
+    val rows = spark.read.parquet(s"$sf/events.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type")).count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val g = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nn = g.values.sum
+    val expected = rows.groupBy(_._1).map { case (seg, rs) =>
+      val n = rs.map(_._3).sum
+      val clc = rs.map(r => r._3 * math.log(r._3.toDouble)).sum
+      val clg = rs.map(r => r._3 * math.log(g(r._2).toDouble)).sum
+      val ent = math.log(n.toDouble) - clc / n
+      val kl = clc / n - math.log(n.toDouble) - clg / n +
+        math.log(nn.toDouble)
+      seg -> ((n, rs.size.toLong, ent, kl))
+    }
+    val got = DataQuality.typeEntropy(spark, sf).collect().map(r =>
+      r.getAs[String]("segment") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("kl_vs_global"))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (seg, (n, nt, ent, kl)) =>
+      val gt = got(seg)
+      assert(gt._1 === n && gt._2 === nt, s"$seg counts")
+      assert(math.abs(gt._3 - ent) < 1e-5, s"$seg entropy ${gt._3} vs $ent")
+      assert(math.abs(gt._4 - kl) < 1e-5, s"$seg kl ${gt._4} vs $kl")
+      // Gibbs' inequality: KL >= 0 (up to the rounding grid)
+      assert(gt._4 >= -1e-6, s"$seg negative KL ${gt._4}")
+    }
+  }
+
   test("topk: exactly 100 rows, monotone non-increasing price") {
     val rows = Analytics.topkOrders(spark, sf)
       .collect().map(_.getAs[Double]("price"))
