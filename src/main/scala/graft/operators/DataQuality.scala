@@ -295,7 +295,55 @@ object DataQuality {
           .as("kl_vs_global"))
   }
 
+  /** Pipeline-observed DQ counters (`Dataset.observe` → `CollectMetrics`
+    * + `Observation`): row counts, exact cent sums, return-flag and
+    * null-discount tallies collected DURING the pipeline's own action —
+    * the accumulator-style pass that gives every production write its
+    * quality counters for free, where a naive DQ layer re-scans the
+    * table (at 100 TB the second scan IS the cost). The observed
+    * metrics are themselves the query result, and the DuckDB oracle
+    * recomputes them declaratively — proving the side-channel counters
+    * equal the first-class aggregation. All metrics are exact integers
+    * (counts + floor-cents sums), so merge order across tasks cannot
+    * wobble them. The downstream aggregate the pipeline "really" runs
+    * (a per-flag census) is consumed inside the operator; its action is
+    * what populates the observation. */
+  def observeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val obs = Observation()
+    val pipeline = t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 10)
+      .observe(obs,
+        count(lit(1)).as("n_kept"),
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .as("kept_cents"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(when(col("l_discount").isNull, 1L).otherwise(0L))
+          .as("n_null_discount"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    // the pipeline's own terminal action populates the observation;
+    // nothing is scanned twice
+    pipeline.count()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_kept").asInstanceOf[Long],
+      m("kept_cents").asInstanceOf[Long],
+      m("n_returned").asInstanceOf[Long],
+      m("n_null_discount").asInstanceOf[Long]))
+      .toDF("n_kept", "kept_cents", "n_returned", "n_null_discount")
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q230_observe_metrics", observeMetrics _,
+      """SELECT count(*) AS n_kept,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS kept_cents,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returned,
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_discount
+        |FROM lineitem WHERE l_quantity >= 10""".stripMargin),
     Q("q229_type_entropy", typeEntropy _,
       """WITH counts AS (
         |  SELECT c_mktsegment AS segment, event_type, count(*) AS c

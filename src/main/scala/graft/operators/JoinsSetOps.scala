@@ -535,7 +535,62 @@ object JoinsSetOps {
         sum(col("ov")).as("overlap_secs"))
   }
 
+  /** NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    * every blocklist filter eventually hits: `k NOT IN (S)` is UNKNOWN
+    * (row dropped) when k is NULL, and returns ZERO rows for everyone
+    * the moment S contains a single NULL, while `NOT EXISTS` treats the
+    * same NULLs as simple non-matches and keeps the rows. One pass
+    * emits all four counts (NOT IN, NOT EXISTS, null probes, NOT IN
+    * against a NULL-polluted list) plus the conservation identity
+    * n_not_exists − n_not_in = n_null_probe. Spark plans the
+    * single-column NOT IN as its null-aware anti join (the NAAJ
+    * machinery built exactly because a plain left-anti rewrite would
+    * KEEP null probes); the DuckDB oracle is the same standard SQL, so
+    * the gate pins both engines to the same three-valued semantics.
+    * Scale: each branch is one anti/semi join against a broadcast-sized
+    * blocklist; the null-polluted branch short-circuits to empty. */
+  def notInSemantics(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("nis_orders")
+    t(spark, dir, "customer").createOrReplaceTempView("nis_customer")
+    spark.sql(
+      """WITH probe AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |         ELSE o_custkey END AS k
+        |  FROM nis_orders),
+        |bl AS (
+        |  SELECT c_custkey AS bk FROM nis_customer WHERE c_acctbal < 0)
+        |SELECT
+        |  (SELECT count(*) FROM probe
+        |     WHERE k NOT IN (SELECT bk FROM bl)) AS n_not_in,
+        |  (SELECT count(*) FROM probe p
+        |     WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bk = p.k))
+        |    AS n_not_exists,
+        |  (SELECT count(*) FROM probe WHERE k IS NULL) AS n_null_probe,
+        |  (SELECT count(*) FROM probe WHERE k NOT IN
+        |     (SELECT bk FROM bl UNION ALL SELECT CAST(NULL AS BIGINT)))
+        |    AS n_not_in_nullset""".stripMargin)
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q231_not_in_semantics", notInSemantics _,
+      """WITH probe AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |         ELSE o_custkey END AS k
+        |  FROM orders),
+        |bl AS (
+        |  SELECT c_custkey AS bk FROM customer WHERE c_acctbal < 0)
+        |SELECT
+        |  (SELECT count(*) FROM probe
+        |     WHERE k NOT IN (SELECT bk FROM bl)) AS n_not_in,
+        |  (SELECT count(*) FROM probe p
+        |     WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bk = p.k))
+        |    AS n_not_exists,
+        |  (SELECT count(*) FROM probe WHERE k IS NULL) AS n_null_probe,
+        |  (SELECT count(*) FROM probe WHERE k NOT IN
+        |     (SELECT bk FROM bl UNION ALL SELECT CAST(NULL AS BIGINT)))
+        |    AS n_not_in_nullset""".stripMargin),
     Q("q222_cogroup_reconcile", cogroupReconcile _,
       """WITH l AS (
         |  SELECT l_orderkey AS k, count(*) AS n,

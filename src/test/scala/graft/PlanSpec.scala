@@ -405,4 +405,44 @@ class PlanSpec extends SparkSpec {
     val nEx = "Exchange ".r.findAllIn(plan).length
     assert(nEx === 1, s"expected only the agg exchange, got $nEx:\n$plan")
   }
+
+  test("q231: NOT IN plans as a null-aware anti join, and the " +
+      "three-valued-logic identities hold") {
+    val df = graft.operators.JoinsSetOps.notInSemantics(spark, sf)
+    val plan = planOf(df)
+    // Spark's single-column NOT IN rewrite: a BroadcastHashJoin LeftAnti
+    // whose trailing flag (isNullAwareAntiJoin) prints `true` — the
+    // machinery that exists because a plain left-anti would KEEP null
+    // probes. The NOT EXISTS branch in the SAME plan takes the ordinary
+    // left-anti (flag `false`): both rewrites, side by side.
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN did not plan as a null-aware anti join:\n$plan")
+    assert(plan.contains("LeftAnti, BuildRight, false"),
+      s"NOT EXISTS unexpectedly left the plain anti-join path:\n$plan")
+    val r = df.collect()(0)
+    val (nIn, nEx2, nNull, nPolluted) =
+      (r.getAs[Long]("n_not_in"), r.getAs[Long]("n_not_exists"),
+        r.getAs[Long]("n_null_probe"), r.getAs[Long]("n_not_in_nullset"))
+    assert(nNull > 0, "fixture exercises no NULL probes")
+    assert(nEx2 - nIn === nNull,
+      s"NOT EXISTS − NOT IN ($nEx2 − $nIn) must equal null probes $nNull")
+    assert(nPolluted === 0L,
+      s"a NULL in the NOT IN list must empty the result, got $nPolluted")
+  }
+
+  test("q230: observed metrics equal an independent first-class " +
+      "aggregation (the side-channel counters are exact)") {
+    val got = graft.operators.DataQuality.observeMetrics(spark, sf)
+      .collect()(0)
+    val ref = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") >= 10)
+      .selectExpr("count(*) AS n_kept",
+        "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS kept_cents",
+        "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned",
+        "CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_discount")
+      .collect()(0)
+    Seq("n_kept", "kept_cents", "n_returned", "n_null_discount").foreach {
+      c => assert(got.getAs[Long](c) === ref.getAs[Long](c), c)
+    }
+  }
 }
