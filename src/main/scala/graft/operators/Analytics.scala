@@ -1553,7 +1553,161 @@ object Analytics {
           / lit(100.0), 6) + lit(0.0)).as("twap"))
   }
 
+  /** Clamped running balance (a prepaid account: purchases recharge,
+    * every other event consumes; the balance can never go below zero
+    * and over-consumption is forfeited). The fold b_i = max(0, b_{i-1}
+    * + x_i) looks inherently sequential — the textbook "you need
+    * mapGroups for this" example — but the reflection identity
+    * b_i = S_i − min(0, min_{j≤i} S_j) turns it into TWO plain windows
+    * (running sum + running min over the same user-keyed order): the
+    * closed form both engines evaluate identically in exact integer
+    * cents, no iteration, no typed escape hatch. A clamp event is a new
+    * strict minimum below zero (S_i < min(0, rm_{i−1})), so even the
+    * "how often did we hit the floor" census falls out of a lag. One
+    * user-keyed exchange + in-partition sort; per-user output collapses
+    * via mergeable aggregates. */
+  def clampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .otherwise(-expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .as("x"))
+      .withColumn("s", sum(col("x")).over(wRun))
+      .withColumn("rm", min(col("s")).over(wRun))
+      .withColumn("thr", least(coalesce(lag(col("rm"), 1).over(w),
+        lit(0L)), lit(0L)))
+      .withColumn("b", col("s") -
+        least(coalesce(col("rm"), lit(0L)), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("b"), struct(col("us"), col("event_id")))
+          .as("final_cents"),
+        max(col("b")).as("peak_cents"),
+        sum(when(col("s") < col("thr"), 1L).otherwise(0L))
+          .as("n_clamps"))
+      .filter(col("user_id") < 300)
+  }
+
+  /** Linear-interpolation resampling to an hourly grid — the
+    * interpolating complement to q115's LOCF fill (LOCF is right for
+    * state-like series, interpolation for flow-like ones; both are the
+    * "align irregular series to a model-ready grid" step). Each user's
+    * grid spans their event range; grid instants merge into the event
+    * stream as tagged rows, so ONE user-keyed sort gives every grid
+    * point its surrounding events via last/first(ignoreNulls) — never a
+    * per-grid-point range join. The blend is exact integer cents and µs
+    * with one fixed-order double expression at the end; boundary grid
+    * points (no earlier/later event) and exact-hit events are explicit
+    * CASE arms, identical in the oracle. */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        lit(0).as("tag"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(col("user_id"),
+        explode(expr(
+          "sequence(timestamp_micros(mn - mn % 3600000000)," +
+            " timestamp_micros(mx), INTERVAL 1 HOUR)")).as("hr"))
+      .select(col("user_id"), unix_micros(col("hr")).as("us"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("long").as("cents"), lit(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("tag").asc, col("event_id").asc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    ev.unionByName(grid)
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pu", last(when(col("tag") === 0, col("us")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nu", first(when(col("tag") === 0, col("us")),
+        ignoreNulls = true).over(wNext))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("us").as("grid_us"),
+        (round(
+          when(col("pv").isNull, col("nv").cast("double"))
+            .when(col("nv").isNull, col("pv").cast("double"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * ((col("us") - col("pu")) / (col("nu") - col("pu")))),
+          4) + lit(0.0)).as("v_interp"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q232_clamped_balance", clampedBalance _,
+      """WITH d AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT) END AS x
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, us,
+        |    sum(x) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM d),
+        |m AS (
+        |  SELECT user_id, event_id, us, s,
+        |    min(s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+        |  FROM r),
+        |c AS (
+        |  SELECT user_id, event_id, us, s,
+        |    least(coalesce(lag(rm) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id), 0), 0) AS thr,
+        |    s - least(coalesce(rm, 0), 0) AS b
+        |  FROM m)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(arg_max(b, us::HUGEINT * 18446744073709551616 + event_id)
+        |    AS BIGINT) AS final_cents,
+        |  CAST(max(b) AS BIGINT) AS peak_cents,
+        |  CAST(sum(CASE WHEN s < thr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamps
+        |FROM c WHERE user_id < 300 GROUP BY 1""".stripMargin),
+    Q("q233_interpolate", interpolate _,
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, 0 AS tag
+        |  FROM events WHERE user_id < 20),
+        |grid AS (
+        |  SELECT user_id,
+        |    epoch_us(g.hr) AS us, CAST(NULL AS BIGINT) AS event_id,
+        |    CAST(NULL AS BIGINT) AS cents, 1 AS tag
+        |  FROM (SELECT user_id, min(us) AS mn, max(us) AS mx
+        |        FROM ev GROUP BY 1) b,
+        |    LATERAL (SELECT unnest(generate_series(
+        |      make_timestamp(b.mn - b.mn % 3600000000),
+        |      make_timestamp(b.mx), INTERVAL 1 HOUR)) AS hr) g),
+        |u AS (
+        |  SELECT * FROM ev UNION ALL BY NAME SELECT * FROM grid),
+        |x AS (
+        |  SELECT user_id, us, tag,
+        |    last_value(cents IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS)
+        |      OVER wp AS pu,
+        |    first_value(cents IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS)
+        |      OVER wn AS nu
+        |  FROM u
+        |  WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY us, tag, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wn AS (PARTITION BY user_id ORDER BY us, tag, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, us AS grid_us,
+        |  round(CASE WHEN pv IS NULL THEN nv * 1.0
+        |             WHEN nv IS NULL THEN pv * 1.0
+        |             ELSE pv + (nv - pv) * ((us - pu) / (nu - pu))
+        |        END, 4) + 0.0 AS v_interp
+        |FROM x WHERE tag = 1""".stripMargin),
     Q("q225_markov_transitions", markovTransitions _,
       """WITH s AS (
         |  SELECT user_id, event_type,

@@ -132,6 +132,75 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("clamped balance: the window closed form equals the sequential " +
+      "max(0, b+x) fold it replaces") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("""CASE WHEN event_type = 'purchase'
+          THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+          ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT) END""").as("x"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).collect {
+      case (uid, rows) if uid < 300 =>
+        var b = 0L; var peak = 0L; var clamps = 0L
+        rows.sortBy(r => (r._3, r._2)).foreach { r =>
+          val raw = b + r._4
+          if (raw < 0) { b = 0L; clamps += 1 } else b = raw
+          if (b > peak) peak = b
+        }
+        uid -> ((rows.length.toLong, b, peak, clamps))
+    }.toMap
+    val got = graft.operators.Analytics.clampedBalance(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("final_cents"),
+          r.getAs[Long]("peak_cents"), r.getAs[Long]("n_clamps"))))
+      .toMap
+    assert(got === expected)
+    // the fixture must actually exercise the clamp, or the identity is
+    // untested on its interesting branch
+    assert(got.values.map(_._4).sum > 0, "no clamp events in fixture")
+  }
+
+  test("interpolation: grid values lie between their surrounding events " +
+      "and match a brute-force blend") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.sortBy(r => (r._2, r._3))).toMap
+    val got = graft.operators.Analytics.interpolate(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("grid_us"),
+        r.getAs[Double]("v_interp")))
+    assert(got.nonEmpty)
+    got.foreach { case (uid, gus, v) =>
+      val rows = byUser(uid)
+      val prev = rows.filter(_._2 <= gus).lastOption
+      val next = rows.find(_._2 > gus)
+      val want = (prev, next) match {
+        case (Some(p), Some(n)) =>
+          p._4 + (n._4 - p._4) *
+            ((gus - p._2).toDouble / (n._2 - p._2).toDouble)
+        case (Some(p), None) => p._4.toDouble
+        case (None, Some(n)) => n._4.toDouble
+        case _ => fail(s"user $uid grid point with no events")
+      }
+      assert(math.abs(v - math.round(want * 1e4) / 1e4) < 1e-3,
+        s"user $uid at $gus: $v vs $want")
+      val lo = math.min(prev.map(_._4.toDouble).getOrElse(want),
+        next.map(_._4.toDouble).getOrElse(want))
+      val hi = math.max(prev.map(_._4.toDouble).getOrElse(want),
+        next.map(_._4.toDouble).getOrElse(want))
+      assert(v >= lo - 1e-3 && v <= hi + 1e-3,
+        s"interp $v outside [$lo,$hi] for user $uid")
+    }
+  }
+
   test("topk: exactly 100 rows, monotone non-increasing price") {
     val rows = Analytics.topkOrders(spark, sf)
       .collect().map(_.getAs[Double]("price"))
