@@ -334,7 +334,116 @@ object DataQuality {
       .toDF("n_kept", "kept_cents", "n_returned", "n_null_discount")
   }
 
+  /** Benford first-digit audit: the leading-digit distribution of order
+    * totals against Benford's law — the classic forensic/DQ screen for
+    * fabricated or truncated monetary data (organic multi-scale
+    * quantities follow P(d) = log10(1+1/d); human-invented numbers
+    * don't). The digit is extracted from the DECIMAL STRING of exact
+    * cents — no float log10 in the hot path, so the census is pure
+    * integer counting; the nine expected ppm constants are each one
+    * ln/division chain rounded to an integer ≥10⁻² away from any
+    * rounding boundary (a last-ulp ln divergence sits ~10⁻¹¹ away —
+    * cannot flip). Scale: scan-local digit extraction, partial-agg'd
+    * 9-row census, deviations computed on the census. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(lit(1))
+    t(spark, dir, "orders")
+      .select(expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)" +
+          " AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .select(col("digit"), col("n"),
+        expr("CAST(n * 1000000 DIV total AS BIGINT)").as("obs_ppm"),
+        expr("CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000, 0)" +
+          " AS BIGINT)").as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+  }
+
+  /** Event lateness histogram — THE statistic that tunes a streaming
+    * watermark delay: for each event, lateness = (max event-time seen
+    * so far in ARRIVAL order) − (own event-time); its distribution
+    * tells you what `withWatermark` delay keeps p99/p999 of events
+    * inside the window (q76/q91/q147's delays become measured, not
+    * guessed). Arrival order models the standard multi-producer merge:
+    * 8 round-robin producer lanes (event_id mod 8), each delivering in
+    * event-time order but with a deterministic per-lane skew of 0–14
+    * minutes — so the merged arrival stream is genuinely out of order,
+    * exactly the disorder watermarks exist for (the raw staged feed is
+    * append-ordered BY event time, which would make every lateness 0
+    * and the histogram vacuous). The running prefix-max over the
+    * corpus-wide arrival order is the same single-partition trap as
+    * q190's global rank, broken the same way: contiguous arrival-key
+    * ranges form ~64 buckets, per-bucket running maxima use bounded
+    * window partitions, bucket maxima (64 rows) take an exclusive
+    * prefix-max, and the two combine per row. The oracle IS the
+    * one-sort global running max — the gate proves the decomposition.
+    * Census per power-of-two lateness band (the q128 bin trick). */
+  def latenessHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("ak",
+        expr("us + (event_id % 8) * 120000000"))
+    val wdt = ev.agg(min(col("ak")).as("mn"), max(col("ak")).as("mx"))
+      .select(col("mn"),
+        greatest(expr("(mx - mn + 1) DIV 64"), lit(1L)).as("w"))
+    val bucketed = ev.crossJoin(broadcast(wdt))
+      .withColumn("bucket", expr("(ak - mn) DIV w"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("ak").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPre = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = bucketed.groupBy(col("bucket"))
+      .agg(max(col("us")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(wPre))
+      .select(col("bucket"), col("pmax"))
+    bucketed
+      .withColumn("imax", max(col("us")).over(wIn))
+      .join(broadcast(pre), Seq("bucket"))
+      .withColumn("wm", greatest(coalesce(col("pmax"), col("imax")),
+        col("imax")))
+      .withColumn("late_s", expr("(wm - us) DIV 1000000"))
+      .groupBy(expr("CAST(length(bin(late_s)) AS INT)").as("band"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("late_s")).as("min_late_s"),
+        max(col("late_s")).as("max_late_s"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q234_benford", benford _,
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n,
+        |  CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+        |  CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000, 0)
+        |    AS BIGINT) AS benford_ppm,
+        |  abs(CAST(n * 1000000 // total AS BIGINT)
+        |    - CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000, 0)
+        |        AS BIGINT)) AS dev_ppm
+        |FROM c CROSS JOIN t""".stripMargin),
+    Q("q235_lateness_histogram", latenessHistogram _,
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) + (event_id % 8) * 120000000 AS ak
+        |  FROM events),
+        |r AS (
+        |  SELECT us,
+        |    max(us) OVER (ORDER BY ak, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        |  FROM ev),
+        |l AS (SELECT (wm - us) // 1000000 AS late_s FROM r)
+        |SELECT CAST(len(bin(late_s)) AS INT) AS band,
+        |  count(*) AS n_events,
+        |  CAST(min(late_s) AS BIGINT) AS min_late_s,
+        |  CAST(max(late_s) AS BIGINT) AS max_late_s
+        |FROM l GROUP BY 1""".stripMargin),
     Q("q230_observe_metrics", observeMetrics _,
       """SELECT count(*) AS n_kept,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))

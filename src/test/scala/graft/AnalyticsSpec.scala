@@ -201,6 +201,58 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("benford: digit census equals a brute-force string-prefix count; " +
+      "all nine digits present; shares conserve") {
+    import graft.operators.DataQuality
+    val cents = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(_.getLong(0))
+    val counts = cents.groupBy(_.toString.head.asDigit)
+      .view.mapValues(_.length.toLong).toMap
+    val total = cents.length.toLong
+    val got = DataQuality.benford(spark, sf).collect().map(r =>
+      r.getAs[Int]("digit") -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("obs_ppm"), r.getAs[Long]("benford_ppm"))))
+      .toMap
+    assert(got.keySet === (1 to 9).toSet)
+    (1 to 9).foreach { d =>
+      val (n, ppm, bppm) = got(d)
+      assert(n === counts.getOrElse(d, 0L), s"digit $d count")
+      assert(ppm === n * 1000000L / total, s"digit $d ppm")
+      assert(bppm ===
+        math.round(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6),
+        s"digit $d benford constant")
+    }
+    val sumPpm = got.values.map(_._2).sum
+    assert(sumPpm <= 1000000L && sumPpm > 1000000L - 9, s"ppm sum $sumPpm")
+  }
+
+  test("lateness histogram: two-phase prefix-max equals the global " +
+      "one-sort running max; disorder is actually exercised") {
+    import graft.operators.DataQuality
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (id, us) => (id, us, us + (id % 8) * 120000000L) }
+      .sortBy(r => (r._3, r._1))
+    var wm = Long.MinValue
+    val bands = scala.collection.mutable.Map.empty[Int, (Long, Long, Long)]
+    ev.foreach { case (_, us, _) =>
+      wm = math.max(wm, us)
+      val lateS = (wm - us) / 1000000L
+      val band = java.lang.Long.toBinaryString(lateS).length
+      val (n, mn, mx) = bands.getOrElse(band, (0L, Long.MaxValue,
+        Long.MinValue))
+      bands(band) = (n + 1, math.min(mn, lateS), math.max(mx, lateS))
+    }
+    val got = DataQuality.latenessHistogram(spark, sf).collect().map(r =>
+      r.getAs[Int]("band") -> ((r.getAs[Long]("n_events"),
+        r.getAs[Long]("min_late_s"), r.getAs[Long]("max_late_s"))))
+      .toMap
+    assert(got === bands.toMap)
+    assert(got.size >= 2, "lane-skew model produced no disorder")
+  }
+
   test("topk: exactly 100 rows, monotone non-increasing price") {
     val rows = Analytics.topkOrders(spark, sf)
       .collect().map(_.getAs[Double]("price"))
