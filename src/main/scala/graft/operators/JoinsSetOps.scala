@@ -572,7 +572,109 @@ object JoinsSetOps {
         |    AS n_not_in_nullset""".stripMargin)
   }
 
+  /** Spatial radius join — the geo family's core operator: for every
+    * supplier, the customers within 10 km, joined WITHOUT a cross
+    * product by the standard grid-cell recipe (cell side = radius, so
+    * any within-radius pair lands in the same or an adjacent cell:
+    * suppliers explode over their 3×3 cell neighborhood, candidates
+    * come from an EQUI-join on the cell key, and the exact predicate
+    * runs on candidates only — geohash bucketing in its minimal exact
+    * form, the same candidate/verify discipline as the interval and
+    * similarity joins). Coordinates are deterministic synthetic
+    * micro-degrees in a 1°×1° city box (the feed carries no geo
+    * columns; the staged-fixture discipline of the multimodal/manifest
+    * queries — the OPERATOR is the artifact). Distance is the planar
+    * approximation with a fixed latitude correction (·cos 40.5° as the
+    * exact rational 7604/10000), kept in PURE INTEGER µ°-equivalents:
+    * no transcendental in any predicate, so a boundary point cannot
+    * flip between engines; all divided quantities are non-negative, so
+    * trunc-vs-floor `div` semantics cannot diverge either. Output one
+    * row per supplier (within-radius census + exact nearest), absent
+    * matches as an explicit 0/NULL class. */
+  def spatialJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val cell = 89830L // ~10 km in latitude micro-degrees
+    def coords(df: DataFrame, key: String, tagOut: String): DataFrame =
+      df.select(col(key).as(tagOut),
+        (lit(40000000L) + TextOps.portableHash(
+          concat(lit("lat:"), col(key).cast("string"))) % 1000000L)
+          .as(s"lat_$tagOut"),
+        (lit(106000000L) + TextOps.portableHash(
+          concat(lit("lon:"), col(key).cast("string"))) % 1000000L)
+          .as(s"lon_$tagOut"))
+    val su = coords(t(spark, dir, "supplier"), "s_suppkey", "sk")
+      .withColumn("d", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("e", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("sk"), col("lat_sk"), col("lon_sk"),
+        (expr("lat_sk DIV 89830") + col("d")).as("clat"),
+        (expr("lon_sk DIV 89830") + col("e")).as("clon"))
+    val cu = coords(t(spark, dir, "customer"), "c_custkey", "ck")
+      .select(col("ck"), col("lat_ck"), col("lon_ck"),
+        expr("lat_ck DIV 89830").as("clat"),
+        expr("lon_ck DIV 89830").as("clon"))
+    val cand = su.join(cu, Seq("clat", "clon"))
+      .withColumn("d2",
+        expr("""(lat_sk - lat_ck) * (lat_sk - lat_ck) +
+          (abs(lon_sk - lon_ck) * 7604 DIV 10000) *
+          (abs(lon_sk - lon_ck) * 7604 DIV 10000)"""))
+      .filter(col("d2") <= lit(cell * cell))
+    t(spark, dir, "supplier").select(col("s_suppkey").as("supp"))
+      .join(cand.groupBy(col("sk"))
+          .agg(count(lit(1)).as("n_within"),
+            min(col("d2")).as("d2_min"),
+            min_by(col("ck"), struct(col("d2"), col("ck")))
+              .as("nearest_cust")),
+        col("supp") === col("sk"), "left_outer")
+      .select(col("supp"), coalesce(col("n_within"), lit(0L))
+        .as("n_within"), col("d2_min"), col("nearest_cust"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q236_spatial_join", spatialJoin _,
+      """WITH su AS (
+        |  SELECT s_suppkey AS sk,
+        |    40000000 + ('0x' || substr(md5('lat:' ||
+        |      CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        |      AS lat_sk,
+        |    106000000 + ('0x' || substr(md5('lon:' ||
+        |      CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        |      AS lon_sk
+        |  FROM supplier),
+        |cu AS (
+        |  SELECT c_custkey AS ck,
+        |    40000000 + ('0x' || substr(md5('lat:' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        |      AS lat_ck,
+        |    106000000 + ('0x' || substr(md5('lon:' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        |      AS lon_ck
+        |  FROM customer),
+        |sg AS (
+        |  SELECT sk, lat_sk, lon_sk,
+        |    lat_sk // 89830 + d.d AS clat, lon_sk // 89830 + e.e AS clon
+        |  FROM su, (VALUES (-1), (0), (1)) d(d),
+        |    (VALUES (-1), (0), (1)) e(e)),
+        |cg AS (
+        |  SELECT ck, lat_ck, lon_ck,
+        |    lat_ck // 89830 AS clat, lon_ck // 89830 AS clon
+        |  FROM cu),
+        |cand AS (
+        |  SELECT sk, ck,
+        |    (lat_sk - lat_ck) * (lat_sk - lat_ck) +
+        |    (abs(lon_sk - lon_ck) * 7604 // 10000) *
+        |    (abs(lon_sk - lon_ck) * 7604 // 10000) AS d2
+        |  FROM sg JOIN cg USING (clat, clon)),
+        |hit AS (
+        |  SELECT sk, count(*) AS n_within,
+        |    CAST(min(d2) AS BIGINT) AS d2_min,
+        |    arg_min(ck, d2::HUGEINT * 18446744073709551616 + ck)
+        |      AS nearest_cust
+        |  FROM cand WHERE d2 <= CAST(89830 AS BIGINT) * 89830
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey AS supp,
+        |  coalesce(h.n_within, 0) AS n_within, h.d2_min, h.nearest_cust
+        |FROM supplier s LEFT JOIN hit h ON s.s_suppkey = h.sk"""
+        .stripMargin),
     Q("q231_not_in_semantics", notInSemantics _,
       """WITH probe AS (
         |  SELECT o_orderkey,

@@ -738,6 +738,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("spatial join: grid-bucketed candidates equal a brute-force " +
+      "all-pairs radius scan (the 3x3 neighborhood misses nothing)") {
+    import graft.operators.JoinsSetOps
+    import graft.functions.TextOps
+    def coords(df: org.apache.spark.sql.DataFrame, key: String) = df
+      .select(col(key).as("k"),
+        (lit(40000000L) + TextOps.portableHash(
+          concat(lit("lat:"), col(key).cast("string"))) % 1000000L)
+          .as("lat"),
+        (lit(106000000L) + TextOps.portableHash(
+          concat(lit("lon:"), col(key).cast("string"))) % 1000000L)
+          .as("lon"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sup = coords(spark.read.parquet(s"$sf/supplier.parquet"),
+      "s_suppkey")
+    val cus = coords(spark.read.parquet(s"$sf/customer.parquet"),
+      "c_custkey")
+    val r2 = 89830L * 89830L
+    val expected = sup.map { case (sk, la, lo) =>
+      val hits = cus.flatMap { case (ck, cla, clo) =>
+        val dlat = la - cla
+        val sc = math.abs(lo - clo) * 7604L / 10000L
+        val d2 = dlat * dlat + sc * sc
+        if (d2 <= r2) Some((ck, d2)) else None
+      }
+      val nearest = hits.sortBy(h => (h._2, h._1)).headOption
+      sk -> ((hits.length.toLong, nearest.map(_._2), nearest.map(_._1)))
+    }.toMap
+    val got = JoinsSetOps.spatialJoin(spark, sf).collect().map { r =>
+      val d2m = if (r.isNullAt(r.fieldIndex("d2_min"))) None
+        else Some(r.getAs[Long]("d2_min"))
+      val nc = if (r.isNullAt(r.fieldIndex("nearest_cust"))) None
+        else Some(r.getAs[Long]("nearest_cust"))
+      r.getAs[Long]("supp") -> ((r.getAs[Long]("n_within"), d2m, nc))
+    }.toMap
+    assert(got === expected)
+    // the fixture must produce real matches or the verify path is idle
+    assert(got.values.map(_._1).sum > 0, "no within-radius pairs at sf")
+  }
+
   test("tokenized join equals the raw-id join (join preservation)") {
     import graft.operators.JoinsSetOps
     val tok = JoinsSetOps.tokenizedJoin(spark, sf).collect()

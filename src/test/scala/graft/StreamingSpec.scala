@@ -46,6 +46,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops rows later than the delay: the q235 lateness " +
+      "histogram is what sizes this correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 2-minute delay. Batch 1 puts two rows in window 00:00 and advances
+    // the max event time to 00:10 -> after the batch the watermark is
+    // 00:08 and window [00:00, 00:01) finalizes. Batch 2 delivers a
+    // 00:00:30 straggler (lateness ~9.5 min > the 2-min delay): it must
+    // be DROPPED, not merged - the finalized window stays at n=2. An
+    // on-time 00:12 row rides along to prove the stream still advances.
+    val ms = MemoryStream[RawEv]
+    val q = EventStreams.tumblingCounts(ms.toDF(), "2 minutes")
+      .writeStream.format("memory").queryName("wmdrop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(
+        RawEv(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0, "{}"),
+        RawEv(2, ts("2024-01-01 00:00:40"), 1, "click", 2.0, "{}"),
+        RawEv(3, ts("2024-01-01 00:10:00"), 2, "view", 3.0, "{}"))
+      q.processAllAvailable()
+      ms.addData(
+        RawEv(4, ts("2024-01-01 00:00:30"), 1, "click", 99.0, "{}"),
+        RawEv(5, ts("2024-01-01 00:12:00"), 2, "view", 4.0, "{}"))
+      q.processAllAvailable()
+      ms.addData( // push the watermark far enough to flush everything
+        RawEv(6, ts("2024-01-01 00:30:00"), 2, "view", 5.0, "{}"))
+      q.processAllAvailable()
+      val w0 = spark.table("wmdrop").collect()
+        .filter(_.getAs[java.sql.Timestamp]("bucket_start").toString
+          .startsWith("2024-01-01 00:00:00"))
+      assert(w0.length === 1, s"window 00:00 emitted ${w0.length} rows")
+      assert(w0(0).getAs[Long]("n") === 2L,
+        "late straggler was merged instead of dropped")
+      assert(w0(0).getAs[Double]("total") === 3.0)
+      // the engine's own accounting agrees: some batch reported the drop
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "no batch reported a watermark drop")
+    } finally q.stop()
+  }
+
   test("streaming sliding window: each event lands in 2 windows") {
     import spark.implicits._
     val rows = Seq(
