@@ -176,6 +176,19 @@ object ScaleProbe {
       time(s"gini_$tag")(operators.Analytics.gini(spark, dir).count())
       time(s"max_concurrency_$tag")(
         operators.Analytics.maxConcurrency(spark, dir).count())
+      // second round-10 batch: the Apriori mine (candidates bounded by
+      // the pair prefix-join), the two-window clamped-balance closed
+      // form, the two-phase prefix-max lateness histogram, and the
+      // sequence-walk transition matrix — all one-exchange shapes that
+      // should track the scan, not the corpus order
+      time(s"itemsets3_$tag")(
+        operators.Graph.itemsets3(spark, dir).count())
+      time(s"clamped_balance_$tag")(
+        operators.Analytics.clampedBalance(spark, dir).count())
+      time(s"lateness_$tag")(
+        operators.DataQuality.latenessHistogram(spark, dir).count())
+      time(s"markov_$tag")(
+        operators.Analytics.markovTransitions(spark, dir).count())
     }
 
     calib("post_batch")
