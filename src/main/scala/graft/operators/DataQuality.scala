@@ -412,7 +412,195 @@ object DataQuality {
         max(col("late_s")).as("max_late_s"))
   }
 
+  /** Trailing-window OLS trend per slice — q208's global regression
+    * turned into a ROLLING monitor: for every (event type, day), the
+    * 7-day slope of daily revenue from the five sufficient statistics
+    * accumulated by RANGE-frame window sums (RANGE, not ROWS: a gap
+    * day must shrink the window, not silently stretch it to 7
+    * arbitrary rows). All sums are exact longs; the closed-form slope
+    * divides two exact integers (< 2^53, so their double images are
+    * exact) in a fixed order; windows shorter than 3 days emit NULL
+    * rather than a degenerate fit. One exchange on the type key; the
+    * series relation is days×types, not corpus-sized. */
+  def rollingRegression(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("d"))
+      .agg(expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))" +
+        " AS BIGINT)").as("y"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(wr))
+      .withColumn("sx", sum(col("d")).over(wr))
+      .withColumn("sy", sum(col("y")).over(wr))
+      .withColumn("sxy", sum(col("d") * col("y")).over(wr))
+      .withColumn("sxx", sum(col("d") * col("d")).over(wr))
+      .select(col("event_type"), col("d"), col("y"), col("n"),
+        (when(col("n") >= 3,
+          round(expr("CAST(n * sxy - sx * sy AS DOUBLE)" +
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"), 6) + lit(0.0))
+          ).as("slope7"))
+  }
+
+  /** Seasonal-naive forecast backtest: forecast(day) = actual(day − 7),
+    * scored as exact integer MAPE and bias ppm per event type — the
+    * baseline every real forecasting pipeline must beat, and the
+    * EVALUATION half q214's anomaly baseline doesn't do (q214 flags
+    * deviations from a seasonal mean; this scores a predictor against
+    * ground truth). The lag-7 lookup is a self-equi-join on (type,
+    * day−7) — gap-robust where `lag(7)` would silently pair across
+    * gaps. Scale: the join runs on the days×types series relation. */
+  def naiveForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("d"))
+      .agg(expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))" +
+        " AS BIGINT)").as("y"))
+    val fc = daily.select(col("event_type"), (col("d") + 7).as("d"),
+      col("y").as("f"))
+    daily.join(fc, Seq("event_type", "d"))
+      .withColumn("ape_ppm",
+        expr("abs(y - f) * 1000000 DIV greatest(y, 1)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        expr("CAST(sum(ape_ppm) DIV count(1) AS BIGINT)").as("mape_ppm"),
+        expr("CAST((sum(f) - sum(y)) * 1000000 DIV greatest(sum(y), 1)" +
+          " AS BIGINT)").as("bias_ppm"))
+  }
+
+  /** Exact 1-D earth mover's distance between the click and purchase
+    * value distributions — the INTEGRAL drift metric completing q195's
+    * KS maximum (KS sees the worst single point; EMD = ∫|F₁−F₂| dv
+    * weighs how much probability mass must move how far, the metric
+    * that distinguishes a narrow spike from a broad shift). Exact
+    * arithmetic throughout: on each interval between consecutive
+    * distinct values, |F_c−F_p| is the rational |cc·n_p − cp·n_c| /
+    * (n_c·n_p), so EMD·n_c·n_p = Σ |cc·n_p − cp·n_c|·Δv is an exact
+    * integer accumulated as decimal(38) (== DuckDB HUGEINT). The
+    * cumulative tallies ride q195's two-phase bucket recipe; the
+    * interval width needs each distinct value's SUCCESSOR, which the
+    * same decomposition provides — lead within bucket, stitched at
+    * bucket boundaries by the 64-row bucket-min table's lead. The
+    * oracle is the one-sort global form: the gate proves the stitch. */
+  def emdDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("g"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val bounds = ev.agg(min(col("cents")).as("mn"),
+      max(col("cents")).as("mx"),
+      count(when(col("g") === "click", 1)).as("n_c"),
+      count(when(col("g") === "purchase", 1)).as("n_p"))
+    val vals = ev.groupBy(col("cents"))
+      .agg(count(when(col("g") === "click", 1)).as("c"),
+        count(when(col("g") === "purchase", 1)).as("p"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("b", expr("width_bucket(cents, mn, mx + 1, 64)"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col("b")).orderBy(col("cents").asc)
+    val cum = vals
+      .withColumn("cc", sum(col("c")).over(wIn))
+      .withColumn("cp", sum(col("p")).over(wIn))
+      .withColumn("nxt_in", lead(col("cents"), 1).over(wLead))
+    val wOff = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBLead = Window.orderBy(col("b").asc)
+    val offs = cum.groupBy(col("b"))
+      .agg(sum(col("c")).as("bc"), sum(col("p")).as("bp"),
+        min(col("cents")).as("bmin"))
+      .withColumn("oc", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .withColumn("op", coalesce(sum(col("bp")).over(wOff), lit(0L)))
+      .withColumn("nb_min", lead(col("bmin"), 1).over(wBLead))
+      .select(col("b"), col("oc"), col("op"), col("nb_min"))
+    cum.join(broadcast(offs), Seq("b"))
+      .withColumn("nxt", coalesce(col("nxt_in"), col("nb_min")))
+      .filter(col("nxt").isNotNull)
+      .select(col("n_c"), col("n_p"),
+        (abs((col("oc") + col("cc")) * col("n_p") -
+          (col("op") + col("cp")) * col("n_c")) *
+          (col("nxt") - col("cents"))).cast("decimal(38,0)").as("term"))
+      .groupBy(col("n_c"), col("n_p"))
+      .agg(sum(col("term")).as("emd_num"))
+      .select(col("n_c").as("n_click"), col("n_p").as("n_purchase"),
+        col("emd_num").cast("string").as("emd_num"),
+        (round(col("emd_num").cast("double") /
+          (col("n_c") * col("n_p")).cast("double"), 4) + lit(0.0))
+          .as("emd_cents"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q237_rolling_regression", rollingRegression _,
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, d, y,
+        |    count(*) OVER wr AS n,
+        |    sum(d) OVER wr AS sx, sum(y) OVER wr AS sy,
+        |    sum(d * y) OVER wr AS sxy, sum(d * d) OVER wr AS sxx
+        |  FROM daily
+        |  WINDOW wr AS (PARTITION BY event_type ORDER BY d
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, d, y, n,
+        |  CASE WHEN n >= 3 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0
+        |  END AS slope7
+        |FROM w""".stripMargin),
+    Q("q238_naive_forecast", naiveForecast _,
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.y, f.y AS f
+        |  FROM daily a JOIN daily f
+        |    ON a.event_type = f.event_type AND a.d = f.d + 7)
+        |SELECT event_type, count(*) AS n_scored,
+        |  CAST(sum(abs(y - f) * 1000000 // greatest(y, 1))
+        |    // count(*) AS BIGINT) AS mape_ppm,
+        |  CAST((sum(f) - sum(y)) * 1000000 // greatest(sum(y), 1)
+        |    AS BIGINT) AS bias_ppm
+        |FROM j GROUP BY 1""".stripMargin),
+    Q("q239_emd_drift", emdDrift _,
+      """WITH ev AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |b AS (
+        |  SELECT count(*) FILTER (WHERE g = 'click') AS n_c,
+        |    count(*) FILTER (WHERE g = 'purchase') AS n_p
+        |  FROM ev),
+        |vals AS (
+        |  SELECT cents,
+        |    count(*) FILTER (WHERE g = 'click') AS c,
+        |    count(*) FILTER (WHERE g = 'purchase') AS p
+        |  FROM ev GROUP BY 1),
+        |cum AS (
+        |  SELECT cents,
+        |    sum(c) OVER w AS cc, sum(p) OVER w AS cp,
+        |    lead(cents) OVER (ORDER BY cents) AS nxt
+        |  FROM vals
+        |  WINDOW w AS (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT b.n_c AS n_click, b.n_p AS n_purchase,
+        |  CAST(sum(abs(cc * b.n_p - cp * b.n_c)::HUGEINT
+        |    * (nxt - cents)) AS VARCHAR) AS emd_num,
+        |  round(CAST(sum(abs(cc * b.n_p - cp * b.n_c)::HUGEINT
+        |      * (nxt - cents)) AS DOUBLE)
+        |    / CAST(b.n_c * b.n_p AS DOUBLE), 4) + 0.0 AS emd_cents
+        |FROM cum CROSS JOIN b
+        |WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin),
     Q("q234_benford", benford _,
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)

@@ -253,6 +253,92 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.size >= 2, "lane-skew model produced no disorder")
   }
 
+  test("rolling regression: every 7-day slope equals a brute-force fit " +
+      "over exactly the in-range days") {
+    import graft.operators.DataQuality
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("d"))
+      .agg(expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)")
+        .as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val got = DataQuality.rollingRegression(spark, sf).collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("d")) ->
+        ((r.getAs[Long]("n"),
+          if (r.isNullAt(r.fieldIndex("slope7"))) None
+          else Some(r.getAs[Double]("slope7"))))
+    }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((tpe, d), (n, slope)) =>
+      val win = byType(tpe).filter(r => r._2 >= d - 6 && r._2 <= d)
+      assert(win.length.toLong === n, s"($tpe,$d) window size")
+      if (n >= 3) {
+        val sx = win.map(_._2).sum; val sy = win.map(_._3).sum
+        val sxy = win.map(r => r._2 * r._3).sum
+        val sxx = win.map(r => r._2 * r._2).sum
+        val want = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+        assert(math.abs(slope.get - math.round(want * 1e6) / 1e6) < 1e-4,
+          s"($tpe,$d): ${slope.get} vs $want")
+      } else assert(slope.isEmpty, s"($tpe,$d) short window must be NULL")
+    }
+  }
+
+  test("emd drift: the bucketed two-phase form equals a brute-force " +
+      "sequential ECDF integral") {
+    import graft.operators.DataQuality
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val clicks = ev.filter(_._1 == "click").map(_._2)
+    val purch = ev.filter(_._1 == "purchase").map(_._2)
+    val (nc, np) = (clicks.length.toLong, purch.length.toLong)
+    val grid = (clicks ++ purch).distinct.sorted.toSeq
+    var cc = 0L; var cp = 0L; var num = BigInt(0)
+    grid.sliding(2).foreach {
+      case Seq(v, nxt) =>
+        cc += clicks.count(_ == v); cp += purch.count(_ == v)
+        num += BigInt((cc * np - cp * nc).abs) * BigInt(nxt - v)
+      case _ =>
+    }
+    val r = DataQuality.emdDrift(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_click") === nc)
+    assert(r.getAs[Long]("n_purchase") === np)
+    assert(r.getAs[String]("emd_num") === num.toString)
+    val want = num.toDouble / (nc.toDouble * np.toDouble)
+    assert(math.abs(r.getAs[Double]("emd_cents") -
+      math.round(want * 1e4) / 1e4) < 1e-3)
+  }
+
+  test("naive forecast: mape/bias equal a brute-force lag-7 backtest; " +
+      "only days with a 7-day-old actual are scored") {
+    import graft.operators.DataQuality
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("d"))
+      .agg(expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)")
+        .as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (tpe, rows) =>
+      val m = rows.map(r => r._2 -> r._3).toMap
+      val scored = rows.flatMap(r => m.get(r._2 - 7).map(f => (r._3, f)))
+      val n = scored.length.toLong
+      val mape = scored.map { case (y, f) =>
+        (y - f).abs * 1000000L / math.max(y, 1L) }.sum / n
+      val sy = scored.map(_._1).sum; val sf2 = scored.map(_._2).sum
+      val bias = (sf2 - sy) * 1000000L / math.max(sy, 1L)
+      tpe -> ((n, mape, bias))
+    }
+    val got = DataQuality.naiveForecast(spark, sf).collect().map(r =>
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n_scored"),
+        r.getAs[Long]("mape_ppm"), r.getAs[Long]("bias_ppm")))).toMap
+    assert(got === expected)
+  }
+
   test("topk: exactly 100 rows, monotone non-increasing price") {
     val rows = Analytics.topkOrders(spark, sf)
       .collect().map(_.getAs[Double]("price"))
