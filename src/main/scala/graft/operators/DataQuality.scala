@@ -532,7 +532,84 @@ object DataQuality {
           .as("emd_cents"))
   }
 
+  /** One-sided CUSUM change-point detection (Page 1954) on each event
+    * type's daily revenue: S_i = max(0, S_{i−1} + (x_i − μ − slack)),
+    * alarm while S exceeds the decision threshold h — THE classical
+    * "did the level shift" monitor, catching slow drifts that q184's
+    * EWMA and q214's seasonal baseline both smooth over. The fold is
+    * exactly q232's clamped running sum, so the same reflection
+    * identity S_i = T_i − min(0, min_{j≤i} T_j) (T = running sum of
+    * deviations) turns the sequential recursion into two plain windows
+    * — in exact integer cents (μ as cents·n-scaled comparisons: x_i·n
+    * − Σx − slack·n stays integral, avoiding a fractional mean).
+    * Reference μ and the k/h constants derive from each series' own
+    * global mean — self-calibrating, deterministic. Output: per type,
+    * days observed, days in alarm, peak CUSUM (n-scaled), first alarm
+    * day (NULL when never). Series relation is days×types. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("d"))
+      .agg(expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))" +
+        " AS BIGINT)").as("y"))
+    val mu = daily.groupBy(col("event_type"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(mu), Seq("event_type"))
+      // deviation scaled by nd so the mean needs no division:
+      // dev = y·nd − sy − slack, slack = sy DIV 20 (5% of the mean·nd)
+      .withColumn("dev", expr("y * nd - sy - sy DIV 20"))
+      .withColumn("tt", sum(col("dev")).over(wRun))
+      .withColumn("rm", min(col("tt")).over(wRun))
+      .withColumn("s", col("tt") -
+        least(coalesce(col("rm"), lit(0L)), lit(0L)))
+      // alarm while S > h; h = sy DIV 4 is in the same nd-scaled cents
+      // units as S (≈ a quarter of one mean day, accumulated)
+      .withColumn("alarm", col("s") > expr("sy DIV 4"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarm_days"),
+        max(col("s")).as("peak_cusum"),
+        min(when(col("alarm"), col("d"))).as("first_alarm_day"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q240_cusum", cusum _,
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (
+        |  SELECT event_type, CAST(sum(y) AS BIGINT) AS sy,
+        |    count(*) AS nd
+        |  FROM daily GROUP BY 1),
+        |dv AS (
+        |  SELECT d.event_type, d.d, y * nd - sy - sy // 20 AS dev, sy
+        |  FROM daily d JOIN mu USING (event_type)),
+        |r AS (
+        |  SELECT event_type, d, sy,
+        |    sum(dev) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tt
+        |  FROM dv),
+        |m AS (
+        |  SELECT event_type, d, sy, tt,
+        |    min(tt) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+        |  FROM r),
+        |c AS (
+        |  SELECT event_type, d, sy,
+        |    tt - least(coalesce(rm, 0), 0) AS s
+        |  FROM m)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(CASE WHEN s > sy // 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarm_days,
+        |  CAST(max(s) AS BIGINT) AS peak_cusum,
+        |  min(CASE WHEN s > sy // 4 THEN d END) AS first_alarm_day
+        |FROM c GROUP BY 1""".stripMargin),
     Q("q237_rolling_regression", rollingRegression _,
       """WITH daily AS (
         |  SELECT event_type,

@@ -339,6 +339,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("cusum: the window closed form equals the sequential Page fold; " +
+      "the alarm branch is exercised") {
+    import graft.operators.DataQuality
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("d"))
+      .agg(expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)")
+        .as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (tpe, rows) =>
+      val sy = rows.map(_._3).sum; val nd = rows.length.toLong
+      val h = sy / 4
+      var s = 0L; var peak = 0L; var nAlarm = 0L
+      var first: Option[Long] = None
+      rows.sortBy(_._2).foreach { r =>
+        s = math.max(0L, s + (r._3 * nd - sy - sy / 20))
+        if (s > peak) peak = s
+        if (s > h) { nAlarm += 1; if (first.isEmpty) first = Some(r._2) }
+      }
+      tpe -> ((nd, nAlarm, peak, first))
+    }
+    val got = DataQuality.cusum(spark, sf).collect().map { r =>
+      val fa = if (r.isNullAt(r.fieldIndex("first_alarm_day"))) None
+        else Some(r.getAs[Long]("first_alarm_day"))
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_alarm_days"), r.getAs[Long]("peak_cusum"), fa))
+    }.toMap
+    assert(got === expected)
+    assert(got.values.exists(_._2 > 0), "no type ever alarms at sf")
+  }
+
   test("topk: exactly 100 rows, monotone non-increasing price") {
     val rows = Analytics.topkOrders(spark, sf)
       .collect().map(_.getAs[Double]("price"))
