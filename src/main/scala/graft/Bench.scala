@@ -93,7 +93,7 @@ object Bench {
         "q172_containment_join"),
       "stage_support2_pairs" -> Set("q185_copurchase", "q192_kcore",
         "q197_label_propagation", "q203_bfs_hops", "q223_cheapest_path",
-        "q227_item_similarity"))
+        "q227_item_similarity", "q241_feature_propagation"))
     def runStage(sname: String): Unit = sname match {
       case "stage_cc_labels" =>
         graft.operators.Dedup.materializeLabels(spark, sfDir)

@@ -575,7 +575,111 @@ object DataQuality {
         min(when(col("alarm"), col("d"))).as("first_alarm_day"))
   }
 
+  /** Manifest-driven data-contract validation — q78's one-pass rule
+    * gate with the rules turned into DATA: a staged versioned rules
+    * table (column, operator, argument — the "data contract" artifact
+    * a producer publishes) is COMPILED at plan time into one
+    * conditional-sum aggregate per rule, all riding a single scan of
+    * the fact table; `stack` unpivots the one result row back into
+    * per-rule verdicts. Rule operators: not_null, min/max (numeric),
+    * min_ts/max_ts (temporal), in_set, unique (count vs distinct —
+    * an aggregate-level rule sharing the same pass). The staged
+    * contract deliberately contains failing rules (a price cap the
+    * feed exceeds, a freshness bound 2001 data violates) so both
+    * verdict arms are exercised at every SF. At 100 TB the single
+    * shared scan is the entire point — contracts with one scan per
+    * rule are unrunnable. */
+  def contractCheck(spark: SparkSession, dir: String): DataFrame = {
+    val base = Relational.stagedDir("contract_rules", dir) { b =>
+      import spark.implicits._
+      Seq(
+        (1L, "o_custkey", "not_null", ""),
+        (2L, "o_totalprice", "min", "0"),
+        (3L, "o_totalprice", "max", "600000"),
+        (4L, "o_orderdate", "min_ts", "1995-01-01 00:00:00"),
+        (5L, "o_orderdate", "max_ts", "2000-12-31 23:59:59"),
+        (6L, "o_orderpriority", "in_set",
+          "1-URGENT|2-HIGH|3-MEDIUM|4-NOT SPECIFIED|5-LOW"),
+        (7L, "o_orderstatus", "in_set", "O|F|P"),
+        (8L, "o_orderkey", "unique", ""),
+        (9L, "o_totalprice", "max", "200000"))
+        .toDF("rule_id", "col_name", "op", "arg")
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/rules")
+    }
+    val rules = spark.read.parquet(s"$base/rules").collect()
+      .map(r => (r.getAs[Long]("rule_id"), r.getAs[String]("col_name"),
+        r.getAs[String]("op"), r.getAs[String]("arg")))
+      .sortBy(_._1)
+    def violations(cn: String, op: String, arg: String)
+        : org.apache.spark.sql.Column = op match {
+      case "not_null" => sum(when(col(cn).isNull, 1L).otherwise(0L))
+      case "min" => sum(when(col(cn) < lit(arg.toDouble), 1L)
+        .otherwise(0L))
+      case "max" => sum(when(col(cn) > lit(arg.toDouble), 1L)
+        .otherwise(0L))
+      case "min_ts" => sum(when(col(cn) < to_timestamp(lit(arg)), 1L)
+        .otherwise(0L))
+      case "max_ts" => sum(when(col(cn) > to_timestamp(lit(arg)), 1L)
+        .otherwise(0L))
+      case "in_set" => sum(when(!col(cn).isin(
+        arg.split('|').toIndexedSeq: _*), 1L).otherwise(0L))
+      case "unique" => count(lit(1)) - countDistinct(col(cn))
+      case other => throw new IllegalArgumentException(
+        s"unknown contract op: $other") // fail loudly, never skip a rule
+    }
+    val aggs = rules.zipWithIndex.map { case ((_, cn, op, arg), i) =>
+      violations(cn, op, arg).as(s"v$i") }
+    val row = t(spark, dir, "orders").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case ((id, cn, op, _), i) =>
+      s"CAST($id AS BIGINT), '$cn', '$op', v$i" }.mkString(", ")
+    row.selectExpr(s"stack(${rules.length}, $stackArgs)" +
+        " AS (rule_id, col_name, op, n_violations)")
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q242_contract_check", contractCheck _,
+      """WITH o AS (SELECT * FROM orders)
+        |SELECT rule_id, col_name, op, n_violations, n_violations = 0
+        |  AS pass FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rule_id, 'o_custkey' AS col_name,
+        |    'not_null' AS op,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations FROM o
+        |  UNION ALL
+        |  SELECT 2, 'o_totalprice', 'min',
+        |    CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM o
+        |  UNION ALL
+        |  SELECT 3, 'o_totalprice', 'max',
+        |    CAST(sum(CASE WHEN o_totalprice > 600000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM o
+        |  UNION ALL
+        |  SELECT 4, 'o_orderdate', 'min_ts',
+        |    CAST(sum(CASE WHEN o_orderdate <
+        |      TIMESTAMP '1995-01-01 00:00:00' THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM o
+        |  UNION ALL
+        |  SELECT 5, 'o_orderdate', 'max_ts',
+        |    CAST(sum(CASE WHEN o_orderdate >
+        |      TIMESTAMP '2000-12-31 23:59:59' THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM o
+        |  UNION ALL
+        |  SELECT 6, 'o_orderpriority', 'in_set',
+        |    CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+        |      '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM o
+        |  UNION ALL
+        |  SELECT 7, 'o_orderstatus', 'in_set',
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM o
+        |  UNION ALL
+        |  SELECT 8, 'o_orderkey', 'unique',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM o
+        |  UNION ALL
+        |  SELECT 9, 'o_totalprice', 'max',
+        |    CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM o)""".stripMargin),
     Q("q240_cusum", cusum _,
       """WITH daily AS (
         |  SELECT event_type,

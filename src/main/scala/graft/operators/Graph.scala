@@ -510,6 +510,42 @@ object Graph {
       .limit(20)
   }
 
+  /** Two rounds of neighborhood feature aggregation over the
+    * co-purchase graph — GNN-style message passing in its relational
+    * form (GraphSAGE-mean's aggregate step, Hamilton et al. 2017):
+    * m1(v) = mean of neighbors' retail-price feature, m2(v) = mean of
+    * neighbors' m1 — the 2-hop smoothed feature a recommender or fraud
+    * model consumes as "what price neighborhood does this item live
+    * in". Each round is ONE edge join + partial-agg'd (sum, count) per
+    * destination — identical physical shape to [[lpaOf]]/[[bfsOf]],
+    * O(edges·rounds) with one long of state per node. Means are
+    * floor-quantized to integer cents each round (Σ div n): the
+    * deterministic fixed-point discipline — float means would make
+    * round 2 order-sensitive. An eighth consumer of the shared stage. */
+  def featurePropagation(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = support2Pairs(spark, dir).select(col("u"), col("v"))
+    val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .cutLineage()
+    val feat = t(spark, dir, "part")
+      .select(col("p_partkey").as("node"),
+        expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+          .as("f0"))
+    val nf = sym.select(col("src").as("node")).distinct()
+      .join(feat, Seq("node"))
+    val m1 = sym.join(nf.select(col("node").as("src"), col("f0")),
+        Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("deg"),
+        expr("CAST(sum(f0) DIV count(1) AS BIGINT)").as("m1"))
+    val m2 = sym.join(m1.select(col("node").as("src"), col("m1")),
+        Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(expr("CAST(sum(m1) DIV count(1) AS BIGINT)").as("m2"))
+    nf.join(m1, Seq("node")).join(m2, Seq("node"))
+      .select(col("node"), col("f0"), col("deg"), col("m1"), col("m2"))
+  }
+
   /** One unrolled weighted relaxation round for the DuckDB oracle —
     * [[bfsIterSql]] with the edge weight in place of the unit hop. */
   private def spIterSql(i: Int): String =
@@ -621,6 +657,35 @@ object Graph {
          |  count(*) AS n_nodes, min(d) AS min_cost, max(d) AS max_cost,
          |  min(node) AS min_node
          |FROM d4 GROUP BY 1""".stripMargin),
+    Q("q241_feature_propagation", featurePropagation _,
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v FROM baskets a JOIN baskets b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+        |       UNION ALL SELECT v, u FROM pairs),
+        |feat AS (
+        |  SELECT p_partkey AS node,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS f0
+        |  FROM part),
+        |nf AS (
+        |  SELECT n.node, f.f0
+        |  FROM (SELECT DISTINCT src AS node FROM e0) n
+        |  JOIN feat f ON n.node = f.node),
+        |m1 AS (
+        |  SELECT e.dst AS node, count(*) AS deg,
+        |    CAST(sum(f.f0) // count(*) AS BIGINT) AS m1
+        |  FROM e0 e JOIN nf f ON e.src = f.node GROUP BY 1),
+        |m2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum(m.m1) // count(*) AS BIGINT) AS m2
+        |  FROM e0 e JOIN m1 m ON e.src = m.node GROUP BY 1)
+        |SELECT nf.node, nf.f0, m1.deg, m1.m1, m2.m2
+        |FROM nf JOIN m1 USING (node) JOIN m2 USING (node)"""
+        .stripMargin),
     Q("q228_itemsets3", itemsets3 _,
       """WITH baskets AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk

@@ -778,6 +778,63 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum > 0, "no within-radius pairs at sf")
   }
 
+  test("feature propagation: two message-passing rounds equal a " +
+      "brute-force neighborhood fold") {
+    import graft.operators.Graph
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCounts((ps(i), ps(j))) =
+          pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val sym = pairCounts.filter(_._2 >= 2).keys.toSeq
+      .flatMap(e => Seq(e, e.swap))
+    val adj = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap // in-nbrs
+    val f0 = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey",
+        "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS f0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m1 = adj.map { case (n, nb) =>
+      n -> ((nb.length.toLong, nb.map(f0).sum / nb.length)) }
+    val m2 = adj.map { case (n, nb) =>
+      n -> nb.map(u => m1(u)._2).sum / nb.length }
+    val got = Graph.featurePropagation(spark, sf).collect().map(r =>
+      r.getAs[Long]("node") -> ((r.getAs[Long]("f0"),
+        r.getAs[Long]("deg"), r.getAs[Long]("m1"), r.getAs[Long]("m2"))))
+      .toMap
+    assert(got.keySet === adj.keySet)
+    got.foreach { case (n, (gf0, deg, gm1, gm2)) =>
+      assert(gf0 === f0(n), s"node $n f0")
+      assert(deg === m1(n)._1, s"node $n deg")
+      assert(gm1 === m1(n)._2, s"node $n m1")
+      assert(gm2 === m2(n), s"node $n m2")
+    }
+  }
+
+  test("contract check: compiled rules equal direct recomputes and " +
+      "both verdict arms fire") {
+    import graft.operators.DataQuality
+    val got = DataQuality.contractCheck(spark, sf).collect().map(r =>
+      r.getAs[Long]("rule_id") -> ((r.getAs[Long]("n_violations"),
+        r.getAs[Boolean]("pass")))).toMap
+    assert(got.keySet === (1L to 9L).toSet)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    // rule 9 (price cap the feed exceeds): direct recompute
+    val over = orders.filter(col("o_totalprice") > 200000).count()
+    assert(got(9L)._1 === over && over > 0 && !got(9L)._2)
+    // rule 8 (uniqueness): orderkey is a key -> zero violations
+    assert(got(8L) === ((0L, true)))
+    // rule 5 (freshness bound 2001 data violates)
+    val late = orders.filter(
+      col("o_orderdate") > expr("TIMESTAMP '2000-12-31 23:59:59'")).count()
+    assert(got(5L)._1 === late && late > 0 && !got(5L)._2)
+    assert(got.values.exists(_._2), "no rule passes — fixture broken")
+  }
+
   test("tokenized join equals the raw-id join (join preservation)") {
     import graft.operators.JoinsSetOps
     val tok = JoinsSetOps.tokenizedJoin(spark, sf).collect()
