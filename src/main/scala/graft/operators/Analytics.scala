@@ -1641,7 +1641,109 @@ object Analytics {
           4) + lit(0.0)).as("v_interp"))
   }
 
+  /** Incremental sessionization merge — the batch-incremental pipeline
+    * shape (q93's incremental-dedup discipline applied to q30's
+    * sessions): yesterday's session TABLE plus today's event DELTA
+    * produce the updated session table WITHOUT rescanning old events.
+    * The only sessions the delta can change are each delta-user's LAST
+    * stored session (delta events are all ≥ the cutoff, so chains can
+    * only attach there): sessionize the delta alone, merge each user's
+    * first delta session into their last stored session when the
+    * boundary gap is ≤ the session gap, pass everything else through.
+    * The oracle is the FULL sessionization of all events — the gate
+    * proves incremental == recompute, the invariant every incremental
+    * pipeline must ship with. Cutoff = 2 days before the feed's max
+    * timestamp (a deterministic data-derived scalar both engines
+    * compute). Cost: the delta scan + a join against the session
+    * table keyed by user — never the historical event corpus. */
+  def incrementalSessions(spark: SparkSession, dir: String): DataFrame = {
+    val gap = 1800L
+    def sessionsOf(ev: DataFrame): DataFrame = {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec").asc, col("event_id").asc)
+      ev.withColumn("gap",
+          col("sec") - lag(col("sec"), 1).over(byUser))
+        .withColumn("ns",
+          when(col("gap").isNull || col("gap") > gap, 1).otherwise(0))
+        .withColumn("sid", sum(col("ns")).over(
+          byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("sec")).as("s_start"), max(col("sec")).as("s_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("s_start"), col("s_end"),
+          col("n_events"))
+    }
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+    val cut = ev.agg((max(col("sec")) - 2L * 86400L).as("cutoff"))
+    val evc = ev.crossJoin(broadcast(cut))
+    val oldS = sessionsOf(evc.filter(col("sec") < col("cutoff")))
+      .cutLineage() // "yesterday's stored table"
+    val deltaS = sessionsOf(evc.filter(col("sec") >= col("cutoff")))
+    val du = deltaS.select(col("user_id")).distinct()
+    val untouched = oldS.join(du, Seq("user_id"), "left_anti")
+    val touched = oldS.join(du, Seq("user_id"), "left_semi")
+    val lastOld = touched.groupBy(col("user_id"))
+      .agg(max_by(struct(col("s_start"), col("s_end"),
+        col("n_events")), col("s_start")).as("lo"))
+      .select(col("user_id"), col("lo.s_start").as("lo_start"),
+        col("lo.s_end").as("lo_end"), col("lo.n_events").as("lo_n"))
+    val nonLast = touched.join(
+      lastOld.select(col("user_id"), col("lo_start").as("s_start")),
+      Seq("user_id", "s_start"), "left_anti")
+    val firstDelta = deltaS.groupBy(col("user_id"))
+      .agg(min_by(struct(col("s_start"), col("s_end"),
+        col("n_events")), col("s_start")).as("fd"))
+      .select(col("user_id"), col("fd.s_start").as("fd_start"),
+        col("fd.s_end").as("fd_end"), col("fd.n_events").as("fd_n"))
+    val restDelta = deltaS.join(
+      firstDelta.select(col("user_id"), col("fd_start").as("s_start")),
+      Seq("user_id", "s_start"), "left_anti")
+    val boundary = firstDelta.join(lastOld, Seq("user_id"), "left_outer")
+    val merged = boundary
+      .filter(col("lo_end").isNotNull &&
+        col("fd_start") - col("lo_end") <= gap)
+      .select(col("user_id"), col("lo_start").as("s_start"),
+        col("fd_end").as("s_end"),
+        (col("lo_n") + col("fd_n")).as("n_events"))
+    val unmergedOld = boundary
+      .filter(col("lo_end").isNotNull &&
+        col("fd_start") - col("lo_end") > gap)
+      .select(col("user_id"), col("lo_start").as("s_start"),
+        col("lo_end").as("s_end"), col("lo_n").as("n_events"))
+    val unmergedDelta = boundary
+      .filter(col("lo_end").isNull ||
+        col("fd_start") - col("lo_end") > gap)
+      .select(col("user_id"), col("fd_start").as("s_start"),
+        col("fd_end").as("s_end"), col("fd_n").as("n_events"))
+    untouched.unionByName(nonLast).unionByName(merged)
+      .unionByName(unmergedOld).unionByName(unmergedDelta)
+      .unionByName(restDelta)
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q243_incremental_sessions", incrementalSessions _,
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, sec, event_id,
+        |    CASE WHEN lag(sec) OVER w IS NULL
+        |         OR sec - lag(sec) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |g AS (
+        |  SELECT user_id, sec,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s)
+        |SELECT user_id, min(sec) AS s_start, max(sec) AS s_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin),
     Q("q232_clamped_balance", clampedBalance _,
       """WITH d AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -371,6 +371,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "no type ever alarms at sf")
   }
 
+  test("incremental sessions: output equals full recompute AND the " +
+      "fixture exercises merge, pass-through, and new-user arms") {
+    import graft.operators.Analytics
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_id", "CAST(ts AS LONG) AS sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cutoff = ev.map(_._3).max - 2L * 86400L
+    // brute-force full sessionization
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      sorted.foreach { r =>
+        if (buf.isEmpty || r._3 - buf.last.last > 1800L)
+          buf += scala.collection.mutable.ArrayBuffer(r._3)
+        else buf.last += r._3
+      }
+      buf.map(s => (u, s.head, s.last, s.length.toLong))
+    }
+    val got = Analytics.incrementalSessions(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s_start"),
+        r.getAs[Long]("s_end"), r.getAs[Long]("n_events"))).toSet
+    assert(got === sessions.toSet)
+    // pass-through and delta arms exercised by the real feed
+    assert(sessions.exists(_._3 < cutoff), "no pure-old sessions")
+    assert(sessions.exists(_._2 >= cutoff), "no delta-side sessions")
+    // the sparse sf feed has no session SPANNING the cutoff, so the
+    // boundary-merge arm gets a planted micro-feed: user 1 has an old
+    // event 100 s before the cutoff and a delta event 50 s after
+    // (gap 150 <= 1800 -> must merge into ONE session); user 2 is
+    // old-only; user 3 delta-only; user 9 only pins max(ts), which
+    // puts the cutoff exactly 2 days earlier
+    import spark.implicits._
+    val base = 1700000000L
+    val mx = base + 4L * 86400L
+    val cut2 = mx - 2L * 86400L
+    val planted = Seq(
+      (1L, 10L, cut2 - 100L), (1L, 11L, cut2 + 50L),
+      (2L, 20L, cut2 - 5000L),
+      (3L, 30L, cut2 + 9000L),
+      (9L, 90L, mx))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_incsess").toString
+    planted.toDF("user_id", "event_id", "sec")
+      .selectExpr("user_id", "event_id",
+        "CAST(sec AS TIMESTAMP) AS ts", "'click' AS event_type",
+        "1.0 AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val got2 = Analytics.incrementalSessions(spark, dir2).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s_start"),
+        r.getAs[Long]("s_end"), r.getAs[Long]("n_events"))).toSet
+    assert(got2 === Set(
+      (1L, cut2 - 100L, cut2 + 50L, 2L), // MERGED across the boundary
+      (2L, cut2 - 5000L, cut2 - 5000L, 1L),
+      (3L, cut2 + 9000L, cut2 + 9000L, 1L),
+      (9L, mx, mx, 1L)))
+  }
+
   test("topk: exactly 100 rows, monotone non-increasing price") {
     val rows = Analytics.topkOrders(spark, sf)
       .collect().map(_.getAs[Double]("price"))
