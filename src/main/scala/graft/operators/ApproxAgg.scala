@@ -230,7 +230,112 @@ object ApproxAgg {
         expr("n_inter * 1000000 div n_union").as("jaccard_ppm_exact"))
   }
 
+  /** Pre-aggregated sketch rollup — the production distinct-counting
+    * architecture: ONE scan builds a per-day HLL register table (the
+    * "sketch table" materialized at ingest), and arbitrary date-range
+    * distinct-user questions are then answered by MERGING the stored
+    * daily sketches (register-wise max — associative, so any range
+    * composes from any partition of it) without touching raw events
+    * again. Three ranges (whole span / last 7 days / first half) are
+    * answered from the SAME daily table; the oracle computes each
+    * range's registers DIRECTLY from the raw rows, so the hash gate
+    * proves the algebraic identity merge-of-daily == direct-on-range —
+    * the property the whole pattern rests on. Exact distincts ride
+    * along as the audit column (at 100 TB you'd drop them; here they
+    * let the gate also pin the estimates' error). Register merge uses
+    * a bounded fold over the ≤O(days) collected register arrays —
+    * 64 ints per day — with a commutative max, so collect order is
+    * irrelevant. */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(expr("unix_timestamp(ts) DIV 86400").as("day"),
+        col("user_id"),
+        TextOps.portableHash60(col("user_id").cast("string")).as("h"))
+    val daily = ev.groupBy(col("day"))
+      .agg(graft.functions.HllAgg.hllRegs(col("h"), 64).as("regs"))
+      .cutLineage() // the stored sketch table
+    val bounds = daily.agg(min(col("day")).as("mn"),
+      max(col("day")).as("mx"))
+    def tagsOf(dayCol: String): org.apache.spark.sql.Column =
+      expr(s"filter(array(" +
+        s"'all', " +
+        s"IF($dayCol > mx - 7, 'last7', NULL), " +
+        s"IF($dayCol < mn + (mx - mn) DIV 2, 'first_half', NULL)), " +
+        "x -> x IS NOT NULL)")
+    val merged = daily.crossJoin(broadcast(bounds))
+      .select(explode(tagsOf("day")).as("tag"), col("regs"))
+      .groupBy(col("tag"))
+      .agg(collect_list(col("regs")).as("rl"))
+      .select(col("tag"),
+        expr("aggregate(rl, array_repeat(0, 64), " +
+          "(acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))")
+          .as("regs"))
+    val exact = ev.crossJoin(broadcast(bounds))
+      .select(explode(tagsOf("day")).as("tag"), col("user_id"))
+      .groupBy(col("tag"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    merged.join(exact, Seq("tag"))
+      .select(col("tag"), col("exact_distinct"),
+        expr("aggregate(regs, CAST(0 AS BIGINT), " +
+          "(a, r) -> a + shiftleft(CAST(1 AS BIGINT), 55 - r))").as("s"),
+        expr("aggregate(regs, 0, (a, r) -> a + IF(r = 0, 1, 0))")
+          .as("vz"))
+      .withColumn("raw", lit(graft.functions.HllAgg.Alpha(64)) *
+        lit(4096.0) * lit((1L << 55).toDouble) / col("s"))
+      // Flajolet's small-range regime: below 2.5m the raw harmonic-mean
+      // estimator biases high; linear counting over the V empty
+      // registers is the standard correction (identical CASE both
+      // engines, single ln — portable per the q229 precedent)
+      .select(col("tag"), col("exact_distinct"),
+        (round(when(col("raw") < lit(160.0) && col("vz") > 0,
+          lit(64.0) * log(lit(64.0) / col("vz")))
+          .otherwise(col("raw")), 4) + lit(0.0)).as("hll_estimate"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q244_sketch_rollup", sketchRollup _,
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM events),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |t AS (
+        |  SELECT 'all' AS tag, user_id, h FROM ev
+        |  UNION ALL
+        |  SELECT 'last7', user_id, h FROM ev CROSS JOIN b
+        |  WHERE day > mx - 7
+        |  UNION ALL
+        |  SELECT 'first_half', user_id, h FROM ev CROSS JOIN b
+        |  WHERE day < mn + (mx - mn) // 2),
+        |r AS (
+        |  SELECT tag, h >> 54 AS bkt,
+        |    max(CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+        |        ELSE 55 - len(bin(h & ((1::BIGINT << 54) - 1))) END) AS m
+        |  FROM t GROUP BY 1, 2),
+        |g AS (
+        |  SELECT f.tag, tt.b AS bkt, COALESCE(r.m, 0) AS m
+        |  FROM (SELECT DISTINCT tag FROM t) f
+        |  CROSS JOIN range(0, 64) tt(b)
+        |  LEFT JOIN r ON r.tag = f.tag AND r.bkt = tt.b),
+        |s AS (
+        |  SELECT tag, CAST(sum(1::BIGINT << (55 - m)) AS BIGINT) AS s,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT) AS vz
+        |  FROM g GROUP BY 1),
+        |e AS (
+        |  SELECT tag, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS exact_distinct
+        |  FROM t GROUP BY 1),
+        |est AS (
+        |  SELECT tag, 0.709::DOUBLE * 4096.0::DOUBLE
+        |    * 36028797018963968.0::DOUBLE / s AS raw, vz
+        |  FROM s)
+        |SELECT e.tag, e.exact_distinct,
+        |  round(CASE WHEN est.raw < 160.0 AND est.vz > 0
+        |    THEN 64.0 * ln(64.0 / est.vz) ELSE est.raw END, 4) + 0.0
+        |    AS hll_estimate
+        |FROM e JOIN est USING (tag)""".stripMargin),
     Q("q196_join_cardinality", joinCardinality _,
       """WITH a AS (
         |  SELECT key, ('0x' || substr(md5('jc:' ||

@@ -429,6 +429,23 @@ class AnalyticsSpec extends SparkSpec {
       (9L, mx, mx, 1L)))
   }
 
+  test("sketch rollup: merged daily sketches estimate within HLL error " +
+      "of the exact range distincts, all three ranges emitted") {
+    import graft.operators.ApproxAgg
+    val rows = ApproxAgg.sketchRollup(spark, sf).collect().map(r =>
+      r.getAs[String]("tag") -> ((r.getAs[Long]("exact_distinct"),
+        r.getAs[Double]("hll_estimate")))).toMap
+    assert(rows.keySet === Set("all", "last7", "first_half"))
+    rows.foreach { case (tag, (exact, est)) =>
+      assert(exact > 0, s"$tag empty range")
+      val rel = math.abs(est - exact) / exact.toDouble
+      // m=64 registers -> sigma ~ 13%; 3 sigma plus small-range slack
+      assert(rel < 0.45, s"$tag estimate $est vs exact $exact (rel $rel)")
+    }
+    assert(rows("last7")._1 <= rows("all")._1 &&
+      rows("first_half")._1 <= rows("all")._1)
+  }
+
   test("topk: exactly 100 rows, monotone non-increasing price") {
     val rows = Analytics.topkOrders(spark, sf)
       .collect().map(_.getAs[Double]("price"))
