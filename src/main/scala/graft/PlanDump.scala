@@ -119,7 +119,20 @@ object PlanDump {
       "q205_scd2_merge" ->
         ("SCD2 merge: both sides reduce to one row per key (window " +
           "compression / mergeable min_by) before the full-outer join — " +
-          "dimension keys shuffle, order rows never"))
+          "dimension keys shuffle, order rows never"),
+      "q231_not_in_semantics" ->
+        ("NOT IN vs NOT EXISTS: the null-aware anti join (LeftAnti " +
+          "flag `true`) and the plain LeftAnti side by side in ONE plan"),
+      "q235_lateness_histogram" ->
+        ("lateness histogram: two-phase prefix-max — bounded per-bucket " +
+          "windows, the only SinglePartition work is 64 bucket maxima"),
+      "q236_spatial_join" ->
+        ("spatial radius join: 3x3 grid-cell equi-join candidates, " +
+          "exact integer verify on candidates — no cross product"),
+      "q244_sketch_rollup" ->
+        ("sketch rollup: one scan builds daily HLL registers " +
+          "(ObjectHashAggregate), range answers are register merges " +
+          "over the tiny sketch table"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")
