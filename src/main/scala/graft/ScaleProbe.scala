@@ -70,12 +70,19 @@ object ScaleProbe {
       d.withColumn("vec_id", col("vec_id") + i * keySpan)
     }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // 10x events with shifted event_ids, SAME value distribution: the KS
-    // probe's distinct-cents domain is fixed while tallies grow 10x —
-    // the ECDF pipeline's cost should track the scan, never the domain
+    // 10x events with shifted event_ids AND shifted user_ids (disjoint
+    // user namespaces per replica, like embeddings' vec_id shift): 10x
+    // more users at the SAME per-user density, so the user-keyed probes
+    // (attribution's purchase→clicks window join, markov walks, clamped
+    // balance, per-user concurrency windows) genuinely scale linearly —
+    // keeping user_id fixed would multiply per-user density 10x and blow
+    // attribution's in-window expansion up ~100x (r10 advice). The KS
+    // probe's distinct-cents VALUE domain is untouched: tallies grow 10x
+    // over a fixed domain, so ECDF cost should track the scan
     val ev10 = Tables.load(spark, base, "events")
     rep(ev10) { (d, i) =>
       d.withColumn("event_id", col("event_id") + i * keySpan)
+        .withColumn("user_id", col("user_id") + i * keySpan)
     }.write.mode("overwrite").parquet(s"$out/events.parquet")
 
     Seq("customer", "supplier", "part", "nation", "region")
@@ -167,8 +174,9 @@ object ScaleProbe {
       time(s"table_diff_$tag")(
         operators.Relational.tableDiff(spark, dir).count())
       // round-10 ops over the replicated events: the attribution join's
-      // expansion is bounded by per-user in-window activity (events
-      // replicate by id, not per-user density, so ~linear); the gini
+      // expansion is bounded by per-user in-window activity (replicas
+      // live in disjoint user namespaces, so per-user density is FIXED
+      // and the window join grows ~linearly with users); the gini
       // rank recipe and the concurrency sweep both ride the two-phase
       // prefix sum — no single-partition sort to blow up
       time(s"attribution_$tag")(

@@ -307,7 +307,14 @@ object DataQuality {
     * (counts + floor-cents sums), so merge order across tasks cannot
     * wobble them. The downstream aggregate the pipeline "really" runs
     * (a per-flag census) is consumed inside the operator; its action is
-    * what populates the observation. */
+    * what populates the observation. NOTE for bench/plan-dump consumers:
+    * this catalog function is EAGER by necessity — `Observation.get`
+    * blocks until an action ran, so the corpus scan happens inside the
+    * call and the returned DataFrame is a 1-row local relation (a later
+    * .count() re-times only that). Observed sums are NULL on an
+    * empty/fully-filtered input (kept as NULL columns, matching the
+    * oracle's SQL `sum` semantics — never unboxed through
+    * null.asInstanceOf, which would silently read 0). */
   def observeMetrics(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Observation
     val obs = Observation()
@@ -327,10 +334,13 @@ object DataQuality {
     pipeline.count()
     val m = obs.get
     import spark.implicits._
-    Seq((m("n_kept").asInstanceOf[Long],
-      m("kept_cents").asInstanceOf[Long],
-      m("n_returned").asInstanceOf[Long],
-      m("n_null_discount").asInstanceOf[Long]))
+    // count is never null; the three sums are NULL when every row was
+    // filtered — keep them as Option so empty input yields NULL columns
+    // exactly like the oracle's SQL sums (not a silent unboxed 0)
+    def optLong(k: String): Option[Long] =
+      Option(m(k)).map(_.asInstanceOf[Long])
+    Seq((m("n_kept").asInstanceOf[Long], optLong("kept_cents"),
+      optLong("n_returned"), optLong("n_null_discount")))
       .toDF("n_kept", "kept_cents", "n_returned", "n_null_discount")
   }
 

@@ -574,26 +574,34 @@ object JoinsSetOps {
 
   /** Spatial radius join — the geo family's core operator: for every
     * supplier, the customers within 10 km, joined WITHOUT a cross
-    * product by the standard grid-cell recipe (cell side = radius, so
-    * any within-radius pair lands in the same or an adjacent cell:
-    * suppliers explode over their 3×3 cell neighborhood, candidates
-    * come from an EQUI-join on the cell key, and the exact predicate
-    * runs on candidates only — geohash bucketing in its minimal exact
-    * form, the same candidate/verify discipline as the interval and
-    * similarity joins). Coordinates are deterministic synthetic
-    * micro-degrees in a 1°×1° city box (the feed carries no geo
-    * columns; the staged-fixture discipline of the multimodal/manifest
-    * queries — the OPERATOR is the artifact). Distance is the planar
-    * approximation with a fixed latitude correction (·cos 40.5° as the
-    * exact rational 7604/10000), kept in PURE INTEGER µ°-equivalents:
-    * no transcendental in any predicate, so a boundary point cannot
-    * flip between engines; all divided quantities are non-negative, so
-    * trunc-vs-floor `div` semantics cannot diverge either. Output one
-    * row per supplier (within-radius census + exact nearest), absent
-    * matches as an explicit 0/NULL class. */
+    * product by the standard grid-cell recipe: suppliers explode over
+    * their 3×3 cell neighborhood, candidates come from an EQUI-join on
+    * the cell key, and the exact predicate runs on candidates only —
+    * geohash bucketing in its minimal exact form, the same
+    * candidate/verify discipline as the interval and similarity joins.
+    * Coordinates are deterministic synthetic micro-degrees in a 1°×1°
+    * city box (the feed carries no geo columns; the staged-fixture
+    * discipline of the multimodal/manifest queries — the OPERATOR is
+    * the artifact). Distance is the planar approximation with a fixed
+    * latitude correction (·cos 40.5° as the exact rational 7604/10000)
+    * applied PER POINT (slon = lon·7604 DIV 10000), kept in PURE
+    * INTEGER µ°-equivalents: no transcendental in any predicate, so a
+    * boundary point cannot flip between engines; all divided
+    * quantities are non-negative, so trunc-vs-floor `div` semantics
+    * cannot diverge either. Both grid axes live in METRIC units (lat,
+    * scaled lon), so cell side = radius guarantees any within-radius
+    * pair differs by ≤1 cell on each axis — the ±1 explode misses
+    * nothing (a pair with d2 ≤ r² has |Δlat| ≤ r AND |Δslon| ≤ r).
+    * The r10 advice found the earlier raw-longitude grid violated this
+    * (raw Δlon can reach r/cos40.5° ≈ 1.3 cells → two cells apart);
+    * the fix moves the grid onto the scaled axis AND the oracle to a
+    * grid-free brute-force cross join, so the hash gate now proves
+    * candidate completeness instead of replicating the grid. Output
+    * one row per supplier (within-radius census + exact nearest),
+    * absent matches as an explicit 0/NULL class. */
   def spatialJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextOps
-    val cell = 89830L // ~10 km in latitude micro-degrees
+    val cell = 89830L // ~10 km in latitude micro-degrees = cell side
     def coords(df: DataFrame, key: String, tagOut: String): DataFrame =
       df.select(col(key).as(tagOut),
         (lit(40000000L) + TextOps.portableHash(
@@ -601,22 +609,24 @@ object JoinsSetOps {
           .as(s"lat_$tagOut"),
         (lit(106000000L) + TextOps.portableHash(
           concat(lit("lon:"), col(key).cast("string"))) % 1000000L)
-          .as(s"lon_$tagOut"))
+          .as(s"rawlon_$tagOut"))
+        .withColumn(s"slon_$tagOut",
+          expr(s"rawlon_$tagOut * 7604 DIV 10000"))
+        .drop(s"rawlon_$tagOut")
     val su = coords(t(spark, dir, "supplier"), "s_suppkey", "sk")
       .withColumn("d", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("e", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("sk"), col("lat_sk"), col("lon_sk"),
+      .select(col("sk"), col("lat_sk"), col("slon_sk"),
         (expr("lat_sk DIV 89830") + col("d")).as("clat"),
-        (expr("lon_sk DIV 89830") + col("e")).as("clon"))
+        (expr("slon_sk DIV 89830") + col("e")).as("clon"))
     val cu = coords(t(spark, dir, "customer"), "c_custkey", "ck")
-      .select(col("ck"), col("lat_ck"), col("lon_ck"),
+      .select(col("ck"), col("lat_ck"), col("slon_ck"),
         expr("lat_ck DIV 89830").as("clat"),
-        expr("lon_ck DIV 89830").as("clon"))
+        expr("slon_ck DIV 89830").as("clon"))
     val cand = su.join(cu, Seq("clat", "clon"))
       .withColumn("d2",
         expr("""(lat_sk - lat_ck) * (lat_sk - lat_ck) +
-          (abs(lon_sk - lon_ck) * 7604 DIV 10000) *
-          (abs(lon_sk - lon_ck) * 7604 DIV 10000)"""))
+          (slon_sk - slon_ck) * (slon_sk - slon_ck)"""))
       .filter(col("d2") <= lit(cell * cell))
     t(spark, dir, "supplier").select(col("s_suppkey").as("supp"))
       .join(cand.groupBy(col("sk"))
@@ -630,40 +640,33 @@ object JoinsSetOps {
   }
 
   val catalog: Seq[Q] = Seq(
+    // Oracle is deliberately GRID-FREE (brute-force cross join with the
+    // exact predicate): the gate proves the Spark side's grid candidate
+    // set is COMPLETE, not merely self-consistent (r10 advice).
     Q("q236_spatial_join", spatialJoin _,
       """WITH su AS (
         |  SELECT s_suppkey AS sk,
         |    40000000 + ('0x' || substr(md5('lat:' ||
         |      CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT % 1000000
         |      AS lat_sk,
-        |    106000000 + ('0x' || substr(md5('lon:' ||
-        |      CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT % 1000000
-        |      AS lon_sk
+        |    (106000000 + ('0x' || substr(md5('lon:' ||
+        |      CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT % 1000000)
+        |      * 7604 // 10000 AS slon_sk
         |  FROM supplier),
         |cu AS (
         |  SELECT c_custkey AS ck,
         |    40000000 + ('0x' || substr(md5('lat:' ||
         |      CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000
         |      AS lat_ck,
-        |    106000000 + ('0x' || substr(md5('lon:' ||
-        |      CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000
-        |      AS lon_ck
+        |    (106000000 + ('0x' || substr(md5('lon:' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000)
+        |      * 7604 // 10000 AS slon_ck
         |  FROM customer),
-        |sg AS (
-        |  SELECT sk, lat_sk, lon_sk,
-        |    lat_sk // 89830 + d.d AS clat, lon_sk // 89830 + e.e AS clon
-        |  FROM su, (VALUES (-1), (0), (1)) d(d),
-        |    (VALUES (-1), (0), (1)) e(e)),
-        |cg AS (
-        |  SELECT ck, lat_ck, lon_ck,
-        |    lat_ck // 89830 AS clat, lon_ck // 89830 AS clon
-        |  FROM cu),
         |cand AS (
         |  SELECT sk, ck,
         |    (lat_sk - lat_ck) * (lat_sk - lat_ck) +
-        |    (abs(lon_sk - lon_ck) * 7604 // 10000) *
-        |    (abs(lon_sk - lon_ck) * 7604 // 10000) AS d2
-        |  FROM sg JOIN cg USING (clat, clon)),
+        |    (slon_sk - slon_ck) * (slon_sk - slon_ck) AS d2
+        |  FROM su, cu),
         |hit AS (
         |  SELECT sk, count(*) AS n_within,
         |    CAST(min(d2) AS BIGINT) AS d2_min,

@@ -210,26 +210,54 @@ object Layout {
     * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, opt-in
     * since SPARK-28595.) The one-time
     * bucketed write is the same staged-simulation-input discipline as
-    * the schema-evolution/ORC dirs (memoized per (dir, session
-    * catalog); the result depends only on the source tables, so the
-    * oracle reads those directly). `PlanSpec` asserts the exchange-free
-    * join shape with broadcast disabled. */
+    * the schema-evolution/ORC dirs; the result depends only on the
+    * source tables, so the oracle reads those directly. Memoization is
+    * keyed on the md5 of the ABSOLUTE source path (never a collidable
+    * hashCode) and guarded by a source FINGERPRINT (per-file size +
+    * mtime, persisted as a warehouse marker): data regenerated in place
+    * under the same path re-stages instead of silently reusing a stale
+    * bucketed copy that would disagree with the oracle (r10 advice).
+    * `PlanSpec` asserts the exchange-free join shape with broadcast
+    * disabled. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val abs = Paths.get(dir).toAbsolutePath.normalize.toString
+    val tag = md5hex(abs).take(12)
     val ot = s"graft_bk_orders_$tag"
     val lt = s"graft_bk_lineitem_$tag"
+    // fingerprint of the SOURCE files the bucketed copies derive from:
+    // any size/mtime/name change (regeneration in place) invalidates
+    val fp = md5hex(Seq("orders.parquet", "lineitem.parquet").flatMap {
+      sub =>
+        val p = Paths.get(abs, sub)
+        if (!Files.exists(p)) Seq.empty[String]
+        else Files.walk(p).iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => s"$f:${Files.size(f)}:" +
+            s"${Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted
+    }.mkString("\n"))
+    val wh = Paths.get(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val marker = wh.resolve(s"graft_bk_fp_$tag")
     Layout.synchronized {
-      if (!spark.catalog.tableExists(ot)) {
+      val fresh = spark.catalog.tableExists(ot) &&
+        spark.catalog.tableExists(lt) && Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == fp
+      if (!fresh) {
         // the warehouse DIRECTORY outlives the in-memory catalog across
         // JVMs: a fresh session knows no table but the location remains
-        // and saveAsTable refuses it — clear stale locations first
+        // and saveAsTable refuses it — drop + clear stale locations
         Seq(ot, lt).foreach { tn =>
-          val loc = java.nio.file.Paths.get(java.net.URI.create(
-            spark.conf.get("spark.sql.warehouse.dir")).getPath, tn)
-          if (java.nio.file.Files.exists(loc)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          spark.sql(s"DROP TABLE IF EXISTS $tn")
+          val loc = wh.resolve(tn)
+          if (Files.exists(loc)) {
+            Files.walk(loc).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
           }
         }
         // one file per bucket (repartition on the bucket key before the
@@ -248,6 +276,8 @@ object Layout {
           .repartition(8, col("l_orderkey"))
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .mode("overwrite").saveAsTable(lt)
+        Files.createDirectories(wh)
+        Files.write(marker, fp.getBytes("UTF-8"))
       }
     }
     spark.table(ot).join(spark.table(lt),

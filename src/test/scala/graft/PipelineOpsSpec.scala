@@ -747,20 +747,22 @@ class PipelineOpsSpec extends SparkSpec {
         (lit(40000000L) + TextOps.portableHash(
           concat(lit("lat:"), col(key).cast("string"))) % 1000000L)
           .as("lat"),
-        (lit(106000000L) + TextOps.portableHash(
+        ((lit(106000000L) + TextOps.portableHash(
           concat(lit("lon:"), col(key).cast("string"))) % 1000000L)
-          .as("lon"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          * lit(7604L)).as("lon7604"))
+      .collect()
+      // per-point scaled longitude, same integer DIV as the operator
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 10000L))
     val sup = coords(spark.read.parquet(s"$sf/supplier.parquet"),
       "s_suppkey")
     val cus = coords(spark.read.parquet(s"$sf/customer.parquet"),
       "c_custkey")
     val r2 = 89830L * 89830L
-    val expected = sup.map { case (sk, la, lo) =>
-      val hits = cus.flatMap { case (ck, cla, clo) =>
+    val expected = sup.map { case (sk, la, slo) =>
+      val hits = cus.flatMap { case (ck, cla, cslo) =>
         val dlat = la - cla
-        val sc = math.abs(lo - clo) * 7604L / 10000L
-        val d2 = dlat * dlat + sc * sc
+        val dslon = slo - cslo
+        val d2 = dlat * dlat + dslon * dslon
         if (d2 <= r2) Some((ck, d2)) else None
       }
       val nearest = hits.sortBy(h => (h._2, h._1)).headOption
