@@ -157,7 +157,9 @@ object Similarity {
     *
     * Scale shape: codebooks are tiny (M·cells·subdim doubles →
     * broadcast); assignment is one narrow pass; ADC is O(Q·N) over
-    * M-byte codes (compose with q48's cell probe to cut N); the rerank
+    * M-byte codes — deliberately FLAT here (the exhaustive-PQ tier);
+    * [[annIvfPq]] (q245) is the composed serving plan that probes q48's
+    * cells first and cuts the ADC to nprobe/cells of N; the rerank
     * fetches raw vectors for only Q·10 candidates via an equi-join.
     * Every double is a sequential fold over exact operands, so ADC
     * ranks — and therefore the candidate CUT — are bit-identical to the
@@ -207,6 +209,116 @@ object Similarity {
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("cand_id").asc)
     val top = q.join(recon, col("q_id") =!= col("cand_id"))
+      .withColumn("adc",
+        VectorOps.dotFloatDouble(col("qe"), col("rvec")) /
+          (col("qn") * col("rn2")))
+      .withColumn("rna", row_number().over(wAdc))
+      .filter(col("rna") <= 10)
+      .select(col("q_id"), col("qe"), col("qn"), col("cand_id"))
+    val cands = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"),
+      VectorOps.l2Norm(col("embedding")).as("cn"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    top.join(cands, Seq("cand_id"))
+      // + 0.0 canonicalizes IEEE signed zero (see Analytics.statsProfile)
+      .withColumn("cos", round(VectorOps.cosinePrenormed(
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6) +
+        lit(0.0))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+  }
+
+  /** IVF×PQ composed ANN — the production FAISS-style serving plan
+    * (IndexIVFPQ): coarse quantizer probes the nprobe=2 nearest cells
+    * per query, the ADC pass scores PQ-reconstructed candidates ONLY
+    * within the probed cells (an equi-join on the cell key — never the
+    * flat Q×N scan q201 deliberately keeps), and an exact rerank over
+    * the surviving Q·10 raw vectors emits the final top-3. This closes
+    * the r10 verdict's №1: q48 (cell probe) and q201 (ADC+rerank) were
+    * the two halves; this is the end-to-end composition.
+    *
+    * Structure sharing: the coarse quantizer IS q48's exact-grid label
+    * centroid table and the codebooks/codes/reconstruction ARE q201's
+    * (slice-of-the-mean sub-codebooks, argmin-L2² assignment, map-pinned
+    * concat) — same exact-arithmetic guarantees, so ADC ranks and the
+    * candidate CUT are bit-identical to the oracle's.
+    *
+    * Scale shape at 100 TB: centroids + codebooks broadcast (tiny);
+    * code assignment is one narrow pass over N; the probe relation is
+    * Q×cells rows (window per query — Q bounded, cells ~√N); ADC
+    * touches nprobe/cells of the code table via the cell equi-join
+    * (shuffle keyed on cell, skew-bounded by cell occupancy); rerank
+    * fetches raw vectors for Q·10 ids. Nothing is ever Q×N. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val M = 4
+    val sub = 16
+    val nprobe = 2
+    val e = t(spark, dir, "embeddings")
+      .withColumn("qv", transform(col("embedding"), x =>
+        floor(lit(1000.0) * x.cast("double") + lit(0.5)).cast("long")))
+    val centroids = e.select(col("label"), col("qv"))
+      .as[(Int, Array[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(CentroidAggregator.toColumn)
+      .toDF("cell", "c")
+    val codebook = centroids.select(col("cell").as("code"),
+      explode(expr(s"transform(sequence(0, ${M - 1}), " +
+        s"m -> struct(m AS m, slice(c, m * $sub + 1, $sub) AS cw))"))
+        .as("s"))
+      .select(col("s.m").as("m"), col("code"), col("s.cw").as("cw"))
+    val subv = e.select(col("vec_id").as("cand_id"),
+      explode(expr(s"transform(sequence(0, ${M - 1}), " +
+        s"m -> struct(m AS m, slice(qv, m * $sub + 1, $sub) AS sv))"))
+        .as("s"))
+      .select(col("cand_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val codes = subv.join(broadcast(codebook), Seq("m"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> " +
+          "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+          "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .groupBy(col("cand_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+    // reconstructed candidates carry their IVF cell (= label): the ADC
+    // join below keys on it
+    val recon = codes.join(broadcast(codebook), Seq("m", "code"))
+      .groupBy(col("cand_id"))
+      .agg(map_from_entries(collect_list(struct(col("m"), col("cw"))))
+        .as("mp"))
+      .select(col("cand_id"),
+        concat((0 until M).map(m => col("mp")(m)): _*).as("rvec"))
+      .withColumn("rn2", VectorOps.l2NormDouble(col("rvec")))
+      .join(e.select(col("vec_id").as("cand_id"),
+        col("label").as("cell")), Seq("cand_id"))
+    // coarse probe: nprobe nearest centroids per query (q48's probe,
+    // widened from argmax to top-nprobe; scores on bit-identical doubles,
+    // ties break on lowest cell)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    val probed = e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("nrm"))
+      .withColumn("jk", col("vec_id") * 0)
+      .join(broadcast(centroids
+        .withColumn("cnorm", VectorOps.l2NormDouble(col("c")))
+        .withColumn("jk", col("cell").cast("long") * 0)), Seq("jk"))
+      .withColumn("score",
+        VectorOps.dotFloatDouble(col("embedding"), col("c")) /
+          (col("nrm") * col("cnorm")))
+      .withColumn("rp", row_number().over(wProbe))
+      .filter(col("rp") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    // ADC within probed cells ONLY: each candidate lives in exactly one
+    // cell and a query's probed cells are distinct, so the equi-join
+    // yields each (q, cand) at most once
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("cand_id").asc)
+    val top = probed.join(recon, Seq("cell"))
+      .filter(col("q_id") =!= col("cand_id"))
       .withColumn("adc",
         VectorOps.dotFloatDouble(col("qe"), col("rvec")) /
           (col("qn") * col("rn2")))
@@ -381,6 +493,82 @@ object Similarity {
          |      for i in range(1, len(r.rvec) + 1)], 'sum'))) AS adc
          |  FROM e q JOIN recon r ON r.cand_id <> q.vec_id
          |  WHERE q.vec_id < 20),
+         |top AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc DESC, cand_id ASC) AS rna FROM adc)
+         |  WHERE rna <= 10),
+         |scored AS (
+         |  SELECT t.q_id, t.cand_id,
+         |    round(${cosExpr("q", "c")}, 6) + 0.0 AS cos
+         |  FROM top t
+         |    JOIN e q ON q.vec_id = t.q_id
+         |    JOIN e c ON c.vec_id = t.cand_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, cand_id ASC) AS INT) AS rn
+         |  FROM scored)
+         |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin),
+    Q("q245_ann_ivfpq", annIvfPq _,
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         |    [CAST(floor(1000.0 * CAST(x AS DOUBLE) + 0.5) AS BIGINT)
+         |     for x in embedding] AS qv
+         |  FROM embeddings),
+         |sums AS (
+         |  SELECT label AS cell, u.pos AS pos, sum(u.qx) AS s,
+         |    count(*) AS cnt
+         |  FROM (SELECT label, unnest([{'pos': i, 'qx': qv[i]}
+         |        for i in range(1, len(qv) + 1)]) AS u FROM e)
+         |  GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
+         |  FROM sums GROUP BY 1),
+         |cb AS (
+         |  SELECT t.m, cell AS code, c[t.m * 16 + 1 : t.m * 16 + 16] AS cw
+         |  FROM cents CROSS JOIN range(0, 4) t(m)),
+         |sv AS (
+         |  SELECT vec_id AS cand_id, t.m,
+         |    qv[t.m * 16 + 1 : t.m * 16 + 16] AS sv
+         |  FROM e CROSS JOIN range(0, 4) t(m)),
+         |codes AS (
+         |  SELECT cand_id, m, code FROM (
+         |    SELECT s.cand_id, s.m, cb.code,
+         |      row_number() OVER (PARTITION BY s.cand_id, s.m ORDER BY
+         |        list_aggregate([
+         |          (CAST(s.sv[i] AS DOUBLE) - cb.cw[i]) *
+         |          (CAST(s.sv[i] AS DOUBLE) - cb.cw[i])
+         |          for i in range(1, len(s.sv) + 1)], 'sum') ASC,
+         |        cb.code ASC) AS rnc
+         |    FROM sv s JOIN cb ON s.m = cb.m) WHERE rnc = 1),
+         |recon AS (
+         |  SELECT k.cand_id, flatten(list(cb.cw ORDER BY k.m)) AS rvec
+         |  FROM codes k JOIN cb ON k.m = cb.m AND k.code = cb.code
+         |  GROUP BY 1),
+         |reconc AS (
+         |  SELECT r.cand_id, r.rvec, c.label AS cell
+         |  FROM recon r JOIN e c ON c.vec_id = r.cand_id),
+         |probe AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT e.vec_id, cn.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (list_aggregate([CAST(e.embedding[i] AS DOUBLE) * cn.c[i]
+         |          for i in range(1, len(e.embedding) + 1)], 'sum')
+         |         / (e.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
+         |          for i in range(1, len(cn.c) + 1)], 'sum')))) DESC,
+         |        cn.cell ASC) AS rp
+         |    FROM e CROSS JOIN cents cn WHERE e.vec_id < 20) WHERE rp <= 2),
+         |adc AS (
+         |  SELECT q.vec_id AS q_id, r.cand_id,
+         |    list_aggregate([CAST(q.embedding[i] AS DOUBLE) * r.rvec[i]
+         |      for i in range(1, len(r.rvec) + 1)], 'sum')
+         |    / (q.nrm * sqrt(list_aggregate([r.rvec[i] * r.rvec[i]
+         |      for i in range(1, len(r.rvec) + 1)], 'sum'))) AS adc
+         |  FROM e q JOIN probe p ON p.q_id = q.vec_id
+         |    JOIN reconc r ON r.cell = p.cell AND r.cand_id <> q.vec_id),
          |top AS (
          |  SELECT q_id, cand_id FROM (
          |    SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id

@@ -102,6 +102,19 @@ class VectorSpec extends SparkSpec {
     assert(recalls.size === 20)
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"PQ recall@3 = $mean, expected >= 0.8")
+    // the composed IVF×PQ plan (q245) prunes the ADC scan to nprobe=2
+    // probed cells; on the planted fixture a query's own cluster is by
+    // construction its nearest centroid, so the pruning must not cost
+    // recall: require recall@3 >= flat-PQ's recall minus 0.05 (the
+    // stated tolerance for cell-boundary queries), and >= 0.8 absolute
+    val ivfpq = top3(Similarity.annIvfPq(spark, tmp))
+    val recallsC = ivfpq.map { case (q, got) =>
+      got.intersect(exact(q)).size.toDouble / 3.0 }
+    assert(recallsC.size === 20)
+    val meanC = recallsC.sum / recallsC.size
+    assert(meanC >= mean - 0.05,
+      s"IVFPQ recall@3 = $meanC, flat PQ = $mean: pruning cost > 0.05")
+    assert(meanC >= 0.8, s"IVFPQ recall@3 = $meanC, expected >= 0.8")
   }
 
   test("cosine is symmetric and self-cosine is 1") {

@@ -91,6 +91,12 @@ def main():
             print("calib_sec missing (pre-r8 file?) -> RAW comparison")
 
     qa, qb = a.get("queries", {}), b.get("queries", {})
+    # Bench's self-clearing evidence: post-suite solo re-times (3-sample
+    # medians) of entries that ran >1.8x baseline inside the suite. A
+    # REGRESSED flag whose isolated time clears the threshold is a
+    # suite-interaction phantom (GC/cleaner/JIT collision in the shared
+    # JVM), not a code regression -> downgraded, and not gate-fatal.
+    iso = b.get("isolated", {})
     rows, unadj = [], []
     for k in sorted(set(qa) | set(qb)):
         if k not in qa or k not in qb:
@@ -100,7 +106,12 @@ def main():
             unadj.append((k, "failed in " + ("old" if qa[k] < 0 else "new")))
             continue
         nn = qb[k] * norm
-        rows.append((k, qa[k], qb[k], nn, verdict(qa[k], nn)))
+        v = verdict(qa[k], nn)
+        if v == "REGRESSED" and k in iso and iso[k] >= 0:
+            iso_n = iso[k] * norm
+            if verdict(qa[k], iso_n) != "REGRESSED":
+                v = f"cleared-by-isolation ({iso_n:.3f}s solo)"
+        rows.append((k, qa[k], qb[k], nn, v))
 
     print(f"\nper-category (normalized, {THRESH_REL:.0%}-or-"
           f"{THRESH_ABS * 1000:.0f}ms rule):")
@@ -118,7 +129,8 @@ def main():
           f"{sum(1 for r in rows if r[4] == 'stable')} stable, "
           f"{sum(1 for r in rows if r[4] == 'improved')} improved, "
           f"{sum(1 for r in rows if r[4] == 'REGRESSED')} regressed, "
-          f"{len(unadj)} unadjudicable")
+          f"{sum(1 for r in rows if r[4].startswith('cleared'))} "
+          f"cleared-by-isolation, {len(unadj)} unadjudicable")
     for k, old, raw, nn, v in sorted(moved, key=lambda r: r[1] - r[3]):
         print(f"  {v:<9} {k:<28} {old:7.3f}s -> {nn:7.3f}s normalized "
               f"(raw {raw:.3f}s)")
