@@ -150,8 +150,9 @@ class SourcesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     ApproxAgg.approxAgg(spark, sf).collect().foreach { r =>
       val e = exact(r.getAs[String]("o_orderstatus")).toDouble
-      val a = r.getAs[Long]("approx_cust").toDouble
-      assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
+      // portable 64-register HLL: rsd = 1.04/sqrt(64) = 13%; allow 2 rsd
+      val a = r.getAs[Double]("approx_cust")
+      assert(math.abs(a - e) / e < 0.26, s"approx $a vs exact $e")
       assert(r.getAs[Double]("approx_median") > 0)
     }
   }
