@@ -1655,33 +1655,68 @@ object Analytics {
     * pipeline must ship with. Cutoff = 2 days before the feed's max
     * timestamp (a deterministic data-derived scalar both engines
     * compute). Cost: the delta scan + a join against the session
-    * table keyed by user — never the historical event corpus. */
-  def incrementalSessions(spark: SparkSession, dir: String): DataFrame = {
-    val gap = 1800L
-    def sessionsOf(ev: DataFrame): DataFrame = {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("sec").asc, col("event_id").asc)
-      ev.withColumn("gap",
-          col("sec") - lag(col("sec"), 1).over(byUser))
-        .withColumn("ns",
-          when(col("gap").isNull || col("gap") > gap, 1).otherwise(0))
-        .withColumn("sid", sum(col("ns")).over(
-          byUser.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(min(col("sec")).as("s_start"), max(col("sec")).as("s_end"),
-          count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("s_start"), col("s_end"),
-          col("n_events"))
-    }
+    * table keyed by user — never the historical event corpus.
+    * Decomposed into [[storedSessions]] (yesterday's table — what a
+    * nightly job persists) and [[mergeIntoStored]] (today's merge) so
+    * `AnalyticsSpec` can run the two halves in DIFFERENT JVMs with the
+    * table passing through the warehouse, proving the merge holds over
+    * a genuinely persisted table, not a same-JVM lineage cut. */
+  def incrementalSessions(spark: SparkSession, dir: String): DataFrame =
+    mergeIntoStored(spark, dir,
+      storedSessions(spark, dir).cutLineage()) // in-job "stored" table
+
+  private val sessionGap = 1800L
+
+  private def sessionsOf(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec").asc, col("event_id").asc)
+    ev.withColumn("gap",
+        col("sec") - lag(col("sec"), 1).over(byUser))
+      .withColumn("ns",
+        when(col("gap").isNull || col("gap") > sessionGap, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("sec")).as("s_start"), max(col("sec")).as("s_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s_start"), col("s_end"),
+        col("n_events"))
+  }
+
+  private def eventsWithCutoff(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
         col("ts").cast("long").as("sec"))
-    val cut = ev.agg((max(col("sec")) - 2L * 86400L).as("cutoff"))
-    val evc = ev.crossJoin(broadcast(cut))
-    val oldS = sessionsOf(evc.filter(col("sec") < col("cutoff")))
-      .cutLineage() // "yesterday's stored table"
-    val deltaS = sessionsOf(evc.filter(col("sec") >= col("cutoff")))
+    ev.crossJoin(broadcast(
+      ev.agg((max(col("sec")) - 2L * 86400L).as("cutoff"))))
+  }
+
+  /** Yesterday's session table: everything strictly before the cutoff,
+    * fully sessionized — the artifact a nightly job persists. The
+    * cutoff is a deterministic function of the feed (max ts − 2 days),
+    * so a different JVM staging this table computes the identical one. */
+  private[graft] def storedSessions(spark: SparkSession,
+      dir: String): DataFrame =
+    sessionsOf(eventsWithCutoff(spark, dir)
+      .filter(col("sec") < col("cutoff")))
+
+  /** Full recompute over ALL events — the oracle's semantics; the spec
+    * compares the cross-JVM merge against this. */
+  private[graft] def fullSessions(spark: SparkSession,
+      dir: String): DataFrame =
+    sessionsOf(t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("sec")))
+
+  /** Today's merge: sessionize the delta (≥ cutoff) and attach it to
+    * the supplied stored table (any source — in-job frame or a
+    * warehouse read from another JVM). */
+  private[graft] def mergeIntoStored(spark: SparkSession, dir: String,
+      oldS: DataFrame): DataFrame = {
+    val gap = sessionGap
+    val deltaS = sessionsOf(eventsWithCutoff(spark, dir)
+      .filter(col("sec") >= col("cutoff")))
     val du = deltaS.select(col("user_id")).distinct()
     val untouched = oldS.join(du, Seq("user_id"), "left_anti")
     val touched = oldS.join(du, Seq("user_id"), "left_semi")
