@@ -197,6 +197,20 @@ object ScaleProbe {
         operators.DataQuality.latenessHistogram(spark, dir).count())
       time(s"markov_$tag")(
         operators.Analytics.markovTransitions(spark, dir).count())
+      // r11: the session-2 tail (r10 verdict №5). cheapest_path rides the
+      // support-2 stage priced above — its marginal cost is 4 relaxation
+      // rounds, O(edges) each, so the 10x ratio should track the edge
+      // densification like kcore/lpa. incremental_sessions' cost is
+      // delta-scan + user-keyed merge: 10x users at fixed per-user
+      // density (disjoint namespaces) → linear. sketch_rollup is one
+      // corpus scan into ≤O(days) 64-register sketches; the merge fold
+      // is day-bounded, so the ratio should track the scan.
+      time(s"cheapest_path_$tag")(
+        operators.Graph.cheapestPath(spark, dir).count())
+      time(s"incremental_sessions_$tag")(
+        operators.Analytics.incrementalSessions(spark, dir).count())
+      time(s"sketch_rollup_$tag")(
+        operators.ApproxAgg.sketchRollup(spark, dir).count())
     }
 
     calib("post_batch")

@@ -1758,7 +1758,165 @@ object Analytics {
       .unionByName(restDelta)
   }
 
+  /** Quantile normalization — the ML-preprocessing classic (align every
+    * group's value distribution onto a common reference): each event's
+    * value maps to the POOLED distribution's order statistic at its
+    * within-group percent rank, so after the transform every
+    * event_type's values follow the same (pooled) distribution while
+    * preserving within-group order — the cross-feature/batch-effect
+    * alignment step (microarray normalization, feature calibration)
+    * that plain rank transform (q193) and z-scoring don't give.
+    * Percent-rank → target ordinal is PURE INTEGER arithmetic
+    * (1 + (rg−1)·(n_pool−1) DIV max(ng−1,1), all operands non-negative
+    * → identical trunc division both engines; the q193 greatest-guard
+    * for singleton groups). The pooled ordinal table is built WITHOUT
+    * the global sort: 64 value-RANGE buckets (bucket order == value
+    * order, clamping only merges the tails so order still holds),
+    * per-bucket row_number windows, offsets from the 64-row prefix sum
+    * — the q190 recipe keyed by VALUE; the oracle IS the one-sort
+    * global row_number, so the gate proves the decomposition. The
+    * normalization lookup is one hash equi-join on the ordinal —
+    * linear, shuffle keyed on a dense integer. At 100 TB the bucket
+    * edges come from sampled quantiles instead of a fixed grid (same
+    * argument, balanced occupancy). */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val b = ev.withColumn("bkt", least(lit(63L), greatest(lit(0L),
+      expr("cents DIV 512"))))
+    val wb = Window.partitionBy(col("bkt"))
+      .orderBy(col("cents").asc, col("event_id").asc)
+    val ranked = b.withColumn("rn", row_number().over(wb).cast("long"))
+    val wOff = Window.orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val pooled = ranked.join(broadcast(offs), Seq("bkt"))
+      .select((col("off") + col("rn")).as("ord"),
+        col("cents").as("norm_cents"))
+    val npool = ev.agg(count(lit(1)).as("npool"))
+    val wg = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").asc, col("event_id").asc)
+    ev.withColumn("rg", row_number().over(wg).cast("long"))
+      .withColumn("ng",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .crossJoin(broadcast(npool))
+      .withColumn("tgt", lit(1L) +
+        expr("(rg - 1) * (npool - 1) DIV greatest(ng - 1, 1)"))
+      .join(pooled, col("tgt") === col("ord"))
+      .filter(col("user_id") < 150)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("norm_cents"))
+  }
+
+  /** Winsorization — the robust-preprocessing partner of the MAD/robust-
+    * z family (q168/q179 DETECT outliers; this CONTAINS them): per
+    * event_type, values clip to the exact interpolated [p01, p99]
+    * bounds and the census reports how much mass moved and what it did
+    * to the mean — the standard tail-taming step before training on
+    * heavy-tailed features. The winsorized mean is computed in CLOSED
+    * FORM (exact integer sum of the unclipped mid-mass + n_lo·p01 +
+    * n_hi·p99, one fixed-order double expression) — never a sum of
+    * per-row doubles, whose partition order would wobble the result.
+    * Scale shape: one groupBy for the bounds (|types| rows, broadcast
+    * back), one conditional partial-agg'd pass for the census — the
+    * quantile is the only rank-based step and rides the proven
+    * percentile==quantile_cont parity (q47/q163). */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, array(0.01, 0.99))").as("ps"))
+      .select(col("event_type"),
+        element_at(col("ps"), 1).as("p01"),
+        element_at(col("ps"), 2).as("p99"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("lo", col("cents").cast("double") < col("p01"))
+      .withColumn("hi", col("cents").cast("double") > col("p99"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_clip_high"),
+        sum(col("cents")).as("s_all"),
+        sum(when(!col("lo") && !col("hi"), col("cents"))
+          .otherwise(lit(0L))).as("s_mid"),
+        min(col("p01")).as("p01"), min(col("p99")).as("p99"))
+      .select(col("event_type"), col("n"), col("n_clip_low"),
+        col("n_clip_high"),
+        (round(col("p01"), 6) + lit(0.0)).as("p01_r"),
+        (round(col("p99"), 6) + lit(0.0)).as("p99_r"),
+        (round(expr("CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)"), 6)
+          + lit(0.0)).as("mean_raw_r"),
+        (round(expr("(CAST(s_mid AS DOUBLE) + " +
+          "CAST(n_clip_low AS DOUBLE) * p01 + " +
+          "CAST(n_clip_high AS DOUBLE) * p99) / CAST(n AS DOUBLE)"), 6)
+          + lit(0.0)).as("mean_wins_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q250_winsorize", winsorize _,
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    quantile_cont(cents, 0.01) AS p01,
+        |    quantile_cont(cents, 0.99) AS p99
+        |  FROM ev GROUP BY 1),
+        |j AS (
+        |  SELECT ev.event_type, cents, p01, p99,
+        |    CAST(cents AS DOUBLE) < p01 AS lo,
+        |    CAST(cents AS DOUBLE) > p99 AS hi
+        |  FROM ev JOIN b USING (event_type)),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_clip_low,
+        |    CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_clip_high,
+        |    CAST(sum(cents) AS BIGINT) AS s_all,
+        |    CAST(sum(CASE WHEN NOT lo AND NOT hi THEN cents ELSE 0 END)
+        |      AS BIGINT) AS s_mid,
+        |    min(p01) AS p01, min(p99) AS p99
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, n, n_clip_low, n_clip_high,
+        |  round(p01, 6) + 0.0 AS p01_r,
+        |  round(p99, 6) + 0.0 AS p99_r,
+        |  round(CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+        |    AS mean_raw_r,
+        |  round((CAST(s_mid AS DOUBLE) +
+        |    CAST(n_clip_low AS DOUBLE) * p01 +
+        |    CAST(n_clip_high AS DOUBLE) * p99) / CAST(n AS DOUBLE), 6)
+        |    + 0.0 AS mean_wins_r
+        |FROM a""".stripMargin),
+    Q("q248_quantile_normalize", quantileNormalize _,
+      """WITH ev AS (
+        |  SELECT event_id, event_type, user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |pooled AS (
+        |  SELECT row_number() OVER (ORDER BY cents, event_id) AS ord,
+        |    cents AS norm_cents
+        |  FROM ev),
+        |g AS (
+        |  SELECT event_id, event_type, user_id, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS BIGINT) AS rg,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS ng,
+        |    CAST((SELECT count(*) FROM ev) AS BIGINT) AS npool
+        |  FROM ev)
+        |SELECT g.event_id, g.event_type, g.cents, p.norm_cents
+        |FROM g JOIN pooled p
+        |  ON p.ord = 1 + (g.rg - 1) * (g.npool - 1)
+        |    // greatest(g.ng - 1, 1)
+        |WHERE g.user_id < 150""".stripMargin),
     Q("q243_incremental_sessions", incrementalSessions _,
       """WITH e AS (
         |  SELECT user_id, event_id,

@@ -340,7 +340,113 @@ object ApproxAgg {
           .otherwise(col("raw")), 4) + lit(0.0)).as("hll_estimate"))
   }
 
+  /** Pre-aggregated HISTOGRAM rollup — the quantile sibling of q244's
+    * HLL sketch table, completing the pre-aggregated-sketch-serving
+    * pair: ONE scan builds a per-day 64-bin fixed-grid histogram table
+    * (bin counts are plain integers, so range merge is ADDITION —
+    * associative and commutative, any date range composes from any
+    * partition of it), and arbitrary date-range quantile questions
+    * (p50/p95 here) are answered by the q163 in-bin interpolation over
+    * the merged 64 rows — never a raw-event rescan or a global sort.
+    * This is how OLAP/observability stores serve percentile-over-range
+    * (Prometheus-style bucketed histograms): the sketch table is
+    * days×64 integers regardless of corpus size. The oracle computes
+    * each range's histogram DIRECTLY from the raw rows, so the hash
+    * gate proves merge-of-daily == direct-on-range; exact
+    * `quantile_cont` audits ride along (at 100 TB you'd drop them —
+    * they are the cost the sketch removes). Same three ranges as q244
+    * (whole span / last 7 days / first half) from the SAME daily
+    * table. */
+  def histogramRollup(spark: SparkSession, dir: String): DataFrame = {
+    val width = 512.0
+    val ev = t(spark, dir, "events")
+      .select(expr("unix_timestamp(ts) DIV 86400").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("bin", least(lit(63L), greatest(lit(0L),
+        floor(col("cents") / lit(width)).cast("long"))))
+    val daily = ev.groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .cutLineage() // the stored sketch table: days × ≤64 integer cells
+    val bounds = daily.agg(min(col("day")).as("mn"),
+      max(col("day")).as("mx"))
+    def tagsOf(dayCol: String): org.apache.spark.sql.Column =
+      expr(s"filter(array(" +
+        s"'all', " +
+        s"IF($dayCol > mx - 7, 'last7', NULL), " +
+        s"IF($dayCol < mn + (mx - mn) DIV 2, 'first_half', NULL)), " +
+        "x -> x IS NOT NULL)")
+    val merged = daily.crossJoin(broadcast(bounds))
+      .select(explode(tagsOf("day")).as("tag"), col("bin"), col("c"))
+      .groupBy(col("tag"), col("bin"))
+      .agg(sum(col("c")).as("c")) // range merge = addition
+    val cum = merged
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("tag")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("tag"))))
+    def est(q: Double) = {
+      val target = lit(q) * col("n")
+      val crosses = (col("cum") - col("c")) < target && target <= col("cum")
+      max(when(crosses, round(lit(width) * (col("bin") +
+        (target - (col("cum") - col("c"))) / col("c")), 4)))
+    }
+    // + 0.0: cents can be negative (value is a signed delta), so an
+    // exact percentile in (-5e-5, 0) would round to -0.0 in DuckDB but
+    // +0.0 via Spark's BigDecimal round (see Analytics.statsProfile)
+    val exact = ev.crossJoin(broadcast(bounds))
+      .select(explode(tagsOf("day")).as("tag"), col("cents"))
+      .groupBy(col("tag"))
+      .agg((round(expr("percentile(cents, 0.5)"), 4) + lit(0.0))
+          .as("p50_exact"),
+        (round(expr("percentile(cents, 0.95)"), 4) + lit(0.0))
+          .as("p95_exact"))
+    cum.groupBy(col("tag"))
+      .agg(max(col("n")).as("n_rows"),
+        est(0.5).as("p50_hist"), est(0.95).as("p95_hist"))
+      .join(exact, Seq("tag"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q246_histogram_rollup", histogramRollup _,
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    least(63, greatest(0,
+        |      CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |        / 512.0) AS BIGINT))) AS bin,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |bd AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |t AS (
+        |  SELECT 'all' AS tag, bin, cents FROM ev
+        |  UNION ALL
+        |  SELECT 'last7', bin, cents FROM ev CROSS JOIN bd
+        |  WHERE day > mx - 7
+        |  UNION ALL
+        |  SELECT 'first_half', bin, cents FROM ev CROSS JOIN bd
+        |  WHERE day < mn + (mx - mn) // 2),
+        |b AS (SELECT tag, bin, count(*) AS c FROM t GROUP BY 1, 2),
+        |w AS (
+        |  SELECT tag, bin, c,
+        |    CAST(sum(c) OVER (PARTITION BY tag ORDER BY bin)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY tag) AS BIGINT) AS n
+        |  FROM b),
+        |x AS (
+        |  SELECT tag, max(n) AS n_rows,
+        |    max(CASE WHEN cum - c < 0.5 * n AND 0.5 * n <= cum
+        |        THEN round(512.0 * (bin + (0.5 * n - (cum - c)) / c), 4)
+        |        END) AS p50_hist,
+        |    max(CASE WHEN cum - c < 0.95 * n AND 0.95 * n <= cum
+        |        THEN round(512.0 * (bin + (0.95 * n - (cum - c)) / c), 4)
+        |        END) AS p95_hist
+        |  FROM w GROUP BY 1),
+        |e AS (
+        |  SELECT tag,
+        |    round(quantile_cont(cents, 0.5), 4) + 0.0 AS p50_exact,
+        |    round(quantile_cont(cents, 0.95), 4) + 0.0 AS p95_exact
+        |  FROM t GROUP BY 1)
+        |SELECT x.tag AS tag, n_rows, p50_hist, p95_hist,
+        |  p50_exact, p95_exact
+        |FROM x JOIN e USING (tag)""".stripMargin),
     Q("q244_sketch_rollup", sketchRollup _,
       """WITH ev AS (
         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,

@@ -367,7 +367,128 @@ object Relational {
           .as("cents_delta"))
   }
 
+  /** Merkle-style sync audit — the digest-tree complement to q198's
+    * full diff: when two 100-TB replicas are PRESUMED equal, comparing
+    * them should not cost a full-table shuffle. Both sides fold their
+    * rows into 64 key-hashed bucket digests (portable md5-derived row
+    * digests combined with BIT_XOR — order- and merge-free, so the
+    * digest build is one partial-agg'd pass whose exchange carries 64
+    * longs per side, the rsync/anti-entropy recipe of Dynamo-style
+    * replica repair); the digest tables join on bucket id, and ROW
+    * -level work (q198's added/removed/changed census) is confined to
+    * the buckets whose digest or count disagrees — at a realistic
+    * mutation rate that is a few buckets, not the table. The bucket
+    * key hashes the ROW KEY (not the payload), so a value change stays
+    * in its bucket and localizes. v2 derives from orders by q198's
+    * deterministic mutation rules, so both engines build identical
+    * replicas; the output census carries the tree stats (differing
+    * buckets, rows actually scanned) beside the drill-down classes —
+    * the evidence of what the tree SAVED. */
+  def merkleSync(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val v1 = t(spark, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("priority"),
+      col("o_custkey").as("cust"))
+    val v2 = v1.filter(col("key") % 101 =!= 0)
+      .withColumn("cents", when(col("key") % 97 === 0,
+        col("cents") + 100).otherwise(col("cents")))
+      .unionByName(v1.filter(col("key") % 103 === 0)
+        .withColumn("key", -col("key") - 1))
+    def enc(df: DataFrame): DataFrame = df.select(col("key"),
+      (TextOps.portableHash(
+        concat(lit("mk:"), col("key").cast("string"))) % 64).as("bkt"),
+      TextOps.portableHash60(concat_ws("|", col("key"), col("cents"),
+        col("status"), col("priority"), col("cust"))).as("rd"))
+    val e1 = enc(v1)
+    val e2 = enc(v2)
+    val b1 = e1.groupBy(col("bkt"))
+      .agg(expr("bit_xor(rd)").as("d1"), count(lit(1)).as("n1"))
+    val b2 = e2.groupBy(col("bkt"))
+      .agg(expr("bit_xor(rd)").as("d2"), count(lit(1)).as("n2"))
+    val cmp = b1.join(b2, Seq("bkt"), "full_outer")
+      .withColumn("diff",
+        not(col("d1") <=> col("d2")) || not(col("n1") <=> col("n2")))
+    val diffB = cmp.filter(col("diff")).select(col("bkt"))
+    val tree = cmp.agg(count(lit(1)).as("n_buckets"),
+      sum(when(col("diff"), 1L).otherwise(0L)).as("n_buckets_differing"),
+      sum(when(col("diff"), col("n1")).otherwise(0L)).as("n_rows_scanned"))
+    // row-level census ONLY inside differing buckets
+    val cls = e1.join(broadcast(diffB), Seq("bkt"), "left_semi")
+      .select(col("key"), col("rd").as("f1"))
+      .join(e2.join(broadcast(diffB), Seq("bkt"), "left_semi")
+        .select(col("key"), col("rd").as("f2")), Seq("key"), "full_outer")
+      .agg(sum(when(col("f1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("f2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("f1").isNotNull && col("f2").isNotNull &&
+          col("f1") =!= col("f2"), 1L).otherwise(0L)).as("n_changed"))
+    tree.crossJoin(broadcast(cls))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q247_merkle_sync", merkleSync _,
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS key,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderstatus AS status, o_orderpriority AS priority,
+        |    o_custkey AS cust
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT key,
+        |    CASE WHEN key % 97 = 0 THEN cents + 100 ELSE cents END
+        |      AS cents,
+        |    status, priority, cust
+        |  FROM v1 WHERE key % 101 <> 0
+        |  UNION ALL
+        |  SELECT -key - 1, cents, status, priority, cust
+        |  FROM v1 WHERE key % 103 = 0),
+        |e1 AS (
+        |  SELECT key,
+        |    ('0x' || substr(md5('mk:' || CAST(key AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 64 AS bkt,
+        |    ('0x' || substr(md5(concat_ws('|', key, cents, status,
+        |      priority, cust)), 1, 15))::BIGINT AS rd
+        |  FROM v1),
+        |e2 AS (
+        |  SELECT key,
+        |    ('0x' || substr(md5('mk:' || CAST(key AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 64 AS bkt,
+        |    ('0x' || substr(md5(concat_ws('|', key, cents, status,
+        |      priority, cust)), 1, 15))::BIGINT AS rd
+        |  FROM v2),
+        |b1 AS (SELECT bkt, bit_xor(rd) AS d1, count(*) AS n1
+        |       FROM e1 GROUP BY 1),
+        |b2 AS (SELECT bkt, bit_xor(rd) AS d2, count(*) AS n2
+        |       FROM e2 GROUP BY 1),
+        |cmp AS (
+        |  SELECT COALESCE(b1.bkt, b2.bkt) AS bkt, d1, d2, n1, n2,
+        |    (d1 IS DISTINCT FROM d2 OR n1 IS DISTINCT FROM n2) AS diff
+        |  FROM b1 FULL OUTER JOIN b2 ON b1.bkt = b2.bkt),
+        |tree AS (
+        |  SELECT count(*) AS n_buckets,
+        |    CAST(sum(CASE WHEN diff THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_buckets_differing,
+        |    CAST(sum(CASE WHEN diff THEN n1 ELSE 0 END) AS BIGINT)
+        |      AS n_rows_scanned
+        |  FROM cmp),
+        |db AS (SELECT bkt FROM cmp WHERE diff),
+        |r1 AS (SELECT key, rd FROM e1 WHERE bkt IN (SELECT bkt FROM db)),
+        |r2 AS (SELECT key, rd FROM e2 WHERE bkt IN (SELECT bkt FROM db)),
+        |cls AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN r1.rd IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_added,
+        |    CAST(sum(CASE WHEN r2.rd IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_removed,
+        |    CAST(sum(CASE WHEN r1.rd IS NOT NULL AND r2.rd IS NOT NULL
+        |      AND r1.rd <> r2.rd THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_changed
+        |  FROM r1 FULL OUTER JOIN r2 ON r1.key = r2.key)
+        |SELECT n_buckets, n_buckets_differing, n_rows_scanned,
+        |  n_added, n_removed, n_changed
+        |FROM tree CROSS JOIN cls""".stripMargin),
     Q("q198_table_diff", tableDiff _,
       """WITH v1 AS (
         |  SELECT o_orderkey AS key,

