@@ -132,7 +132,20 @@ object PlanDump {
       "q244_sketch_rollup" ->
         ("sketch rollup: one scan builds daily HLL registers " +
           "(ObjectHashAggregate), range answers are register merges " +
-          "over the tiny sketch table"))
+          "over the tiny sketch table"),
+      "q245_ann_ivfpq" ->
+        ("IVF x PQ composed ANN serving plan: broadcast centroids + " +
+          "codebooks, top-nprobe cell probe per query, ADC confined to " +
+          "probed cells via the cell equi-join, exact rerank on Q*10 " +
+          "raw vectors — never a flat QxN scan"),
+      "q247_merkle_sync" ->
+        ("Merkle sync audit: partial-agg'd BIT_XOR bucket digests both " +
+          "sides (64-row exchange), digest compare, row census only in " +
+          "differing buckets via broadcast semi-joins"),
+      "q248_quantile_normalize" ->
+        ("quantile normalization: value-range-bucketed pooled ordinals " +
+          "(64-row offset prefix sum — no global sort), integer target " +
+          "ranks, one hash equi-join lookup on the ordinal"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")
