@@ -18,7 +18,7 @@ object SparkEntry {
       TextAnalysis.catalog ++ Multimodal.catalog ++ SkewJoin.catalog ++
       ApproxAgg.catalog ++ Reshape.catalog ++ Sampling.catalog ++
       StreamQueries.catalog ++ DataQuality.catalog ++ Layout.catalog ++
-      Graph.catalog ++ Stats.catalog
+      Graph.catalog ++ Stats.catalog ++ MlEval.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -41,7 +41,7 @@ object SparkEntry {
     "relational" -> (Relational.catalog ++ JoinsSetOps.catalog ++
       ScalarFuncs.catalog ++ Reshape.catalog ++ Stats.catalog),
     "analytics" -> (Analytics.catalog ++ ApproxAgg.catalog ++
-      SkewJoin.catalog ++ DataQuality.catalog),
+      SkewJoin.catalog ++ DataQuality.catalog ++ MlEval.catalog),
     "dedup" -> (Dedup.catalog ++ Similarity.catalog),
     "text" -> TextAnalysis.catalog,
     "multimodal" -> Multimodal.catalog,

@@ -120,6 +120,66 @@ object ApproxAgg {
         col("exact_distinct"))
   }
 
+  /** Week-over-week audience retention from a STORED per-week KMV
+    * sketch table — q244's pre-aggregated-sketch architecture applied
+    * to SET OPERATIONS (Beyer et al. 2007): one corpus scan builds a
+    * per-week sketch of active users (bounded 64-long
+    * [[graft.functions.KMinValuesAgg]] state, partial-agg'd), and every
+    * consecutive-week overlap question is then answered from the
+    * sketches alone — K_k(A∪B) is the k smallest of K(A) ∪ K(B) (k-mins
+    * of the union are a subset of the union of k-mins), Jaccard ≈
+    * |{h ∈ K_k(A∪B) : h ∈ K(A) ∧ h ∈ K(B)}| / |K_k(A∪B)|, retained ≈
+    * J × union estimate. This is where KMV beats HLL for a stored
+    * sketch table: HLL registers support union only (q244) — KMV gives
+    * union AND intersection from the same bounded state. Everything is
+    * a deterministic function of sorted 64-long arrays, so estimates
+    * AND errors are oracle-checked (q106/q196 precedent — q196 sketches
+    * two JOIN sides ad hoc; here the sketches are a reusable per-group
+    * TABLE and the set algebra runs per week pair). Below k distinct
+    * users a week's sketch degenerates to exact by construction (the
+    * sf0.001 arm). `retained_exact` is the accuracy witness — at 100 TB
+    * you would drop it and keep only the sketch table. */
+  def kmvRetention(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val ev = t(spark, dir, "events")
+      .select(expr("CAST(ts AS LONG) div 604800").as("wk"),
+        col("user_id"),
+        TextOps.portableHash(col("user_id").cast("string")).as("h"))
+      .cutLineage() // one scan feeds the sketch table + the exact witness
+    val sketches = ev.groupBy(col("wk"))
+      .agg(KMinValuesAgg.kMinValues(col("h"), k).as("kmv"),
+        countDistinct(col("user_id")).as("n_users"))
+    val wkUsers = ev.select(col("wk"), col("user_id")).distinct()
+    val retained = wkUsers.as("a")
+      .join(wkUsers.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.wk") === col("a.wk") + 1)
+      .groupBy(col("a.wk").as("wk"))
+      .agg(count(lit(1)).as("retained_exact"))
+    sketches.as("sa")
+      .join(sketches.as("sb"), col("sb.wk") === col("sa.wk") + 1)
+      .join(retained.as("r"), col("r.wk") === col("sa.wk"), "left_outer")
+      .withColumn("merged",
+        slice(array_sort(array_union(col("sa.kmv"), col("sb.kmv"))), 1, k))
+      .withColumn("n_merged", size(col("merged")).cast("long"))
+      .withColumn("matches",
+        size(filter(col("merged"), x =>
+          array_contains(col("sa.kmv"), x) &&
+            array_contains(col("sb.kmv"), x))).cast("long"))
+      .withColumn("union_est",
+        when(col("n_merged") < k, col("n_merged").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            element_at(col("merged"), k).cast("double")))
+      .select(col("sa.wk").as("wk_from"),
+        col("sa.n_users").as("n_a"), col("sb.n_users").as("n_b"),
+        coalesce(col("retained_exact"), lit(0L)).as("retained_exact"),
+        col("n_merged"), col("matches"),
+        expr("matches * 1000000 div n_merged").as("jacc_ppm"),
+        round(col("union_est"), 4).as("union_est_r"),
+        round(col("matches").cast("double") / col("n_merged") *
+          col("union_est"), 4).as("retained_est_r"))
+  }
+
   /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005) over
     * corpus tokens: d=4 portable-hash rows × w=64 counters, estimate =
     * min over rows, reported beside the exact count for the top-20 tokens.
@@ -406,6 +466,66 @@ object ApproxAgg {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q257_kmv_retention", kmvRetention _,
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+        |    user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM events),
+        |hw AS (SELECT DISTINCT wk, h FROM ev),
+        |sk AS MATERIALIZED (
+        |  SELECT wk, h FROM (
+        |    SELECT wk, h,
+        |      row_number() OVER (PARTITION BY wk ORDER BY h) AS r
+        |    FROM hw) WHERE r <= 64),
+        |nn AS (SELECT wk, count(DISTINCT user_id) AS n_users
+        |       FROM ev GROUP BY 1),
+        |wks AS (SELECT a.wk AS wf FROM (SELECT DISTINCT wk FROM sk) a
+        |        JOIN (SELECT DISTINCT wk FROM sk) b ON b.wk = a.wk + 1),
+        |cand AS (
+        |  SELECT DISTINCT p.wf, s.h FROM wks p
+        |    JOIN sk s ON s.wk = p.wf OR s.wk = p.wf + 1),
+        |merged AS MATERIALIZED (
+        |  SELECT wf, h FROM (
+        |    SELECT wf, h,
+        |      row_number() OVER (PARTITION BY wf ORDER BY h) AS r
+        |    FROM cand) WHERE r <= 64),
+        |mm AS (SELECT wf, count(*) AS n_merged, max(h) AS tau
+        |       FROM merged GROUP BY 1),
+        |mt AS (
+        |  SELECT m.wf, count(*) AS matches FROM merged m
+        |    JOIN sk a ON a.wk = m.wf AND a.h = m.h
+        |    JOIN sk b ON b.wk = m.wf + 1 AND b.h = m.h
+        |  GROUP BY 1),
+        |wu AS (SELECT DISTINCT wk, user_id FROM ev),
+        |ret AS (
+        |  SELECT a.wk AS wf, count(*) AS retained_exact
+        |  FROM wu a JOIN wu b
+        |    ON b.user_id = a.user_id AND b.wk = a.wk + 1
+        |  GROUP BY 1),
+        |u AS (SELECT wf, n_merged, tau,
+        |  CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
+        |    ELSE 63.0 * 4294967296.0 / CAST(tau AS DOUBLE) END
+        |    AS union_est
+        |  FROM mm)
+        |SELECT u.wf AS wk_from,
+        |  CAST(na.n_users AS BIGINT) AS n_a,
+        |  CAST(nb.n_users AS BIGINT) AS n_b,
+        |  CAST(coalesce(ret.retained_exact, 0) AS BIGINT)
+        |    AS retained_exact,
+        |  CAST(u.n_merged AS BIGINT) AS n_merged,
+        |  CAST(coalesce(mt.matches, 0) AS BIGINT) AS matches,
+        |  CAST(coalesce(mt.matches, 0) * 1000000 // u.n_merged AS BIGINT)
+        |    AS jacc_ppm,
+        |  round(u.union_est, 4) AS union_est_r,
+        |  round(CAST(coalesce(mt.matches, 0) AS DOUBLE) / u.n_merged *
+        |    u.union_est, 4) AS retained_est_r
+        |FROM u
+        |  JOIN nn na ON na.wk = u.wf
+        |  JOIN nn nb ON nb.wk = u.wf + 1
+        |  LEFT JOIN mt ON mt.wf = u.wf
+        |  LEFT JOIN ret ON ret.wf = u.wf""".stripMargin),
     Q("q246_histogram_rollup", histogramRollup _,
       """WITH ev AS (
         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,

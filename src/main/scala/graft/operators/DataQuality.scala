@@ -315,6 +315,48 @@ object DataQuality {
     * empty/fully-filtered input (kept as NULL columns, matching the
     * oracle's SQL `sum` semantics — never unboxed through
     * null.asInstanceOf, which would silently read 0). */
+  /** Population stability index per bin — the standard production
+    * score-drift monitor (banking/ML-monitoring folklore; same family
+    * as q229's KL): event values bucket into 16 fixed equal-width
+    * slices over the GLOBAL min/max (pure integer bin arithmetic — the
+    * bin id is output, so no float boundary math), the corpus splits
+    * into an early
+    * and a late half at the midpoint timestamp, and each bin reports
+    * its signed PSI contribution (p−q)·ln(p/q) — Σ over bins is the
+    * PSI, > 0.2 is the classic "investigate" threshold. All counting is
+    * exact integers collapsing to ≤ 16 rows before ANY float math; the
+    * contribution is one fixed-order closed-form expression (the
+    * q229/q60 ln precedent), NULL for bins empty on either side (the
+    * conventional exclude-and-flag treatment, deterministic in both
+    * engines). One corpus scan, one 16-key partial-agg'd shuffle. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("ts").cast("long").as("sec"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val bounds = ev.agg(min(col("sec")).as("mn_s"), max(col("sec")).as("mx_s"),
+      min(col("cents")).as("mn_c"), max(col("cents")).as("mx_c"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("late", col("sec") >= expr("(mn_s + mx_s) div 2"))
+      // pure-integer bin id (bin is OUTPUT here, so no float boundary
+      // arithmetic — unlike the internal-only width_bucket slices)
+      .withColumn("bin",
+        expr("(cents - mn_c) * 16 div (mx_c + 1 - mn_c)"))
+      .groupBy(col("bin"))
+      .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+    val totals = binned.agg(sum(col("n_early")).as("tot_early"),
+      sum(col("n_late")).as("tot_late"))
+    binned.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_early"), col("n_late"),
+        when(col("n_early") > 0 && col("n_late") > 0,
+          round((col("n_early").cast("double") / col("tot_early") -
+            col("n_late").cast("double") / col("tot_late")) *
+            log(col("n_early").cast("double") * col("tot_late") /
+              (col("n_late").cast("double") * col("tot_early"))), 6)
+            + lit(0.0))
+          .as("psi_contrib_r"))
+  }
+
   def observeMetrics(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Observation
     val obs = Observation()
@@ -648,6 +690,30 @@ object DataQuality {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q258_psi_drift", psiDrift _,
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT min(sec) AS mn_s, max(sec) AS mx_s,
+        |      min(cents) AS mn_c, max(cents) AS mx_c FROM ev),
+        |binned AS (
+        |  SELECT (cents - mn_c) * 16 // (mx_c + 1 - mn_c) AS bin,
+        |    CAST(sum(CASE WHEN sec >= (mn_s + mx_s) // 2
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_early,
+        |    CAST(sum(CASE WHEN sec >= (mn_s + mx_s) // 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |  FROM ev, b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS tot_early,
+        |      CAST(sum(n_late) AS BIGINT) AS tot_late FROM binned)
+        |SELECT bin, n_early, n_late,
+        |  CASE WHEN n_early > 0 AND n_late > 0 THEN
+        |    round((CAST(n_early AS DOUBLE) / tot_early -
+        |      CAST(n_late AS DOUBLE) / tot_late) *
+        |      ln(CAST(n_early AS DOUBLE) * tot_late /
+        |        (CAST(n_late AS DOUBLE) * tot_early)), 6) + 0.0
+        |    ELSE NULL END AS psi_contrib_r
+        |FROM binned, t""".stripMargin),
     Q("q242_contract_check", contractCheck _,
       """WITH o AS (SELECT * FROM orders)
         |SELECT rule_id, col_name, op, n_violations, n_violations = 0

@@ -341,6 +341,48 @@ object Graph {
         max(col("node")).as("max_node"))
   }
 
+  /** Newman modularity of the q197 LPA communities — the quality score
+    * that turns "we ran community detection" into "the partition is
+    * better than chance": Q = Σ_c (e_c/m − (d_c/2m)²) over the same
+    * support-2 co-purchase graph and the SAME 4-round deterministic
+    * label assignment as q197 (a ninth consumer of the shared stage).
+    * Emitted exactly: per community q_num = 4·m·e_c − d_c² (BIGINT —
+    * ≤ 4m² ~ 4·10¹⁰ here, decimal(38) at true graph scale), so
+    * Q = Σ q_num / (4m²) with NO division anywhere in the gate. Shapes:
+    * intra-community edge count is the pair relation joined to the
+    * label map on BOTH endpoints (two hash joins on node id, partial-
+    * agg'd count per label); degree mass is one join + one shrinking
+    * agg. Communities with no internal edge keep e_in = 0 via the
+    * left join. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = support2Pairs(spark, dir).select(col("u"), col("v"))
+    val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .cutLineage()
+    val labels = lpaOf(sym, 4)
+    val mdf = pairs.agg(count(lit(1)).as("m"))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val dsum = deg.join(labels, Seq("node"))
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("d_sum"))
+    val ein = pairs
+      .join(labels.select(col("node").as("u"), col("lab").as("lab_u")),
+        Seq("u"))
+      .join(labels.select(col("node").as("v"), col("lab").as("lab_v")),
+        Seq("v"))
+      .filter(col("lab_u") === col("lab_v"))
+      .groupBy(col("lab_u").as("lab"))
+      .agg(count(lit(1)).as("e_in"))
+    dsum.join(ein, Seq("lab"), "left_outer")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(mdf))
+      .select(col("lab").as("community"), col("n_members"),
+        col("d_sum"), col("e_in"),
+        (lit(4L) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+          .as("q_num"))
+  }
+
   /** Bounded multi-source BFS rounds: dist(v) = min hops to any seed,
     * computed as R synchronous relaxation rounds (dist' = min(dist,
     * min over in-neighbors dist+1)); nodes farther than R hops keep a
@@ -744,6 +786,36 @@ object Graph {
          |SELECT lab AS community, count(*) AS n_members,
          |  min(node) AS min_node, max(node) AS max_node
          |FROM l4 GROUP BY 1""".stripMargin),
+    Q("q256_modularity", modularity _,
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (
+         |  SELECT a.pk AS u, b.pk AS v FROM baskets a JOIN baskets b
+         |    ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+         |       UNION ALL SELECT v, u FROM pairs),
+         |l0 AS MATERIALIZED (
+         |  SELECT node, node AS lab
+         |  FROM (SELECT DISTINCT src AS node FROM e0)),
+         |${(1 to 4).map(lpaIterSql).mkString(",\n")},
+         |mm AS (SELECT count(*) AS m FROM pairs),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e0 GROUP BY 1),
+         |ds AS (
+         |  SELECT l.lab, count(*) AS n_members,
+         |    CAST(sum(d.deg) AS BIGINT) AS d_sum
+         |  FROM l4 l JOIN deg d ON l.node = d.node GROUP BY 1),
+         |ein AS (
+         |  SELECT la.lab, count(*) AS e_in FROM pairs p
+         |    JOIN l4 la ON p.u = la.node
+         |    JOIN l4 lb ON p.v = lb.node
+         |  WHERE la.lab = lb.lab GROUP BY 1)
+         |SELECT ds.lab AS community, n_members, d_sum,
+         |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+         |  CAST(4 * mm.m * coalesce(e_in, 0) - d_sum * d_sum AS BIGINT)
+         |    AS q_num
+         |FROM ds LEFT JOIN ein ON ds.lab = ein.lab, mm""".stripMargin),
     Q("q192_kcore", kcore _,
       s"""WITH baskets AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -1,0 +1,372 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Model-evaluation + label-quality operators — the scoring half of a
+  * training pipeline: once a model (or a heuristic annotator) emits
+  * per-row scores, the pipeline must grade them at corpus scale.
+  * Exact ROC AUC (Mann–Whitney rank-sum form), calibration/reliability
+  * bins with a Brier decomposition, inter-annotator agreement
+  * (Cohen's kappa), k-anonymity/l-diversity privacy census, and
+  * Spearman rank correlation on the two-phase ordinal recipe.
+  *
+  * House discipline throughout: every statistic is exact integer
+  * arithmetic up to one final fixed-order division (emitted both as the
+  * exact integer pieces and a round(·,6) double), so the DuckDB gate
+  * hash-matches bit-for-bit. No global sorts: rank statistics collapse
+  * to the value domain first (bounded feature domains here) or ride the
+  * q190 64-bucket two-phase prefix sum (unbounded domains — Spearman's
+  * price ranks).
+  */
+object MlEval {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** The deterministic stand-in "model score" for lineitem return
+    * prediction: an integer feature combination (quantity, discount
+    * cents, tax cents) with a bounded domain (≤ 50·11·9 distinct
+    * values). A real model would emit float scores with unbounded
+    * cardinality — then the rank statistics below switch from
+    * collapse-to-domain to the q190 two-phase bucket recipe (same
+    * algebra, see [[spearman]] which demonstrates it on an
+    * ~unbounded domain). */
+  private def scoreCol: Column =
+    col("l_quantity").cast("long") * 1000 +
+      expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)") * 10 +
+      expr("CAST(floor(l_tax * 100 + 0.5) AS BIGINT)")
+
+  private val scoreSql: String =
+    "CAST(l_quantity AS BIGINT) * 1000 + " +
+      "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * 10 + " +
+      "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+
+  /** Exact ROC AUC via the Mann–Whitney rank-sum identity, never a
+    * per-pair join: AUC·(2·n₁·n₀) = Σ_s n_pos(s)·(2·cumneg_<(s) +
+    * n_neg(s)) — positives at score s beat every negative strictly
+    * below (weight 2) and half-win ties at s (weight 1). The corpus
+    * collapses to one (score → n_pos, n_neg) relation FIRST (one
+    * partial-agg'd shuffle, ≤ |score domain| rows), then the cumulative
+    * runs over that bounded relation — at 100 TB the per-row work is
+    * the groupBy; the window never sees corpus-sized input. Label =
+    * lineitem returned flag; score = [[scoreCol]]. Everything through
+    * `auc_num2` is exact integers; `auc_ppm` is one integral division
+    * (all-positive), `auc_r` the one fixed-order double. */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "lineitem")
+      .select(scoreCol.as("s"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).as("n_neg"))
+    // bounded relation (≤ ~5k rows): single-partition window is the
+    // collapse-then-window house shape (q163/q235), not a corpus sort
+    val wLt = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .withColumn("cumneg_lt", coalesce(sum(col("n_neg")).over(wLt), lit(0L)))
+      .agg(sum(col("n_pos")).as("n1"), sum(col("n_neg")).as("n0"),
+        sum(col("n_pos") * (lit(2) * col("cumneg_lt") + col("n_neg")))
+          .as("auc_num2"))
+      .select(col("n1"), col("n0"), col("auc_num2"),
+        expr("auc_num2 * 1000000 div (2 * n1 * n0)").as("auc_ppm"),
+        (round(col("auc_num2").cast("double") /
+          (lit(2.0) * col("n1") * col("n0")), 6) + lit(0.0)).as("auc_r"))
+  }
+
+  /** Calibration / reliability diagram + per-bin Brier score: the
+    * deterministic predicted probability p_ppm (a monotone clamp of the
+    * score into [0, 10⁶]) buckets into 10 fixed bins; each bin reports
+    * count, mean prediction, observed positive rate, signed gap, and
+    * mean Brier contribution — all exact integer sums with integral
+    * divisions (gap is a subtraction of two already-divided ppms, no
+    * negative division). One partial-agg'd shuffle of ≤ 10 keys; the
+    * squared-error sum stays < 2⁶³ to sf0.1 ×100 (10¹² per row — at
+    * true 100 TB widths switch the sum to decimal(38), the q207/q239
+    * precedent). */
+  def calibration(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(scoreCol.as("s"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .withColumn("p_ppm", least(col("s") * 20, lit(1000000L)))
+      .withColumn("bin", least(expr("p_ppm div 100000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p_ppm")).as("sum_p"),
+        sum((col("p_ppm") - col("y") * 1000000L) *
+          (col("p_ppm") - col("y") * 1000000L)).as("se2"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("sum_p div n").as("mean_pred_ppm"),
+        expr("n_pos * 1000000 div n").as("pos_rate_ppm"),
+        (expr("sum_p div n") - expr("n_pos * 1000000 div n"))
+          .as("gap_ppm"),
+        expr("se2 div (n * 1000000)").as("brier_ppm"))
+
+  /** Inter-annotator agreement (Cohen 1960): annotator A = the corpus'
+    * stored `lang` label, annotator B = the engine's own stopword
+    * language-ID heuristic (q40's predictor, reused verbatim) — the
+    * label-quality audit a pipeline runs before trusting either source
+    * of labels. κ = (p_o − p_e)/(1 − p_e) from the confusion margins;
+    * emitted as the exact integer numerator n·Σdiag − Σ_k row_k·col_k
+    * and denominator n² − Σ_k row_k·col_k (either may approach zero —
+    * NO integral division on possibly-negative values, the double is
+    * the one fixed-order divide). Confusion collapses to ≤ 6×6 cells
+    * in one partial-agg'd pass over the corpus. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val lo = TextAnalysis.langOrder
+    val withScores = lo.foldLeft(
+      t(spark, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))) {
+      case (df, l) => df.withColumn(s"s_$l",
+        TextAnalysis.stopHits(col("tk"), l))
+    }
+    val best = greatest(lo.map(l => col(s"s_$l")): _*)
+    val pred = lo.foldRight(lit("unknown"): Column) {
+      case (l, other) => when(col(s"s_$l") === best, lit(l)).otherwise(other)
+    }
+    val conf = withScores
+      .withColumn("pred", when(best === 0, "unknown").otherwise(pred))
+      .groupBy(col("lang").as("a"), col("pred").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val rows = conf.groupBy(col("a")).agg(sum(col("c")).as("row_n"))
+    val cols = conf.groupBy(col("b")).agg(sum(col("c")).as("col_n"))
+    val pe = rows.join(cols, rows("a") === cols("b"))
+      .agg(sum(col("row_n") * col("col_n")).as("pe_num"))
+    conf
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("a") === col("b"), col("c")).otherwise(0L))
+          .as("n_agree"))
+      .crossJoin(broadcast(pe))
+      .select(col("n"), col("n_agree"), col("pe_num"),
+        expr("n_agree * 1000000 div n").as("po_ppm"),
+        (col("n") * col("n_agree") - col("pe_num")).as("kappa_num"),
+        (col("n") * col("n") - col("pe_num")).as("kappa_den"),
+        (round((col("n") * col("n_agree") - col("pe_num")).cast("double") /
+          (col("n") * col("n") - col("pe_num")).cast("double"), 6)
+          + lit(0.0)).as("kappa_r"))
+  }
+
+  /** k-anonymity / l-diversity census (Sweeney 2002; Machanavajjhala
+    * 2007) — the privacy screen a pipeline runs before releasing
+    * quasi-identifiable records: customers project onto the
+    * quasi-identifier (nation, market segment, $1000 balance band;
+    * band via floor on DOUBLE so negative balances bucket identically
+    * in both engines), equivalence classes census by size, and within
+    * each size class the minimum l-diversity of the sensitive exact
+    * balance. Re-identification risk = rows in classes smaller than
+    * k=5. Two partial-agg'd shuffles (rows→classes, classes→size
+    * census), both shrinking; no sort. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_band"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("cls_n"),
+        countDistinct(col("cents")).as("l_div"))
+      .groupBy(col("cls_n"))
+      .agg(count(lit(1)).as("n_classes"),
+        (count(lit(1)) * col("cls_n").cast("long")).as("n_rows"),
+        min(col("l_div")).as("min_l"),
+        sum(when(col("cls_n") < 5, 1L).otherwise(0L))
+          .as("n_risky_classes"))
+      .withColumnRenamed("cls_n", "class_size")
+
+  /** 2·midrank per distinct value of `v` in `df`, WITHOUT a global
+    * sort: the q190/q193 two-phase recipe on the VALUE order — 64
+    * monotone `width_bucket` slices, per-slice cumulative over the
+    * collapsed (value → count) relation, slice offsets lifted by the
+    * 64-row prefix sum. 2·midrank = 2·cum_< + cnt + 1 stays integer.
+    * Ties are whole buckets' worth of identical values — they collapse
+    * BEFORE the window, so the window input is |distinct values in
+    * slice|, never corpus rows. */
+  private def midrank2(df: DataFrame, v: String): DataFrame = {
+    val counts = df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+    val bounds = counts.agg(min(col(v)).as("mn"), max(col(v)).as("mx"))
+    val bucketed = counts.crossJoin(broadcast(bounds))
+      .withColumn("b", expr(s"width_bucket($v, mn, mx + 1, 64)"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col(v).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(sum(col("cnt")).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("b"), col("off"))
+    bucketed
+      .withColumn("cum_in", coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("b"))
+      .select(col(v),
+        (lit(2L) * (col("off") + col("cum_in")) + col("cnt") + 1L)
+          .as("r2"))
+  }
+
+  /** Spearman rank correlation between lineitem quantity and price —
+    * the monotone-dependence screen that, unlike Pearson, survives
+    * arbitrary monotone feature transforms: ρ = Pearson on midranks.
+    * Both variables' midranks come from [[midrank2]] (the two-phase
+    * ordinal recipe — price cents are ~per-row distinct, so this is
+    * the unbounded-domain path the bounded-domain q251/q252 note), the
+    * integer 2·midranks join back value-keyed (quantity's ≤ 50-row map
+    * broadcast; cents' map a plain shuffle equi-join), and the five
+    * sufficient statistics accumulate as decimal(38) (Σr²·r² overflows
+    * 2⁶³ past ~10× this SF) in ONE partial-agg'd pass. The oracle IS
+    * the one-sort global midrank, so the gate proves the decomposition.
+    * ρ in [-1,1]: no integral division — the double is the one
+    * fixed-order expression. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+    val rx = midrank2(base, "qty").withColumnRenamed("r2", "r2x")
+    val ry = midrank2(base, "cents").withColumnRenamed("r2", "r2y")
+    base
+      .join(broadcast(rx), Seq("qty"))
+      .join(ry, Seq("cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x").cast("decimal(38,0)")).as("sx"),
+        sum(col("r2y").cast("decimal(38,0)")).as("sy"),
+        sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).as("syy"))
+      .select(col("n"),
+        (round((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          + lit(0.0)).as("rho_r"))
+  }
+
+  val catalog: Seq[Q] = Seq(
+    Q("q251_roc_auc", rocAuc _,
+      s"""WITH scored AS (
+         |  SELECT $scoreSql AS s,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |per_s AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+         |  FROM scored GROUP BY 1),
+         |cum AS (
+         |  SELECT n_pos, n_neg,
+         |    CAST(coalesce(sum(n_neg) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cumneg_lt
+         |  FROM per_s),
+         |tot AS (
+         |  SELECT CAST(sum(n_pos) AS BIGINT) AS n1,
+         |    CAST(sum(n_neg) AS BIGINT) AS n0,
+         |    CAST(sum(n_pos * (2 * cumneg_lt + n_neg)) AS BIGINT)
+         |      AS auc_num2
+         |  FROM cum)
+         |SELECT n1, n0, auc_num2,
+         |  CAST(auc_num2 * 1000000 // (2 * n1 * n0) AS BIGINT) AS auc_ppm,
+         |  round(CAST(auc_num2 AS DOUBLE) /
+         |    (2.0 * n1 * n0), 6) + 0.0 AS auc_r
+         |FROM tot""".stripMargin),
+    Q("q252_calibration", calibration _,
+      s"""WITH scored AS (
+         |  SELECT least(($scoreSql) * 20, 1000000) AS p_ppm,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT least(p_ppm // 100000, 9) AS bin, count(*) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(p_ppm) AS BIGINT) AS sum_p,
+         |    CAST(sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000))
+         |      AS BIGINT) AS se2
+         |  FROM scored GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |  CAST(sum_p // n AS BIGINT) AS mean_pred_ppm,
+         |  CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_ppm,
+         |  CAST(sum_p // n - n_pos * 1000000 // n AS BIGINT) AS gap_ppm,
+         |  CAST(se2 // (n * 1000000) AS BIGINT) AS brier_ppm
+         |FROM b""".stripMargin),
+    Q("q253_cohens_kappa", cohensKappa _, {
+      val lo = TextAnalysis.langOrder
+      val scoreCols = lo.map(l => s"${TextAnalysis.hitsSql(l)} AS s_$l")
+        .mkString(",\n    ")
+      val best = s"greatest(${lo.map(l => s"s_$l").mkString(", ")})"
+      val chain = lo.map(l => s"WHEN s_$l = $best THEN '$l'")
+        .mkString("\n      ")
+      s"""WITH scored AS (
+         |  SELECT lang AS a,
+         |    $scoreCols
+         |  FROM documents),
+         |conf AS (
+         |  SELECT a,
+         |    CASE WHEN $best = 0 THEN 'unknown'
+         |      $chain
+         |      ELSE 'unknown' END AS b,
+         |    count(*) AS c
+         |  FROM scored GROUP BY 1, 2),
+         |m AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM conf),
+         |pe AS (
+         |  SELECT CAST(sum(r.row_n * cl.col_n) AS BIGINT) AS pe_num
+         |  FROM (SELECT a, sum(c) AS row_n FROM conf GROUP BY 1) r
+         |    JOIN (SELECT b, sum(c) AS col_n FROM conf GROUP BY 1) cl
+         |    ON r.a = cl.b)
+         |SELECT n, n_agree, pe_num,
+         |  CAST(n_agree * 1000000 // n AS BIGINT) AS po_ppm,
+         |  CAST(n * n_agree - pe_num AS BIGINT) AS kappa_num,
+         |  CAST(n * n - pe_num AS BIGINT) AS kappa_den,
+         |  round(CAST(n * n_agree - pe_num AS DOUBLE) /
+         |    CAST(n * n - pe_num AS DOUBLE), 6) + 0.0 AS kappa_r
+         |FROM m, pe""".stripMargin
+    }),
+    Q("q254_k_anonymity", kAnonymity _,
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    count(*) AS cls_n,
+        |    CAST(count(DISTINCT CAST(floor(c_acctbal * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS l_div
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT cls_n AS class_size, count(*) AS n_classes,
+        |  CAST(count(*) * cls_n AS BIGINT) AS n_rows,
+        |  min(l_div) AS min_l,
+        |  CAST(sum(CASE WHEN cls_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_classes
+        |FROM cls GROUP BY 1""".stripMargin),
+    Q("q255_spearman", spearman _,
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT
+        |    2 * rank() OVER (ORDER BY qty) - 2 +
+        |      count(*) OVER (PARTITION BY qty) + 1 AS r2x,
+        |    2 * rank() OVER (ORDER BY cents) - 2 +
+        |      count(*) OVER (PARTITION BY cents) + 1 AS r2y
+        |  FROM base),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(r2x AS HUGEINT)) AS sx,
+        |    sum(CAST(r2y AS HUGEINT)) AS sy,
+        |    sum(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+        |    sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+        |    sum(CAST(r2y AS HUGEINT) * r2y) AS syy
+        |  FROM rk)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+        |    AS rho_r
+        |FROM s""".stripMargin)
+  )
+}

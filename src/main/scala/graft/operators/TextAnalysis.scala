@@ -26,9 +26,9 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"),
     "zh" -> Seq("de", "shi", "bu", "le", "wo", "you", "he", "zai"))
 
-  private val langOrder = Seq("en", "de", "es", "fr", "zh")
+  private[graft] val langOrder = Seq("en", "de", "es", "fr", "zh")
 
-  private def stopHits(tokens: Column, lang: String): Column =
+  private[graft] def stopHits(tokens: Column, lang: String): Column =
     size(filter(tokens, tk => tk.isInCollection(stopwords(lang))))
 
   /** Language-ID heuristic: per-language stopword hit counts; prediction =
@@ -819,7 +819,7 @@ object TextAnalysis {
           .as("chunk_hash"))
   }
 
-  private def hitsSql(lang: String): String = {
+  private[operators] def hitsSql(lang: String): String = {
     val lst = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(string_split(text, ' '), tk -> list_contains($lst, tk)))"
   }

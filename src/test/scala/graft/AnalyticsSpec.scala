@@ -1262,4 +1262,41 @@ class AnalyticsSpec extends SparkSpec {
     // the fixture exercises the interesting classes, not just carryover
     assert(got.contains("new_version") && got.contains("unchanged"))
   }
+
+  test("psi drift: per-bin contributions equal a sequential recompute; " +
+      "identical halves would score zero") {
+    val rows = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("ts").cast("long"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (mnS, mxS) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (mnC, mxC) = (rows.map(_._2).min, rows.map(_._2).max)
+    val mid = (mnS + mxS) / 2
+    val binned = rows.map { case (s, c) =>
+      ((c - mnC) * 16 / (mxC + 1 - mnC), s >= mid)
+    }
+    val early = binned.filterNot(_._2).groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val late = binned.filter(_._2).groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val (totE, totL) = (early.values.sum.toDouble, late.values.sum.toDouble)
+    val got = operators.DataQuality.psiDrift(spark, sf).collect()
+    assert(got.length === binned.map(_._1).distinct.length)
+    var psi = 0.0
+    got.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      val (ne, nl) = (early.getOrElse(b, 0L), late.getOrElse(b, 0L))
+      assert(r.getAs[Long]("n_early") === ne)
+      assert(r.getAs[Long]("n_late") === nl)
+      if (ne > 0 && nl > 0) {
+        val contrib = (ne / totE - nl / totL) *
+          math.log(ne * totL / (nl * totE))
+        assert(math.abs(r.getAs[Double]("psi_contrib_r") - contrib) < 1e-5)
+        psi += contrib
+      } else assert(r.isNullAt(r.fieldIndex("psi_contrib_r")))
+    }
+    // each populated-both-sides contribution is (p−q)ln(p/q) ≥ 0, so
+    // the PSI total is non-negative — and 0 only for identical mixes
+    assert(psi >= 0.0)
+  }
 }

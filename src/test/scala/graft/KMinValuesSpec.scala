@@ -87,6 +87,49 @@ class KMinValuesSpec extends SparkSpec {
     assert(regs === Seq.fill(64)(0))
   }
 
+  test("kmv retention: per-week sketch algebra recomputes from scratch; " +
+      "below-k weeks give exact overlap") {
+    def hk(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select((col("ts").cast("long") / 604800).cast("long").as("wk"),
+        col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byWk = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sk = byWk.view.mapValues(us =>
+      us.map(u => hk(u.toString)).toVector.sorted.take(64)).toMap
+    val got = operators.ApproxAgg.kmvRetention(spark, sf).collect()
+    val wks = byWk.keys.toSeq.sorted
+    assert(got.length === wks.count(w => byWk.contains(w + 1)))
+    got.foreach { r =>
+      val w = r.getAs[Long]("wk_from")
+      val (ka, kb) = (sk(w), sk(w + 1))
+      val merged = (ka ++ kb).distinct.sorted.take(64)
+      val matches = merged.count(h => ka.contains(h) && kb.contains(h))
+      val unionEst = if (merged.length < 64) merged.length.toDouble
+        else 63.0 * 4294967296.0 / merged.last
+      assert(r.getAs[Long]("n_a") === byWk(w).size.toLong)
+      assert(r.getAs[Long]("n_b") === byWk(w + 1).size.toLong)
+      assert(r.getAs[Long]("retained_exact") ===
+        (byWk(w) & byWk(w + 1)).size.toLong)
+      assert(r.getAs[Long]("n_merged") === merged.length.toLong)
+      assert(r.getAs[Long]("matches") === matches.toLong)
+      assert(r.getAs[Long]("jacc_ppm") ===
+        matches.toLong * 1000000L / merged.length)
+      assert(math.abs(r.getAs[Double]("union_est_r") - unionEst) < 1e-3)
+      // the sf0.001 weeks hold < 64 users: sketches are exact and the
+      // estimate must equal the witness
+      if (byWk(w).size < 64 && byWk(w + 1).size < 64) {
+        assert(r.getAs[Long]("matches").toDouble /
+          r.getAs[Long]("n_merged") * unionEst ===
+          r.getAs[Long]("retained_exact").toDouble)
+      }
+    }
+  }
+
   test("join cardinality: estimator recomputes from scratch; union " +
       "estimate within the k=64 KMV error band") {
     def hk(s: String): Long = {

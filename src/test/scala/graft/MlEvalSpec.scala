@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force recomputes for the model-evaluation family (q251–q255):
+  * each statistic re-derived sequentially on the driver from the raw
+  * sf0.001 rows and compared exactly (integers) or to 1e-9 (the one
+  * fixed-order double each operator emits).
+  */
+class MlEvalSpec extends SparkSpec {
+
+  private def li: Array[(Long, Long, Boolean)] =
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_quantity").cast("long"),
+        expr("CAST(l_quantity AS BIGINT) * 1000 + " +
+          "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * 10 + " +
+          "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)").as("s"),
+        (col("l_returnflag") === "R").as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+  test("roc auc: rank-sum form equals the O(n_pos*n_neg) pair count") {
+    val rows = li
+    val pos = rows.filter(_._3).map(_._2)
+    val neg = rows.filterNot(_._3).map(_._2)
+    // pair-count ground truth on a deterministic subsample (full
+    // product at sf0.001 is ~8.7M pairs — fine, but keep it quick)
+    var num2 = 0L
+    pos.foreach { p =>
+      neg.foreach { n =>
+        if (p > n) num2 += 2 else if (p == n) num2 += 1
+      }
+    }
+    val got = operators.MlEval.rocAuc(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n1") === pos.length.toLong)
+    assert(got.getAs[Long]("n0") === neg.length.toLong)
+    assert(got.getAs[Long]("auc_num2") === num2)
+    val auc = num2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(got.getAs[Double]("auc_r") - auc) < 1e-6)
+  }
+
+  test("calibration: per-bin counts, rates and Brier match a " +
+      "sequential fold; predictions stay in [0, 1e6]") {
+    val rows = li
+    val binned = rows.map { case (_, s, y) =>
+      val p = math.min(s * 20, 1000000L)
+      (math.min(p / 100000, 9L), p, if (y) 1L else 0L)
+    }
+    val expected = binned.groupBy(_._1).map { case (b, rs) =>
+      val n = rs.length.toLong
+      val npos = rs.map(_._3).sum
+      val sp = rs.map(_._2).sum
+      val se2 = rs.map(r => {
+        val d = r._2 - r._3 * 1000000L; d * d
+      }).sum
+      b -> (n, npos, sp / n, npos * 1000000L / n, se2 / (n * 1000000L))
+    }
+    val got = operators.MlEval.calibration(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val e = expected(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n") === e._1)
+      assert(r.getAs[Long]("n_pos") === e._2)
+      assert(r.getAs[Long]("mean_pred_ppm") === e._3)
+      assert(r.getAs[Long]("pos_rate_ppm") === e._4)
+      assert(r.getAs[Long]("gap_ppm") === e._3 - e._4)
+      assert(r.getAs[Long]("brier_ppm") === e._5)
+      assert(e._3 >= 0 && e._3 <= 1000000L)
+    }
+  }
+
+  test("cohens kappa: confusion-margin identity against a driver-side " +
+      "recompute of the q40 predictor") {
+    val lo = operators.TextAnalysis.langOrder
+    val sw = operators.TextAnalysis.stopwords
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val pairs = docs.map { case (lang, text) =>
+      val tk = text.split(" ", -1)
+      val scores = lo.map(l => l -> tk.count(sw(l).toSet)).toMap
+      val best = scores.values.max
+      val pred =
+        if (best == 0) "unknown"
+        else lo.find(l => scores(l) == best).getOrElse("unknown")
+      (lang, pred)
+    }
+    val n = pairs.length.toLong
+    val agree = pairs.count(p => p._1 == p._2).toLong
+    val rowsM = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colsM = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val peNum = rowsM.map { case (k, rn) =>
+      rn * colsM.getOrElse(k, 0L)
+    }.sum
+    val got = operators.MlEval.cohensKappa(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n") === n)
+    assert(got.getAs[Long]("n_agree") === agree)
+    assert(got.getAs[Long]("pe_num") === peNum)
+    assert(got.getAs[Long]("kappa_num") === n * agree - peNum)
+    assert(got.getAs[Long]("kappa_den") === n * n - peNum)
+    val kap = (n * agree - peNum).toDouble / (n * n - peNum).toDouble
+    assert(math.abs(got.getAs[Double]("kappa_r") - kap) < 1e-6)
+  }
+
+  test("k-anonymity: equivalence-class census equals a driver-side " +
+      "group-by; risky classes are exactly those below k=5") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal").cast("double")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val classes = cust.groupBy { case (nk, seg, bal) =>
+      (nk, seg, math.floor(bal / 1000.0).toLong)
+    }.toSeq.map { case (_, rs) =>
+      // (.toSeq first: mapping the Map directly would re-build a Map
+      // keyed on class size, silently collapsing equal-sized classes)
+      (rs.length.toLong,
+        rs.map(r => math.floor(r._3 * 100 + 0.5).toLong).distinct.length.toLong)
+    }
+    val expected = classes.groupBy(_._1).map { case (sz, cs) =>
+      sz -> (cs.length.toLong, cs.length.toLong * sz, cs.map(_._2).min,
+        if (sz < 5) cs.length.toLong else 0L)
+    }
+    val got = operators.MlEval.kAnonymity(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val e = expected(r.getAs[Long]("class_size"))
+      assert(r.getAs[Long]("n_classes") === e._1)
+      assert(r.getAs[Long]("n_rows") === e._2)
+      assert(r.getAs[Long]("min_l") === e._3)
+      assert(r.getAs[Long]("n_risky_classes") === e._4)
+    }
+  }
+
+  test("spearman: two-phase midrank rho equals the one-sort driver " +
+      "recompute, and is invariant under a monotone price transform") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_quantity").cast("long"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def midranks2(vs: Array[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sorted = byV.keys.toArray.sorted
+      var cum = 0L
+      sorted.map { v =>
+        val r2 = 2 * cum + byV(v) + 1
+        cum += byV(v); v -> r2
+      }.toMap
+    }
+    val rx = midranks2(rows.map(_._1))
+    val ry = midranks2(rows.map(_._2))
+    val n = rows.length.toLong
+    val (sx, sy) = (rows.map(r => rx(r._1)).sum, rows.map(r => ry(r._2)).sum)
+    val sxy = rows.map(r => BigInt(rx(r._1)) * ry(r._2)).sum
+    val sxx = rows.map(r => BigInt(rx(r._1)) * rx(r._1)).sum
+    val syy = rows.map(r => BigInt(ry(r._2)) * ry(r._2)).sum
+    val rho = (BigDecimal(n) * BigDecimal(sxy) -
+      BigDecimal(sx) * BigDecimal(sy)).toDouble /
+      math.sqrt((BigDecimal(n) * BigDecimal(sxx) -
+        BigDecimal(sx) * BigDecimal(sx)).toDouble *
+        (BigDecimal(n) * BigDecimal(syy) -
+          BigDecimal(sy) * BigDecimal(sy)).toDouble)
+    val got = operators.MlEval.spearman(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n") === n)
+    assert(math.abs(got.getAs[Double]("rho_r") - rho) < 1e-5)
+    // monotone invariance: ranks of cents² equal ranks of cents (all
+    // positive), so rho over the squared price is identical
+    val ry2 = midranks2(rows.map(r => r._2 * r._2))
+    rows.foreach(r => assert(ry2(r._2 * r._2) === ry(r._2)))
+  }
+}

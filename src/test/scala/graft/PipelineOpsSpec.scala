@@ -636,6 +636,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotQ === expected)
   }
 
+  test("modularity: exact integer identity against a brute-force " +
+      "recompute; degree and edge masses conserve") {
+    import graft.operators.Graph
+    def bruteLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keySet.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        lab = adj.map { case (n, nbrs) =>
+          val counts = nbrs.groupBy(x => lab(x)).view.mapValues(_.size)
+          n -> counts.toSeq.map { case (l, c) => (-c.toLong, l) }.min._2
+        }
+      }
+      lab
+    }
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCounts((ps(i), ps(j))) =
+          pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val und = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val sym = und.flatMap(e => Seq(e, e.swap))
+    val lab = bruteLpa(sym, 4)
+    val m = und.length.toLong
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = lab.groupBy(_._2).map { case (c, members) =>
+      val nodes = members.keySet
+      val dSum = nodes.toSeq.map(deg).sum
+      val eIn = und.count(e => lab(e._1) == lab(e._2) &&
+        lab(e._1) == c).toLong
+      c -> ((members.size.toLong, dSum, eIn, 4L * m * eIn - dSum * dSum))
+    }
+    val got = Graph.modularity(spark, sf).collect().map(r =>
+      r.getAs[Long]("community") -> ((r.getAs[Long]("n_members"),
+        r.getAs[Long]("d_sum"), r.getAs[Long]("e_in"),
+        r.getAs[Long]("q_num")))).toMap
+    assert(got === expected)
+    // conservation: Σ d_c = 2m and Σ e_c ≤ m (cross-community edges
+    // are the slack); modularity itself stays in [-1/2, 1)
+    assert(got.values.map(_._2).sum === 2 * m)
+    assert(got.values.map(_._3).sum <= m)
+    val q = got.values.map(_._4.toDouble).sum / (4.0 * m * m)
+    assert(q >= -0.5 && q < 1.0)
+  }
+
   test("BFS hops: planted path pins hop counts, the horizon, and the " +
       "unreachable NULL class; sf census equals brute-force BFS") {
     import graft.operators.Graph
