@@ -383,6 +383,54 @@ object Graph {
           .as("q_num"))
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998) on
+    * the support-2 co-purchase graph — the node-level cohesion score
+    * that q153's GLOBAL closure ratio can't give: lcc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)), the fraction of v's neighbor pairs that are
+    * themselves connected (recommender folklore: high-lcc parts live in
+    * coherent baskets, low-lcc high-degree parts are promiscuous
+    * staples). Triangles enumerate via q153's degree-oriented adjacency
+    * INTERSECTION (never the wedge self-join — see trianglesOf's
+    * measured 14.2 s vs 3.8 s note), but exploded per closing node so
+    * each triangle credits all THREE corners; per-node counts are then
+    * one partial-agg'd shuffle over actual triangles (output-bounded,
+    * arboricity-capped), and the coefficient is pure integer ppm with
+    * the deg<2 singleton arm NULL in both engines. A tenth consumer of
+    * the shared stage. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = support2Pairs(spark, dir).select(col("u"), col("v"))
+      .cutLineage()
+    val deg = pairs.select(col("u").as("nd"))
+      .unionByName(pairs.select(col("v").as("nd")))
+      .groupBy(col("nd")).agg(count(lit(1)).as("deg"))
+    val fwd = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oe = pairs
+      .join(deg.select(col("nd").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("nd").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      .cutLineage()
+    val adj = oe.groupBy(col("src")).agg(collect_list(col("dst")).as("ns"))
+      .cutLineage()
+    val tris = oe
+      .join(adj.select(col("src"), col("ns").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("ns").as("nv")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val nodeTri = tris.select(col("src").as("nd"))
+      .unionByName(tris.select(col("dst").as("nd")))
+      .unionByName(tris.select(col("w").as("nd")))
+      .groupBy(col("nd")).agg(count(lit(1)).as("tri_n"))
+    deg.join(nodeTri, Seq("nd"), "left_outer")
+      .select(col("nd").as("node"), col("deg"),
+        coalesce(col("tri_n"), lit(0L)).as("tri_n"),
+        when(col("deg") >= 2,
+          expr("2 * coalesce(tri_n, 0) * 1000000 div (deg * (deg - 1))"))
+          .as("lcc_ppm"))
+  }
+
   /** Bounded multi-source BFS rounds: dist(v) = min hops to any seed,
     * computed as R synchronous relaxation rounds (dist' = min(dist,
     * min over in-neighbors dist+1)); nodes farther than R hops keep a
@@ -786,6 +834,35 @@ object Graph {
          |SELECT lab AS community, count(*) AS n_members,
          |  min(node) AS min_node, max(node) AS max_node
          |FROM l4 GROUP BY 1""".stripMargin),
+    Q("q259_clustering_coeff", clusteringCoeff _,
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v FROM baskets a JOIN baskets b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT nd, count(*) AS deg FROM (
+        |    SELECT u AS nd FROM pairs UNION ALL SELECT v FROM pairs)
+        |  GROUP BY 1),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM pairs e1
+        |    JOIN pairs e2 ON e2.u = e1.v
+        |    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nt AS (
+        |  SELECT nd, count(*) AS tri_n FROM (
+        |    SELECT a AS nd FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.nd AS node, d.deg,
+        |  CAST(coalesce(tri_n, 0) AS BIGINT) AS tri_n,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    CAST(2 * coalesce(tri_n, 0) * 1000000 //
+        |      (d.deg * (d.deg - 1)) AS BIGINT)
+        |    ELSE NULL END AS lcc_ppm
+        |FROM deg d LEFT JOIN nt ON nt.nd = d.nd""".stripMargin),
     Q("q256_modularity", modularity _,
       s"""WITH baskets AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -360,7 +360,103 @@ object Sampling {
           col("weight").cast("double")), 9) + lit(0.0)).as("ht_weight"))
   }
 
+  /** Variance-proportional stratified allocation — the survey-sampling
+    * answer to "I can afford n=1000 rows, how do I split them across
+    * strata?": Neyman allocation minimizes estimator variance with
+    * n_h ∝ N_h·S_h; this deterministic variant allocates on the EXACT
+    * integer variance mass v_h = N_h·ΣX²_h − (ΣX_h)² (= N_h²·Var_h —
+    * no square root, so the allocation is pure integral arithmetic both
+    * engines reproduce bit-for-bit, where stddev would put a float
+    * boundary inside an integer output). Selection within each stratum
+    * is the smallest-hash prefix (q64's deterministic coin), sized by
+    * the allocation — a per-stratum row_number over the hash order.
+    * Output per stratum: population, variance mass, allocation, what
+    * was actually selected, and exact micro-cent means of sample vs
+    * population — the over/under-sampling audit. One scan builds the
+    * moments; the rank runs per stratum (|strata| partitions). At
+    * 100 TB replace the within-stratum row_number with the q224
+    * bounded-heap TopKAgg when allocations are small, and widen the
+    * moment sums (n·Σx² crosses 2⁶³ past ~100× this SF) to decimal(38)
+    * like the allocation multiply already is. */
+  def stratAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        TextOps.portableHash(
+          concat(lit("na:"), col("event_id").cast("string"))).as("hk"))
+    val moments = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pop"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+      .withColumn("v_mass", col("n_pop") * col("s2") - col("s1") * col("s1"))
+    val totV = moments.agg(sum(col("v_mass")).as("tot_v"))
+    // budget·v_mass overflows 2⁶³ already near this SF (v_mass ~ 10¹⁶)
+    // — the multiply runs in decimal(38), the integral divide lands
+    // back in long
+    val alloc = moments.crossJoin(broadcast(totV))
+      .withColumn("n_alloc",
+        expr(s"CAST(($budget * CAST(v_mass AS DECIMAL(38,0))) div " +
+          "CAST(tot_v AS DECIMAL(38,0)) AS BIGINT)"))
+    val wRk = Window.partitionBy(col("event_type"))
+      .orderBy(col("hk").asc, col("event_id").asc)
+    val selected = ev.withColumn("rk", row_number().over(wRk).cast("long"))
+      .join(broadcast(alloc.select(col("event_type"), col("n_alloc"))),
+        Seq("event_type"))
+      .filter(col("rk") <= col("n_alloc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sel"), sum(col("cents")).as("sel_s1"))
+    alloc.join(selected, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_pop"), col("v_mass"),
+        col("n_alloc"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        expr("s1 * 1000000 div n_pop").as("pop_mean_micro"),
+        when(col("n_sel") > 0,
+          expr("sel_s1 * 1000000 div n_sel")).as("sample_mean_micro"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q261_strat_allocation", stratAllocation _,
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    ('0x' || substr(md5('na:' || CAST(event_id AS VARCHAR)),
+        |      1, 8))::BIGINT AS hk
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_pop,
+        |    CAST(sum(cents) AS BIGINT) AS s1,
+        |    CAST(sum(cents * cents) AS BIGINT) AS s2
+        |  FROM ev GROUP BY 1),
+        |mv AS (
+        |  SELECT event_type, n_pop, s1, s2,
+        |    n_pop * s2 - s1 * s1 AS v_mass
+        |  FROM m),
+        |tv AS (SELECT CAST(sum(v_mass) AS BIGINT) AS tot_v FROM mv),
+        |al AS (
+        |  SELECT event_type, n_pop, s1, v_mass,
+        |    CAST(1000 * CAST(v_mass AS HUGEINT) // tot_v AS BIGINT)
+        |      AS n_alloc
+        |  FROM mv, tv),
+        |rk AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hk ASC, event_id ASC) AS rk
+        |  FROM ev),
+        |sel AS (
+        |  SELECT r.event_type, count(*) AS n_sel,
+        |    CAST(sum(r.cents) AS BIGINT) AS sel_s1
+        |  FROM rk r JOIN al ON al.event_type = r.event_type
+        |  WHERE r.rk <= al.n_alloc GROUP BY 1)
+        |SELECT al.event_type, al.n_pop,
+        |  CAST(al.v_mass AS BIGINT) AS v_mass,
+        |  CAST(al.n_alloc AS BIGINT) AS n_alloc,
+        |  CAST(coalesce(sel.n_sel, 0) AS BIGINT) AS n_sel,
+        |  CAST(al.s1 * 1000000 // al.n_pop AS BIGINT) AS pop_mean_micro,
+        |  CASE WHEN sel.n_sel > 0 THEN
+        |    CAST(sel.sel_s1 * 1000000 // sel.n_sel AS BIGINT)
+        |    ELSE NULL END AS sample_mean_micro
+        |FROM al LEFT JOIN sel ON sel.event_type = al.event_type"""
+        .stripMargin),
     Q("q224_priority_sample", prioritySample _,
       """WITH d AS (
         |  SELECT doc_id, source, n_chars,

@@ -1110,7 +1110,70 @@ object TextAnalysis {
           + lit(0.0)).as("r2_r"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyword scorer built on the SAME stopword lists the language-ID
+    * heuristic uses: candidate phrases are maximal stopword-free token
+    * runs (phrase id = running stopword count per doc), each word
+    * scores degree/frequency where freq counts phrase occurrences and
+    * degree sums the lengths of the phrases containing it — words that
+    * ride long multi-word phrases outrank bare frequent words. Score is
+    * exact integer ppm (deg·10⁶ div freq), top-20 by (score, word) is
+    * a TakeOrderedAndProject. Scale shape: the running stopword count
+    * and phrase length are per-doc windows (bounded by doc length,
+    * never corpus-wide); the only corpus shuffle is the final word
+    * aggregation. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = stopwords("en")
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isInCollection(stops))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLen = Window.partitionBy(col("doc_id"), col("phrase_id"))
+    toks
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(byPos))
+      .filter(!col("is_stop"))
+      .withColumn("phrase_len", count(lit(1)).over(wLen))
+      .groupBy(col("tok").as("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("deg"))
+      .select(col("word"), col("freq"), col("deg"),
+        expr("deg * 1000000 div freq").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("word").asc)
+      .limit(20)
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q260_rake_keywords", rakeKeywords _, {
+      val lst = stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |toks AS (
+         |  SELECT doc_id, u.pos AS pos, u.tok AS tok,
+         |    list_contains($lst, u.tok) AS is_stop
+         |  FROM (SELECT doc_id,
+         |          unnest([{'pos': i, 'tok': ws[i]}
+         |                  for i in range(1, len(ws) + 1)]) AS u
+         |        FROM d)),
+         |ph AS (
+         |  SELECT doc_id, pos, tok, is_stop,
+         |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+         |  FROM toks),
+         |w AS (
+         |  SELECT tok,
+         |    count(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+         |  FROM ph WHERE NOT is_stop),
+         |ag AS (
+         |  SELECT tok AS word, count(*) AS freq,
+         |    CAST(sum(phrase_len) AS BIGINT) AS deg
+         |  FROM w GROUP BY 1)
+         |SELECT word, freq, deg,
+         |  CAST(deg * 1000000 // freq AS BIGINT) AS score_ppm
+         |FROM ag ORDER BY score_ppm DESC, word LIMIT 20""".stripMargin
+    }),
     Q("q249_zipf_fit", zipfFit _,
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

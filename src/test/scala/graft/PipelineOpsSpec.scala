@@ -636,6 +636,76 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotQ === expected)
   }
 
+  test("rake keywords: degree/frequency scores equal a sequential " +
+      "phrase-splitting recompute") {
+    val stops = TextAnalysis.stopwords("en").toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { text =>
+      // phrases: maximal stopword-free runs
+      val phrases = text.split(" ", -1).foldLeft(List(List.empty[String])) {
+        case (acc, tok) =>
+          if (stops(tok)) Nil :: acc
+          else (tok :: acc.head) :: acc.tail
+      }.map(_.reverse).filter(_.nonEmpty)
+      phrases.foreach { p =>
+        p.foreach { w =>
+          freq(w) = freq.getOrElse(w, 0L) + 1
+          deg(w) = deg.getOrElse(w, 0L) + p.length
+        }
+      }
+    }
+    val expected = freq.keys.map(w =>
+      (w, freq(w), deg(w), deg(w) * 1000000L / freq(w))).toSeq
+      .sortBy(t => (-t._4, t._1)).take(20)
+    val got = operators.TextAnalysis.rakeKeywords(spark, sf).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"),
+        r.getAs[Long]("deg"), r.getAs[Long]("score_ppm"))).toSeq
+    assert(got === expected)
+    // degree >= frequency always (each occurrence contributes phrase
+    // length >= 1), with equality only for words seen solo
+    got.foreach { case (_, f, d, _) => assert(d >= f) }
+  }
+
+  test("clustering coefficient: per-node triangle credit equals a " +
+      "brute-force neighbor-pair scan; corners conserve 3x the count") {
+    import graft.operators.Graph
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCounts((ps(i), ps(j))) =
+          pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val und = pairCounts.filter(_._2 >= 2).keySet
+    val adj = und.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = adj.map { case (v, ns) =>
+      val nsSeq = ns.toSeq.sorted
+      var tri = 0L
+      for (i <- nsSeq.indices; j <- (i + 1) until nsSeq.length)
+        if (adj(nsSeq(i)).contains(nsSeq(j))) tri += 1
+      val deg = ns.size.toLong
+      v -> ((deg, tri,
+        if (deg >= 2) Some(2L * tri * 1000000L / (deg * (deg - 1)))
+        else None))
+    }
+    val got = Graph.clusteringCoeff(spark, sf).collect().map(r =>
+      r.getAs[Long]("node") -> ((r.getAs[Long]("deg"),
+        r.getAs[Long]("tri_n"),
+        if (r.isNullAt(r.fieldIndex("lcc_ppm"))) None
+        else Some(r.getAs[Long]("lcc_ppm"))))).toMap
+    assert(got === expected)
+    // every triangle credits its three corners exactly once
+    val triTotal = expected.values.map(_._2).sum
+    assert(triTotal % 3 === 0 || triTotal === 0)
+  }
+
   test("modularity: exact integer identity against a brute-force " +
       "recompute; degree and edge masses conserve") {
     import graft.operators.Graph

@@ -419,4 +419,46 @@ class SamplingSpec extends SparkSpec {
     got.keySet.groupBy(_._1).values.foreach(g => assert(g.size <= 17))
     assert(got.nonEmpty)
   }
+
+  test("stratified allocation: variance-proportional budget split and " +
+      "smallest-hash selection recompute from scratch") {
+    def hk(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val rows = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = rows.groupBy(_._1)
+    val mom = byType.view.mapValues { rs =>
+      val n = rs.length.toLong
+      val s1 = rs.map(_._3).sum
+      val s2 = rs.map(r => r._3 * r._3).sum
+      (n, s1, BigInt(n) * s2 - BigInt(s1) * s1)
+    }.toMap
+    val totV = mom.values.map(_._3).sum
+    val got = Sampling.stratAllocation(spark, sf).collect()
+    assert(got.length === mom.size)
+    var allocSum = 0L
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (n, s1, v) = mom(t)
+      val nAlloc = (BigInt(1000) * v / totV).toLong
+      assert(r.getAs[Long]("n_pop") === n)
+      assert(r.getAs[Long]("v_mass") === v.toLong)
+      assert(r.getAs[Long]("n_alloc") === nAlloc)
+      val sel = byType(t).sortBy(e => (hk(s"na:${e._2}"), e._2))
+        .take(nAlloc.toInt)
+      assert(r.getAs[Long]("n_sel") === sel.length.toLong)
+      assert(r.getAs[Long]("pop_mean_micro") === s1 * 1000000L / n)
+      if (sel.nonEmpty)
+        assert(r.getAs[Long]("sample_mean_micro") ===
+          sel.map(_._3).sum * 1000000L / sel.length)
+      allocSum += nAlloc
+    }
+    // integral division leaves at most |strata| unallocated units
+    assert(allocSum <= 1000L && allocSum > 1000L - mom.size)
+  }
 }
