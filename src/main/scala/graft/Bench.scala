@@ -75,7 +75,8 @@ object Bench {
       "q36_dedup_simhash", "q37_dedup_embedding", "q53_dup_clusters",
       "q54_corpus_pipeline", "q93_incremental_dedup",
       "q150_setsim_exact", "q153_triangles", "q158_shingle_novelty",
-      "q171_media_phash", "q172_containment_join")
+      "q171_media_phash", "q172_containment_join",
+      "q267_lsh_scurve", "q268_hard_negatives")
     // Shared pipeline stages (cluster labels; hashed shingles) are
     // memoized per (session, dir) and consumed by several queries. Each
     // pass clears the memo and materializes the stage OUTSIDE any

@@ -145,7 +145,41 @@ object PlanDump {
       "q248_quantile_normalize" ->
         ("quantile normalization: value-range-bucketed pooled ordinals " +
           "(64-row offset prefix sum — no global sort), integer target " +
-          "ranks, one hash equi-join lookup on the ordinal"))
+          "ranks, one hash equi-join lookup on the ordinal"),
+      "q251_roc_auc" ->
+        ("exact ROC AUC: corpus collapses to the score domain in one " +
+          "partial-agg'd shuffle BEFORE the cumulative window — the " +
+          "rank-sum identity, never a per-pair join"),
+      "q255_spearman" ->
+        ("Spearman rho: two two-phase midrank maps (64-bucket offsets), " +
+          "broadcast join for the bounded qty map + shuffle equi-join " +
+          "for the cents map, decimal(38) sufficient stats in one agg"),
+      "q257_kmv_retention" ->
+        ("stored per-week KMV sketch table: ObjectHashAggregate bounded " +
+          "64-long state, consecutive-week self-join, set algebra on " +
+          "sorted arrays — overlap questions never rescan the corpus"),
+      "q259_clustering_coeff" ->
+        ("per-node triangles: degree-oriented adjacency intersection " +
+          "with per-corner explode — output-bounded, no wedge shuffle"),
+      "q261_strat_allocation" ->
+        ("stratified allocation: one scan builds moments, broadcast " +
+          "allocation joins back, per-stratum row_number selection"),
+      "q262_cuped" ->
+        ("CUPED: one conditional-sum pass to the per-user relation, " +
+          "then two shrinking partial aggs (pooled theta + per-arm " +
+          "readout) and a broadcast of the 1-row theta fraction"),
+      "q264_poisson_bootstrap" ->
+        ("Poisson bootstrap: ALL 32 replicates as 64 conditional sums " +
+          "in ONE partial-agg'd scan — map-side combine to a single " +
+          "row, order statistics on a 32-slot array, no shuffle"),
+      "q266_hits" ->
+        ("HITS: distinct edge relation checkpointed once, four " +
+          "edge-keyed equi-join + partial-agg half-rounds, top-15 via " +
+          "TakeOrderedAndProject"),
+      "q267_lsh_scurve" ->
+        ("LSH S-curve audit: ONE shared 64-perm signature stage feeds " +
+          "both generators, pooled full-outer join, verify-on-" +
+          "candidates only — never an all-pairs J"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

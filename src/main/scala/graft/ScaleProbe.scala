@@ -211,6 +211,20 @@ object ScaleProbe {
         operators.Analytics.incrementalSessions(spark, dir).count())
       time(s"sketch_rollup_$tag")(
         operators.ApproxAgg.sketchRollup(spark, dir).count())
+      // r11 second wave. clustering_coeff enumerates triangles on the
+      // densified support-2 graph (10x facts over fixed parts densify
+      // edges) — expect a kcore/lpa-like super-linear ratio tracking
+      // edge growth, bounded by arboricity, never corpus². spearman's
+      // cost is two midrank maps + one cents-keyed equi-join — scan-
+      // dominated, ~linear. roc_auc collapses to the FIXED score
+      // domain, so the window input is constant — the scan is the
+      // whole cost, ~linear (flat past overhead).
+      time(s"clustering_coeff_$tag")(
+        operators.Graph.clusteringCoeff(spark, dir).count())
+      time(s"spearman_$tag")(
+        operators.MlEval.spearman(spark, dir).count())
+      time(s"roc_auc_$tag")(
+        operators.MlEval.rocAuc(spark, dir).count())
     }
 
     calib("post_batch")

@@ -689,7 +689,76 @@ object DataQuality {
       .withColumn("pass", col("n_violations") === 0L)
   }
 
+  /** Weight-of-evidence / information-value feature screen — the
+    * supervised sibling of q258's PSI (same per-bin signed log-ratio
+    * algebra, but the two distributions are label classes instead of
+    * time halves): price bins into 10 equal-width PURE-INTEGER bins
+    * (bin id is output — no float boundary math, the q258 rule);
+    * per bin WOE = ln(p_pos/p_neg) and IV contribution
+    * (p_pos − p_neg)·WOE say how much the feature separates returned
+    * from kept lineitems — the classic credit-scoring screen that
+    * ranks features BEFORE any model is trained. Counts are exact
+    * integers in ONE partial-agg'd shuffle of ≤ 10 keys; the two
+    * floats are single fixed-order expressions; single-sided bins
+    * (a class count of 0 makes WOE undefined) emit NULL, mirrored in
+    * the oracle. */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .as("cents"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val bounds = li.agg(min(col("cents")).as("mn"),
+      max(col("cents")).as("mx"))
+    val binned = li.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("(cents - mn) * 10 div (mx + 1 - mn)"))
+      .groupBy(col("bin"))
+      .agg(sum(col("y")).as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).as("n_neg"))
+    val totals = binned.agg(sum(col("n_pos")).as("tot_pos"),
+      sum(col("n_neg")).as("tot_neg"))
+    binned.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(log(col("n_pos").cast("double") * col("tot_neg") /
+            (col("n_neg").cast("double") * col("tot_pos"))), 6)
+            + lit(0.0)).as("woe_r"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("n_pos").cast("double") / col("tot_pos") -
+            col("n_neg").cast("double") / col("tot_neg")) *
+            log(col("n_pos").cast("double") * col("tot_neg") /
+              (col("n_neg").cast("double") * col("tot_pos"))), 6)
+            + lit(0.0)).as("iv_contrib_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q270_woe_iv", woeIv _,
+      """WITH li AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    AS cents,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM li),
+        |binned AS (
+        |  SELECT (cents - mn) * 10 // (mx + 1 - mn) AS bin,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        |  FROM li, b GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+        |    CAST(sum(n_neg) AS BIGINT) AS tot_neg
+        |  FROM binned)
+        |SELECT bin, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round(ln(CAST(n_pos AS DOUBLE) * tot_neg /
+        |      (CAST(n_neg AS DOUBLE) * tot_pos)), 6) + 0.0
+        |  END AS woe_r,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round((CAST(n_pos AS DOUBLE) / tot_pos -
+        |      CAST(n_neg AS DOUBLE) / tot_neg) *
+        |      ln(CAST(n_pos AS DOUBLE) * tot_neg /
+        |        (CAST(n_neg AS DOUBLE) * tot_pos)), 6) + 0.0
+        |  END AS iv_contrib_r
+        |FROM binned, t""".stripMargin),
     Q("q258_psi_drift", psiDrift _,
       """WITH ev AS (
         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,

@@ -1071,7 +1071,107 @@ object Dedup {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM j GROUP BY 1""".stripMargin
 
+  /** Empirical LSH S-curve / pooled-recall audit — the evaluation of
+    * the sketch layer ITSELF, the number a pipeline owner needs before
+    * trusting any probabilistic dedup at 100 TB: pool the candidate
+    * pairs of two independent generators (q35's 16×4 banded MinHash;
+    * q34's four 1-row-band min-buckets — the TREC pooling method:
+    * ground truth ≈ union of independent retrievers), compute each
+    * pooled pair's EXACT Jaccard once, and tabulate per J-decile how
+    * many pooled pairs each generator caught. The result is the
+    * S-curve made measurable: 1-row bands catch low-J pairs at
+    * 1−(1−J)⁴ while the 16×4 bands stay near zero below J ≈ 0.5 and
+    * saturate above it. Both generators read ONE shared 64-perm
+    * signature stage (the 4-perm buckets ARE rows 0–3 of the q35
+    * signature — same formula, same values), so the audit adds no
+    * second sketch pass; J verification runs on pooled candidates
+    * only, the verify-on-candidates discipline. The decile is exact
+    * integer arithmetic (10·|∩| div |∪|, capped at 9). */
+  def lshScurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+    val sigs = minhashSigs(spark, dir).cutLineage(eager = false)
+    val candsMh = pairsWithin(sigs.select(col("doc_id"),
+      explode(TextOps.minhashBands(col("sig"), 16, 4)).as("band")),
+      "band", MaxBucket)
+    val candsNg = pairsWithin(sigs.select(col("doc_id"),
+      explode(TextOps.minhashBands(col("sig"), 4, 1)).as("bucket")),
+      "bucket", MaxBucket)
+    val pooled = candsMh.withColumn("from_mh", lit(true))
+      .join(candsNg.withColumn("from_ng", lit(true)),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .na.fill(false, Seq("from_mh", "from_ng"))
+      .cutLineage()
+    val shSets = shingleExploded(candidateDocs(docs, pooled))
+      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+      .cutLineage()
+    pooled
+      .join(shSets.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
+        Seq("doc_a"))
+      .join(shSets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
+      .withColumn("j_decile", least(expr("inter * 10 div uni"), lit(9L)))
+      .groupBy(col("j_decile"))
+      .agg(count(lit(1)).as("n_pooled"),
+        sum(when(col("from_mh"), 1L).otherwise(0L)).as("n_minhash"),
+        sum(when(col("from_ng"), 1L).otherwise(0L)).as("n_minbucket"))
+      .select(col("j_decile"), col("n_pooled"), col("n_minhash"),
+        col("n_minbucket"),
+        expr("n_minhash * 1000000 div n_pooled").as("mh_rate_ppm"),
+        expr("n_minbucket * 1000000 div n_pooled").as("ng_rate_ppm"))
+  }
+
+  private val lshScurveSql =
+    s"""WITH $minhashCtesSql,
+      |bszm AS (
+      |  SELECT b, key, count(*) AS n FROM bands GROUP BY 1, 2),
+      |cand_mh AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+      |  JOIN bszm ON bszm.b = a.b AND bszm.key = a.key
+      |  WHERE bszm.n <= 1000),
+      |mins AS (SELECT doc_id, i AS j, m FROM sig WHERE i < 4),
+      |bszn AS (SELECT j, m, count(*) AS n FROM mins GROUP BY 1, 2),
+      |cand_ng AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM mins a JOIN mins b
+      |    ON a.j = b.j AND a.m = b.m AND a.doc_id < b.doc_id
+      |  JOIN bszn ON bszn.j = a.j AND bszn.m = a.m
+      |  WHERE bszn.n <= 1000),
+      |pooled AS (
+      |  SELECT coalesce(m.doc_a, g.doc_a) AS doc_a,
+      |    coalesce(m.doc_b, g.doc_b) AS doc_b,
+      |    (m.doc_a IS NOT NULL) AS from_mh,
+      |    (g.doc_a IS NOT NULL) AS from_ng
+      |  FROM cand_mh m FULL OUTER JOIN cand_ng g
+      |    ON m.doc_a = g.doc_a AND m.doc_b = g.doc_b),
+      |dec AS (
+      |  SELECT from_mh, from_ng,
+      |    least(len(list_intersect(da.hs, db.hs)) * 10 //
+      |      (len(da.hs) + len(db.hs)
+      |       - len(list_intersect(da.hs, db.hs))), 9) AS j_decile
+      |  FROM pooled
+      |    JOIN docs da ON da.doc_id = doc_a
+      |    JOIN docs db ON db.doc_id = doc_b)
+      |SELECT j_decile, count(*) AS n_pooled,
+      |  CAST(sum(CASE WHEN from_mh THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_minhash,
+      |  CAST(sum(CASE WHEN from_ng THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_minbucket,
+      |  CAST(sum(CASE WHEN from_mh THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS mh_rate_ppm,
+      |  CAST(sum(CASE WHEN from_ng THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS ng_rate_ppm
+      |FROM dec GROUP BY 1""".stripMargin
+
   val catalog: Seq[Q] = Seq(
+    Q("q267_lsh_scurve", lshScurve _, lshScurveSql),
     Q("q213_survivorship", survivorship _, survivorshipSql),
     Q("q150_setsim_exact", setsimExact _, setsimExactSql),
     Q("q172_containment_join", containmentJoin _, containmentJoinSql),

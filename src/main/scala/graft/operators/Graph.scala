@@ -705,7 +705,66 @@ object Graph {
        |    JOIN (SELECT src FROM e${i - 1} GROUP BY 1
        |          HAVING count(*) >= 2) b ON c.dst = b.src)""".stripMargin
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) on the directed
+    * customer→part purchase bipartite — the OTHER eigenvector
+    * centrality next to q119's PageRank: a good hub buys from good
+    * authorities and vice versa, so two mutual-reinforcement rounds
+    * (a ← eᵀh, h ← e·a) concentrate score on the structural core.
+    * Scores stay UNNORMALIZED exact integers: per-round normalization
+    * is a positive scalar, so it changes no ranking and no ratio —
+    * dropping it is what makes the statistic bit-portable (a1 =
+    * in-degree; h2 ≤ deg·max(a2) < 2⁶³ here; at ~100× this SF the
+    * sums switch to decimal(38), the q256 precedent). The distinct
+    * edge relation materializes ONCE ([[graft.Ckpt]]) and every
+    * half-round is one edge-keyed equi-join + partial agg — O(edges)
+    * per round, the q223/q241 shape; top-15 per side via
+    * TakeOrderedAndProject, never a global sort. */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().cutLineage() // probed by all four half-rounds
+    val a1 = e.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+    val h1 = e.join(a1, Seq("p"))
+      .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, Seq("c"))
+      .groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+    val h2 = e.join(a2, Seq("p"))
+      .groupBy(col("c")).agg(sum(col("a2")).as("h2"))
+    h2.orderBy(col("h2").desc, col("c").asc).limit(15)
+      .select(lit("hub").as("kind"), col("c").as("id"),
+        col("h2").as("score"))
+      .unionByName(
+        a2.orderBy(col("a2").desc, col("p").asc).limit(15)
+          .select(lit("authority").as("kind"), col("p").as("id"),
+            col("a2").as("score")))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q266_hits", hits _,
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1 AS (SELECT p, count(*) AS a1 FROM e GROUP BY 1),
+        |h1 AS (
+        |  SELECT c, CAST(sum(a1) AS BIGINT) AS h1
+        |  FROM e JOIN a1 USING (p) GROUP BY 1),
+        |a2 AS (
+        |  SELECT p, CAST(sum(h1) AS BIGINT) AS a2
+        |  FROM e JOIN h1 USING (c) GROUP BY 1),
+        |h2 AS (
+        |  SELECT c, CAST(sum(a2) AS BIGINT) AS h2
+        |  FROM e JOIN a2 USING (p) GROUP BY 1),
+        |hubs AS (
+        |  SELECT 'hub' AS kind, c AS id, h2 AS score FROM h2
+        |  ORDER BY h2 DESC, c ASC LIMIT 15),
+        |auths AS (
+        |  SELECT 'authority' AS kind, p AS id, a2 AS score FROM a2
+        |  ORDER BY a2 DESC, p ASC LIMIT 15)
+        |SELECT * FROM hubs UNION ALL SELECT * FROM auths""".stripMargin),
     Q("q203_bfs_hops", bfsHops _,
       s"""WITH baskets AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -317,7 +317,65 @@ object Layout {
         max(col("shard")).as("last_shard"))
   }
 
+  private val dppStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage a Hive-layout partitioned copy of orders (dirs `yr=1995/…`)
+    * plus a tiny (yr, era) dimension parquet — per-(JVM, dir) temp
+    * dirs, the q138/q142 staging discipline (fresh every JVM, so no
+    * staleness memo needed). */
+  private[graft] def dppStage(spark: SparkSession, dir: String): String =
+    dppStaged.computeIfAbsent(dir, { _ =>
+      val b = java.nio.file.Files.createTempDirectory("graft_dpp")
+        .toString
+      val o = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      o.write.mode("overwrite").partitionBy("yr")
+        .parquet(s"$b/orders_part")
+      o.select(col("yr")).distinct()
+        .withColumn("era",
+          when(col("yr") >= 1999, "late").otherwise("early"))
+        .write.mode("overwrite").parquet(s"$b/year_dim")
+      b
+    })
+
+  /** Dynamic partition pruning — the OTHER scan-reduction lever next to
+    * q157's zone maps and q188's runtime bloom filter, and the one that
+    * dominates on Hive-partitioned 100-TB facts: the filter `era =
+    * 'late'` lives on the DIMENSION, so no static rule can prune the
+    * fact's `yr=` partition directories — at planning time the matching
+    * years are unknown. Catalyst's DPP injects the broadcast dim's key
+    * set as a `dynamicpruningexpression` INTO the fact scan's partition
+    * filters (reusing the join's own broadcast exchange — zero extra
+    * cost), so only the matching partition directories are listed and
+    * read. `PlanSpec` asserts the injected expression and result parity
+    * with the unpartitioned formulation; the fact here is the staged
+    * partitioned copy, so result and oracle depend only on orders. */
+  def dynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val base = dppStage(spark, dir)
+    val fact = spark.read.parquet(s"$base/orders_part")
+    val dim = spark.read.parquet(s"$base/year_dim")
+      .filter(col("era") === "late")
+    fact.join(broadcast(dim), Seq("yr"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q271_dynamic_pruning", dynamicPruning _,
+      """WITH dimf AS (
+        |  SELECT DISTINCT year(o_orderdate) AS yr FROM orders
+        |  WHERE year(o_orderdate) >= 1999),
+        |o AS (
+        |  SELECT year(o_orderdate) AS yr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o.yr, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM o JOIN dimf ON o.yr = dimf.yr GROUP BY 1""".stripMargin),
     Q("q219_compaction_plan", compactionPlan _,
       """WITH shards AS (
         |  SELECT doc_id % 64 AS shard, count(*) AS n_docs,

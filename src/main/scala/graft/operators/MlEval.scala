@@ -244,6 +244,96 @@ object MlEval {
           + lit(0.0)).as("rho_r"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    * Walker, WSDM 2013) — the standard trick that makes A/B tests on
+    * heavy-tailed metrics decidable in days instead of months: regress
+    * the experiment-period metric y on the PRE-period covariate x
+    * (same user, before assignment — independent of treatment by
+    * construction) and read out means of ỹ = y − θ·x instead of y.
+    * Units are users (arm = 50/50 portable-hash split, exactly q216's
+    * discipline); the period split is the data midpoint timestamp
+    * (q258's recipe); x and y are the user's pre/post activity cents,
+    * collected in ONE conditional-sum pass over the corpus — at 100 TB
+    * the per-user relation is the only corpus-scaled stage, and the
+    * pooled θ statistics plus the per-arm readout are two further
+    * SHRINKING partial aggs on top of it. θ = cov(x,y)/var(x) is kept
+    * as the exact integer fraction (cov_num, var_num) — decimal(38)
+    * products since n·Σxy crosses 2⁶³ near 100× this SF, and NO
+    * integral division (cov may be negative); the adjusted per-arm
+    * mean is ONE fixed-order double expression over exact integers:
+    * (var·Σy_a − cov·Σx_a)/(var·n_a) = ȳ_a − θ·x̄_a (the constant
+    * θ·x̄_pool shift cancels in the arm delta, so it is omitted). */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val bounds = ev.agg(min(col("sec")).as("mn_s"),
+      max(col("sec")).as("mx_s"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .withColumn("late", col("sec") >= expr("(mn_s + mx_s) div 2"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(!col("late"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("late"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        TextOps.portableHash(
+          concat(lit("arm:"), col("user_id").cast("string"))) % 2)
+    val pooled = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .select(
+        (col("n") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx")).as("var_num"))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_x_cents"), sum(col("y")).as("sum_y_cents"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_users"), col("sum_x_cents"),
+        col("sum_y_cents"), col("cov_num"), col("var_num"),
+        (round(col("sum_y_cents").cast("double") / col("n_users"), 6)
+          + lit(0.0)).as("raw_mean_r"),
+        (round((col("var_num").cast("double") * col("sum_y_cents") -
+          col("cov_num").cast("double") * col("sum_x_cents")) /
+          (col("var_num").cast("double") * col("n_users")), 6)
+          + lit(0.0)).as("adj_mean_r"),
+        (round(col("cov_num").cast("double") /
+          col("var_num").cast("double"), 6) + lit(0.0)).as("theta_r"))
+  }
+
+  /** Mutual information of the customer market-segment × nation grid —
+    * the feature-selection / redundancy screen that complements q159's
+    * χ² independence audit (χ² asks "is the deviation noise?", MI asks
+    * "how many nats does knowing one buy about the other?"). The
+    * corpus collapses to the ≤ |segments|·|nations| cell relation in
+    * ONE partial-agg'd shuffle; margins and the grand total re-derive
+    * from those cells by three windows over the BOUNDED relation
+    * (the q155 mergeability discipline — the corpus is scanned once,
+    * and the window input is ~125 rows at any corpus size). Per-cell
+    * contribution (n_xy/n)·ln(n_xy·n/(n_x·n_y)) is one fixed-order
+    * double over exact integer tallies; empty cells contribute exactly
+    * 0 to MI (0·ln0 → 0) so only observed cells are emitted — unlike
+    * χ², where q159 must materialize the full grid. Σ over rows = the
+    * total MI in nats. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "customer")
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("n_xy"))
+    cells
+      .withColumn("n_x",
+        sum(col("n_xy")).over(Window.partitionBy(col("seg"))))
+      .withColumn("n_y",
+        sum(col("n_xy")).over(Window.partitionBy(col("nat"))))
+      .withColumn("n", sum(col("n_xy")).over(Window.partitionBy()))
+      .select(col("seg"), col("nat"), col("n_xy"), col("n_x"), col("n_y"),
+        (round((col("n_xy").cast("double") / col("n")) *
+          log(col("n_xy").cast("double") * col("n") /
+            (col("n_x").cast("double") * col("n_y"))), 6) + lit(0.0))
+          .as("mi_contrib_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
     Q("q251_roc_auc", rocAuc _,
       s"""WITH scored AS (
@@ -367,6 +457,61 @@ object MlEval {
         |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
         |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
         |    AS rho_r
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin),
+    Q("q262_cuped", cuped _,
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT min(sec) AS mn_s, max(sec) AS mx_s FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN sec < (mn_s + mx_s) // 2 THEN cents
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN sec >= (mn_s + mx_s) // 2 THEN cents
+        |      ELSE 0 END) AS BIGINT) AS y,
+        |    ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 2 AS arm
+        |  FROM ev, b GROUP BY user_id, mn_s, mx_s),
+        |pool AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM pu),
+        |theta AS (
+        |  SELECT n * sxy - CAST(sx AS HUGEINT) * sy AS cov_num,
+        |    n * sxx - CAST(sx AS HUGEINT) * sx AS var_num
+        |  FROM pool),
+        |arms AS (
+        |  SELECT arm, count(*) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS sum_x_cents,
+        |    CAST(sum(y) AS BIGINT) AS sum_y_cents
+        |  FROM pu GROUP BY 1)
+        |SELECT arm, n_users, sum_x_cents, sum_y_cents, cov_num, var_num,
+        |  round(CAST(sum_y_cents AS DOUBLE) / n_users, 6) + 0.0
+        |    AS raw_mean_r,
+        |  round((CAST(var_num AS DOUBLE) * sum_y_cents -
+        |    CAST(cov_num AS DOUBLE) * sum_x_cents) /
+        |    (CAST(var_num AS DOUBLE) * n_users), 6) + 0.0 AS adj_mean_r,
+        |  round(CAST(cov_num AS DOUBLE) / CAST(var_num AS DOUBLE), 6)
+        |    + 0.0 AS theta_r
+        |FROM arms, theta""".stripMargin),
+    Q("q263_mutual_info", mutualInfo _,
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    count(*) AS n_xy
+        |  FROM customer GROUP BY 1, 2),
+        |m AS (
+        |  SELECT seg, nat, n_xy,
+        |    CAST(sum(n_xy) OVER (PARTITION BY seg) AS BIGINT) AS n_x,
+        |    CAST(sum(n_xy) OVER (PARTITION BY nat) AS BIGINT) AS n_y,
+        |    CAST(sum(n_xy) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT seg, nat, n_xy, n_x, n_y,
+        |  round((CAST(n_xy AS DOUBLE) / n) *
+        |    ln(CAST(n_xy AS DOUBLE) * n /
+        |      (CAST(n_x AS DOUBLE) * n_y)), 6) + 0.0 AS mi_contrib_r
+        |FROM m""".stripMargin)
   )
 }

@@ -414,7 +414,106 @@ object Sampling {
           expr("sel_s1 * 1000000 div n_sel")).as("sample_mean_micro"))
   }
 
+  /** Poisson(1) inverse-CDF integer thresholds on a 32-bit hash:
+    * floor(CDF(k)·2³²) for k = 0..7 (mass beyond 7 → weight 8,
+    * ~1.0e-5). Integer comparison against a fixed constant — no float
+    * boundary math, so both engines draw the identical weight. */
+  private val poissonCdf32: Seq[Long] = Seq(1580030168L, 3160060337L,
+    3950075421L, 4213413783L, 4279248373L, 4292415291L, 4294609777L,
+    4294923276L)
+
+  private def poissonWeight(u: Column): Column =
+    poissonCdf32.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((c, k), rest) => when(u < c, lit(k.toLong)).otherwise(rest)
+    }
+
+  private def poissonWeightSql(u: String): String =
+    "CASE " + poissonCdf32.zipWithIndex
+      .map { case (c, k) => s"WHEN $u < $c THEN $k" }
+      .mkString(" ") + " ELSE 8 END"
+
+  /** Poisson-bootstrap confidence interval for the mean order total
+    * (Hanley & MacGibbon 2006; Chamandy et al., Google 2012 — the
+    * bootstrap that actually runs at corpus scale): classic resampling
+    * draws B dependent multinomial replicates (impossible to
+    * distribute), but for n large each row's replicate multiplicity is
+    * ≈ independent Poisson(1) — so replicate b just weights every row
+    * by w_b = F⁻¹(hash_b(key)), and ALL B replicates accumulate in ONE
+    * partial-agg'd scan (2B+2 conditional sums, map-side combined; no
+    * shuffle wider than one row). Weights are deterministic
+    * [[poissonCdf32]] inverse-CDF draws on the portable hash — same
+    * row, same replicate, same weight, in both engines. The replicate
+    * means land in a 32-slot array; the percentile CI reads its order
+    * statistics (2nd / 31st ≈ 5%/95%) after one 32-element sort. All
+    * integer micro-units end-to-end (weighted sums < 2⁶³ to ~100×
+    * this SF; switch s1/swx to decimal(38) beyond, the q261
+    * precedent). */
+  def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val base = t(spark, dir, "orders").select(col("o_orderkey").as("k"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    // one projection computes each replicate hash ONCE (the CASE chain
+    // then reuses the materialized column — no md5 re-evaluation per
+    // aggregate expression)
+    val withW = (1 to B).foldLeft(base) { (df, b) =>
+      df.withColumn(s"w_$b", poissonWeight(TextOps.portableHash(
+        concat(lit(s"bs$b:"), col("k").cast("string")))))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("cents")).as("s1")) ++
+      (1 to B).flatMap(b => Seq(
+        sum(col(s"w_$b") * col("cents")).as(s"swx_$b"),
+        sum(col(s"w_$b")).as(s"sw_$b")))
+    val meanArr = array((1 to B).map(b =>
+      expr(s"swx_$b * 1000000 div sw_$b")): _*)
+    withW.agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), expr("s1 * 1000000 div n").as("point_mean_micro"),
+        array_sort(meanArr).as("ms"))
+      .select(col("n"), col("point_mean_micro"),
+        element_at(col("ms"), 2).as("boot_lo_micro"),
+        expr("(element_at(ms, 16) + element_at(ms, 17)) div 2")
+          .as("boot_med_micro"),
+        element_at(col("ms"), 31).as("boot_hi_micro"))
+  }
+
+  private def poissonBootstrapOracle: String = {
+    val B = 32
+    val us = (1 to B).map(b =>
+      s"    ('0x' || substr(md5('bs$b:' || CAST(k AS VARCHAR)), 1, 8))" +
+        s"::BIGINT AS u_$b").mkString(",\n")
+    val ws = (1 to B).map(b =>
+      s"    ${poissonWeightSql(s"u_$b")} AS w_$b").mkString(",\n")
+    val sums = (1 to B).map(b =>
+      s"    CAST(sum(w_$b * cents) AS BIGINT) AS swx_$b,\n" +
+        s"    CAST(sum(w_$b) AS BIGINT) AS sw_$b").mkString(",\n")
+    val means = (1 to B).map(b => s"swx_$b * 1000000 // sw_$b")
+      .mkString(", ")
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS k,
+       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |h AS (
+       |  SELECT cents,
+       |$us
+       |  FROM base),
+       |w AS (
+       |  SELECT cents,
+       |$ws
+       |  FROM h),
+       |s AS (
+       |  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s1,
+       |$sums
+       |  FROM w),
+       |m AS (
+       |  SELECT n, s1, list_sort([$means]) AS ms FROM s)
+       |SELECT n, CAST(s1 * 1000000 // n AS BIGINT) AS point_mean_micro,
+       |  CAST(ms[2] AS BIGINT) AS boot_lo_micro,
+       |  CAST((ms[16] + ms[17]) // 2 AS BIGINT) AS boot_med_micro,
+       |  CAST(ms[31] AS BIGINT) AS boot_hi_micro
+       |FROM m""".stripMargin
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q264_poisson_bootstrap", poissonBootstrap _, poissonBootstrapOracle),
     Q("q261_strat_allocation", stratAllocation _,
       """WITH ev AS (
         |  SELECT event_type, event_id,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CutOps
 import graft.Q
 import graft.functions.{CentroidAggregator, VectorOps}
 import graft.sources.Tables
@@ -393,7 +394,77 @@ object Similarity {
        |       for i in range(1, len($a.embedding) + 1)], 'sum')
        |      / ($a.nrm * $b.nrm)""".stripMargin
 
+  /** Semi-hard negative mining (Schroff, Kalenichenko & Philbin, CVPR
+    * 2015 — FaceNet's triplet-selection rule, the step that decides
+    * whether contrastive training converges): for each query vector,
+    * the hardest useful negatives are NOT the globally nearest
+    * different-label vectors (too hard — they collapse training) but
+    * those inside the semi-hard band (cos_pos − m, cos_pos): farther
+    * than the nearest same-label positive, yet within margin m = 0.2
+    * of it. One scored relation (query × candidate cosine, the q38
+    * widened-float form) feeds BOTH the per-query positive max and
+    * the banded negative filter — materialized once; top-5 negatives
+    * per query by (cos desc, cand asc). Q is a fixed panel here; at
+    * corpus-scale Q the scored relation routes through the q245 IVF
+    * probe instead of the flat join — the mining algebra (max-positive
+    * then band filter) is unchanged. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select(col("vec_id"),
+      col("embedding"), col("label"),
+      VectorOps.l2Norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("ql"))
+    val c = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"),
+      col("label").as("cl"))
+    val scored = q.join(c, col("q_id") =!= col("cand_id"))
+      // + 0.0 canonicalizes IEEE signed zero (see Analytics.statsProfile)
+      .withColumn("cos", round(VectorOps.cosinePrenormed(
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6) +
+        lit(0.0))
+      .select(col("q_id"), col("ql"), col("cand_id"), col("cl"),
+        col("cos"))
+      .cutLineage() // consumed by the positive max AND the band filter
+    val posMax = scored.filter(col("ql") === col("cl"))
+      .groupBy(col("q_id")).agg(max(col("cos")).as("pos_cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.filter(col("ql") =!= col("cl"))
+      .join(posMax, Seq("q_id"))
+      .filter(col("cos") < col("pos_cos") &&
+        col("cos") > col("pos_cos") - 0.2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("cand_id"), col("cos"), col("pos_cos"),
+        col("rn"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q268_hard_negatives", hardNegatives _,
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, q.label AS ql,
+         |    c.vec_id AS cand_id, c.label AS cl,
+         |    round(${cosExpr("q", "c")}, 6) + 0.0 AS cos
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50),
+         |pos AS (
+         |  SELECT q_id, max(cos) AS pos_cos FROM scored
+         |  WHERE ql = cl GROUP BY 1),
+         |neg AS (
+         |  SELECT s.q_id, s.cand_id, s.cos, p.pos_cos,
+         |    CAST(row_number() OVER (PARTITION BY s.q_id
+         |      ORDER BY s.cos DESC, s.cand_id ASC) AS INT) AS rn
+         |  FROM scored s JOIN pos p ON s.q_id = p.q_id
+         |  WHERE s.ql <> s.cl AND s.cos < p.pos_cos
+         |    AND s.cos > p.pos_cos - 0.2)
+         |SELECT q_id, cand_id, cos, pos_cos, rn FROM neg
+         |WHERE rn <= 5""".stripMargin),
     Q("q122_vec_normalize", vecNormalize _,
       """WITH e AS (
         |  SELECT vec_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Ckpt.CutOps
 import graft.Q
@@ -1145,7 +1146,154 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Reciprocal-rank fusion of two retrieval rankings (Cormack, Clarke
+    * & Büttcher, SIGIR 2009 — the ensemble that wins TREC pools with
+    * no tuned weights): per query term, retriever A ranks matching
+    * docs by raw term frequency, retriever B by length-normalized
+    * density (tf·10⁶ div dl — the two disagree exactly where document
+    * length distorts relevance), each keeps its top-50, and the fused
+    * score is RRF(d) = Σ_r 1/(60 + rank_r(d)) in exact integer ppm —
+    * a doc missing from one list contributes 0 from it (the COALESCE
+    * arm), which is RRF's built-in pool handling. Ranks are
+    * deterministic (tie → doc_id). The per-term candidate relations
+    * are posting-list sized, never corpus-sized — the only corpus scan
+    * is tokenization; at pathological posting lengths the top-50 cut
+    * switches to the q204/q224 bounded-heap TopKAgg, same algebra. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "filter", "scan")
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tfd = tok.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("dens_ppm", expr("tf * 1000000 div dl"))
+    val wA = Window.partitionBy(col("w"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    val wB = Window.partitionBy(col("w"))
+      .orderBy(col("dens_ppm").desc, col("doc_id").asc)
+    val topA = tfd
+      .withColumn("rank_a", row_number().over(wA).cast("long"))
+      .filter(col("rank_a") <= 50)
+      .select(col("w"), col("doc_id"), col("rank_a"))
+    val topB = tfd
+      .withColumn("rank_b", row_number().over(wB).cast("long"))
+      .filter(col("rank_b") <= 50)
+      .select(col("w"), col("doc_id"), col("rank_b"))
+    val wF = Window.partitionBy(col("term"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    topA.join(topB, Seq("w", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000 div (60 + rank_a)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_b)"), lit(0L)))
+      .withColumnRenamed("w", "term")
+      .withColumn("fused_rank", row_number().over(wF).cast("long"))
+      .filter(col("fused_rank") <= 10)
+      .select(col("term"), col("doc_id"), col("rank_a"), col("rank_b"),
+        col("rrf_ppm"), col("fused_rank"))
+  }
+
+  /** Encoding / mojibake audit — the ftfy-style screen a pretraining
+    * pipeline runs per source before tokenization: double-decoded
+    * UTF-8 ("Ã©" — an é that went UTF-8 → Latin-1 → UTF-8), U+FFFD
+    * replacement characters (lossy transcoding upstream), and bare
+    * control characters all poison a tokenizer vocabulary, and their
+    * RATE per source decides which crawl slices need re-decoding. The
+    * corpus is clean synthetic text, so the fixtures are injected
+    * deterministically by doc_id residue (the q198 tableDiff
+    * discipline — both engines corrupt identically, so the gate
+    * proves the DETECTOR, not the luck of the data); detection is a
+    * codegen'd substring containment per marker — scan-local, no
+    * shuffle before the per-source rollup. */
+  def encodingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val moji = "\u00C3\u00A9" // 'e-acute' double-decoded: U+00C3 U+00A9
+    val repl = "\uFFFD"
+    val ctrl = "\u0007"
+    val flagged = t(spark, dir, "documents")
+      .withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" caf" + moji))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" x" + repl))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(ctrl)).otherwise(lit(""))))
+      .select(col("source"),
+        col("t2").contains(moji).as("f_moji"),
+        col("t2").contains(repl).as("f_repl"),
+        col("t2").contains(ctrl).as("f_ctrl"))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_moji"), 1L).otherwise(0L)).as("n_mojibake"),
+        sum(when(col("f_repl"), 1L).otherwise(0L)).as("n_replacement"),
+        sum(when(col("f_ctrl"), 1L).otherwise(0L)).as("n_control"),
+        sum(when(!col("f_moji") && !col("f_repl") && !col("f_ctrl"), 1L)
+          .otherwise(0L)).as("n_clean"))
+      .select(col("source"), col("n_docs"), col("n_mojibake"),
+        col("n_replacement"), col("n_control"), col("n_clean"),
+        expr("n_clean * 1000000 div n_docs").as("clean_ppm"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q269_encoding_audit", encodingAudit _,
+      """WITH c AS (
+        |  SELECT source, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' caf' || chr(195) || chr(169) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' x' || chr(65533) ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END AS t2
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    contains(t2, chr(195) || chr(169)) AS f_moji,
+        |    contains(t2, chr(65533)) AS f_repl,
+        |    contains(t2, chr(7)) AS f_ctrl
+        |  FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN f_moji THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mojibake,
+        |  CAST(sum(CASE WHEN f_repl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(sum(CASE WHEN f_ctrl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_control,
+        |  CAST(sum(CASE WHEN NOT f_moji AND NOT f_repl AND NOT f_ctrl
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN NOT f_moji AND NOT f_repl AND NOT f_ctrl
+        |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |    AS clean_ppm
+        |FROM f GROUP BY 1""".stripMargin),
+    Q("q265_rrf_fusion", rrfFusion _,
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM tok
+        |  WHERE w IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+        |tfd AS (
+        |  SELECT tf.doc_id, w, tf.tf,
+        |    tf.tf * 1000000 // dl.dl AS dens_ppm
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id),
+        |ta AS (
+        |  SELECT w, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY w
+        |      ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rank_a
+        |  FROM tfd QUALIFY rank_a <= 50),
+        |tb AS (
+        |  SELECT w, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY w
+        |      ORDER BY dens_ppm DESC, doc_id ASC) AS BIGINT) AS rank_b
+        |  FROM tfd QUALIFY rank_b <= 50),
+        |f AS (
+        |  SELECT coalesce(ta.w, tb.w) AS term,
+        |    coalesce(ta.doc_id, tb.doc_id) AS doc_id, rank_a, rank_b,
+        |    CAST(coalesce(1000000 // (60 + rank_a), 0) +
+        |      coalesce(1000000 // (60 + rank_b), 0) AS BIGINT) AS rrf_ppm
+        |  FROM ta FULL OUTER JOIN tb
+        |    ON ta.w = tb.w AND ta.doc_id = tb.doc_id)
+        |SELECT term, doc_id, rank_a, rank_b, rrf_ppm,
+        |  CAST(row_number() OVER (PARTITION BY term
+        |    ORDER BY rrf_ppm DESC, doc_id ASC) AS BIGINT) AS fused_rank
+        |FROM f QUALIFY fused_rank <= 10""".stripMargin),
     Q("q260_rake_keywords", rakeKeywords _, {
       val lst = stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH d AS (

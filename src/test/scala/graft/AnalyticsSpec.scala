@@ -1299,4 +1299,35 @@ class AnalyticsSpec extends SparkSpec {
     // the PSI total is non-negative — and 0 only for identical mixes
     assert(psi >= 0.0)
   }
+  test("woe/iv: bins, counts and contributions match a sequential " +
+      "recompute; every IV contribution is non-negative") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+        (col("l_returnflag") === "R").as("y"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val (mn, mx) = (rows.map(_._1).min, rows.map(_._1).max)
+    val binned = rows.groupBy(r => (r._1 - mn) * 10 / (mx + 1 - mn))
+    val totPos = rows.count(_._2).toLong
+    val totNeg = rows.length - totPos
+    val got = operators.DataQuality.woeIv(spark, sf).collect()
+    assert(got.length === binned.size)
+    got.foreach { r =>
+      val b = binned(r.getAs[Long]("bin"))
+      val np = b.count(_._2).toLong
+      val nn = b.length - np
+      assert(r.getAs[Long]("n_pos") === np)
+      assert(r.getAs[Long]("n_neg") === nn)
+      if (np > 0 && nn > 0) {
+        val woe = math.log(np.toDouble * totNeg / (nn.toDouble * totPos))
+        val iv = (np.toDouble / totPos - nn.toDouble / totNeg) * woe
+        assert(math.abs(r.getAs[Double]("woe_r") - woe) < 1e-5)
+        assert(math.abs(r.getAs[Double]("iv_contrib_r") - iv) < 1e-5)
+        // (p - q) and ln(p/q) share a sign, so each contribution >= 0
+        assert(r.getAs[Double]("iv_contrib_r") >= -1e-9)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("woe_r")))
+        assert(r.isNullAt(r.fieldIndex("iv_contrib_r")))
+      }
+    }
+  }
 }

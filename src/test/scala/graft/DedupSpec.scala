@@ -422,4 +422,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)), s"got $pairs")
     assert(out.head.getAs[Int]("hamming") === 2)
   }
+  test("lsh s-curve: pooled pairs cover both generators, rates are " +
+      "consistent, and the high-J tail reconciles with q35 minhash") {
+    val rows = Dedup.lshScurve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pooled")
+      val nm = r.getAs[Long]("n_minhash")
+      val ng = r.getAs[Long]("n_minbucket")
+      // every pooled pair came from at least one generator
+      assert(nm + ng >= n)
+      assert(nm <= n && ng <= n)
+      assert(r.getAs[Long]("mh_rate_ppm") === nm * 1000000L / n)
+      assert(r.getAs[Long]("ng_rate_ppm") === ng * 1000000L / n)
+      val d = r.getAs[Long]("j_decile")
+      assert(d >= 0 && d <= 9)
+    }
+    // J >= 0.5 pooled pairs caught by the banded generator == q35's
+    // verified output (same generator, same verify threshold: decile
+    // >= 5 iff inter/uni >= 0.5 exactly, and round(J,6)'s extra
+    // 0.4999995 admission needs uni ~ 1e7 shingles - not at sf0.001)
+    val q35 = Dedup.minhash(spark, sf).count()
+    val highJmh = rows.filter(_.getAs[Long]("j_decile") >= 5)
+      .map(_.getAs[Long]("n_minhash")).sum
+    assert(highJmh === q35)
+  }
 }

@@ -167,4 +167,76 @@ class MlEvalSpec extends SparkSpec {
     val ry2 = midranks2(rows.map(r => r._2 * r._2))
     rows.foreach(r => assert(ry2(r._2 * r._2) === ry(r._2)))
   }
+  test("cuped: pooled theta and per-arm adjusted means match a " +
+      "sequential recompute; arm split is the portable hash") {
+    import java.security.MessageDigest
+    def h32(x: String): Long = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val perUser = ev.groupBy(_._1).map { case (u, rs) =>
+      val x = rs.filter(_._2 < mid).map(_._3).sum
+      val y = rs.filter(_._2 >= mid).map(_._3).sum
+      (u, x, y, h32(s"arm:$u") % 2)
+    }.toArray
+    val n = perUser.length.toLong
+    val sx = perUser.map(_._2).sum
+    val sy = perUser.map(_._3).sum
+    val sxy = perUser.map(r => BigInt(r._2) * r._3).sum
+    val sxx = perUser.map(r => BigInt(r._2) * r._2).sum
+    val cov = BigInt(n) * sxy - BigInt(sx) * sy
+    val vr = BigInt(n) * sxx - BigInt(sx) * sx
+    val got = operators.MlEval.cuped(spark, sf).collect()
+      .map(r => r.getAs[Long]("arm") -> r).toMap
+    assert(got.size === 2)
+    Seq(0L, 1L).foreach { a =>
+      val rs = perUser.filter(_._4 == a)
+      val row = got(a)
+      assert(row.getAs[Long]("n_users") === rs.length.toLong)
+      assert(row.getAs[Long]("sum_x_cents") === rs.map(_._2).sum)
+      assert(row.getAs[Long]("sum_y_cents") === rs.map(_._3).sum)
+      assert(BigInt(row.getAs[java.math.BigDecimal]("cov_num")
+        .toBigInteger) === cov)
+      assert(BigInt(row.getAs[java.math.BigDecimal]("var_num")
+        .toBigInteger) === vr)
+      val adj = (vr.toDouble * rs.map(_._3).sum -
+        cov.toDouble * rs.map(_._2).sum) / (vr.toDouble * rs.length)
+      assert(math.abs(row.getAs[Double]("adj_mean_r") - adj) < 1e-5)
+    }
+    // variance reduction is real on this data only if |theta| > 0; at
+    // minimum the adjusted readout must differ from raw when cov != 0
+    assert(cov != 0)
+  }
+
+  test("mutual info: per-cell contributions match a driver recompute " +
+      "and total MI is non-negative") {
+    val rows = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length.toDouble
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toLong)
+    val margX = rows.groupBy(_._1).view.mapValues(_.length.toLong)
+    val margY = rows.groupBy(_._2).view.mapValues(_.length.toLong)
+    val got = operators.MlEval.mutualInfo(spark, sf).collect()
+    assert(got.length === cells.size)
+    var total = 0.0
+    got.foreach { r =>
+      val key = (r.getAs[String]("seg"), r.getAs[Int]("nat").toLong)
+      val nxy = cells(key)
+      assert(r.getAs[Long]("n_xy") === nxy)
+      assert(r.getAs[Long]("n_x") === margX(key._1))
+      assert(r.getAs[Long]("n_y") === margY(key._2))
+      val mi = (nxy / n) * math.log(nxy * n /
+        (margX(key._1).toDouble * margY(key._2)))
+      assert(math.abs(r.getAs[Double]("mi_contrib_r") - mi) < 1e-5)
+      total += r.getAs[Double]("mi_contrib_r")
+    }
+    assert(total > -1e-9) // MI >= 0 (rounding slack)
+  }
 }

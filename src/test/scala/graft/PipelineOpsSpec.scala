@@ -1117,4 +1117,94 @@ class PipelineOpsSpec extends SparkSpec {
     // the fixture corpus loops a tiny vocabulary: repetition must register
     assert(got.values.exists(_._2 > 0))
   }
+  test("hits: half-round scores equal a driver recompute on the " +
+      "distinct edge relation; top lists are deterministic") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .flatMap(r => o.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .distinct
+    val a1 = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val h1 = edges.groupBy(_._1).view
+      .mapValues(_.map(e => a1(e._2)).sum).toMap
+    val a2 = edges.groupBy(_._2).view
+      .mapValues(_.map(e => h1(e._1)).sum).toMap
+    val h2 = edges.groupBy(_._1).view
+      .mapValues(_.map(e => a2(e._2)).sum).toMap
+    val topH = h2.toArray.sortBy(x => (-x._2, x._1)).take(15)
+    val topA = a2.toArray.sortBy(x => (-x._2, x._1)).take(15)
+    val got = operators.Graph.hits(spark, sf).collect()
+    val gotH = got.filter(_.getAs[String]("kind") == "hub")
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("score")))
+    val gotA = got.filter(_.getAs[String]("kind") == "authority")
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("score")))
+    assert(gotH.sortBy(x => (-x._2, x._1)) === topH.toSeq)
+    assert(gotA.sortBy(x => (-x._2, x._1)) === topA.toSeq)
+    // mutual reinforcement: every emitted score is strictly positive
+    assert(got.forall(_.getAs[Long]("score") > 0))
+  }
+
+  test("rrf fusion: fused ranking equals a sequential recompute of " +
+      "both retrievers plus the reciprocal-rank sum") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val terms = Seq("join", "filter", "scan")
+    val expected = terms.flatMap { term =>
+      val matching = docs.map { case (id, ws) =>
+        (id, ws.count(_ == term).toLong, ws.length.toLong)
+      }.filter(_._2 > 0)
+      val ra = matching.sortBy(x => (-x._2, x._1)).zipWithIndex
+        .map { case ((id, _, _), i) => id -> (i + 1).toLong }
+        .filter(_._2 <= 50).toMap
+      val rb = matching.map { case (id, tf, dl) =>
+        (id, tf * 1000000L / dl)
+      }.sortBy(x => (-x._2, x._1)).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1).toLong }
+        .filter(_._2 <= 50).toMap
+      (ra.keySet ++ rb.keySet).toArray.map { id =>
+        val rrf = ra.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          rb.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        (term, id, ra.get(id), rb.get(id), rrf)
+      }.sortBy(x => (-x._5, x._2)).take(10).zipWithIndex
+        .map { case ((t, id, a, b, rrf), i) =>
+          (t, id, a, b, rrf, (i + 1).toLong) }
+    }.toSet
+    val got = operators.TextAnalysis.rrfFusion(spark, sf).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("rank_a")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("rank_b")).map(_.toLong),
+        r.getAs[Long]("rrf_ppm"), r.getAs[Long]("fused_rank"))).toSet
+    assert(got === expected)
+  }
+
+  test("encoding audit: per-source counts equal the doc_id residue " +
+      "census and the clean rate is exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // precondition: the pristine corpus carries none of the markers
+    assert(docs.forall { case (_, _, t) =>
+      !t.contains("\u00C3\u00A9") && !t.contains("\uFFFD") &&
+        !t.contains("\u0007") })
+    val bySrc = docs.groupBy(_._2)
+    val got = operators.TextAnalysis.encodingAudit(spark, sf).collect()
+    assert(got.length === bySrc.size)
+    got.foreach { r =>
+      val ds = bySrc(r.getAs[String]("source"))
+      val moji = ds.count(_._1 % 7 == 0).toLong
+      val repl = ds.count(_._1 % 11 == 0).toLong
+      val ctrl = ds.count(_._1 % 13 == 0).toLong
+      val clean = ds.count(d =>
+        d._1 % 7 != 0 && d._1 % 11 != 0 && d._1 % 13 != 0).toLong
+      assert(r.getAs[Long]("n_docs") === ds.length.toLong)
+      assert(r.getAs[Long]("n_mojibake") === moji)
+      assert(r.getAs[Long]("n_replacement") === repl)
+      assert(r.getAs[Long]("n_control") === ctrl)
+      assert(r.getAs[Long]("n_clean") === clean)
+      assert(r.getAs[Long]("clean_ppm") === clean * 1000000L / ds.length)
+    }
+  }
 }

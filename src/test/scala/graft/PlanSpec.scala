@@ -445,4 +445,28 @@ class PlanSpec extends SparkSpec {
       c => assert(got.getAs[Long](c) === ref.getAs[Long](c), c)
     }
   }
+  test("q271: the dim filter dynamically prunes fact partitions and " +
+      "the result equals the unpartitioned formulation") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Layout.dynamicPruning(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning expression in the fact scan:\n${plan.take(3000)}")
+    val got = df.collect()
+      .map(r => (r.getAs[Number]("yr").longValue(),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("cents"))).sortBy(_._1)
+    val ref = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(year(col("o_orderdate")) >= 1999)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("c"))
+      .collect()
+      .map(r => (r.getAs[Number]("yr").longValue(),
+        r.getAs[Long]("n"), r.getAs[Long]("c"))).sortBy(_._1)
+    assert(got.toSeq === ref.toSeq)
+    // only the late-era partition directories are read: every surviving
+    // partition is >= 1999
+    assert(got.forall(_._1 >= 1999L))
+  }
 }

@@ -461,4 +461,48 @@ class SamplingSpec extends SparkSpec {
     // integral division leaves at most |strata| unallocated units
     assert(allocSum <= 1000L && allocSum > 1000L - mom.size)
   }
+  test("poisson bootstrap: weights follow the integer inverse-CDF, " +
+      "replicate means match a sequential recompute, CI is ordered") {
+    import java.security.MessageDigest
+    def hk(x: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val cdf = Array(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    def w(u: Long): Long = {
+      val i = cdf.indexWhere(u < _)
+      if (i < 0) 8L else i.toLong
+    }
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val means = (1 to 32).map { b =>
+      var swx = 0L; var sw = 0L
+      rows.foreach { case (k, c) =>
+        val wt = w(hk(s"bs$b:$k")); swx += wt * c; sw += wt
+      }
+      // Poisson(1) total weight concentrates near n
+      assert(math.abs(sw - rows.length) < rows.length * 0.2 + 50)
+      swx * 1000000L / sw
+    }.sorted
+    val got = operators.Sampling.poissonBootstrap(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n") === rows.length.toLong)
+    assert(got.getAs[Long]("point_mean_micro") ===
+      rows.map(_._2).sum * 1000000L / rows.length)
+    assert(got.getAs[Long]("boot_lo_micro") === means(1))
+    assert(got.getAs[Long]("boot_hi_micro") === means(30))
+    assert(got.getAs[Long]("boot_med_micro") ===
+      (means(15) + means(16)) / 2)
+    assert(got.getAs[Long]("boot_lo_micro") <=
+      got.getAs[Long]("boot_med_micro"))
+    assert(got.getAs[Long]("boot_med_micro") <=
+      got.getAs[Long]("boot_hi_micro"))
+    // the interval brackets the point estimate on well-behaved data
+    assert(got.getAs[Long]("boot_lo_micro") <=
+      got.getAs[Long]("point_mean_micro"))
+    assert(got.getAs[Long]("boot_hi_micro") >=
+      got.getAs[Long]("point_mean_micro"))
+  }
 }

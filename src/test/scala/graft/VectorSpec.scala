@@ -124,4 +124,39 @@ class VectorSpec extends SparkSpec {
         .as("c")).collect()
     assert(selfCos.forall(_.getAs[Double]("c") === 1.0))
   }
+  test("hard negatives: every mined negative is cross-label, inside " +
+      "the semi-hard band, and ranked as brute force dictates") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2)))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    }
+    val got = operators.Similarity.hardNegatives(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byQ = got.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (qid, rows) =>
+      val q = byId(qid)
+      val posCos = vecs.filter(v => v._1 != qid && v._3 == q._3)
+        .map(v => cos(q._2, v._2)).max
+      // the semi-hard band recomputed brute-force
+      val band = vecs.filter(v => v._1 != qid && v._3 != q._3)
+        .map(v => (v._1, cos(q._2, v._2)))
+        .filter { case (_, c) => c < posCos && c > posCos - 0.2 }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      val gotRows = rows.sortBy(_.getAs[Int]("rn"))
+        .map(r => (r.getAs[Long]("cand_id"), r.getAs[Double]("cos")))
+      assert(gotRows.toSeq === band.toSeq)
+      rows.foreach { r =>
+        assert(math.abs(r.getAs[Double]("pos_cos") - posCos) < 1e-9)
+        assert(byId(r.getAs[Long]("cand_id"))._3 != q._3)
+      }
+    }
+  }
 }
