@@ -1858,7 +1858,66 @@ object Analytics {
           + lit(0.0)).as("mean_wins_r"))
   }
 
+  /** Autocorrelation function of the daily revenue series at lags 1–7
+    * (Box & Jenkins §2.1) — the seasonality detector the time-series
+    * family lacked: q238's backtest ASSUMES weekly structure, ACF
+    * MEASURES it (a lag-7 peak is the weekly cycle; lag-1 is momentum).
+    * The corpus contributes ONE partial-agg'd daily rollup; the series
+    * is bounded (~2,400 day rows at any corpus size), so the centered
+    * products, the per-lag self-join (day = day + k) and the variance
+    * reduction all run on the bounded relation — the q237 discipline.
+    * Centering is exact: z_t = n·y_t − Σy (integer), so ρ_k =
+    * Σ z_t·z_{t+k} / Σ z² needs no float mean; z ≈ 2e12 at sf0.1, so
+    * products cross 2⁶³ and the sums ride decimal(38)/HUGEINT (the
+    * q262 precedent), with ONE double rounding at the readout. Missing
+    * calendar days simply contribute no pair (the standard
+    * irregular-series convention; this calendar is dense). */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(expr("datediff(CAST(o_orderdate AS DATE), " +
+        "DATE '1990-01-01')").cast("long").as("d"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .as("y"))
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val z = daily.crossJoin(broadcast(st))
+      .select(col("d"), (col("y") * col("n") - col("s")).as("z"))
+      .cutLineage() // bounded ~2.4k rows; probed by den + both pair sides
+    val den = z.agg(sum(col("z").cast("decimal(38,0)") * col("z"))
+      .as("den"))
+    z.withColumn("lag", explode(array((1 to 7).map(k => lit(k.toLong)): _*)))
+      .select(col("lag"), (col("d") + col("lag")).as("d"),
+        col("z").as("za"))
+      .join(z.select(col("d"), col("z").as("zb")), Seq("d"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("za").cast("decimal(38,0)") * col("zb")).as("acov"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        (round(col("acov").cast("double") / col("den").cast("double"), 6)
+          + lit(0.0)).as("rho_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q273_acf", acf _,
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1990-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+        |  FROM daily),
+        |z AS (SELECT d, y * n - s AS z FROM daily, st),
+        |den AS (SELECT sum(CAST(z AS HUGEINT) * z) AS den FROM z),
+        |p AS (
+        |  SELECT l.k AS lag, a.z AS za, b.z AS zb
+        |  FROM range(1, 8) l(k)
+        |    JOIN z a ON TRUE
+        |    JOIN z b ON b.d = a.d + l.k)
+        |SELECT lag, count(*) AS n_pairs,
+        |  round(CAST(sum(CAST(za AS HUGEINT) * zb) AS DOUBLE) /
+        |    CAST(den AS DOUBLE), 6) + 0.0 AS rho_r
+        |FROM p, den GROUP BY lag, den""".stripMargin),
     Q("q250_winsorize", winsorize _,
       """WITH ev AS (
         |  SELECT event_type,

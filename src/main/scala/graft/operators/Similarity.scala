@@ -440,7 +440,128 @@ object Similarity {
         col("rn"))
   }
 
+  /** PCA first principal component by power iteration (Golub & Van Loan
+    * §8.2) — the eigen-decomposition member the vector family lacked:
+    * which single direction carries the most embedding variance, and how
+    * much of the total it explains. The corpus contributes exactly ONE
+    * pass: the dim² Gram relation G_jk = Σ x_j·x_k (a per-vec_id
+    * self-join of the (vec, dim, x) triples — 64 rows per side per
+    * vector, partial-agg'd to the bounded 64×64 output) plus the per-dim
+    * sums; the centered covariance C = n·G − S·Sᵀ, the max-abs
+    * normalization, and all four power-iteration mat-vec rounds run on
+    * that BOUNDED 4096-row relation — free at any corpus size, the
+    * 64-bucket-recipe discipline. Everything is exact integer: x on the
+    * q48 1000-grid, C normalized to ±10⁴ via a positive-shifted floor
+    * div (numerator kept positive so Spark `div` ≡ DuckDB `//`; the
+    * q236 precedent), each iterate re-normalized to ±10⁴ by its own
+    * max|u| (greatest(·,1)-guarded) — so the iteration is bit-identical
+    * in any engine and order-independent under any partitioning. Sign
+    * and convergence are pinned by v₀ = +10⁴·1: four rounds separate
+    * PC1 decisively on this data, and the readout carries the Rayleigh
+    * share λ₁/tr(C) — scale-free, so the normalization cancels. Long
+    * bounds: |C·10⁴| ≤ ~1.3e16 at sf0.1 and |u| ≤ 64·10⁸ — headroom to
+    * ~50× this SF, then C flips to decimal(38) (the q261 precedent). */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val S = 10000L
+    val pts = t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(transform(col("embedding"), x =>
+        floor(lit(1000.0) * x.cast("double") + lit(0.5)).cast("long")))
+        .as(Seq("j", "x")))
+      .withColumn("j", col("j") + 1)
+      .cutLineage() // feeds the Gram self-join (both sides) + dim sums
+    val gram = pts.select(col("vec_id"), col("j"), col("x"))
+      .join(pts.select(col("vec_id"), col("j").as("k"),
+        col("x").as("xk")), Seq("vec_id"))
+      .groupBy(col("j"), col("k")).agg(sum(col("x") * col("xk")).as("g"))
+    val dimSums = pts.groupBy(col("j")).agg(sum(col("x")).as("s"))
+    val nRows = t(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
+    val cRaw = gram
+      .join(broadcast(dimSums), Seq("j"))
+      .join(broadcast(dimSums.select(col("j").as("k"), col("s").as("sk"))),
+        Seq("k"))
+      .crossJoin(broadcast(nRows))
+      .select(col("j"), col("k"),
+        (col("n") * col("g") - col("s") * col("sk")).as("c"))
+    val maxC = cRaw.agg(greatest(max(abs(col("c"))), lit(1L)).as("mc"))
+    val cn = cRaw.crossJoin(broadcast(maxC))
+      .select(col("j"), col("k"),
+        expr(s"(c * $S + mc * $S) div mc - $S").as("c"))
+      .cutLineage() // probed by four mat-vec rounds + the trace readout
+    def matVec(v: DataFrame): DataFrame = {
+      val u = cn.join(broadcast(v.select(col("j").as("k"), col("v"))),
+        Seq("k"))
+        .groupBy(col("j")).agg(sum(col("c") * col("v")).as("u"))
+      val mu = u.agg(greatest(max(abs(col("u"))), lit(1L)).as("mu"))
+      u.crossJoin(broadcast(mu))
+        .select(col("j"), expr(s"(u * $S + mu * $S) div mu - $S").as("v"))
+    }
+    val v0 = cn.select(col("j")).distinct().withColumn("v", lit(S))
+    val v4 = (1 to 4).foldLeft(v0)((v, _) => matVec(v)).cutLineage()
+    // Rayleigh share on the normalized matrix: λ = (vᵀC'v)/(vᵀv); the
+    // variance share divides by tr(C') — both exact-integer reductions
+    // over bounded relations, one rounding at the very end
+    val u5 = cn.join(broadcast(v4.select(col("j").as("k"), col("v"))),
+      Seq("k")).groupBy(col("j")).agg(sum(col("c") * col("v")).as("u"))
+    val ray = v4.join(u5, Seq("j"))
+      .agg(sum(col("v") * col("u")).as("num"),
+        sum(col("v") * col("v")).as("den"))
+    val tr = cn.filter(col("j") === col("k"))
+      .agg(sum(col("c")).as("trc"))
+    v4.crossJoin(broadcast(ray)).crossJoin(broadcast(tr))
+      .select(col("j"), col("v").as("loading"),
+        (round(col("num").cast("double") /
+          (col("den").cast("double") * col("trc").cast("double")), 6)
+          + lit(0.0)).as("ev_share_r"))
+  }
+
+  private def pcaRoundSql(i: Int): String = {
+    val p = i - 1
+    s"""u$i AS (
+       |  SELECT cn.j, CAST(sum(cn.c * v$p.v) AS BIGINT) AS u
+       |  FROM cn JOIN v$p ON cn.k = v$p.j GROUP BY 1),
+       |m$i AS (SELECT greatest(max(abs(u)), 1) AS mu FROM u$i),
+       |v$i AS (
+       |  SELECT j, (u * 10000 + mu * 10000) // mu - 10000 AS v
+       |  FROM u$i, m$i)""".stripMargin
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q272_pca_power", pcaPower _,
+      s"""WITH pts AS (
+         |  SELECT vec_id, CAST(r.i AS BIGINT) AS j,
+         |    CAST(floor(1000.0 *
+         |        CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) + 0.5)
+         |      AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+         |gram AS (
+         |  SELECT a.j, b.j AS k, CAST(sum(a.x * b.x) AS BIGINT) AS g
+         |  FROM pts a JOIN pts b USING (vec_id) GROUP BY 1, 2),
+         |ds AS (SELECT j, CAST(sum(x) AS BIGINT) AS s FROM pts GROUP BY 1),
+         |nr AS (SELECT count(*) AS n FROM embeddings),
+         |craw AS (
+         |  SELECT g.j, g.k, n * g.g - ds.s * dk.s AS c
+         |  FROM gram g JOIN ds ON ds.j = g.j
+         |    JOIN ds dk ON dk.j = g.k, nr),
+         |mc AS (SELECT greatest(max(abs(c)), 1) AS mc FROM craw),
+         |cn AS (
+         |  SELECT j, k, (c * 10000 + mc * 10000) // mc - 10000 AS c
+         |  FROM craw, mc),
+         |v0 AS (SELECT DISTINCT j, 10000 AS v FROM cn),
+         |${(1 to 4).map(pcaRoundSql).mkString(",\n")},
+         |u5 AS (
+         |  SELECT cn.j, CAST(sum(cn.c * v4.v) AS BIGINT) AS u
+         |  FROM cn JOIN v4 ON cn.k = v4.j GROUP BY 1),
+         |ray AS (
+         |  SELECT CAST(sum(v4.v * u5.u) AS BIGINT) AS num,
+         |    CAST(sum(v4.v * v4.v) AS BIGINT) AS den
+         |  FROM v4 JOIN u5 USING (j)),
+         |tr AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS trc FROM cn WHERE j = k)
+         |SELECT v4.j, v4.v AS loading,
+         |  round(CAST(num AS DOUBLE) /
+         |    (CAST(den AS DOUBLE) * CAST(trc AS DOUBLE)), 6) + 0.0
+         |    AS ev_share_r
+         |FROM v4, ray, tr""".stripMargin),
     Q("q268_hard_negatives", hardNegatives _,
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding,

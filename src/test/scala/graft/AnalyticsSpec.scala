@@ -1330,4 +1330,30 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("acf: exact from-scratch recompute of the lag-k autocorrelation") {
+    val out = Analytics.acf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("lag"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("rho_r"))).sortBy(_._1)
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') " +
+          "AS LONG) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).sum }
+    val n = daily.size
+    val sy = daily.values.sum
+    val z = daily.map { case (d, y) => d -> (BigInt(y) * n - sy) }
+    val den = z.values.map(x => x * x).sum
+    assert(out.map(_._1).toSeq === (1L to 7L))
+    out.foreach { case (k, np, rho) =>
+      val pairs = z.toSeq.collect {
+        case (d, za) if z.contains(d + k) => za * z(d + k) }
+      assert(np === pairs.size.toLong)
+      val expect = BigDecimal(pairs.sum).toDouble / BigDecimal(den).toDouble
+      assert(math.abs(rho - expect) < 1.5e-6)
+      assert(math.abs(rho) <= 1.0 + 1e-9)
+    }
+  }
 }

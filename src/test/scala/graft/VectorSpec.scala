@@ -159,4 +159,51 @@ class VectorSpec extends SparkSpec {
       }
     }
   }
+
+  test("PCA power iteration: exact from-scratch recompute, " +
+      "normalization invariants hold") {
+    import graft.operators.Similarity
+    val out = Similarity.pcaPower(spark, sf).collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("loading"),
+        r.getAs[Double]("ev_share_r"))).sortBy(_._1)
+    // from scratch on the driver: identical integer pipeline
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray
+        .map(x => math.floor(1000.0 * x.toDouble + 0.5).toLong))
+    val d = 64; val n = q.length.toLong
+    val g = Array.ofDim[Long](d, d); val s = new Array[Long](d)
+    for (vv <- q) {
+      var j = 0
+      while (j < d) {
+        s(j) += vv(j)
+        var k = 0
+        while (k < d) { g(j)(k) += vv(j) * vv(k); k += 1 }
+        j += 1
+      }
+    }
+    val c = Array.tabulate(d, d)((j, k) => n * g(j)(k) - s(j) * s(k))
+    val mc = math.max(c.flatten.map(math.abs).max, 1L)
+    val cn = c.map(_.map(x => (x * 10000L + mc * 10000L) / mc - 10000L))
+    var v = Array.fill(d)(10000L)
+    def matVec(vv: Array[Long]): Array[Long] =
+      Array.tabulate(d)(j => (0 until d).map(k => cn(j)(k) * vv(k)).sum)
+    for (_ <- 1 to 4) {
+      val u = matVec(v)
+      val mu = math.max(u.map(math.abs).max, 1L)
+      v = u.map(x => (x * 10000L + mu * 10000L) / mu - 10000L)
+    }
+    val u5 = matVec(v)
+    val num = (0 until d).map(j => v(j) * u5(j)).sum
+    val den = (0 until d).map(j => v(j) * v(j)).sum
+    val trc = (0 until d).map(j => cn(j)(j)).sum
+    val share = num.toDouble / (den.toDouble * trc.toDouble)
+    assert(out.map(_._1).toSeq === (1 to 64))
+    assert(out.map(_._2).toSeq === v.toSeq) // exact loadings
+    assert(out.forall(r => math.abs(r._3 - share) < 1.5e-6))
+    // re-normalized each round: some |loading| is exactly the 10⁴ scale
+    assert(v.map(math.abs).max === 10000L)
+    // a principal direction exists and explains a positive share
+    assert(out.head._3 > 0.0 && out.head._3 <= 1.0)
+  }
 }
