@@ -743,7 +743,139 @@ object Graph {
             col("a2").as("score")))
   }
 
+  /** DBSCAN density clustering (Ester, Kriegel, Sander & Xu, KDD 1996)
+    * over the q236 synthetic geography — the density member the
+    * clustering family lacked (q192 k-core and q197 LPA cluster the
+    * GRAPH; DBSCAN clusters the PLANE, finds arbitrary-shape clusters
+    * and, unlike k-means, a first-class noise class). The radius is
+    * density-scaled so the operator is corpus-size-free: eps =
+    * floor(√(2·area/(π·n))) targets ~2 expected in-disc neighbors at
+    * ANY n (both engines derive it from count(*) — the embeddingCells
+    * k-from-count discipline; one IEEE sqrt, correctly rounded, then
+    * integers end-to-end). The 2 is deliberately SUBCRITICAL for
+    * random geometric graphs (percolation at mean degree ≈4.5): a
+    * supercritical target grows a giant mesh component whose min-label
+    * CC takes O(mesh width) rounds — measured 5+ minutes at sf0.1
+    * before this constant was lowered — while subcritical components
+    * stay O(log n) and the CC loop converges in a handful of rounds. Spark runs the eps-grid candidate equi-join
+    * (cell side = eps in the SCALED-longitude metric space, the d67faf3
+    * lesson, so ±1 cells provably cover the disc); the ORACLE is
+    * deliberately grid-FREE (brute-force n² pair filter) — it re-proves
+    * the grid's completeness on every gate run instead of replicating
+    * its possible blind spots. Core = ≥4 in-disc points (self
+    * included); core–core edges feed [[Dedup.connectedComponents]]
+    * (pointer jumping, O(log diameter) rounds); border points take the
+    * min cluster among in-disc cores; the rest are noise. At 100 TB the
+    * candidate join stays linear (expected cell occupancy is ~4/π by
+    * construction) and the CC is the q53-proven O(edges)-per-round
+    * loop. */
+  def dbscan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val minPts = 4L
+    val cust = t(spark, dir, "customer")
+    val epsDf = cust.agg(count(lit(1)).as("n"))
+      .select(expr("CAST(floor(sqrt(2.0 * 760400000000.0 / (pi() * n)))" +
+        " AS BIGINT)").as("eps"))
+    val pts = cust.select(col("c_custkey").as("id"),
+        (lit(40000000L) + TextOps.portableHash(concat(lit("lat:"),
+          col("c_custkey").cast("string"))) % 1000000L).as("lat"),
+        (lit(106000000L) + TextOps.portableHash(concat(lit("lon:"),
+          col("c_custkey").cast("string"))) % 1000000L).as("rawlon"))
+      .withColumn("slon", expr("rawlon * 7604 DIV 10000"))
+      .crossJoin(broadcast(epsDf))
+      .select(col("id"), col("lat"), col("slon"), col("eps"))
+      .cutLineage() // both candidate-join sides probe it
+    val a = pts
+      .withColumn("da", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("ai"), col("lat").as("lat_a"),
+        col("slon").as("slon_a"), col("eps"),
+        (expr("lat DIV eps") + col("da")).as("clat"),
+        (expr("slon DIV eps") + col("db")).as("clon"))
+    val b = pts.select(col("id").as("bi"), col("lat").as("lat_b"),
+      col("slon").as("slon_b"),
+      expr("lat DIV eps").as("clat"), expr("slon DIV eps").as("clon"))
+    val near = a.join(b, Seq("clat", "clon"))
+      .filter(expr("(lat_a - lat_b) * (lat_a - lat_b) + " +
+        "(slon_a - slon_b) * (slon_a - slon_b) <= eps * eps"))
+      .select(col("ai"), col("bi"))
+      .cutLineage() // feeds counts, core edges AND border assignment
+    val nin = near.groupBy(col("ai")).agg(count(lit(1)).as("n_in"))
+    val cores = nin.filter(col("n_in") >= minPts).select(col("ai").as("id"))
+    val coreEdges = near
+      .join(cores.select(col("id").as("ai")), Seq("ai"))
+      .join(cores.select(col("id").as("bi")), Seq("bi"))
+      .filter(col("ai") < col("bi"))
+      .select(col("ai"), col("bi"))
+    val comps = Dedup.connectedComponents(coreEdges).toDF("id", "comp")
+    val coreCl = cores.join(comps, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("comp"), col("id")).as("core_cluster"))
+    val nearCoreMin = near
+      .join(coreCl.select(col("id").as("bi"),
+        col("core_cluster").as("ncl")), Seq("bi"))
+      .groupBy(col("ai")).agg(min(col("ncl")).as("near_cluster"))
+    pts.select(col("id"))
+      .join(coreCl, Seq("id"), "left_outer")
+      .join(nearCoreMin.withColumnRenamed("ai", "id"), Seq("id"),
+        "left_outer")
+      .join(nin.withColumnRenamed("ai", "id"), Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("core_cluster").isNotNull, lit("core"))
+          .when(col("near_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cluster"), col("near_cluster")).as("cluster"),
+        col("n_in"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q274_dbscan", dbscan _,
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+        |ee AS (
+        |  SELECT CAST(floor(sqrt(2.0 * 760400000000.0 / (pi() * n)))
+        |    AS BIGINT) AS eps FROM nn),
+        |p AS (
+        |  SELECT c_custkey AS id,
+        |    40000000 + ('0x' || substr(md5('lat:' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        |      AS lat,
+        |    (106000000 + ('0x' || substr(md5('lon:' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000)
+        |      * 7604 // 10000 AS slon
+        |  FROM customer),
+        |near AS (
+        |  SELECT a.id AS ai, b.id AS bi
+        |  FROM p a, p b, ee
+        |  WHERE (a.lat - b.lat) * (a.lat - b.lat) +
+        |    (a.slon - b.slon) * (a.slon - b.slon) <= eps * eps),
+        |nin AS (SELECT ai, count(*) AS n_in FROM near GROUP BY 1),
+        |cores AS (SELECT ai AS id FROM nin WHERE n_in >= 4),
+        |sym AS (
+        |  SELECT n.ai AS s, n.bi AS d FROM near n
+        |  JOIN cores ca ON ca.id = n.ai
+        |  JOIN cores cb ON cb.id = n.bi
+        |  WHERE n.ai <> n.bi),
+        |reach AS (
+        |  SELECT s AS v, s AS r FROM sym
+        |  UNION
+        |  SELECT sym.d AS v, reach.r AS r
+        |  FROM sym JOIN reach ON sym.s = reach.v),
+        |comp AS (SELECT v AS id, min(r) AS comp FROM reach GROUP BY 1),
+        |corecl AS (
+        |  SELECT c.id, coalesce(cp.comp, c.id) AS core_cluster
+        |  FROM cores c LEFT JOIN comp cp ON cp.id = c.id),
+        |ncm AS (
+        |  SELECT n.ai AS id, min(cc.core_cluster) AS near_cluster
+        |  FROM near n JOIN corecl cc ON cc.id = n.bi GROUP BY 1)
+        |SELECT p.id,
+        |  CASE WHEN cc.id IS NOT NULL THEN 'core'
+        |       WHEN ncm.near_cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(cc.core_cluster, ncm.near_cluster) AS cluster,
+        |  nin.n_in
+        |FROM p LEFT JOIN corecl cc ON cc.id = p.id
+        |  LEFT JOIN ncm ON ncm.id = p.id
+        |  LEFT JOIN nin ON nin.ai = p.id""".stripMargin),
     Q("q266_hits", hits _,
       """WITH e AS (
         |  SELECT DISTINCT o_custkey AS c, l_partkey AS p

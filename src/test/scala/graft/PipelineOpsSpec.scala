@@ -548,6 +548,61 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("dbscan: roles, clusters and neighbor counts equal a " +
+      "brute-force union-find recompute") {
+    import graft.operators.Graph
+    val got = Graph.dbscan(spark, sf).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("role"),
+          Option(r.getAs[java.lang.Long]("cluster")).map(_.toLong),
+          r.getAs[Long]("n_in"))).toMap
+    // from scratch: same synthetic geography, brute-force O(n²) pairs
+    def h32(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val ids = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val pts = ids.map { id =>
+      val lat = 40000000L + h32(s"lat:$id") % 1000000L
+      val slon = (106000000L + h32(s"lon:$id") % 1000000L) * 7604L / 10000L
+      id -> (lat, slon)
+    }.toMap
+    val eps = math.floor(
+      math.sqrt(2.0 * 760400000000.0 / (math.Pi * ids.length))).toLong
+    def near(a: Long, b: Long): Boolean = {
+      val (la, sa) = pts(a); val (lb, sb) = pts(b)
+      (la - lb) * (la - lb) + (sa - sb) * (sa - sb) <= eps * eps
+    }
+    val nin = ids.map(a => a -> ids.count(b => near(a, b))).toMap
+    val cores = ids.filter(nin(_) >= 4L).toSet
+    // union-find over core-core in-disc pairs
+    val parent = scala.collection.mutable.Map(
+      cores.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- cores; b <- cores if a < b && near(a, b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = cores.map(c => c -> find(c)).toMap
+    ids.foreach { id =>
+      val (role, cluster) =
+        if (cores(id)) ("core", Some(comp(id)))
+        else {
+          val coreNbrs = cores.filter(near(id, _))
+          if (coreNbrs.nonEmpty) ("border", Some(coreNbrs.map(comp).min))
+          else ("noise", None)
+        }
+      assert(got(id) === ((role, cluster, nin(id))), s"id=$id")
+    }
+    // the density scaling produced a non-degenerate mix at this SF
+    val roles = got.values.map(_._1).toSet
+    assert(roles.contains("core") && roles.contains("noise"))
+  }
+
   test("k-core: planted chain-into-triangle peels in a multi-round " +
       "cascade; sf result equals brute-force peel") {
     import graft.operators.Graph
