@@ -364,7 +364,82 @@ object Layout {
           .as("cents"))
   }
 
+  /** Consistent-hash ring rebalance audit (Karger et al., STOC 1997 —
+    * the placement scheme under Dynamo/Cassandra/Kafka partitioners):
+    * what fraction of keys move when the cluster grows 8 → 9 nodes?
+    * Plain mod-N hashing would remap ~8/9 of all keys; a vnode ring
+    * remaps ONLY keys whose arc lands on the new node's vnodes —
+    * E[moved] = 1/9 — and this query measures it exactly. The ring (9
+    * nodes × 16 vnodes = 144 portable-hash positions) is BOUNDED, so
+    * ownership is a broadcast nested-loop range join (keys × 144,
+    * collapsed map-side by a MERGEABLE min aggregate — the right plan
+    * for a bounded build side; never a shuffle). Every ring row gets a
+    * UNIQUE integer sort key rk = pos·256 + node·16 + vnode, so the
+    * clockwise-successor argmin needs no engine-specific arg_min
+    * tie-break: owner = (min rk) % 256 DIV 16, pure integer arithmetic
+    * in both engines; wraparound = the unfiltered global min. The gate
+    * pins the consistent-hashing theorem itself: every moved key moves
+    * TO the new node (old owners only ever lose to n8), so the output
+    * matrix has exactly one destination column. */
+  def ringRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val ring = spark.range(0, 9).toDF("node")
+      .withColumn("v", explode(array((0 until 16).map(i =>
+        lit(i.toLong)): _*)))
+      .select(col("node"), col("v"),
+        TextOps.portableHash(concat(lit("ring:n"),
+          col("node").cast("string"), lit(":"),
+          col("v").cast("string"))).as("pos"))
+      .select(col("node"),
+        (col("pos") * 256L + col("node") * 16L + col("v")).as("rk"),
+        col("pos"))
+    def owner(nNodes: Int, tag: String): DataFrame = {
+      val r = ring.filter(col("node") < nNodes)
+        .select(col("rk"), col("pos"))
+      t(spark, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          TextOps.portableHash(concat(lit("key:"),
+            col("c_custkey").cast("string"))).as("kpos"))
+        .join(broadcast(r), lit(true))
+        .groupBy(col("key"))
+        .agg(min(when(col("pos") >= col("kpos"), col("rk"))).as("succ"),
+          min(col("rk")).as("wrap"))
+        .select(col("key"),
+          expr("(coalesce(succ, wrap) % 256) DIV 16").as(tag))
+    }
+    owner(8, "owner8").join(owner(9, "owner9"), Seq("key"))
+      .groupBy(col("owner8"), col("owner9"))
+      .agg(count(lit(1)).as("n_keys"))
+      .withColumn("moved", col("owner8") =!= col("owner9"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q275_ring_rebalance", ringRebalance _,
+      """WITH ring AS (
+        |  SELECT n.i AS node, v.j AS v,
+        |    ('0x' || substr(md5('ring:n' || CAST(n.i AS VARCHAR) || ':'
+        |      || CAST(v.j AS VARCHAR)), 1, 8))::BIGINT AS pos
+        |  FROM range(0, 9) n(i) CROSS JOIN range(0, 16) v(j)),
+        |rk AS (
+        |  SELECT node, pos * 256 + node * 16 + v AS rk, pos FROM ring),
+        |keys AS (
+        |  SELECT c_custkey AS key,
+        |    ('0x' || substr(md5('key:' || CAST(c_custkey AS VARCHAR)),
+        |      1, 8))::BIGINT AS kpos
+        |  FROM customer),
+        |o8 AS (
+        |  SELECT key,
+        |    (coalesce(min(CASE WHEN pos >= kpos THEN rk END),
+        |      min(rk)) % 256) // 16 AS owner8
+        |  FROM keys, rk WHERE node < 8 GROUP BY key),
+        |o9 AS (
+        |  SELECT key,
+        |    (coalesce(min(CASE WHEN pos >= kpos THEN rk END),
+        |      min(rk)) % 256) // 16 AS owner9
+        |  FROM keys, rk GROUP BY key)
+        |SELECT owner8, owner9, count(*) AS n_keys,
+        |  owner8 <> owner9 AS moved
+        |FROM o8 JOIN o9 USING (key) GROUP BY 1, 2""".stripMargin),
     Q("q271_dynamic_pruning", dynamicPruning _,
       """WITH dimf AS (
         |  SELECT DISTINCT year(o_orderdate) AS yr FROM orders

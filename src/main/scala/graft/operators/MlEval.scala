@@ -334,7 +334,167 @@ object MlEval {
           .as("mi_contrib_r"))
   }
 
+  /** Leakage-safe temporal churn labeling — the step that turns an
+    * event log into supervised training data without future leakage
+    * (Kaufman, Rosset & Perlich, KDD 2011 on leakage): features come
+    * STRICTLY from before the cut (the 70% point of the global time
+    * span, exact integer arithmetic on epoch seconds — the q262 period
+    * discipline), the label (churn = zero post-cut activity) STRICTLY
+    * from after, and users unseen before the cut get no row at all —
+    * no label, no leak. The entity is the CUSTOMER over orders (10
+    * orders per customer across ~7 years at every SF — so the churn
+    * tail is a stable ~5%; the events table's 67-events-per-30-days
+    * density makes "no post-cut event" structurally impossible, the
+    * degenerate label this operator exists to avoid). One
+    * conditional-sum corpus pass builds the per-customer relation; the
+    * readout buckets customers by floor(log₂ n_pre) computed as
+    * len(bin(n)) − 1 — STRING-length integer log, because float log2
+    * at exact powers of two is an engine-divergence boundary — and
+    * prices churn rate and pre-window spend per bucket (the "do light
+    * buyers churn more?" readout). */
+  def churnLabels(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp_ltz").cast("long").as("sec"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+    val bounds = ev.agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .withColumn("cut", expr("mn + (mx - mn) * 7 div 10"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("sec") < col("cut"), 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("sec") < col("cut"), col("cents")).otherwise(0L))
+          .as("cents_pre"),
+        max(when(col("sec") >= col("cut"), 1L).otherwise(0L))
+          .as("has_post"))
+      .filter(col("n_pre") > 0)
+    perUser
+      .withColumn("ev_bucket",
+        (length(expr("bin(n_pre)")) - 1).cast("long"))
+      .groupBy(col("ev_bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("has_post") === 0L, 1L).otherwise(0L))
+          .as("n_churned"),
+        sum(col("cents_pre")).as("cents_pre"))
+      .select(col("ev_bucket"), col("n_users"), col("n_churned"),
+        col("cents_pre"),
+        (round(col("n_churned").cast("double") / col("n_users"), 6)
+          + lit(0.0)).as("churn_rate_r"),
+        (round(col("cents_pre").cast("double") / col("n_users"), 6)
+          + lit(0.0)).as("avg_cents_r"))
+  }
+
+  /** Sequential probability ratio test (Wald 1945) on the daily
+    * conversion stream — the experimentation member q216/q262 lack: a
+    * FIXED-horizon test must wait for its sample size, SPRT reads the
+    * evidence as it accumulates and stops the moment the log-likelihood
+    * random walk exits (B, A). Design constants are data-free: H₀
+    * p=0.20 vs H₁ p=0.25 (the corpus's five uniform event types make
+    * purchase ≈ 0.2, so the H₀ drift is gently negative — arms should
+    * accept H₀ once enough days accrue), α=β=0.05. Everything is exact
+    * integer micro-nats: a conversion adds ln(p₁/p₀)=223144 µn, a
+    * non-conversion ln((1−p₁)/(1−p₀))=−64539 µn, boundaries ±ln 19 =
+    * ±2944439 µn — so the cumulative walk, the crossing days and the
+    * verdict are bit-portable with NO float in the loop. The corpus
+    * collapses to a per-(arm, day) partial agg in one pass; the walk is
+    * a window over the bounded daily relation (the q237 discipline). */
+  def sprt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val (w1, w0) = (223144L, -64539L)
+    val (hiB, loB) = (2944439L, -2944439L)
+    val daily = t(spark, dir, "events")
+      .select(
+        (TextOps.portableHash(concat(lit("sprtarm:"),
+          col("user_id").cast("string"))) % 2).as("arm"),
+        expr("unix_timestamp(ts) DIV 86400").as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("conv"))
+      .groupBy(col("arm"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val w = Window.partitionBy(col("arm")).orderBy(col("d"))
+    daily
+      .withColumn("llr", sum(col("c") * w1 +
+        (col("n") - col("c")) * w0).over(w))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_days"),
+        min(when(col("llr") >= hiB, col("d"))).as("d_hi"),
+        min(when(col("llr") <= loB, col("d"))).as("d_lo"),
+        max_by(col("llr"), col("d")).as("final_llr"))
+      .select(col("arm"), col("n_days"), col("final_llr"),
+        expr("""CASE
+          WHEN d_hi IS NOT NULL AND (d_lo IS NULL OR d_hi <= d_lo)
+            THEN 'accept_h1'
+          WHEN d_lo IS NOT NULL THEN 'accept_h0'
+          ELSE 'continue' END""").as("decision"),
+        expr("""CASE
+          WHEN d_hi IS NOT NULL AND (d_lo IS NULL OR d_hi <= d_lo)
+            THEN d_hi
+          WHEN d_lo IS NOT NULL THEN d_lo END""").as("decision_day"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q276_churn_labels", churnLabels _,
+      """WITH ev AS (
+        |  SELECT o_custkey AS user_id,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS sec,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT min(sec) AS mn, max(sec) AS mx FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN sec < mn + (mx - mn) * 7 // 10
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+        |    CAST(sum(CASE WHEN sec < mn + (mx - mn) * 7 // 10
+        |      THEN cents ELSE 0 END) AS BIGINT) AS cents_pre,
+        |    max(CASE WHEN sec >= mn + (mx - mn) * 7 // 10
+        |      THEN 1 ELSE 0 END) AS has_post
+        |  FROM ev, b GROUP BY user_id
+        |  HAVING n_pre > 0),
+        |bk AS (
+        |  SELECT CAST(len(bin(n_pre)) - 1 AS BIGINT) AS ev_bucket,
+        |    n_pre, cents_pre, has_post
+        |  FROM pu)
+        |SELECT ev_bucket, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN has_post = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_churned,
+        |  CAST(sum(cents_pre) AS BIGINT) AS cents_pre,
+        |  round(CAST(sum(CASE WHEN has_post = 0 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) + 0.0 AS churn_rate_r,
+        |  round(CAST(sum(cents_pre) AS DOUBLE) / count(*), 6) + 0.0
+        |    AS avg_cents_r
+        |FROM bk GROUP BY 1""".stripMargin),
+    Q("q277_sprt", sprt _,
+      """WITH daily AS (
+        |  SELECT ('0x' || substr(md5('sprtarm:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |walk AS (
+        |  SELECT arm, d,
+        |    CAST(sum(c * 223144 + (n - c) * -64539)
+        |      OVER (PARTITION BY arm ORDER BY d) AS BIGINT) AS llr
+        |  FROM daily),
+        |agg AS (
+        |  SELECT arm, count(*) AS n_days,
+        |    min(CASE WHEN llr >= 2944439 THEN d END) AS d_hi,
+        |    min(CASE WHEN llr <= -2944439 THEN d END) AS d_lo,
+        |    arg_max(llr, d) AS final_llr
+        |  FROM walk GROUP BY 1)
+        |SELECT arm, n_days, final_llr,
+        |  CASE
+        |    WHEN d_hi IS NOT NULL AND (d_lo IS NULL OR d_hi <= d_lo)
+        |      THEN 'accept_h1'
+        |    WHEN d_lo IS NOT NULL THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision,
+        |  CASE
+        |    WHEN d_hi IS NOT NULL AND (d_lo IS NULL OR d_hi <= d_lo)
+        |      THEN d_hi
+        |    WHEN d_lo IS NOT NULL THEN d_lo END AS decision_day
+        |FROM agg""".stripMargin),
     Q("q251_roc_auc", rocAuc _,
       s"""WITH scored AS (
          |  SELECT $scoreSql AS s,

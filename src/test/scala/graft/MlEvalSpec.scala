@@ -239,4 +239,74 @@ class MlEvalSpec extends SparkSpec {
     }
     assert(total > -1e-9) // MI >= 0 (rounding slack)
   }
+
+  test("churn labels: leakage-safe recompute — features pre-cut only, " +
+      "label post-cut only, unseen users dropped") {
+    val out = operators.MlEval.churnLabels(spark, sf).collect()
+      .map(r => r.getAs[Long]("ev_bucket") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_churned"),
+          r.getAs[Long]("cents_pre"))).toMap
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(o_orderdate AS TIMESTAMP_LTZ) AS t",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .selectExpr("o_custkey", "CAST(t AS LONG) AS sec", "cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mn = rows.map(_._2).min; val mx = rows.map(_._2).max
+    val cut = mn + (mx - mn) * 7 / 10
+    val byUser = rows.groupBy(_._1)
+    val expect = scala.collection.mutable
+      .Map.empty[Long, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    byUser.foreach { case (_, es) =>
+      val pre = es.filter(_._2 < cut)
+      if (pre.nonEmpty) {
+        val nPre = pre.size.toLong
+        val bucket = 63L - java.lang.Long.numberOfLeadingZeros(nPre)
+        val churned = if (es.exists(_._2 >= cut)) 0L else 1L
+        val (u, c, s) = expect(bucket)
+        expect(bucket) = (u + 1, c + churned, s + pre.map(_._3).sum)
+      }
+    }
+    assert(out === expect.toMap)
+    assert(out.values.map(_._2).sum > 0) // the label is non-degenerate
+  }
+
+  test("sprt: integer micro-nat walk recomputed sequentially; " +
+      "boundaries and decisions match") {
+    import java.security.MessageDigest
+    def h32(x: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val out = operators.MlEval.sprt(spark, sf).collect()
+      .map(r => r.getAs[Long]("arm") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("final_llr"),
+          r.getAs[String]("decision"),
+          Option(r.getAs[java.lang.Long]("decision_day"))
+            .map(_.toLong))).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "CAST(ts AS LONG) DIV 86400 AS d",
+        "event_type").collect()
+      .map(r => (h32(s"sprtarm:${r.getLong(0)}") % 2, r.getLong(1),
+        r.getString(2) == "purchase"))
+    (0L to 1L).foreach { arm =>
+      val daily = ev.filter(_._1 == arm).groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (d, es) =>
+          (d, es.size.toLong, es.count(_._3).toLong) }
+      var llr = 0L
+      var dHi = Option.empty[Long]; var dLo = Option.empty[Long]
+      daily.foreach { case (d, n, c) =>
+        llr += c * 223144L + (n - c) * -64539L
+        if (llr >= 2944439L && dHi.isEmpty) dHi = Some(d)
+        if (llr <= -2944439L && dLo.isEmpty) dLo = Some(d)
+      }
+      val (decision, day) =
+        if (dHi.nonEmpty && (dLo.isEmpty || dHi.get <= dLo.get))
+          ("accept_h1", dHi)
+        else if (dLo.nonEmpty) ("accept_h0", dLo)
+        else ("continue", None)
+      assert(out(arm) === ((daily.size.toLong, llr, decision, day)),
+        s"arm=$arm")
+    }
+  }
 }

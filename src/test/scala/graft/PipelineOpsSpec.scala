@@ -548,6 +548,41 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("ring rebalance: ownership recomputed from the md5 ring; " +
+      "every moved key lands on the new node") {
+    import graft.operators.Layout
+    def h32(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val got = Layout.ringRebalance(spark, sf).collect()
+      .map(r => (r.getAs[Long]("owner8"), r.getAs[Long]("owner9")) ->
+        (r.getAs[Long]("n_keys"), r.getAs[Boolean]("moved"))).toMap
+    val ring = for (n <- 0 until 9; v <- 0 until 16) yield {
+      val pos = h32(s"ring:n$n:$v")
+      (n.toLong, pos * 256L + n * 16L + v, pos)
+    }
+    def owner(keyPos: Long, nNodes: Int): Long = {
+      val r = ring.filter(_._1 < nNodes)
+      val succ = r.filter(_._3 >= keyPos).map(_._2)
+      val rk = if (succ.nonEmpty) succ.min else r.map(_._2).min
+      (rk % 256L) / 16L
+    }
+    val keys = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val expect = keys.groupBy { k =>
+      val kp = h32(s"key:$k")
+      (owner(kp, 8), owner(kp, 9))
+    }.map { case (o, ks) =>
+      o -> (ks.length.toLong, o._1 != o._2) }
+    assert(got === expect)
+    // the consistent-hashing theorem: moves only ever target node 8
+    got.foreach { case ((_, o9), (_, moved)) =>
+      if (moved) assert(o9 === 8L) }
+    assert(got.exists(_._2._2)) // and some keys did move
+  }
+
   test("dbscan: roles, clusters and neighbor counts equal a " +
       "brute-force union-find recompute") {
     import graft.operators.Graph
