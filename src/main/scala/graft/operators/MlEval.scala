@@ -433,7 +433,106 @@ object MlEval {
           WHEN d_lo IS NOT NULL THEN d_lo END""").as("decision_day"))
   }
 
+  /** Shared entropy fragment — Shannon H of a (positives, total) tally
+    * in nats with the 0·ln 0 = 0 convention, written ONCE and spliced
+    * into both the Spark expression and the DuckDB oracle so the IEEE
+    * operation sequence is identical by construction. */
+  private def entSql(p0: String, n0: String): String = {
+    // parenthesize the splice points: compound args like "pt - p_l"
+    // must stay atomic inside "$n - $p"
+    val (p, n) = (s"($p0)", s"($n0)")
+    s"(CASE WHEN $n = 0 THEN 0.0 ELSE " +
+      s"(CASE WHEN $p = 0 THEN 0.0 ELSE " +
+      s"-(CAST($p AS DOUBLE) / $n) * ln(CAST($p AS DOUBLE) / $n) END) + " +
+      s"(CASE WHEN $n - $p = 0 THEN 0.0 ELSE " +
+      s"-(CAST($n - $p AS DOUBLE) / $n) * ln(CAST($n - $p AS DOUBLE) / $n)" +
+      s" END) END)"
+  }
+
+  /** Decision-stump split selection by information gain (Quinlan, ML
+    * 1986 — ID3's split criterion): which single price threshold best
+    * separates returned lineitems? The classic feature-evaluation
+    * primitive (top of every tree ensemble, and the screening statistic
+    * feature stores rank by). One corpus pass bins the price into 64
+    * equi-width integer bins ((cents−mn)·64 div (mx−mn+1), all
+    * non-negative so div is floor in both engines); every one of the 63
+    * candidate splits is then a prefix of the BOUNDED 64-row bin
+    * relation (a 63×64 join-and-sum — free at any corpus size, the
+    * 64-bucket-recipe discipline). Gain = H(parent) − weighted child
+    * entropies, each entropy one [[entSql]] splice over exact integer
+    * tallies; degenerate splits (an empty side) yield NULL. The winner
+    * is the two-stage argmax over the ROUNDED gain (max, then min split
+    * matching it — the ksDrift discipline), and every row carries it so
+    * the stump's decision is part of the gate. */
+  def infoGain(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .as("cents"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val bounds = li.agg(min(col("cents")).as("mn"),
+      max(col("cents")).as("mx"))
+    val bins = li.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr("least(63, (cents - mn) * 64 div (mx - mn + 1))"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val tot = bins.agg(sum(col("n")).as("nt"), sum(col("p")).as("pt"))
+    val hp = entSql("pt", "nt")
+    val hl = entSql("p_l", "n_l")
+    val hr = entSql("pt - p_l", "nt - n_l")
+    val w = Window.partitionBy() // 63 rows by construction
+    spark.range(0, 63).toDF("split")
+      .join(broadcast(bins), col("bin") <= col("split"))
+      .groupBy(col("split"))
+      .agg(sum(col("n")).as("n_l"), sum(col("p")).as("p_l"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(bounds))
+      .select(col("split"), col("n_l"), col("p_l"),
+        expr("mn + (split + 1) * (mx - mn + 1) div 64").as("thr_cents"),
+        expr(s"""CASE WHEN n_l = 0 OR nt - n_l = 0 THEN NULL ELSE
+          round($hp - (CAST(n_l AS DOUBLE) / nt) * $hl -
+            (CAST(nt - n_l AS DOUBLE) / nt) * $hr, 6) + 0.0 END""")
+          .as("gain_r"))
+      .withColumn("best_gain_r", max(col("gain_r")).over(w))
+      .withColumn("best_split",
+        min(when(col("gain_r") === col("best_gain_r"), col("split")))
+          .over(w))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q279_info_gain", infoGain _,
+      s"""WITH li AS (
+         |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         |      AS cents,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM li),
+         |bins AS (
+         |  SELECT least(63, (cents - mn) * 64 // (mx - mn + 1)) AS bin,
+         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS p
+         |  FROM li, b GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    CAST(sum(p) AS BIGINT) AS pt FROM bins),
+         |pre AS (
+         |  SELECT s.i AS split, CAST(sum(bins.n) AS BIGINT) AS n_l,
+         |    CAST(sum(bins.p) AS BIGINT) AS p_l
+         |  FROM range(0, 63) s(i) JOIN bins ON bins.bin <= s.i
+         |  GROUP BY 1),
+         |g AS (
+         |  SELECT split, n_l, p_l,
+         |    mn + (split + 1) * (mx - mn + 1) // 64 AS thr_cents,
+         |    CASE WHEN n_l = 0 OR nt - n_l = 0 THEN NULL ELSE
+         |      round(${entSql("pt", "nt")} -
+         |        (CAST(n_l AS DOUBLE) / nt) * ${entSql("p_l", "n_l")} -
+         |        (CAST(nt - n_l AS DOUBLE) / nt) *
+         |          ${entSql("pt - p_l", "nt - n_l")}, 6) + 0.0 END
+         |      AS gain_r
+         |  FROM pre, tot, b),
+         |g2 AS (SELECT *, max(gain_r) OVER () AS best_gain_r FROM g)
+         |SELECT split, n_l, p_l, thr_cents, gain_r, best_gain_r,
+         |  min(CASE WHEN gain_r = best_gain_r THEN split END) OVER ()
+         |    AS best_split
+         |FROM g2""".stripMargin),
     Q("q276_churn_labels", churnLabels _,
       """WITH ev AS (
         |  SELECT o_custkey AS user_id,

@@ -573,7 +573,53 @@ object StreamQueries {
           col("col.key").as("cents"), col("col.id").as("event_id"))
     }
 
+  /** Streaming CDC apply through the engine:
+    * [[EventStreams.cdcApplyStateful]] — the deployment shape of batch
+    * q116: the event feed read as a change bus (signup→I, error→D,
+    * rest→U, q116's mapping), applied per user with row presence
+    * carried across micro-batches. With the single-file staging (one
+    * micro-batch, in-batch sort) the emitted per-event classifications
+    * equal the batch lag()/row_number() windows, which is the oracle;
+    * the two-batch spec proves presence survives the batch boundary
+    * (an I in batch 1 makes batch 2's U an `update`, its D a real
+    * `delete`). */
+  def streamCdc(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir, mode = "append") { ev =>
+      import spark.implicits._
+      EventStreams.cdcApplyStateful(
+        ev.select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .as[EventStreams.CdcEv]).toDF()
+    }
+
   val catalog: Seq[Q] = Seq(
+    Q("q278_stream_cdc", streamCdc _,
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D'
+        |         ELSE 'U' END AS op,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, op, cents,
+        |    coalesce(lag(op) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 'D') <> 'D' AS was_present,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS n_changes
+        |  FROM ev)
+        |SELECT user_id, event_id, op, was_present,
+        |  op <> 'D' AS exists_after,
+        |  CASE WHEN op <> 'D' THEN cents END AS value_cents,
+        |  CASE WHEN op = 'D' AND was_present THEN 'delete'
+        |       WHEN op = 'D' THEN 'noop_delete'
+        |       WHEN was_present THEN 'update'
+        |       ELSE 'insert' END AS effect,
+        |  n_changes
+        |FROM w""".stripMargin),
     Q("q221_stream_session_timeout", streamSessionTimeout _,
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

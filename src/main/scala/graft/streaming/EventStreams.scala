@@ -227,6 +227,56 @@ object EventStreams {
       }
   }
 
+  /** One CDC change event: op ∈ {I, U, D} on the per-user row, payload
+    * `cents`. */
+  case class CdcEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                   op: String, cents: Long)
+  /** Carried per-key state: row presence + change count — two scalars,
+    * O(1) forever. */
+  case class CdcSt(present: Boolean, n: Long)
+  case class CdcOut(user_id: Long, event_id: Long, op: String,
+                    was_present: Boolean, exists_after: Boolean,
+                    value_cents: Option[Long], effect: String,
+                    n_changes: Long)
+
+  /** Streaming CDC apply — the stateful twin of batch q116: a
+    * change-event bus (insert/update/delete per primary key) applied to
+    * a keyed table AS THE EVENTS ARRIVE, each change classified against
+    * the row's presence carried across micro-batches (`was_present` is
+    * the column only state can provide: an upsert is an `insert` the
+    * first time and an `update` after, and a delete of an absent row is
+    * the idempotent `noop_delete` a real apply pipeline must tolerate —
+    * the at-least-once-delivery case). Upsert semantics: I and U both
+    * materialize the payload (so replaying I∘D∘U converges to U's row,
+    * matching q116's last-op batch readout); D clears presence and
+    * yields a NULL value. State is two scalars per key; within a batch
+    * events sort by (ts-to-nanos, event_id) so tie order matches the
+    * batch window oracle (`it.toSeq` is trigger-bounded, see
+    * [[ewmaStateful]]'s note). */
+  def cdcApplyStateful(events: Dataset[CdcEv]): Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcSt, CdcOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[CdcEv], state: GroupState[CdcSt]) =>
+          val sorted = it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var st = state.getOption.getOrElse(CdcSt(present = false, 0L))
+          val out = sorted.map { e =>
+            val was = st.present
+            val after = e.op != "D"
+            val effect =
+              if (e.op == "D") { if (was) "delete" else "noop_delete" }
+              else if (was) "update" else "insert"
+            st = CdcSt(after, st.n + 1)
+            CdcOut(user, e.event_id, e.op, was, after,
+              if (after) Some(e.cents) else None, effect, st.n)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stateful sessionizer WITH event-time timeout — the production form
     * [[sessionizeStateful]]'s scaladoc promises: a session also closes
     * when the user goes idle past the gap and the WATERMARK proves no

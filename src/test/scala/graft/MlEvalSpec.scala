@@ -271,6 +271,59 @@ class MlEvalSpec extends SparkSpec {
     assert(out.values.map(_._2).sum > 0) // the label is non-degenerate
   }
 
+  test("info gain stump: per-split gains and the two-stage argmax " +
+      "equal a driver-side recompute") {
+    val out = operators.MlEval.infoGain(spark, sf).collect()
+      .map(r => r.getAs[Long]("split") ->
+        ((r.getAs[Long]("n_l"), r.getAs[Long]("p_l"),
+          r.getAs[Long]("thr_cents"),
+          Option(r.getAs[java.lang.Double]("gain_r")).map(_.toDouble),
+          r.getAs[Long]("best_split")))).toMap
+    assert(out.size === 63)
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        "l_returnflag = 'R'")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val mn = rows.map(_._1).min; val mx = rows.map(_._1).max
+    val binned = rows.map { case (c, y) =>
+      (math.min(63L, (c - mn) * 64L / (mx - mn + 1)), y) }
+    val nt = rows.length.toLong
+    val pt = rows.count(_._2).toLong
+    def ent(p: Long, n: Long): Double =
+      if (n == 0) 0.0
+      else {
+        val a = if (p == 0) 0.0
+          else -(p.toDouble / n) * math.log(p.toDouble / n)
+        val b = if (n - p == 0) 0.0
+          else -((n - p).toDouble / n) * math.log((n - p).toDouble / n)
+        a + b
+      }
+    val gains = (0L until 63L).map { s =>
+      val nl = binned.count(_._1 <= s).toLong
+      val pl = binned.count(b => b._1 <= s && b._2).toLong
+      val g = if (nl == 0 || nt - nl == 0) None
+        else Some(ent(pt, nt) - (nl.toDouble / nt) * ent(pl, nl) -
+          ((nt - nl).toDouble / nt) * ent(pt - pl, nt - nl))
+      (s, nl, pl, g)
+    }
+    val best = gains.filter(_._4.nonEmpty)
+      .maxBy(g => (g._4.get, -g._1))._1
+    gains.foreach { case (s, nl, pl, g) =>
+      val (gnl, gpl, thr, gg, gbest) = out(s)
+      assert((gnl, gpl) === ((nl, pl)))
+      assert(thr === mn + (s + 1) * (mx - mn + 1) / 64)
+      (g, gg) match {
+        case (Some(e), Some(got)) => assert(math.abs(got - e) < 1.5e-6)
+        case (None, None) =>
+        case other => fail(s"split $s: $other")
+      }
+      // two-stage argmax on the rounded gain — recompute the rounding
+      assert(gbest === best ||
+        math.abs(gains(gbest.toInt)._4.get -
+          gains(best.toInt)._4.get) < 1e-6)
+    }
+  }
+
   test("sprt: integer micro-nat walk recomputed sequentially; " +
       "boundaries and decisions match") {
     import java.security.MessageDigest

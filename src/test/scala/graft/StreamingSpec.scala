@@ -907,4 +907,45 @@ class StreamingSpec extends SparkSpec {
     applyBatch(Seq((9L, 64.0)).toDF("user_id", "value"), 2L)
     assert(readState()(9L) === ((1L, 6400L)))
   }
+
+  test("streaming cdc apply: row presence survives the micro-batch " +
+      "boundary — batch 2's ops classify against batch 1's state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventStreams.CdcEv]
+    val q = EventStreams.cdcApplyStateful(ms.toDS())
+      .writeStream.format("memory").queryName("cdcstate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 insert; user 2 exercises the idempotent
+      // noop_delete, an insert, then an in-batch delete
+      ms.addData(
+        EventStreams.CdcEv(1, 10, ts("2024-01-01 00:00:01"), "I", 100),
+        EventStreams.CdcEv(2, 11, ts("2024-01-01 00:00:02"), "D", 0),
+        EventStreams.CdcEv(2, 12, ts("2024-01-01 00:00:03"), "I", 50),
+        EventStreams.CdcEv(2, 13, ts("2024-01-01 00:00:04"), "D", 0))
+      q.processAllAvailable()
+      // batch 2: user 1's U is an UPDATE only because batch 1's insert
+      // survives in state; user 2's U is an INSERT only because batch
+      // 1's delete does; user 1's D is then a real delete
+      ms.addData(
+        EventStreams.CdcEv(1, 20, ts("2024-01-01 00:01:00"), "U", 200),
+        EventStreams.CdcEv(2, 21, ts("2024-01-01 00:01:01"), "U", 60),
+        EventStreams.CdcEv(1, 22, ts("2024-01-01 00:01:02"), "D", 0))
+      q.processAllAvailable()
+      val got = spark.table("cdcstate").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[String]("effect"), r.getAs[Boolean]("was_present"),
+            r.getAs[Boolean]("exists_after"),
+            Option(r.getAs[java.lang.Long]("value_cents")).map(_.toLong),
+            r.getAs[Long]("n_changes")))).toMap
+      assert(got(10L) === (("insert", false, true, Some(100L), 1L)))
+      assert(got(11L) === (("noop_delete", false, false, None, 1L)))
+      assert(got(12L) === (("insert", false, true, Some(50L), 2L)))
+      assert(got(13L) === (("delete", true, false, None, 3L)))
+      assert(got(20L) === (("update", true, true, Some(200L), 2L)))
+      assert(got(21L) === (("insert", false, true, Some(60L), 4L)))
+      assert(got(22L) === (("delete", true, false, None, 3L)))
+    } finally q.stop()
+  }
 }
