@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CutOps
 import graft.Q
 import graft.sources.Tables
 
@@ -498,7 +499,176 @@ object MlEval {
           .over(w))
   }
 
+  /** Isotonic regression calibration (pool-adjacent-violators fit) via
+    * the MINIMAX representation (Barlow, Bartholomew, Bremner & Brunk
+    * 1972, §1.2): fit_i = max_{j≤i} min_{k≥i} avg(y[j..k]). PAVA itself
+    * is a data-dependent sequential merge loop — unportable across
+    * engines — but the minimax closed form is pure joins over the
+    * BOUNDED 64-bin relation (≤64³ combinations, free at any corpus
+    * size), so both engines compute the identical fit from identical
+    * integer prefix tallies with one double division per (j,k) range.
+    * This is the calibration map q252 stops short of: q252 DIAGNOSES
+    * per-bin miscalibration, the isotonic fit is the monotone
+    * correction you apply (Zadrozny & Elkan, KDD 2002). Range averages
+    * need no emptiness guards: ranges are anchored at PRESENT bins j,k,
+    * so the weight N_k − Nprev_j ≥ n_j > 0 by construction. */
+  def isotonic(spark: SparkSession, dir: String): DataFrame = {
+    val bins = t(spark, dir, "lineitem")
+      .select(scoreCol.as("s"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .withColumn("p_ppm", least(col("s") * 20, lit(1000000L)))
+      .withColumn("bin", least(expr("p_ppm div 15625"), lit(63L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val wc = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = bins // ≤64 rows: the single-partition window is bounded
+      .withColumn("cn", sum(col("n")).over(wc))
+      .withColumn("cs", sum(col("pos")).over(wc))
+      .cutLineage() // three self-join roles below
+    val j = pref.select(col("bin").as("jb"),
+      (col("cn") - col("n")).as("npj"), (col("cs") - col("pos")).as("spj"))
+    val k = pref.select(col("bin").as("kb"), col("cn").as("nk"),
+      col("cs").as("sk"))
+    val fit = j.join(k, col("jb") <= col("kb"))
+      .withColumn("avg_jk",
+        (col("sk") - col("spj")).cast("double") /
+          (col("nk") - col("npj")).cast("double"))
+      .join(pref.select(col("bin").as("ib")),
+        col("jb") <= col("ib") && col("kb") >= col("ib"))
+      .groupBy(col("ib"), col("jb"))
+      .agg(min(col("avg_jk")).as("minod"))
+      .groupBy(col("ib")).agg(max(col("minod")).as("fit"))
+    bins.join(fit, col("bin") === col("ib"))
+      .select(col("bin"), col("n"), col("pos"),
+        (round(col("pos").cast("double") / col("n"), 6) + lit(0.0))
+          .as("raw_rate_r"),
+        (round(col("fit"), 6) + lit(0.0)).as("fit_r"))
+  }
+
+  /** Offline policy evaluation by REPLAY (Li, Chu, Langford & Wang,
+    * WSDM 2011 — the unbiased way to score a recommendation policy on
+    * logged data without deploying it): the candidate policy π
+    * recommends, at each logged event, the event type with the highest
+    * PRIOR cumulative spend for that user (ties → alphabetical, the
+    * cold-start default); only logged events whose action AGREES with
+    * π's recommendation count, and their mean reward estimates the
+    * policy's online value. The five per-type running sums share ONE
+    * window spec (one exchange, one sort — Spark collapses same-spec
+    * windows); everything else is exact integer cents with a CASE-chain
+    * argmax over the five columns (the cohensKappa greatest+fold
+    * discipline — no float, no engine-specific argmax). Readout per
+    * recommended type: match rate (the replay estimator's effective
+    * sample size) and matched-vs-all mean reward. */
+  def policyReplay(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCums = types.foldLeft(ev)((df, t0) =>
+      df.withColumn(s"c_$t0",
+        coalesce(sum(when(col("event_type") === t0, col("cents")))
+          .over(w), lit(0L))))
+    val mx = greatest(types.map(t0 => col(s"c_$t0")): _*)
+    val pi = types.foldRight(lit("?"): Column) { case (t0, rest) =>
+      when(col(s"c_$t0") === mx, lit(t0)).otherwise(rest) }
+    withCums.withColumn("pi", pi)
+      .groupBy(col("pi"))
+      .agg(count(lit(1)).as("n_logged"),
+        sum(when(col("event_type") === col("pi"), 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("event_type") === col("pi"), col("cents"))
+          .otherwise(0L)).as("matched_cents"),
+        sum(col("cents")).as("all_cents"))
+      .select(col("pi"), col("n_logged"), col("n_matched"),
+        (round(col("n_matched").cast("double") / col("n_logged"), 6)
+          + lit(0.0)).as("match_rate_r"),
+        when(col("n_matched") > 0,
+          round(col("matched_cents").cast("double") / col("n_matched"), 6)
+            + lit(0.0)).as("matched_mean_r"),
+        (round(col("all_cents").cast("double") / col("n_logged"), 6)
+          + lit(0.0)).as("logged_mean_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q280_isotonic", isotonic _,
+      s"""WITH li AS (
+         |  SELECT $scoreSql AS s,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |bins AS (
+         |  SELECT least(least(s * 20, 1000000) // 15625, 63) AS bin,
+         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+         |  FROM li GROUP BY 1),
+         |pref AS (
+         |  SELECT bin, n, pos,
+         |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cs
+         |  FROM bins),
+         |jk AS (
+         |  SELECT j.bin AS jb, k.bin AS kb,
+         |    CAST(k.cs - (j.cs - j.pos) AS DOUBLE) /
+         |      CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg_jk
+         |  FROM pref j JOIN pref k ON j.bin <= k.bin),
+         |inner_min AS (
+         |  SELECT i.bin AS ib, jk.jb, min(jk.avg_jk) AS minod
+         |  FROM jk JOIN pref i ON jk.jb <= i.bin AND jk.kb >= i.bin
+         |  GROUP BY 1, 2),
+         |fit AS (SELECT ib, max(minod) AS fit FROM inner_min GROUP BY 1)
+         |SELECT b.bin, b.n, b.pos,
+         |  round(CAST(b.pos AS DOUBLE) / b.n, 6) + 0.0 AS raw_rate_r,
+         |  round(f.fit, 6) + 0.0 AS fit_r
+         |FROM bins b JOIN fit f ON b.bin = f.ib""".stripMargin),
+    Q("q281_policy_replay", policyReplay _,
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |cums AS (
+        |  SELECT event_type, cents,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'click' THEN cents
+        |      END) OVER w AS BIGINT), 0) AS c_click,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'error' THEN cents
+        |      END) OVER w AS BIGINT), 0) AS c_error,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN
+        |      cents END) OVER w AS BIGINT), 0) AS c_purchase,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'signup' THEN cents
+        |      END) OVER w AS BIGINT), 0) AS c_signup,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'view' THEN cents
+        |      END) OVER w AS BIGINT), 0) AS c_view
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |rec AS (
+        |  SELECT event_type, cents,
+        |    CASE
+        |      WHEN c_click = greatest(c_click, c_error, c_purchase,
+        |        c_signup, c_view) THEN 'click'
+        |      WHEN c_error = greatest(c_click, c_error, c_purchase,
+        |        c_signup, c_view) THEN 'error'
+        |      WHEN c_purchase = greatest(c_click, c_error, c_purchase,
+        |        c_signup, c_view) THEN 'purchase'
+        |      WHEN c_signup = greatest(c_click, c_error, c_purchase,
+        |        c_signup, c_view) THEN 'signup'
+        |      ELSE 'view' END AS pi
+        |  FROM cums)
+        |SELECT pi, count(*) AS n_logged,
+        |  CAST(sum(CASE WHEN event_type = pi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  round(CAST(sum(CASE WHEN event_type = pi THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) + 0.0 AS match_rate_r,
+        |  CASE WHEN sum(CASE WHEN event_type = pi THEN 1 ELSE 0 END) > 0
+        |    THEN round(CAST(sum(CASE WHEN event_type = pi THEN cents
+        |      ELSE 0 END) AS DOUBLE) /
+        |      sum(CASE WHEN event_type = pi THEN 1 ELSE 0 END), 6) + 0.0
+        |    END AS matched_mean_r,
+        |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) + 0.0
+        |    AS logged_mean_r
+        |FROM rec GROUP BY 1""".stripMargin),
     Q("q279_info_gain", infoGain _,
       s"""WITH li AS (
          |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

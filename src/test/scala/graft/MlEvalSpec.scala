@@ -271,6 +271,77 @@ class MlEvalSpec extends SparkSpec {
     assert(out.values.map(_._2).sum > 0) // the label is non-degenerate
   }
 
+  test("isotonic: the minimax closed form equals a genuine PAVA " +
+      "merge-loop recompute, and the fit is monotone") {
+    val out = operators.MlEval.isotonic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("pos"), r.getAs[Double]("fit_r"))).sortBy(_._1)
+    val rows = li.map { case (_, s, y) =>
+      (math.min(math.min(s * 20, 1000000L) / 15625, 63L),
+        if (y) 1L else 0L) }
+    val bins = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, rs) =>
+        (b, rs.length.toLong, rs.map(_._2).sum) }
+    assert(out.map(r => (r._1, r._2, r._3)) === bins)
+    // real PAVA: pool adjacent violators until monotone
+    var blocks = bins.map { case (_, n, p) => (n, p) }.toBuffer
+    var merged = true
+    while (merged) {
+      merged = false
+      var i = 0
+      while (i + 1 < blocks.length) {
+        val (n1, p1) = blocks(i); val (n2, p2) = blocks(i + 1)
+        if (p1.toDouble / n1 > p2.toDouble / n2) {
+          blocks(i) = (n1 + n2, p1 + p2)
+          blocks.remove(i + 1)
+          merged = true
+        } else i += 1
+      }
+    }
+    val fits = blocks.flatMap { case (n, p) =>
+      Seq.fill(n.toInt)(p.toDouble / n) } // per-ROW fit
+    // map per-row fits back to per-bin (each bin sits in one block)
+    var idx = 0
+    bins.zip(out).foreach { case ((_, n, _), o) =>
+      assert(math.abs(o._4 - fits(idx)) < 1.5e-6, s"bin ${o._1}")
+      idx += n.toInt
+    }
+    out.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-9); case _ => }
+  }
+
+  test("policy replay: per-user sequential recompute of the " +
+      "prior-cumulative-spend recommendation") {
+    val out = operators.MlEval.policyReplay(spark, sf).collect()
+      .map(r => r.getAs[String]("pi") ->
+        ((r.getAs[Long]("n_logged"), r.getAs[Long]("n_matched")))).toMap
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "CAST(ts AS LONG) AS sec",
+        "unix_micros(ts) AS usec", "event_id", "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    val tally = scala.collection.mutable
+      .Map.empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val cums = scala.collection.mutable
+        .Map(types.map(_ -> 0L): _*)
+      es.sortBy(e => (e._2, e._3)).foreach { e =>
+        val mx = types.map(cums).max
+        val pi = types.find(cums(_) == mx).get
+        val (nl, nm) = tally(pi)
+        tally(pi) = (nl + 1, nm + (if (e._4 == pi) 1L else 0L))
+        cums(e._4) += e._5
+      }
+    }
+    types.foreach { t0 =>
+      assert(out.get(t0).map(v => (v._1, v._2)) ===
+        tally.get(t0).map(v => (v._1, v._2)), s"pi=$t0")
+    }
+  }
+
   test("info gain stump: per-split gains and the two-stage argmax " +
       "equal a driver-side recompute") {
     val out = operators.MlEval.infoGain(spark, sf).collect()
