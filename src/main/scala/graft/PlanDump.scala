@@ -179,7 +179,27 @@ object PlanDump {
       "q267_lsh_scurve" ->
         ("LSH S-curve audit: ONE shared 64-perm signature stage feeds " +
           "both generators, pooled full-outer join, verify-on-" +
-          "candidates only — never an all-pairs J"))
+          "candidates only — never an all-pairs J"),
+      "q272_pca_power" ->
+        ("PCA power iteration: one corpus pass to the 64x64 integer " +
+          "Gram (per-vec self-join, partial-agg'd), four mat-vec " +
+          "rounds as broadcast joins over the bounded relation"),
+      "q274_dbscan" ->
+        ("DBSCAN: eps-grid candidate equi-join (never n^2), " +
+          "checkpointed near relation feeds counts, core edges and " +
+          "border assignment; CC pointer-jumping rounds"),
+      "q275_ring_rebalance" ->
+        ("consistent-hash ring: broadcast nested-loop range join " +
+          "against the bounded 144-vnode ring, collapsed map-side by " +
+          "mergeable min aggregates"),
+      "q280_isotonic" ->
+        ("isotonic minimax: bounded 64-bin prefix relation, " +
+          "triple-join fit entirely on bounded data — corpus " +
+          "contributes one partial-agg'd scan"),
+      "q281_policy_replay" ->
+        ("policy replay: five per-type running sums share ONE window " +
+          "spec (single exchange + sort), integer CASE-chain argmax, " +
+          "one final partial agg"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

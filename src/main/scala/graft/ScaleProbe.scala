@@ -91,6 +91,17 @@ object ScaleProbe {
           .parquet(s"$out/$t.parquet")
       }
 
+    // 10x CUSTOMERS in a dedicated dir: customer is a fixed dim for every
+    // other probe (replicating it in $out would distort their join
+    // shapes), but the r11 geometry/placement ops (dbscan, ring) take
+    // customer as their FACT — probe them against a point set that
+    // actually grows. dbscan's eps shrinks as 1/√n by design, so expected
+    // in-disc neighbors stay ~2 and the grid join should stay linear.
+    val outCust = "target/scale10cust"
+    rep(Tables.load(spark, base, "customer")) { (d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + i * keySpan)
+    }.write.mode("overwrite").parquet(s"$outCust/customer.parquet")
+
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
@@ -225,6 +236,33 @@ object ScaleProbe {
         operators.MlEval.spearman(spark, dir).count())
       time(s"roc_auc_$tag")(
         operators.MlEval.rocAuc(spark, dir).count())
+      // r11 third wave. pca_power's corpus stage is the per-vec_id Gram
+      // self-join (64 rows a side per vector → linear in vectors); the
+      // four mat-vec rounds run on the bounded 64x64 relation — expect
+      // ~linear. acf collapses to the fixed ~2.4k-day relation — the
+      // daily rollup scan is the whole 10x cost. policy_replay is one
+      // shared-spec window over 10x users at fixed per-user depth —
+      // linear. isotonic's corpus stage is the 64-bin partial agg; the
+      // minimax triple-join is bounded — scan-dominated.
+      time(s"pca_power_$tag")(
+        operators.Similarity.pcaPower(spark, dir).count())
+      time(s"acf_$tag")(operators.Analytics.acf(spark, dir).count())
+      time(s"policy_replay_$tag")(
+        operators.MlEval.policyReplay(spark, dir).count())
+      time(s"isotonic_$tag")(
+        operators.MlEval.isotonic(spark, dir).count())
+    }
+
+    // geometry/placement probes: customer as the growing FACT (see the
+    // scale10cust staging note). dbscan's density-scaled eps keeps
+    // expected neighbors fixed, so candidates and CC edges grow ~n; the
+    // ring's broadcast NL join is keys x 144 — strictly linear.
+    for (round <- 1 to 2; (tag, dir) <- Seq("1x" -> base,
+        "10x" -> outCust)) {
+      println(s"--- customer-fact $tag round $round ($dir) ---")
+      time(s"dbscan_$tag")(operators.Graph.dbscan(spark, dir).count())
+      time(s"ring_rebalance_$tag")(
+        operators.Layout.ringRebalance(spark, dir).count())
     }
 
     calib("post_batch")

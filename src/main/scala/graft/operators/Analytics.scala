@@ -1897,7 +1897,92 @@ object Analytics {
           + lit(0.0)).as("rho_r"))
   }
 
+  /** Classical seasonal decomposition of the daily revenue series
+    * (moving-average detrend + day-of-week seasonal means — the
+    * decompose() every forecasting pipeline runs before q238's
+    * backtest; q273's ACF detects the cycle, this one MEASURES its
+    * shape and strength). One partial-agg'd corpus pass to the bounded
+    * ~2.4k-day relation; everything after is bounded. Exactness
+    * discipline: the 7-day centered trend stays the exact integer
+    * fraction (Σ₇, 7) — detrended dt = 7·y − Σ₇ clears the
+    * denominator; the per-dow seasonal mean is quantized to the SAME
+    * 7×cents integer scale by a nearest-int positive-shifted floor div
+    * (numerator forced positive so Spark div ≡ DuckDB //), so
+    * residuals are uniform-scale exact integers and both energy sums
+    * ride decimal(38)/HUGEINT. Full windows only (n₇ = 7) — edges and
+    * calendar gaps drop out instead of biasing the trend. The readout
+    * is per-dow seasonal offsets (dollars) plus Hyndman-style seasonal
+    * strength 1 − Σresid²/Σdt² (uncentered energy ratio), one double
+    * rounding each. OFF = 10¹³ bounds |seasonal| to ~50× this SF —
+    * beyond that the shift itself moves to decimal(38). */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(expr("datediff(CAST(o_orderdate AS DATE), " +
+        "DATE '1990-01-01')").cast("long").as("d"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .as("y"))
+    val wr = Window.orderBy(col("d")).rangeBetween(-3, 3)
+    val dt = daily // bounded ~2.4k rows: the global window is bounded
+      .withColumn("n7", count(lit(1)).over(wr))
+      .withColumn("s7", sum(col("y")).over(wr))
+      .filter(col("n7") === 7)
+      .select(col("d"), (col("d") % 7).as("dow"),
+        (col("y") * 7 - col("s7")).as("dt"))
+      .cutLineage() // feeds the seasonal means AND the residual pass
+    val seas = dt.groupBy(col("dow"))
+      .agg(count(lit(1)).as("c"), sum(col("dt")).as("s"))
+      .select(col("dow"), col("c"),
+        expr("(2 * s + c + 2 * 10000000000000 * c) div (2 * c)" +
+          " - 10000000000000").as("m"))
+    val joined = dt.join(broadcast(seas), Seq("dow"))
+      .withColumn("resid", col("dt") - col("m"))
+    val energy = joined.agg(
+      sum(col("dt").cast("decimal(38,0)") * col("dt")).as("e_dt"),
+      sum(col("resid").cast("decimal(38,0)") * col("resid")).as("e_res"))
+    seas.crossJoin(broadcast(energy))
+      .select(col("dow"), col("c").as("n_days"),
+        (round(col("m").cast("double") / 700.0, 6) + lit(0.0))
+          .as("seasonal_dollars_r"),
+        (round(lit(1.0) - col("e_res").cast("double") /
+          col("e_dt").cast("double"), 6) + lit(0.0))
+          .as("strength_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q282_seasonal_decompose", seasonalDecompose _,
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1990-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |dt AS (
+        |  SELECT d, d % 7 AS dow, y * 7 - s7 AS dt
+        |  FROM (
+        |    SELECT d, y,
+        |      count(*) OVER w AS n7,
+        |      CAST(sum(y) OVER w AS BIGINT) AS s7
+        |    FROM daily
+        |    WINDOW w AS (ORDER BY d
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |  WHERE n7 = 7),
+        |seas AS (
+        |  SELECT dow, count(*) AS c,
+        |    (2 * CAST(sum(dt) AS BIGINT) + count(*)
+        |      + 2 * 10000000000000 * count(*)) // (2 * count(*))
+        |      - 10000000000000 AS m
+        |  FROM dt GROUP BY 1),
+        |en AS (
+        |  SELECT sum(CAST(dt.dt AS HUGEINT) * dt.dt) AS e_dt,
+        |    sum(CAST(dt.dt - seas.m AS HUGEINT) * (dt.dt - seas.m))
+        |      AS e_res
+        |  FROM dt JOIN seas USING (dow))
+        |SELECT dow, c AS n_days,
+        |  round(CAST(m AS DOUBLE) / 700.0, 6) + 0.0
+        |    AS seasonal_dollars_r,
+        |  round(1.0 - CAST(e_res AS DOUBLE) / CAST(e_dt AS DOUBLE), 6)
+        |    + 0.0 AS strength_r
+        |FROM seas, en""".stripMargin),
     Q("q273_acf", acf _,
       """WITH daily AS (
         |  SELECT CAST(datediff('day', DATE '1990-01-01',

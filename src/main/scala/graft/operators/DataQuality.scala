@@ -730,7 +730,67 @@ object DataQuality {
             + lit(0.0)).as("iv_contrib_r"))
   }
 
+  /** Fano factor / index of dispersion of daily event arrivals per
+    * type (Fano 1947; Cox & Lewis 1966 on point-process diagnostics) —
+    * the burstiness screen that tells a pipeline whether a feed's
+    * volume is Poisson-stable (F ≈ 1), bursty/clumped (F > 1, e.g.
+    * batch replays or incident storms) or suspiciously regular (F < 1,
+    * e.g. a rate-limited or synthesized feed; this corpus's uniform
+    * generator reads under-dispersed, which the gate pins). Days
+    * WITHOUT events count as zeros via the closed form over the global
+    * span D: F = (D·Σn² − S²)/(D·S) — exact integer numerator and
+    * denominator from one per-(type, day) partial agg, one double
+    * rounding; the verdict thresholds the rounded value so both
+    * engines band identically. */
+  def fanoDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("d"))
+    val bounds = ev.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+    ev.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_active_days"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("s2"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("n_days", col("mx") - col("mn") + 1)
+      .withColumn("fano_r",
+        round((col("n_days") * col("s2") - col("s") * col("s"))
+          .cast("double") / (col("n_days") * col("s")).cast("double"), 6)
+          + lit(0.0))
+      .select(col("event_type"), col("n_active_days"), col("n_days"),
+        col("s").as("n_events"), col("fano_r"),
+        when(col("fano_r") > 1.2, "overdispersed")
+          .when(col("fano_r") < 0.8, "underdispersed")
+          .otherwise("poisson_like").as("verdict"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q283_fano_dispersion", fanoDispersion _,
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        |  FROM events),
+        |b AS (SELECT min(d) AS mn, max(d) AS mx FROM ev),
+        |pd AS (
+        |  SELECT event_type, d, count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_active_days,
+        |    CAST(sum(n) AS BIGINT) AS s,
+        |    CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM pd GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n_active_days, mx - mn + 1 AS n_days,
+        |    s AS n_events,
+        |    round(CAST((mx - mn + 1) * s2 - s * s AS DOUBLE) /
+        |      CAST((mx - mn + 1) * s AS DOUBLE), 6) + 0.0 AS fano_r
+        |  FROM agg, b)
+        |SELECT event_type, n_active_days, n_days, n_events, fano_r,
+        |  CASE WHEN fano_r > 1.2 THEN 'overdispersed'
+        |       WHEN fano_r < 0.8 THEN 'underdispersed'
+        |       ELSE 'poisson_like' END AS verdict
+        |FROM f""".stripMargin),
     Q("q270_woe_iv", woeIv _,
       """WITH li AS (
         |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

@@ -1331,6 +1331,68 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("seasonal decompose: trend/seasonal/strength equal a " +
+      "from-scratch recompute on the bounded day relation") {
+    val OFF = 10000000000000L
+    val out = Analytics.seasonalDecompose(spark, sf).collect()
+      .map(r => r.getAs[Long]("dow") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("seasonal_dollars_r"),
+          r.getAs[Double]("strength_r")))).toMap
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') " +
+          "AS LONG) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).sum }
+    val dts = daily.keys.toSeq.sorted.flatMap { d =>
+      val win = (d - 3 to d + 3).flatMap(daily.get)
+      if (win.size == 7) Some((d % 7, daily(d) * 7 - win.sum)) else None
+    }
+    val seas = dts.groupBy(_._1).map { case (dow, xs) =>
+      val c = xs.size.toLong; val s = xs.map(_._2).sum
+      dow -> (c, (2 * s + c + 2 * OFF * c) / (2 * c) - OFF)
+    }
+    val eDt = dts.map(x => BigInt(x._2) * x._2).sum
+    val eRes = dts.map { case (dow, dt) =>
+      val r = dt - seas(dow)._2; BigInt(r) * r }.sum
+    val strength =
+      1.0 - BigDecimal(eRes).toDouble / BigDecimal(eDt).toDouble
+    seas.foreach { case (dow, (c, m)) =>
+      val (gc, gm, gs) = out(dow)
+      assert(gc === c)
+      assert(math.abs(gm - m.toDouble / 700.0) < 1.5e-6)
+      assert(math.abs(gs - strength) < 1.5e-6)
+    }
+  }
+
+  test("fano dispersion: closed-form zero-day-inclusive recompute") {
+    val out = graft.operators.DataQuality.fanoDispersion(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_active_days"), r.getAs[Long]("n_days"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("fano_r"),
+          r.getAs[String]("verdict")))).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "CAST(ts AS LONG) DIV 86400 AS d")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mn = ev.map(_._2).min; val mx = ev.map(_._2).max
+    val dd = mx - mn + 1
+    ev.groupBy(_._1).foreach { case (t0, es) =>
+      val perDay = es.groupBy(_._2).map(_._2.length.toLong)
+      val s = perDay.sum; val s2 = perDay.map(n => n * n).sum
+      val fano = (dd * s2 - s * s).toDouble / (dd * s).toDouble
+      val (gad, gdd, gs, gf, gv) = out(t0)
+      assert(gad === perDay.size.toLong)
+      assert(gdd === dd)
+      assert(gs === s)
+      assert(math.abs(gf - fano) < 1.5e-6)
+      // a zero-variance sanity bracket plus the banding rule
+      val band = if (gf > 1.2) "overdispersed"
+        else if (gf < 0.8) "underdispersed" else "poisson_like"
+      assert(gv === band)
+    }
+  }
+
   test("acf: exact from-scratch recompute of the lag-k autocorrelation") {
     val out = Analytics.acf(spark, sf).collect()
       .map(r => (r.getAs[Long]("lag"), r.getAs[Long]("n_pairs"),
