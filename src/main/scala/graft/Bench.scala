@@ -76,7 +76,9 @@ object Bench {
       "q54_corpus_pipeline", "q93_incremental_dedup",
       "q150_setsim_exact", "q153_triangles", "q158_shingle_novelty",
       "q171_media_phash", "q172_containment_join",
-      "q267_lsh_scurve", "q268_hard_negatives")
+      "q267_lsh_scurve", "q268_hard_negatives",
+      "q272_pca_power", "q273_acf", "q274_dbscan", "q280_isotonic",
+      "q282_seasonal_decompose")
     // Shared pipeline stages (cluster labels; hashed shingles) are
     // memoized per (session, dir) and consumed by several queries. Each
     // pass clears the memo and materializes the stage OUTSIDE any

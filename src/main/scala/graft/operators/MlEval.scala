@@ -569,10 +569,13 @@ object MlEval {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withCums = types.foldLeft(ev)((df, t0) =>
-      df.withColumn(s"c_$t0",
-        coalesce(sum(when(col("event_type") === t0, col("cents")))
-          .over(w), lit(0L))))
+    // all five window columns in ONE projection so Catalyst collapses
+    // them into a single Window operator (sequential withColumns left
+    // five stacked Window nodes — same one exchange + sort, but five
+    // operator passes; the collapsed form is one)
+    val withCums = ev.select(col("*") +: types.map(t0 =>
+      coalesce(sum(when(col("event_type") === t0, col("cents")))
+        .over(w), lit(0L)).as(s"c_$t0")): _*)
     val mx = greatest(types.map(t0 => col(s"c_$t0")): _*)
     val pi = types.foldRight(lit("?"): Column) { case (t0, rest) =>
       when(col(s"c_$t0") === mx, lit(t0)).otherwise(rest) }
