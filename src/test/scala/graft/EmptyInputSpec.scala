@@ -46,6 +46,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.annBruteForce(spark, emptyDir).count() === 0)
     assert(Similarity.annLsh(spark, emptyDir).count() === 0)
     assert(Similarity.embeddingQuantize(spark, emptyDir).count() === 0)
+    // pcaPower's greatest(max|·|, 1) guards divide ride through empty
+    // relations; the 4 fixed rounds never loop on convergence
+    assert(Similarity.pcaPower(spark, emptyDir).count() === 0)
   }
 
   test("text prep returns empty on an empty corpus") {
