@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Ckpt.CutOps
 import graft.Q
@@ -828,7 +829,129 @@ object Graph {
         col("n_in"))
   }
 
+  /** Next-basket recommendation evaluation (the leave-last-out
+    * protocol of session-based recsys, cf. Hidasi et al. 2016 §5): per
+    * customer, the SECOND-to-last order is the query, the LAST order
+    * is held-out truth, and the recommender is the q227 co-purchase
+    * model — candidates scored by summed pair support over the query's
+    * parts, top-3 by (score, part) — measured as hit@3 against truth,
+    * with the TOP-POPULARITY baseline every recsys eval must beat
+    * alongside. The pair relation is the shared memoized support-2
+    * stage (its 11th consumer — priced separately in Bench); the
+    * temporal split rides one per-customer window over orders (never
+    * corpus-wide), candidate generation is query-parts × pair-degree
+    * (bounded by the support cut), and misses stay in the denominator
+    * via the left join — the honest protocol. All-integer scoring,
+    * deterministic ties. */
+  def nextItemEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("o_orderdate").desc, col("ok").desc)
+    val ranked = t(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+        col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .cutLineage() // feeds eval set, query side and truth side
+    val baskets = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val test = ranked.filter(col("rn") === 1).join(baskets, Seq("ok"))
+      .select(col("cust"), col("pk").as("truth"))
+    val query = ranked.filter(col("rn") === 2).join(baskets, Seq("ok"))
+      .select(col("cust"), col("pk").as("qp"))
+    val pairs = support2Pairs(spark, dir)
+    val sym = pairs
+      .select(col("u").as("a"), col("v").as("b"), col("pair_n"))
+      .unionByName(pairs
+        .select(col("v").as("a"), col("u").as("b"), col("pair_n")))
+    val wTop = Window.partitionBy(col("cust"))
+      .orderBy(col("score").desc, col("b").asc)
+    val top3 = query.join(sym, col("qp") === col("a"))
+      .groupBy(col("cust"), col("b")).agg(sum(col("pair_n")).as("score"))
+      .withColumn("trn", row_number().over(wTop))
+      .filter(col("trn") <= 3)
+    val hits = top3
+      .join(test.select(col("cust"), col("truth")),
+        top3("cust") === test("cust") && top3("b") === test("truth"))
+      .select(top3("cust").as("hcust")).distinct()
+    val popTop = baskets.groupBy(col("pk")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pk").asc).limit(3)
+    val popHits = test.join(broadcast(popTop),
+        test("truth") === popTop("pk"))
+      .select(col("cust").as("pcust")).distinct()
+    ranked.filter(col("rn") === 2).select(col("cust"))
+      .join(hits, col("cust") === col("hcust"), "left_outer")
+      .join(popHits, col("cust") === col("pcust"), "left_outer")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("hcust").isNotNull, 1L).otherwise(0L))
+          .as("hits_at3"),
+        sum(when(col("pcust").isNotNull, 1L).otherwise(0L))
+          .as("pop_hits_at3"))
+      .select(col("n_customers"), col("hits_at3"), col("pop_hits_at3"),
+        (round(col("hits_at3").cast("double") / col("n_customers"), 6)
+          + lit(0.0)).as("hit_rate_r"),
+        (round(col("pop_hits_at3").cast("double") / col("n_customers"),
+          6) + lit(0.0)).as("pop_rate_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q285_next_item_eval", nextItemEval _,
+      """WITH ranked AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS pair_n
+        |  FROM baskets a JOIN baskets b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT u AS a, v AS b, pair_n FROM pairs
+        |  UNION ALL
+        |  SELECT v, u, pair_n FROM pairs),
+        |test AS (
+        |  SELECT r.cust, bk.pk AS truth
+        |  FROM ranked r JOIN baskets bk ON bk.ok = r.ok
+        |  WHERE r.rn = 1),
+        |query AS (
+        |  SELECT r.cust, bk.pk AS qp
+        |  FROM ranked r JOIN baskets bk ON bk.ok = r.ok
+        |  WHERE r.rn = 2),
+        |scores AS (
+        |  SELECT q.cust, s.b, CAST(sum(s.pair_n) AS BIGINT) AS score
+        |  FROM query q JOIN sym s ON q.qp = s.a
+        |  GROUP BY 1, 2),
+        |top3 AS (
+        |  SELECT cust, b FROM (
+        |    SELECT cust, b, row_number() OVER (PARTITION BY cust
+        |      ORDER BY score DESC, b ASC) AS trn
+        |    FROM scores) WHERE trn <= 3),
+        |hits AS (
+        |  SELECT DISTINCT t3.cust FROM top3 t3
+        |  JOIN test t ON t.cust = t3.cust AND t.truth = t3.b),
+        |poptop AS (
+        |  SELECT pk FROM (
+        |    SELECT pk, count(*) AS freq FROM baskets GROUP BY 1)
+        |  ORDER BY freq DESC, pk ASC LIMIT 3),
+        |pophits AS (
+        |  SELECT DISTINCT t.cust FROM test t
+        |  JOIN poptop p ON t.truth = p.pk),
+        |ev AS (SELECT cust FROM ranked WHERE rn = 2)
+        |SELECT count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN h.cust IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits_at3,
+        |  CAST(sum(CASE WHEN ph.cust IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS pop_hits_at3,
+        |  round(CAST(sum(CASE WHEN h.cust IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 6) + 0.0 AS hit_rate_r,
+        |  round(CAST(sum(CASE WHEN ph.cust IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 6) + 0.0 AS pop_rate_r
+        |FROM ev LEFT JOIN hits h ON h.cust = ev.cust
+        |  LEFT JOIN pophits ph ON ph.cust = ev.cust""".stripMargin),
     Q("q274_dbscan", dbscan _,
       """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
         |ee AS (

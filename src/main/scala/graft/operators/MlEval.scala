@@ -597,7 +597,235 @@ object MlEval {
           + lit(0.0)).as("logged_mean_r"))
   }
 
+  /** Sample-ratio mismatch guardrail (Fabijan et al., KDD 2019 calls
+    * SRM "the most useful A/B alarm"): a 50/50 hash split whose
+    * realized arm sizes differ beyond chance means the assignment or
+    * logging pipeline is broken and EVERY downstream readout (q216,
+    * q262, q277) is invalid — so this check runs first. The unit is
+    * the RANDOMIZATION unit (distinct users, not events — event-level
+    * counting would let one heavy user fake a mismatch). For two equal
+    * expected cells the χ² statistic collapses to (n₀−n₁)²/(n₀+n₁):
+    * exact integers, one double division, verdict banded on the
+    * rounded value against the 1-df 95%/99.9% critical values. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    t(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .select((TextOps.portableHash(concat(lit("arm:"),
+        col("user_id").cast("string"))) % 2).as("arm"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"))
+      .withColumn("chi2_r",
+        round(((col("n0") - col("n1")) * (col("n0") - col("n1")))
+          .cast("double") / (col("n0") + col("n1")).cast("double"), 6)
+          + lit(0.0))
+      .select(col("n0"), col("n1"), col("chi2_r"),
+        when(col("chi2_r") > 10.828, "srm_critical")
+          .when(col("chi2_r") > 3.841, "srm_warning")
+          .otherwise("balanced").as("verdict"))
+  }
+
+  /** A/B test power planning (the standard two-proportion sample-size
+    * formula, e.g. Fleiss, Levin & Paik §2.5): how many users per arm
+    * to detect a 10% relative lift on the user-level conversion rate
+    * at α = 0.05 (two-sided), power 0.8 — and is THIS corpus big
+    * enough? Observed p₀ = users-with-a-purchase / users, kept ppm-
+    * exact; the normal quantiles are data-free constants (1.959964,
+    * 0.841621), so the only data-dependent floats derive from one
+    * exact integer ratio — both engines compute the identical n. The
+    * corpus collapses to two scalars in one distinct-agg pass;
+    * `powered` states whether the available users reach the
+    * requirement (the go/no-go a real experiment review asks). */
+  def powerMde(spark: SparkSession, dir: String): DataFrame = {
+    // conversion = a HIGH-VALUE purchase (>= $200): every user fires
+    // a plain purchase inside this corpus's 30-day window, which would
+    // degenerate p0 to 1.0 and the lift formula to n = 0
+    val perUser = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)") >= 20000L, 1L)
+        .otherwise(0L)).as("conv"))
+    perUser
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .withColumn("p0_ppm", expr("n_conv * 1000000 div n_users"))
+      .withColumn("n_required", expr(powerNSql))
+      .select(col("n_users"), col("n_conv"), col("p0_ppm"),
+        col("n_required"),
+        (col("n_users") >= col("n_required") * 2).as("powered"))
+  }
+
+  /** Shared two-proportion sample-size fragment (per arm, detecting a
+    * 10% relative lift at α=0.05 two-sided / power 0.8) — spliced into
+    * both engines so the IEEE sequence is identical. Reads `p0_ppm`. */
+  private[operators] val powerNSql: String = {
+    val p0 = "(CAST(p0_ppm AS DOUBLE) / 1000000.0)"
+    val p1 = s"($p0 * 1.1)"
+    val pbar = s"(($p0 + $p1) / 2.0)"
+    s"""CAST(ceil(
+       |  (1.959964 * sqrt(2.0 * $pbar * (1.0 - $pbar)) +
+       |   0.841621 * sqrt($p0 * (1.0 - $p0) + $p1 * (1.0 - $p1))) *
+       |  (1.959964 * sqrt(2.0 * $pbar * (1.0 - $pbar)) +
+       |   0.841621 * sqrt($p0 * (1.0 - $p0) + $p1 * (1.0 - $p1))) /
+       |  (($p1 - $p0) * ($p1 - $p0))) AS BIGINT)""".stripMargin
+  }
+
+  /** Exact Shapley decomposition of explained variance across two
+    * features (the LMG / Shapley-value relative-importance statistic,
+    * Grömping 2007; the closed-form 2-player case of SHAP's coalition
+    * game): how much of the price variance does quantity vs discount
+    * deserve credit for, counting their overlap fairly? v(S) = the
+    * between-group sum of squares of the group-mean predictor over
+    * feature set S; φ_qty = ½[(v{q}−v∅) + (v{q,d}−v{d})], the exact
+    * Shapley average over both join orders. The corpus collapses to
+    * the ≤550-cell (quantity × discount) relation in ONE partial-agg'd
+    * pass; every coalition's v is a rollup of that bounded relation.
+    * Exactness: each group term is the integer quantization s²_g div
+    * n_g (positive, so div ≡ //; ≤1 cent² error per group — identical
+    * in both engines, documented), sums stay < 2⁶³ here with HUGEINT/
+    * decimal(38) intermediates for s²; TSS = Σy² − S²/N rides
+    * decimal(38). φ is emitted as the exact integer 2·φ plus one
+    * rounded share; the spec pins the efficiency identity
+    * φ_q + φ_d = v{q,d}. */
+  def shapleyR2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("q"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("d"),
+        // whole DOLLARS, not cents: the S² div N quotient must stay
+        // far from 2⁶³ (at cents it crosses it near this very SF, and
+        // Spark's decimal IntegralDivide wraps the long silently)
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)" +
+          " div 100").as("y"))
+      .groupBy(col("q"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("s2"))
+      .cutLineage() // rolled up four ways below
+    def w(groups: Seq[String]): DataFrame = {
+      val g = if (groups.isEmpty)
+        cells.agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      else cells.groupBy(groups.map(col): _*)
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      // the per-group quotient fits a long to ~sf0.3 but the SUM of
+      // quotients crosses 2⁶³ already at sf0.1 — accumulate decimal(38)
+      g.agg(sum(expr("CAST(CAST(s AS DECIMAL(38,0)) * s div n" +
+        " AS DECIMAL(38,0))")).as("w"))
+    }
+    // integral-div quantization, matching the W terms (S² div N stays
+    // < 2⁶³ to ~sf0.3; beyond, the quotient itself moves to decimal —
+    // the q261 precedent)
+    val tss = cells.agg(
+      (sum(col("s2")) - expr(
+        "CAST(sum(s) AS DECIMAL(38,0)) * sum(s) div sum(n)"))
+        .as("tss"))
+    val parts = w(Seq("q", "d")).select(col("w").as("w_qd"))
+      .crossJoin(broadcast(w(Seq("q")).select(col("w").as("w_q"))))
+      .crossJoin(broadcast(w(Seq("d")).select(col("w").as("w_d"))))
+      .crossJoin(broadcast(w(Nil).select(col("w").as("w0"))))
+      .crossJoin(broadcast(tss))
+    parts.select(
+      expr("stack(2, 'quantity', " +
+        "(w_q - w0) + (w_qd - w_d), (w_q - w0), " +
+        "'discount', (w_d - w0) + (w_qd - w_q), (w_d - w0)) " +
+        "AS (feature, phi2, v_alone)"),
+      (col("w_qd") - col("w0")).as("v_joint"), col("tss"))
+      .select(col("feature"), col("phi2"), col("v_alone"),
+        (round(col("phi2").cast("double") /
+          (lit(2.0) * col("tss").cast("double")), 6) + lit(0.0))
+          .as("shapley_share_r"),
+        (round(col("v_alone").cast("double") /
+          col("tss").cast("double"), 6) + lit(0.0)).as("alone_share_r"),
+        (round(col("v_joint").cast("double") /
+          col("tss").cast("double"), 6) + lit(0.0)).as("joint_share_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q284_shapley_r2", shapleyR2 _,
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      // 100) AS BIGINT) AS s,
+        |    sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      // 100 AS HUGEINT) *
+        |      (CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      // 100)) AS s2
+        |  FROM lineitem GROUP BY 1, 2),
+        |wqd AS (
+        |  SELECT sum(CAST(s AS HUGEINT) * s // n)
+        |    AS w_qd FROM cells),
+        |wq AS (
+        |  SELECT sum(CAST(s AS HUGEINT) * s // n) AS w_q
+        |  FROM (SELECT q, CAST(sum(n) AS BIGINT) AS n,
+        |          CAST(sum(s) AS BIGINT) AS s
+        |        FROM cells GROUP BY 1)),
+        |wd AS (
+        |  SELECT sum(CAST(s AS HUGEINT) * s // n) AS w_d
+        |  FROM (SELECT d, CAST(sum(n) AS BIGINT) AS n,
+        |          CAST(sum(s) AS BIGINT) AS s
+        |        FROM cells GROUP BY 1)),
+        |w0 AS (
+        |  SELECT CAST(s AS HUGEINT) * s // n AS w0
+        |  FROM (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |          CAST(sum(s) AS BIGINT) AS s FROM cells)),
+        |tssx AS (
+        |  SELECT sum(s2) - CAST(sum(s) AS HUGEINT) * CAST(sum(s)
+        |      AS BIGINT) // CAST(sum(n) AS BIGINT) AS tss
+        |  FROM cells),
+        |base AS (SELECT * FROM wqd, wq, wd, w0, tssx),
+        |feats AS (
+        |  SELECT 'quantity' AS feature,
+        |    (w_q - w0) + (w_qd - w_d) AS phi2, w_q - w0 AS v_alone,
+        |    w_qd - w0 AS v_joint, tss FROM base
+        |  UNION ALL
+        |  SELECT 'discount', (w_d - w0) + (w_qd - w_q), w_d - w0,
+        |    w_qd - w0, tss FROM base)
+        |SELECT feature, phi2, v_alone,
+        |  round(CAST(phi2 AS DOUBLE) / (2.0 * CAST(tss AS DOUBLE)), 6)
+        |    + 0.0 AS shapley_share_r,
+        |  round(CAST(v_alone AS DOUBLE) / CAST(tss AS DOUBLE), 6) + 0.0
+        |    AS alone_share_r,
+        |  round(CAST(v_joint AS DOUBLE) / CAST(tss AS DOUBLE), 6) + 0.0
+        |    AS joint_share_r
+        |FROM feats""".stripMargin),
+    Q("q286_srm_check", srmCheck _,
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (
+        |  SELECT ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)),
+        |    1, 8))::BIGINT % 2 AS arm
+        |  FROM u),
+        |c AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1
+        |  FROM arms),
+        |s AS (
+        |  SELECT n0, n1,
+        |    round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) /
+        |      CAST(n0 + n1 AS DOUBLE), 6) + 0.0 AS chi2_r
+        |  FROM c)
+        |SELECT n0, n1, chi2_r,
+        |  CASE WHEN chi2_r > 10.828 THEN 'srm_critical'
+        |       WHEN chi2_r > 3.841 THEN 'srm_warning'
+        |       ELSE 'balanced' END AS verdict
+        |FROM s""".stripMargin),
+    Q("q287_power_mde", powerMde _,
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' AND
+         |      CAST(floor(value * 100 + 0.5) AS BIGINT) >= 20000
+         |      THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1),
+         |c AS (
+         |  SELECT count(*) AS n_users,
+         |    CAST(sum(conv) AS BIGINT) AS n_conv
+         |  FROM pu),
+         |p AS (SELECT n_users, n_conv,
+         |  n_conv * 1000000 // n_users AS p0_ppm FROM c)
+         |SELECT n_users, n_conv, p0_ppm,
+         |  ${powerNSql.replace("\n", " ")} AS n_required,
+         |  n_users >= ${powerNSql.replace("\n", " ")} * 2 AS powered
+         |FROM p""".stripMargin),
     Q("q280_isotonic", isotonic _,
       s"""WITH li AS (
          |  SELECT $scoreSql AS s,

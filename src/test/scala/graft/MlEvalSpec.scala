@@ -395,6 +395,86 @@ class MlEvalSpec extends SparkSpec {
     }
   }
 
+  test("srm check: user-level chi2 recompute; the hash split is " +
+      "balanced on this corpus") {
+    import java.security.MessageDigest
+    def h32(x: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val row = operators.MlEval.srmCheck(spark, sf).collect()(0)
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val n0 = users.count(u => h32(s"arm:$u") % 2 == 0).toLong
+    val n1 = users.length - n0
+    assert(row.getAs[Long]("n0") === n0)
+    assert(row.getAs[Long]("n1") === n1)
+    val chi2 = ((n0 - n1) * (n0 - n1)).toDouble / (n0 + n1)
+    assert(math.abs(row.getAs[Double]("chi2_r") - chi2) < 1.5e-6)
+    assert(row.getAs[String]("verdict") ===
+      (if (chi2 > 10.828) "srm_critical"
+       else if (chi2 > 3.841) "srm_warning" else "balanced"))
+  }
+
+  test("power/mde: the two-proportion sample size recomputes from the " +
+      "observed conversion; powered verdict is consistent") {
+    val row = operators.MlEval.powerMde(spark, sf).collect()(0)
+    val perUser = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id",
+        "CASE WHEN event_type = 'purchase' AND " +
+          "CAST(floor(value * 100 + 0.5) AS BIGINT) >= 20000 " +
+          "THEN 1 ELSE 0 END AS conv")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map(_._2.map(_._2).max)
+    val nUsers = perUser.size.toLong
+    val nConv = perUser.sum.toLong
+    assert(row.getAs[Long]("n_users") === nUsers)
+    assert(row.getAs[Long]("n_conv") === nConv)
+    val p0ppm = nConv * 1000000L / nUsers
+    assert(row.getAs[Long]("p0_ppm") === p0ppm)
+    val p0 = p0ppm.toDouble / 1000000.0
+    val p1 = p0 * 1.1
+    val pbar = (p0 + p1) / 2.0
+    val root = 1.959964 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+      0.841621 * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))
+    val n = math.ceil(root * root / ((p1 - p0) * (p1 - p0))).toLong
+    assert(row.getAs[Long]("n_required") === n)
+    assert(row.getAs[Boolean]("powered") === (nUsers >= 2 * n))
+  }
+
+  test("shapley r2: coalition values recomputed from scratch; the " +
+      "efficiency identity phi_q + phi_d = v_joint holds exactly") {
+    val out = operators.MlEval.shapleyR2(spark, sf).collect()
+      .map(r => r.getAs[String]("feature") ->
+        ((BigInt(r.getAs[java.math.BigDecimal]("phi2").toBigInteger),
+          BigInt(r.getAs[java.math.BigDecimal]("v_alone").toBigInteger),
+          r.getAs[Double]("shapley_share_r")))).toMap
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS LONG) AS q",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div 100" +
+          " AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def w(key: ((Long, Long, Long)) => Any): BigInt =
+      rows.groupBy(key).values.map { g =>
+        val s = BigInt(g.map(_._3).sum)
+        s * s / g.size
+      }.sum
+    val w0 = { val s = BigInt(rows.map(_._3).sum); s * s / rows.size }
+    val wq = w(_._1); val wd = w(_._2); val wqd = w(r => (r._1, r._2))
+    val phiQ2 = (wq - w0) + (wqd - wd)
+    val phiD2 = (wd - w0) + (wqd - wq)
+    assert(out("quantity")._1 === phiQ2)
+    assert(out("discount")._1 === phiD2)
+    assert(out("quantity")._2 === wq - w0)
+    assert(out("discount")._2 === wd - w0)
+    // efficiency: the two halves sum exactly to the joint value
+    assert(phiQ2 + phiD2 === (wqd - w0) * 2)
+    val tss = rows.map(r => BigInt(r._3) * r._3).sum - w0
+    assert(math.abs(out("quantity")._3 -
+      (BigDecimal(phiQ2) / (BigDecimal(tss) * 2)).toDouble) < 1.5e-6)
+  }
+
   test("sprt: integer micro-nat walk recomputed sequentially; " +
       "boundaries and decisions match") {
     import java.security.MessageDigest

@@ -548,6 +548,51 @@ class PipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("next-item eval: leave-last-out hit@3 equals a sequential " +
+      "recompute of the co-purchase recommender and the pop baseline") {
+    import graft.operators.Graph
+    val row = Graph.nextItemEval(spark, sf).collect()(0)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(o_orderdate AS TIMESTAMP_LTZ) AS t")
+      .selectExpr("o_custkey", "o_orderkey", "CAST(t AS LONG) AS sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ok, ps) => ok -> ps.map(_._2).toSet }
+    val pairN = scala.collection.mutable
+      .Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    baskets.values.foreach { ps =>
+      val s = ps.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        pairN((s(i), s(j))) += 1
+    }
+    val sym = pairN.toSeq.filter(_._2 >= 2).flatMap { case ((u, v), n) =>
+      Seq((u, v, n), (v, u, n)) }.groupBy(_._1)
+    val popTop = baskets.values.toSeq.flatten
+      .groupBy(identity).map { case (p, xs) => (p, xs.size) }.toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(3).map(_._1).toSet
+    var (nc, hit, pop) = (0L, 0L, 0L)
+    orders.groupBy(_._1).foreach { case (_, os) =>
+      if (os.length >= 2) {
+        val sorted = os.sortBy(o => (-o._3, -o._2))
+        val truth = baskets.getOrElse(sorted(0)._2, Set.empty)
+        val qps = baskets.getOrElse(sorted(1)._2, Set.empty)
+        nc += 1
+        val scores = qps.toSeq.flatMap(q => sym.getOrElse(q, Nil))
+          .groupBy(_._2).map { case (b, xs) => (b, xs.map(_._3).sum) }
+        val top3 = scores.toSeq.sortBy { case (b, s) => (-s, b) }
+          .take(3).map(_._1)
+        if (top3.exists(truth)) hit += 1
+        if (truth.exists(popTop)) pop += 1
+      }
+    }
+    assert(row.getAs[Long]("n_customers") === nc)
+    assert(row.getAs[Long]("hits_at3") === hit)
+    assert(row.getAs[Long]("pop_hits_at3") === pop)
+  }
+
   test("ring rebalance: ownership recomputed from the md5 ring; " +
       "every moved key lands on the new node") {
     import graft.operators.Layout
