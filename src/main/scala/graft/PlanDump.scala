@@ -199,7 +199,15 @@ object PlanDump {
       "q281_policy_replay" ->
         ("policy replay: five per-type running sums share ONE window " +
           "spec (single exchange + sort), integer CASE-chain argmax, " +
-          "one final partial agg"))
+          "one final partial agg"),
+      "q284_shapley_r2" ->
+        ("Shapley R2: one partial-agg'd pass to the bounded 550-cell " +
+          "relation, four coalition rollups + scalar broadcasts — no " +
+          "second corpus scan"),
+      "q285_next_item_eval" ->
+        ("next-item eval: per-customer window split, shared support-2 " +
+          "pair stage probed by the candidate join, top-3 window on " +
+          "candidate-sized input, broadcast popularity baseline"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

@@ -251,6 +251,14 @@ object ScaleProbe {
         operators.MlEval.policyReplay(spark, dir).count())
       time(s"isotonic_$tag")(
         operators.MlEval.isotonic(spark, dir).count())
+      // r11 fourth wave: next_item's marginal cost over the (already
+      // probed) support-2 stage is the candidate join — bounded by
+      // query-parts × pair-degree; shapley's corpus cost is one
+      // 550-cell partial agg, everything after is bounded rollups
+      time(s"next_item_$tag")(
+        operators.Graph.nextItemEval(spark, dir).count())
+      time(s"shapley_$tag")(
+        operators.MlEval.shapleyR2(spark, dir).count())
     }
 
     // geometry/placement probes: customer as the growing FACT (see the
