@@ -353,6 +353,10 @@ object Dedup {
         .groupBy(col("vec_id"))
         .agg(max_by(col("cell"),
           struct(col("score"), (-col("cell")).as("nc"))).as("cell"),
+          // the winning score IS max(score) (ties differ only in cell),
+          // kept so semanticDedup can rank members by centroid proximity
+          // without re-scoring; q37 simply doesn't select it
+          max(col("score")).as("cos_c"),
           first(col("qv")).as("qv"))
     val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"),
@@ -368,7 +372,7 @@ object Dedup {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
         x => x.getField("s").cast("double") / x.getField("cnt")).as("c"))
-    assign(cents).select(col("vec_id"), col("cell"))
+    assign(cents).select(col("vec_id"), col("cell"), col("cos_c"))
   }
 
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
@@ -408,6 +412,75 @@ object Dedup {
           col("n1"), col("n2")), 6))
       .filter(col("cos") >= 0.5)
       .select(col("v1"), col("v2"), col("cos"))
+  }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas, Tirumala, Simig, Ganguli &
+    * Morcos 2023, arXiv:2303.09540): k-means-cluster the embedding
+    * corpus, then cut semantic near-duplicates CLUSTER-LOCALLY — the
+    * dedup family's complement to MinHash/SimHash (q34–q36 catch
+    * LEXICAL near-dups) for documents that share meaning, not tokens.
+    * Clustering IS [[embeddingCells]] (deterministic k = max(16,
+    * min(4096, n/32)) so cells stay ~32 members at ANY corpus size, one
+    * exact-integer-grid Lloyd step), which also yields each member's
+    * cosine to its assigned centroid.
+    *
+    * Removal policy: rank cluster members by (cos-to-centroid ASC,
+    * vec_id ASC) — SemDeDup keeps the member FARTHEST from the centroid
+    * in each duplicate group — and remove v iff some same-cluster
+    * neighbor u with cos(u,v) ≥ τ outranks it; kept_id is v's
+    * best-ranked such neighbor. The rule is ONE-SHOT and edge-local (no
+    * sequential within-cluster scan, no iteration): one extra mergeable
+    * min_by over the verified pairs, so the 100-TB shape is exactly
+    * q37's — cluster-keyed candidate equi-join, never all-pairs,
+    * candidate pairs LINEAR in N because k grows with N. Every member
+    * ships a row (cluster, centroid proximity, keep/remove verdict,
+    * kept_id for removed ones): the per-doc decision table a corpus
+    * pipeline actually consumes. τ = 0.5 is data-scaled to the
+    * synthetic corpus (production SemDeDup uses 1 − ε ≈ 0.95+); both
+    * engines filter the RAW bit-identical cosine, rounding only at the
+    * output boundary. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = embeddingCells(spark, dir) // vec_id, cell, cos_c
+      .cutLineage() // four roles: pair gen, two rank sides, readout
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("nrm"))
+    val cands = pairsWithin(
+      assigned.select(col("cell"), col("vec_id").as("doc_id")), "cell")
+    def side(v: String, en: String, nn: String) =
+      e.select(col("vec_id").as(v), col("embedding").as(en),
+        col("nrm").as(nn))
+    val edges = cands.select(col("doc_a").as("v1"), col("doc_b").as("v2"))
+      .join(side("v1", "e1", "n1"), Seq("v1"))
+      .join(side("v2", "e2", "n2"), Seq("v2"))
+      .withColumn("cos", VectorOps.cosinePrenormed(
+        VectorOps.dot(col("e1"), col("e2")), col("n1"), col("n2")))
+      .filter(col("cos") >= 0.5)
+      .select(col("v1"), col("v2"), col("cos"))
+    // orient each qualifying pair loser → winner under the SemDeDup rank
+    val winFirst = col("cc1") < col("cc2") ||
+      (col("cc1") === col("cc2") && col("v1") < col("v2"))
+    val removal = edges
+      .join(assigned.select(col("vec_id").as("v1"),
+        col("cos_c").as("cc1")), Seq("v1"))
+      .join(assigned.select(col("vec_id").as("v2"),
+        col("cos_c").as("cc2")), Seq("v2"))
+      .select(
+        when(winFirst, col("v2")).otherwise(col("v1")).as("loser"),
+        when(winFirst, col("v1")).otherwise(col("v2")).as("winner"),
+        when(winFirst, col("cc1")).otherwise(col("cc2")).as("wcc"),
+        col("cos"))
+      .groupBy(col("loser")) // mergeable min_by: collapses map-side
+      .agg(min_by(struct(col("winner"), col("cos")),
+        struct(col("wcc"), col("winner"))).as("k"))
+      .select(col("loser").as("vec_id"),
+        col("k.winner").as("kept_id"), col("k.cos").as("kcos"))
+    assigned.join(removal, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").as("cluster"),
+        (round(col("cos_c"), 6) + lit(0.0)).as("cos_c_r"),
+        col("kept_id").isNotNull.as("removed"),
+        col("kept_id"),
+        (round(col("kcos"), 6) + lit(0.0)).as("pair_cos_r"))
   }
 
   /** Connected components over an undirected edge list — min-label
@@ -803,11 +876,13 @@ object Dedup {
       |      (len(da.hs) + len(db.hs)
       |       - len(list_intersect(da.hs, db.hs))), 6) >= 0.5""".stripMargin
 
-  /** Replicates the full deterministic pipeline: integer quantize → seed →
-    * assign → exact-integer centroid → re-assign → in-cell pairs → verify.
-    * Dimension comes from the arrays themselves, never a hardcoded 64. */
-  private val embeddingCosineSql =
-    """WITH q AS (
+  /** Shared deterministic-k-means oracle prefix: integer quantize → seed →
+    * assign → exact-integer centroid → re-assign (`a2`, which also carries
+    * each member's cosine to its assigned centroid). Dimension comes from
+    * the arrays themselves, never a hardcoded 64. q37 appends in-cell pair
+    * verification; q288 appends the SemDeDup removal policy. */
+  private val kmeansCtesSql =
+    """q AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_aggregate(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
@@ -838,15 +913,22 @@ object Dedup {
       |  SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
       |  FROM sums GROUP BY 1),
       |a2 AS (
-      |  SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell, sc AS cos_c FROM (
       |    SELECT q.vec_id, cn.cell,
+      |      (list_aggregate([CAST(q.embedding[i] AS DOUBLE) * cn.c[i]
+      |        for i in range(1, len(q.embedding) + 1)], 'sum')
+      |       / (q.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
+      |        for i in range(1, len(cn.c) + 1)], 'sum')))) AS sc,
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |        (list_aggregate([CAST(q.embedding[i] AS DOUBLE) * cn.c[i]
       |          for i in range(1, len(q.embedding) + 1)], 'sum')
       |         / (q.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
       |          for i in range(1, len(cn.c) + 1)], 'sum')))) DESC,
       |        cn.cell ASC) AS rn
-      |    FROM q CROSS JOIN cents cn) WHERE rn = 1),
+      |    FROM q CROSS JOIN cents cn) WHERE rn = 1)""".stripMargin
+
+  private val embeddingCosineSql =
+    s"""WITH $kmeansCtesSql,
       |pairs AS (
       |  SELECT a.vec_id AS v1, b.vec_id AS v2
       |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
@@ -1229,6 +1311,45 @@ object Dedup {
         |SELECT doc_a, doc_b,
         |  CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin),
-    Q("q37_dedup_embedding", embeddingCosine _, embeddingCosineSql)
+    Q("q37_dedup_embedding", embeddingCosine _, embeddingCosineSql),
+    Q("q288_semantic_dedup", semanticDedup _,
+      s"""WITH $kmeansCtesSql,
+        |pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    a.cos_c AS cc1, b.cos_c AS cc2
+        |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |edges AS (
+        |  SELECT v1, v2, cc1, cc2,
+        |    list_aggregate([CAST(x.embedding[i] AS DOUBLE)
+        |        * CAST(y.embedding[i] AS DOUBLE)
+        |      for i in range(1, len(x.embedding) + 1)], 'sum')
+        |      / (x.nrm * y.nrm) AS cos
+        |  FROM pairs JOIN q x ON x.vec_id = v1 JOIN q y ON y.vec_id = v2
+        |  WHERE list_aggregate([CAST(x.embedding[i] AS DOUBLE)
+        |        * CAST(y.embedding[i] AS DOUBLE)
+        |      for i in range(1, len(x.embedding) + 1)], 'sum')
+        |      / (x.nrm * y.nrm) >= 0.5),
+        |oriented AS (
+        |  SELECT
+        |    CASE WHEN cc1 < cc2 OR (cc1 = cc2 AND v1 < v2)
+        |      THEN v2 ELSE v1 END AS loser,
+        |    CASE WHEN cc1 < cc2 OR (cc1 = cc2 AND v1 < v2)
+        |      THEN v1 ELSE v2 END AS winner,
+        |    CASE WHEN cc1 < cc2 OR (cc1 = cc2 AND v1 < v2)
+        |      THEN cc1 ELSE cc2 END AS wcc,
+        |    cos
+        |  FROM edges),
+        |removal AS (
+        |  SELECT loser AS vec_id, winner AS kept_id, cos FROM (
+        |    SELECT loser, winner, wcc, cos,
+        |      row_number() OVER (PARTITION BY loser
+        |        ORDER BY wcc ASC, winner ASC) AS rn
+        |    FROM oriented) WHERE rn = 1)
+        |SELECT a2.vec_id, a2.cell AS cluster,
+        |  round(a2.cos_c, 6) + 0.0 AS cos_c_r,
+        |  r.kept_id IS NOT NULL AS removed,
+        |  r.kept_id,
+        |  round(r.cos, 6) + 0.0 AS pair_cos_r
+        |FROM a2 LEFT JOIN removal r ON r.vec_id = a2.vec_id""".stripMargin)
   )
 }

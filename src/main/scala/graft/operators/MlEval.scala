@@ -74,7 +74,12 @@ object MlEval {
         sum(col("n_pos") * (lit(2) * col("cumneg_lt") + col("n_neg")))
           .as("auc_num2"))
       .select(col("n1"), col("n0"), col("auc_num2"),
-        expr("auc_num2 * 1000000 div (2 * n1 * n0)").as("auc_ppm"),
+        // decimal intermediate: auc_num2·10⁶ and 2·n1·n0 both cross
+        // 2⁶³ near ~8× sf0.1, where Spark's LONG would wrap silently
+        // while DuckDB raises — the engines must agree, so the product
+        // rides decimal(38) and `div` returns the BIGINT ppm directly
+        expr("CAST(auc_num2 AS DECIMAL(38,0)) * 1000000 div " +
+          "(2 * CAST(n1 AS DECIMAL(38,0)) * n0)").as("auc_ppm"),
         (round(col("auc_num2").cast("double") /
           (lit(2.0) * col("n1") * col("n0")), 6) + lit(0.0)).as("auc_r"))
   }
@@ -85,10 +90,13 @@ object MlEval {
     * count, mean prediction, observed positive rate, signed gap, and
     * mean Brier contribution — all exact integer sums with integral
     * divisions (gap is a subtraction of two already-divided ppms, no
-    * negative division). One partial-agg'd shuffle of ≤ 10 keys; the
-    * squared-error sum stays < 2⁶³ to sf0.1 ×100 (10¹² per row — at
-    * true 100 TB widths switch the sum to decimal(38), the q207/q239
-    * precedent). */
+    * negative division). One partial-agg'd shuffle of ≤ 10 keys. The
+    * squared-error term is ~10¹² PER ROW for most of the corpus
+    * (p_ppm saturates at 10⁶ once qty ≥ 50), so a LONG se2 sum would
+    * cross 2⁶³ near ~25× sf0.1 — well inside the design envelope —
+    * hence se2 rides decimal(38) from the start (oracle: HUGEINT);
+    * the `div` readout still lands BIGINT so the output schema stays
+    * decimal-free (the q262 dtype-portability rule). */
   def calibration(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select(scoreCol.as("s"),
@@ -98,7 +106,7 @@ object MlEval {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
         sum(col("p_ppm")).as("sum_p"),
-        sum((col("p_ppm") - col("y") * 1000000L) *
+        sum((col("p_ppm") - col("y") * 1000000L).cast("decimal(38,0)") *
           (col("p_ppm") - col("y") * 1000000L)).as("se2"))
       .select(col("bin"), col("n"), col("n_pos"),
         expr("sum_p div n").as("mean_pred_ppm"),
@@ -232,9 +240,13 @@ object MlEval {
       .agg(count(lit(1)).as("n"),
         sum(col("r2x").cast("decimal(38,0)")).as("sx"),
         sum(col("r2y").cast("decimal(38,0)")).as("sy"),
-        sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).as("sxy"),
-        sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).as("syy"))
+        // cast BEFORE the multiply (the cuped discipline): a LONG
+        // r2x*r2y product wraps once 2·midrank crosses ~3e9 (n ≳
+        // 1.5e9 rows) — the decimal must protect the product, not
+        // just the sum. Oracle mirrors with HUGEINT per-row products.
+        sum(col("r2x").cast("decimal(38,0)") * col("r2y")).as("sxy"),
+        sum(col("r2x").cast("decimal(38,0)") * col("r2x")).as("sxx"),
+        sum(col("r2y").cast("decimal(38,0)") * col("r2y")).as("syy"))
       .select(col("n"),
         (round((col("n").cast("double") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
@@ -293,7 +305,15 @@ object MlEval {
         sum(col("x")).as("sum_x_cents"), sum(col("y")).as("sum_y_cents"))
       .crossJoin(broadcast(pooled))
       .select(col("arm"), col("n_users"), col("sum_x_cents"),
-        col("sum_y_cents"), col("cov_num"), col("var_num"),
+        col("sum_y_cents"),
+        // output boundary: BIGINT, never decimal — Spark decimal(38,0)
+        // hashes as a Decimal object while DuckDB's HUGEINT lands as a
+        // different dtype, so equal VALUES hash-mismatch (r11 verdict
+        // №1). cov/var numerators are ~n²·cents² ≈ 4e17 at sf1 — BIGINT
+        // holds to ~sf5; past that move the OUTPUT to a rounded ratio,
+        // keeping decimal only for the intermediates above.
+        col("cov_num").cast("long").as("cov_num"),
+        col("var_num").cast("long").as("var_num"),
         (round(col("sum_y_cents").cast("double") / col("n_users"), 6)
           + lit(0.0)).as("raw_mean_r"),
         (round((col("var_num").cast("double") * col("sum_y_cents") -
@@ -539,7 +559,12 @@ object MlEval {
       .groupBy(col("ib"), col("jb"))
       .agg(min(col("avg_jk")).as("minod"))
       .groupBy(col("ib")).agg(max(col("minod")).as("fit"))
-    bins.join(fit, col("bin") === col("ib"))
+    // readout joins back to the CHECKPOINTED pref (which carries
+    // bin/n/pos), not the raw `bins` relation — otherwise the 64-bin
+    // corpus aggregation would be re-derived a second time and the
+    // "corpus contributes one partial-agg'd scan" shape would be a lie
+    pref.select(col("bin"), col("n"), col("pos"))
+      .join(fit, col("bin") === col("ib"))
       .select(col("bin"), col("n"), col("pos"),
         (round(col("pos").cast("double") / col("n"), 6) + lit(0.0))
           .as("raw_rate_r"),
@@ -727,7 +752,13 @@ object MlEval {
         "'discount', (w_d - w0) + (w_qd - w_q), (w_d - w0)) " +
         "AS (feature, phi2, v_alone)"),
       (col("w_qd") - col("w0")).as("v_joint"), col("tss"))
-      .select(col("feature"), col("phi2"), col("v_alone"),
+      .select(col("feature"),
+        // output boundary: BIGINT, never decimal (r11 verdict №2 — the
+        // q262 dtype-portability rule). Dollar-quantized W terms keep
+        // 2φ ≲ 4e15 at sf1; BIGINT holds to ~sf10, past which the
+        // exact-integer columns would drop in favor of the shares.
+        col("phi2").cast("long").as("phi2"),
+        col("v_alone").cast("long").as("v_alone"),
         (round(col("phi2").cast("double") /
           (lit(2.0) * col("tss").cast("double")), 6) + lit(0.0))
           .as("shapley_share_r"),
@@ -779,7 +810,8 @@ object MlEval {
         |  UNION ALL
         |  SELECT 'discount', (w_d - w0) + (w_qd - w_q), w_d - w0,
         |    w_qd - w0, tss FROM base)
-        |SELECT feature, phi2, v_alone,
+        |SELECT feature, CAST(phi2 AS BIGINT) AS phi2,
+        |  CAST(v_alone AS BIGINT) AS v_alone,
         |  round(CAST(phi2 AS DOUBLE) / (2.0 * CAST(tss AS DOUBLE)), 6)
         |    + 0.0 AS shapley_share_r,
         |  round(CAST(v_alone AS DOUBLE) / CAST(tss AS DOUBLE), 6) + 0.0
@@ -1017,7 +1049,8 @@ object MlEval {
          |      AS auc_num2
          |  FROM cum)
          |SELECT n1, n0, auc_num2,
-         |  CAST(auc_num2 * 1000000 // (2 * n1 * n0) AS BIGINT) AS auc_ppm,
+         |  CAST(CAST(auc_num2 AS HUGEINT) * 1000000 //
+         |    (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT) AS auc_ppm,
          |  round(CAST(auc_num2 AS DOUBLE) /
          |    (2.0 * n1 * n0), 6) + 0.0 AS auc_r
          |FROM tot""".stripMargin),
@@ -1030,8 +1063,8 @@ object MlEval {
          |  SELECT least(p_ppm // 100000, 9) AS bin, count(*) AS n,
          |    CAST(sum(y) AS BIGINT) AS n_pos,
          |    CAST(sum(p_ppm) AS BIGINT) AS sum_p,
-         |    CAST(sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000))
-         |      AS BIGINT) AS se2
+         |    sum(CAST(p_ppm - y * 1000000 AS HUGEINT) *
+         |      (p_ppm - y * 1000000)) AS se2
          |  FROM scored GROUP BY 1)
          |SELECT bin, n, n_pos,
          |  CAST(sum_p // n AS BIGINT) AS mean_pred_ppm,
@@ -1148,7 +1181,9 @@ object MlEval {
         |    CAST(sum(x) AS BIGINT) AS sum_x_cents,
         |    CAST(sum(y) AS BIGINT) AS sum_y_cents
         |  FROM pu GROUP BY 1)
-        |SELECT arm, n_users, sum_x_cents, sum_y_cents, cov_num, var_num,
+        |SELECT arm, n_users, sum_x_cents, sum_y_cents,
+        |  CAST(cov_num AS BIGINT) AS cov_num,
+        |  CAST(var_num AS BIGINT) AS var_num,
         |  round(CAST(sum_y_cents AS DOUBLE) / n_users, 6) + 0.0
         |    AS raw_mean_r,
         |  round((CAST(var_num AS DOUBLE) * sum_y_cents -

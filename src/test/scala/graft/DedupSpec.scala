@@ -447,4 +447,54 @@ class DedupSpec extends SparkSpec {
       .map(_.getAs[Long]("n_minhash")).sum
     assert(highJmh === q35)
   }
+
+  test("semantic dedup: removal policy recomputed from cluster-local " +
+      "pairs; keepers outrank, best-ranked neighborhood member survives") {
+    val out = Dedup.semanticDedup(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.length === n) // one verdict row per corpus member
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // recompute the qualifying intra-cluster edges brute-force
+    val cluster = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = e.keys.toSeq.sorted
+    val edges = for {
+      i <- ids; j <- ids if i < j && cluster(i) == cluster(j)
+      c = cos(e(i), e(j)) if c >= 0.5
+    } yield (i, j, c)
+    def rank(v: Long): (Double, Long) =
+      (byId(v).getAs[Double]("cos_c_r"), v) // rounded proxy: ties rare
+    val removedIds = out.filter(_.getAs[Boolean]("removed"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    // exactly the losers of at least one qualifying edge are removed
+    val expectRemoved = edges.flatMap { case (i, j, _) =>
+      Seq(if (Ordering[(Double, Long)].lt(rank(i), rank(j))) j else i)
+    }.toSet
+    assert(removedIds === expectRemoved)
+    // each removed row names a same-cluster keeper that outranks it and
+    // carries the cosine to that keeper
+    removedIds.foreach { v =>
+      val r = byId(v)
+      val k = r.getAs[Long]("kept_id")
+      assert(cluster(k) === cluster(v))
+      assert(Ordering[(Double, Long)].lt(rank(k), rank(v)))
+      assert(math.abs(r.getAs[Double]("pair_cos_r") -
+        cos(e(v), e(k))) < 1e-5)
+    }
+    // survivors never name a keeper
+    out.filterNot(_.getAs[Boolean]("removed")).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("kept_id")))
+      assert(r.isNullAt(r.fieldIndex("pair_cos_r")))
+    }
+  }
 }

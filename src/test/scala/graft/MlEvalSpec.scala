@@ -201,10 +201,10 @@ class MlEvalSpec extends SparkSpec {
       assert(row.getAs[Long]("n_users") === rs.length.toLong)
       assert(row.getAs[Long]("sum_x_cents") === rs.map(_._2).sum)
       assert(row.getAs[Long]("sum_y_cents") === rs.map(_._3).sum)
-      assert(BigInt(row.getAs[java.math.BigDecimal]("cov_num")
-        .toBigInteger) === cov)
-      assert(BigInt(row.getAs[java.math.BigDecimal]("var_num")
-        .toBigInteger) === vr)
+      // outputs are BIGINT (dtype-portability rule) — the BigInt
+      // recompute still proves the decimal INTERMEDIATES were exact
+      assert(BigInt(row.getAs[Long]("cov_num")) === cov)
+      assert(BigInt(row.getAs[Long]("var_num")) === vr)
       val adj = (vr.toDouble * rs.map(_._3).sum -
         cov.toDouble * rs.map(_._2).sum) / (vr.toDouble * rs.length)
       assert(math.abs(row.getAs[Double]("adj_mean_r") - adj) < 1e-5)
@@ -446,8 +446,7 @@ class MlEvalSpec extends SparkSpec {
       "efficiency identity phi_q + phi_d = v_joint holds exactly") {
     val out = operators.MlEval.shapleyR2(spark, sf).collect()
       .map(r => r.getAs[String]("feature") ->
-        ((BigInt(r.getAs[java.math.BigDecimal]("phi2").toBigInteger),
-          BigInt(r.getAs[java.math.BigDecimal]("v_alone").toBigInteger),
+        ((BigInt(r.getAs[Long]("phi2")), BigInt(r.getAs[Long]("v_alone")),
           r.getAs[Double]("shapley_share_r")))).toMap
     val rows = spark.read.parquet(s"$sf/lineitem.parquet")
       .selectExpr("CAST(l_quantity AS LONG) AS q",

@@ -26,13 +26,30 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 
 def canon_cell(v) -> str:
     """Canonical exact string for one value. repr() on floats preserves
-    the zero sign and round-trips every bit; Decimals are normalized
-    through float64 so a decimal-vs-double dtype split between engines
-    (same numeric value) still compares equal."""
+    the zero sign and round-trips every bit. Decimals are rendered
+    EXACTLY (integral -> int string; fractional -> full decimal string),
+    NEVER through float64: the r11 version normalized Decimal->float64,
+    which made a Spark decimal(38,0) column hash equal to DuckDB's
+    HUGEINT->float64 even though the driver's exact encoding
+    distinguishes them — exactly how q262/q284 shipped locally-green
+    and failed the driver (the second gate-looser-than-driver incident
+    after the r1–r3 atol gap this docstring's history recounts). An
+    integral Decimal now encodes as the bare int string (matching a
+    true int64 of the same value) while DuckDB's float64-materialized
+    HUGEINT encodes as repr(float) — so a decimal-vs-hugeint dtype
+    split FAILS locally, as it does on the driver."""
     if v is None:
         return "\x00NULL"
     if isinstance(v, Decimal):
-        v = float(v)
+        if v != v:
+            return "NaN"
+        iv = v.to_integral_value()
+        if v == iv:
+            return str(int(iv))
+        # fractional decimal: tagged so it can NEVER collide with a
+        # float repr of the same value — a fractional decimal in an
+        # output is always a dtype-portability bug to surface
+        return "\x00DEC" + format(v, "f")
     if isinstance(v, float):
         if v != v:
             return "NaN"
@@ -113,9 +130,27 @@ def selftest():
     _, _, hc = canon(c)
     _, _, hd = canon(d)
     assert hc == hd, "+0.0 normalization must hash equal across col order"
-    e = pd.DataFrame({"v": pd.array([Decimal("1.50")], dtype=object)})
-    f = pd.DataFrame({"v": [1.5]})
-    assert canon(e)[2] == canon(f)[2], "decimal 1.50 must equal double 1.5"
+    # decimal-vs-hugeint fixture (the q262/q284 failure class): Spark's
+    # decimal(38,0) lands in pandas as a Decimal object; DuckDB's HUGEINT
+    # lands as float64. Equal VALUES must now hash DIFFERENT, because the
+    # driver's exact encoding distinguishes the dtypes.
+    e = pd.DataFrame({"v": pd.array([Decimal("2984905180860")],
+                                    dtype=object)})
+    f = pd.DataFrame({"v": [2984905180860.0]})
+    assert canon(e)[2] != canon(f)[2], \
+        "gate MISSED a decimal-vs-hugeint(float64) dtype split"
+    # fractional decimal vs double: also distinct (exact decimal string
+    # vs float repr)
+    e2 = pd.DataFrame({"v": pd.array([Decimal("1.50")], dtype=object)})
+    f2 = pd.DataFrame({"v": [1.5]})
+    assert canon(e2)[2] != canon(f2)[2], \
+        "gate MISSED a fractional decimal-vs-double dtype split"
+    # integral decimal vs true int64 of the same value: equal (both
+    # encode as the bare int string)
+    e3 = pd.DataFrame({"v": pd.array([Decimal("42")], dtype=object)})
+    f3 = pd.DataFrame({"v": pd.array([42], dtype="Int64")})
+    assert canon(e3)[2] == canon(f3)[2], \
+        "integral decimal must encode as the bare int string"
     import numpy as np
     g = pd.DataFrame({"v": pd.array([1, None], dtype="Int64")})
     _, rows_g, _ = canon(g)  # must not raise on pd.NA
@@ -132,7 +167,8 @@ def selftest():
     assert sorted(r[0] for r in rows_fx) == ["\x00NULL", "1.5", "NaN"], \
         "nullable-Float64 must keep NULL distinct from NaN after widening"
     print("selftest OK: -0.0 detected, +0.0 normalization stable, "
-          "decimal/double unified, nullable-int NA safe, f32/f64 unified, "
+          "decimal-vs-hugeint split detected, decimal==int64 when "
+          "integral, nullable-int NA safe, f32/f64 unified, "
           "Float64 NULL!=NaN")
 
 
