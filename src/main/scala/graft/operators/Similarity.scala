@@ -253,10 +253,27 @@ object Similarity {
     * (shuffle keyed on cell, skew-bounded by cell occupancy); rerank
     * fetches raw vectors for Q·10 ids. Nothing is ever Q×N. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (centroids, codebook, codes) = ivfpqTrainRelations(spark, dir)
+    // reconstructed candidates carry their IVF cell (= label): the ADC
+    // join keys on it
+    val recon = ivfpqRecon(codes, codebook)
+    ivfpqServe(spark, dir, centroids, recon)
+  }
+
+  /** TRAIN half of the IVF-PQ index — everything [[ivfpqPersist]] needs
+    * to write and a fresh JVM needs to serve: the coarse quantizer
+    * (q48's exact-grid label centroids), the M=4 sub-codebooks (q201's
+    * slice-of-the-mean), and the PER-CANDIDATE index entry
+    * (cand_id, cell, codes array ordered by subspace — the packed-code
+    * row a production FAISS index stores per vector). Deterministic and
+    * cross-engine-exact end-to-end, so serving from a persisted copy is
+    * bit-identical to retraining (the q289 gate proves it against the
+    * retrain-from-scratch oracle). */
+  private[graft] def ivfpqTrainRelations(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val M = 4
     val sub = 16
-    val nprobe = 2
     val e = t(spark, dir, "embeddings")
       .withColumn("qv", transform(col("embedding"), x =>
         floor(lit(1000.0) * x.cast("double") + lit(0.5)).cast("long")))
@@ -276,6 +293,9 @@ object Similarity {
         s"m -> struct(m AS m, slice(qv, m * $sub + 1, $sub) AS sv))"))
         .as("s"))
       .select(col("cand_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    // one packed row per candidate: cell + the M codes in subspace order
+    // (map_from_entries pins order — collect_list alone is
+    // partition-order-dependent)
     val codes = subv.join(broadcast(codebook), Seq("m"))
       .withColumn("dist", expr(
         "aggregate(zip_with(sv, cw, (x, y) -> " +
@@ -283,17 +303,41 @@ object Similarity {
           "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
       .groupBy(col("cand_id"), col("m"))
       .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
-    // reconstructed candidates carry their IVF cell (= label): the ADC
-    // join below keys on it
-    val recon = codes.join(broadcast(codebook), Seq("m", "code"))
       .groupBy(col("cand_id"))
-      .agg(map_from_entries(collect_list(struct(col("m"), col("cw"))))
-        .as("mp"))
+      .agg(map_from_entries(collect_list(struct(col("m"), col("code"))))
+        .as("cm"))
       .select(col("cand_id"),
-        concat((0 until M).map(m => col("mp")(m)): _*).as("rvec"))
-      .withColumn("rn2", VectorOps.l2NormDouble(col("rvec")))
+        array((0 until M).map(m => col("cm")(m)): _*).as("codes"))
       .join(e.select(col("vec_id").as("cand_id"),
         col("label").as("cell")), Seq("cand_id"))
+    (centroids, codebook, codes)
+  }
+
+  /** Reconstruct candidate vectors from packed codes + codebooks:
+    * (cand_id, cell, rvec, rn2). Codeword concat order is pinned by the
+    * subspace index. */
+  private def ivfpqRecon(codes: DataFrame, codebook: DataFrame): DataFrame = {
+    val M = 4
+    codes.select(col("cand_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(codebook), Seq("m", "code"))
+      .groupBy(col("cand_id"))
+      .agg(first(col("cell")).as("cell"),
+        map_from_entries(collect_list(struct(col("m"), col("cw"))))
+          .as("mp"))
+      .select(col("cand_id"), col("cell"),
+        concat((0 until M).map(m => col("mp")(m)): _*).as("rvec"))
+      .withColumn("rn2", VectorOps.l2NormDouble(col("rvec")))
+  }
+
+  /** SERVE half: coarse probe → cell-confined ADC → exact rerank, given
+    * the index relations (from memory for q245, from the persisted
+    * warehouse copy for q289). Raw vectors are read from the store only
+    * for the Q queries and the Q·10 rerank survivors. */
+  private def ivfpqServe(spark: SparkSession, dir: String,
+      centroids: DataFrame, recon: DataFrame): DataFrame = {
+    val nprobe = 2
+    val e = t(spark, dir, "embeddings")
     // coarse probe: nprobe nearest centroids per query (q48's probe,
     // widened from argmax to top-nprobe; scores on bit-identical doubles,
     // ties break on lowest cell)
@@ -339,6 +383,98 @@ object Similarity {
       .withColumn("rn", row_number().over(wCos))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
+  }
+
+  /** Persist the trained IVF-PQ index — centroids, sub-codebooks, and
+    * the packed per-candidate code rows — plus the SOURCE fingerprint
+    * that guards staleness (q209's discipline: per-file size + mtime,
+    * so data regenerated in place under the same path retrains instead
+    * of silently serving a stale index). At 100 TB this is the step
+    * that runs ONCE per corpus version; every serving session after it
+    * reads ~(cells·d + M·cells·sub) doubles of quantizer plus one
+    * M-byte code row per candidate — never the raw vectors. */
+  def ivfpqPersist(spark: SparkSession, dir: String,
+      indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val (centroids, codebook, codes) = ivfpqTrainRelations(spark, dir)
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    codes.write.mode("overwrite").parquet(s"$indexDir/codes")
+    Files.write(Paths.get(indexDir, "_fingerprint"),
+      ivfpqFingerprint(dir).getBytes("UTF-8"))
+  }
+
+  /** Fingerprint of the source the index derives from (embeddings
+    * parquet: per-file path, size, mtime — md5'd). */
+  private[graft] def ivfpqFingerprint(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir).toAbsolutePath.normalize
+      .resolve("embeddings.parquet")
+    val lines =
+      if (!Files.exists(p)) Seq.empty[String]
+      else Files.walk(p).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => s"$f:${Files.size(f)}:" +
+          s"${Files.getLastModifiedTime(f).toMillis}")
+        .toSeq.sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Canonical per-source index location under the session warehouse
+    * (md5 of the absolute source path — never a collidable hashCode). */
+  private[graft] def ivfpqIndexDir(spark: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val abs = Paths.get(dir).toAbsolutePath.normalize.toString
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    Paths.get(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      .resolve(s"graft_ivfpq_$tag").toString
+  }
+
+  /** Train-once guard: (re)trains iff the persisted fingerprint is
+    * missing or disagrees with the current source files. Returns true
+    * iff a training ran (the spec asserts serve-after-stage does NOT
+    * retrain, and that a corrupted fingerprint DOES). */
+  def ensureIvfpqIndex(spark: SparkSession, dir: String,
+      indexDir: String): Boolean = Similarity.synchronized {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(indexDir, "_fingerprint")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") ==
+        ivfpqFingerprint(dir) &&
+      Seq("centroids", "codebook", "codes").forall(s =>
+        Files.exists(Paths.get(indexDir, s, "_SUCCESS")))
+    if (!fresh) { ivfpqPersist(spark, dir, indexDir); true } else false
+  }
+
+  /** q289: IVF-PQ ANN served from the PERSISTED index — identical
+    * output to q245 (and gated against the same retrain-from-scratch
+    * oracle, which is the serve == retrain proof), but the quantizer,
+    * codebooks and codes come from warehouse tables written by
+    * [[ivfpqPersist]] — possibly by a DIFFERENT JVM (the production
+    * split: one indexing job, many serving sessions; `IndexServeSpec`
+    * forks a real second JVM to prove it). Training runs only when the
+    * source fingerprint says the persisted copy is missing or stale. */
+  def annIvfPqServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfpqIndexDir(spark, dir)
+    ensureIvfpqIndex(spark, dir, idx)
+    annIvfPqServeFrom(spark, dir, idx)
+  }
+
+  /** Serve strictly FROM a persisted index — no training fallback; a
+    * missing index is the caller's bug and fails loudly. */
+  def annIvfPqServeFrom(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    ivfpqServe(spark, dir, centroids, ivfpqRecon(codes, codebook))
   }
 
   /** Int8 scalar quantization of the embedding column — the storage/ANN
@@ -525,6 +661,87 @@ object Similarity {
        |  FROM u$i, m$i)""".stripMargin
   }
 
+  /** Retrain-from-scratch oracle shared by q245 (in-memory index)
+    * and q289 (persisted index served by a possibly different JVM):
+    * the gate hashing BOTH against the same scratch recompute is the
+    * proof that serve == retrain. */
+  private def ivfpqOracleSql: String =
+    s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         |    [CAST(floor(1000.0 * CAST(x AS DOUBLE) + 0.5) AS BIGINT)
+         |     for x in embedding] AS qv
+         |  FROM embeddings),
+         |sums AS (
+         |  SELECT label AS cell, u.pos AS pos, sum(u.qx) AS s,
+         |    count(*) AS cnt
+         |  FROM (SELECT label, unnest([{'pos': i, 'qx': qv[i]}
+         |        for i in range(1, len(qv) + 1)]) AS u FROM e)
+         |  GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
+         |  FROM sums GROUP BY 1),
+         |cb AS (
+         |  SELECT t.m, cell AS code, c[t.m * 16 + 1 : t.m * 16 + 16] AS cw
+         |  FROM cents CROSS JOIN range(0, 4) t(m)),
+         |sv AS (
+         |  SELECT vec_id AS cand_id, t.m,
+         |    qv[t.m * 16 + 1 : t.m * 16 + 16] AS sv
+         |  FROM e CROSS JOIN range(0, 4) t(m)),
+         |codes AS (
+         |  SELECT cand_id, m, code FROM (
+         |    SELECT s.cand_id, s.m, cb.code,
+         |      row_number() OVER (PARTITION BY s.cand_id, s.m ORDER BY
+         |        list_aggregate([
+         |          (CAST(s.sv[i] AS DOUBLE) - cb.cw[i]) *
+         |          (CAST(s.sv[i] AS DOUBLE) - cb.cw[i])
+         |          for i in range(1, len(s.sv) + 1)], 'sum') ASC,
+         |        cb.code ASC) AS rnc
+         |    FROM sv s JOIN cb ON s.m = cb.m) WHERE rnc = 1),
+         |recon AS (
+         |  SELECT k.cand_id, flatten(list(cb.cw ORDER BY k.m)) AS rvec
+         |  FROM codes k JOIN cb ON k.m = cb.m AND k.code = cb.code
+         |  GROUP BY 1),
+         |reconc AS (
+         |  SELECT r.cand_id, r.rvec, c.label AS cell
+         |  FROM recon r JOIN e c ON c.vec_id = r.cand_id),
+         |probe AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT e.vec_id, cn.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (list_aggregate([CAST(e.embedding[i] AS DOUBLE) * cn.c[i]
+         |          for i in range(1, len(e.embedding) + 1)], 'sum')
+         |         / (e.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
+         |          for i in range(1, len(cn.c) + 1)], 'sum')))) DESC,
+         |        cn.cell ASC) AS rp
+         |    FROM e CROSS JOIN cents cn WHERE e.vec_id < 20) WHERE rp <= 2),
+         |adc AS (
+         |  SELECT q.vec_id AS q_id, r.cand_id,
+         |    list_aggregate([CAST(q.embedding[i] AS DOUBLE) * r.rvec[i]
+         |      for i in range(1, len(r.rvec) + 1)], 'sum')
+         |    / (q.nrm * sqrt(list_aggregate([r.rvec[i] * r.rvec[i]
+         |      for i in range(1, len(r.rvec) + 1)], 'sum'))) AS adc
+         |  FROM e q JOIN probe p ON p.q_id = q.vec_id
+         |    JOIN reconc r ON r.cell = p.cell AND r.cand_id <> q.vec_id),
+         |top AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc DESC, cand_id ASC) AS rna FROM adc)
+         |  WHERE rna <= 10),
+         |scored AS (
+         |  SELECT t.q_id, t.cand_id,
+         |    round(${cosExpr("q", "c")}, 6) + 0.0 AS cos
+         |  FROM top t
+         |    JOIN e q ON q.vec_id = t.q_id
+         |    JOIN e c ON c.vec_id = t.cand_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, cand_id ASC) AS INT) AS rn
+         |  FROM scored)
+         |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
+
   val catalog: Seq[Q] = Seq(
     Q("q272_pca_power", pcaPower _,
       s"""WITH pts AS (
@@ -702,82 +919,8 @@ object Similarity {
          |      ORDER BY cos DESC, cand_id ASC) AS INT) AS rn
          |  FROM scored)
          |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin),
-    Q("q245_ann_ivfpq", annIvfPq _,
-      s"""WITH e AS (
-         |  SELECT vec_id, label, embedding,
-         |    sqrt(list_aggregate(list_transform(embedding,
-         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
-         |    [CAST(floor(1000.0 * CAST(x AS DOUBLE) + 0.5) AS BIGINT)
-         |     for x in embedding] AS qv
-         |  FROM embeddings),
-         |sums AS (
-         |  SELECT label AS cell, u.pos AS pos, sum(u.qx) AS s,
-         |    count(*) AS cnt
-         |  FROM (SELECT label, unnest([{'pos': i, 'qx': qv[i]}
-         |        for i in range(1, len(qv) + 1)]) AS u FROM e)
-         |  GROUP BY 1, 2),
-         |cents AS (
-         |  SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
-         |  FROM sums GROUP BY 1),
-         |cb AS (
-         |  SELECT t.m, cell AS code, c[t.m * 16 + 1 : t.m * 16 + 16] AS cw
-         |  FROM cents CROSS JOIN range(0, 4) t(m)),
-         |sv AS (
-         |  SELECT vec_id AS cand_id, t.m,
-         |    qv[t.m * 16 + 1 : t.m * 16 + 16] AS sv
-         |  FROM e CROSS JOIN range(0, 4) t(m)),
-         |codes AS (
-         |  SELECT cand_id, m, code FROM (
-         |    SELECT s.cand_id, s.m, cb.code,
-         |      row_number() OVER (PARTITION BY s.cand_id, s.m ORDER BY
-         |        list_aggregate([
-         |          (CAST(s.sv[i] AS DOUBLE) - cb.cw[i]) *
-         |          (CAST(s.sv[i] AS DOUBLE) - cb.cw[i])
-         |          for i in range(1, len(s.sv) + 1)], 'sum') ASC,
-         |        cb.code ASC) AS rnc
-         |    FROM sv s JOIN cb ON s.m = cb.m) WHERE rnc = 1),
-         |recon AS (
-         |  SELECT k.cand_id, flatten(list(cb.cw ORDER BY k.m)) AS rvec
-         |  FROM codes k JOIN cb ON k.m = cb.m AND k.code = cb.code
-         |  GROUP BY 1),
-         |reconc AS (
-         |  SELECT r.cand_id, r.rvec, c.label AS cell
-         |  FROM recon r JOIN e c ON c.vec_id = r.cand_id),
-         |probe AS (
-         |  SELECT vec_id AS q_id, cell FROM (
-         |    SELECT e.vec_id, cn.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        (list_aggregate([CAST(e.embedding[i] AS DOUBLE) * cn.c[i]
-         |          for i in range(1, len(e.embedding) + 1)], 'sum')
-         |         / (e.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
-         |          for i in range(1, len(cn.c) + 1)], 'sum')))) DESC,
-         |        cn.cell ASC) AS rp
-         |    FROM e CROSS JOIN cents cn WHERE e.vec_id < 20) WHERE rp <= 2),
-         |adc AS (
-         |  SELECT q.vec_id AS q_id, r.cand_id,
-         |    list_aggregate([CAST(q.embedding[i] AS DOUBLE) * r.rvec[i]
-         |      for i in range(1, len(r.rvec) + 1)], 'sum')
-         |    / (q.nrm * sqrt(list_aggregate([r.rvec[i] * r.rvec[i]
-         |      for i in range(1, len(r.rvec) + 1)], 'sum'))) AS adc
-         |  FROM e q JOIN probe p ON p.q_id = q.vec_id
-         |    JOIN reconc r ON r.cell = p.cell AND r.cand_id <> q.vec_id),
-         |top AS (
-         |  SELECT q_id, cand_id FROM (
-         |    SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY adc DESC, cand_id ASC) AS rna FROM adc)
-         |  WHERE rna <= 10),
-         |scored AS (
-         |  SELECT t.q_id, t.cand_id,
-         |    round(${cosExpr("q", "c")}, 6) + 0.0 AS cos
-         |  FROM top t
-         |    JOIN e q ON q.vec_id = t.q_id
-         |    JOIN e c ON c.vec_id = t.cand_id),
-         |ranked AS (
-         |  SELECT q_id, cand_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, cand_id ASC) AS INT) AS rn
-         |  FROM scored)
-         |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin),
+    Q("q245_ann_ivfpq", annIvfPq _, ivfpqOracleSql),
+    Q("q289_ann_serve", annIvfPqServe _, ivfpqOracleSql),
     Q("q89_embedding_quantize", embeddingQuantize _,
       """WITH v AS (
         |  SELECT label,
