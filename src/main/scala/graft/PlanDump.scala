@@ -207,7 +207,17 @@ object PlanDump {
       "q285_next_item_eval" ->
         ("next-item eval: per-customer window split, shared support-2 " +
           "pair stage probed by the candidate join, top-3 window on " +
-          "candidate-sized input, broadcast popularity baseline"))
+          "candidate-sized input, broadcast popularity baseline"),
+      "q288_semantic_dedup" ->
+        ("SemDeDup semantic dedup: shared exact-grid k-means stage, " +
+          "cluster-keyed candidate equi-join (never all-pairs), one " +
+          "mergeable min_by removal election, left join emits the " +
+          "per-doc keep/remove verdict"),
+      "q289_ann_serve" ->
+        ("IVF-PQ served from the PERSISTED index: centroids/codebook/" +
+          "codes come from parquet scans (no training subtree in the " +
+          "plan), broadcast quantizer, cell-confined ADC equi-join, " +
+          "exact rerank on Q*10 raw vectors"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

@@ -38,6 +38,13 @@ object ScaleProbe {
       return
     }
 
+    // `--x100` runs the 100x wave (r11 verdict №8) instead of the 10x one.
+    if (args.contains("--x100")) {
+      x100Probe(spark, base)
+      spark.stop()
+      return
+    }
+
     val keySpan = 100000000L
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
@@ -259,6 +266,23 @@ object ScaleProbe {
         operators.Graph.nextItemEval(spark, dir).count())
       time(s"shapley_$tag")(
         operators.MlEval.shapleyR2(spark, dir).count())
+      // r12 wave (r11 verdict №5): hits' four half-rounds are edge-keyed
+      // join+aggs over the distinct cust×part relation, O(edges) each —
+      // 10x facts over FIXED dims saturate that edge list (the pagerank
+      // regime), so the ratio reads against distinct-edge growth, not
+      // raw facts. lsh_scurve pools candidates from two generators over
+      // ONE shared 64-perm signature stage: the signature stage is
+      // linear in docs, pooled pairs grow with the replica cliques
+      // (~45x output like setsim) — the probe watches that the exact-J
+      // verification stays candidate-bounded. semantic_dedup's pair
+      // generation is cluster-bounded (k = n/32 keeps ~32-member
+      // cells); exact replica cliques are cut within cells, never
+      // across the corpus.
+      time(s"hits_$tag")(operators.Graph.hits(spark, dir).count())
+      time(s"lsh_scurve_$tag")(
+        operators.Dedup.lshScurve(spark, dir).count())
+      time(s"semantic_dedup_$tag")(
+        operators.Dedup.semanticDedup(spark, dir).count())
     }
 
     // geometry/placement probes: customer as the growing FACT (see the
@@ -279,6 +303,101 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** 100× weak-scaling wave (r11 verdict №8): convert the flagship
+    * families' "would survive 100×" claims from extrapolated 10× ratios
+    * to measured ones. Staging differs DELIBERATELY from the 10× wave:
+    * there, replicas are near-dup cliques (max duplication rate — the
+    * dedup worst case); here, document words carry a per-replica tag so
+    * replicas are shingle-DISJOINT and the natural in-replica dup rate
+    * is held CONSTANT while the corpus grows 100× — a 100-member clique
+    * per doc would C(100,2) ≈ 5000× the verify stage by construction
+    * (and trip the hot-bucket cap), measuring the clique, not the
+    * scale-out. Embedding replicas stay exact dups: their cliques live
+    * INSIDE ~bounded cells, which is precisely the boundedness being
+    * probed. Facts shift keys into disjoint namespaces (events also
+    * shift user_id: fixed per-user density — the r10 lesson). One timed
+    * round per scale, flagships only: candidate-join dedup, CC, the
+    * 64-bucket prefix-sum recipe, two-phase ECDF, and the watermarked
+    * streaming agg at a 100× time axis (800 micro-batches, same
+    * per-file volume as the 1× feed). */
+  private def x100Probe(spark: SparkSession, base: String): Unit = {
+    val out = "target/scale100"
+    val keySpan = 100000000L
+    val reps = 100
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    def calib(tag: String): Unit =
+      println(f"calib_${tag}%-22s ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
+    def repped(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(reps).toDF("rep"))
+    repped(Tables.load(spark, base, "documents"))
+      .withColumn("doc_id", col("doc_id") + col("rep") * keySpan)
+      .withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "),
+          w => concat(lit("r"), col("rep"), lit("_"), w))))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    repped(Tables.load(spark, base, "orders"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * keySpan)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    repped(Tables.load(spark, base, "lineitem"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * keySpan)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    repped(Tables.load(spark, base, "embeddings"))
+      .withColumn("vec_id", col("vec_id") + col("rep") * keySpan)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    repped(Tables.load(spark, base, "events"))
+      .withColumn("event_id", col("event_id") + col("rep") * keySpan)
+      .withColumn("user_id", col("user_id") + col("rep") * keySpan)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    calib("pre")
+    // warm both dirs outside timing
+    Seq(base, out).foreach { d =>
+      operators.Relational.starFact(spark, d).count()
+      operators.Dedup.exact(spark, d).count()
+    }
+    for ((tag, dir) <- Seq("1x" -> base, "100x" -> out)) {
+      println(s"--- $tag ($dir) ---")
+      // relational scan/join baseline: the pure-linear reference line
+      time(s"star_fact_$tag")(
+        operators.Relational.starFact(spark, dir).count())
+      // dedup candidate joins: signature stage linear in docs, pairs
+      // track bucket collisions at the CONSTANT natural dup rate
+      time(s"minhash_$tag")(operators.Dedup.minhash(spark, dir).count())
+      // embedding dedup: k = min(4096, n/32) — the cap binds at 100x
+      // (200k vecs → 4096 cells of ~49), so pairs/cell grow ~(49/32)²;
+      // the probe reads the candidate join against THAT, never n²
+      time(s"emb_dedup_$tag")(
+        operators.Dedup.embeddingCosine(spark, dir).count())
+      // CC at 100x edges (in-replica near-dup pairs only): pointer
+      // jumping should stay O(log n) rounds, cost O(edges) per round
+      operators.Dedup.clearStageCaches()
+      time(s"cc_labels_stage_$tag") {
+        operators.Dedup.materializeLabels(spark, dir); 0L }
+      time(s"dup_clusters_$tag")(
+        operators.Dedup.dupClusters(spark, dir).count())
+      // 64-bucket prefix-sum recipe: offset table stays 64 rows at any
+      // scale; cost should track the scan
+      time(s"rank_transform_$tag")(
+        operators.Analytics.rankTransform(spark, dir).count())
+      // two-phase distributed ECDF over the 100x events
+      time(s"ks_drift_$tag")(
+        operators.DataQuality.ksDrift(spark, dir).count())
+    }
+    calib("post_batch")
+    streamingProbe(spark, base,
+      Seq(("stream1x", 1, 8), ("stream100x", 100, 800)))
+    calib("post_stream")
+  }
+
   /** Streaming rate/backpressure probe: the same watermarked tumbling
     * aggregation over a 1x and a 10x events feed, staged as time-ordered
     * chunk files replayed one file per micro-batch (maxFilesPerTrigger=1),
@@ -289,7 +408,9 @@ object ScaleProbe {
     * state claim = peak state-store rows stay flat at 1x vs 10x (bounded by
     * watermark horizon / window size × event types, NOT by input size)
     * while rows/s stays in the same band. */
-  private def streamingProbe(spark: SparkSession, base: String): Unit = {
+  private def streamingProbe(spark: SparkSession, base: String,
+      cases: Seq[(String, Int, Int)] =
+        Seq(("stream1x", 1, 8), ("stream10x", 10, 80))): Unit = {
     import java.nio.file.{Files, Path, Paths}
     import org.apache.spark.sql.streaming.Trigger
     def rmTree(p: Path): Unit = if (Files.exists(p)) {
@@ -367,7 +488,7 @@ object ScaleProbe {
     }
 
     println("--- streaming probe (watermarked tumbling agg, append) ---")
-    Seq(("stream1x", 1, 8), ("stream10x", 10, 80)).foreach {
+    cases.foreach {
       case (tag, reps, chunks) =>
         val dir = stage(tag, reps, chunks)
         val (rows, secs, peak, fin) = run(tag, dir)
