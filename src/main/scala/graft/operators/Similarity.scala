@@ -271,12 +271,19 @@ object Similarity {
     * retrain-from-scratch oracle). */
   private[graft] def ivfpqTrainRelations(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
-    import spark.implicits._
-    val M = 4
-    val sub = 16
     val e = t(spark, dir, "embeddings")
       .withColumn("qv", transform(col("embedding"), x =>
         floor(lit(1000.0) * x.cast("double") + lit(0.5)).cast("long")))
+    ivfpqTrainRelationsFrom(spark, e)
+  }
+
+  /** Same, over an explicit (vec_id, label, embedding, qv) slice —
+    * [[annIvfPqAppend]] freezes the quantizer on yesterday's slice. */
+  private def ivfpqTrainRelationsFrom(spark: SparkSession,
+      e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val M = 4
+    val sub = 16
     val centroids = e.select(col("label"), col("qv"))
       .as[(Int, Array[Long])]
       .groupByKey(_._1)
@@ -474,6 +481,75 @@ object Similarity {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val codes = spark.read.parquet(s"$indexDir/codes")
+    ivfpqServe(spark, dir, centroids, ivfpqRecon(codes, codebook))
+  }
+
+  /** q290: INCREMENTAL index append — the production FAISS `add()` path
+    * that completes the q289 persistence story: the quantizer
+    * (centroids + sub-codebooks) is trained ONCE on yesterday's slice
+    * (the first 4/5 of the id space, both engines derive the cut from
+    * count(*)) and FROZEN; today's vectors are ingested by ASSIGNMENT
+    * only — coarse cell = nearest frozen centroid (q48's probe rule:
+    * bit-identical doubles, ties → lowest cell), codes = argmin L2² to
+    * the frozen sub-codebooks — and their code rows are unioned onto
+    * the base index. NO retrain, NO shuffle of the base index: the
+    * appended batch is one narrow pass against the broadcast frozen
+    * quantizer, which is why ingest cost at 100 TB scales with the
+    * DELTA, not the corpus. Serving (probe → cell-confined ADC → exact
+    * rerank) runs over the combined code table, unchanged. The oracle
+    * recomputes the whole freeze-then-assign protocol from scratch, so
+    * the gate proves the incremental path equals the protocol — the
+    * same serve==retrain argument as q289, one step further. */
+  def annIvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val M = 4
+    val sub = 16
+    val eAll = t(spark, dir, "embeddings")
+      .withColumn("qv", transform(col("embedding"), x =>
+        floor(lit(1000.0) * x.cast("double") + lit(0.5)).cast("long")))
+    val cut = eAll.agg(expr("4 * count(1) div 5").as("b"))
+    val base = eAll.crossJoin(broadcast(cut))
+      .filter(col("vec_id") < col("b")).drop("b")
+    val delta = eAll.crossJoin(broadcast(cut))
+      .filter(col("vec_id") >= col("b")).drop("b")
+    val (centroids, codebook, baseCodes) =
+      ivfpqTrainRelationsFrom(spark, base)
+    // delta coarse assignment: nearest FROZEN centroid (q48 probe rule)
+    val deltaCells = delta
+      .select(col("vec_id").as("cand_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("nrm"))
+      .withColumn("jk", col("cand_id") * 0)
+      .join(broadcast(centroids
+        .withColumn("cnorm", VectorOps.l2NormDouble(col("c")))
+        .withColumn("jk", col("cell").cast("long") * 0)), Seq("jk"))
+      .withColumn("score",
+        VectorOps.dotFloatDouble(col("embedding"), col("c")) /
+          (col("nrm") * col("cnorm")))
+      .groupBy(col("cand_id"))
+      .agg(max_by(col("cell"),
+        struct(col("score"), (-col("cell")).as("nc"))).as("cell"))
+    // delta fine assignment: argmin L2² to the FROZEN sub-codebooks
+    val deltaCodes = delta
+      .select(col("vec_id").as("cand_id"),
+        explode(expr(s"transform(sequence(0, ${M - 1}), " +
+          s"m -> struct(m AS m, slice(qv, m * $sub + 1, $sub) AS sv))"))
+          .as("s"))
+      .select(col("cand_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> " +
+          "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+          "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .groupBy(col("cand_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+      .groupBy(col("cand_id"))
+      .agg(map_from_entries(collect_list(struct(col("m"), col("code"))))
+        .as("cm"))
+      .select(col("cand_id"),
+        array((0 until M).map(m => col("cm")(m)): _*).as("codes"))
+      .join(deltaCells, Seq("cand_id"))
+    val codes = baseCodes.select(col("cand_id"), col("codes"), col("cell"))
+      .unionByName(deltaCodes
+        .select(col("cand_id"), col("codes"), col("cell")))
     ivfpqServe(spark, dir, centroids, ivfpqRecon(codes, codebook))
   }
 
@@ -921,6 +997,99 @@ object Similarity {
          |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin),
     Q("q245_ann_ivfpq", annIvfPq _, ivfpqOracleSql),
     Q("q289_ann_serve", annIvfPqServe _, ivfpqOracleSql),
+    Q("q290_ann_append", annIvfPqAppend _,
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         |    [CAST(floor(1000.0 * CAST(x AS DOUBLE) + 0.5) AS BIGINT)
+         |     for x in embedding] AS qv
+         |  FROM embeddings),
+         |cutoff AS (SELECT 4 * count(*) // 5 AS b FROM e),
+         |base AS (SELECT e.* FROM e, cutoff WHERE vec_id < b),
+         |delta AS (SELECT e.* FROM e, cutoff WHERE vec_id >= b),
+         |sums AS (
+         |  SELECT label AS cell, u.pos AS pos, sum(u.qx) AS s,
+         |    count(*) AS cnt
+         |  FROM (SELECT label, unnest([{'pos': i, 'qx': qv[i]}
+         |        for i in range(1, len(qv) + 1)]) AS u FROM base)
+         |  GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
+         |  FROM sums GROUP BY 1),
+         |cb AS (
+         |  SELECT t.m, cell AS code, c[t.m * 16 + 1 : t.m * 16 + 16] AS cw
+         |  FROM cents CROSS JOIN range(0, 4) t(m)),
+         |sv AS (
+         |  SELECT vec_id AS cand_id, t.m,
+         |    qv[t.m * 16 + 1 : t.m * 16 + 16] AS sv
+         |  FROM e CROSS JOIN range(0, 4) t(m)),
+         |codes AS (
+         |  SELECT cand_id, m, code FROM (
+         |    SELECT s.cand_id, s.m, cb.code,
+         |      row_number() OVER (PARTITION BY s.cand_id, s.m ORDER BY
+         |        list_aggregate([
+         |          (CAST(s.sv[i] AS DOUBLE) - cb.cw[i]) *
+         |          (CAST(s.sv[i] AS DOUBLE) - cb.cw[i])
+         |          for i in range(1, len(s.sv) + 1)], 'sum') ASC,
+         |        cb.code ASC) AS rnc
+         |    FROM sv s JOIN cb ON s.m = cb.m) WHERE rnc = 1),
+         |cells_b AS (SELECT vec_id AS cand_id, label AS cell FROM base),
+         |cells_d AS (
+         |  SELECT vec_id AS cand_id, cell FROM (
+         |    SELECT d.vec_id, cn.cell,
+         |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |        (list_aggregate([CAST(d.embedding[i] AS DOUBLE) * cn.c[i]
+         |          for i in range(1, len(d.embedding) + 1)], 'sum')
+         |         / (d.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
+         |          for i in range(1, len(cn.c) + 1)], 'sum')))) DESC,
+         |        cn.cell ASC) AS rn
+         |    FROM delta d CROSS JOIN cents cn) WHERE rn = 1),
+         |cells_all AS (
+         |  SELECT * FROM cells_b UNION ALL SELECT * FROM cells_d),
+         |recon AS (
+         |  SELECT k.cand_id, flatten(list(cb.cw ORDER BY k.m)) AS rvec
+         |  FROM codes k JOIN cb ON k.m = cb.m AND k.code = cb.code
+         |  GROUP BY 1),
+         |reconc AS (
+         |  SELECT r.cand_id, r.rvec, ca.cell
+         |  FROM recon r JOIN cells_all ca ON ca.cand_id = r.cand_id),
+         |probe AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT e.vec_id, cn.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (list_aggregate([CAST(e.embedding[i] AS DOUBLE) * cn.c[i]
+         |          for i in range(1, len(e.embedding) + 1)], 'sum')
+         |         / (e.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
+         |          for i in range(1, len(cn.c) + 1)], 'sum')))) DESC,
+         |        cn.cell ASC) AS rp
+         |    FROM e CROSS JOIN cents cn WHERE e.vec_id < 20) WHERE rp <= 2),
+         |adc AS (
+         |  SELECT q.vec_id AS q_id, r.cand_id,
+         |    list_aggregate([CAST(q.embedding[i] AS DOUBLE) * r.rvec[i]
+         |      for i in range(1, len(r.rvec) + 1)], 'sum')
+         |    / (q.nrm * sqrt(list_aggregate([r.rvec[i] * r.rvec[i]
+         |      for i in range(1, len(r.rvec) + 1)], 'sum'))) AS adc
+         |  FROM e q JOIN probe p ON p.q_id = q.vec_id
+         |    JOIN reconc r ON r.cell = p.cell AND r.cand_id <> q.vec_id),
+         |top AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc DESC, cand_id ASC) AS rna FROM adc)
+         |  WHERE rna <= 10),
+         |scored AS (
+         |  SELECT t.q_id, t.cand_id,
+         |    round(${cosExpr("q", "c")}, 6) + 0.0 AS cos
+         |  FROM top t
+         |    JOIN e q ON q.vec_id = t.q_id
+         |    JOIN e c ON c.vec_id = t.cand_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, cand_id ASC) AS INT) AS rn
+         |  FROM scored)
+         |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3"""
+        .stripMargin),
     Q("q89_embedding_quantize", embeddingQuantize _,
       """WITH v AS (
         |  SELECT label,

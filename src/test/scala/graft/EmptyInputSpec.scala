@@ -49,6 +49,9 @@ class EmptyInputSpec extends SparkSpec {
     // pcaPower's greatest(max|·|, 1) guards divide ride through empty
     // relations; the 4 fixed rounds never loop on convergence
     assert(Similarity.pcaPower(spark, emptyDir).count() === 0)
+    // semanticDedup: k falls to the floor 16, seeds/cells/pairs all
+    // empty, the left-join readout is empty — no throw, no loop
+    assert(Dedup.semanticDedup(spark, emptyDir).count() === 0)
   }
 
   test("text prep returns empty on an empty corpus") {

@@ -206,4 +206,62 @@ class VectorSpec extends SparkSpec {
     // a principal direction exists and explains a positive share
     assert(out.head._3 > 0.0 && out.head._3 <= 1.0)
   }
+
+  test("ANN append: frozen-quantizer protocol recomputed driver-side — " +
+      "every served candidate lives in a probed cell, reranks exactly") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+      .sortBy(_._1)
+    val n = rows.length
+    val cut = 4L * n / 5
+    val dim = rows.head._3.length
+    // frozen centroids: per-label means of the quantized BASE vectors
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(1000.0 * x.toDouble + 0.5).toLong)
+    val base = rows.filter(_._1 < cut)
+    val cents: Map[Int, Array[Double]] = base.groupBy(_._2).map {
+      case (lbl, vs) =>
+        val s = Array.fill(dim)(0L)
+        vs.foreach(v => quant(v._3).zipWithIndex.foreach {
+          case (x, i) => s(i) += x })
+        lbl -> s.map(_.toDouble / vs.length)
+    }
+    def nrm(v: Array[Float]): Double =
+      math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    def cnorm(c: Array[Double]): Double = math.sqrt(c.map(x => x * x).sum)
+    def cosToCent(v: Array[Float], c: Array[Double]): Double =
+      v.indices.map(i => v(i).toDouble * c(i)).sum / (nrm(v) * cnorm(c))
+    // cell per candidate under the protocol: label if base, argmax-cos
+    // to the FROZEN centroids if appended (ties -> lowest cell)
+    val cellOf: Map[Long, Int] = rows.map { case (id, lbl, v) =>
+      id -> (if (id < cut) lbl
+             else cents.toSeq.map { case (cell, c) =>
+               (-cosToCent(v, c), cell) }.min._2)
+    }.toMap
+    // top-2 probed cells per query (score desc, cell asc)
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    def probed(q: Long): Set[Int] = cents.toSeq
+      .map { case (cell, c) => (-cosToCent(byId(q), c), cell) }
+      .sorted.take(2).map(_._2).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i).toDouble).sum /
+        (nrm(a) * nrm(b))
+    val out = operators.Similarity.annIvfPqAppend(spark, sf).collect()
+    assert(out.length === 20 * 3)
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val c = r.getAs[Long]("cand_id")
+      assert(probed(q).contains(cellOf(c)),
+        s"candidate $c served from an unprobed cell for query $q")
+      // exact rerank: the emitted cosine is the raw-vector cosine
+      assert(math.abs(r.getAs[Double]("cos") - cos(byId(q), byId(c)))
+        < 1e-5)
+    }
+    // the protocol genuinely appended: delta vectors are indexed and at
+    // least one probed cell assignment came from the argmax path
+    assert(rows.count(_._1 >= cut) > 0)
+    assert(cellOf.exists { case (id, cell) =>
+      id >= cut && cell != rows(id.toInt)._2 })
+  }
 }
