@@ -217,7 +217,12 @@ object PlanDump {
         ("IVF-PQ served from the PERSISTED index: centroids/codebook/" +
           "codes come from parquet scans (no training subtree in the " +
           "plan), broadcast quantizer, cell-confined ADC equi-join, " +
-          "exact rerank on Q*10 raw vectors"))
+          "exact rerank on Q*10 raw vectors"),
+      "q290_ann_append" ->
+        ("incremental index append: frozen quantizer broadcast to the " +
+          "delta's one narrow assignment pass (probe argmax + argmin " +
+          "codes), code union, serving tail unchanged — ingest scales " +
+          "with the delta, never the corpus"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")
