@@ -32,7 +32,10 @@ object ScaleProbe {
     // 10x staging write; the streaming probe stages its own feed).
     if (args.contains("--stream-only")) {
       println(f"calib_pre ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
-      streamingProbe(spark, base)
+      if (args.contains("--x100"))
+        streamingProbe(spark, base,
+          Seq(("stream1x", 1, 8), ("stream100x", 100, 800)))
+      else streamingProbe(spark, base)
       println(f"calib_post ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
       spark.stop()
       return
@@ -357,6 +360,12 @@ object ScaleProbe {
       .withColumn("user_id", col("user_id") + col("rep") * keySpan)
       .drop("rep")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // dims copied 1:1 (the realistic growth shape: more facts per
+    // unchanged dimension) — starFact and friends need them present
+    Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+      Tables.load(spark, base, t).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
 
     calib("pre")
     // warm both dirs outside timing
@@ -440,20 +449,28 @@ object ScaleProbe {
       val chunked = ev.withColumn("chunk",
         least(lit(chunks - 1),
           floor((unix_timestamp(col("ts")) - lit(minTs)) / chunkLen)))
+      // ONE staging pass: hash-repartition on chunk puts each chunk's
+      // rows in exactly one task, so partitionBy writes one file per
+      // chunk dir. (The previous per-chunk filtered-write loop was one
+      // FULL scan of the replicated feed per chunk — fine at 8/80
+      // chunks, pathological at the 100x wave's 800.)
+      val tmp = Paths.get(s"target/stream_${tag}_tmp")
+      rmTree(tmp)
+      chunked.repartition(col("chunk"))
+        .write.partitionBy("chunk").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
       (0 until chunks).foreach { i =>
-        val tmp = Paths.get(s"target/stream_${tag}_tmp")
-        rmTree(tmp)
-        chunked.filter(col("chunk") === i).drop("chunk")
-          .coalesce(1).write.parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        val part = Files.list(tmp).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        val dst = dir.resolve(f"chunk-$i%03d.parquet")
-        Files.move(part, dst)
-        // file-source batch order follows modification time
-        dst.toFile.setLastModified(1700000000000L + i * 1000L)
-        rmTree(tmp)
+        val cdir = tmp.resolve(s"chunk=$i")
+        if (Files.exists(cdir)) { // a time-gap chunk may be empty
+          val part = Files.list(cdir).iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          val dst = dir.resolve(f"chunk-$i%03d.parquet")
+          Files.move(part, dst)
+          // file-source batch order follows modification time
+          dst.toFile.setLastModified(1700000000000L + i * 1000L)
+        }
       }
+      rmTree(tmp)
       dir.toString
     }
 
@@ -463,6 +480,10 @@ object ScaleProbe {
       val ckpt = Files.createTempDirectory("graft_probe_ckpt")
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // recentProgress retains only ~100 entries by default — an
+      // 800-micro-batch feed would report rows/proc from the LAST 100
+      // batches only (measured: "rows=1.2M" on a 10M-row feed)
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1000")
       try {
         val ev = spark.readStream.schema(evBase.schema)
           .option("maxFilesPerTrigger", "1").parquet(stageDir)
