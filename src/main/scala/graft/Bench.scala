@@ -96,7 +96,12 @@ object Bench {
         "q172_containment_join"),
       "stage_support2_pairs" -> Set("q185_copurchase", "q192_kcore",
         "q197_label_propagation", "q203_bfs_hops", "q223_cheapest_path",
-        "q227_item_similarity", "q241_feature_propagation"))
+        "q227_item_similarity", "q241_feature_propagation",
+        // r12: the stage's r11 consumers were never added, so whether
+        // they paid the stage build depended on Map iteration order —
+        // q256's r11 ×1.16 flag and this round's ×1.17/isolated-4.9s
+        // were exactly that, not code
+        "q256_modularity", "q259_clustering_coeff", "q285_next_item_eval"))
     def runStage(sname: String): Unit = sname match {
       case "stage_cc_labels" =>
         graft.operators.Dedup.materializeLabels(spark, sfDir)
