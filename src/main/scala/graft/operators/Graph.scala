@@ -894,7 +894,199 @@ object Graph {
           6) + lit(0.0)).as("pop_rate_r"))
   }
 
+  /** Link prediction on the support-2 co-purchase graph (Liben-Nowell
+    * & Kleinberg 2003, the structural-similarity scorers; resource
+    * allocation per Zhou, Lü & Zhang 2009): score ABSENT edges (u, w)
+    * that share at least one common neighbor with four classic indices
+    * — common-neighbor count `cn`, the quantized resource-allocation
+    * index `ra_q` = Σ_z 10⁶ div deg(z) (each common neighbor z donates
+    * an equal split of its unit resource; integral div keeps it exact
+    * integer where 1/log·deg Adamic–Adar could not be), neighbor-set
+    * `jaccard_ppm` = cn·10⁶ div (deg_u + deg_w − cn), and preferential
+    * attachment `pa` = deg_u·deg_w — then the top-20 predicted links by
+    * (cn, ra_q, u, w), a TakeOrderedAndProject, never a global sort.
+    *
+    * Scale shape: candidate generation is the wedge join z→(u,w) over
+    * the shared memoized support-2 stage (its 12th consumer — priced
+    * separately in Bench), Σ_z C(deg z, 2) wedges exactly like q153's
+    * pre-orientation bound; every wedge CONTRIBUTES to some candidate's
+    * cn, so the join is output-bearing work, not blowup, and the
+    * support-≥2 cut bounds degrees the way any minimum-support rule
+    * does. Existing edges leave by one anti-join; degree lookups are
+    * two joins against the ≤|nodes| degree relation. All-integer
+    * scoring, deterministic ties ((u, w) is unique per candidate). */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = support2Pairs(spark, dir).select(col("u"), col("v"))
+    val sym = pairs.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(pairs.select(col("v").as("a"), col("u").as("b")))
+      .cutLineage() // feeds degrees AND both wedge sides
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+    val wedges = sym.as("x")
+      .join(sym.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.b").as("u"), col("y.b").as("w"), col("x.a").as("z"))
+    val cand = wedges
+      .join(deg.select(col("a").as("z"), col("dg").as("dz")), Seq("z"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div dz")).as("ra_q"))
+    val nonEdge = cand.join(pairs,
+      cand("u") === pairs("u") && cand("w") === pairs("v"), "left_anti")
+    nonEdge
+      .join(deg.select(col("a").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("a").as("w"), col("dg").as("dw")), Seq("w"))
+      .select(col("u"), col("w"), col("cn"), col("ra_q"),
+        expr("cn * 1000000 div (du + dw - cn)").as("jaccard_ppm"),
+        (col("du") * col("dw")).as("pa"))
+      .orderBy(col("cn").desc, col("ra_q").desc, col("u").asc,
+        col("w").asc)
+      .limit(20)
+  }
+
+  /** Mean reciprocal rank at 3 for the q285 leave-last-out protocol
+    * (Voorhees 1999, the TREC-8 QA measure) — hit@3 says WHETHER the
+    * truth appeared in the top-3, MRR says WHERE: the first rank r at
+    * which ANY held-out item appears contributes 1/r. Reciprocals live
+    * in exact SIXTHS (rank 1 → 6, 2 → 3, 3 → 2, miss → 0; lcm(1,2,3) =
+    * 6), so the corpus-wide sum is an exact integer and the readout is
+    * one integral ppm division plus one rounded double — no float in
+    * the accumulation. Same bounded candidate join as q285 (the shared
+    * support-2 stage's 13th consumer); misses stay in the denominator
+    * via the left join. */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("o_orderdate").desc, col("ok").desc)
+    val ranked = t(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+        col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .cutLineage() // feeds eval set, query side and truth side
+    val baskets = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val test = ranked.filter(col("rn") === 1).join(baskets, Seq("ok"))
+      .select(col("cust"), col("pk").as("truth"))
+    val query = ranked.filter(col("rn") === 2).join(baskets, Seq("ok"))
+      .select(col("cust"), col("pk").as("qp"))
+    val pairs = support2Pairs(spark, dir)
+    val sym = pairs
+      .select(col("u").as("a"), col("v").as("b"), col("pair_n"))
+      .unionByName(pairs
+        .select(col("v").as("a"), col("u").as("b"), col("pair_n")))
+    val wTop = Window.partitionBy(col("cust"))
+      .orderBy(col("score").desc, col("b").asc)
+    val top3 = query.join(sym, col("qp") === col("a"))
+      .groupBy(col("cust"), col("b")).agg(sum(col("pair_n")).as("score"))
+      .withColumn("trn", row_number().over(wTop))
+      .filter(col("trn") <= 3)
+    val best = top3
+      .join(test.select(col("cust"), col("truth")),
+        top3("cust") === test("cust") && top3("b") === test("truth"))
+      .groupBy(top3("cust").as("bcust"))
+      .agg(min(col("trn")).as("best_rank"))
+    ranked.filter(col("rn") === 2).select(col("cust"))
+      .join(best, col("cust") === col("bcust"), "left_outer")
+      .select(
+        when(col("best_rank") === 1, 6L).when(col("best_rank") === 2, 3L)
+          .when(col("best_rank") === 3, 2L).otherwise(0L).as("rr_x6"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rr_x6")).as("sum_rr_x6"))
+      .select(col("n_customers"), col("sum_rr_x6"),
+        expr("sum_rr_x6 * 1000000 div (6 * n_customers)").as("mrr_ppm"),
+        (round(col("sum_rr_x6").cast("double") /
+          (lit(6.0) * col("n_customers")), 6) + lit(0.0)).as("mrr_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q291_link_prediction", linkPrediction _,
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS pair_n
+        |  FROM baskets a JOIN baskets b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT u AS a, v AS b FROM pairs
+        |  UNION ALL
+        |  SELECT v, u FROM pairs),
+        |deg AS (SELECT a, count(*) AS dg FROM sym GROUP BY 1),
+        |wed AS (
+        |  SELECT x.b AS u, y.b AS w, x.a AS z
+        |  FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b),
+        |cand AS (
+        |  SELECT wed.u, wed.w, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(1000000 // dz.dg) AS BIGINT) AS ra_q
+        |  FROM wed JOIN deg dz ON dz.a = wed.z
+        |  GROUP BY 1, 2),
+        |nonedge AS (
+        |  SELECT c.* FROM cand c
+        |  LEFT JOIN pairs p ON p.u = c.u AND p.v = c.w
+        |  WHERE p.u IS NULL)
+        |SELECT ne.u, ne.w, ne.cn, ne.ra_q,
+        |  CAST(ne.cn * 1000000 // (du.dg + dw.dg - ne.cn) AS BIGINT)
+        |    AS jaccard_ppm,
+        |  CAST(du.dg * dw.dg AS BIGINT) AS pa
+        |FROM nonedge ne
+        |  JOIN deg du ON du.a = ne.u
+        |  JOIN deg dw ON dw.a = ne.w
+        |ORDER BY cn DESC, ra_q DESC, u ASC, w ASC
+        |LIMIT 20""".stripMargin),
+    Q("q302_mrr", mrrEval _,
+      """WITH ranked AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS pair_n
+        |  FROM baskets a JOIN baskets b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT u AS a, v AS b, pair_n FROM pairs
+        |  UNION ALL
+        |  SELECT v, u, pair_n FROM pairs),
+        |test AS (
+        |  SELECT r.cust, bk.pk AS truth
+        |  FROM ranked r JOIN baskets bk ON bk.ok = r.ok
+        |  WHERE r.rn = 1),
+        |query AS (
+        |  SELECT r.cust, bk.pk AS qp
+        |  FROM ranked r JOIN baskets bk ON bk.ok = r.ok
+        |  WHERE r.rn = 2),
+        |scores AS (
+        |  SELECT q.cust, s.b, CAST(sum(s.pair_n) AS BIGINT) AS score
+        |  FROM query q JOIN sym s ON q.qp = s.a
+        |  GROUP BY 1, 2),
+        |top3 AS (
+        |  SELECT cust, b, trn FROM (
+        |    SELECT cust, b, row_number() OVER (PARTITION BY cust
+        |      ORDER BY score DESC, b ASC) AS trn
+        |    FROM scores) WHERE trn <= 3),
+        |best AS (
+        |  SELECT t3.cust, min(t3.trn) AS best_rank
+        |  FROM top3 t3 JOIN test t
+        |    ON t.cust = t3.cust AND t.truth = t3.b
+        |  GROUP BY 1),
+        |ev AS (
+        |  SELECT r.cust,
+        |    CASE b.best_rank WHEN 1 THEN 6 WHEN 2 THEN 3 WHEN 3 THEN 2
+        |      ELSE 0 END AS rr_x6
+        |  FROM ranked r LEFT JOIN best b ON b.cust = r.cust
+        |  WHERE r.rn = 2)
+        |SELECT count(*) AS n_customers,
+        |  CAST(sum(rr_x6) AS BIGINT) AS sum_rr_x6,
+        |  CAST(sum(rr_x6) * 1000000 // (6 * count(*)) AS BIGINT)
+        |    AS mrr_ppm,
+        |  round(CAST(sum(rr_x6) AS DOUBLE) / (6.0 * count(*)), 6) + 0.0
+        |    AS mrr_r
+        |FROM ev""".stripMargin),
     Q("q285_next_item_eval", nextItemEval _,
       """WITH ranked AS (
         |  SELECT o_custkey AS cust, o_orderkey AS ok,

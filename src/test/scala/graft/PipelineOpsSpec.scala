@@ -1342,4 +1342,97 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("clean_ppm") === clean * 1000000L / ds.length)
     }
   }
+
+  private def support2Graph(): (Set[(Long, Long)], Map[Long, Set[Long]]) = {
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ok, ps) => ok -> ps.map(_._2).toSet }
+    val pairN = scala.collection.mutable
+      .Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    baskets.values.foreach { ps =>
+      val s = ps.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        pairN((s(i), s(j))) += 1
+    }
+    val edges = pairN.toSeq.filter(_._2 >= 2).map(_._1).toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    (edges, adj)
+  }
+
+  test("link prediction: cn / ra_q / jaccard / pa equal a brute-force " +
+      "wedge recompute over the support-2 graph; existing edges excluded") {
+    import graft.operators.Graph
+    val (edges, adj) = support2Graph()
+    val cand = scala.collection.mutable
+      .Map.empty[(Long, Long), (Long, Long)].withDefaultValue((0L, 0L))
+    adj.foreach { case (z, nbrs) =>
+      val s = nbrs.toSeq.sorted
+      val dz = nbrs.size.toLong
+      for (i <- s.indices; j <- i + 1 until s.size) {
+        val k = (s(i), s(j))
+        val (cn, ra) = cand(k)
+        cand(k) = (cn + 1, ra + 1000000L / dz)
+      }
+    }
+    val expect = cand.toSeq
+      .filter { case (k, _) => !edges(k) }
+      .map { case ((u, w), (cn, ra)) =>
+        val (du, dw) = (adj(u).size.toLong, adj(w).size.toLong)
+        (u, w, cn, ra, cn * 1000000L / (du + dw - cn), du * dw)
+      }
+      .sortBy { case (u, w, cn, ra, _, _) => (-cn, -ra, u, w) }
+      .take(20)
+    val got = Graph.linkPrediction(spark, sf).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("w"),
+        r.getAs[Long]("cn"), r.getAs[Long]("ra_q"),
+        r.getAs[Long]("jaccard_ppm"), r.getAs[Long]("pa"))).toSeq
+    assert(got === expect)
+  }
+
+  test("mrr@3: reciprocal-rank sixths equal the sequential leave-last-out " +
+      "recompute; hits imply positive reciprocal mass") {
+    import graft.operators.Graph
+    val row = Graph.mrrEval(spark, sf).collect()(0)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(o_orderdate AS TIMESTAMP_LTZ) AS t")
+      .selectExpr("o_custkey", "o_orderkey", "CAST(t AS LONG) AS sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ok, ps) => ok -> ps.map(_._2).toSet }
+    val pairN = scala.collection.mutable
+      .Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    baskets.values.foreach { ps =>
+      val s = ps.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        pairN((s(i), s(j))) += 1
+    }
+    val sym = pairN.toSeq.filter(_._2 >= 2).flatMap { case ((u, v), n) =>
+      Seq((u, v, n), (v, u, n)) }.groupBy(_._1)
+    var (nc, sumRr) = (0L, 0L)
+    orders.groupBy(_._1).foreach { case (_, os) =>
+      if (os.length >= 2) {
+        val sorted = os.sortBy(o => (-o._3, -o._2))
+        val truth = baskets.getOrElse(sorted(0)._2, Set.empty)
+        val qps = baskets.getOrElse(sorted(1)._2, Set.empty)
+        nc += 1
+        val scores = qps.toSeq.flatMap(q => sym.getOrElse(q, Nil))
+          .groupBy(_._2).map { case (b, xs) => (b, xs.map(_._3).sum) }
+        val top3 = scores.toSeq.sortBy { case (b, s) => (-s, b) }
+          .take(3).map(_._1)
+        val best = top3.zipWithIndex.collectFirst {
+          case (b, i) if truth(b) => i + 1 }
+        sumRr += (best match {
+          case Some(1) => 6L; case Some(2) => 3L; case Some(3) => 2L
+          case _ => 0L })
+      }
+    }
+    assert(row.getAs[Long]("n_customers") === nc)
+    assert(row.getAs[Long]("sum_rr_x6") === sumRr)
+    assert(row.getAs[Long]("mrr_ppm") === sumRr * 1000000L / (6L * nc))
+  }
 }
