@@ -115,6 +115,94 @@ object MlEval {
           .as("gap_ppm"),
         expr("se2 div (n * 1000000)").as("brier_ppm"))
 
+  /** Cumulative gains / lift table at deciles (the model-triage chart
+    * of Provost & Fawcett, "Data Science for Business" ch. 8 — "how
+    * much of the positive class do the top-k% scored rows capture?").
+    * The corpus collapses to the bounded (score → n, pos) relation
+    * first (the q251 discipline); decile depths T_i = i·N div 10 land
+    * inside exactly one score group, and ties at the boundary are
+    * allocated PROPORTIONALLY (the straddling group contributes
+    * (T_i − N_<)·p_g/n_g of its positives — the standard convention,
+    * exact as the integer rational cap = P_<·n_g + (T_i − N_<)·p_g over
+    * denominator n_g). Every readout is one integral ppm division over
+    * decimal(38) intermediates (cap·10⁶ crosses 2⁶³ near ~30× sf0.1;
+    * oracle mirrors in HUGEINT): gain_ppm = share of positives
+    * captured at depth, prec_ppm = precision at depth, lift_ppm =
+    * gain/depth-fraction — lift 1e6 = random. The 10-row decile probe
+    * joins the bounded cumulative relation broadcast, never the
+    * corpus. */
+  def liftGains(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "lineitem")
+      .select(scoreCol.as("s"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val wLt = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = scored // bounded ≤ |score domain| rows (q251 note)
+      .withColumn("nlt", coalesce(sum(col("n")).over(wLt), lit(0L)))
+      .withColumn("plt", coalesce(sum(col("p")).over(wLt), lit(0L)))
+    val tot = scored.agg(sum(col("n")).as("nt"), sum(col("p")).as("pt"))
+    cum.crossJoin(broadcast(tot))
+      .join(broadcast(spark.range(1, 11).toDF("decile")),
+        expr("nlt < (decile * nt) div 10") &&
+          expr("(decile * nt) div 10 <= nlt + n"))
+      .select(col("decile"),
+        expr("(decile * nt) div 10").as("depth"),
+        expr("CAST(plt AS DECIMAL(38,0)) * n + " +
+          "((decile * nt) div 10 - nlt) * p").as("cap"),
+        col("n"), col("nt"), col("pt"))
+      .select(col("decile"), col("depth"),
+        expr("cap * 1000000 div (n * CAST(pt AS DECIMAL(38,0)))")
+          .as("gain_ppm"),
+        expr("cap * 1000000 div (n * CAST(depth AS DECIMAL(38,0)))")
+          .as("prec_ppm"),
+        expr("cap * nt * 1000000 div " +
+          "(n * CAST(pt AS DECIMAL(38,0)) * depth)").as("lift_ppm"),
+        (round(col("cap").cast("double") /
+          (col("n").cast("double") * col("pt")), 6) + lit(0.0))
+          .as("gain_r"))
+  }
+
+  /** Step-wise precision–recall AUC, a.k.a. average precision over
+    * score thresholds (Davis & Goadrich, ICML 2006 on why PR beats ROC
+    * under class imbalance; the Σ (R_n − R_{n−1})·P_n threshold
+    * convention of scikit-learn's average_precision_score): each
+    * DISTINCT score is one retrieval step — ties form atomic blocks,
+    * so the metric needs no within-tie order and collapses to the
+    * bounded (score → n, pos) relation like q251. Per threshold,
+    * precision is quantized to exact ppb FIRST (P_≥·10⁹ div N_≥, one
+    * integral division on the bounded relation), each block then
+    * contributes p_s·prec_ppb, and AP = Σ div P — the quantization
+    * order is pinned so both engines agree bit-for-bit; term sums ride
+    * decimal(38)/HUGEINT (Σ ≤ P·10⁹ crosses 2⁶³ once P ≳ 9.2e9).
+    * `prevalence_ppb` (= random-classifier AP) rides along as the
+    * floor every AP must clear. */
+  def prAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "lineitem")
+      .select(scoreCol.as("s"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val wGe = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored // bounded relation: inclusive-from-top cumulative (q251 note)
+      .withColumn("nge", sum(col("n")).over(wGe))
+      .withColumn("pge", sum(col("p")).over(wGe))
+      .withColumn("prec_ppb",
+        expr("CAST(pge AS DECIMAL(38,0)) * 1000000000 div nge"))
+      .agg(sum(col("n")).as("nt"), sum(col("p")).as("pt"),
+        count(lit(1)).as("n_thresholds"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * prec_ppb")).as("apn"))
+      .select(col("pt").as("n1"), (col("nt") - col("pt")).as("n0"),
+        col("n_thresholds"),
+        expr("CAST(pt AS DECIMAL(38,0)) * 1000000000 div nt")
+          .as("prevalence_ppb"),
+        expr("apn div CAST(pt AS DECIMAL(38,0))").as("ap_ppb"),
+        (round(col("apn").cast("double") /
+          (col("pt").cast("double") * 1.0e9), 6) + lit(0.0)).as("ap_r"))
+  }
+
   /** Inter-annotator agreement (Cohen 1960): annotator A = the corpus'
     * stored `lang` label, annotator B = the engine's own stopword
     * language-ID heuristic (q40's predictor, reused verbatim) — the
@@ -769,6 +857,78 @@ object MlEval {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q292_lift_gains", liftGains _,
+      s"""WITH scored AS (
+        |  SELECT $scoreSql AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS p
+        |  FROM scored GROUP BY 1),
+        |cum AS (
+        |  SELECT s, n, p,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS nlt,
+        |    CAST(coalesce(sum(p) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS plt
+        |  FROM g),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(p) AS BIGINT) AS pt FROM g),
+        |hit AS (
+        |  SELECT CAST(t.i AS BIGINT) AS decile,
+        |    (t.i * nt) // 10 AS depth,
+        |    CAST(plt AS HUGEINT) * n + ((t.i * nt) // 10 - nlt) * p
+        |      AS cap,
+        |    n, nt, pt
+        |  FROM cum, tot, range(1, 11) t(i)
+        |  WHERE nlt < (t.i * nt) // 10 AND (t.i * nt) // 10 <= nlt + n)
+        |SELECT decile, depth,
+        |  CAST(cap * 1000000 // (n * CAST(pt AS HUGEINT)) AS BIGINT)
+        |    AS gain_ppm,
+        |  CAST(cap * 1000000 // (n * CAST(depth AS HUGEINT)) AS BIGINT)
+        |    AS prec_ppm,
+        |  CAST(cap * nt * 1000000 //
+        |    (n * CAST(pt AS HUGEINT) * depth) AS BIGINT) AS lift_ppm,
+        |  round(CAST(cap AS DOUBLE) / (CAST(n AS DOUBLE) * pt), 6) + 0.0
+        |    AS gain_r
+        |FROM hit""".stripMargin),
+    Q("q293_pr_auc", prAuc _,
+      s"""WITH scored AS (
+        |  SELECT $scoreSql AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS p
+        |  FROM scored GROUP BY 1),
+        |cum AS (
+        |  SELECT n, p,
+        |    CAST(sum(n) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS nge,
+        |    CAST(sum(p) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pge
+        |  FROM g),
+        |terms AS (
+        |  SELECT n, p,
+        |    CAST(CAST(pge AS HUGEINT) * 1000000000 // nge AS BIGINT)
+        |      AS prec_ppb
+        |  FROM cum)
+        |SELECT CAST(sum(p) AS BIGINT) AS n1,
+        |  CAST(sum(n) - sum(p) AS BIGINT) AS n0,
+        |  count(*) AS n_thresholds,
+        |  CAST(CAST(sum(p) AS HUGEINT) * 1000000000 // sum(n)
+        |    AS BIGINT) AS prevalence_ppb,
+        |  CAST(sum(CAST(p AS HUGEINT) * prec_ppb) //
+        |    CAST(sum(p) AS HUGEINT) AS BIGINT) AS ap_ppb,
+        |  round(CAST(sum(CAST(p AS HUGEINT) * prec_ppb) AS DOUBLE) /
+        |    (CAST(sum(p) AS DOUBLE) * 1e9), 6) + 0.0 AS ap_r
+        |FROM terms""".stripMargin),
     Q("q284_shapley_r2", shapleyR2 _,
       """WITH cells AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS q,

@@ -512,4 +512,61 @@ class MlEvalSpec extends SparkSpec {
         s"arm=$arm")
     }
   }
+
+  test("lift/gains: decile capture equals a full-sort sequential fold " +
+      "with proportional tie allocation; lift at depth 10 is 1e6") {
+    val rows = li
+    val groups = rows.groupBy(_._2).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.count(_._3).toLong) }
+      .toSeq.sortBy(-_._1)
+    val nt = groups.map(_._2).sum
+    val pt = groups.map(_._3).sum
+    val got = operators.MlEval.liftGains(spark, sf).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("depth"), r.getAs[Long]("gain_ppm"),
+          r.getAs[Long]("prec_ppm"), r.getAs[Long]("lift_ppm"))).toMap
+    assert(got.keySet === (1L to 10L).toSet)
+    (1L to 10L).foreach { i =>
+      val depth = i * nt / 10
+      // walk groups to the straddling one
+      var (nlt, plt) = (0L, 0L)
+      var k = 0
+      while (nlt + groups(k)._2 < depth) {
+        nlt += groups(k)._2; plt += groups(k)._3; k += 1
+      }
+      val (_, ng, pg) = groups(k)
+      val cap = BigInt(plt) * ng + BigInt(depth - nlt) * pg
+      val gain = (cap * 1000000 / (BigInt(ng) * pt)).toLong
+      val prec = (cap * 1000000 / (BigInt(ng) * depth)).toLong
+      val lift = (cap * nt * 1000000 /
+        (BigInt(ng) * pt * depth)).toLong
+      assert(got(i) === ((depth, gain, prec, lift)), s"decile=$i")
+    }
+    assert(got(10L)._4 === 1000000L) // full depth captures everything
+  }
+
+  test("pr auc: threshold-stepped average precision equals the " +
+      "sequential fold over descending score blocks") {
+    val rows = li
+    val groups = rows.groupBy(_._2).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.count(_._3).toLong) }
+      .toSeq.sortBy(-_._1)
+    var (nge, pge) = (0L, 0L)
+    var apn = BigInt(0)
+    groups.foreach { case (_, n, p) =>
+      nge += n; pge += p
+      val precPpb = BigInt(pge) * 1000000000L / nge
+      apn += BigInt(p) * precPpb
+    }
+    val got = operators.MlEval.prAuc(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n1") === pge)
+    assert(got.getAs[Long]("n0") === nge - pge)
+    assert(got.getAs[Long]("n_thresholds") === groups.size.toLong)
+    assert(got.getAs[Long]("prevalence_ppb") ===
+      (BigInt(pge) * 1000000000L / nge).toLong)
+    assert(got.getAs[Long]("ap_ppb") === (apn / pge).toLong)
+    // AP can never undercut the random-classifier floor by more than
+    // quantization, and is bounded by 1
+    assert(got.getAs[Long]("ap_ppb") <= 1000000000L)
+  }
 }
