@@ -607,6 +607,93 @@ object MlEval {
           .over(w))
   }
 
+  /** The (n_l, p_l | nt, pt) split-gain CASE, spliced verbatim into
+    * BOTH engines (q279's shared-fragment discipline) by [[treeDepth2]]
+    * and its oracle — the IEEE sequence is identical by construction. */
+  private def treeGainSql: String =
+    s"""CASE WHEN n_l = 0 OR nt - n_l = 0 THEN NULL ELSE
+      round(${entSql("pt", "nt")} -
+        (CAST(n_l AS DOUBLE) / nt) * ${entSql("p_l", "n_l")} -
+        (CAST(nt - n_l AS DOUBLE) / nt) *
+          ${entSql("pt - p_l", "nt - n_l")}, 6) + 0.0 END"""
+
+  /** Depth-2 decision tree induction by information gain (Quinlan, ML
+    * 1986 — ID3 grown one level past q279's stump, with a SECOND
+    * feature so the children genuinely choose): the root picks the best
+    * of 63 price-bin prefix splits, then each child independently picks
+    * the best quantity threshold inside its half. The whole tree comes
+    * from ONE corpus pass: the (price-bin × quantity) contingency is
+    * ≤ 64·50 cells, and every candidate split at every node is a
+    * prefix-sum over a marginal of that bounded relation — the
+    * recursive-partitioning cost model that makes distributed tree
+    * induction feasible at 100 TB (PLANET, Panda et al. VLDB 2009,
+    * builds exactly these per-node histograms). Gains use the shared
+    * [[entSql]] fragment spliced into BOTH engines (identical IEEE
+    * sequence by construction); argmaxes are the two-stage
+    * rounded-gain/min-split discipline; degenerate sides yield NULL.
+    * Output: one row per node (root/left/right) with its class tallies,
+    * winning split and gain. */
+  def treeDepth2(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .as("cents"), col("l_quantity").cast("long").as("qty"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val bounds = li.agg(min(col("cents")).as("mn"),
+      max(col("cents")).as("mx"))
+    val cells = li.crossJoin(broadcast(bounds))
+      .withColumn("pbin",
+        expr("least(63, (cents - mn) * 64 div (mx - mn + 1))"))
+      .groupBy(col("pbin"), col("qty"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .cutLineage() // ≤ 3,200 cells; feeds root AND both children
+    val binsP = cells.groupBy(col("pbin"))
+      .agg(sum(col("n")).as("n"), sum(col("p")).as("p"))
+    val tot = binsP.agg(sum(col("n")).as("nt"), sum(col("p")).as("pt"))
+    val gainCase = treeGainSql
+    val w = Window.partitionBy() // 63 rows by construction
+    val rgain = spark.range(0, 63).toDF("split")
+      .join(broadcast(binsP), col("pbin") <= col("split"))
+      .groupBy(col("split"))
+      .agg(sum(col("n")).as("n_l"), sum(col("p")).as("p_l"))
+      .crossJoin(broadcast(tot))
+      .select(col("split"), expr(gainCase).as("gain_r"))
+    val rbest = rgain
+      .withColumn("bg", max(col("gain_r")).over(w))
+      .withColumn("rsplit",
+        min(when(col("gain_r") === col("bg"), col("split"))).over(w))
+      .select(col("rsplit"), col("bg")).distinct()
+    val qmarg = cells.crossJoin(broadcast(rbest))
+      .withColumn("node",
+        when(col("pbin") <= col("rsplit"), lit("left"))
+          .otherwise(lit("right")))
+      .groupBy(col("node"), col("qty"))
+      .agg(sum(col("n")).as("n"), sum(col("p")).as("p"))
+    val stot = qmarg.groupBy(col("node"))
+      .agg(sum(col("n")).as("nt"), sum(col("p")).as("pt"))
+    val wn = Window.partitionBy(col("node"))
+    val sbest = qmarg.select(col("node"), col("qty").as("split"))
+      .distinct()
+      .join(qmarg, Seq("node"))
+      .filter(col("qty") <= col("split"))
+      .groupBy(col("node"), col("split"))
+      .agg(sum(col("n")).as("n_l"), sum(col("p")).as("p_l"))
+      .join(stot, Seq("node"))
+      .select(col("node"), col("split"), expr(gainCase).as("gain_r"))
+      .withColumn("bg", max(col("gain_r")).over(wn))
+      .withColumn("bs",
+        min(when(col("gain_r") === col("bg"), col("split"))).over(wn))
+      .select(col("node"), col("bs").as("best_split"),
+        col("bg").as("gain_r"))
+      .distinct()
+      .join(stot, Seq("node"))
+    tot.crossJoin(broadcast(rbest))
+      .select(lit("root").as("node"), col("nt").as("n"),
+        col("pt").as("pos"), col("rsplit").as("best_split"),
+        col("bg").as("gain_r"))
+      .unionByName(sbest.select(col("node"), col("nt").as("n"),
+        col("pt").as("pos"), col("best_split"), col("gain_r")))
+  }
+
   /** Isotonic regression calibration (pool-adjacent-violators fit) via
     * the MINIMAX representation (Barlow, Bartholomew, Bremner & Brunk
     * 1972, §1.2): fit_i = max_{j≤i} min_{k≥i} avg(y[j..k]). PAVA itself
@@ -929,6 +1016,65 @@ object MlEval {
         |  round(CAST(sum(CAST(p AS HUGEINT) * prec_ppb) AS DOUBLE) /
         |    (CAST(sum(p) AS DOUBLE) * 1e9), 6) + 0.0 AS ap_r
         |FROM terms""".stripMargin),
+    Q("q294_tree_depth2", treeDepth2 _,
+      s"""WITH li AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM li),
+        |cells AS (
+        |  SELECT least(63, (cents - mn) * 64 // (mx - mn + 1)) AS pbin,
+        |    qty, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS p
+        |  FROM li, b GROUP BY 1, 2),
+        |binsp AS (
+        |  SELECT pbin, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS p FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(p) AS BIGINT) AS pt FROM binsp),
+        |rg AS (
+        |  SELECT s.i AS split, CAST(sum(binsp.n) AS BIGINT) AS n_l,
+        |    CAST(sum(binsp.p) AS BIGINT) AS p_l
+        |  FROM range(0, 63) s(i) JOIN binsp ON binsp.pbin <= s.i
+        |  GROUP BY 1),
+        |rgain AS (SELECT split, $treeGainSql AS gain_r FROM rg, tot),
+        |rbest AS (
+        |  SELECT (SELECT max(gain_r) FROM rgain) AS bg,
+        |    (SELECT min(split) FROM rgain
+        |     WHERE gain_r = (SELECT max(gain_r) FROM rgain)) AS rsplit),
+        |qmarg AS (
+        |  SELECT CASE WHEN pbin <= rsplit THEN 'left' ELSE 'right' END
+        |      AS node,
+        |    qty, CAST(sum(n) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS p
+        |  FROM cells, rbest GROUP BY 1, 2),
+        |stot AS (
+        |  SELECT node, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(p) AS BIGINT) AS pt FROM qmarg GROUP BY 1),
+        |sg AS (
+        |  SELECT c.node, c.split, CAST(sum(m.n) AS BIGINT) AS n_l,
+        |    CAST(sum(m.p) AS BIGINT) AS p_l
+        |  FROM (SELECT DISTINCT node, qty AS split FROM qmarg) c
+        |  JOIN qmarg m ON m.node = c.node AND m.qty <= c.split
+        |  GROUP BY 1, 2),
+        |sgain AS (
+        |  SELECT sg.node, sg.split, $treeGainSql AS gain_r
+        |  FROM sg JOIN stot ON stot.node = sg.node),
+        |sg2 AS (
+        |  SELECT node, split, gain_r,
+        |    max(gain_r) OVER (PARTITION BY node) AS bg FROM sgain),
+        |sbest AS (
+        |  SELECT node,
+        |    min(CASE WHEN gain_r = bg THEN split END) AS best_split,
+        |    max(bg) AS gain_r
+        |  FROM sg2 GROUP BY 1)
+        |SELECT 'root' AS node, nt AS n, pt AS pos, rsplit AS best_split,
+        |  bg AS gain_r FROM tot, rbest
+        |UNION ALL
+        |SELECT s.node, st.nt AS n, st.pt AS pos, s.best_split, s.gain_r
+        |FROM sbest s JOIN stot st ON st.node = s.node""".stripMargin),
     Q("q284_shapley_r2", shapleyR2 _,
       """WITH cells AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS q,

@@ -569,4 +569,68 @@ class MlEvalSpec extends SparkSpec {
     // quantization, and is bounded by 1
     assert(got.getAs[Long]("ap_ppb") <= 1000000000L)
   }
+
+  test("depth-2 tree: root and child splits equal a sequential ID3 " +
+      "recompute over the binned contingency") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+        col("l_quantity").cast("long"),
+        (col("l_returnflag") === "R").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mn = rows.map(_._1).min
+    val mx = rows.map(_._1).max
+    val binned = rows.map { case (c, q, y) =>
+      (math.min(63L, (c - mn) * 64 / (mx - mn + 1)), q, y) }
+    def ent(p: Long, n: Long): Double = {
+      if (n == 0) return 0.0
+      val a = if (p == 0) 0.0
+        else -(p.toDouble / n) * math.log(p.toDouble / n)
+      val b = if (n - p == 0) 0.0
+        else -((n - p).toDouble / n) * math.log((n - p).toDouble / n)
+      a + b
+    }
+    def bestSplit(xs: Array[(Long, Long)], cands: Seq[Long])
+        : (Option[Long], Option[Double]) = {
+      val nt = xs.length.toLong
+      val pt = xs.map(_._2).sum
+      val gains = cands.map { s =>
+        val l = xs.filter(_._1 <= s)
+        val (nl, pl) = (l.length.toLong, l.map(_._2).sum)
+        val g = if (nl == 0 || nt - nl == 0) None
+          else Some(math.round((ent(pt, nt) -
+            (nl.toDouble / nt) * ent(pl, nl) -
+            ((nt - nl).toDouble / nt) * ent(pt - pl, nt - nl)) * 1e6)
+            / 1e6 + 0.0)
+        (s, g)
+      }
+      val defined = gains.collect { case (s, Some(g)) => (s, g) }
+      if (defined.isEmpty) (None, None)
+      else {
+        val bg = defined.map(_._2).max
+        (Some(defined.filter(_._2 == bg).map(_._1).min), Some(bg))
+      }
+    }
+    val (rootSplit, rootGain) =
+      bestSplit(binned.map(t => (t._1, t._3)), 0L until 63L)
+    val got = operators.MlEval.treeDepth2(spark, sf).collect()
+      .map(r => r.getAs[String]("node") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("pos"),
+          Option(r.getAs[java.lang.Long]("best_split")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("gain_r")).map(_.toDouble)))
+      .toMap
+    assert(got.keySet === Set("root", "left", "right"))
+    assert(got("root")._1 === binned.length.toLong)
+    assert(got("root")._2 === binned.map(_._3).sum)
+    assert(got("root")._3 === rootSplit)
+    assert(got("root")._4 === rootGain)
+    Seq("left" -> true, "right" -> false).foreach { case (node, isL) =>
+      val side = binned.filter(t => (t._1 <= rootSplit.get) == isL)
+      val cands = side.map(_._2).distinct.sorted.toSeq
+      val (bs, bgain) = bestSplit(side.map(t => (t._2, t._3)), cands)
+      assert(got(node)._1 === side.length.toLong, node)
+      assert(got(node)._2 === side.map(_._3).sum, node)
+      assert(got(node)._3 === bs, node)
+      assert(got(node)._4 === bgain, node)
+    }
+  }
 }
