@@ -1897,6 +1897,53 @@ object Analytics {
           + lit(0.0)).as("rho_r"))
   }
 
+  /** Lead–lag cross-correlation between the hourly 'view' and
+    * 'purchase' event series at lags −6…+6 hours (Box & Jenkins §11 —
+    * the CCF that answers "do views LEAD purchases, and by how much?",
+    * the causality screen a funnel owner runs before attributing).
+    * r_k pairs zx_t with zy_{t+k}, so POSITIVE lags mean views lead.
+    * Same discipline as q273's ACF: the corpus contributes ONE
+    * partial-agg'd hourly rollup (both series in one pass, conditional
+    * sums); centering is exact integer z = n·y − Σy on the bounded
+    * ~720-hour relation; per-lag self-joins and both variance
+    * reductions run on that bounded relation with decimal(38)/HUGEINT
+    * product sums; the √(Σzx²·Σzy²) normalizer is the ONE fixed-order
+    * double expression (IEEE sqrt is correctly rounded in both
+    * engines). Hours with neither event type are absent and contribute
+    * no pair — the irregular-series convention; this feed is dense. */
+  def xcorr(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("h"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val st = hourly.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"))
+    val z = hourly.crossJoin(broadcast(st))
+      .select(col("h"),
+        (col("x") * col("n") - col("sx")).as("zx"),
+        (col("y") * col("n") - col("sy")).as("zy"))
+      .cutLineage() // bounded ~720 rows; feeds den + both pair sides
+    val den = z.agg(
+      sum(col("zx").cast("decimal(38,0)") * col("zx")).as("dx"),
+      sum(col("zy").cast("decimal(38,0)") * col("zy")).as("dy"))
+    z.withColumn("lag",
+        explode(array((-6 to 6).map(k => lit(k.toLong)): _*)))
+      .select(col("lag"), (col("h") + col("lag")).as("h"),
+        col("zx").as("zxa"))
+      .join(z.select(col("h"), col("zy").as("zyb")), Seq("h"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("zxa").cast("decimal(38,0)") * col("zyb")).as("cc"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        (round(col("cc").cast("double") /
+          sqrt(col("dx").cast("double") * col("dy").cast("double")), 6)
+          + lit(0.0)).as("r_r"))
+  }
+
   /** Classical seasonal decomposition of the daily revenue series
     * (moving-average detrend + day-of-week seasonal means — the
     * decompose() every forecasting pipeline runs before q238's
@@ -1949,6 +1996,33 @@ object Analytics {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q295_xcorr", xcorr _,
+      """WITH hourly AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy FROM hourly),
+        |z AS (
+        |  SELECT h, x * n - sx AS zx, y * n - sy AS zy
+        |  FROM hourly, st),
+        |den AS (
+        |  SELECT sum(CAST(zx AS HUGEINT) * zx) AS dx,
+        |    sum(CAST(zy AS HUGEINT) * zy) AS dy FROM z),
+        |lags AS (SELECT CAST(i AS BIGINT) AS lag FROM range(-6, 7) t(i))
+        |SELECT l.lag, count(*) AS n_pairs,
+        |  round(CAST(sum(CAST(a.zx AS HUGEINT) * b.zy) AS DOUBLE) /
+        |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) + 0.0
+        |    AS r_r
+        |FROM lags l
+        |  JOIN z a ON true
+        |  JOIN z b ON b.h = a.h + l.lag, den
+        |GROUP BY l.lag, dx, dy""".stripMargin),
     Q("q282_seasonal_decompose", seasonalDecompose _,
       """WITH daily AS (
         |  SELECT CAST(datediff('day', DATE '1990-01-01',

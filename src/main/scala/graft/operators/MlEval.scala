@@ -607,6 +607,170 @@ object MlEval {
           .over(w))
   }
 
+  /** The difference-in-differences readout, spliced verbatim into BOTH
+    * engines over the four cell sums/counts (q279's shared-fragment
+    * discipline — one fixed-order IEEE expression). */
+  private def didSql: String =
+    "round(((CAST(s_tp AS DOUBLE) / n_tp - CAST(s_tq AS DOUBLE) / n_tq)" +
+      " - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_cq AS DOUBLE) / n_cq))" +
+      " / 100.0, 6) + 0.0"
+
+  /** Difference-in-differences estimator (Card & Krueger, AER 1994 —
+    * the quasi-experimental workhorse when randomization is
+    * impossible): treatment = BUILDING-segment customers, the
+    * pre/post cut is fixed calendar time (1996-01-01), outcome = mean
+    * order value. DiD = (ΔT) − (ΔC) nets out both the group baseline
+    * and the common time trend — the parallel-trends identification.
+    * One corpus pass: orders join the customer dim (broadcast-sized
+    * here; the standard dim equi-join at scale), partial-agg to the
+    * FOUR (treat, post) cells, and every readout is a fixed-order
+    * double over exact integer cell sums — the 2×2 means table plus
+    * the [[didSql]] estimate carried on every row so the gate pins the
+    * whole estimator. */
+  def did(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"),
+        (col("c_mktsegment") === "BUILDING").as("treat"))
+    val cells = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"),
+        (col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .as("post"))
+      .join(broadcast(cust), Seq("ck"))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val wide = cells.agg(
+      sum(when(col("treat") && col("post"), col("s"))).as("s_tp"),
+      sum(when(col("treat") && col("post"), col("n"))).as("n_tp"),
+      sum(when(col("treat") && !col("post"), col("s"))).as("s_tq"),
+      sum(when(col("treat") && !col("post"), col("n"))).as("n_tq"),
+      sum(when(!col("treat") && col("post"), col("s"))).as("s_cp"),
+      sum(when(!col("treat") && col("post"), col("n"))).as("n_cp"),
+      sum(when(!col("treat") && !col("post"), col("s"))).as("s_cq"),
+      sum(when(!col("treat") && !col("post"), col("n"))).as("n_cq"))
+    cells.crossJoin(broadcast(wide))
+      .select(col("treat"), col("post"), col("n"), col("s").as("sum_cents"),
+        (round(col("s").cast("double") / col("n") / 100.0, 6) + lit(0.0))
+          .as("mean_dollars_r"),
+        expr(didSql).as("did_dollars_r"))
+  }
+
+  /** t-closeness census of the customer quasi-identifier classes (Li,
+    * Li & Venkatasubramanian, ICDE 2007 — the refinement after q254's
+    * k-anonymity/l-diversity: a class can be large AND diverse yet
+    * still leak if its sensitive DISTRIBUTION deviates from the
+    * global one). QI = (nation, market segment); sensitive = the $2000
+    * account-balance band (an ordered domain, so t = the
+    * equal-spacing earth-mover's distance = Σᵢ |CumP_i − CumQ_i| /
+    * (m−1) over the m-band grid — the q239 EMD identity). Exactness:
+    * per-step mass difference is the integer cross product
+    * |cum_cb·N − cum_gb·n_c| over denominator n_c·N, summed then ONE
+    * integral ppm division (decimal(38)/HUGEINT — the cross products
+    * cross 2⁶³ near ~30× sf0.1). Everything after the two partial-agg
+    * shuffles runs on the bounded class×band grid (≤ 125·8 rows). */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(floor(c_acctbal / 2000.0) AS BIGINT)").as("band"))
+    val cb = cust.groupBy(col("nat"), col("seg"), col("band"))
+      .agg(count(lit(1)).as("n_cb"))
+      .cutLineage() // bounded grid feeds class totals, global AND cums
+    val ct = cb.groupBy(col("nat"), col("seg"))
+      .agg(sum(col("n_cb")).as("n_c"))
+    val gb = cb.groupBy(col("band")).agg(sum(col("n_cb")).as("g_b"))
+    val nTot = gb.agg(sum(col("g_b")).as("nn"), count(lit(1)).as("m"))
+    val wB = Window.orderBy(col("band").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gcum = gb.withColumn("cum_g", sum(col("g_b")).over(wB))
+      .select(col("band"), col("cum_g"))
+    val grid = ct.crossJoin(broadcast(gcum))
+      .join(cb, Seq("nat", "seg", "band"), "left_outer")
+      .na.fill(0L, Seq("n_cb"))
+    val wC = Window.partitionBy(col("nat"), col("seg"))
+      .orderBy(col("band").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum_c", sum(col("n_cb")).over(wC))
+      .crossJoin(broadcast(nTot))
+      .withColumn("is_last", col("cum_g") === col("nn"))
+      .filter(!col("is_last")) // EMD sums the m−1 interior steps
+      .groupBy(col("nat"), col("seg"))
+      .agg(max(col("n_c")).as("cls_n"), max(col("m")).as("m"),
+        max(col("nn")).as("nn"),
+        sum(abs(col("cum_c").cast("decimal(38,0)") * col("nn") -
+          col("cum_g").cast("decimal(38,0)") * col("n_c"))).as("dsum"))
+      .select(col("nat").as("c_nationkey"), col("seg").as("c_mktsegment"),
+        col("cls_n"),
+        expr("dsum * 1000000 div ((m - 1) * CAST(cls_n AS DECIMAL(38,0))" +
+          " * nn)").as("t_ppm"))
+  }
+
+  /** Two-feature ordinary least squares by exact normal equations
+    * (price ~ quantity + discount on lineitem — the hedonic readout
+    * q284's Shapley decomposition prices by GROUP means; this is the
+    * coefficient view): nine integer sufficient statistics in ONE
+    * partial-agg'd pass, centered second moments S_ab = n·Σab − Σa·Σb
+    * as decimal(38) cross products, then Cramer's rule — det =
+    * S_qq·S_dd − S_qd², numerators likewise — still inside
+    * decimal(38)/HUGEINT (the numerators cross 10³⁸ near ~10× sf0.1:
+    * the documented switch point, same class as q284's scaladoc
+    * bound). β̂, intercept and R² = (b1n·S_qy + b2n·S_dy)/(det·S_yy)
+    * are fixed-order double readouts over the exact integers (shared
+    * expression shape in both engines). The 100-TB shape is the
+    * textbook distributed OLS: sufficient statistics are one
+    * mergeable partial agg; the 2×2 solve is constant work. */
+  def olsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val st = t(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("q"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("d"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("d")).as("sd"), sum(col("y")).as("sy"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("q") * col("d")).as("sqd"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("q") * col("y")).as("sqy"),
+        sum(col("d") * col("y")).as("sdy"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    st.select(col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sqq - CAST(sq AS DECIMAL(38,0))" +
+          " * sq").as("cqq"),
+        expr("CAST(n AS DECIMAL(38,0)) * sqd - CAST(sq AS DECIMAL(38,0))" +
+          " * sd").as("cqd"),
+        expr("CAST(n AS DECIMAL(38,0)) * sdd - CAST(sd AS DECIMAL(38,0))" +
+          " * sd").as("cdd"),
+        expr("CAST(n AS DECIMAL(38,0)) * sqy - CAST(sq AS DECIMAL(38,0))" +
+          " * sy").as("cqy"),
+        expr("CAST(n AS DECIMAL(38,0)) * sdy - CAST(sd AS DECIMAL(38,0))" +
+          " * sy").as("cdy"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0))" +
+          " * sy").as("cyy"),
+        col("sq"), col("sd"), col("sy"))
+      .select(col("n"),
+        expr("cqq * cdd - cqd * cqd").as("det"),
+        expr("cqy * cdd - cdy * cqd").as("b1n"),
+        expr("cdy * cqq - cqy * cqd").as("b2n"),
+        col("cqy"), col("cdy"), col("cyy"), col("sq"), col("sd"),
+        col("sy"))
+      .select(col("n"),
+        (round(col("b1n").cast("double") / col("det").cast("double"), 6)
+          + lit(0.0)).as("b_qty_r"),
+        (round(col("b2n").cast("double") / col("det").cast("double"), 6)
+          + lit(0.0)).as("b_disc_r"),
+        expr("round(CAST(sy AS DOUBLE) / n - " +
+          "(CAST(b1n AS DOUBLE) / CAST(det AS DOUBLE)) * " +
+          "(CAST(sq AS DOUBLE) / n) - " +
+          "(CAST(b2n AS DOUBLE) / CAST(det AS DOUBLE)) * " +
+          "(CAST(sd AS DOUBLE) / n), 6) + 0.0").as("intercept_r"),
+        expr("round((CAST(b1n AS DOUBLE) * CAST(cqy AS DOUBLE) + " +
+          "CAST(b2n AS DOUBLE) * CAST(cdy AS DOUBLE)) / " +
+          "(CAST(det AS DOUBLE) * CAST(cyy AS DOUBLE)), 6) + 0.0")
+          .as("r2_r"))
+  }
+
   /** The (n_l, p_l | nt, pt) split-gain CASE, spliced verbatim into
     * BOTH engines (q279's shared-fragment discipline) by [[treeDepth2]]
     * and its oracle — the IEEE sequence is identical by construction. */
@@ -1016,6 +1180,128 @@ object MlEval {
         |  round(CAST(sum(CAST(p AS HUGEINT) * prec_ppb) AS DOUBLE) /
         |    (CAST(sum(p) AS DOUBLE) * 1e9), 6) + 0.0 AS ap_r
         |FROM terms""".stripMargin),
+    Q("q297_did", did _,
+      s"""WITH cells AS (
+        |  SELECT c.c_mktsegment = 'BUILDING' AS treat,
+        |    o.o_orderdate >= TIMESTAMP '1996-01-01' AS post,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN treat AND post THEN s END) AS BIGINT)
+        |      AS s_tp,
+        |    CAST(sum(CASE WHEN treat AND post THEN n END) AS BIGINT)
+        |      AS n_tp,
+        |    CAST(sum(CASE WHEN treat AND NOT post THEN s END) AS BIGINT)
+        |      AS s_tq,
+        |    CAST(sum(CASE WHEN treat AND NOT post THEN n END) AS BIGINT)
+        |      AS n_tq,
+        |    CAST(sum(CASE WHEN NOT treat AND post THEN s END) AS BIGINT)
+        |      AS s_cp,
+        |    CAST(sum(CASE WHEN NOT treat AND post THEN n END) AS BIGINT)
+        |      AS n_cp,
+        |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN s END)
+        |      AS BIGINT) AS s_cq,
+        |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN n END)
+        |      AS BIGINT) AS n_cq
+        |  FROM cells)
+        |SELECT treat, post, n, s AS sum_cents,
+        |  round(CAST(s AS DOUBLE) / n / 100.0, 6) + 0.0
+        |    AS mean_dollars_r,
+        |  $didSql AS did_dollars_r
+        |FROM cells, wide""".stripMargin),
+    Q("q298_t_closeness", tCloseness _,
+      """WITH cust AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+        |    c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+        |  FROM customer),
+        |cb AS (
+        |  SELECT nat, seg, band, CAST(count(*) AS BIGINT) AS n_cb
+        |  FROM cust GROUP BY 1, 2, 3),
+        |ct AS (
+        |  SELECT nat, seg, CAST(sum(n_cb) AS BIGINT) AS n_c
+        |  FROM cb GROUP BY 1, 2),
+        |gb AS (
+        |  SELECT band, CAST(sum(n_cb) AS BIGINT) AS g_b
+        |  FROM cb GROUP BY 1),
+        |ntot AS (
+        |  SELECT CAST(sum(g_b) AS BIGINT) AS nn, count(*) AS m FROM gb),
+        |gcum AS (
+        |  SELECT band, CAST(sum(g_b) OVER (ORDER BY band ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_g
+        |  FROM gb),
+        |grid AS (
+        |  SELECT ct.nat, ct.seg, ct.n_c, g.band, g.cum_g,
+        |    coalesce(cb.n_cb, 0) AS n_cb
+        |  FROM ct CROSS JOIN gcum g
+        |  LEFT JOIN cb ON cb.nat = ct.nat AND cb.seg = ct.seg
+        |    AND cb.band = g.band),
+        |cums AS (
+        |  SELECT nat, seg, n_c, cum_g,
+        |    CAST(sum(n_cb) OVER (PARTITION BY nat, seg
+        |      ORDER BY band ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum_c
+        |  FROM grid)
+        |SELECT nat AS c_nationkey, seg AS c_mktsegment,
+        |  CAST(max(n_c) AS BIGINT) AS cls_n,
+        |  CAST(sum(abs(CAST(cum_c AS HUGEINT) * nn -
+        |      CAST(cum_g AS HUGEINT) * n_c)) * 1000000 //
+        |    ((max(m) - 1) * CAST(max(n_c) AS HUGEINT) * max(nn))
+        |    AS BIGINT) AS t_ppm
+        |FROM cums, ntot WHERE cum_g <> nn
+        |GROUP BY 1, 2""".stripMargin),
+    Q("q299_ols_multi", olsMulti _,
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(q * q) AS BIGINT) AS sqq,
+        |    CAST(sum(q * d) AS BIGINT) AS sqd,
+        |    CAST(sum(d * d) AS BIGINT) AS sdd,
+        |    CAST(sum(q * y) AS BIGINT) AS sqy,
+        |    CAST(sum(d * y) AS BIGINT) AS sdy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM base),
+        |c AS (
+        |  SELECT n, sq, sd, sy,
+        |    CAST(n AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq AS cqq,
+        |    CAST(n AS HUGEINT) * sqd - CAST(sq AS HUGEINT) * sd AS cqd,
+        |    CAST(n AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd AS cdd,
+        |    CAST(n AS HUGEINT) * sqy - CAST(sq AS HUGEINT) * sy AS cqy,
+        |    CAST(n AS HUGEINT) * sdy - CAST(sd AS HUGEINT) * sy AS cdy,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS cyy
+        |  FROM st),
+        |k AS (
+        |  SELECT n, sq, sd, sy, cqy, cdy, cyy,
+        |    cqq * cdd - cqd * cqd AS det,
+        |    cqy * cdd - cdy * cqd AS b1n,
+        |    cdy * cqq - cqy * cqd AS b2n
+        |  FROM c)
+        |SELECT n,
+        |  round(CAST(b1n AS DOUBLE) / CAST(det AS DOUBLE), 6) + 0.0
+        |    AS b_qty_r,
+        |  round(CAST(b2n AS DOUBLE) / CAST(det AS DOUBLE), 6) + 0.0
+        |    AS b_disc_r,
+        |  round(CAST(sy AS DOUBLE) / n -
+        |    (CAST(b1n AS DOUBLE) / CAST(det AS DOUBLE)) *
+        |    (CAST(sq AS DOUBLE) / n) -
+        |    (CAST(b2n AS DOUBLE) / CAST(det AS DOUBLE)) *
+        |    (CAST(sd AS DOUBLE) / n), 6) + 0.0 AS intercept_r,
+        |  round((CAST(b1n AS DOUBLE) * CAST(cqy AS DOUBLE) +
+        |    CAST(b2n AS DOUBLE) * CAST(cdy AS DOUBLE)) /
+        |    (CAST(det AS DOUBLE) * CAST(cyy AS DOUBLE)), 6) + 0.0
+        |    AS r2_r
+        |FROM k""".stripMargin),
     Q("q294_tree_depth2", treeDepth2 _,
       s"""WITH li AS (
         |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

@@ -633,4 +633,98 @@ class MlEvalSpec extends SparkSpec {
       assert(got(node)._4 === bgain, node)
     }
   }
+
+  test("did: four cells and the estimate equal a sequential 2x2 fold") {
+    val seg = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1) == "BUILDING"))
+      .toMap
+    val cut = java.time.Instant.parse("1996-01-01T00:00:00Z")
+      .getEpochSecond
+    val cells = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        "CAST(CAST(o_orderdate AS TIMESTAMP_LTZ) AS LONG) AS sec")
+      .collect()
+      .map(r => (seg(r.getLong(0)), r.getLong(2) >= cut, r.getLong(1)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._3).sum) }
+    val got = operators.MlEval.did(spark, sf).collect()
+      .map(r => (r.getAs[Boolean]("treat"), r.getAs[Boolean]("post")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_cents"),
+          r.getAs[Double]("did_dollars_r"))).toMap
+    assert(got.keySet === cells.keySet)
+    cells.foreach { case (k, (n, s)) =>
+      assert(got(k)._1 === n, k); assert(got(k)._2 === s, k) }
+    def mean(k: (Boolean, Boolean)) =
+      cells(k)._2.toDouble / cells(k)._1
+    val did = ((mean((true, true)) - mean((true, false))) -
+      (mean((false, true)) - mean((false, false)))) / 100.0
+    got.values.foreach(v => assert(math.abs(v._3 - did) < 1e-6))
+  }
+
+  test("t-closeness: per-class ordered EMD equals a sequential fold " +
+      "over the band grid") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "c_mktsegment",
+        "CAST(floor(c_acctbal / 2000.0) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bands = cust.map(_._3).distinct.sorted
+    val m = bands.length
+    val nTot = cust.length.toLong
+    val gCum = bands.map(b => b -> cust.count(_._3 <= b).toLong).toMap
+    val got = operators.MlEval.tCloseness(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_nationkey"),
+        r.getAs[String]("c_mktsegment")) ->
+        (r.getAs[Long]("cls_n"), r.getAs[Long]("t_ppm"))).toMap
+    val classes = cust.groupBy(c => (c._1, c._2))
+    assert(got.keySet === classes.keySet)
+    classes.foreach { case (k, members) =>
+      val nc = members.length.toLong
+      val dsum = bands.dropRight(1).map { b =>
+        val cumC = members.count(_._3 <= b).toLong
+        (BigInt(cumC) * nTot - BigInt(gCum(b)) * nc).abs
+      }.sum
+      val t = (dsum * 1000000 / (BigInt(m - 1) * nc * nTot)).toLong
+      assert(got(k) === ((nc, t)), k)
+    }
+  }
+
+  test("ols multi: exact normal-equation solve equals a driver-side " +
+      "BigInt recompute; residual checks R2 in [0, 1]") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = BigInt(rows.length)
+    def S(f: ((Long, Long, Long)) => BigInt): BigInt =
+      rows.map(f).sum
+    val (sq, sd, sy) = (S(t => BigInt(t._1)), S(t => BigInt(t._2)),
+      S(t => BigInt(t._3)))
+    val cqq = n * S(t => BigInt(t._1) * t._1) - sq * sq
+    val cqd = n * S(t => BigInt(t._1) * t._2) - sq * sd
+    val cdd = n * S(t => BigInt(t._2) * t._2) - sd * sd
+    val cqy = n * S(t => BigInt(t._1) * t._3) - sq * sy
+    val cdy = n * S(t => BigInt(t._2) * t._3) - sd * sy
+    val cyy = n * S(t => BigInt(t._3) * t._3) - sy * sy
+    val det = cqq * cdd - cqd * cqd
+    val b1n = cqy * cdd - cdy * cqd
+    val b2n = cdy * cqq - cqy * cqd
+    val got = operators.MlEval.olsMulti(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n") === rows.length.toLong)
+    val b1 = BigDecimal(b1n).toDouble / BigDecimal(det).toDouble
+    val b2 = BigDecimal(b2n).toDouble / BigDecimal(det).toDouble
+    assert(math.abs(got.getAs[Double]("b_qty_r") - b1) < 1e-5)
+    assert(math.abs(got.getAs[Double]("b_disc_r") - b2) < 1e-5)
+    val r2 = (BigDecimal(b1n * cqy + b2n * cdy) /
+      BigDecimal(det * cyy)).toDouble
+    assert(math.abs(got.getAs[Double]("r2_r") - r2) < 1e-5)
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    // this synthetic feed draws price independently of quantity and
+    // discount (corr ≈ ±0.01 across the board), so the honest pin is
+    // near-orthogonality: the exact machinery must REPORT the absence
+    // of signal, not manufacture some
+    assert(r2 < 0.01)
+  }
 }
