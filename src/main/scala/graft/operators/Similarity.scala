@@ -818,7 +818,95 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
 
+  /** k-NN classifier evaluation on the embedding space (Cover & Hart
+    * 1967; the label-agreement audit of Fix & Hodges 1951): a disjoint
+    * 10% query slice (vec_id ≡ 0 mod 10) is classified by the majority
+    * label of its 5 nearest corpus neighbors (exact cosine, the q38
+    * rounding/tie conventions), and the confusion matrix plus overall
+    * accuracy grade how well the embedding geometry encodes the stored
+    * labels — the embedding-quality / label-noise screen a pipeline
+    * runs before trusting either for semantic dedup (q288) or
+    * supervised training. Vote argmax and the confusion rollup run on
+    * BOUNDED relations (queries × ≤10 labels); the candidate join is
+    * the exact brute-force audit at gate scale — at 100 TB the
+    * candidate generator swaps for the persisted IVF-PQ probe (q289)
+    * with the protocol unchanged, exactly like q245's serve half.
+    * accuracy_ppm is one integral division, carried on every row. */
+  def knnEval(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "embeddings")
+    val e = raw.select(col("vec_id"), col("embedding"), col("label"),
+      graft.functions.VectorOps.l2Norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").cast("long").as("y"))
+    val c = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("label").cast("long").as("yl"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val votes = q.join(c, col("q_id") =!= col("cand_id"))
+      // + 0.0 canonicalizes IEEE signed zero (q38 note)
+      .withColumn("cos", round(VectorOps.cosinePrenormed(
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6) +
+        lit(0.0))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("q_id"), col("y"), col("yl"))
+      .agg(count(lit(1)).as("v"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("v").desc, col("yl").asc)
+    val conf = votes // bounded: queries × ≤10 candidate labels
+      .withColumn("prn", row_number().over(wv))
+      .filter(col("prn") === 1)
+      .groupBy(col("y").as("label_true"), col("yl").as("label_pred"))
+      .agg(count(lit(1)).as("n"))
+    val acc = conf.agg(
+      sum(when(col("label_true") === col("label_pred"), col("n"))
+        .otherwise(0L)).as("ok"),
+      sum(col("n")).as("tot"))
+    conf.crossJoin(broadcast(acc))
+      .select(col("label_true"), col("label_pred"), col("n"),
+        expr("ok * 1000000 div tot").as("accuracy_ppm"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q296_knn_eval", knnEval _,
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, label,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         |      AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+         |c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS y,
+         |    CAST(c.label AS BIGINT) AS yl, c.vec_id AS cand_id,
+         |    round(${cosExpr("q", "c")}, 6) + 0.0 AS cos
+         |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+         |votes AS (
+         |  SELECT q_id, y, yl, count(*) AS v FROM (
+         |    SELECT q_id, y, yl,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, cand_id ASC) AS rn
+         |    FROM scored) WHERE rn <= 5
+         |  GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT y, yl FROM (
+         |    SELECT y, yl, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY v DESC, yl ASC) AS prn
+         |    FROM votes) WHERE prn = 1),
+         |conf AS (
+         |  SELECT y AS label_true, yl AS label_pred,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |acc AS (
+         |  SELECT CAST(sum(CASE WHEN label_true = label_pred THEN n
+         |      ELSE 0 END) AS BIGINT) AS ok,
+         |    CAST(sum(n) AS BIGINT) AS tot FROM conf)
+         |SELECT label_true, label_pred, n, ok * 1000000 // tot
+         |  AS accuracy_ppm
+         |FROM conf, acc""".stripMargin),
     Q("q272_pca_power", pcaPower _,
       s"""WITH pts AS (
          |  SELECT vec_id, CAST(r.i AS BIGINT) AS j,

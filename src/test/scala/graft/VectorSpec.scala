@@ -264,4 +264,42 @@ class VectorSpec extends SparkSpec {
     assert(cellOf.exists { case (id, cell) =>
       id >= cut && cell != rows(id.toInt)._2 })
   }
+
+  test("knn eval: confusion matrix and accuracy equal a brute-force " +
+      "5-NN majority-vote recompute over the disjoint split") {
+    import graft.operators.Similarity
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getInt(2).toLong))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]) = math.sqrt(dot(a, a))
+    val qs = vecs.filter(_._1 % 10 == 0)
+    val cs = vecs.filter(_._1 % 10 != 0)
+    val confExp = scala.collection.mutable
+      .Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    qs.foreach { case (qid, qe, y) =>
+      val top5 = cs.map { case (cid, ce, yl) =>
+        val cos = BigDecimal(dot(qe, ce) / (nrm(qe) * nrm(ce)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        (cos, cid, yl)
+      }.sortBy { case (cos, cid, _) => (-cos, cid) }.take(5)
+      val pred = top5.groupBy(_._3).map { case (l, xs) =>
+        (l, xs.length.toLong) }.toSeq
+        .sortBy { case (l, v) => (-v, l) }.head._1
+      confExp((y, pred)) += 1
+    }
+    val rowsOut = Similarity.knnEval(spark, sf).collect()
+    val got = rowsOut.map(r => (r.getAs[Long]("label_true"),
+      r.getAs[Long]("label_pred")) -> r.getAs[Long]("n")).toMap
+    assert(got === confExp.toMap)
+    val ok = confExp.collect { case ((a, b), n) if a == b => n }.sum
+    val tot = confExp.values.sum
+    rowsOut.foreach(r =>
+      assert(r.getAs[Long]("accuracy_ppm") === ok * 1000000L / tot))
+  }
 }
