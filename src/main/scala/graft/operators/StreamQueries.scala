@@ -595,7 +595,49 @@ object StreamQueries {
           .as[EventStreams.CdcEv]).toDF()
     }
 
+  /** Streaming sample-ratio-mismatch guardrail: [[EventStreams.armCounts]]
+    * maintains the per-arm distinct-user counts in the stream; the χ²
+    * readout and verdict band are then one batch expression over the
+    * 2-row sink table (the alert evaluation a monitor runs per tick).
+    * Converges to exactly the batch q286 statistic — same oracle. */
+  def streamSrm(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dir) { ev => EventStreams.armCounts(ev) }
+      .agg(sum(when(col("arm") === 0L, col("n_users")).otherwise(0L))
+        .as("n0"),
+        sum(when(col("arm") === 1L, col("n_users")).otherwise(0L))
+          .as("n1"))
+      .withColumn("chi2_r",
+        round(((col("n0") - col("n1")) * (col("n0") - col("n1")))
+          .cast("double") / (col("n0") + col("n1")).cast("double"), 6)
+          + lit(0.0))
+      .select(col("n0"), col("n1"), col("chi2_r"),
+        when(col("chi2_r") > 10.828, "srm_critical")
+          .when(col("chi2_r") > 3.841, "srm_warning")
+          .otherwise("balanced").as("verdict"))
+
   val catalog: Seq[Q] = Seq(
+    Q("q300_stream_srm", streamSrm _,
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (
+        |  SELECT ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)),
+        |    1, 8))::BIGINT % 2 AS arm
+        |  FROM u),
+        |c AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1
+        |  FROM arms),
+        |s AS (
+        |  SELECT n0, n1,
+        |    round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) /
+        |      CAST(n0 + n1 AS DOUBLE), 6) + 0.0 AS chi2_r
+        |  FROM c)
+        |SELECT n0, n1, chi2_r,
+        |  CASE WHEN chi2_r > 10.828 THEN 'srm_critical'
+        |       WHEN chi2_r > 3.841 THEN 'srm_warning'
+        |       ELSE 'balanced' END AS verdict
+        |FROM s""".stripMargin),
     Q("q278_stream_cdc", streamCdc _,
       """WITH ev AS (
         |  SELECT user_id, event_id, ts,

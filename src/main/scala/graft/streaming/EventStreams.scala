@@ -20,6 +20,25 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Streaming SRM arm counts — all-time distinct users per experiment
+    * arm (arm = portable hash of user_id mod 2), maintained
+    * continuously: the live twin of the batch q286 guardrail, because a
+    * ramp bug shows up in the assignment stream long before a batch
+    * audit runs. State contract: the dedup holds ONE entry per distinct
+    * user — POPULATION-bounded, not stream-length-bounded (the q94
+    * unbounded-state lesson applies to time-derived dedup keys; this
+    * key set is the user population itself, the same per-user-state
+    * shape as the q102 profile store). Downstream the per-arm counts
+    * are an ordinary complete-mode aggregation over the deduped
+    * append stream. */
+  def armCounts(events: DataFrame): DataFrame =
+    events.select(col("user_id"))
+      .dropDuplicates("user_id")
+      .select((graft.functions.TextOps.portableHash(
+        concat(lit("arm:"), col("user_id").cast("string"))) % 2)
+        .as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n_users"))
+
   /** Declared source schema for an events file stream, derived from the
     * feed's own parquet footer at stream start (streams require a declared
     * schema — no inference at runtime). The feed's physical ts type has

@@ -948,4 +948,38 @@ class StreamingSpec extends SparkSpec {
       assert(got(22L) === (("delete", true, false, None, 3L)))
     } finally q.stop()
   }
+
+  test("streaming srm: distinct-user arm counts survive the batch " +
+      "boundary — re-seen users never double-count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RawEv]
+    val q = EventStreams.armCounts(ms.toDF())
+      .writeStream.format("memory").queryName("srmcnt")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      def ev(id: Long, u: Long) =
+        RawEv(id, ts("2024-01-01 00:00:10"), u, "click", 1.0, "{}")
+      ms.addData(ev(1, 101), ev(2, 102), ev(3, 103), ev(4, 101))
+      q.processAllAvailable()
+      // batch 2 re-sends users 102/103 and adds 104/105: the dedup
+      // state must absorb the repeats ACROSS the micro-batch boundary
+      ms.addData(ev(5, 102), ev(6, 103), ev(7, 104), ev(8, 105))
+      q.processAllAvailable()
+      val got = spark.table("srmcnt").collect()
+        .map(r => r.getAs[Long]("arm") -> r.getAs[Long]("n_users"))
+        .toMap
+      def h32(x: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(4).map("%02x".format(_)).mkString, 16)
+      }
+      val expect = Seq(101L, 102L, 103L, 104L, 105L)
+        .map(u => h32(s"arm:$u") % 2)
+        .groupBy(identity).map { case (a, xs) => a -> xs.length.toLong }
+      assert(got === expect)
+      assert(got.values.sum === 5L) // 5 distinct users, 8 events
+    } finally q.stop()
+  }
 }
