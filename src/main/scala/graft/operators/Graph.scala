@@ -998,7 +998,137 @@ object Graph {
           (lit(6.0) * col("n_customers")), 6) + lit(0.0)).as("mrr_r"))
   }
 
+  /** NDCG@3 for the q285 leave-last-out protocol (Järvelin & Kekäläinen,
+    * TOIS 2002) — hit@3 (q285) asks WHETHER, MRR (q302) asks WHERE
+    * FIRST; NDCG grades the WHOLE ranked list with position discounts.
+    * The 1/log₂(r+1) discounts are DATA-FREE constants quantized to ppm
+    * once (1000000, 630930, 500000 — lcm tricks can't make logs
+    * rational, constants can), so per-customer DCG is an exact integer
+    * sum, ideal DCG is the top-min(|truth|,3) prefix of the same
+    * constants, and ndcg = DCG·10⁶ div IDCG is one integral division —
+    * bit-portable end to end, no float in the accumulation. Customers
+    * whose held-out basket is empty have undefined NDCG and are
+    * excluded by the inner tsize join (the standard convention);
+    * the candidate join is the shared support-2 stage's 14th
+    * consumer. */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("o_orderdate").desc, col("ok").desc)
+    val ranked = t(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+        col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .cutLineage() // feeds eval set, query side and truth side
+    val baskets = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val test = ranked.filter(col("rn") === 1).join(baskets, Seq("ok"))
+      .select(col("cust"), col("pk").as("truth"))
+    val query = ranked.filter(col("rn") === 2).join(baskets, Seq("ok"))
+      .select(col("cust"), col("pk").as("qp"))
+    val pairs = support2Pairs(spark, dir)
+    val sym = pairs
+      .select(col("u").as("a"), col("v").as("b"), col("pair_n"))
+      .unionByName(pairs
+        .select(col("v").as("a"), col("u").as("b"), col("pair_n")))
+    val wTop = Window.partitionBy(col("cust"))
+      .orderBy(col("score").desc, col("b").asc)
+    val top3 = query.join(sym, col("qp") === col("a"))
+      .groupBy(col("cust"), col("b")).agg(sum(col("pair_n")).as("score"))
+      .withColumn("trn", row_number().over(wTop))
+      .filter(col("trn") <= 3)
+    val tsize = test.groupBy(col("cust"))
+      .agg(countDistinct(col("truth")).as("ts"))
+    val dcg = top3
+      .join(test, top3("cust") === test("cust") &&
+        top3("b") === test("truth"), "left_semi")
+      .groupBy(col("cust"))
+      .agg(sum(when(col("trn") === 1, 1000000L)
+        .when(col("trn") === 2, 630930L).otherwise(500000L))
+        .as("dcg_ppm"))
+    ranked.filter(col("rn") === 2).select(col("cust"))
+      .join(tsize, Seq("cust"))
+      .join(dcg, Seq("cust"), "left_outer")
+      .na.fill(0L, Seq("dcg_ppm"))
+      .withColumn("idcg_ppm", lit(1000000L) +
+        when(col("ts") >= 2, 630930L).otherwise(0L) +
+        when(col("ts") >= 3, 500000L).otherwise(0L))
+      .withColumn("ndcg_ppm", expr("dcg_ppm * 1000000 div idcg_ppm"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("ndcg_ppm")).as("s"),
+        sum(when(col("ndcg_ppm") === 1000000L, 1L).otherwise(0L))
+          .as("n_perfect"))
+      .select(col("n_customers"),
+        expr("s div n_customers").as("mean_ndcg_ppm"), col("n_perfect"),
+        (round(col("s").cast("double") /
+          (col("n_customers").cast("double") * 1.0e6), 6) + lit(0.0))
+          .as("mean_ndcg_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q301_ndcg", ndcgEval _,
+      """WITH ranked AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS pair_n
+        |  FROM baskets a JOIN baskets b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT u AS a, v AS b, pair_n FROM pairs
+        |  UNION ALL
+        |  SELECT v, u, pair_n FROM pairs),
+        |test AS (
+        |  SELECT r.cust, bk.pk AS truth
+        |  FROM ranked r JOIN baskets bk ON bk.ok = r.ok
+        |  WHERE r.rn = 1),
+        |query AS (
+        |  SELECT r.cust, bk.pk AS qp
+        |  FROM ranked r JOIN baskets bk ON bk.ok = r.ok
+        |  WHERE r.rn = 2),
+        |scores AS (
+        |  SELECT q.cust, s.b, CAST(sum(s.pair_n) AS BIGINT) AS score
+        |  FROM query q JOIN sym s ON q.qp = s.a
+        |  GROUP BY 1, 2),
+        |top3 AS (
+        |  SELECT cust, b, trn FROM (
+        |    SELECT cust, b, row_number() OVER (PARTITION BY cust
+        |      ORDER BY score DESC, b ASC) AS trn
+        |    FROM scores) WHERE trn <= 3),
+        |tsize AS (
+        |  SELECT cust, count(DISTINCT truth) AS ts
+        |  FROM test GROUP BY 1),
+        |dcg AS (
+        |  SELECT t3.cust,
+        |    CAST(sum(CASE t3.trn WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+        |      ELSE 500000 END) AS BIGINT) AS dcg_ppm
+        |  FROM top3 t3 JOIN test t
+        |    ON t.cust = t3.cust AND t.truth = t3.b
+        |  GROUP BY 1),
+        |per AS (
+        |  SELECT e.cust, coalesce(d.dcg_ppm, 0) AS dcg_ppm,
+        |    1000000 + CASE WHEN s.ts >= 2 THEN 630930 ELSE 0 END +
+        |      CASE WHEN s.ts >= 3 THEN 500000 ELSE 0 END AS idcg_ppm
+        |  FROM (SELECT cust FROM ranked WHERE rn = 2) e
+        |    JOIN tsize s ON s.cust = e.cust
+        |    LEFT JOIN dcg d ON d.cust = e.cust),
+        |p2 AS (
+        |  SELECT cust, dcg_ppm * 1000000 // idcg_ppm AS ndcg_ppm
+        |  FROM per)
+        |SELECT count(*) AS n_customers,
+        |  CAST(sum(ndcg_ppm) // count(*) AS BIGINT) AS mean_ndcg_ppm,
+        |  CAST(sum(CASE WHEN ndcg_ppm = 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_perfect,
+        |  round(CAST(sum(ndcg_ppm) AS DOUBLE) / (count(*) * 1e6), 6)
+        |    + 0.0 AS mean_ndcg_r
+        |FROM p2""".stripMargin),
     Q("q291_link_prediction", linkPrediction _,
       """WITH baskets AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

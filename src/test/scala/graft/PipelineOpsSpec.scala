@@ -1435,4 +1435,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("sum_rr_x6") === sumRr)
     assert(row.getAs[Long]("mrr_ppm") === sumRr * 1000000L / (6L * nc))
   }
+
+  test("ndcg@3: quantized-discount NDCG equals the sequential " +
+      "leave-last-out recompute; perfect lists hit exactly 1e6") {
+    import graft.operators.Graph
+    val row = Graph.ndcgEval(spark, sf).collect()(0)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(o_orderdate AS TIMESTAMP_LTZ) AS t")
+      .selectExpr("o_custkey", "o_orderkey", "CAST(t AS LONG) AS sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ok, ps) => ok -> ps.map(_._2).toSet }
+    val pairN = scala.collection.mutable
+      .Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    baskets.values.foreach { ps =>
+      val s = ps.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        pairN((s(i), s(j))) += 1
+    }
+    val sym = pairN.toSeq.filter(_._2 >= 2).flatMap { case ((u, v), n) =>
+      Seq((u, v, n), (v, u, n)) }.groupBy(_._1)
+    val weights = Array(1000000L, 630930L, 500000L)
+    var (nc, sumN, nPerf) = (0L, 0L, 0L)
+    orders.groupBy(_._1).foreach { case (_, os) =>
+      if (os.length >= 2) {
+        val sorted = os.sortBy(o => (-o._3, -o._2))
+        val truth = baskets.getOrElse(sorted(0)._2, Set.empty)
+        val qps = baskets.getOrElse(sorted(1)._2, Set.empty)
+        if (truth.nonEmpty) {
+          nc += 1
+          val scores = qps.toSeq.flatMap(q => sym.getOrElse(q, Nil))
+            .groupBy(_._2).map { case (b, xs) => (b, xs.map(_._3).sum) }
+          val top3 = scores.toSeq.sortBy { case (b, s) => (-s, b) }
+            .take(3).map(_._1)
+          val dcg = top3.zipWithIndex.collect {
+            case (b, i) if truth(b) => weights(i) }.sum
+          val idcg = weights.take(math.min(truth.size, 3)).sum
+          val ndcg = dcg * 1000000L / idcg
+          sumN += ndcg
+          if (ndcg == 1000000L) nPerf += 1
+        }
+      }
+    }
+    assert(row.getAs[Long]("n_customers") === nc)
+    assert(row.getAs[Long]("mean_ndcg_ppm") === sumN / nc)
+    assert(row.getAs[Long]("n_perfect") === nPerf)
+  }
 }
