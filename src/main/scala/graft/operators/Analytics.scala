@@ -1944,6 +1944,40 @@ object Analytics {
           + lit(0.0)).as("r_r"))
   }
 
+  /** Frequent sequential 2-patterns over per-user event-type streams
+    * (Agrawal & Srikant, ICDE 1995 — sequence-mining support, the
+    * ordered complement of q228's unordered itemsets and q225's
+    * ADJACENT-step Markov transitions: here ⟨a → b⟩ counts a user once
+    * if SOME a precedes SOME b, any gap). Support uses the exists
+    * semantics first(a) < last(b), so the corpus collapses to one
+    * (user, type → first_sec, last_sec) partial agg (≤ 5 rows per
+    * user), the per-user type-pair join is bounded (≤ 20 combos per
+    * user), and the final rollup is exact integers: n_both = users with
+    * both types, n_support = users with the order witnessed,
+    * support_ppm over ALL users, conf_ppm = support among users having
+    * both. Deterministic, sort-free, linear in events. */
+  def seqPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ut = t(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts").cast("long")).as("f"),
+        max(col("ts").cast("long")).as("l"))
+      .cutLineage() // ≤ 5 rows per user; feeds both join sides
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("nu"))
+    ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("t_a"),
+        col("b.event_type").as("t_b"))
+      .agg(count(lit(1)).as("n_both"),
+        sum(when(col("a.f") < col("b.l"), 1L).otherwise(0L))
+          .as("n_support"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("t_a"), col("t_b"), col("n_both"), col("n_support"),
+        expr("n_support * 1000000 div nu").as("support_ppm"),
+        expr("n_support * 1000000 div n_both").as("conf_ppm"))
+  }
+
   /** Classical seasonal decomposition of the daily revenue series
     * (moving-average detrend + day-of-week seasonal means — the
     * decompose() every forecasting pipeline runs before q238's
@@ -1996,6 +2030,25 @@ object Analytics {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q304_seq_pairs", seqPairs _,
+      """WITH ut AS (
+        |  SELECT user_id, event_type,
+        |    CAST(min(floor(epoch(ts))) AS BIGINT) AS f,
+        |    CAST(max(floor(epoch(ts))) AS BIGINT) AS l
+        |  FROM events GROUP BY 1, 2),
+        |nu AS (SELECT count(DISTINCT user_id) AS nu FROM ut)
+        |SELECT a.event_type AS t_a, b.event_type AS t_b,
+        |  CAST(count(*) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN a.f < b.l THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_support,
+        |  CAST(sum(CASE WHEN a.f < b.l THEN 1 ELSE 0 END) * 1000000 //
+        |    max(nu.nu) AS BIGINT) AS support_ppm,
+        |  CAST(sum(CASE WHEN a.f < b.l THEN 1 ELSE 0 END) * 1000000 //
+        |    count(*) AS BIGINT) AS conf_ppm
+        |FROM ut a
+        |  JOIN ut b ON b.user_id = a.user_id
+        |    AND b.event_type <> a.event_type, nu
+        |GROUP BY 1, 2""".stripMargin),
     Q("q295_xcorr", xcorr _,
       """WITH hourly AS (
         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,

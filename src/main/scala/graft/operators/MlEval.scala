@@ -771,6 +771,124 @@ object MlEval {
           .as("r2_r"))
   }
 
+  /** Stratified treatment-effect estimate (Cochran, Biometrics 1968 —
+    * post-stratification: when treatment correlates with a covariate,
+    * the raw mean difference is confounded; stratify on the covariate
+    * and weight per-stratum differences by stratum size). Treatment =
+    * BUILDING segment, strata = customer nation, outcome = mean order
+    * value. ATE_strat = Σ_s (n_s/N)·(ȳ_Ts − ȳ_Cs) over strata carrying
+    * BOTH arms (single-arm strata are excluded and N renormalizes — the
+    * standard convention, stated in the output via n_strata_used).
+    * Exactness: the per-stratum term is quantized to 10⁻⁴ dollars as
+    * ONE integral division of exact integer cross products —
+    * n_s·(s_T·n_C − s_C·n_T) over N·n_T·n_C·10⁴·... all decimal(38)/
+    * HUGEINT (the cross product crosses 2⁶³ at gate scale already) — so
+    * the stratum terms SUM exactly (a per-stratum double would be
+    * order-dependent under partial aggregation). Corpus work: one dim
+    * join + one partial agg to ≤ 2·25 cells; everything after is
+    * bounded. */
+  def stratEffect(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nat"),
+        (col("c_mktsegment") === "BUILDING").as("treat"))
+    val cells = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .join(broadcast(cust), Seq("ck"))
+      .groupBy(col("nat"), col("treat"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val strata = cells // bounded ≤ 50 cells
+      .groupBy(col("nat"))
+      .agg(sum(when(col("treat"), col("n"))).as("n_t"),
+        sum(when(col("treat"), col("s"))).as("s_t"),
+        sum(when(!col("treat"), col("n"))).as("n_c"),
+        sum(when(!col("treat"), col("s"))).as("s_c"))
+      .filter(col("n_t").isNotNull && col("n_c").isNotNull)
+      .withColumn("n_s", col("n_t") + col("n_c"))
+    val tot = strata.agg(sum(col("n_s")).as("nn"),
+      count(lit(1)).as("n_strata_used"))
+    strata.crossJoin(broadcast(tot))
+      // term_e4 = per-stratum weighted diff in 1e-4 dollars; the diff
+      // can be NEGATIVE, and Spark's div truncates where DuckDB's //
+      // floors — so the quotient is positive-shifted by OFF = 10¹³
+      // before the nearest-int floor div and shifted back (the q282
+      // seasonal-mean idiom); |term_e4| ≪ 10¹³ at any plausible SF
+      .withColumn("term_e4",
+        expr("(2 * CAST(n_s AS DECIMAL(38,0)) * " +
+          "(CAST(s_t AS DECIMAL(38,0)) * n_c - " +
+          "CAST(s_c AS DECIMAL(38,0)) * n_t) * 100 + " +
+          "CAST(nn AS DECIMAL(38,0)) * n_t * n_c + " +
+          "2 * CAST(10000000000000 AS DECIMAL(38,0)) * nn * n_t * n_c)" +
+          " div (2 * CAST(nn AS DECIMAL(38,0)) * n_t * n_c)" +
+          " - 10000000000000"))
+      .groupBy(col("nn"), col("n_strata_used"))
+      .agg(sum(col("term_e4")).as("ate_e4"))
+      .select(col("nn").as("n_orders_used"), col("n_strata_used"),
+        col("ate_e4"),
+        (round(col("ate_e4").cast("double") / 10000.0, 6) + lit(0.0))
+          .as("ate_dollars_r"))
+  }
+
+  /** Welch's unequal-variance t-test on order value, BUILDING-segment
+    * customers vs the rest (Welch, Biometrika 1947 — the two-sample
+    * significance test every A/B readout ends with; unlike Student's t
+    * it does not assume equal variances, which real revenue metrics
+    * never satisfy). Sufficient statistics are exact integers (n, Σy,
+    * Σy² per arm in ONE partial-agg'd pass; Σy² rides decimal(38)/
+    * HUGEINT), and t, the Welch–Satterthwaite df and the verdict are
+    * ONE shared fixed-order double expression over those integers
+    * ([[welchSql]], spliced into both engines — the q279 discipline).
+    * Sample variance uses the exact centered form n·Σy² − (Σy)² over
+    * n·(n−1). */
+  def welchT(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"),
+        (col("c_mktsegment") === "BUILDING").as("treat"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .join(broadcast(cust), Seq("ck"))
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("treat"), col("cents")).otherwise(0L)).as("s1"),
+        sum(when(col("treat"), col("cents").cast("decimal(38,0)") *
+          col("cents")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("q1"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("treat"), col("cents")).otherwise(0L)).as("s2"),
+        sum(when(!col("treat"), col("cents").cast("decimal(38,0)") *
+          col("cents")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("q2"))
+      .select(col("n1"), col("n2"),
+        expr(s"round($meanDiffSql, 6) + 0.0").as("mean_diff_dollars_r"),
+        expr(s"round($welchTSql, 6) + 0.0").as("t_r"),
+        expr(s"round($welchDfSql, 6) + 0.0").as("df_r"),
+        expr(s"CASE WHEN abs($welchTSql) > 2.576 THEN 'significant_99'" +
+          s" WHEN abs($welchTSql) > 1.96 THEN 'significant_95'" +
+          s" ELSE 'not_significant' END").as("verdict"))
+  }
+
+  /** Shared Welch fragments (both engines splice these verbatim):
+    * va = per-arm sample variance over cents, t, df. */
+  private def varSql(n: String, s: String, q: String): String =
+    s"((CAST($n AS DOUBLE) * CAST($q AS DOUBLE) - " +
+      s"CAST($s AS DOUBLE) * CAST($s AS DOUBLE)) / " +
+      s"(CAST($n AS DOUBLE) * ($n - 1)))"
+  private def meanDiffSql: String =
+    "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0"
+  private def seSql: String =
+    s"sqrt(${varSql("n1", "s1", "q1")} / n1 + " +
+      s"${varSql("n2", "s2", "q2")} / n2)"
+  private def welchTSql: String =
+    s"((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / $seSql)"
+  private def welchDfSql: String =
+    s"(pow(${varSql("n1", "s1", "q1")} / n1 + " +
+      s"${varSql("n2", "s2", "q2")} / n2, 2) / " +
+      s"(pow(${varSql("n1", "s1", "q1")} / n1, 2) / (n1 - 1) + " +
+      s"pow(${varSql("n2", "s2", "q2")} / n2, 2) / (n2 - 1)))"
+
   /** The (n_l, p_l | nt, pt) split-gain CASE, spliced verbatim into
     * BOTH engines (q279's shared-fragment discipline) by [[treeDepth2]]
     * and its oracle — the IEEE sequence is identical by construction. */
@@ -1180,6 +1298,72 @@ object MlEval {
         |  round(CAST(sum(CAST(p AS HUGEINT) * prec_ppb) AS DOUBLE) /
         |    (CAST(sum(p) AS DOUBLE) * 1e9), 6) + 0.0 AS ap_r
         |FROM terms""".stripMargin),
+    Q("q305_strat_effect", stratEffect _,
+      """WITH cells AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS nat,
+        |    c.c_mktsegment = 'BUILDING' AS treat,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |strata AS (
+        |  SELECT nat,
+        |    CAST(sum(CASE WHEN treat THEN n END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN treat THEN s END) AS BIGINT) AS s_t,
+        |    CAST(sum(CASE WHEN NOT treat THEN n END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN NOT treat THEN s END) AS BIGINT) AS s_c
+        |  FROM cells GROUP BY 1
+        |  HAVING sum(CASE WHEN treat THEN n END) IS NOT NULL
+        |    AND sum(CASE WHEN NOT treat THEN n END) IS NOT NULL),
+        |st2 AS (SELECT *, n_t + n_c AS n_s FROM strata),
+        |tot AS (
+        |  SELECT CAST(sum(n_s) AS BIGINT) AS nn,
+        |    count(*) AS n_strata_used FROM st2),
+        |terms AS (
+        |  SELECT nn, n_strata_used,
+        |    (2 * CAST(n_s AS HUGEINT) *
+        |      (CAST(s_t AS HUGEINT) * n_c - CAST(s_c AS HUGEINT) * n_t)
+        |      * 100 + CAST(nn AS HUGEINT) * n_t * n_c +
+        |      2 * CAST(10000000000000 AS HUGEINT) * nn * n_t * n_c) //
+        |      (2 * CAST(nn AS HUGEINT) * n_t * n_c)
+        |      - 10000000000000 AS term_e4
+        |  FROM st2, tot)
+        |SELECT nn AS n_orders_used, n_strata_used,
+        |  CAST(sum(term_e4) AS BIGINT) AS ate_e4,
+        |  round(CAST(sum(term_e4) AS DOUBLE) / 10000.0, 6) + 0.0
+        |    AS ate_dollars_r
+        |FROM terms GROUP BY 1, 2""".stripMargin),
+    Q("q306_welch_t", welchT _,
+      s"""WITH st AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN
+        |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0
+        |      END) AS BIGINT) AS s1,
+        |    sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN
+        |      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      AS HUGEINT) * CAST(floor(o_totalprice * 100 + 0.5)
+        |      AS BIGINT) ELSE 0 END) AS q1,
+        |    CAST(sum(CASE WHEN c.c_mktsegment <> 'BUILDING' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN c.c_mktsegment <> 'BUILDING' THEN
+        |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0
+        |      END) AS BIGINT) AS s2,
+        |    sum(CASE WHEN c.c_mktsegment <> 'BUILDING' THEN
+        |      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      AS HUGEINT) * CAST(floor(o_totalprice * 100 + 0.5)
+        |      AS BIGINT) ELSE 0 END) AS q2
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+        |SELECT n1, n2,
+        |  round($meanDiffSql, 6) + 0.0 AS mean_diff_dollars_r,
+        |  round($welchTSql, 6) + 0.0 AS t_r,
+        |  round($welchDfSql, 6) + 0.0 AS df_r,
+        |  CASE WHEN abs($welchTSql) > 2.576 THEN 'significant_99'
+        |       WHEN abs($welchTSql) > 1.96 THEN 'significant_95'
+        |       ELSE 'not_significant' END AS verdict
+        |FROM st""".stripMargin),
     Q("q297_did", did _,
       s"""WITH cells AS (
         |  SELECT c.c_mktsegment = 'BUILDING' AS treat,

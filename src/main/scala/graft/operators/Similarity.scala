@@ -869,7 +869,99 @@ object Similarity {
         expr("ok * 1000000 div tot").as("accuracy_ppm"))
   }
 
+  /** Johnson–Lindenstrauss random projection 64 → 16 with the
+    * database-friendly ±1 sign matrix (Achlioptas, JCSS 2003; the JL
+    * lemma 1984) plus the distortion audit that justifies serving ANN
+    * from the compressed vectors. Exactness discipline: vectors land on
+    * the q48 1000-grid FIRST, and the sign matrix is ±1, so every
+    * projected coordinate is an exact INTEGER sum — order-free under
+    * any partitioning (a float projection would be partial-agg
+    * order-dependent and could never hash-match). The sign matrix is
+    * data-free portable hash (md5 parity over (j, d) — 1024 broadcast
+    * rows derived identically in both engines); projection is ONE
+    * explode → broadcast-join → partial-agg pass, linear in the corpus
+    * with no shuffle wider than (vec, 16). The audit computes, for a
+    * bounded 20×50 query–candidate grid, the squared-distance ratio
+    * proj²/(16·orig²) whose expectation is 1 under JL — the check a
+    * pipeline runs before swapping raw vectors for projected ones in
+    * q38/q245. Identical-vector pairs (orig² = 0 — this table DOES
+    * carry exact duplicates, q37/q288) yield NULL by the shared CASE
+    * guard. */
+  def rpJl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val eq = t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding"))
+        .as(Seq("d0", "x")))
+      .select(col("vec_id"), (col("d0") + 1).as("d"),
+        expr("CAST(floor(1000.0 * CAST(x AS DOUBLE) + 0.5) AS BIGINT)")
+          .as("xq"))
+    val signs = spark.range(0, 16).toDF("j")
+      .crossJoin(spark.range(1, 65).toDF("d"))
+      .select(col("j"), col("d"),
+        when(TextOps.portableHash(concat(lit("jl:"),
+          col("j").cast("string"), lit(":"), col("d").cast("string")))
+          % 2 === 0, 1L).otherwise(-1L).as("s"))
+    val proj = eq.join(broadcast(signs), Seq("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("s") * col("xq")).as("p"))
+    val qd = eq.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("d"), col("xq").as("xa"))
+    val cd = eq.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .select(col("vec_id").as("c_id"), col("d"), col("xq").as("xb"))
+    val orig = qd.join(cd, Seq("d"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum((col("xa") - col("xb")) * (col("xa") - col("xb")))
+        .as("orig_d2"))
+    val qp = proj.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("j"), col("p").as("pa"))
+    val cp = proj.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .select(col("vec_id").as("c_id"), col("j"), col("p").as("pb"))
+    val pd = qp.join(cp, Seq("j"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum((col("pa") - col("pb")) * (col("pa") - col("pb")))
+        .as("proj_d2"))
+    orig.join(pd, Seq("q_id", "c_id"))
+      .select(col("q_id"), col("c_id"), col("orig_d2"), col("proj_d2"),
+        expr("CASE WHEN orig_d2 = 0 THEN NULL ELSE " +
+          "round(CAST(proj_d2 AS DOUBLE) / (16.0 * orig_d2), 6) + 0.0" +
+          " END").as("ratio_r"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q303_rp_jl", rpJl _,
+      """WITH eq AS (
+         |  SELECT vec_id, d.i AS d,
+         |    CAST(floor(1000.0 * CAST(embedding[d.i] AS DOUBLE) + 0.5)
+         |      AS BIGINT) AS xq
+         |  FROM embeddings, range(1, 65) d(i)),
+         |signs AS (
+         |  SELECT j.a AS j, d.i AS d,
+         |    CASE WHEN ('0x' || substr(md5('jl:' ||
+         |      CAST(j.a AS VARCHAR) || ':' || CAST(d.i AS VARCHAR)),
+         |      1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM range(0, 16) j(a), range(1, 65) d(i)),
+         |proj AS (
+         |  SELECT vec_id, j, CAST(sum(s * xq) AS BIGINT) AS p
+         |  FROM eq JOIN signs USING (d) GROUP BY 1, 2),
+         |orig AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    CAST(sum((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT)
+         |      AS orig_d2
+         |  FROM eq a JOIN eq b ON a.d = b.d
+         |  WHERE a.vec_id < 20 AND b.vec_id >= 100 AND b.vec_id < 150
+         |  GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    CAST(sum((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS proj_d2
+         |  FROM proj a JOIN proj b ON a.j = b.j
+         |  WHERE a.vec_id < 20 AND b.vec_id >= 100 AND b.vec_id < 150
+         |  GROUP BY 1, 2)
+         |SELECT o.q_id, o.c_id, o.orig_d2, p.proj_d2,
+         |  CASE WHEN o.orig_d2 = 0 THEN NULL ELSE
+         |    round(CAST(p.proj_d2 AS DOUBLE) / (16.0 * o.orig_d2), 6)
+         |    + 0.0 END AS ratio_r
+         |FROM orig o JOIN pd p
+         |  ON p.q_id = o.q_id AND p.c_id = o.c_id""".stripMargin),
     Q("q296_knn_eval", knnEval _,
       s"""WITH e AS (
          |  SELECT vec_id, embedding, label,

@@ -1453,4 +1453,33 @@ class AnalyticsSpec extends SparkSpec {
     // pin the SHAPE: symmetric axis, every lag computed
     assert(out.length === 13)
   }
+
+  test("seq pairs: ordered-pattern support equals a sequential " +
+      "first/last fold per user") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_type", "CAST(ts AS LONG) AS sec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ut = ev.groupBy(e => (e._1, e._2)).map { case ((u, t), xs) =>
+      (u, t, xs.map(_._3).min, xs.map(_._3).max) }
+    val byUser = ut.groupBy(_._1)
+    val nu = byUser.size.toLong
+    val exp = scala.collection.mutable
+      .Map.empty[(String, String), (Long, Long)].withDefaultValue((0L, 0L))
+    byUser.values.foreach { ts =>
+      for (a <- ts; b <- ts if a._2 != b._2) {
+        val k = (a._2, b._2)
+        val (both, sup) = exp(k)
+        exp(k) = (both + 1, sup + (if (a._3 < b._4) 1L else 0L))
+      }
+    }
+    val got = Analytics.seqPairs(spark, sf).collect()
+      .map(r => (r.getAs[String]("t_a"), r.getAs[String]("t_b")) ->
+        (r.getAs[Long]("n_both"), r.getAs[Long]("n_support"),
+          r.getAs[Long]("support_ppm"), r.getAs[Long]("conf_ppm"))).toMap
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (k, (both, sup)) =>
+      assert(got(k) === ((both, sup, sup * 1000000L / nu,
+        sup * 1000000L / both)), k)
+    }
+  }
 }

@@ -727,4 +727,73 @@ class MlEvalSpec extends SparkSpec {
     // of signal, not manufacture some
     assert(r2 < 0.01)
   }
+
+  private def orderArms(): Array[(Long, Boolean, Long)] = {
+    val seg = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey").cast("long"),
+        col("c_mktsegment"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map { r =>
+        val (nat, s) = seg(r.getLong(0))
+        (nat, s == "BUILDING", r.getLong(1))
+      }
+  }
+
+  test("stratified effect: per-stratum quantized terms equal a BigInt " +
+      "fold with the positive-shifted nearest-int division") {
+    val rows = orderArms()
+    val strata = rows.groupBy(_._1).flatMap { case (nat, xs) =>
+      val t = xs.filter(_._2); val c = xs.filterNot(_._2)
+      if (t.isEmpty || c.isEmpty) None
+      else Some((nat, t.length.toLong, t.map(_._3).sum,
+        c.length.toLong, c.map(_._3).sum))
+    }.toSeq
+    val nn = strata.map(s => s._2 + s._4).sum
+    val off = BigInt("10000000000000")
+    val terms = strata.map { case (_, nt, st, ncc, sc) =>
+      val ns = BigInt(nt + ncc)
+      val num = 2 * ns * (BigInt(st) * ncc - BigInt(sc) * nt) * 100 +
+        BigInt(nn) * nt * ncc + 2 * off * nn * nt * ncc
+      val den = 2 * BigInt(nn) * nt * ncc
+      // num is positive by the shift, so floorDiv == truncation
+      num / den - off
+    }
+    val ate = terms.sum
+    val got = operators.MlEval.stratEffect(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_orders_used") === nn)
+    assert(got.getAs[Long]("n_strata_used") === strata.length.toLong)
+    assert(got.getAs[Long]("ate_e4") === ate.toLong)
+  }
+
+  test("welch t: statistic, df and verdict equal a driver-side " +
+      "recompute from the exact sufficient statistics") {
+    val rows = orderArms()
+    val a = rows.filter(_._2).map(_._3)
+    val b = rows.filterNot(_._2).map(_._3)
+    def stats(x: Array[Long]) = {
+      val n = x.length.toDouble
+      val s = x.map(BigInt(_)).sum
+      val q = x.map(v => BigInt(v) * v).sum
+      val v = (n * BigDecimal(q).toDouble -
+        BigDecimal(s).toDouble * BigDecimal(s).toDouble) / (n * (n - 1))
+      (n, BigDecimal(s).toDouble, v)
+    }
+    val (n1, s1, v1) = stats(a)
+    val (n2, s2, v2) = stats(b)
+    val t = (s1 / n1 - s2 / n2) / math.sqrt(v1 / n1 + v2 / n2)
+    val df = math.pow(v1 / n1 + v2 / n2, 2) /
+      (math.pow(v1 / n1, 2) / (n1 - 1) + math.pow(v2 / n2, 2) / (n2 - 1))
+    val got = operators.MlEval.welchT(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n1") === a.length.toLong)
+    assert(got.getAs[Long]("n2") === b.length.toLong)
+    assert(math.abs(got.getAs[Double]("t_r") - t) < 1e-4)
+    assert(math.abs(got.getAs[Double]("df_r") - df) < df * 1e-6 + 1e-4)
+    val verdict = if (math.abs(t) > 2.576) "significant_99"
+      else if (math.abs(t) > 1.96) "significant_95" else "not_significant"
+    assert(got.getAs[String]("verdict") === verdict)
+  }
 }

@@ -302,4 +302,50 @@ class VectorSpec extends SparkSpec {
     rowsOut.foreach(r =>
       assert(r.getAs[Long]("accuracy_ppm") === ok * 1000000L / tot))
   }
+
+  test("rp jl: integer-grid signed projection and the distortion audit " +
+      "equal a driver-side recompute; mean ratio is near 1") {
+    import graft.operators.Similarity
+    def h32(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val sign = Array.tabulate(16, 64) { (j, d0) =>
+      if (h32(s"jl:$j:${d0 + 1}") % 2 == 0) 1L else -1L }
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray
+        .map(x => math.floor(1000.0 * x.toDouble + 0.5).toLong)).toMap
+    def proj(v: Array[Long]): Array[Long] =
+      Array.tabulate(16)(j =>
+        (0 until 64).map(d => sign(j)(d) * v(d)).sum)
+    val got = Similarity.rpJl(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) ->
+        (r.getAs[Long]("orig_d2"), r.getAs[Long]("proj_d2"),
+          Option(r.getAs[java.lang.Double]("ratio_r")))).toMap
+    val qs = vecs.keys.filter(_ < 20).toSeq.sorted
+    val cs = vecs.keys.filter(id => id >= 100 && id < 150).toSeq.sorted
+    assert(got.size === qs.size * cs.size)
+    var ratios = List.empty[Double]
+    for (q <- qs; c <- cs) {
+      val od2 = (0 until 64)
+        .map(d => { val t = vecs(q)(d) - vecs(c)(d); t * t }).sum
+      val (pq, pc) = (proj(vecs(q)), proj(vecs(c)))
+      val pd2 = (0 until 16)
+        .map(j => { val t = pq(j) - pc(j); t * t }).sum
+      val (god2, gpd2, gr) = got((q, c))
+      assert(god2 === od2, s"($q,$c)"); assert(gpd2 === pd2, s"($q,$c)")
+      if (od2 == 0) assert(gr.isEmpty, s"($q,$c)")
+      else {
+        val expect = BigDecimal(pd2.toDouble / (16.0 * od2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        assert(math.abs(gr.get - expect) < 1e-9, s"($q,$c)")
+        ratios ::= gr.get
+      }
+    }
+    // JL: the mean distortion over 1000 pairs concentrates near 1
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean")
+  }
 }
