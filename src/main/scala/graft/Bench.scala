@@ -102,7 +102,8 @@ object Bench {
         // q256's r11 ×1.16 flag and this round's ×1.17/isolated-4.9s
         // were exactly that, not code
         "q256_modularity", "q259_clustering_coeff", "q285_next_item_eval",
-        "q291_link_prediction", "q301_ndcg", "q302_mrr"))
+        "q291_link_prediction", "q301_ndcg", "q302_mrr",
+        "q307_rec_coverage"))
     def runStage(sname: String): Unit = sname match {
       case "stage_cc_labels" =>
         graft.operators.Dedup.materializeLabels(spark, sfDir)

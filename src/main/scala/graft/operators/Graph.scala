@@ -1066,7 +1066,124 @@ object Graph {
           .as("mean_ndcg_r"))
   }
 
+  /** Catalog coverage and exposure concentration of the q285
+    * recommender (Adomavicius & Kwon, TKDE 2012 — "aggregate
+    * diversity": accuracy metrics alone reward popularity bias; a
+    * recommender that only ever shows the same few items has high
+    * hit-rate and no catalog value). From the same top-3 lists:
+    * coverage_ppm = distinct recommended parts over the purchasable
+    * catalog (parts appearing in any basket), and top_share_ppm = the
+    * share of all recommendation SLOTS taken by the top-1% most
+    * recommended parts (k = max(1, distinct/100), deterministic
+    * (count, part) order) — the popularity-concentration readout. The
+    * exposure relation is dimension-bounded (≤ |parts|), so its window
+    * is the collapse-then-window house shape; support-2 stage's 15th
+    * consumer. */
+  def recCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("o_orderdate").desc, col("ok").desc)
+    val ranked = t(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+        col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val baskets = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .cutLineage() // feeds the query side AND the catalog size
+    val query = ranked.filter(col("rn") === 2).join(baskets, Seq("ok"))
+      .select(col("cust"), col("pk").as("qp"))
+    val pairs = support2Pairs(spark, dir)
+    val sym = pairs
+      .select(col("u").as("a"), col("v").as("b"), col("pair_n"))
+      .unionByName(pairs
+        .select(col("v").as("a"), col("u").as("b"), col("pair_n")))
+    val wTop = Window.partitionBy(col("cust"))
+      .orderBy(col("score").desc, col("b").asc)
+    val top3 = query.join(sym, col("qp") === col("a"))
+      .groupBy(col("cust"), col("b")).agg(sum(col("pair_n")).as("score"))
+      .withColumn("trn", row_number().over(wTop))
+      .filter(col("trn") <= 3)
+    val expo = top3.groupBy(col("b")).agg(count(lit(1)).as("n_rec"))
+      .cutLineage() // dimension-bounded; feeds totals AND the top slice
+    val tot = expo.agg(count(lit(1)).as("n_rec_distinct"),
+      sum(col("n_rec")).as("total_slots"))
+    val nCust = top3.select(col("cust")).distinct()
+      .agg(count(lit(1)).as("n_customers"))
+    val cat = baskets.agg(countDistinct(col("pk")).as("n_catalog"))
+    val wE = Window.orderBy(col("n_rec").desc, col("b").asc)
+    val topShare = expo.crossJoin(broadcast(tot))
+      .withColumn("r", row_number().over(wE))
+      .filter(col("r") <= greatest(lit(1L),
+        expr("n_rec_distinct div 100")))
+      .agg(sum(col("n_rec")).as("top_slots"),
+        max(expr("greatest(1, n_rec_distinct div 100)")).as("k"))
+    nCust.crossJoin(broadcast(tot)).crossJoin(broadcast(cat))
+      .crossJoin(broadcast(topShare))
+      .select(col("n_customers"), col("total_slots"),
+        col("n_rec_distinct"), col("n_catalog"), col("k"),
+        expr("n_rec_distinct * 1000000 div n_catalog")
+          .as("coverage_ppm"),
+        expr("top_slots * 1000000 div total_slots").as("top_share_ppm"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q307_rec_coverage", recCoverage _,
+      """WITH ranked AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS pair_n
+        |  FROM baskets a JOIN baskets b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT u AS a, v AS b, pair_n FROM pairs
+        |  UNION ALL
+        |  SELECT v, u, pair_n FROM pairs),
+        |query AS (
+        |  SELECT r.cust, bk.pk AS qp
+        |  FROM ranked r JOIN baskets bk ON bk.ok = r.ok
+        |  WHERE r.rn = 2),
+        |scores AS (
+        |  SELECT q.cust, s.b, CAST(sum(s.pair_n) AS BIGINT) AS score
+        |  FROM query q JOIN sym s ON q.qp = s.a
+        |  GROUP BY 1, 2),
+        |top3 AS (
+        |  SELECT cust, b FROM (
+        |    SELECT cust, b, row_number() OVER (PARTITION BY cust
+        |      ORDER BY score DESC, b ASC) AS trn
+        |    FROM scores) WHERE trn <= 3),
+        |expo AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS n_rec
+        |  FROM top3 GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rec_distinct,
+        |    CAST(sum(n_rec) AS BIGINT) AS total_slots FROM expo),
+        |ncust AS (
+        |  SELECT CAST(count(DISTINCT cust) AS BIGINT) AS n_customers
+        |  FROM top3),
+        |cat AS (
+        |  SELECT CAST(count(DISTINCT pk) AS BIGINT) AS n_catalog
+        |  FROM baskets),
+        |tops AS (
+        |  SELECT CAST(sum(n_rec) AS BIGINT) AS top_slots,
+        |    CAST(max(greatest(1, n_rec_distinct // 100)) AS BIGINT)
+        |      AS k
+        |  FROM (
+        |    SELECT n_rec, n_rec_distinct,
+        |      row_number() OVER (ORDER BY n_rec DESC, b ASC) AS r
+        |    FROM expo, tot)
+        |  WHERE r <= greatest(1, n_rec_distinct // 100))
+        |SELECT n_customers, total_slots, n_rec_distinct, n_catalog, k,
+        |  n_rec_distinct * 1000000 // n_catalog AS coverage_ppm,
+        |  top_slots * 1000000 // total_slots AS top_share_ppm
+        |FROM ncust, tot, cat, tops""".stripMargin),
     Q("q301_ndcg", ndcgEval _,
       """WITH ranked AS (
         |  SELECT o_custkey AS cust, o_orderkey AS ok,

@@ -889,6 +889,71 @@ object MlEval {
       s"(pow(${varSql("n1", "s1", "q1")} / n1, 2) / (n1 - 1) + " +
       s"pow(${varSql("n2", "s2", "q2")} / n2, 2) / (n2 - 1)))"
 
+  /** Two-sided normal p-value fragment p = erfc(|z|/√2) via the
+    * Abramowitz & Stegun 7.1.26 rational approximation (|err| < 1.5e-7
+    * — far finer than the round-6 output grid), spliced VERBATIM into
+    * both engines: exp/mul/div only, one fixed IEEE order. `z` must be
+    * an SQL sub-expression yielding the z statistic. */
+  private def pTwoSidedSql(z: String): String = {
+    val x = s"(abs($z) / 1.4142135623730951)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"((((((1.061405429 * $t - 1.453152027) * $t) + 1.421413741) * $t" +
+      s" - 0.284496736) * $t + 0.254829592) * $t * exp(-($x) * ($x)))"
+  }
+
+  /** Per-nation two-proportion z against the pooled rest — shared
+    * verbatim by [[bhFdr]] and its oracle (identifiers n, c, nt, ct). */
+  private def bhZSql: String =
+    "((CAST(c AS DOUBLE) / n - " +
+      "CAST(ct - c AS DOUBLE) / (nt - n)) / " +
+      "sqrt((CAST(ct AS DOUBLE) / nt) * (1.0 - CAST(ct AS DOUBLE) / nt)" +
+      " * (1.0 / n + 1.0 / (nt - n))))"
+
+  /** Benjamini–Hochberg FDR control across the per-nation conversion
+    * tests (Benjamini & Hochberg, JRSS-B 1995 — the multiple-testing
+    * step-up every metrics platform runs when one experiment reads out
+    * dozens of segments: per-comparison α inflates the family-wise
+    * false-discovery rate). Per nation, the two-proportion z of the
+    * nation's high-value-order rate against the pooled rest (exact
+    * integer counts in ONE dim-join partial agg; z one fixed-order
+    * double), p from the shared [[pTwoSidedSql]] fragment, then the
+    * step-up on the BOUNDED 25-row relation: sort by (rounded p,
+    * nation), k* = max{i : p_(i) ≤ i·α/m}, reject ranks ≤ k*. Data-free
+    * constants; both engines execute the identical IEEE sequence, so
+    * verdicts are bit-portable. This corpus draws nations iid — the
+    * honest expectation the gate pins is few-to-zero rejections. */
+  def bhFdr(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nat"))
+    val cells = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        (col("o_totalprice") >= 300000.0).as("hv"))
+      .join(broadcast(cust), Seq("ck"))
+      .groupBy(col("nat"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hv"), 1L).otherwise(0L)).as("c"))
+      .cutLineage() // bounded 25 rows; feeds totals AND the tests
+    val tot = cells.agg(sum(col("n")).as("nt"), sum(col("c")).as("ct"),
+      count(lit(1)).as("m"))
+    val zSql = bhZSql
+    val scored = cells.crossJoin(broadcast(tot))
+      .select(col("nat"), col("n"), col("c"), col("m"),
+        (round(expr(zSql), 6) + lit(0.0)).as("z_r"),
+        (round(expr(pTwoSidedSql(zSql)), 6) + lit(0.0)).as("p_r"))
+    val wP = Window.orderBy(col("p_r").asc, col("nat").asc)
+    val wAll = Window.partitionBy()
+    scored // bounded 25 rows: the windows are the house collapse shape
+      .withColumn("i", row_number().over(wP))
+      .withColumn("kstar",
+        max(when(col("p_r") <= col("i").cast("double") * 0.05 /
+          col("m"), col("i"))).over(wAll))
+      .select(col("nat").as("c_nationkey"), col("n"), col("c"),
+        col("z_r"), col("p_r"), col("i"),
+        (col("kstar").isNotNull && col("i") <= col("kstar"))
+          .as("bh_reject"))
+  }
+
   /** The (n_l, p_l | nt, pt) split-gain CASE, spliced verbatim into
     * BOTH engines (q279's shared-fragment discipline) by [[treeDepth2]]
     * and its oracle — the IEEE sequence is identical by construction. */
@@ -1298,6 +1363,33 @@ object MlEval {
         |  round(CAST(sum(CAST(p AS HUGEINT) * prec_ppb) AS DOUBLE) /
         |    (CAST(sum(p) AS DOUBLE) * 1e9), 6) + 0.0 AS ap_r
         |FROM terms""".stripMargin),
+    Q("q308_bh_fdr", bhFdr _,
+      s"""WITH cust AS (
+        |  SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer),
+        |cells AS (
+        |  SELECT nat, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice >= 300000.0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c
+        |  FROM orders o JOIN cust ON cust.ck = o.o_custkey
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(c) AS BIGINT) AS ct, count(*) AS m FROM cells),
+        |scored AS (
+        |  SELECT nat, n, c, m,
+        |    round($bhZSql, 6) + 0.0 AS z_r,
+        |    round(${pTwoSidedSql(bhZSql)}, 6) + 0.0 AS p_r
+        |  FROM cells, tot),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY p_r ASC, nat ASC) AS i
+        |  FROM scored),
+        |ks AS (
+        |  SELECT max(CASE WHEN p_r <= CAST(i AS DOUBLE) * 0.05 / m
+        |    THEN i END) AS kstar FROM rk)
+        |SELECT nat AS c_nationkey, n, c, z_r, p_r, CAST(i AS INT) AS i,
+        |  (kstar IS NOT NULL AND i <= kstar) AS bh_reject
+        |FROM rk, ks""".stripMargin),
     Q("q305_strat_effect", stratEffect _,
       """WITH cells AS (
         |  SELECT CAST(c.c_nationkey AS BIGINT) AS nat,

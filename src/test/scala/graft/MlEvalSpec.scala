@@ -796,4 +796,51 @@ class MlEvalSpec extends SparkSpec {
       else if (math.abs(t) > 1.96) "significant_95" else "not_significant"
     assert(got.getAs[String]("verdict") === verdict)
   }
+
+  test("bh fdr: z, approximate p and the step-up verdicts equal a " +
+      "sequential recompute; rejections respect the rank cutoff") {
+    val natOf = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_totalprice >= 300000.0")
+      .collect().map(r => (natOf(r.getLong(0)), r.getBoolean(1)))
+    val cells = rows.groupBy(_._1).map { case (nat, xs) =>
+      (nat, xs.length.toLong, xs.count(_._2).toLong) }.toSeq
+    val nt = cells.map(_._2).sum
+    val ct = cells.map(_._3).sum
+    val m = cells.length
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    def pTwo(z: Double): Double = {
+      val x = math.abs(z) / 1.4142135623730951
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+        - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+    }
+    val scored = cells.map { case (nat, n, c) =>
+      val p0 = ct.toDouble / nt
+      val z = (c.toDouble / n - (ct - c).toDouble / (nt - n)) /
+        math.sqrt(p0 * (1.0 - p0) * (1.0 / n + 1.0 / (nt - n)))
+      (nat, n, c, round6(z), round6(pTwo(z)))
+    }.sortBy { case (nat, _, _, _, p) => (p, nat) }
+    val ks = scored.zipWithIndex.collect {
+      case ((_, _, _, _, p), idx) if p <= (idx + 1).toDouble * 0.05 / m
+        => idx + 1 }
+    val kstar = if (ks.isEmpty) None else Some(ks.max)
+    val got = operators.MlEval.bhFdr(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c"), r.getAs[Double]("z_r"),
+          r.getAs[Double]("p_r"), r.getAs[Int]("i"),
+          r.getAs[Boolean]("bh_reject"))).toMap
+    assert(got.size === m)
+    scored.zipWithIndex.foreach { case ((nat, n, c, z, p), idx) =>
+      val (gn, gc, gz, gp, gi, grej) = got(nat)
+      assert(gn === n, nat); assert(gc === c, nat)
+      assert(math.abs(gz - z) < 2e-6, nat)
+      assert(math.abs(gp - p) < 2e-6, nat)
+      assert(gi === idx + 1, nat)
+      assert(grej === kstar.exists(idx + 1 <= _), nat)
+    }
+  }
 }

@@ -1484,4 +1484,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("mean_ndcg_ppm") === sumN / nc)
     assert(row.getAs[Long]("n_perfect") === nPerf)
   }
+
+  test("rec coverage: catalog coverage and top-share concentration " +
+      "equal a sequential recompute of the exposure census") {
+    import graft.operators.Graph
+    val row = Graph.recCoverage(spark, sf).collect()(0)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(o_orderdate AS TIMESTAMP_LTZ) AS t")
+      .selectExpr("o_custkey", "o_orderkey", "CAST(t AS LONG) AS sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ok, ps) => ok -> ps.map(_._2).toSet }
+    val pairN = scala.collection.mutable
+      .Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    baskets.values.foreach { ps =>
+      val s = ps.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        pairN((s(i), s(j))) += 1
+    }
+    val sym = pairN.toSeq.filter(_._2 >= 2).flatMap { case ((u, v), n) =>
+      Seq((u, v, n), (v, u, n)) }.groupBy(_._1)
+    val expo = scala.collection.mutable
+      .Map.empty[Long, Long].withDefaultValue(0L)
+    var nCust = 0L
+    orders.groupBy(_._1).foreach { case (_, os) =>
+      if (os.length >= 2) {
+        val sorted = os.sortBy(o => (-o._3, -o._2))
+        val qps = baskets.getOrElse(sorted(1)._2, Set.empty)
+        val scores = qps.toSeq.flatMap(q => sym.getOrElse(q, Nil))
+          .groupBy(_._2).map { case (b, xs) => (b, xs.map(_._3).sum) }
+        val top3 = scores.toSeq.sortBy { case (b, s) => (-s, b) }
+          .take(3).map(_._1)
+        if (top3.nonEmpty) {
+          nCust += 1
+          top3.foreach(b => expo(b) += 1)
+        }
+      }
+    }
+    val nDistinct = expo.size.toLong
+    val slots = expo.values.sum
+    val catalogN = baskets.values.flatten.toSet.size.toLong
+    val k = math.max(1L, nDistinct / 100)
+    val topSlots = expo.toSeq.sortBy { case (b, n) => (-n, b) }
+      .take(k.toInt).map(_._2).sum
+    assert(row.getAs[Long]("n_customers") === nCust)
+    assert(row.getAs[Long]("total_slots") === slots)
+    assert(row.getAs[Long]("n_rec_distinct") === nDistinct)
+    assert(row.getAs[Long]("n_catalog") === catalogN)
+    assert(row.getAs[Long]("k") === k)
+    assert(row.getAs[Long]("coverage_ppm") ===
+      nDistinct * 1000000L / catalogN)
+    assert(row.getAs[Long]("top_share_ppm") ===
+      topSlots * 1000000L / slots)
+  }
 }
