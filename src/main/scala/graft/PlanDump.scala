@@ -222,7 +222,32 @@ object PlanDump {
         ("incremental index append: frozen quantizer broadcast to the " +
           "delta's one narrow assignment pass (probe argmax + argmin " +
           "codes), code union, serving tail unchanged — ingest scales " +
-          "with the delta, never the corpus"))
+          "with the delta, never the corpus"),
+      "q291_link_prediction" ->
+        ("link prediction: wedge self-join on the shared support-2 " +
+          "stage, partial-agg'd cn/ra rollup, one anti-join against " +
+          "existing edges, two bounded degree joins, " +
+          "TakeOrderedAndProject top-20 — no global sort"),
+      "q293_pr_auc" ->
+        ("PR AUC: corpus collapses to the bounded score-group " +
+          "relation first (partial-agg'd), single bounded window, " +
+          "ppb quantization then one decimal-sum aggregate"),
+      "q294_tree_depth2" ->
+        ("depth-2 tree: ONE corpus pass to the 64x50 contingency " +
+          "(partial agg), checkpointed; root and child split " +
+          "enumerations are joins over bounded marginals only"),
+      "q296_knn_eval" ->
+        ("kNN eval: brute-force audit join at gate scale (swap for " +
+          "the q289 probe at 100 TB), bounded per-query vote window, " +
+          "bounded confusion rollup"),
+      "q303_rp_jl" ->
+        ("JL projection: explode + 1024-row broadcast sign join + " +
+          "integer partial agg (order-free), bounded 20x50 audit " +
+          "joins; no float accumulation anywhere"),
+      "q308_bh_fdr" ->
+        ("BH step-up: one dim-join partial agg to 25 cells, " +
+          "shared-fragment z/p, bounded rank window — corpus " +
+          "contributes exactly one scan"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

@@ -286,6 +286,35 @@ object ScaleProbe {
         operators.Dedup.lshScurve(spark, dir).count())
       time(s"semantic_dedup_$tag")(
         operators.Dedup.semanticDedup(spark, dir).count())
+      // r12 second wave. link_prediction's wedge join enumerates
+      // Σ C(deg z, 2) open triads on the densified support-2 graph —
+      // expect a kcore/triangles-like super-linear ratio tracking edge
+      // growth, bounded by the support cut, never parts². ndcg and
+      // rec_coverage are marginal consumers of the priced stage
+      // (candidate join bounded by query-parts × pair-degree;
+      // exposure census dimension-bounded). tree_depth2 is ONE corpus
+      // pass to ≤3,200 cells — scan-dominated, ~linear. seq_pairs
+      // collapses to ≤5 rows/user (disjoint user namespaces → linear).
+      // rp_jl's projection is one explode+broadcast-join partial agg —
+      // linear; its audit grid is FIXED (20×50 original ids), so the
+      // audit cost is flat and the projection is what scales. knn_eval
+      // is DELIBERATELY the brute-force audit: queries and corpus both
+      // grow 10x → ~100x candidate pairs; the measured blowup is the
+      // evidence for swapping the candidate generator to the q289
+      // persisted IVF-PQ probe at scale (protocol invariant) — the
+      // probe prices the flat path honestly rather than hiding it.
+      time(s"link_prediction_$tag")(
+        operators.Graph.linkPrediction(spark, dir).count())
+      time(s"ndcg_$tag")(operators.Graph.ndcgEval(spark, dir).count())
+      time(s"rec_coverage_$tag")(
+        operators.Graph.recCoverage(spark, dir).count())
+      time(s"tree_depth2_$tag")(
+        operators.MlEval.treeDepth2(spark, dir).count())
+      time(s"seq_pairs_$tag")(
+        operators.Analytics.seqPairs(spark, dir).count())
+      time(s"rp_jl_$tag")(operators.Similarity.rpJl(spark, dir).count())
+      time(s"knn_eval_$tag")(
+        operators.Similarity.knnEval(spark, dir).count())
     }
 
     // geometry/placement probes: customer as the growing FACT (see the

@@ -673,7 +673,12 @@ object Similarity {
     * share λ₁/tr(C) — scale-free, so the normalization cancels. Long
     * bounds: |C·10⁴| ≤ ~1.3e16 at sf0.1 and |u| ≤ 64·10⁸ — headroom to
     * ~50× this SF, then C flips to decimal(38) (the q261 precedent). */
-  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+  /** The q272 PC1 core, factored for reuse by [[embeddingDrift]]:
+    * quantized (vec, dim, x) triples, the normalized covariance
+    * relation and the 4-round power iterate. Identical relations to
+    * the inline q272 form (same cutLineage points). */
+  private def pc1Core(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val S = 10000L
     val pts = t(spark, dir, "embeddings")
       .select(col("vec_id"), posexplode(transform(col("embedding"), x =>
@@ -709,6 +714,11 @@ object Similarity {
     }
     val v0 = cn.select(col("j")).distinct().withColumn("v", lit(S))
     val v4 = (1 to 4).foldLeft(v0)((v, _) => matVec(v)).cutLineage()
+    (pts, cn, v4)
+  }
+
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cn, v4) = pc1Core(spark, dir)
     // Rayleigh share on the normalized matrix: λ = (vᵀC'v)/(vᵀv); the
     // variance share divides by tr(C') — both exact-integer reductions
     // over bounded relations, one rounding at the very end
@@ -726,6 +736,47 @@ object Similarity {
           + lit(0.0)).as("ev_share_r"))
   }
 
+  /** Embedding-distribution drift monitor on the PC1 projection
+    * (the q258 PSI recipe pointed at the EMBEDDING space — the monitor
+    * an LLM pipeline runs between corpus snapshots, where raw-space
+    * drift is invisible to scalar profilers; projecting on the first
+    * principal component concentrates the variance into ONE auditable
+    * axis, cf. Rabanser et al., NeurIPS 2019 on dimensionality-reduced
+    * drift detection). Reference = even vec_ids, current = odd (the
+    * deterministic split this iid table supports — production would
+    * key on snapshot id); scores are EXACT integer dot products of the
+    * quantized vectors with the q272 integer loadings (|Σ x·v| ≤
+    * 64·500·10⁴ — order-free), binned into 10 integer equal-width
+    * slices; per-bin signed PSI contribution with the q258 NULL
+    * convention for one-sided-empty bins. Corpus work: the shared PC1
+    * core + one projection join + one 10-key partial agg. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (pts, _, v4) = pc1Core(spark, dir)
+    val scores = pts
+      .join(broadcast(v4.select(col("j"), col("v"))), Seq("j"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("v")).as("sc"))
+      .withColumn("is_ref", col("vec_id") % 2 === 0)
+    val bounds = scores.agg(min(col("sc")).as("mn"),
+      max(col("sc")).as("mx"))
+    val binned = scores.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("(sc - mn) * 10 div (mx + 1 - mn)"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = binned.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_cur")).as("tot_cur"))
+    binned.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round((col("n_ref").cast("double") / col("tot_ref") -
+            col("n_cur").cast("double") / col("tot_cur")) *
+            log(col("n_ref").cast("double") * col("tot_cur") /
+              (col("n_cur").cast("double") * col("tot_ref"))), 6)
+            + lit(0.0))
+          .as("psi_contrib_r"))
+  }
+
   private def pcaRoundSql(i: Int): String = {
     val p = i - 1
     s"""u$i AS (
@@ -736,6 +787,31 @@ object Similarity {
        |  SELECT j, (u * 10000 + mu * 10000) // mu - 10000 AS v
        |  FROM u$i, m$i)""".stripMargin
   }
+
+  /** Shared PC1 oracle prefix (pts → … → v4), spliced into the q272
+    * and q309 oracles so both recompute the IDENTICAL power iterate. */
+  private def pc1CteSql: String =
+    s"""pts AS (
+       |  SELECT vec_id, CAST(r.i AS BIGINT) AS j,
+       |    CAST(floor(1000.0 *
+       |        CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) + 0.5)
+       |      AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+       |gram AS (
+       |  SELECT a.j, b.j AS k, CAST(sum(a.x * b.x) AS BIGINT) AS g
+       |  FROM pts a JOIN pts b USING (vec_id) GROUP BY 1, 2),
+       |ds AS (SELECT j, CAST(sum(x) AS BIGINT) AS s FROM pts GROUP BY 1),
+       |nr AS (SELECT count(*) AS n FROM embeddings),
+       |craw AS (
+       |  SELECT g.j, g.k, n * g.g - ds.s * dk.s AS c
+       |  FROM gram g JOIN ds ON ds.j = g.j
+       |    JOIN ds dk ON dk.j = g.k, nr),
+       |mc AS (SELECT greatest(max(abs(c)), 1) AS mc FROM craw),
+       |cn AS (
+       |  SELECT j, k, (c * 10000 + mc * 10000) // mc - 10000 AS c
+       |  FROM craw, mc),
+       |v0 AS (SELECT DISTINCT j, 10000 AS v FROM cn),
+       |${(1 to 4).map(pcaRoundSql).mkString(",\n")}""".stripMargin
 
   /** Retrain-from-scratch oracle shared by q245 (in-memory index)
     * and q289 (persisted index served by a possibly different JVM):
@@ -928,6 +1004,33 @@ object Similarity {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q309_embedding_drift", embeddingDrift _,
+      s"""WITH $pc1CteSql,
+         |scores AS (
+         |  SELECT pts.vec_id,
+         |    CAST(sum(pts.x * v4.v) AS BIGINT) AS sc,
+         |    min(pts.vec_id % 2 = 0) AS is_ref
+         |  FROM pts JOIN v4 ON v4.j = pts.j
+         |  GROUP BY 1),
+         |b AS (SELECT min(sc) AS mn, max(sc) AS mx FROM scores),
+         |binned AS (
+         |  SELECT (sc - mn) * 10 // (mx + 1 - mn) AS bin,
+         |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_ref,
+         |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_cur
+         |  FROM scores, b GROUP BY 1),
+         |tt AS (
+         |  SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+         |    CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM binned)
+         |SELECT bin, n_ref, n_cur,
+         |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         |    round((CAST(n_ref AS DOUBLE) / tot_ref -
+         |      CAST(n_cur AS DOUBLE) / tot_cur) *
+         |      ln(CAST(n_ref AS DOUBLE) * tot_cur /
+         |        (CAST(n_cur AS DOUBLE) * tot_ref)), 6) + 0.0
+         |  END AS psi_contrib_r
+         |FROM binned, tt""".stripMargin),
     Q("q303_rp_jl", rpJl _,
       """WITH eq AS (
          |  SELECT vec_id, d.i AS d,
@@ -1000,27 +1103,7 @@ object Similarity {
          |  AS accuracy_ppm
          |FROM conf, acc""".stripMargin),
     Q("q272_pca_power", pcaPower _,
-      s"""WITH pts AS (
-         |  SELECT vec_id, CAST(r.i AS BIGINT) AS j,
-         |    CAST(floor(1000.0 *
-         |        CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) + 0.5)
-         |      AS BIGINT) AS x
-         |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
-         |gram AS (
-         |  SELECT a.j, b.j AS k, CAST(sum(a.x * b.x) AS BIGINT) AS g
-         |  FROM pts a JOIN pts b USING (vec_id) GROUP BY 1, 2),
-         |ds AS (SELECT j, CAST(sum(x) AS BIGINT) AS s FROM pts GROUP BY 1),
-         |nr AS (SELECT count(*) AS n FROM embeddings),
-         |craw AS (
-         |  SELECT g.j, g.k, n * g.g - ds.s * dk.s AS c
-         |  FROM gram g JOIN ds ON ds.j = g.j
-         |    JOIN ds dk ON dk.j = g.k, nr),
-         |mc AS (SELECT greatest(max(abs(c)), 1) AS mc FROM craw),
-         |cn AS (
-         |  SELECT j, k, (c * 10000 + mc * 10000) // mc - 10000 AS c
-         |  FROM craw, mc),
-         |v0 AS (SELECT DISTINCT j, 10000 AS v FROM cn),
-         |${(1 to 4).map(pcaRoundSql).mkString(",\n")},
+      s"""WITH $pc1CteSql,
          |u5 AS (
          |  SELECT cn.j, CAST(sum(cn.c * v4.v) AS BIGINT) AS u
          |  FROM cn JOIN v4 ON cn.k = v4.j GROUP BY 1),

@@ -348,4 +348,44 @@ class VectorSpec extends SparkSpec {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean")
   }
+
+  test("embedding drift: PC1 projection scores, bins and PSI " +
+      "contributions equal a recompute against q272's loadings") {
+    import graft.operators.Similarity
+    val loadings = Similarity.pcaPower(spark, sf).collect()
+      .map(r => r.getAs[Long]("j") -> r.getAs[Long]("loading")).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray
+        .map(x => math.floor(1000.0 * x.toDouble + 0.5).toLong))
+    val scores = vecs.map { case (id, v) =>
+      (id, (1 to 64).map(j => v(j - 1) * loadings(j.toLong)).sum) }
+    val mn = scores.map(_._2).min
+    val mx = scores.map(_._2).max
+    val cells = scores.groupBy { case (_, sc) =>
+      (sc - mn) * 10 / (mx + 1 - mn) }
+      .map { case (b, xs) =>
+        b -> (xs.count(_._1 % 2 == 0).toLong,
+          xs.count(_._1 % 2 != 0).toLong) }
+    val totRef = cells.values.map(_._1).sum
+    val totCur = cells.values.map(_._2).sum
+    val got = Similarity.embeddingDrift(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          Option(r.getAs[java.lang.Double]("psi_contrib_r")))).toMap
+    assert(got.keySet === cells.keySet)
+    cells.foreach { case (b, (nr, ncur)) =>
+      val (gr, gc, gp) = got(b)
+      assert(gr === nr, b); assert(gc === ncur, b)
+      if (nr == 0 || ncur == 0) assert(gp.isEmpty, b)
+      else {
+        val expect = (nr.toDouble / totRef - ncur.toDouble / totCur) *
+          math.log(nr.toDouble * totCur / (ncur.toDouble * totRef))
+        assert(math.abs(gp.get - expect) < 1.5e-6, b)
+      }
+    }
+    // iid halves of the same table: the drift monitor must read ~zero
+    val psi = got.values.flatMap(_._3).map(_.toDouble).sum
+    assert(math.abs(psi) < 0.1, s"psi $psi on iid halves")
+  }
 }
