@@ -48,6 +48,7 @@ object Bench {
           }
           graft.operators.Dedup.clearStageCaches()
           graft.operators.Graph.clearStageCaches()
+          graft.operators.Similarity.clearPc1Cache()
         }
     }
     // Platform-speed calibration (graft.Calib): a fixed, deterministic,
@@ -103,7 +104,8 @@ object Bench {
         // were exactly that, not code
         "q256_modularity", "q259_clustering_coeff", "q285_next_item_eval",
         "q291_link_prediction", "q301_ndcg", "q302_mrr",
-        "q307_rec_coverage"))
+        "q307_rec_coverage"),
+      "stage_pc1" -> Set("q272_pca_power", "q309_embedding_drift"))
     def runStage(sname: String): Unit = sname match {
       case "stage_cc_labels" =>
         graft.operators.Dedup.materializeLabels(spark, sfDir)
@@ -111,6 +113,8 @@ object Bench {
         graft.operators.Dedup.materializeShingles(spark, sfDir)
       case "stage_support2_pairs" =>
         graft.operators.Graph.materializeSupport2(spark, sfDir)
+      case "stage_pc1" =>
+        graft.operators.Similarity.materializePc1(spark, sfDir)
     }
     // Two timed passes, min per query: a single pass is exposed to
     // one-off GC/JIT/checkpoint-cleaner pauses (a 3.5 s query was
@@ -123,6 +127,7 @@ object Bench {
         Map[String, Double] = {
       graft.operators.Dedup.clearStageCaches()
       graft.operators.Graph.clearStageCaches()
+      graft.operators.Similarity.clearPc1Cache()
       def time(body: => Unit): Double = {
         val t0 = System.nanoTime()
         val ok = try { body; true } catch { case _: Throwable => false }
@@ -269,7 +274,8 @@ object Bench {
     // owning category so category sums still cover the whole total
     val stageCat = Map("stage_cc_labels" -> "dedup",
       "stage_hashed_shingles" -> "dedup",
-      "stage_support2_pairs" -> "graph")
+      "stage_support2_pairs" -> "graph",
+      "stage_pc1" -> "dedup")
     val cats = SparkEntry.categories.toSeq.sortBy(_._1).map { case (c, qs0) =>
       val qs = qs0 ++ stageCat.collect { case (s, sc) if sc == c => s }
       c -> results.collect { case (k, v) if qs(k) && v >= 0 => v }.sum

@@ -676,8 +676,32 @@ object Similarity {
   /** The q272 PC1 core, factored for reuse by [[embeddingDrift]]:
     * quantized (vec, dim, x) triples, the normalized covariance
     * relation and the 4-round power iterate. Identical relations to
-    * the inline q272 form (same cutLineage points). */
+    * the inline q272 form (same cutLineage points). Memoized per
+    * (session, dir) like [[graft.operators.Graph.support2Pairs]] — two
+    * catalog consumers (q272, q309) would otherwise each rebuild the
+    * corpus-scaled Gram stage, and which one paid would depend on run
+    * order (the r11 q256 stage-accounting lesson); Bench prices the
+    * build as `stage_pc1` and clears the cache between passes. */
+  private val pc1Cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame, DataFrame)]()
+
+  private[graft] def clearPc1Cache(): Unit = pc1Cache.clear()
+
+  /** Bench hook: materialize the shared PC1 stage OUTSIDE any query's
+    * timing (see [[graft.operators.Dedup.materializeLabels]]). */
+  private[graft] def materializePc1(spark: SparkSession,
+      dir: String): Unit = {
+    val (pts, cn, v4) = pc1Core(spark, dir)
+    pts.count(); cn.count(); v4.count()
+  }
+
   private def pc1Core(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) =
+    pc1Cache.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir),
+      _ => pc1CoreBuild(spark, dir))
+
+  private def pc1CoreBuild(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
     val S = 10000L
     val pts = t(spark, dir, "embeddings")
