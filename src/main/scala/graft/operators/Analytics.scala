@@ -1978,6 +1978,87 @@ object Analytics {
         expr("n_support * 1000000 div n_both").as("conf_ppm"))
   }
 
+  /** Kaplan–Meier survival estimate of customer lifetime (Kaplan &
+    * Meier, JASA 1958 — the survival family's entry point, missing
+    * between q100's cohort retention matrix and q276's binary churn
+    * label: retention counts WHO came back per day, KM estimates the
+    * LIFETIME DISTRIBUTION under right-censoring, which naive
+    * averaging of observed lifetimes biases DOWN because still-active
+    * customers are truncated, cf. the censoring argument in §1 of the
+    * paper). Duration = last−first order day; customers whose last
+    * order falls within 360 days of the corpus end are CENSORED at
+    * (end − first) — they enter every risk set they survive through
+    * but contribute no event. The corpus collapses to one per-customer
+    * partial agg, then a bounded (≤ span-days) duration census; risk
+    * sets are one descending cumulative over that bounded relation and
+    * S(t) = Π(1 − dᵤ/nᵤ) rides exp(Σ ln(1 − d/n)) over the ascending
+    * EVENT-time window — sequential running frames evaluate in frame
+    * order in both engines, so the one float accumulation is
+    * order-pinned (the q295 sqrt note's discipline). */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+          "DATE '1990-01-01') AS BIGINT)").as("day"))
+    val cust = o.groupBy(col("ck"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val cut = o.agg(max(col("day")).as("cutd"))
+    val durCnt = cust.crossJoin(broadcast(cut))
+      .select((col("l") < col("cutd") - 360).as("ev"),
+        when(col("l") < col("cutd") - 360, col("l") - col("f"))
+          .otherwise(col("cutd") - col("f")).as("dur"))
+      .groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("ev"), 1L).otherwise(0L)).as("d"))
+      .cutLineage() // bounded ≤ span-days rows; feeds risk AND events
+    val wGe = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLe = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    durCnt // bounded relation: the collapse-then-window house shape
+      .withColumn("n_risk", sum(col("n_at")).over(wGe))
+      .filter(col("d") > 0)
+      .withColumn("s_ln",
+        sum(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .over(wLe))
+      .select(col("dur").as("t_days"), col("n_risk"), col("d"),
+        (round(exp(col("s_ln")), 6) + lit(0.0)).as("surv_r"))
+  }
+
+  /** Hill tail-index estimate of the order-value distribution (Hill,
+    * Annals of Statistics 1975 — the peaks-over-threshold tail
+    * estimator; q249's Zipf fit reads the rank–frequency law of TOKENS,
+    * this reads how heavy the REVENUE tail is, which is what sizes
+    * skew-join salting and top-k reserves): α̂⁻¹ = (1/k)·Σᵢ ln(x᙮ᵢ/
+    * x₍ₖ₊₁₎) over the top k = 100 order statistics. The top-101 slice
+    * is ONE TakeOrderedAndProject (never a global sort); each log
+    * ratio is quantized per row to integer micro-nats (ln is
+    * correctly-rounded IEEE in both engines; the per-row floor(·10⁶ +
+    * 0.5) is exact), so the k-term accumulation is an ORDER-FREE
+    * integer sum — a float Σ over 100 rows would already be partial-agg
+    * order-dependent. Value ties at the threshold cannot wobble the
+    * result: only the cents VALUES enter the ratio. */
+  def hillTail(spark: SparkSession, dir: String): DataFrame = {
+    val top = t(spark, dir, "orders")
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .as("cents"), col("o_orderkey").as("ok"))
+      .orderBy(col("cents").desc, col("ok").asc)
+      .limit(101)
+      .cutLineage() // 101 rows; feeds the threshold AND the terms
+    val thr = top.agg(min(col("cents")).as("xk"))
+    val w = Window.orderBy(col("cents").asc, col("ok").asc)
+    top.crossJoin(broadcast(thr))
+      .withColumn("rk", row_number().over(w)) // 101-row bounded window
+      .filter(col("rk") > 1) // drop exactly one threshold-rank row
+      .select(expr("CAST(floor(ln(CAST(cents AS DOUBLE) / xk) * 1000000" +
+        " + 0.5) AS BIGINT)").as("term"))
+      .agg(count(lit(1)).as("k"), sum(col("term")).as("sum_micronats"))
+      .select(col("k"), col("sum_micronats"),
+        expr("sum_micronats div k").as("hill_inv_micro"),
+        (round(col("k").cast("double") * 1.0e6 / col("sum_micronats"), 6)
+          + lit(0.0)).as("alpha_r"))
+  }
+
   /** Classical seasonal decomposition of the daily revenue series
     * (moving-average detrend + day-of-week seasonal means — the
     * decompose() every forecasting pipeline runs before q238's
@@ -2030,6 +2111,61 @@ object Analytics {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q311_kaplan_meier", kaplanMeier _,
+      """WITH o AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(datediff('day', DATE '1990-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |  FROM orders),
+        |cust AS (
+        |  SELECT ck, min(day) AS f, max(day) AS l FROM o GROUP BY 1),
+        |cut AS (SELECT max(day) AS cutd FROM o),
+        |base AS (
+        |  SELECT l < cutd - 360 AS ev,
+        |    CASE WHEN l < cutd - 360 THEN l - f ELSE cutd - f END
+        |      AS dur
+        |  FROM cust, cut),
+        |dc AS (
+        |  SELECT dur, CAST(count(*) AS BIGINT) AS n_at,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM base GROUP BY 1),
+        |cum AS (
+        |  SELECT dur, d,
+        |    CAST(sum(n_at) OVER (ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM dc),
+        |ev AS (
+        |  SELECT dur, n_risk, d,
+        |    sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER (
+        |      ORDER BY dur ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS s_ln
+        |  FROM cum WHERE d > 0)
+        |SELECT dur AS t_days, n_risk, d,
+        |  round(exp(s_ln), 6) + 0.0 AS surv_r
+        |FROM ev""".stripMargin),
+    Q("q313_hill_tail", hillTail _,
+      """WITH top AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      AS cents,
+        |    o_orderkey AS ok
+        |  FROM orders ORDER BY cents DESC, ok ASC LIMIT 101),
+        |thr AS (SELECT min(cents) AS xk FROM top),
+        |rk AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents ASC, ok ASC) AS rk
+        |  FROM top),
+        |terms AS (
+        |  SELECT CAST(floor(ln(CAST(cents AS DOUBLE) / xk) * 1000000
+        |    + 0.5) AS BIGINT) AS term
+        |  FROM rk, thr WHERE rk > 1)
+        |SELECT count(*) AS k,
+        |  CAST(sum(term) AS BIGINT) AS sum_micronats,
+        |  CAST(sum(term) // count(*) AS BIGINT) AS hill_inv_micro,
+        |  round(CAST(count(*) AS DOUBLE) * 1e6 / sum(term), 6) + 0.0
+        |    AS alpha_r
+        |FROM terms""".stripMargin),
     Q("q304_seq_pairs", seqPairs _,
       """WITH ut AS (
         |  SELECT user_id, event_type,

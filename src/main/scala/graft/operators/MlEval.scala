@@ -954,6 +954,61 @@ object MlEval {
           .as("bh_reject"))
   }
 
+  /** Shared one-way-ANOVA fragments over the wide 5-segment row
+    * (identifiers n_a…n_m, s_a…s_m, n_t, s_t, qq) — both engines
+    * splice these verbatim, so the IEEE sequence is identical. The
+    * segment order is the FIXED alphabetical one; a float Σ over a
+    * segment-keyed relation would be partial-agg order-dependent. */
+  private def anovaSsbSql: String =
+    "((CAST(s_a AS DOUBLE) * s_a / n_a + CAST(s_b AS DOUBLE) * s_b / n_b" +
+      " + CAST(s_f AS DOUBLE) * s_f / n_f" +
+      " + CAST(s_h AS DOUBLE) * s_h / n_h" +
+      " + CAST(s_m AS DOUBLE) * s_m / n_m)" +
+      " - CAST(s_t AS DOUBLE) * s_t / n_t)"
+  private def anovaSstSql: String =
+    "(CAST(qq AS DOUBLE) - CAST(s_t AS DOUBLE) * s_t / n_t)"
+  private def anovaFSql: String =
+    s"(($anovaSsbSql / 4.0) / (($anovaSstSql - $anovaSsbSql) / (n_t - 5)))"
+
+  /** One-way ANOVA of order value across the five market segments
+    * (Fisher 1925 — the k-group generalization of q306's two-group
+    * Welch test: does ANY segment's mean differ?). Sufficient
+    * statistics are exact integers from ONE dim-join partial-agg pass
+    * (per-segment n and Σcents as conditional sums into a single wide
+    * row — the bounded 5-value domain is pivoted into FIXED columns so
+    * no float ever sums across rows; Σcents² rides decimal(38)/
+    * HUGEINT). F, η² and the verdict are the shared fixed-order
+    * [[anovaFSql]] fragments; df₁ = 4 and the α = 0.05 critical value
+    * 2.372 (df₂ → ∞) are data-free constants. This corpus draws
+    * segments iid, so the honest expectation the gate pins is F ≈ 1,
+    * not significant. */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    def nOf(s: String) = sum(when(col("seg") === s, 1L).otherwise(0L))
+    def sOf(s: String) =
+      sum(when(col("seg") === s, col("cents")).otherwise(0L))
+    t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .join(broadcast(cust), Seq("ck"))
+      .agg(nOf("AUTOMOBILE").as("n_a"), sOf("AUTOMOBILE").as("s_a"),
+        nOf("BUILDING").as("n_b"), sOf("BUILDING").as("s_b"),
+        nOf("FURNITURE").as("n_f"), sOf("FURNITURE").as("s_f"),
+        nOf("HOUSEHOLD").as("n_h"), sOf("HOUSEHOLD").as("s_h"),
+        nOf("MACHINERY").as("n_m"), sOf("MACHINERY").as("s_m"),
+        count(lit(1)).as("n_t"), sum(col("cents")).as("s_t"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("qq"))
+      .select(col("n_t").as("n_total"),
+        lit(4L).as("df1"), (col("n_t") - 5L).as("df2"),
+        expr(s"round($anovaFSql, 6) + 0.0").as("f_r"),
+        expr(s"round($anovaSsbSql / $anovaSstSql, 6) + 0.0")
+          .as("eta2_r"),
+        expr(s"CASE WHEN $anovaFSql > 2.372 THEN 'significant_95'" +
+          " ELSE 'not_significant' END").as("verdict"))
+  }
+
   /** The (n_l, p_l | nt, pt) split-gain CASE, spliced verbatim into
     * BOTH engines (q279's shared-fragment discipline) by [[treeDepth2]]
     * and its oracle — the IEEE sequence is identical by construction. */
@@ -1363,6 +1418,43 @@ object MlEval {
         |  round(CAST(sum(CAST(p AS HUGEINT) * prec_ppb) AS DOUBLE) /
         |    (CAST(sum(p) AS DOUBLE) * 1e9), 6) + 0.0 AS ap_r
         |FROM terms""".stripMargin),
+    Q("q312_anova", anova _,
+      s"""WITH base AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |w AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN cents ELSE 0
+        |      END) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN cents ELSE 0
+        |      END) AS BIGINT) AS s_b,
+        |    CAST(sum(CASE WHEN seg = 'FURNITURE' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_f,
+        |    CAST(sum(CASE WHEN seg = 'FURNITURE' THEN cents ELSE 0
+        |      END) AS BIGINT) AS s_f,
+        |    CAST(sum(CASE WHEN seg = 'HOUSEHOLD' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_h,
+        |    CAST(sum(CASE WHEN seg = 'HOUSEHOLD' THEN cents ELSE 0
+        |      END) AS BIGINT) AS s_h,
+        |    CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_m,
+        |    CAST(sum(CASE WHEN seg = 'MACHINERY' THEN cents ELSE 0
+        |      END) AS BIGINT) AS s_m,
+        |    count(*) AS n_t, CAST(sum(cents) AS BIGINT) AS s_t,
+        |    sum(CAST(cents AS HUGEINT) * cents) AS qq
+        |  FROM base)
+        |SELECT n_t AS n_total, CAST(4 AS BIGINT) AS df1,
+        |  n_t - 5 AS df2,
+        |  round($anovaFSql, 6) + 0.0 AS f_r,
+        |  round($anovaSsbSql / $anovaSstSql, 6) + 0.0 AS eta2_r,
+        |  CASE WHEN $anovaFSql > 2.372 THEN 'significant_95'
+        |       ELSE 'not_significant' END AS verdict
+        |FROM w""".stripMargin),
     Q("q308_bh_fdr", bhFdr _,
       s"""WITH cust AS (
         |  SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nat

@@ -1027,7 +1027,138 @@ object Similarity {
           " END").as("ratio_r"))
   }
 
+  /** Lexical-vs-dense retrieval agreement audit (the diagnosis BEHIND
+    * q265's RRF fusion — Cormack, Clarke & Buettcher, SIGIR 2009 fuse
+    * BECAUSE the two retrievers surface different neighbors; this
+    * measures HOW different, per query and in aggregate): for 20 query
+    * ids, lexical top-5 = distinct-token Jaccard neighbors among
+    * documents (token equi-join candidates, exact integer Jaccard ppm,
+    * deterministic ties), dense top-5 = q38's rounded-cosine neighbors
+    * among the id-aligned embeddings, and agreement = |L∩D| with its
+    * Jaccard@5 over the two 5-id sets. On THIS feed text and vectors
+    * are drawn independently, so the honest expectation the gate pins
+    * is near-zero agreement — exactly the regime where fusion helps
+    * most. Scale shape: the lexical candidate join is (query tokens ×
+    * posting lists), bounded by the 20-query slice; the dense side is
+    * the q38 audit at gate scale (q289's probe at 100 TB); the
+    * mean_overlap readout is one integral division carried per row. */
+  def retrievalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .cutLineage() // feeds sizes AND both sides of the candidate join
+    val sizes = docTok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"))
+    val qtok = docTok.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("q_id"), col("w"))
+    val inter = qtok
+      .join(docTok.select(col("doc_id").as("c_id"), col("w")), Seq("w"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(count(lit(1)).as("ov"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("jac_ppm").desc, col("c_id").asc)
+    val lexTop = inter
+      .join(sizes.select(col("doc_id").as("q_id"), col("sz").as("sq")),
+        Seq("q_id"))
+      .join(sizes.select(col("doc_id").as("c_id"), col("sz").as("sc")),
+        Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        expr("ov * 1000000 div (sq + sc - ov)").as("jac_ppm"))
+      .withColumn("rn", row_number().over(wLex))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val e = withNorm(t(spark, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("c_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val wDen = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val denTop = q.join(c, col("q_id") =!= col("c_id"))
+      // + 0.0 canonicalizes IEEE signed zero (q38 note)
+      .withColumn("cos", round(VectorOps.cosinePrenormed(
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6) +
+        lit(0.0))
+      .withColumn("rn", row_number().over(wDen))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val perQ = lexTop
+      .join(denTop.withColumnRenamed("c_id", "d_id"),
+        lexTop("q_id") === denTop("q_id") &&
+          lexTop("c_id") === col("d_id"))
+      .groupBy(lexTop("q_id").as("oq")).agg(count(lit(1)).as("n_common"))
+    val out = q.select(col("q_id"))
+      .join(perQ, col("q_id") === col("oq"), "left_outer")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("q_id"), col("n_common"),
+        expr("n_common * 1000000 div (10 - n_common)")
+          .as("jaccard5_ppm"))
+    val tot = out.agg(sum(col("n_common")).as("sum_common"),
+      count(lit(1)).as("nq"))
+    out.crossJoin(broadcast(tot))
+      .select(col("q_id"), col("n_common"), col("jaccard5_ppm"),
+        expr("sum_common * 1000000 div (5 * nq)")
+          .as("mean_overlap_ppm"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q310_retrieval_agreement", retrievalAgreement _,
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, w
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM dt GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS q_id, b.doc_id AS c_id,
+         |    CAST(count(*) AS BIGINT) AS ov
+         |  FROM dt a JOIN dt b ON b.w = a.w AND b.doc_id <> a.doc_id
+         |  WHERE a.doc_id < 20
+         |  GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT i.q_id, i.c_id,
+         |      row_number() OVER (PARTITION BY i.q_id ORDER BY
+         |        i.ov * 1000000 // (sq.sz + sc.sz - i.ov) DESC,
+         |        i.c_id ASC) AS rn
+         |    FROM inter i
+         |      JOIN sizes sq ON sq.doc_id = i.q_id
+         |      JOIN sizes sc ON sc.doc_id = i.c_id)
+         |  WHERE rn <= 5),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         |      AS nrm
+         |  FROM embeddings),
+         |den AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(${cosExpr("q", "c")}, 6) + 0.0 DESC,
+         |        c.vec_id ASC) AS rn
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 20)
+         |  WHERE rn <= 5),
+         |perq AS (
+         |  SELECT l.q_id, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM lex l JOIN den d
+         |    ON d.q_id = l.q_id AND d.c_id = l.c_id
+         |  GROUP BY 1),
+         |outq AS (
+         |  SELECT e.vec_id AS q_id,
+         |    coalesce(p.n_common, 0) AS n_common
+         |  FROM e LEFT JOIN perq p ON p.q_id = e.vec_id
+         |  WHERE e.vec_id < 20),
+         |tot AS (
+         |  SELECT CAST(sum(n_common) AS BIGINT) AS sum_common,
+         |    count(*) AS nq FROM outq)
+         |SELECT q_id, n_common,
+         |  n_common * 1000000 // (10 - n_common) AS jaccard5_ppm,
+         |  sum_common * 1000000 // (5 * nq) AS mean_overlap_ppm
+         |FROM outq, tot""".stripMargin),
     Q("q309_embedding_drift", embeddingDrift _,
       s"""WITH $pc1CteSql,
          |scores AS (

@@ -1482,4 +1482,62 @@ class AnalyticsSpec extends SparkSpec {
         sup * 1000000L / both)), k)
     }
   }
+
+  test("kaplan-meier: risk sets, events and the survival curve equal " +
+      "a sequential censored fold; curve is monotone non-increasing") {
+    val spans = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') " +
+          "AS LONG) AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cut = spans.map(_._2).max
+    val perCust = spans.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val f = xs.map(_._2).min; val l = xs.map(_._2).max
+      val ev = l < cut - 360
+      (ev, if (ev) l - f else cut - f)
+    }
+    val durs = perCust.groupBy(_._2).map { case (d, xs) =>
+      d -> (xs.size.toLong, xs.count(_._1).toLong) }
+    val eventTimes = durs.filter(_._2._2 > 0).keys.toSeq.sorted
+    var sLn = 0.0
+    val expect = eventTimes.map { t =>
+      val nRisk = perCust.count(_._2 >= t).toLong
+      val d = durs(t)._2
+      sLn += math.log(1.0 - d.toDouble / nRisk)
+      t -> (nRisk, d, math.exp(sLn))
+    }.toMap
+    val got = Analytics.kaplanMeier(spark, sf).collect()
+      .map(r => r.getAs[Long]("t_days") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("d"),
+          r.getAs[Double]("surv_r")))
+    assert(got.map(_._1).toSet === expect.keySet)
+    got.foreach { case (t, (nr, d, s)) =>
+      val (enr, ed, es) = expect(t)
+      assert(nr === enr, t); assert(d === ed, t)
+      assert(math.abs(s - es) < 1.5e-6, t)
+    }
+    val sorted = got.sortBy(_._1).map(_._2._3).toSeq
+    sorted.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w(1) <= w(0) + 1e-9)
+    }
+  }
+
+  test("hill tail: micro-nat log-ratio sum over the top-100 equals a " +
+      "sequential recompute; alpha positive") {
+    val cents = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+        "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (c, ok) => (-c, ok) }.take(101)
+    val xk = cents.map(_._1).min
+    // ascending rank 1 = one threshold row dropped (ties by ok asc)
+    val kept = cents.sortBy { case (c, ok) => (c, ok) }.drop(1)
+    val terms = kept.map { case (c, _) =>
+      math.floor(math.log(c.toDouble / xk) * 1e6 + 0.5).toLong }
+    val got = Analytics.hillTail(spark, sf).collect()(0)
+    assert(got.getAs[Long]("k") === 100L)
+    assert(got.getAs[Long]("sum_micronats") === terms.sum)
+    assert(got.getAs[Long]("hill_inv_micro") === terms.sum / 100L)
+    assert(got.getAs[Double]("alpha_r") > 0.0)
+  }
 }

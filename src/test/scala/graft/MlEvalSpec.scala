@@ -843,4 +843,37 @@ class MlEvalSpec extends SparkSpec {
       assert(grej === kstar.exists(idx + 1 <= _), nat)
     }
   }
+
+  test("anova: F, eta2 and verdict equal a 5-segment sequential " +
+      "recompute; iid segments read not-significant") {
+    val segOf = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (segOf(r.getLong(0)), r.getLong(1)))
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val cells = segs.map { s =>
+      val xs = rows.filter(_._1 == s).map(_._2)
+      (xs.length.toDouble, xs.map(BigInt(_)).sum) }
+    val nT = rows.length.toDouble
+    val sT = rows.map(t => BigInt(t._2)).sum
+    val qq = rows.map(t => BigInt(t._2) * t._2).sum
+    // same fixed order as the shared fragment
+    val ssb = cells.map { case (n, s) =>
+      BigDecimal(s).toDouble * BigDecimal(s).toDouble / n }.sum -
+      BigDecimal(sT).toDouble * BigDecimal(sT).toDouble / nT
+    val sst = BigDecimal(qq).toDouble -
+      BigDecimal(sT).toDouble * BigDecimal(sT).toDouble / nT
+    val f = (ssb / 4.0) / ((sst - ssb) / (nT - 5))
+    val got = operators.MlEval.anova(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_total") === rows.length.toLong)
+    assert(got.getAs[Long]("df2") === rows.length.toLong - 5)
+    assert(math.abs(got.getAs[Double]("f_r") - f) < 1e-4)
+    assert(math.abs(got.getAs[Double]("eta2_r") - ssb / sst) < 1e-6)
+    assert(got.getAs[String]("verdict") ===
+      (if (f > 2.372) "significant_95" else "not_significant"))
+  }
 }

@@ -388,4 +388,53 @@ class VectorSpec extends SparkSpec {
     val psi = got.values.flatMap(_._3).map(_.toDouble).sum
     assert(math.abs(psi) < 0.1, s"psi $psi on iid halves")
   }
+
+  test("retrieval agreement: lexical and dense top-5 overlaps equal a " +
+      "brute-force recompute; independent modalities read near zero") {
+    import graft.operators.Similarity
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val lexTop = docs.keys.filter(_ < 20).map { q =>
+      val top = docs.toSeq.filter(_._1 != q)
+        .map { case (c, toks) =>
+          val ov = (docs(q) & toks).size.toLong
+          (c, ov * 1000000L / (docs(q).size + toks.size - ov)) }
+        .filter(_._2 > 0 || true)
+        .sortBy { case (c, j) => (-j, c) }.take(5).map(_._1).toSet
+      q -> top
+    }.toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]) = math.sqrt(dot(a, a))
+    val denTop = vecs.keys.filter(_ < 20).map { q =>
+      val top = vecs.toSeq.filter(_._1 != q)
+        .map { case (c, v) =>
+          (c, BigDecimal(dot(vecs(q), v) / (nrm(vecs(q)) * nrm(v)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (c, cos) => (-cos, c) }.take(5).map(_._1).toSet
+      q -> top
+    }.toMap
+    val expect = lexTop.map { case (q, l) =>
+      q -> (l & denTop(q)).size.toLong }
+    val sumC = expect.values.sum
+    val got = Similarity.retrievalAgreement(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("jaccard5_ppm"),
+          r.getAs[Long]("mean_overlap_ppm"))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (q, nc) =>
+      assert(got(q)._1 === nc, q)
+      assert(got(q)._2 === nc * 1000000L / (10 - nc), q)
+      assert(got(q)._3 === sumC * 1000000L / (5L * expect.size), q)
+    }
+    // independent modalities: mean overlap stays well under 20%
+    assert(got.values.head._3 < 200000L)
+  }
 }
