@@ -954,6 +954,73 @@ object MlEval {
           .as("bh_reject"))
   }
 
+  /** Wilcoxon signed-rank test on paired per-nation means (Wilcoxon,
+    * Biometrics 1945 — the nonparametric paired test completing the
+    * family: q251's AUC IS Mann–Whitney for independent groups, q306
+    * Welch and q312 ANOVA are the parametric mean tests; this one asks
+    * whether the post-1996 per-nation mean order value systematically
+    * moved without assuming normality). Pairs = 25 nations; d_i =
+    * s₂/n₂ − s₁/n₁ stays an exact RATIONAL (num_i = s₂·n₁ − s₁·n₂ over
+    * den_i = n₁·n₂ — never a float mean), zero-diff pairs drop by the
+    * exact integer test, and |d| ranks come from the pairwise
+    * cross-product comparison |num_i|·den_j vs |num_j|·den_i on the
+    * BOUNDED 25-row self-join (decimal(38)/HUGEINT — the product
+    * crosses 2⁶³ at gate scale). Midranks ride the integer 2·midrank
+    * recipe; W⁺ is an exact integer in half-units; z and the verdict
+    * are one fixed-order double from the closed-form null moments. iid
+    * feed → the gate pins not-significant honestly. */
+  def wilcoxon(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nat"))
+    val cells = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"),
+        (col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .as("post"))
+      .join(broadcast(cust), Seq("ck"))
+      .groupBy(col("nat"))
+      .agg(sum(when(!col("post"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("post"), col("cents")).otherwise(0L)).as("s1"),
+        sum(when(col("post"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("post"), col("cents")).otherwise(0L)).as("s2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      // num rides decimal(38) from the start: s₂·n₁ wraps LONG near
+      // ~10× sf0.1 (oracle mirrors in HUGEINT)
+      .select(col("nat"),
+        expr("CAST(s2 AS DECIMAL(38,0)) * n1 - " +
+          "CAST(s1 AS DECIMAL(38,0)) * n2").as("num"),
+        (col("n1") * col("n2")).as("den"))
+      .filter(col("num") =!= 0L)
+      .cutLineage() // bounded ≤ 25 rows; feeds both self-join sides
+    // self-inclusive tie count supplies the midrank's +1:
+    // 2·midrank = 2·cnt_< + cnt_= (self ∈ cnt_=)
+    val ranked = cells.as("a")
+      .join(cells.as("b"), lit(true))
+      .groupBy(col("a.nat").as("nat"), col("a.num").as("num"))
+      .agg(sum(when(expr("abs(b.num) * a.den < abs(a.num) * b.den"), 1L)
+        .otherwise(0L)).as("cnt_lt"),
+        sum(when(expr("abs(b.num) * a.den = abs(a.num) * b.den"), 1L)
+          .otherwise(0L)).as("cnt_eq"))
+      .select(col("nat"), col("num"),
+        (lit(2L) * col("cnt_lt") + col("cnt_eq")).as("r2"))
+    ranked
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("num") > 0, col("r2")).otherwise(0L))
+          .as("w_plus_x2"))
+      .select(col("n_pairs"), col("w_plus_x2"),
+        expr("round((CAST(w_plus_x2 AS DOUBLE) / 2.0 - " +
+          "CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4.0) / " +
+          "sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * " +
+          "(2 * n_pairs + 1) / 24.0), 6) + 0.0").as("z_r"),
+        expr("CASE WHEN abs((CAST(w_plus_x2 AS DOUBLE) / 2.0 - " +
+          "CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4.0) / " +
+          "sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * " +
+          "(2 * n_pairs + 1) / 24.0)) > 1.96 THEN 'significant_95' " +
+          "ELSE 'not_significant' END").as("verdict"))
+  }
+
   /** Shared one-way-ANOVA fragments over the wide 5-segment row
     * (identifiers n_a…n_m, s_a…s_m, n_t, s_t, qq) — both engines
     * splice these verbatim, so the IEEE sequence is identical. The
@@ -1418,6 +1485,54 @@ object MlEval {
         |  round(CAST(sum(CAST(p AS HUGEINT) * prec_ppb) AS DOUBLE) /
         |    (CAST(sum(p) AS DOUBLE) * 1e9), 6) + 0.0 AS ap_r
         |FROM terms""".stripMargin),
+    Q("q314_wilcoxon", wilcoxon _,
+      """WITH base AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS nat,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o.o_orderdate >= TIMESTAMP '1996-01-01' AS post
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cells AS (
+        |  SELECT nat,
+        |    CAST(s2 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n2
+        |      AS num,
+        |    n1 * n2 AS den
+        |  FROM (
+        |    SELECT nat,
+        |      CAST(sum(CASE WHEN NOT post THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS n1,
+        |      CAST(sum(CASE WHEN NOT post THEN cents ELSE 0 END)
+        |        AS BIGINT) AS s1,
+        |      CAST(sum(CASE WHEN post THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS n2,
+        |      CAST(sum(CASE WHEN post THEN cents ELSE 0 END)
+        |        AS BIGINT) AS s2
+        |    FROM base GROUP BY 1)
+        |  WHERE n1 > 0 AND n2 > 0
+        |    AND CAST(s2 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n2
+        |      <> 0),
+        |rk AS (
+        |  SELECT a.nat, a.num,
+        |    CAST(2 * sum(CASE WHEN abs(b.num) * a.den <
+        |        abs(a.num) * b.den THEN 1 ELSE 0 END) +
+        |      sum(CASE WHEN abs(b.num) * a.den = abs(a.num) * b.den
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS r2
+        |  FROM cells a, cells b GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN num > 0 THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS w_plus_x2
+        |  FROM rk)
+        |SELECT n_pairs, w_plus_x2,
+        |  round((CAST(w_plus_x2 AS DOUBLE) / 2.0 -
+        |    CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4.0) /
+        |    sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) *
+        |    (2 * n_pairs + 1) / 24.0), 6) + 0.0 AS z_r,
+        |  CASE WHEN abs((CAST(w_plus_x2 AS DOUBLE) / 2.0 -
+        |    CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4.0) /
+        |    sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) *
+        |    (2 * n_pairs + 1) / 24.0)) > 1.96 THEN 'significant_95'
+        |    ELSE 'not_significant' END AS verdict
+        |FROM agg""".stripMargin),
     Q("q312_anova", anova _,
       s"""WITH base AS (
         |  SELECT c.c_mktsegment AS seg,

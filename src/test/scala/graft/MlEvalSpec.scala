@@ -876,4 +876,46 @@ class MlEvalSpec extends SparkSpec {
     assert(got.getAs[String]("verdict") ===
       (if (f > 2.372) "significant_95" else "not_significant"))
   }
+
+  test("wilcoxon: signed midranks of the exact rational per-nation " +
+      "diffs equal a sequential fold") {
+    val natOf = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cut = java.time.Instant.parse("1996-01-01T00:00:00Z")
+      .getEpochSecond
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        "CAST(CAST(o_orderdate AS TIMESTAMP_LTZ) AS LONG) AS sec")
+      .collect()
+      .map(r => (natOf(r.getLong(0)), r.getLong(2) >= cut, r.getLong(1)))
+    val cells = rows.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val pre = xs.filterNot(_._2); val post = xs.filter(_._2)
+      if (pre.isEmpty || post.isEmpty) None
+      else {
+        val num = BigInt(post.map(_._3).sum) * pre.length -
+          BigInt(pre.map(_._3).sum) * post.length
+        if (num == 0) None
+        else Some((num, BigInt(pre.length) * post.length))
+      }
+    }
+    val r2s = cells.map { case (numA, denA) =>
+      val lt = cells.count { case (numB, denB) =>
+        numB.abs * denA < numA.abs * denB }
+      val eq = cells.count { case (numB, denB) =>
+        numB.abs * denA == numA.abs * denB }
+      (numA > 0, 2L * lt + eq)
+    }
+    val n = r2s.size.toLong
+    val wX2 = r2s.collect { case (true, r2) => r2 }.sum
+    val z = (wX2.toDouble / 2.0 - n.toDouble * (n + 1) / 4.0) /
+      math.sqrt(n.toDouble * (n + 1) * (2 * n + 1) / 24.0)
+    val got = operators.MlEval.wilcoxon(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_pairs") === n)
+    assert(got.getAs[Long]("w_plus_x2") === wX2)
+    assert(math.abs(got.getAs[Double]("z_r") - z) < 1e-5)
+    assert(got.getAs[String]("verdict") ===
+      (if (math.abs(z) > 1.96) "significant_95" else "not_significant"))
+  }
 }
