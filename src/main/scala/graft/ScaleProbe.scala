@@ -315,6 +315,23 @@ object ScaleProbe {
       time(s"rp_jl_$tag")(operators.Similarity.rpJl(spark, dir).count())
       time(s"knn_eval_$tag")(
         operators.Similarity.knnEval(spark, dir).count())
+      // r12 third wave. retrieval_agreement's lexical side is the
+      // 20-query token posting join (bounded by the FIXED query slice
+      // times posting-list growth — near-dup replicas inflate postings
+      // ~10x); the dense side is the q38-audit shape. kaplan_meier and
+      // hill_tail collapse to bounded relations (duration census /
+      // top-101) — the scan is the whole cost. anova and wilcoxon are
+      // one dim-join partial agg each — linear. seq of both stays
+      // scan-dominated.
+      time(s"retrieval_agree_$tag")(
+        operators.Similarity.retrievalAgreement(spark, dir).count())
+      time(s"kaplan_meier_$tag")(
+        operators.Analytics.kaplanMeier(spark, dir).count())
+      time(s"hill_tail_$tag")(
+        operators.Analytics.hillTail(spark, dir).count())
+      time(s"anova_$tag")(operators.MlEval.anova(spark, dir).count())
+      time(s"wilcoxon_$tag")(
+        operators.MlEval.wilcoxon(spark, dir).count())
     }
 
     // geometry/placement probes: customer as the growing FACT (see the
