@@ -247,7 +247,19 @@ object PlanDump {
       "q308_bh_fdr" ->
         ("BH step-up: one dim-join partial agg to 25 cells, " +
           "shared-fragment z/p, bounded rank window — corpus " +
-          "contributes exactly one scan"))
+          "contributes exactly one scan"),
+      "q309_embedding_drift" ->
+        ("embedding drift: shared memoized PC1 stage, one projection " +
+          "join + 10-key partial agg; PSI readout on the bounded bin " +
+          "relation"),
+      "q310_retrieval_agreement" ->
+        ("retrieval agreement: 20-query token posting join + bounded " +
+          "per-query windows on both retrievers, bounded overlap " +
+          "rollup"),
+      "q311_kaplan_meier" ->
+        ("Kaplan-Meier: per-customer partial agg, bounded duration " +
+          "census, two bounded windows (risk cumulative + ln-sum " +
+          "survival) — the collapse-then-window shape"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")
