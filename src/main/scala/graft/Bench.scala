@@ -221,6 +221,19 @@ object Bench {
       base match {
         case None => Map.empty
         case Some((bq, bc, bt)) =>
+          // UNDERSIZED-PIN TRIPWIRE (r12 verdict №1): commit 30efa02
+          // pinned a 6-entry isolation run as the baseline, and this
+          // trigger — which can only flag queries PRESENT in the pin —
+          // went silently blind for ~307 of 313 queries. tools/repin.py
+          // now guards the write path; this guard catches a bad file
+          // that got in anyway, loudly, at the moment it matters.
+          val pinned = bq.keys.count(!_.startsWith("stage_"))
+          if (pinned < selected.size * 9 / 10)
+            System.err.println(s"WARN: tools/bench_baseline.json covers " +
+              s"only $pinned of ${selected.size} catalog queries — " +
+              "undersized pin (isolation/subset run?); the isolation " +
+              "trigger is blind for the absent queries. Re-pin via " +
+              "tools/repin.py from a full quiet window.")
           // express CURRENT times in baseline box-speed units before the
           // ratio (same rule as benchdiff; raw when widths differ)
           val norm = (bc, bt) match {

@@ -1252,7 +1252,100 @@ object Dedup {
       |    // count(*) AS BIGINT) AS ng_rate_ppm
       |FROM dec GROUP BY 1""".stripMargin
 
+  /** Exact-substring decontamination (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 §4.1's
+    * ExactSubstr; the eval-set form of Brown et al. 2020 App. C): a
+    * TRAINING document is contaminated iff it shares a VERBATIM run of
+    * L=8 tokens with any EVAL document (eval slice = doc_id ≡ 0 mod
+    * 10). This is the family member q34/q35 (document-level near-dup)
+    * and q109 (intra-doc span dedup) cannot express: a short copied
+    * span in an otherwise-novel document moves set-Jaccard almost
+    * nothing, yet is exactly what leaks benchmark answers into a
+    * pretraining corpus.
+    *
+    * Shape — the standard three-phase dedup discipline at its most
+    * literal:
+    *   (1) narrow sketch: every document explodes to its L-token
+    *       positional windows, carried as (doc_id, pos, h) where h is
+    *       the 32-bit portable hash of the window text — the shuffle
+    *       key is a fixed-width long, never the L tokens themselves
+    *       (the reference impl's suffix array answers the same query;
+    *       the hash-join form is the shuffle-native equivalent, and
+    *       unlike a suffix array it needs no global sort);
+    *   (2) candidates: train-windows ⋈ eval-windows on h — an
+    *       equi-join whose cost tracks true shared spans plus the
+    *       O(n²/2³²) birthday collisions of the 32-bit key, never
+    *       train×eval pairs. Longer L only SHRINKS buckets: verbatim
+    *       L-runs get rarer as L grows, so the hot-bucket flood q34
+    *       caps against cannot occur here by construction;
+    *   (3) verify on candidates only: the window TEXT is fetched back
+    *       by (doc_id, pos) equi-joins for the surviving pairs alone
+    *       and compared exactly, so 32-bit collisions cost a lookup,
+    *       not a false positive.
+    * Output: one row per contaminated (train_id, eval_id) pair with
+    * the exact count of matching L-window position pairs — overlapping
+    * windows of a longer shared run all count, so n_spans also ranks
+    * contamination severity. All-integer output. */
+  def substringDecontam(spark: SparkSession, dir: String): DataFrame =
+    substringDecontamOn(t(spark, dir, "documents"))
+
+  /** Same, over an explicit (doc_id, text) frame — spec entry point for
+    * constructed span-overlap cases. */
+  private[graft] def substringDecontamOn(raw: DataFrame): DataFrame = {
+    val L = 8
+    val docs = raw
+      .select(col("doc_id"),
+        graft.functions.Barrier.materialized(split(col("text"), " "))
+          .as("tk"))
+      .filter(size(col("tk")) >= L)
+    // (doc_id, pos, wt): 1-based window start, window text. Built once;
+    // projected narrow for the candidate join, consulted with text only
+    // for verification.
+    val wFull = docs.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(tk) - ${L - 1}), " +
+          "i -> array_join(slice(tk, i, " + L + "), ' '))"))
+          .as(Seq("p0", "wt")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("wt"))
+    val w = wFull.select(col("doc_id"), col("pos"),
+      TextOps.portableHash(col("wt")).as("h"))
+    val cand = w.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("train_id"), col("pos").as("t_pos"),
+        col("h"))
+      .join(w.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_id"), col("pos").as("e_pos"),
+          col("h")), Seq("h"))
+    cand
+      .join(wFull.select(col("doc_id").as("train_id"),
+        col("pos").as("t_pos"), col("wt").as("t_wt")),
+        Seq("train_id", "t_pos"))
+      .join(wFull.select(col("doc_id").as("eval_id"),
+        col("pos").as("e_pos"), col("wt").as("e_wt")),
+        Seq("eval_id", "e_pos"))
+      .filter(col("t_wt") === col("e_wt"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_spans"))
+  }
+
+  private def substringDecontamSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |wp AS (
+      |  SELECT doc_id, unnest(range(1, len(tk) - 6)) AS pos, tk
+      |  FROM toks),
+      |w AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(tk[pos : pos + 7], ' ') AS wt
+      |  FROM wp)
+      |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+      |  CAST(count(*) AS BIGINT) AS n_spans
+      |FROM w t JOIN w e ON t.wt = e.wt
+      |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+      |GROUP BY 1, 2""".stripMargin
+
   val catalog: Seq[Q] = Seq(
+    Q("q315_substring_decontam", substringDecontam _,
+      substringDecontamSql),
     Q("q267_lsh_scurve", lshScurve _, lshScurveSql),
     Q("q213_survivorship", survivorship _, survivorshipSql),
     Q("q150_setsim_exact", setsimExact _, setsimExactSql),

@@ -342,7 +342,7 @@ object Similarity {
     * warehouse copy for q289). Raw vectors are read from the store only
     * for the Q queries and the Q·10 rerank survivors. */
   private def ivfpqServe(spark: SparkSession, dir: String,
-      centroids: DataFrame, recon: DataFrame): DataFrame = {
+      centroids: DataFrame, recon: DataFrame, k: Int = 3): DataFrame = {
     val nprobe = 2
     val e = t(spark, dir, "embeddings")
     // coarse probe: nprobe nearest centroids per query (q48's probe,
@@ -388,7 +388,7 @@ object Similarity {
         VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6) +
         lit(0.0))
       .withColumn("rn", row_number().over(wCos))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("q_id"), col("cand_id"), col("cos"), col("rn"))
   }
 
@@ -837,12 +837,14 @@ object Similarity {
        |v0 AS (SELECT DISTINCT j, 10000 AS v FROM cn),
        |${(1 to 4).map(pcaRoundSql).mkString(",\n")}""".stripMargin
 
-  /** Retrain-from-scratch oracle shared by q245 (in-memory index)
-    * and q289 (persisted index served by a possibly different JVM):
-    * the gate hashing BOTH against the same scratch recompute is the
-    * proof that serve == retrain. */
-  private def ivfpqOracleSql: String =
-    s"""WITH e AS (
+  /** Retrain-from-scratch oracle CTE chain shared by q245 (in-memory
+    * index), q289 (persisted index served by a possibly different JVM)
+    * and q316 (recall audit of the persisted index): the gates hashing
+    * ALL of them against the same scratch recompute is the proof that
+    * serve == retrain. Ends at `ranked` (exact-cosine rerank of the
+    * ADC top-10); callers pick their k. */
+  private def ivfpqOracleCtes: String =
+    s"""e AS (
          |  SELECT vec_id, label, embedding,
          |    sqrt(list_aggregate(list_transform(embedding,
          |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
@@ -915,8 +917,12 @@ object Similarity {
          |  SELECT q_id, cand_id, cos,
          |    CAST(row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, cand_id ASC) AS INT) AS rn
-         |  FROM scored)
-         |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
+         |  FROM scored)""".stripMargin
+
+  private def ivfpqOracleSql: String =
+    s"""WITH $ivfpqOracleCtes
+       |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3"""
+      .stripMargin
 
   /** k-NN classifier evaluation on the embedding space (Cover & Hart
     * 1967; the label-agreement audit of Fix & Hodges 1951): a disjoint
@@ -968,6 +974,96 @@ object Similarity {
       .select(col("label_true"), col("label_pred"), col("n"),
         expr("ok * 1000000 div tot").as("accuracy_ppm"))
   }
+
+  /** Recall@5 of the PERSISTED IVF-PQ index against the exact 5-NN
+    * ground truth — the index-quality metric an ANN serving owner
+    * monitors (FAISS's own benchmark protocol: recall@k of the
+    * approximate search vs exhaustive search, Johnson, Douze & Jégou,
+    * IEEE Big Data 2019 §5; also the acceptance gate before swapping
+    * q296's brute-force candidate generator for the index at 100 TB —
+    * this query IS that declared swap, wired and gated). For the
+    * serve-path queries (vec_id < 20): ANN top-5 = q289's persisted
+    * probe → cell-confined ADC top-10 → exact-cosine rerank, cut at 5;
+    * truth top-5 = exact rounded-cosine over ALL candidates (the q38
+    * tie conventions). recall@5 per query = |ANN∩truth| / 5, plus the
+    * mean over queries, both as single integral divisions.
+    *
+    * Scale shape: the ANN side rides the probed-cell fraction
+    * (nprobe/cells of the corpus per query, through the persisted
+    * code rows — never raw vectors); the truth side is ONE linear
+    * Q×N scoring pass (Q fixed at 20) — the audit is linear in the
+    * corpus, run per index build, and is the only part that touches
+    * every vector. The oracle recomputes BOTH protocols from scratch
+    * (train → probe → ADC → rerank, and the exhaustive truth), so the
+    * gate proves persisted-serve == retrain at the recall readout too. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ann5 = annTop5(spark, dir)
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val exact = q.join(e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn")),
+        col("q_id") =!= col("cand_id"))
+      // + 0.0 canonicalizes IEEE signed zero (q38 note)
+      .withColumn("cos", round(VectorOps.cosinePrenormed(
+        VectorOps.dot(col("qe"), col("ce")), col("qn"), col("cn")), 6) +
+        lit(0.0))
+      .withColumn("rne", row_number().over(w))
+      .filter(col("rne") <= 5)
+      .select(col("q_id"), col("cand_id"), lit(1L).as("hit"))
+    val hits = ann5.join(exact, Seq("q_id", "cand_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val tot = hits.agg(sum(col("n_hit")).as("th"),
+      count(lit(1)).as("nq"))
+    hits.crossJoin(broadcast(tot))
+      .select(col("q_id"), col("n_hit"),
+        expr("n_hit * 1000000 div 5").as("recall_ppm"),
+        expr("th * 1000000 div (5 * nq)").as("mean_recall_ppm"))
+  }
+
+  /** The persisted index's top-5 serve (q_id, cand_id) — [[annRecall]]'s
+    * ANN side, exposed for the spec's hit-count cross-check against its
+    * driver-side truth recompute. */
+  private[graft] def annTop5(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfpqIndexDir(spark, dir)
+    ensureIvfpqIndex(spark, dir, idx)
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val codebook = spark.read.parquet(s"$idx/codebook")
+    val codes = spark.read.parquet(s"$idx/codes")
+    ivfpqServe(spark, dir, centroids, ivfpqRecon(codes, codebook), k = 5)
+      .select(col("q_id"), col("cand_id"))
+  }
+
+  private def annRecallSql: String =
+    s"""WITH $ivfpqOracleCtes,
+       |ann5 AS (SELECT q_id, cand_id FROM ranked WHERE rn <= 5),
+       |truth AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(${cosExpr("q", "c")}, 6) + 0.0 DESC,
+       |        c.vec_id ASC) AS rne
+       |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 20)
+       |  WHERE rne <= 5),
+       |hits AS (
+       |  SELECT a.q_id,
+       |    CAST(count(t.cand_id) AS BIGINT) AS n_hit
+       |  FROM ann5 a LEFT JOIN truth t
+       |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_hit) AS BIGINT) AS th,
+       |    CAST(count(*) AS BIGINT) AS nq FROM hits)
+       |SELECT q_id, n_hit, n_hit * 1000000 // 5 AS recall_ppm,
+       |  th * 1000000 // (5 * nq) AS mean_recall_ppm
+       |FROM hits, tot""".stripMargin
 
   /** Johnson–Lindenstrauss random projection 64 → 16 with the
     * database-friendly ±1 sign matrix (Achlioptas, JCSS 2003; the JL
@@ -1035,7 +1131,9 @@ object Similarity {
     * documents (token equi-join candidates, exact integer Jaccard ppm,
     * deterministic ties), dense top-5 = q38's rounded-cosine neighbors
     * among the id-aligned embeddings, and agreement = |L∩D| with its
-    * Jaccard@5 over the two 5-id sets. On THIS feed text and vectors
+    * Jaccard over the ACTUAL list sizes (|L| + |D| − |L∩D| in the
+    * denominator — a query with fewer than 5 lexical neighbors gets a
+    * short list, not a padded union). On THIS feed text and vectors
     * are drawn independently, so the honest expectation the gate pins
     * is near-zero agreement — exactly the regime where fusion helps
     * most. Scale shape: the lexical candidate join is (query tokens ×
@@ -1089,11 +1187,19 @@ object Similarity {
         lexTop("q_id") === denTop("q_id") &&
           lexTop("c_id") === col("d_id"))
       .groupBy(lexTop("q_id").as("oq")).agg(count(lit(1)).as("n_common"))
+    // Jaccard over the ACTUAL list sizes: the dense list is always 5
+    // (corpus ≫ 5), but the lexical list can be SHORT — a query doc
+    // with fewer than 5 token-overlapping neighbors has |L| < 5, and
+    // a fixed 10-element union would understate its Jaccard (r12
+    // advice). union = |L| + 5 − n_common; |L| = 0 forces
+    // n_common = 0, so the denominator never hits 0.
+    val lexN = lexTop.groupBy(col("q_id")).agg(count(lit(1)).as("l_n"))
     val out = q.select(col("q_id"))
       .join(perQ, col("q_id") === col("oq"), "left_outer")
-      .na.fill(0L, Seq("n_common"))
+      .join(lexN, Seq("q_id"), "left_outer")
+      .na.fill(0L, Seq("n_common", "l_n"))
       .select(col("q_id"), col("n_common"),
-        expr("n_common * 1000000 div (10 - n_common)")
+        expr("n_common * 1000000 div (l_n + 5 - n_common)")
           .as("jaccard5_ppm"))
     val tot = out.agg(sum(col("n_common")).as("sum_common"),
       count(lit(1)).as("nq"))
@@ -1147,16 +1253,21 @@ object Similarity {
          |  FROM lex l JOIN den d
          |    ON d.q_id = l.q_id AND d.c_id = l.c_id
          |  GROUP BY 1),
+         |lexn AS (
+         |  SELECT q_id, CAST(count(*) AS BIGINT) AS l_n
+         |  FROM lex GROUP BY 1),
          |outq AS (
          |  SELECT e.vec_id AS q_id,
-         |    coalesce(p.n_common, 0) AS n_common
+         |    coalesce(p.n_common, 0) AS n_common,
+         |    coalesce(ln.l_n, 0) AS l_n
          |  FROM e LEFT JOIN perq p ON p.q_id = e.vec_id
+         |    LEFT JOIN lexn ln ON ln.q_id = e.vec_id
          |  WHERE e.vec_id < 20),
          |tot AS (
          |  SELECT CAST(sum(n_common) AS BIGINT) AS sum_common,
          |    count(*) AS nq FROM outq)
          |SELECT q_id, n_common,
-         |  n_common * 1000000 // (10 - n_common) AS jaccard5_ppm,
+         |  n_common * 1000000 // (l_n + 5 - n_common) AS jaccard5_ppm,
          |  sum_common * 1000000 // (5 * nq) AS mean_overlap_ppm
          |FROM outq, tot""".stripMargin),
     Q("q309_embedding_drift", embeddingDrift _,
@@ -1415,6 +1526,7 @@ object Similarity {
          |SELECT q_id, cand_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin),
     Q("q245_ann_ivfpq", annIvfPq _, ivfpqOracleSql),
     Q("q289_ann_serve", annIvfPqServe _, ivfpqOracleSql),
+    Q("q316_ann_recall", annRecall _, annRecallSql),
     Q("q290_ann_append", annIvfPqAppend _,
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding,

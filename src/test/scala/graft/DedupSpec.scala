@@ -497,4 +497,91 @@ class DedupSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("pair_cos_r")))
     }
   }
+
+  test("substring decontam: driver-side window recompute matches exactly") {
+    val L = 8
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    def windows(tk: Array[String]): Seq[String] =
+      if (tk.length < L) Seq.empty
+      else (0 to tk.length - L).map(i => tk.slice(i, i + L).mkString(" "))
+    // eval window multiset: window text -> eval doc ids WITH multiplicity
+    // (each matching (t_pos, e_pos) position pair counts once)
+    val evalW = docs.filter(_._1 % 10 == 0)
+      .flatMap { case (id, tk) => windows(tk).map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).toSeq }
+    val expected = scala.collection.mutable.Map[(Long, Long), Long]()
+    docs.filter(_._1 % 10 != 0).foreach { case (tid, tk) =>
+      windows(tk).foreach { w =>
+        evalW.getOrElse(w, Seq.empty).foreach { eid =>
+          expected((tid, eid)) = expected.getOrElse((tid, eid), 0L) + 1L
+        }
+      }
+    }
+    val got = Dedup.substringDecontam(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === expected.toMap)
+    assert(got.nonEmpty, "feed carries dup docs; zero pairs means the " +
+      "window join broke, not that the corpus is clean")
+  }
+
+  test("substring decontam: an 8-token verbatim span triggers, 7 does not") {
+    import spark.implicits._
+    val span8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      // eval doc (id % 10 == 0) carrying the span mid-document
+      (10L, s"aa bb cc $span8 dd ee ff gg hh"),
+      // train doc sharing the full 8-token span once
+      (1L, s"xx yy $span8 zz qq rr ss tt"),
+      // train doc sharing only the first 7 tokens of the span
+      (2L, "xx yy w1 w2 w3 w4 w5 w6 w7 OTHER zz qq rr ss"),
+      // too short for any window
+      (3L, "only five words here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDecontamOn(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === Map((1L, 10L) -> 1L))
+  }
+
+  test("ann recall: hits match the driver-side exact-truth intersection") {
+    val out = Similarity.annRecall(spark, sf).collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // mirror VectorOps.dot/l2Norm + Spark round(_, 6) HALF_UP + signed-
+    // zero canonicalization: left-to-right double folds
+    def cosR(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    val byId = emb.toMap
+    val truth: Map[Long, Set[Long]] = emb.map(_._1).filter(_ < 20).map { q =>
+      val top = emb.filter(_._1 != q)
+        .map { case (c, v) => (c, cosR(byId(q), v)) }
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+      q -> top
+    }.toMap
+    val ann5 = Similarity.annTop5(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(out.length === truth.size)
+    val sumHits = out.map(_.getAs[Long]("n_hit")).sum
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val nHit = r.getAs[Long]("n_hit")
+      assert(ann5(q).size === 5)
+      assert(nHit === ann5(q).intersect(truth(q)).size.toLong)
+      assert(r.getAs[Long]("recall_ppm") === nHit * 1000000L / 5L)
+      assert(r.getAs[Long]("mean_recall_ppm") ===
+        sumHits * 1000000L / (5L * truth.size))
+    }
+  }
 }

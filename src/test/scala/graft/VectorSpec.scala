@@ -430,8 +430,9 @@ class VectorSpec extends SparkSpec {
           r.getAs[Long]("mean_overlap_ppm"))).toMap
     assert(got.keySet === expect.keySet)
     expect.foreach { case (q, nc) =>
+      val lN = lexTop(q).size // actual lexical list size (≤ 5)
       assert(got(q)._1 === nc, q)
-      assert(got(q)._2 === nc * 1000000L / (10 - nc), q)
+      assert(got(q)._2 === nc * 1000000L / (lN + 5 - nc), q)
       assert(got(q)._3 === sumC * 1000000L / (5L * expect.size), q)
     }
     // independent modalities: mean overlap stays well under 20%

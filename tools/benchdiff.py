@@ -21,6 +21,13 @@ cross-round perf calls are a computation, not a judgement:
    either side is 'unadjudicable' (with the reason).
 
 Exit code 1 iff any query or category regressed — usable as a gate.
+
+--gate (third arg): the round-close mode. ADDITIONALLY exits non-zero
+when the two files' catalogs differ (any unadjudicable entry) — the
+machine check for "the pin covers the whole catalog" that round 12
+lacked: SCALE.md claimed "zero unadjudicable entries" while the
+committed pin held 6 queries, and nothing ever executed that claim.
+The close commit must embed this mode's rc=0 line.
 """
 import json
 import sys
@@ -43,7 +50,8 @@ def verdict(old, new_norm):
 
 
 def main():
-    if len(sys.argv) != 3:
+    gate = "--gate" in sys.argv[3:]
+    if len(sys.argv) < 3:
         sys.exit(__doc__)
     a, b = load(sys.argv[1]), load(sys.argv[2])
     calib_a, calib_b = a.get("calib_sec"), b.get("calib_sec")
@@ -141,6 +149,14 @@ def main():
     if ta is not None and tb is not None:
         print(f"\ntotal: {ta:.3f}s -> {tb * norm:.3f}s normalized "
               f"(raw {tb:.3f}s)  {verdict(ta, tb * norm)}")
+    if gate and unadj:
+        print(f"GATE: FAIL — {len(unadj)} unadjudicable entries "
+              "(catalogs differ: the pin does not cover the current "
+              "catalog, or a query failed)")
+        sys.exit(2)
+    if gate:
+        print(f"GATE: catalogs match ({len(rows)} entries adjudicated, "
+              "0 unadjudicable)")
     sys.exit(1 if any(r[4] == "REGRESSED" for r in moved) else 0)
 
 
