@@ -259,7 +259,26 @@ object PlanDump {
       "q311_kaplan_meier" ->
         ("Kaplan-Meier: per-customer partial agg, bounded duration " +
           "census, two bounded windows (risk cumulative + ln-sum " +
-          "survival) — the collapse-then-window shape"))
+          "survival) — the collapse-then-window shape"),
+      "q312_anova" ->
+        ("one-way ANOVA: one partial-agg'd pass to per-group integer " +
+          "moments (bounded groups), exact SS decomposition on the " +
+          "bounded relation"),
+      "q313_hill_tail" ->
+        ("Hill tail index: top-101 as TakeOrderedAndProject (never a " +
+          "global sort), 101-row bounded window, order-free integer " +
+          "micro-nat sum"),
+      "q314_wilcoxon" ->
+        ("Wilcoxon signed-rank: per-nation partial agg to a bounded " +
+          "25-row paired relation; ranks/midranks on bounded windows"),
+      "q315_substring_decontam" ->
+        ("exact-substring decontamination: positional L-token window " +
+          "hash as the only corpus-wide shuffle key, train x eval " +
+          "candidate equi-join, text verify joins on candidates only"),
+      "q316_ann_recall" ->
+        ("ANN recall audit: persisted-index probe (broadcast " +
+          "centroids, cell-confined ADC) vs one linear Qx N exact " +
+          "pass; scalar-broadcast readout join"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

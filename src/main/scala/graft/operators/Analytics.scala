@@ -2038,12 +2038,20 @@ object Analytics {
     * integer sum — a float Σ over 100 rows would already be partial-agg
     * order-dependent. Value ties at the threshold cannot wobble the
     * result: only the cents VALUES enter the ratio. */
-  def hillTail(spark: SparkSession, dir: String): DataFrame = {
-    val top = t(spark, dir, "orders")
+  /** q313's corpus-scale stage in isolation: top-101 order values as
+    * orderBy+limit, which Spark plans as TakeOrderedAndProject (bounded
+    * per-partition heaps merged at the driver — never a global sort).
+    * Exposed so PlanSpec can assert that BEFORE the cutLineage()
+    * checkpoint truncates the visible plan. */
+  private[graft] def hillTop(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
       .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
         .as("cents"), col("o_orderkey").as("ok"))
       .orderBy(col("cents").desc, col("ok").asc)
       .limit(101)
+
+  def hillTail(spark: SparkSession, dir: String): DataFrame = {
+    val top = hillTop(spark, dir)
       .cutLineage() // 101 rows; feeds the threshold AND the terms
     val thr = top.agg(min(col("cents")).as("xk"))
     val w = Window.orderBy(col("cents").asc, col("ok").asc)

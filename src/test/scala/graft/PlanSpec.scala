@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Relational}
+import graft.operators.{Analytics, Dedup, Relational}
 
 /** Physical-plan audits (SURVEY.md §4 discipline): the properties that make
   * these plans survive a 100x scale-up are asserted, not assumed — filter
@@ -468,5 +468,21 @@ class PlanSpec extends SparkSpec {
     // only the late-era partition directories are read: every surviving
     // partition is >= 1999
     assert(got.forall(_._1 >= 1999L))
+  }
+
+  test("q313: Hill top-101 plans as TakeOrderedAndProject (no global sort " +
+    "over orders)") {
+    // assert on the pre-checkpoint frame: hillTail's cutLineage()
+    // truncates the visible executed plan at the 101-row boundary
+    val plan = planOf(Analytics.hillTop(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+    assert(!plan.contains("Exchange"), s"top-101 shuffled:\n$plan")
+  }
+
+  test("q315: decontam candidates come from equi-joins — no cartesian, " +
+    "no nested loop") {
+    val plan = planOf(Dedup.substringDecontam(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"got:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"got:\n$plan")
   }
 }
