@@ -2118,7 +2118,123 @@ object Analytics {
           .as("strength_r"))
   }
 
+  /** Shared log-rank χ² fragment over (d1s, e1s micro, vs micro) —
+    * identical IEEE sequence in both engines. */
+  private def logRankChi2Sql: String =
+    "((CAST(d1s AS DOUBLE) * 1000000.0 - e1s) * " +
+      "(CAST(d1s AS DOUBLE) * 1000000.0 - e1s) / " +
+      "(CAST(vs AS DOUBLE) * 1000000.0))"
+
+  /** Log-rank test (Mantel, Cancer Chemotherapy Reports 1966; the
+    * Mantel–Haenszel two-group survival comparison) of customer
+    * lifetime between the BUILDING segment and the rest — the
+    * inference companion to q311's Kaplan–Meier CURVE: KM draws S(t),
+    * this one asks whether two strata's S(t) differ anywhere. Same
+    * censoring protocol as q311 (event = last activity > 360 days
+    * before the corpus cutoff; censored otherwise), same corpus
+    * collapse: ONE per-customer partial agg, then a duration × group
+    * census bounded by span-days. Risk sets are descending cumulatives
+    * over that bounded relation; at each event time the hypergeometric
+    * terms are quantized per row to integer micro units — e₁ =
+    * d·n₁·10⁶ div n (truncating integral div, positive), v = d·n₁·
+    * (n−n₁)·(n−d)·10⁶ div (n²·(n−1)) on decimal(38)/HUGEINT (the
+    * numerator crosses 2⁶³ at gate scale) — so both Σ are ORDER-FREE
+    * integer sums; χ² (1 df, α=0.05 critical value 3.841) is the one
+    * fixed-order [[logRankChi2Sql]] double. iid segments → the gate
+    * pins not-significant honestly. */
+  def logRank(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"),
+        (col("c_mktsegment") === "BUILDING").as("g1"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+          "DATE '1990-01-01') AS BIGINT)").as("day"))
+    val perCust = o.groupBy(col("ck"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      .join(broadcast(cust), Seq("ck"))
+    val cut = o.agg(max(col("day")).as("cutd"))
+    val census = perCust.crossJoin(broadcast(cut))
+      .select(col("g1"), (col("l") < col("cutd") - 360).as("ev"),
+        when(col("l") < col("cutd") - 360, col("l") - col("f"))
+          .otherwise(col("cutd") - col("f")).as("dur"))
+      .groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1_at"),
+        sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("ev") && col("g1"), 1L).otherwise(0L)).as("d1"))
+    val wGe = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    census // bounded ≤ span-days rows: collapse-then-window
+      .withColumn("n", sum(col("n_at")).over(wGe))
+      .withColumn("n1", sum(col("n1_at")).over(wGe))
+      .filter(col("d") > 0)
+      .select(col("d1"),
+        expr("d * n1 * 1000000 div n").as("e1u"),
+        when(col("n") > 1,
+          expr("CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d) " +
+            "* 1000000 div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))")
+            .cast("long")).otherwise(lit(0L)).as("vu"))
+      .agg(sum(col("d1")).as("d1s"), sum(col("e1u")).as("e1s"),
+        sum(col("vu")).as("vs"))
+      .select(col("d1s"), col("e1s"), col("vs"),
+        (round(expr(logRankChi2Sql), 6) + lit(0.0)).as("chi2_r"),
+        expr(s"CASE WHEN $logRankChi2Sql > 3.841 THEN 'significant_95'" +
+          " ELSE 'not_significant' END").as("verdict"))
+  }
+
+  private def logRankSql: String =
+    s"""WITH o AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(datediff('day', DATE '1990-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+      |  FROM orders),
+      |pc AS (
+      |  SELECT ck, min(day) AS f, max(day) AS l FROM o GROUP BY 1),
+      |cust AS (
+      |  SELECT c_custkey AS ck, c_mktsegment = 'BUILDING' AS g1
+      |  FROM customer),
+      |cut AS (SELECT max(day) AS cutd FROM o),
+      |census AS (
+      |  SELECT dur, CAST(count(*) AS BIGINT) AS n_at,
+      |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_at,
+      |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN ev AND g1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d1
+      |  FROM (
+      |    SELECT g1, l < cutd - 360 AS ev,
+      |      CASE WHEN l < cutd - 360 THEN l - f ELSE cutd - f END
+      |        AS dur
+      |    FROM pc JOIN cust USING (ck), cut)
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT d, d1,
+      |    CAST(sum(n_at) OVER (ORDER BY dur DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS n,
+      |    CAST(sum(n1_at) OVER (ORDER BY dur DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS n1
+      |  FROM census),
+      |terms AS (
+      |  SELECT d1, d * n1 * 1000000 // n AS e1u,
+      |    CASE WHEN n > 1 THEN CAST(CAST(d AS HUGEINT) * n1 * (n - n1)
+      |      * (n - d) * 1000000 // (CAST(n AS HUGEINT) * n * (n - 1))
+      |      AS BIGINT) ELSE 0 END AS vu
+      |  FROM cum WHERE d > 0),
+      |agg AS (
+      |  SELECT CAST(sum(d1) AS BIGINT) AS d1s,
+      |    CAST(sum(e1u) AS BIGINT) AS e1s,
+      |    CAST(sum(vu) AS BIGINT) AS vs
+      |  FROM terms)
+      |SELECT d1s, e1s, vs,
+      |  round($logRankChi2Sql, 6) + 0.0 AS chi2_r,
+      |  CASE WHEN $logRankChi2Sql > 3.841 THEN 'significant_95'
+      |       ELSE 'not_significant' END AS verdict
+      |FROM agg""".stripMargin
+
   val catalog: Seq[Q] = Seq(
+    Q("q320_logrank", logRank _, logRankSql),
     Q("q311_kaplan_meier", kaplanMeier _,
       """WITH o AS (
         |  SELECT o_custkey AS ck,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Ckpt.CutOps
@@ -315,10 +315,44 @@ object Dedup {
     * candidates only. At 100 TB, k grows with N (cells of ~constant
     * size) and assignment uses an ANN probe instead of the dense k-scan,
     * but the pipeline shape is unchanged. */
-  /** Final (vec_id, cell) assignment of [[embeddingCosine]]'s k-means —
-    * exposed for recall/occupancy inspection in specs. */
-  private[graft] def embeddingCells(spark: SparkSession,
-      dir: String): DataFrame = {
+  /** Broadcast-scored (vec, cell) relation: every vector against every
+    * centroid, with the cosine score — the single k·N pass that both the
+    * argmax assignment ([[ecAssign]]) and the top-2 silhouette audit
+    * (q324) read. See [[embeddingCells]] for the join-shape rationale. */
+  private def ecScored(e: DataFrame, cents: DataFrame): DataFrame =
+    e.withColumn("jk", col("vec_id") * 0)
+      .join(broadcast(cents
+        // per-cell constant — computed k times here instead of N·k times
+        // inside the scoring row; same IEEE sequence, same value
+        .withColumn("cnorm", VectorOps.l2NormDouble(col("c")))
+        .withColumn("jk", col("cell").cast("long") * 0)), Seq("jk"))
+      .withColumn("score",
+        VectorOps.dotFloatDouble(col("embedding"), col("c")) /
+          (col("nrm") * col("cnorm")))
+
+  /** Nearest-centroid argmax over [[ecScored]]: max_by over (score,
+    * -cell) is a MERGEABLE aggregate, so the k scored rows per vector
+    * collapse map-side and the shuffle carries one row per vector.
+    * Ties → lowest cell id, matching the oracle's (score DESC, cell
+    * ASC) row_number. */
+  private def ecAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    ecScored(e, cents)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"),
+        struct(col("score"), (-col("cell")).as("nc"))).as("cell"),
+        // the winning score IS max(score) (ties differ only in cell),
+        // kept so semanticDedup can rank members by centroid proximity
+        // without re-scoring; q37 simply doesn't select it
+        max(col("score")).as("cos_c"),
+        first(col("qv")).as("qv"))
+
+  /** The k-means core shared by [[embeddingCells]] and the
+    * clustering-quality audits (q324 silhouette, q325 Davies–Bouldin):
+    * the prepared embedding frame `e` (vec_id, embedding, nrm, qv) and
+    * the final centroid table `cents` (cell, c) after the one exact-
+    * integer Lloyd step. */
+  private[graft] def kmeansEC(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val e0 = t(spark, dir, "embeddings")
     // cells of ~32 vectors: k grows with N so in-cell candidate pairs stay
     // LINEAR in N (the weak-scaling property ScaleProbe measures); floor
@@ -336,35 +370,14 @@ object Dedup {
     // deliberately column-derived, NOT a literal: a literal key would
     // constant-fold into a nested-loop cross join, while a non-foldable
     // expression keeps the equi-join (and Catalyst can't fold x*0 under
-    // null semantics). The argmax is max_by over (score, -cell): a
-    // MERGEABLE aggregate, so the k scored rows per vector collapse
-    // map-side and the shuffle carries one row per vector. Ties → lowest
-    // cell id, matching the oracle's (score DESC, cell ASC) row_number.
-    def assign(cents: DataFrame): DataFrame =
-      e.withColumn("jk", col("vec_id") * 0)
-        .join(broadcast(cents
-          // per-cell constant — computed k times here instead of N·k times
-          // inside the scoring row; same IEEE sequence, same value
-          .withColumn("cnorm", VectorOps.l2NormDouble(col("c")))
-          .withColumn("jk", col("cell").cast("long") * 0)), Seq("jk"))
-        .withColumn("score",
-          VectorOps.dotFloatDouble(col("embedding"), col("c")) /
-            (col("nrm") * col("cnorm")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cell"),
-          struct(col("score"), (-col("cell")).as("nc"))).as("cell"),
-          // the winning score IS max(score) (ties differ only in cell),
-          // kept so semanticDedup can rank members by centroid proximity
-          // without re-scoring; q37 simply doesn't select it
-          max(col("score")).as("cos_c"),
-          first(col("qv")).as("qv"))
+    // null semantics). Scoring + argmax live in [[ecScored]]/[[ecAssign]].
     val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"),
         transform(col("qv"), v => v.cast("double")).as("c"))
     // one Lloyd step in exact integer space: per-(cell, dim) sums are
     // order-invariant bigints, so the recomputed centroid doubles are
     // bit-identical in any engine
-    val cents = assign(seeds)
+    val cents = ecAssign(e, seeds)
       .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "qx")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(col("qx")).as("s"), count(lit(1)).as("cnt"))
@@ -372,7 +385,15 @@ object Dedup {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
         x => x.getField("s").cast("double") / x.getField("cnt")).as("c"))
-    assign(cents).select(col("vec_id"), col("cell"), col("cos_c"))
+    (e, cents)
+  }
+
+  /** Final (vec_id, cell) assignment of [[embeddingCosine]]'s k-means —
+    * exposed for recall/occupancy inspection in specs. */
+  private[graft] def embeddingCells(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (e, cents) = kmeansEC(spark, dir)
+    ecAssign(e, cents).select(col("vec_id"), col("cell"), col("cos_c"))
   }
 
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
@@ -413,6 +434,165 @@ object Dedup {
       .filter(col("cos") >= 0.5)
       .select(col("v1"), col("v2"), col("cos"))
   }
+
+  /** Simplified (centroid-based) silhouette audit of the embedding
+    * clustering (Rousseeuw, J. Comput. Appl. Math. 1987; the centroid
+    * variant — a(i) = distance to OWN centroid, b(i) = distance to the
+    * NEAREST OTHER centroid — is the O(k·N) form every large-scale
+    * clustering job actually runs, since pairwise-member silhouette is
+    * O(N²)): the quality gate for the k-means that q37/q288/q324's
+    * whole dedup family stands on. Distances are cosine (1 − cos, the
+    * metric the assignment itself optimizes). The top-2 centroids per
+    * vector come from the SAME broadcast-scored k·N relation the argmax
+    * assignment reads ([[ecScored]]) — one row_number window keyed on
+    * vec_id (the audit's one shuffle; at 100 TB the dense k-scan is
+    * replaced by the q289 IVF probe and the window runs over the ≤
+    * probe-width candidate list, partition-local). Per-vector s =
+    * (b−a)/max(a,b) is quantized to ppm FIRST (floor(·10⁶ + 0.5) on a
+    * non-negative value — b ≥ a by argmax construction, so the centroid
+    * variant's s is structurally ≥ 0), making the per-cell mean an
+    * order-free integer sum + one integral division. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cents) = kmeansEC(spark, dir)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    ecScored(e, cents)
+      .select(col("vec_id"), col("cell"), col("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("cell"))).as("cell"),
+        max(when(col("rn") === 1, col("score"))).as("s1"),
+        max(when(col("rn") === 2, col("score"))).as("s2"))
+      .select(col("cell"),
+        expr("CASE WHEN 1.0 - s2 <= 0.0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(floor((s1 - s2) / (1.0 - s2) * 1000000 + 0.5) " +
+          "AS BIGINT) END").as("sil_ppm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("sil_ppm")).as("sil_sum_ppm"))
+      .select(col("cell"), col("n_members"), col("sil_sum_ppm"),
+        expr("sil_sum_ppm div n_members").as("mean_sil_ppm"))
+  }
+
+  private def silhouetteSql: String = {
+    val scoreExpr =
+      """(list_aggregate([CAST(q.embedding[i] AS DOUBLE) * cn.c[i]
+        |      for i in range(1, len(q.embedding) + 1)], 'sum')
+        |     / (q.nrm * sqrt(list_aggregate([cn.c[i] * cn.c[i]
+        |      for i in range(1, len(cn.c) + 1)], 'sum'))))""".stripMargin
+    s"""WITH $kmeansCtesSql,
+      |sc AS (
+      |  SELECT vec_id, cell, s, rn FROM (
+      |    SELECT q.vec_id, cn.cell, $scoreExpr AS s,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        $scoreExpr DESC, cn.cell ASC) AS rn
+      |    FROM q CROSS JOIN cents cn) WHERE rn <= 2),
+      |pv AS (
+      |  SELECT vec_id,
+      |    max(CASE WHEN rn = 1 THEN cell END) AS cell,
+      |    max(CASE WHEN rn = 1 THEN s END) AS s1,
+      |    max(CASE WHEN rn = 2 THEN s END) AS s2
+      |  FROM sc GROUP BY 1),
+      |sil AS (
+      |  SELECT cell,
+      |    CASE WHEN 1.0 - s2 <= 0.0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(floor((s1 - s2) / (1.0 - s2) * 1000000 + 0.5)
+      |      AS BIGINT) END AS sil_ppm
+      |  FROM pv)
+      |SELECT cell, count(*) AS n_members,
+      |  CAST(sum(sil_ppm) AS BIGINT) AS sil_sum_ppm,
+      |  CAST(sum(sil_ppm) // count(*) AS BIGINT) AS mean_sil_ppm
+      |FROM sil GROUP BY 1""".stripMargin
+  }
+
+  /** Davies–Bouldin clustering validity index (Davies & Bouldin, IEEE
+    * TPAMI 1979), the companion audit to q324: silhouette grades
+    * per-MEMBER placement, DB grades per-CLUSTER separation — D_i =
+    * max_j (S_i + S_j)/M_ij, worst-neighbor scatter-to-separation. Same
+    * cosine-distance space as the assignment. Costs: S_i is one integer
+    * partial agg over the assignment (per-member distances ppm-quantized
+    * FIRST, so the per-cell mean is an order-free integer sum); M_ij is
+    * the k×k centroid cross join — bounded by k (≤ 4096 by
+    * construction), INDEPENDENT of corpus size, with per-centroid norms
+    * precomputed once (k values, not k²). The argmax neighbor is the
+    * two-stage max-then-min-id discipline so ties are deterministic in
+    * both engines. Coincident centroids (M_ppm = 0) are excluded — a
+    * zero separation would be an artifact of the quantization, not a
+    * verdict. */
+  def daviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    def dotDD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x)
+    val (e, cents0) = kmeansEC(spark, dir)
+    val cents = cents0
+      .withColumn("cn", VectorOps.l2NormDouble(col("c")))
+      .cutLineage() // k rows; feeds the assignment AND both pair sides
+    val s = ecAssign(e, cents.drop("cn"))
+      .select(col("cell"),
+        expr("CAST(floor((1.0 - cos_c) * 1000000 + 0.5) AS BIGINT)")
+          .as("dppm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("dppm")).as("dsum"))
+      .select(col("cell"), col("n"), expr("dsum div n").as("s_ppm"))
+      .cutLineage() // bounded k rows; feeds both r-join sides
+    val m = cents.as("ci").join(cents.as("cj"),
+        col("ci.cell") =!= col("cj.cell"))
+      .select(col("ci.cell").as("i"), col("cj.cell").as("j"),
+        floor((lit(1.0) - dotDD(col("ci.c"), col("cj.c")) /
+          (col("ci.cn") * col("cj.cn"))) * 1000000 + 0.5)
+          .cast("long").as("m_ppm"))
+      .filter(col("m_ppm") > 0)
+    val r = m
+      .join(s.select(col("cell").as("i"), col("s_ppm").as("si")), Seq("i"))
+      .join(s.select(col("cell").as("j"), col("s_ppm").as("sj")), Seq("j"))
+      .select(col("i"), col("j"),
+        expr("(si + sj) * 1000000 div m_ppm").as("r_micro"))
+    val rmax = r.groupBy(col("i"))
+      .agg(max(col("r_micro")).as("r_max_micro"))
+    val worst = r.join(rmax, Seq("i"))
+      .filter(col("r_micro") === col("r_max_micro"))
+      .groupBy(col("i"))
+      .agg(min(col("j")).as("worst_other"), max(col("r_max_micro"))
+        .as("r_max_micro"))
+    s.select(col("cell"), col("n").as("n_members"), col("s_ppm"))
+      .join(worst.select(col("i").as("cell"), col("worst_other"),
+        col("r_max_micro")), Seq("cell"))
+  }
+
+  private def daviesBouldinSql: String =
+    s"""WITH $kmeansCtesSql,
+      |cn AS (
+      |  SELECT cell, c, sqrt(list_aggregate([c[i] * c[i]
+      |    for i in range(1, len(c) + 1)], 'sum')) AS cn
+      |  FROM cents),
+      |s AS (
+      |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(floor((1.0 - cos_c) * 1000000 + 0.5)
+      |      AS BIGINT)) // count(*) AS BIGINT) AS s_ppm
+      |  FROM a2 GROUP BY 1),
+      |m AS (
+      |  SELECT ci.cell AS i, cj.cell AS j,
+      |    CAST(floor((1.0 - list_aggregate([ci.c[k] * cj.c[k]
+      |      for k in range(1, len(ci.c) + 1)], 'sum')
+      |      / (ci.cn * cj.cn)) * 1000000 + 0.5) AS BIGINT) AS m_ppm
+      |  FROM cn ci JOIN cn cj ON ci.cell <> cj.cell
+      |  WHERE floor((1.0 - list_aggregate([ci.c[k] * cj.c[k]
+      |      for k in range(1, len(ci.c) + 1)], 'sum')
+      |      / (ci.cn * cj.cn)) * 1000000 + 0.5) > 0),
+      |r AS (
+      |  SELECT m.i, m.j, (si.s_ppm + sj.s_ppm) * 1000000 // m.m_ppm
+      |      AS r_micro
+      |  FROM m JOIN s si ON si.cell = m.i JOIN s sj ON sj.cell = m.j),
+      |rmax AS (
+      |  SELECT i, max(r_micro) AS r_max_micro FROM r GROUP BY 1),
+      |worst AS (
+      |  SELECT r.i, min(r.j) AS worst_other,
+      |    max(r.r_micro) AS r_max_micro
+      |  FROM r JOIN rmax ON rmax.i = r.i AND r.r_micro = rmax.r_max_micro
+      |  GROUP BY 1)
+      |SELECT s.cell, s.n AS n_members, s.s_ppm, w.worst_other,
+      |  w.r_max_micro
+      |FROM s JOIN worst w ON w.i = s.cell""".stripMargin
 
   /** SemDeDup-style SEMANTIC dedup (Abbas, Tirumala, Simig, Ganguli &
     * Morcos 2023, arXiv:2303.09540): k-means-cluster the embedding
@@ -1343,9 +1523,82 @@ object Dedup {
       |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
       |GROUP BY 1, 2""".stripMargin
 
+  /** Exact-substring DEDUP proper (Lee et al., ACL 2022 — the
+    * intra-corpus half of the ExactSubstr pair; q315 is the train×eval
+    * decontamination half): a document's L=8-token window is DUPLICATED
+    * iff the identical window text occurs in ANY lower-id document —
+    * the "first occurrence keeps, later copies lose" policy Lee et al.
+    * apply when cutting repeated spans from a pretraining corpus. Where
+    * q34/q35 ask "are these two DOCUMENTS near-identical?" and q109
+    * finds repeats INSIDE one document, this finds short verbatim
+    * cross-document spans — boilerplate, licenses, templated headers —
+    * that document-level Jaccard cannot see.
+    *
+    * Shape: windows → one (h, window-text) partial-agg'd groupBy
+    * electing the min-doc owner per DISTINCT window text (map-side
+    * combine collapses repeated windows, so the shuffle carries each
+    * distinct window once — ~L× corpus bytes, LINEAR, the same O(corpus)
+    * budget as Lee et al.'s suffix array and never pairs²) → an equi-join
+    * of the window relation back onto the owner table → one per-doc
+    * counting agg. Output is the per-document verdict table a corpus
+    * pipeline consumes: window census, duplicated-window count, dup
+    * fraction, and the prune flag at the 50% policy threshold. q315's
+    * asymmetric hash-candidate form exists for the train×eval case where
+    * shuffling the small eval side's text is free; here both sides are
+    * the corpus, so the grouped-owner form wins. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOn(t(spark, dir, "documents"))
+
+  /** Same, over an explicit (doc_id, text) frame — spec entry point. */
+  private[graft] def substringDedupOn(raw: DataFrame): DataFrame = {
+    val L = 8
+    val docs = raw
+      .select(col("doc_id"),
+        graft.functions.Barrier.materialized(split(col("text"), " "))
+          .as("tk"))
+      .filter(size(col("tk")) >= L)
+    val w = docs.select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(tk) - ${L - 1}), " +
+          s"i -> array_join(slice(tk, i, $L), ' '))")).as("wt"))
+      .select(col("doc_id"), TextOps.portableHash(col("wt")).as("h"),
+        col("wt"))
+    val owner = w.groupBy(col("h"), col("wt"))
+      .agg(min(col("doc_id")).as("owner"))
+    w.join(owner, Seq("h", "wt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("doc_id") > col("owner"), 1L).otherwise(0L))
+          .as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        expr("n_dup * 1000000 div n_windows").as("dup_ppm"),
+        (expr("n_dup * 1000000 div n_windows") >= 500000).as("prune"))
+  }
+
+  private def substringDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |w AS (
+      |  SELECT doc_id, array_to_string(tk[pos : pos + 7], ' ') AS wt
+      |  FROM (SELECT doc_id, unnest(range(1, len(tk) - 6)) AS pos, tk
+      |        FROM toks)),
+      |own AS (SELECT wt, min(doc_id) AS owner FROM w GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_windows,
+      |  CAST(sum(CASE WHEN doc_id > owner THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup,
+      |  CAST(sum(CASE WHEN doc_id > owner THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS dup_ppm,
+      |  (CAST(sum(CASE WHEN doc_id > owner THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) >= 500000) AS prune
+      |FROM w JOIN own USING (wt)
+      |GROUP BY 1""".stripMargin
+
   val catalog: Seq[Q] = Seq(
     Q("q315_substring_decontam", substringDecontam _,
       substringDecontamSql),
+    Q("q317_substring_dedup", substringDedup _, substringDedupSql),
+    Q("q324_silhouette", silhouette _, silhouetteSql),
+    Q("q325_davies_bouldin", daviesBouldin _, daviesBouldinSql),
     Q("q267_lsh_scurve", lshScurve _, lshScurveSql),
     Q("q213_survivorship", survivorship _, survivorshipSql),
     Q("q150_setsim_exact", setsimExact _, setsimExactSql),

@@ -1412,7 +1412,529 @@ object MlEval {
           col("tss").cast("double"), 6) + lit(0.0)).as("joint_share_r"))
   }
 
+  /** Shared Mann–Whitney z fragment over (u2 = 2·U₁, n1, n0, tt =
+    * Σ(t³−t)) — spliced verbatim into BOTH engines so the IEEE sequence
+    * is identical. Variance carries the tie correction of Kendall's
+    * rank-methods treatment: Var U = n1·n0/12·((n+1) − Σ(t³−t)/(n(n−1))).
+    */
+  private def mwuZSql: String =
+    "((CAST(u2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * n0 / 2.0) / " +
+      "sqrt(CAST(n1 AS DOUBLE) * n0 / 12.0 * " +
+      "((CAST(n1 AS DOUBLE) + n0 + 1.0) - CAST(tt AS DOUBLE) / " +
+      "((CAST(n1 AS DOUBLE) + n0) * (CAST(n1 AS DOUBLE) + n0 - 1.0)))))"
+
+  /** Mann–Whitney U test (Mann & Whitney, Ann. Math. Stat. 1947) on
+    * line-item quantity between the two line statuses — the UNPAIRED
+    * nonparametric location test completing the family: q314 Wilcoxon
+    * is the paired form, q251's AUC is numerically U/(n1·n0) but
+    * reports no inference; this one reports the tie-corrected normal
+    * z and a verdict. The corpus collapses to the (quantity → n1, n0)
+    * relation FIRST (one partial-agg'd shuffle, ≤ 50 rows — quantity's
+    * bounded domain), so 2·U₁ = Σ_s n1(s)·(2·cumn0_<(s) + n0(s)) is an
+    * exact integer from a bounded window, and the tie term Σ(t³−t)
+    * rides decimal(38) (t³ crosses 2⁶³ near ~10× sf0.1; oracle
+    * HUGEINT). With a 50-value domain the tie correction is not a
+    * refinement but most of the variance — the uncorrected z would be
+    * ~misscaled, which is exactly why the corrected form is the one
+    * worth gating. z is the one fixed-order [[mwuZSql]] double. iid
+    * statuses → the gate pins not-significant honestly. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val g = t(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("s"),
+        when(col("l_linestatus") === "F", 1L).otherwise(0L).as("y1"))
+      .groupBy(col("s"))
+      .agg(sum(col("y1")).as("m1"), (count(lit(1)) - sum(col("y1"))).as("m0"))
+    val wLt = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g // bounded ≤ 50 rows: the collapse-then-window house shape
+      .withColumn("cum0lt", coalesce(sum(col("m0")).over(wLt), lit(0L)))
+      .agg(sum(col("m1")).as("n1"), sum(col("m0")).as("n0"),
+        sum(col("m1") * (lit(2L) * col("cum0lt") + col("m0"))).as("u2"),
+        sum((col("m1") + col("m0")).cast("decimal(38,0)") *
+          (col("m1") + col("m0")) * (col("m1") + col("m0")) -
+          (col("m1") + col("m0"))).as("tt"))
+      .select(col("n1"), col("n0"), col("u2"),
+        (round(expr(mwuZSql), 6) + lit(0.0)).as("z_r"),
+        expr(s"CASE WHEN abs($mwuZSql) > 1.96 THEN 'significant_95' " +
+          "ELSE 'not_significant' END").as("verdict"))
+  }
+
+  private def mannWhitneySql: String =
+    s"""WITH g AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS s,
+      |    CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m1,
+      |    CAST(sum(CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS m0
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT m1, m0,
+      |    CAST(coalesce(sum(m0) OVER (ORDER BY s ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum0lt
+      |  FROM g),
+      |agg AS (
+      |  SELECT CAST(sum(m1) AS BIGINT) AS n1,
+      |    CAST(sum(m0) AS BIGINT) AS n0,
+      |    CAST(sum(m1 * (2 * cum0lt + m0)) AS BIGINT) AS u2,
+      |    sum(CAST(m1 + m0 AS HUGEINT) * (m1 + m0) * (m1 + m0)
+      |      - (m1 + m0)) AS tt
+      |  FROM c)
+      |SELECT n1, n0, u2,
+      |  round($mwuZSql, 6) + 0.0 AS z_r,
+      |  CASE WHEN abs($mwuZSql) > 1.96 THEN 'significant_95'
+      |       ELSE 'not_significant' END AS verdict
+      |FROM agg""".stripMargin
+
+  /** Shared Kendall τ-b fragment over (c, d, np, tx, ty) — identical
+    * IEEE sequence in both engines. */
+  private def tauBSql: String =
+    "(CAST(c - d AS DOUBLE) / " +
+      "sqrt(CAST(np - tx AS DOUBLE) * CAST(np - ty AS DOUBLE)))"
+
+  /** Kendall rank correlation τ-b (Kendall, Biometrika 1938; τ-b is
+    * the tie-adjusted form) between per-nation order volume and
+    * per-nation revenue — the concordance complement to q255's
+    * Spearman: Spearman squares rank GAPS, Kendall counts pairwise
+    * ORDER AGREEMENTS, and the two disagree exactly when a few large
+    * rank swaps hide among many small ones. The corpus collapses to
+    * the 25-nation (x = n_orders, y = Σcents) relation in ONE dim-join
+    * partial agg; concordant / discordant / tie tallies are exact
+    * integers off the bounded 25×25 self-join (the q314 pairwise
+    * shape); τ-b is the one fixed-order [[tauBSql]] double. The
+    * sign products ride decimal(38): (x_a−x_b)·(y_a−y_b) crosses 2⁶³
+    * near ~10× sf0.1 (y gaps are cents-scale), oracle HUGEINT. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nat"))
+    val cells = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .join(broadcast(cust), Seq("ck"))
+      .groupBy(col("nat"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+      .cutLineage() // bounded 25 rows; feeds both self-join sides
+    cells.as("a").join(cells.as("b"), col("a.nat") < col("b.nat"))
+      .select(
+        (col("a.x") - col("b.x")).cast("decimal(38,0)")
+          .multiply((col("a.y") - col("b.y")).cast("decimal(38,0)"))
+          .as("prod"),
+        (col("a.x") === col("b.x")).as("tiex"),
+        (col("a.y") === col("b.y")).as("tiey"))
+      .agg(count(lit(1)).as("np"),
+        sum(when(col("prod") > 0, 1L).otherwise(0L)).as("c"),
+        sum(when(col("prod") < 0, 1L).otherwise(0L)).as("d"),
+        sum(when(col("tiex"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("tiey"), 1L).otherwise(0L)).as("ty"))
+      .select(col("np").as("n_pairs"), col("c").as("n_conc"),
+        col("d").as("n_disc"), col("tx").as("ties_x"),
+        col("ty").as("ties_y"),
+        (round(expr(tauBSql), 6) + lit(0.0)).as("tau_b_r"))
+  }
+
+  private def kendallTauSql: String =
+    s"""WITH cells AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS nat,
+      |    CAST(count(*) AS BIGINT) AS x,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(a.x - b.x AS HUGEINT) * (a.y - b.y) AS prod,
+      |    a.x = b.x AS tiex, a.y = b.y AS tiey
+      |  FROM cells a JOIN cells b ON a.nat < b.nat),
+      |agg AS (
+      |  SELECT count(*) AS np,
+      |    CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c,
+      |    CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d,
+      |    CAST(sum(CASE WHEN tiex THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |    CAST(sum(CASE WHEN tiey THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      |  FROM p)
+      |SELECT np AS n_pairs, c AS n_conc, d AS n_disc, tx AS ties_x,
+      |  ty AS ties_y, round($tauBSql, 6) + 0.0 AS tau_b_r
+      |FROM agg""".stripMargin
+
+  /** Split-conformal prediction-interval coverage (Vovk's inductive
+    * conformal; Lei, G'Sell, Rinaldo, Tibshirani & Wasserman, JASA
+    * 2018 — the distribution-free coverage guarantee every model
+    * serving layer can wrap around ANY point predictor): fit on the
+    * train folds (o_orderkey mod 5 ∈ {2,3,4} — here the deterministic
+    * stand-in predictor is the per-segment mean, the house convention
+    * for "a model" since [[rocAuc]]), take the ⌈0.9·(n+1)⌉-th smallest
+    * absolute residual on the calibration fold (mod 5 = 0) as the
+    * interval half-width q̂, then audit empirical coverage on the test
+    * fold (mod 5 = 1) — finite-sample theory guarantees ≥ 90%, and
+    * the gate pins the observed rate. Everything is exact integers:
+    * ŷ = Σcents div n (integral), residuals dollar-quantized
+    * (div 100), the order statistic comes from a cumulative over the
+    * COLLAPSED (residual-dollar → count) relation — one partial-agg'd
+    * shuffle, never a corpus sort — and coverage is one more counting
+    * pass with q̂ broadcast. At 100 TB: two scans + a ≤|residual
+    * domain| window; the quantile never touches corpus-sized input. */
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    val base = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"),
+        (col("o_orderkey") % 5).cast("long").as("fold"))
+      .join(broadcast(cust), Seq("ck"))
+      .cutLineage() // three folds consume it: train, cal, test
+    val segMean = base.filter(col("fold") >= 2)
+      .groupBy(col("seg"))
+      .agg(expr("sum(cents) div count(1)").as("yhat"))
+    def resid(fold: Int): DataFrame = base.filter(col("fold") === fold)
+      .join(broadcast(segMean), Seq("seg"))
+      .select(expr("abs(cents - yhat) div 100").as("rd"))
+    val calCnt = resid(0).groupBy(col("rd"))
+      .agg(count(lit(1)).as("cnt"))
+    val wLe = Window.orderBy(col("rd").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // bounded ≤ |distinct residual dollars| rows: collapse-then-window
+    val qhat = calCnt
+      .withColumn("cum", sum(col("cnt")).over(wLe))
+      .crossJoin(broadcast(calCnt.agg(sum(col("cnt")).as("n_cal"))))
+      .filter(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+      .agg(min(col("rd")).as("q_hat_dollars"),
+        max(col("n_cal")).as("n_cal"))
+    resid(1).crossJoin(broadcast(qhat))
+      .agg(max(col("n_cal")).as("n_cal"),
+        max(expr("(9 * (n_cal + 1) + 9) div 10")).as("k_rank"),
+        max(col("q_hat_dollars")).as("q_hat_dollars"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("rd") <= col("q_hat_dollars"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("k_rank"), col("q_hat_dollars"),
+        col("n_test"), col("n_covered"),
+        expr("n_covered * 1000000 div n_test").as("coverage_ppm"))
+  }
+
+  private def conformalSql: String =
+    """WITH base AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(o_orderkey % 5 AS BIGINT) AS fold, c.c_mktsegment AS seg
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |sm AS (
+      |  SELECT seg, CAST(sum(cents) // count(*) AS BIGINT) AS yhat
+      |  FROM base WHERE fold >= 2 GROUP BY 1),
+      |cal AS (
+      |  SELECT abs(cents - yhat) // 100 AS rd
+      |  FROM base JOIN sm USING (seg) WHERE fold = 0),
+      |cc AS (SELECT rd, count(*) AS cnt FROM cal GROUP BY 1),
+      |nc AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_cal FROM cc),
+      |cum AS (
+      |  SELECT rd, sum(cnt) OVER (ORDER BY rd ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM cc),
+      |qh AS (
+      |  SELECT min(rd) AS q_hat_dollars, max(n_cal) AS n_cal
+      |  FROM cum, nc WHERE cum >= (9 * (n_cal + 1) + 9) // 10),
+      |tst AS (
+      |  SELECT abs(cents - yhat) // 100 AS rd
+      |  FROM base JOIN sm USING (seg) WHERE fold = 1)
+      |SELECT max(n_cal) AS n_cal,
+      |  CAST(max((9 * (n_cal + 1) + 9) // 10) AS BIGINT) AS k_rank,
+      |  max(q_hat_dollars) AS q_hat_dollars,
+      |  count(*) AS n_test,
+      |  CAST(sum(CASE WHEN rd <= q_hat_dollars THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_covered,
+      |  CAST(sum(CASE WHEN rd <= q_hat_dollars THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+      |FROM tst, qh""".stripMargin
+
+  /** Cramer 3×3 determinant fragments over the IRLS sufficient
+    * statistics (g1..g3, h11..h33), parameterized on the wide-integer
+    * cast (`DECIMAL(38,0)` Spark-side, `HUGEINT` oracle-side — the
+    * dets are EXACT integers either way, so engine parity needs no
+    * shared IEEE sequence until the final double division). */
+  private def irlsDetSqls(ct: String): (String, String, String, String) = {
+    def c(x: String) = s"CAST($x AS $ct)"
+    val det = s"${c("h11")} * (${c("h22")} * h33 - ${c("h23")} * h23)" +
+      s" - ${c("h12")} * (${c("h12")} * h33 - ${c("h23")} * h13)" +
+      s" + ${c("h13")} * (${c("h12")} * h23 - ${c("h22")} * h13)"
+    val d1 = s"${c("g1")} * (${c("h22")} * h33 - ${c("h23")} * h23)" +
+      s" - ${c("h12")} * (${c("g2")} * h33 - ${c("h23")} * g3)" +
+      s" + ${c("h13")} * (${c("g2")} * h23 - ${c("h22")} * g3)"
+    val d2 = s"${c("h11")} * (${c("g2")} * h33 - ${c("g3")} * h23)" +
+      s" - ${c("g1")} * (${c("h12")} * h33 - ${c("h23")} * h13)" +
+      s" + ${c("h13")} * (${c("h12")} * g3 - ${c("g2")} * h13)"
+    val d3 = s"${c("h11")} * (${c("h22")} * g3 - ${c("h23")} * g2)" +
+      s" - ${c("h12")} * (${c("h12")} * g3 - ${c("g2")} * h13)" +
+      s" + ${c("g1")} * (${c("h12")} * h23 - ${c("h22")} * h13)"
+    (det, d1, d2, d3)
+  }
+
+  /** β_k = 0.1·det_k/det — the one double division per parameter; the
+    * 0.1 restores the w7 (1e-7) / g (1e-6) unit split. Shared verbatim
+    * by both engines over identically-named det columns. */
+  private def irlsBetaSql(dk: String): String =
+    s"CASE WHEN det = 0 THEN 0.0 ELSE " +
+      s"0.1 * (CAST($dk AS DOUBLE) / CAST(det AS DOUBLE)) END"
+
+  /** Per-cell predicted probability in micro units from a β row —
+    * the ONE shared IEEE fragment of the whole operator. */
+  private def irlsSigSql: String =
+    "CAST(floor(1000000.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))" +
+      " + 0.5) AS BIGINT)"
+
+  /** The nine IRLS sufficient statistics of one Newton step, over a
+    * (x1, x2, n, pos, pm) cell relation: g = X'(y − n·p) in micro
+    * units, H = X'WX with w7 = p(1−p) quantized to 1e-7 units at the
+    * CELL row — all ORDER-FREE integer sums. */
+  private def irlsSums(cells: DataFrame): DataFrame = {
+    val w7 = "(pm * (1000000 - pm) div 10000000)"
+    cells.agg(
+      sum(expr("pos * 1000000 - n * pm")).as("g1"),
+      sum(expr("x1 * (pos * 1000000 - n * pm)")).as("g2"),
+      sum(expr("x2 * (pos * 1000000 - n * pm)")).as("g3"),
+      sum(expr(s"n * $w7")).as("h11"),
+      sum(expr(s"x1 * n * $w7")).as("h12"),
+      sum(expr(s"x2 * n * $w7")).as("h13"),
+      sum(expr(s"x1 * x1 * n * $w7")).as("h22"),
+      sum(expr(s"x1 * x2 * n * $w7")).as("h23"),
+      sum(expr(s"x2 * x2 * n * $w7")).as("h33"))
+  }
+
+  /** Distributed logistic regression by two exact Newton/IRLS steps on
+    * BINNED features (McCullagh & Nelder, Generalized Linear Models
+    * ch. 4; the histogram/contingency formulation is the PLANET trick
+    * q294 uses for trees, applied to GLM fitting — Spark MLlib's own
+    * LogisticRegression aggregates the same X'WX sufficient statistics
+    * per partition): predict lineitem return from quantity decile ×
+    * discount band. The corpus collapses to the ≤ 36-cell contingency
+    * in ONE partial-agg pass; each Newton step is then cell-local
+    * arithmetic — per-cell p quantized to micro FIRST ([[irlsSigSql]],
+    * the only shared IEEE fragment), w = p·(10⁶−p) an exact integer,
+    * so X'WX and the gradient are order-free integer sums, the 3×3
+    * normal equations solve by exact-integer Cramer determinants
+    * ([[irlsDetSqls]] — decimal(38)/HUGEINT; the dets cross 10³⁸ near
+    * ~100× sf0.1, the documented switch point where the h-scale
+    * quantization drops a digit), and β is one double division per
+    * parameter. Output: both steps' β (the second step moves little —
+    * the gate pins Newton's quadratic convergence honestly). At 100 TB
+    * the cost is exactly one scan + one 36-key shuffle per step. */
+  def logisticIrls(spark: SparkSession, dir: String): DataFrame = {
+    val cells0 = t(spark, dir, "lineitem")
+      .select(expr("CAST(l_quantity AS BIGINT) div 10").as("x1"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT) div 2")
+          .as("x2"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("x1"), col("x2"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .cutLineage() // ≤ 36 rows; feeds both Newton steps
+    val (det, d1, d2, d3) = irlsDetSqls("DECIMAL(38,0)")
+    def beta(sums: DataFrame): DataFrame = sums
+      .select(expr(det).as("det"), expr(d1).as("dd1"),
+        expr(d2).as("dd2"), expr(d3).as("dd3"))
+      .select(expr(irlsBetaSql("dd1")).as("b0"),
+        expr(irlsBetaSql("dd2")).as("b1"),
+        expr(irlsBetaSql("dd3")).as("b2"))
+    val b1r = beta(irlsSums(cells0.withColumn("pm", lit(500000L))))
+      .cutLineage() // 1 row; feeds step 2's p AND the output
+    val cells2 = cells0.crossJoin(broadcast(b1r))
+      .withColumn("pm", expr(irlsSigSql))
+    // Newton step 2 is CUMULATIVE: β₂ = β₁ + H₂⁻¹g₂ (the delta alone
+    // would be the convergence residual, not the estimate)
+    val b2r = beta(irlsSums(cells2))
+      .select(col("b0").as("e0"), col("b1").as("e1"),
+        col("b2").as("e2"))
+      .crossJoin(broadcast(b1r))
+      .select((col("b0") + col("e0")).as("c0"),
+        (col("b1") + col("e1")).as("c1"),
+        (col("b2") + col("e2")).as("c2"))
+    b1r.crossJoin(broadcast(b2r))
+      .crossJoin(broadcast(cells0.agg(sum(col("n")).as("n_total"))))
+      .select(col("n_total"),
+        (round(col("b0"), 6) + lit(0.0)).as("b0_step1_r"),
+        (round(col("b1"), 6) + lit(0.0)).as("b1_step1_r"),
+        (round(col("b2"), 6) + lit(0.0)).as("b2_step1_r"),
+        (round(col("c0"), 6) + lit(0.0)).as("b0_step2_r"),
+        (round(col("c1"), 6) + lit(0.0)).as("b1_step2_r"),
+        (round(col("c2"), 6) + lit(0.0)).as("b2_step2_r"))
+  }
+
+  private def logisticIrlsSql: String = {
+    val (det, d1, d2, d3) = irlsDetSqls("HUGEINT")
+    val w7 = "(pm * (1000000 - pm) // 10000000)"
+    def sums(src: String) =
+      s"""SELECT
+        |    CAST(sum(pos * 1000000 - n * pm) AS BIGINT) AS g1,
+        |    CAST(sum(x1 * (pos * 1000000 - n * pm)) AS BIGINT) AS g2,
+        |    CAST(sum(x2 * (pos * 1000000 - n * pm)) AS BIGINT) AS g3,
+        |    CAST(sum(n * $w7) AS BIGINT) AS h11,
+        |    CAST(sum(x1 * n * $w7) AS BIGINT) AS h12,
+        |    CAST(sum(x2 * n * $w7) AS BIGINT) AS h13,
+        |    CAST(sum(x1 * x1 * n * $w7) AS BIGINT) AS h22,
+        |    CAST(sum(x1 * x2 * n * $w7) AS BIGINT) AS h23,
+        |    CAST(sum(x2 * x2 * n * $w7) AS BIGINT) AS h33
+        |  FROM $src""".stripMargin
+    s"""WITH cells AS (
+      |  SELECT CAST(l_quantity AS BIGINT) // 10 AS x1,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) // 2 AS x2,
+      |    count(*) AS n,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos
+      |  FROM lineitem GROUP BY 1, 2),
+      |s1 AS (
+      |  ${sums("(SELECT *, CAST(500000 AS BIGINT) AS pm FROM cells)")}),
+      |dt1 AS (
+      |  SELECT $det AS det, $d1 AS dd1, $d2 AS dd2, $d3 AS dd3
+      |  FROM s1),
+      |b1 AS (
+      |  SELECT ${irlsBetaSql("dd1")} AS b0,
+      |    ${irlsBetaSql("dd2")} AS b1, ${irlsBetaSql("dd3")} AS b2
+      |  FROM dt1),
+      |cells2 AS (
+      |  SELECT x1, x2, n, pos, $irlsSigSql AS pm FROM cells, b1),
+      |s2 AS (
+      |  ${sums("cells2")}),
+      |dt2 AS (
+      |  SELECT $det AS det, $d1 AS dd1, $d2 AS dd2, $d3 AS dd3
+      |  FROM s2),
+      |b2 AS (
+      |  SELECT b0 + (${irlsBetaSql("dd1")}) AS c0,
+      |    b1 + (${irlsBetaSql("dd2")}) AS c1,
+      |    b2 + (${irlsBetaSql("dd3")}) AS c2
+      |  FROM dt2, b1),
+      |nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+      |SELECT n_total,
+      |  round(b0, 6) + 0.0 AS b0_step1_r,
+      |  round(b1, 6) + 0.0 AS b1_step1_r,
+      |  round(b2, 6) + 0.0 AS b2_step1_r,
+      |  round(c0, 6) + 0.0 AS b0_step2_r,
+      |  round(c1, 6) + 0.0 AS b1_step2_r,
+      |  round(c2, 6) + 0.0 AS b2_step2_r
+      |FROM b1, b2, nt""".stripMargin
+  }
+
+  /** Bradley–Terry paired-comparison strengths by Hunter's MM
+    * algorithm (Bradley & Terry, Biometrika 1952; Hunter, Ann. Stat.
+    * 2004 — the model RLHF reward pipelines fit over preference
+    * pairs): items = the 25 part brands, a comparison = two distinct
+    * brands co-occurring in one order, winner = the brand with the
+    * higher max line price (exact-tie comparisons drop — no
+    * half-wins). The corpus collapses to the bounded wins matrix in
+    * ONE partial-agg pass (per-order brand pairs are degree-bounded by
+    * order width); three MM iterations then run entirely on the ≤
+    * 25²-row relation: every division is integral with POSITIVE
+    * operands (truncation = floor, engines agree), p re-normalized to
+    * Σ = 10⁶ each round, so the whole fit is exact integer arithmetic
+    * — no float ever sums across rows. The n·10¹² numerators ride
+    * decimal(38)/HUGEINT (they cross 2⁶³ near ~30× sf0.1). Zero-win
+    * items get p = 0 honestly; the p_i+p_j = 0 guard only fires if two
+    * never-winning brands met, which the gate would surface. */
+  def bradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val pb = t(spark, dir, "part")
+      .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))
+    val ob = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .join(broadcast(pb), Seq("pk"))
+      .groupBy(col("ok"), col("brand"))
+      .agg(max(col("cents")).as("cents"))
+      .cutLineage() // feeds both sides of the within-order pair join
+    val m = ob.as("a").join(ob.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .filter(col("a.cents") =!= col("b.cents"))
+      .groupBy(col("a.brand").as("bi"), col("b.brand").as("bj"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a.cents") > col("b.cents"), 1L).otherwise(0L))
+          .as("wi"))
+    val d = m.select(col("bi").as("i"), col("bj").as("j"), col("n"),
+        col("wi").as("w"))
+      .unionByName(m.select(col("bj").as("i"), col("bi").as("j"),
+        col("n"), (col("n") - col("wi")).as("w")))
+      .cutLineage() // bounded ≤ 600 rows; feeds all three iterations
+    val wins = d.groupBy(col("i"))
+      .agg(sum(col("w")).as("wtot"), sum(col("n")).as("ntot"))
+      .cutLineage()
+    def iter(p: DataFrame): DataFrame = {
+      val s = d
+        .join(p.select(col("i"), col("p").as("pi")), Seq("i"))
+        .join(p.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr("CASE WHEN pi + pj > 0 THEN " +
+          "CAST(n AS DECIMAL(38,0)) * 1000000000000 div (pi + pj) " +
+          "ELSE 0 END")).as("s"))
+      val raw = wins.join(s, Seq("i"))
+        .select(col("i"), expr("CASE WHEN s > 0 THEN " +
+          "CAST(wtot AS DECIMAL(38,0)) * 1000000000000 div s " +
+          "ELSE 0 END").as("praw"))
+      raw.crossJoin(broadcast(raw.agg(sum(col("praw")).as("pt"))))
+        .select(col("i"), expr("praw * 1000000 div pt").as("p"))
+    }
+    val p0 = wins.select(col("i"), lit(1000000L).as("p"))
+    val p3 = iter(iter(iter(p0)))
+    val w25 = Window.orderBy(col("p_micro").desc, col("brand").asc)
+    wins.join(p3, Seq("i"))
+      .select(col("i").as("brand"), col("ntot").as("n_matches"),
+        col("wtot").as("n_wins"), col("p").as("p_micro"))
+      .withColumn("rank", row_number().over(w25).cast("long"))
+  }
+
+  private def bradleyTerrySql: String = {
+    def iterSql(prev: String, k: Int): String =
+      s"""s$k AS (
+        |  SELECT d.i, CAST(sum(CASE WHEN pi.p + pj.p > 0 THEN
+        |    CAST(d.n AS HUGEINT) * 1000000000000 // (pi.p + pj.p)
+        |    ELSE 0 END) AS HUGEINT) AS s
+        |  FROM d JOIN $prev pi ON pi.i = d.i
+        |    JOIN $prev pj ON pj.i = d.j
+        |  GROUP BY 1),
+        |r$k AS (
+        |  SELECT w.i, CASE WHEN s > 0 THEN
+        |    CAST(w.wtot AS HUGEINT) * 1000000000000 // s
+        |    ELSE 0 END AS praw
+        |  FROM wins w JOIN s$k ON s$k.i = w.i),
+        |p$k AS (
+        |  SELECT i, CAST(praw * 1000000 // (SELECT sum(praw) FROM r$k)
+        |    AS BIGINT) AS p
+        |  FROM r$k)""".stripMargin
+    s"""WITH ob AS (
+      |  SELECT l_orderkey AS ok, p.p_brand AS brand,
+      |    max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS cents
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT a.brand AS bi, b.brand AS bj, count(*) AS n,
+      |    CAST(sum(CASE WHEN a.cents > b.cents THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS wi
+      |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      |  WHERE a.cents <> b.cents
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT bi AS i, bj AS j, n, wi AS w FROM m
+      |  UNION ALL
+      |  SELECT bj AS i, bi AS j, n, n - wi AS w FROM m),
+      |wins AS (
+      |  SELECT i, CAST(sum(w) AS BIGINT) AS wtot,
+      |    CAST(sum(n) AS BIGINT) AS ntot
+      |  FROM d GROUP BY 1),
+      |p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM wins),
+      |${iterSql("p0", 1)},
+      |${iterSql("p1", 2)},
+      |${iterSql("p2", 3)}
+      |SELECT w.i AS brand, w.ntot AS n_matches, w.wtot AS n_wins,
+      |  p3.p AS p_micro,
+      |  CAST(row_number() OVER (ORDER BY p3.p DESC, w.i ASC)
+      |    AS BIGINT) AS rank
+      |FROM wins w JOIN p3 ON p3.i = w.i""".stripMargin
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q323_logistic_irls", logisticIrls _, logisticIrlsSql),
+    Q("q326_bradley_terry", bradleyTerry _, bradleyTerrySql),
+    Q("q321_mann_whitney", mannWhitney _, mannWhitneySql),
+    Q("q322_kendall_tau", kendallTau _, kendallTauSql),
+    Q("q327_conformal", conformal _, conformalSql),
     Q("q292_lift_gains", liftGains _,
       s"""WITH scored AS (
         |  SELECT $scoreSql AS s,

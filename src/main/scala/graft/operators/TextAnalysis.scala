@@ -1232,7 +1232,190 @@ object TextAnalysis {
         expr("n_clean * 1000000 div n_docs").as("clean_ppm"))
   }
 
+  /** Moore–Lewis cross-entropy-difference data selection (Moore &
+    * Lewis, ACL 2010 — the classic "which general-corpus documents
+    * look most like my target domain?" scorer, still the baseline
+    * every LLM data-selection paper compares against): score(d) =
+    * H_general(d) − H_in(d) per token under two add-one-smoothed
+    * unigram LMs (in-domain = source 'src0'; general = the rest).
+    * Every per-token log-ratio is quantized to integer MICRO-NATS at
+    * the VOCABULARY ROW (the q313 discipline: ln is correctly-rounded
+    * IEEE in both engines, the per-word floor(·10⁶ + 0.5) is exact),
+    * so the per-document sum is ORDER-FREE integer arithmetic; the
+    * word-independent normalizer ln(N_in+V) − ln(N_gen+V) folds into
+    * one constant × n_tok. Cost: one token-count shuffle (the LM), one
+    * broadcast of the bounded vocabulary, one per-doc partial agg, and
+    * a TakeOrderedAndProject top-20 — never a global sort. At 100 TB
+    * the vocabulary join switches from broadcast to shuffle at ~10⁸
+    * distinct words; everything else is scan-shaped. */
+  def mooreLewis(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), (col("source") === "src0").as("ind"),
+        explode(split(col("text"), " ")).as("tok"))
+      .cutLineage() // feeds the LM census AND the per-doc scoring
+    val counts = toks.groupBy(col("tok"))
+      .agg(sum(when(col("ind"), 1L).otherwise(0L)).as("cin"),
+        sum(when(!col("ind"), 1L).otherwise(0L)).as("cgen"))
+      .cutLineage() // feeds the totals AND the weight table
+    val tot = counts.agg(sum(col("cin")).as("nin"),
+      sum(col("cgen")).as("ngen"), count(lit(1)).as("v"))
+    val wtab = counts.select(col("tok"),
+      expr("CAST(floor((ln(cin + 1.0) - ln(cgen + 1.0)) * 1000000" +
+        " + 0.5) AS BIGINT)").as("wm"))
+    val perDoc = toks.join(broadcast(wtab), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("wm")).as("sw"))
+    perDoc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tok"),
+        (col("sw") - col("n_tok") *
+          expr("CAST(floor((ln(nin + v) - ln(ngen + v)) * 1000000" +
+            " + 0.5) AS BIGINT)")).as("score_micronat"))
+      .withColumn("ratio",
+        col("score_micronat").cast("double") / col("n_tok"))
+      .orderBy(col("ratio").desc, col("doc_id").asc)
+      .limit(20)
+      .withColumn("rank", row_number().over( // bounded 20-row window
+        Window.orderBy(col("ratio").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("n_tok"), col("score_micronat"),
+        (round(col("score_micronat").cast("double") /
+          (col("n_tok") * lit(1000000.0)), 6) + lit(0.0))
+          .as("per_tok_r"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private def mooreLewisSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source = 'src0' AS ind,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |counts AS (
+      |  SELECT tok,
+      |    CAST(sum(CASE WHEN ind THEN 1 ELSE 0 END) AS BIGINT) AS cin,
+      |    CAST(sum(CASE WHEN ind THEN 0 ELSE 1 END) AS BIGINT) AS cgen
+      |  FROM toks GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(cin) AS BIGINT) AS nin,
+      |    CAST(sum(cgen) AS BIGINT) AS ngen, count(*) AS v
+      |  FROM counts),
+      |w AS (
+      |  SELECT tok, CAST(floor((ln(cin + 1.0) - ln(cgen + 1.0))
+      |    * 1000000 + 0.5) AS BIGINT) AS wm
+      |  FROM counts),
+      |ds AS (
+      |  SELECT doc_id, count(*) AS n_tok,
+      |    CAST(sum(wm) AS BIGINT) AS sw
+      |  FROM toks JOIN w USING (tok) GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, n_tok,
+      |    sw - n_tok * CAST(floor((ln(nin + v) - ln(ngen + v))
+      |      * 1000000 + 0.5) AS BIGINT) AS score_micronat
+      |  FROM ds, tot)
+      |SELECT doc_id, n_tok, score_micronat,
+      |  round(CAST(score_micronat AS DOUBLE) / (n_tok * 1000000.0), 6)
+      |    + 0.0 AS per_tok_r,
+      |  CAST(row_number() OVER (ORDER BY
+      |    CAST(score_micronat AS DOUBLE) / n_tok DESC, doc_id ASC)
+      |    AS BIGINT) AS rank
+      |FROM sc
+      |ORDER BY CAST(score_micronat AS DOUBLE) / n_tok DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
+
+  /** DSIR hashed n-gram importance weights (Xie, Santurkar, Ma &
+    * Liang, NeurIPS 2023 "Data Selection for Language Models via
+    * Importance Resampling"): [[mooreLewis]] in the HASHED feature
+    * space DSIR actually ships — unigrams + bigrams hashed into
+    * B = 1024 buckets (the fixed-dimension trick that makes the LM a
+    * bounded 1024-row table at ANY corpus size, where word-level
+    * Moore–Lewis's vocabulary grows unboundedly), log importance
+    * weight log(p_target/p_raw) summed over a doc's features with
+    * add-one smoothing over the B buckets. Same micro-nat-at-the-
+    * bucket-row quantization (order-free integer sums); the bucket
+    * table is ALWAYS broadcastable by construction — that is the
+    * point of the hash. Output is the resampling census: docs
+    * histogrammed by per-feature log weight in 0.1-nat bins (bin 1000
+    * = weight 0, via the q305 positive-shift — +100 nats, unreachable
+    * by any finite corpus — so truncating/floor division agree across
+    * engines on negative scores). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = t(spark, dir, "documents")
+      .select(col("doc_id"), (col("source") === "src0").as("tgt"),
+        graft.functions.Barrier.materialized(split(col("text"), " "))
+          .as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tgt"),
+        explode(concat(col("tk"),
+          expr("transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")))
+          .as("f"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(TextOps.portableHash(col("f")), lit(1024L)).as("b"))
+      .cutLineage() // feeds the bucket LM census AND per-doc scoring
+    val counts = bucketed.groupBy(col("b"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+      .cutLineage() // bounded ≤ 1024 rows; feeds totals AND weights
+    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val w = counts.select(col("b"),
+      expr("CAST(floor((ln(ct + 1.0) - ln(cr + 1.0)) * 1000000 + 0.5)" +
+        " AS BIGINT)").as("wm"))
+    bucketed.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("wm")).as("sw"))
+      .crossJoin(broadcast(tot))
+      .select(
+        expr("((sw - n_feat * CAST(floor((ln(nt + 1024.0) - " +
+          "ln(nr + 1024.0)) * 1000000 + 0.5) AS BIGINT) " +
+          "+ n_feat * 100000000) div n_feat) div 100000").as("bin"),
+        (col("sw") - col("n_feat") *
+          expr("CAST(floor((ln(nt + 1024.0) - ln(nr + 1024.0)) " +
+            "* 1000000 + 0.5) AS BIGINT)")).as("sm"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sm"))
+        .as("sum_score_micronat"))
+  }
+
+  private def dsirWeightsSql: String =
+    """WITH feats AS (
+      |  SELECT doc_id, tgt, unnest(
+      |    tk || [tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))])
+      |    AS f
+      |  FROM (SELECT doc_id, source = 'src0' AS tgt,
+      |          string_split(text, ' ') AS tk
+      |        FROM documents WHERE len(string_split(text, ' ')) >= 2)),
+      |bkt AS (
+      |  SELECT doc_id, tgt,
+      |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+      |  FROM feats),
+      |counts AS (
+      |  SELECT b,
+      |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      |  FROM bkt GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(ct) AS BIGINT) AS nt,
+      |    CAST(sum(cr) AS BIGINT) AS nr
+      |  FROM counts),
+      |w AS (
+      |  SELECT b, CAST(floor((ln(ct + 1.0) - ln(cr + 1.0)) * 1000000
+      |    + 0.5) AS BIGINT) AS wm
+      |  FROM counts),
+      |ds AS (
+      |  SELECT doc_id, count(*) AS n_feat,
+      |    CAST(sum(wm) AS BIGINT) AS sw
+      |  FROM bkt JOIN w USING (b) GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, n_feat,
+      |    sw - n_feat * CAST(floor((ln(nt + 1024.0) - ln(nr + 1024.0))
+      |      * 1000000 + 0.5) AS BIGINT) AS sm
+      |  FROM ds, tot)
+      |SELECT (sm + n_feat * 100000000) // n_feat // 100000 AS bin,
+      |  count(*) AS n_docs,
+      |  CAST(sum(sm) AS BIGINT) AS sum_score_micronat
+      |FROM sc GROUP BY 1""".stripMargin
+
   val catalog: Seq[Q] = Seq(
+    Q("q318_moore_lewis", mooreLewis _, mooreLewisSql),
+    Q("q319_dsir_weights", dsirWeights _, dsirWeightsSql),
     Q("q269_encoding_audit", encodingAudit _,
       """WITH c AS (
         |  SELECT source, text ||

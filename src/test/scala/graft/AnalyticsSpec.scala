@@ -1522,6 +1522,48 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("log-rank: hypergeometric terms over the two-group duration " +
+      "census equal a sequential recompute; iid segments not significant") {
+    val segOf = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment = 'BUILDING'")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val spans = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') " +
+          "AS LONG) AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cut = spans.map(_._2).max
+    val perCust = spans.groupBy(_._1).toSeq.map { case (ck, xs) =>
+      val f = xs.map(_._2).min; val l = xs.map(_._2).max
+      val ev = l < cut - 360
+      (segOf(ck), ev, if (ev) l - f else cut - f)
+    }
+    val durs = perCust.groupBy(_._3).toSeq.sortBy(_._1)
+    var d1s = 0L; var e1s = 0L; var vs = BigInt(0)
+    durs.foreach { case (t, xs) =>
+      val d = xs.count(_._2).toLong
+      if (d > 0) {
+        val d1 = xs.count(x => x._2 && x._1).toLong
+        val n = perCust.count(_._3 >= t).toLong
+        val n1 = perCust.count(x => x._3 >= t && x._1).toLong
+        d1s += d1
+        e1s += d * n1 * 1000000L / n
+        if (n > 1)
+          vs += BigInt(d) * n1 * (n - n1) * (n - d) * 1000000 /
+            (BigInt(n) * n * (n - 1))
+      }
+    }
+    val chi2 = (d1s.toDouble * 1000000.0 - e1s) *
+      (d1s.toDouble * 1000000.0 - e1s) / (vs.toDouble * 1000000.0)
+    val got = Analytics.logRank(spark, sf).collect()(0)
+    assert(got.getAs[Long]("d1s") === d1s)
+    assert(got.getAs[Long]("e1s") === e1s)
+    assert(got.getAs[Long]("vs") === vs.toLong)
+    assert(math.abs(got.getAs[Double]("chi2_r") - chi2) < 1e-5)
+    assert(got.getAs[String]("verdict") ===
+      (if (chi2 > 3.841) "significant_95" else "not_significant"))
+  }
+
   test("hill tail: micro-nat log-ratio sum over the top-100 equals a " +
       "sequential recompute; alpha positive") {
     val cents = spark.read.parquet(s"$sf/orders.parquet")

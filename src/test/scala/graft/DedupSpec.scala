@@ -584,4 +584,129 @@ class DedupSpec extends SparkSpec {
         sumHits * 1000000L / (5L * truth.size))
     }
   }
+
+  test("substring dedup: per-doc dup-window census equals a " +
+      "brute-force min-owner recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ")))
+      .filter(_._2.length >= 8)
+    val windows = docs.flatMap { case (id, tk) =>
+      tk.sliding(8).map(w => (id, w.mkString(" "))) }
+    val owner = windows.groupBy(_._2).map { case (wt, xs) =>
+      wt -> xs.map(_._1).min }
+    val expect = windows.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.length.toLong, xs.count(x => owner(x._2) < id).toLong) }
+    val got = Dedup.substringDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"),
+          r.getAs[Long]("dup_ppm"), r.getAs[Boolean]("prune"))).toMap
+    assert(got.size === expect.size)
+    expect.foreach { case (id, (nw, nd)) =>
+      val (gw, gd, gppm, gp) = got(id)
+      assert(gw === nw, id); assert(gd === nd, id)
+      assert(gppm === nd * 1000000 / nw, id)
+      assert(gp === (nd * 1000000 / nw >= 500000), id)
+    }
+    // the near-dup replicas the corpus plants guarantee non-trivial work
+    assert(got.values.count(_._4) > 0)
+  }
+
+  test("substring dedup: first occurrence keeps, the later copy is " +
+      "flagged; 7-token overlap is not") {
+    import spark.implicits._
+    val span8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"aa bb cc $span8 dd ee ff gg hh"),
+      // later doc sharing the full 8-token span — its 1 shared window
+      // is duplicated; 13 tokens total → 6 windows
+      (5L, s"xx yy $span8 zz qq rr"),
+      // 7-token overlap only — clean
+      (6L, "mm nn w1 w2 w3 w4 w5 w6 w7 OTHER oo pp qq ss")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedupOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Boolean]("prune"))).toMap
+    assert(out(1L)._2 === 0L) // owner doc: nothing duplicated
+    assert(out(5L) === ((6L, 1L, false)))
+    assert(out(6L)._2 === 0L)
+  }
+
+  test("silhouette: per-cell means equal a driver recompute of the " +
+      "top-2 centroid scores; values sit in the unit band") {
+    val (e, cents) = Dedup.kmeansEC(spark, sf)
+    val cs = cents.collect().map(r => (r.getInt(0),
+      r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val cn = cs.map { case (_, c) =>
+      math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x)) }
+    val es = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val sil = scala.collection.mutable.Map[Int, (Long, Long)]()
+    es.foreach { case (_, v, nrm) =>
+      val scores = cs.zipWithIndex.map { case ((cell, c), ci) =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i).toDouble * c(i); i += 1 }
+        (cell, d / (nrm * cn(ci)))
+      }.sortBy { case (cell, s) => (-s, cell) }
+      val (ownCell, s1) = scores(0); val s2 = scores(1)._2
+      val sppm = if (1.0 - s2 <= 0.0) 0L
+        else math.floor((s1 - s2) / (1.0 - s2) * 1000000 + 0.5).toLong
+      val (n, ss) = sil.getOrElse(ownCell, (0L, 0L))
+      sil(ownCell) = (n + 1, ss + sppm)
+    }
+    val got = Dedup.silhouette(spark, sf).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("sil_sum_ppm"),
+          r.getAs[Long]("mean_sil_ppm"))).toMap
+    assert(got.size === sil.size)
+    sil.foreach { case (cell, (n, ss)) =>
+      val (gn, gss, gm) = got(cell)
+      assert(gn === n, cell); assert(gss === ss, cell)
+      assert(gm === ss / n, cell)
+      assert(gm >= 0L && gm <= 1000000L, cell)
+    }
+  }
+
+  test("davies-bouldin: scatter, separation and the worst neighbor " +
+      "equal a driver recompute over the bounded centroid pairs") {
+    val (_, cents) = Dedup.kmeansEC(spark, sf)
+    val cs = cents.collect().map(r => (r.getInt(0),
+      r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val cn = cs.map { case (cell, c) => cell ->
+      math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x)) }.toMap
+    val byCell = cs.toMap
+    val assigned = Dedup.embeddingCells(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Double]("cos_c")))
+    val s = assigned.groupBy(_._1).map { case (cell, xs) =>
+      val dsum = xs.map(x =>
+        math.floor((1.0 - x._2) * 1000000 + 0.5).toLong).sum
+      cell -> (xs.length.toLong, dsum / xs.length) }
+    val cells = s.keys.toSeq.sorted
+    val r = for (i <- cells; j <- cells; if i != j) yield {
+      val (ci, cj) = (byCell(i), byCell(j))
+      var d = 0.0; var k = 0
+      while (k < ci.length) { d += ci(k) * cj(k); k += 1 }
+      val mppm = math.floor((1.0 - d / (cn(i) * cn(j))) * 1000000 + 0.5)
+        .toLong
+      (i, j, mppm)
+    }
+    val expect = cells.map { i =>
+      val rs = r.filter(t => t._1 == i && t._3 > 0)
+        .map { case (_, j, m) => (j, (s(i)._2 + s(j)._2) * 1000000 / m) }
+      val rmax = rs.map(_._2).max
+      i -> (s(i)._1, s(i)._2, rs.filter(_._2 == rmax).map(_._1).min, rmax)
+    }.toMap
+    val got = Dedup.daviesBouldin(spark, sf).collect()
+      .map(r2 => r2.getAs[Int]("cell") ->
+        (r2.getAs[Long]("n_members"), r2.getAs[Long]("s_ppm"),
+          r2.getAs[Int]("worst_other"), r2.getAs[Long]("r_max_micro")))
+      .toMap
+    assert(got.size === expect.size)
+    expect.foreach { case (cell, (n, sppm, worst, rmax)) =>
+      val (gn, gs, gw, gr) = got(cell)
+      assert(gn === n, cell); assert(gs === sppm, cell)
+      assert(gw === worst, cell); assert(gr === rmax, cell)
+    }
+  }
 }

@@ -918,4 +918,206 @@ class MlEvalSpec extends SparkSpec {
     assert(got.getAs[String]("verdict") ===
       (if (math.abs(z) > 1.96) "significant_95" else "not_significant"))
   }
+
+  test("mann whitney: U and the tie-corrected z equal a direct " +
+      "pairwise-count recompute over the quantity domain") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)", "l_linestatus = 'F'")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val cells = rows.groupBy(_._1).map { case (s, xs) =>
+      (s, xs.count(_._2).toLong, xs.count(!_._2).toLong) }.toSeq
+    val n1 = cells.map(_._2).sum; val n0 = cells.map(_._3).sum
+    // definitional U: count of (group1, group0) pairs group1 wins,
+    // ties worth half — in doubled units to stay integral
+    val u2 = (for ((sa, a1, _) <- cells; (sb, _, b0) <- cells) yield {
+      if (sa > sb) 2L * a1 * b0 else if (sa == sb) a1 * b0 else 0L
+    }).sum
+    val tt = cells.map { case (_, a1, a0) =>
+      val t = BigInt(a1 + a0); t * t * t - t }.sum
+    val z = (u2.toDouble / 2.0 - n1.toDouble * n0 / 2.0) /
+      math.sqrt(n1.toDouble * n0 / 12.0 * ((n1.toDouble + n0 + 1.0) -
+        tt.toDouble / ((n1.toDouble + n0) * (n1.toDouble + n0 - 1.0))))
+    val got = operators.MlEval.mannWhitney(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n1") === n1)
+    assert(got.getAs[Long]("n0") === n0)
+    assert(got.getAs[Long]("u2") === u2)
+    assert(math.abs(got.getAs[Double]("z_r") - z) < 1e-5)
+    assert(got.getAs[String]("verdict") ===
+      (if (math.abs(z) > 1.96) "significant_95" else "not_significant"))
+  }
+
+  test("kendall tau-b: concordance tallies equal a direct pairwise " +
+      "fold over the per-nation cells") {
+    val natOf = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cells = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (natOf(r.getLong(0)), r.getLong(1)))
+      .groupBy(_._1).map { case (nat, xs) =>
+        (nat, xs.length.toLong, xs.map(t => BigInt(t._2)).sum) }.toSeq
+      .sortBy(_._1)
+    val pairs = for (a <- cells; b <- cells; if a._1 < b._1) yield (a, b)
+    val c = pairs.count { case (a, b) =>
+      (BigInt(a._2 - b._2) * (a._3 - b._3)).signum > 0 }
+    val d = pairs.count { case (a, b) =>
+      (BigInt(a._2 - b._2) * (a._3 - b._3)).signum < 0 }
+    val tx = pairs.count { case (a, b) => a._2 == b._2 }
+    val ty = pairs.count { case (a, b) => a._3 == b._3 }
+    val np = pairs.size
+    val tau = (c - d).toDouble /
+      math.sqrt((np - tx).toDouble * (np - ty).toDouble)
+    val got = operators.MlEval.kendallTau(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_pairs") === np.toLong)
+    assert(got.getAs[Long]("n_conc") === c.toLong)
+    assert(got.getAs[Long]("n_disc") === d.toLong)
+    assert(got.getAs[Long]("ties_x") === tx.toLong)
+    assert(got.getAs[Long]("ties_y") === ty.toLong)
+    assert(math.abs(got.getAs[Double]("tau_b_r") - tau) < 1e-6)
+  }
+
+  test("conformal: the quantile equals a sort-based order statistic " +
+      "and test coverage counts match; coverage is near nominal") {
+    val segOf = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+        "CAST(o_orderkey % 5 AS BIGINT)")
+      .collect().map(r => (segOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val yhat = rows.filter(_._3 >= 2).groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(t => BigInt(t._2)).sum / xs.length }
+    def rd(t: (String, Long, Long)) =
+      ((BigInt(t._2) - yhat(t._1)).abs / 100).toLong
+    val cal = rows.filter(_._3 == 0L).map(rd).sorted
+    val k = (9 * (cal.length + 1) + 9) / 10
+    val qhat = cal(k - 1) // k-th smallest, 1-based
+    val tst = rows.filter(_._3 == 1L).map(rd)
+    val covered = tst.count(_ <= qhat)
+    val got = operators.MlEval.conformal(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_cal") === cal.length.toLong)
+    assert(got.getAs[Long]("k_rank") === k.toLong)
+    assert(got.getAs[Long]("q_hat_dollars") === qhat)
+    assert(got.getAs[Long]("n_test") === tst.length.toLong)
+    assert(got.getAs[Long]("n_covered") === covered.toLong)
+    assert(got.getAs[Long]("coverage_ppm") ===
+      covered.toLong * 1000000 / tst.length)
+    // finite-sample guarantee: coverage concentrates near >= 90%
+    assert(got.getAs[Long]("coverage_ppm") > 850000)
+  }
+
+  test("logistic irls: both Newton steps equal a BigInt recompute of " +
+      "the sufficient statistics and Cramer solve; step 2 converges") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT) div 10",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) div 2",
+        "l_returnflag = 'R'")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val cells = rows.groupBy(t => (t._1, t._2)).map { case ((x1, x2), xs) =>
+      (x1, x2, xs.length.toLong, xs.count(_._3).toLong) }.toSeq.sortBy(c => (c._1, c._2))
+    def step(pm: ((Long, Long)) => Long): (Double, Double, Double) = {
+      var g = Array(BigInt(0), BigInt(0), BigInt(0))
+      var h = Array.fill(6)(BigInt(0)) // h11 h12 h13 h22 h23 h33
+      cells.foreach { case (x1, x2, n, pos) =>
+        val p = pm((x1, x2))
+        val gi = BigInt(pos) * 1000000 - BigInt(n) * p
+        val w7 = p * (1000000L - p) / 10000000L
+        g = Array(g(0) + gi, g(1) + x1 * gi, g(2) + x2 * gi)
+        h = Array(h(0) + BigInt(n) * w7, h(1) + BigInt(x1 * n) * w7,
+          h(2) + BigInt(x2 * n) * w7, h(3) + BigInt(x1 * x1 * n) * w7,
+          h(4) + BigInt(x1 * x2 * n) * w7, h(5) + BigInt(x2 * x2 * n) * w7)
+      }
+      val Array(h11, h12, h13, h22, h23, h33) = h
+      val Array(g1, g2, g3) = g
+      val det = h11 * (h22 * h33 - h23 * h23) -
+        h12 * (h12 * h33 - h23 * h13) + h13 * (h12 * h23 - h22 * h13)
+      val d1 = g1 * (h22 * h33 - h23 * h23) -
+        h12 * (g2 * h33 - h23 * g3) + h13 * (g2 * h23 - h22 * g3)
+      val d2 = h11 * (g2 * h33 - g3 * h23) -
+        g1 * (h12 * h33 - h23 * h13) + h13 * (h12 * g3 - g2 * h13)
+      val d3 = h11 * (h22 * g3 - h23 * g2) -
+        h12 * (h12 * g3 - g2 * h13) + g1 * (h12 * h23 - h22 * h13)
+      (0.1 * (d1.toDouble / det.toDouble),
+        0.1 * (d2.toDouble / det.toDouble),
+        0.1 * (d3.toDouble / det.toDouble))
+    }
+    val (a0, a1, a2) = step(_ => 500000L)
+    def sig(x: (Long, Long)): Long =
+      math.floor(1000000.0 /
+        (1.0 + math.exp(-(a0 + a1 * x._1 + a2 * x._2))) + 0.5).toLong
+    val (e0, e1, e2) = step(sig)
+    val (c0, c1, c2) = (a0 + e0, a1 + e1, a2 + e2)
+    val got = operators.MlEval.logisticIrls(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_total") === rows.length.toLong)
+    assert(math.abs(got.getAs[Double]("b0_step1_r") - a0) < 1e-5)
+    assert(math.abs(got.getAs[Double]("b1_step1_r") - a1) < 1e-5)
+    assert(math.abs(got.getAs[Double]("b2_step1_r") - a2) < 1e-5)
+    assert(math.abs(got.getAs[Double]("b0_step2_r") - c0) < 1e-5)
+    assert(math.abs(got.getAs[Double]("b1_step2_r") - c1) < 1e-5)
+    assert(math.abs(got.getAs[Double]("b2_step2_r") - c2) < 1e-5)
+    // Newton's quadratic convergence: the step-2 delta is far smaller
+    // than step 1's move from zero
+    assert(math.abs(e0) < 0.2 * math.abs(a0))
+  }
+
+  test("bradley terry: the wins matrix and three MM iterations equal " +
+      "a BigInt recompute; strengths normalize and rank deterministically") {
+    val brandOf = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ob = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => ((r.getLong(0), brandOf(r.getLong(1))), r.getLong(2)))
+      .groupBy(_._1).map { case ((ok, b), xs) =>
+        (ok, b, xs.map(_._2).max) }.toSeq
+    val byOrder = ob.groupBy(_._1)
+    val directed = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    byOrder.values.foreach { entries =>
+      for (a <- entries; b <- entries; if a._2 < b._2 && a._3 != b._3) {
+        val iw = if (a._3 > b._3) 1L else 0L
+        val (n1, w1) = directed.getOrElse((a._2, b._2), (0L, 0L))
+        directed((a._2, b._2)) = (n1 + 1, w1 + iw)
+        val (n2, w2) = directed.getOrElse((b._2, a._2), (0L, 0L))
+        directed((b._2, a._2)) = (n2 + 1, w2 + (1 - iw))
+      }
+    }
+    val items = directed.keys.map(_._1).toSeq.distinct.sorted
+    val wins = items.map(i => i ->
+      directed.collect { case ((a, _), (_, w)) if a == i => w }.sum).toMap
+    val ntot = items.map(i => i ->
+      directed.collect { case ((a, _), (n, _)) if a == i => n }.sum).toMap
+    var p = items.map(i => i -> BigInt(1000000)).toMap
+    (1 to 3).foreach { _ =>
+      val s = items.map { i =>
+        i -> directed.collect { case ((a, j), (n, _)) if a == i =>
+          val denom = p(i) + p(j)
+          if (denom > 0) BigInt(n) * BigInt("1000000000000") / denom
+          else BigInt(0) }.sum }.toMap
+      val raw = items.map { i =>
+        i -> (if (s(i) > 0) BigInt(wins(i)) * BigInt("1000000000000") / s(i)
+              else BigInt(0)) }.toMap
+      val pt = raw.values.sum
+      p = items.map(i => i -> raw(i) * 1000000 / pt).toMap
+    }
+    val got = operators.MlEval.bradleyTerry(spark, sf).collect()
+      .map(r => r.getAs[String]("brand") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("n_wins"),
+          r.getAs[Long]("p_micro"), r.getAs[Long]("rank"))).toMap
+    assert(got.size === items.size)
+    items.foreach { i =>
+      val (gn, gw, gp, _) = got(i)
+      assert(gn === ntot(i), i)
+      assert(gw === wins(i), i)
+      assert(gp === p(i).toLong, i)
+    }
+    // normalization: strengths sum to <= 1e6 (floor divisions) and
+    // ranks are the deterministic (p desc, brand asc) order
+    assert(got.values.map(_._3).sum <= 1000000L)
+    val expRank = items.sortBy(i => (-p(i), i)).zipWithIndex
+      .map { case (i, idx) => i -> (idx + 1).toLong }.toMap
+    items.foreach(i => assert(got(i)._4 === expRank(i), i))
+  }
 }

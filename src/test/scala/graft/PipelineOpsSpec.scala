@@ -1540,4 +1540,80 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("top_share_ppm") ===
       topSlots * 1000000L / slots)
   }
+
+  test("moore-lewis: micro-nat scores equal a driver recompute of the " +
+      "two smoothed unigram LMs; top-20 ranking is deterministic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1) == "src0",
+        r.getString(2).split(" ").toSeq))
+    val toks = docs.flatMap { case (_, ind, tk) => tk.map((_, ind)) }
+    val counts = toks.groupBy(_._1).map { case (tok, xs) =>
+      tok -> (xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val nin = counts.values.map(_._1).sum
+    val ngen = counts.values.map(_._2).sum
+    val v = counts.size.toLong
+    def q(x: Double): Long = math.floor(x * 1000000 + 0.5).toLong
+    val w = counts.map { case (tok, (cin, cgen)) =>
+      tok -> q(math.log(cin + 1.0) - math.log(cgen + 1.0)) }
+    val k = q(math.log((nin + v).toDouble) - math.log((ngen + v).toDouble))
+    val scored = docs.map { case (id, _, tk) =>
+      (id, tk.length.toLong, tk.map(w).sum - tk.length * k) }
+    val top = scored
+      .sortBy { case (id, n, s) => (-(s.toDouble / n), id) }.take(20)
+    val got = operators.TextAnalysis.mooreLewis(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("score_micronat"), r.getAs[Double]("per_tok_r"),
+        r.getAs[Long]("rank")))
+      .sortBy(_._5)
+    assert(got.length === 20)
+    got.zip(top).zipWithIndex.foreach {
+      case (((gid, gn, gs, gr, grk), (id, n, s)), idx) =>
+        assert(gid === id, idx); assert(gn === n, idx)
+        assert(gs === s, idx); assert(grk === idx + 1, idx)
+        assert(math.abs(gr - s.toDouble / (n * 1000000.0)) < 1e-6, idx)
+    }
+  }
+
+  test("dsir: hashed-bigram importance-weight histogram equals a " +
+      "driver recompute incl. the portable bucket hash") {
+    def bucket(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1) == "src0",
+        r.getString(2).split(" ").toSeq))
+      .filter(_._3.length >= 2)
+    val feats = docs.map { case (id, tgt, tk) =>
+      (id, tgt, (tk ++ tk.sliding(2).map(_.mkString(" "))).map(bucket)) }
+    val counts = feats.flatMap { case (_, tgt, bs) => bs.map((_, tgt)) }
+      .groupBy(_._1).map { case (b, xs) =>
+        b -> (xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val nt = counts.values.map(_._1).sum
+    val nr = counts.values.map(_._2).sum
+    def q(x: Double): Long = math.floor(x * 1000000 + 0.5).toLong
+    val w = counts.map { case (b, (ct, cr)) =>
+      b -> q(math.log(ct + 1.0) - math.log(cr + 1.0)) }
+    val k = q(math.log(nt + 1024.0) - math.log(nr + 1024.0))
+    val hist = feats.map { case (_, _, bs) =>
+      val sm = bs.map(w).sum - bs.length * k
+      ((sm + bs.length * 100000000L) / bs.length / 100000, sm)
+    }.groupBy(_._1).map { case (bin, xs) =>
+      bin -> (xs.size.toLong, xs.map(_._2).sum) }
+    val got = operators.TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_score_micronat")))
+      .toMap
+    assert(got.size === hist.size)
+    hist.foreach { case (bin, (n, s)) =>
+      assert(got(bin) === ((n, s)), bin)
+    }
+    // bin 1000 is the zero-weight line; iid synthetic sources cluster
+    // near it
+    assert(hist.keys.forall(b => b >= 900 && b <= 1100))
+  }
 }
