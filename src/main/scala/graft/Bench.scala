@@ -105,7 +105,10 @@ object Bench {
         "q256_modularity", "q259_clustering_coeff", "q285_next_item_eval",
         "q291_link_prediction", "q301_ndcg", "q302_mrr",
         "q307_rec_coverage"),
-      "stage_pc1" -> Set("q272_pca_power", "q309_embedding_drift"))
+      "stage_pc1" -> Set("q272_pca_power", "q309_embedding_drift"),
+      // r13: the k-means centroids + assignment four queries share
+      "stage_kmeans_cells" -> Set("q37_dedup_embedding",
+        "q288_semantic_dedup", "q324_silhouette", "q325_davies_bouldin"))
     def runStage(sname: String): Unit = sname match {
       case "stage_cc_labels" =>
         graft.operators.Dedup.materializeLabels(spark, sfDir)
@@ -115,6 +118,8 @@ object Bench {
         graft.operators.Graph.materializeSupport2(spark, sfDir)
       case "stage_pc1" =>
         graft.operators.Similarity.materializePc1(spark, sfDir)
+      case "stage_kmeans_cells" =>
+        graft.operators.Dedup.materializeCells(spark, sfDir)
     }
     // Two timed passes, min per query: a single pass is exposed to
     // one-off GC/JIT/checkpoint-cleaner pauses (a 3.5 s query was

@@ -48,6 +48,23 @@ object ScaleProbe {
       return
     }
 
+    // `--x100-graph` extends the 100x wave to the graph family (r12
+    // verdict №8): triangles / DBSCAN / HITS at 100x facts.
+    if (args.contains("--x100-graph")) {
+      x100GraphProbe(spark, base)
+      spark.stop()
+      return
+    }
+
+    // `--r13` probes the round-13 operator wave at 1x/10x over the
+    // standard scale10 staging (expects the default 10x run to have
+    // staged target/scale10, or stages it fresh when absent).
+    if (args.contains("--r13")) {
+      r13Probe(spark, base)
+      spark.stop()
+      return
+    }
+
     val keySpan = 100000000L
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
@@ -369,6 +386,158 @@ object ScaleProbe {
     * 64-bucket prefix-sum recipe, two-phase ECDF, and the watermarked
     * streaming agg at a 100× time axis (800 micro-batches, same
     * per-file volume as the 1× feed). */
+  /** Round-13 wave, 1x vs 10x (same staging discipline as the default
+    * probe): stats/eval ops that collapse to bounded relations should be
+    * scan-dominated; the text-selection pair rides the token shuffle;
+    * substring dedup sees the replica near-dup cliques as REAL
+    * cross-doc spans (every non-marker window of a replica duplicates
+    * the original — the 10x duplication-rate stress); the clustering
+    * audits ride the k·N dense score pass, which grows 100x when both k
+    * and N grow 10x — the declared q289-probe swap point, same as
+    * q37/q296. */
+  private def r13Probe(spark: SparkSession, base: String): Unit = {
+    val out = "target/scale10"
+    val keySpan = 100000000L
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    def calib(tag: String): Unit =
+      println(f"calib_${tag}%-22s ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
+      rep(Tables.load(spark, base, "documents")) { (d, i) =>
+        d.withColumn("doc_id", col("doc_id") + i * keySpan)
+          .withColumn("text",
+            if (i == 0) col("text") else concat(lit(s"r$i "), col("text")))
+      }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+      rep(Tables.load(spark, base, "orders")) { (d, i) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + i * keySpan)
+      }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+      rep(Tables.load(spark, base, "lineitem")) { (d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + i * keySpan)
+      }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      rep(Tables.load(spark, base, "embeddings")) { (d, i) =>
+        d.withColumn("vec_id", col("vec_id") + i * keySpan)
+      }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+        Tables.load(spark, base, t).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+      }
+    }
+    calib("pre")
+    Seq(base, out).foreach { d =>
+      operators.Relational.starFact(spark, d).count()
+      operators.Dedup.exact(spark, d).count()
+    }
+    for (round <- 1 to 2; (tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
+      println(s"--- $tag round $round ($dir) ---")
+      time(s"logrank_$tag")(operators.Analytics.logRank(spark, dir).count())
+      time(s"mann_whitney_$tag")(
+        operators.MlEval.mannWhitney(spark, dir).count())
+      time(s"kendall_tau_$tag")(
+        operators.MlEval.kendallTau(spark, dir).count())
+      time(s"conformal_$tag")(operators.MlEval.conformal(spark, dir).count())
+      time(s"logistic_irls_$tag")(
+        operators.MlEval.logisticIrls(spark, dir).count())
+      time(s"bradley_terry_$tag")(
+        operators.MlEval.bradleyTerry(spark, dir).count())
+      time(s"moore_lewis_$tag")(
+        operators.TextAnalysis.mooreLewis(spark, dir).count())
+      time(s"dsir_weights_$tag")(
+        operators.TextAnalysis.dsirWeights(spark, dir).count())
+      time(s"substr_dedup_$tag")(
+        operators.Dedup.substringDedup(spark, dir).count())
+      // shared k-means stage priced separately (the Bench discipline);
+      // the audits below then report marginal cost
+      operators.Dedup.clearStageCaches()
+      time(s"kmeans_stage_$tag") {
+        operators.Dedup.materializeCells(spark, dir); 0L }
+      time(s"silhouette_$tag")(
+        operators.Dedup.silhouette(spark, dir).count())
+      time(s"davies_bouldin_$tag")(
+        operators.Dedup.daviesBouldin(spark, dir).count())
+    }
+    calib("post")
+  }
+
+  /** 100x graph wave (r12 verdict №8). The x100 staging replicates
+    * FACTS with shifted order/vec keys over FIXED dims, so the distinct
+    * co-occurrence graphs SATURATE: every replica contributes the same
+    * (part, part) and (cust, part) pairs. That is the measurement — at
+    * 100x facts the graph ops' cost must track the scan + distinct
+    * collapse while the per-edge iterative work stays FLAT (the edge
+    * census printed alongside proves the axis). DBSCAN takes customer
+    * as its FACT, so it gets a dedicated 100x point set (the scale10cust
+    * discipline); eps shrinks 1/√n keeping expected in-disc neighbors
+    * ~2 — the candidate join should stay linear. */
+  private def x100GraphProbe(spark: SparkSession, base: String): Unit = {
+    val out = "target/scale100"
+    val outCust = "target/scale100cust"
+    val keySpan = 100000000L
+    val reps = 100
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    def calib(tag: String): Unit =
+      println(f"calib_${tag}%-22s ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
+    def repped(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(reps).toDF("rep"))
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      repped(Tables.load(spark, base, "orders"))
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * keySpan)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      repped(Tables.load(spark, base, "lineitem"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * keySpan)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+        Tables.load(spark, base, t).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+      }
+    }
+    if (!new java.io.File(s"$outCust/customer.parquet").exists())
+      repped(Tables.load(spark, base, "customer"))
+        .withColumn("c_custkey", col("c_custkey") + col("rep") * keySpan)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$outCust/customer.parquet")
+
+    calib("pre")
+    Seq(base, out).foreach { d =>
+      operators.Relational.starFact(spark, d).count()
+    }
+    // edge-axis census: distinct co-purchase edges + distinct (c, p)
+    // bipartite edges — the denominators every ratio below reads against
+    for ((tag, dir) <- Seq("1x" -> base, "100x" -> out)) {
+      val l = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val ecnt = l.as("a").join(l.as("b"), Seq("ok"))
+        .filter(col("a.pk") < col("b.pk"))
+        .select(col("a.pk"), col("b.pk")).distinct().count()
+      val bcnt = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")).distinct().count()
+      println(s"edge_census_$tag  copurchase=$ecnt  bipartite=$bcnt")
+    }
+    for ((tag, dir) <- Seq("1x" -> base, "100x" -> out)) {
+      println(s"--- $tag ($dir) ---")
+      time(s"triangles_$tag")(operators.Graph.triangles(spark, dir).count())
+      time(s"hits_$tag")(operators.Graph.hits(spark, dir).count())
+    }
+    for ((tag, dir) <- Seq("1x" -> base, "100x" -> outCust)) {
+      time(s"dbscan_$tag")(operators.Graph.dbscan(spark, dir).count())
+    }
+    calib("post")
+  }
+
   private def x100Probe(spark: SparkSession, base: String): Unit = {
     val out = "target/scale100"
     val keySpan = 100000000L

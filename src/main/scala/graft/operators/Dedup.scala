@@ -346,12 +346,38 @@ object Dedup {
         max(col("score")).as("cos_c"),
         first(col("qv")).as("qv"))
 
+  /** Session-scoped memo for the k-means core and its argmax
+    * assignment: FOUR catalog queries consume the identical clustering
+    * (q37 embedding dedup, q288 SemDeDup, q324 silhouette, q325
+    * Davies–Bouldin), and at 100 TB the fitted centroids + assignment
+    * are a materialized intermediate table built once per corpus
+    * generation — the [[Graph.support2Pairs]] discipline. Bench prices
+    * the build as `stage_kmeans_cells` so each consumer reports
+    * marginal cost. */
+  private val ecCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame)]()
+  private val cellsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+
+  /** Bench hook: materialize centroids + assignment OUTSIDE any
+    * query's timing (see [[materializeLabels]] for the rationale). */
+  private[graft] def materializeCells(spark: SparkSession,
+                                      dir: String): Unit =
+    embeddingCells(spark, dir).count()
+
   /** The k-means core shared by [[embeddingCells]] and the
     * clustering-quality audits (q324 silhouette, q325 Davies–Bouldin):
     * the prepared embedding frame `e` (vec_id, embedding, nrm, qv) and
     * the final centroid table `cents` (cell, c) after the one exact-
-    * integer Lloyd step. */
+    * integer Lloyd step. Memoized per (session, dir); both frames are
+    * checkpointed so every consumer reads the materialized copy. */
   private[graft] def kmeansEC(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    ecCache.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir),
+      { _ => kmeansECBuild(spark, dir) })
+
+  private def kmeansECBuild(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val e0 = t(spark, dir, "embeddings")
     // cells of ~32 vectors: k grows with N so in-cell candidate pairs stay
@@ -385,16 +411,21 @@ object Dedup {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
         x => x.getField("s").cast("double") / x.getField("cnt")).as("c"))
-    (e, cents)
+    (e.cutLineage(), cents.cutLineage())
   }
 
   /** Final (vec_id, cell) assignment of [[embeddingCosine]]'s k-means —
-    * exposed for recall/occupancy inspection in specs. */
+    * exposed for recall/occupancy inspection in specs. Memoized +
+    * checkpointed per (session, dir) like [[kmeansEC]]. */
   private[graft] def embeddingCells(spark: SparkSession,
-      dir: String): DataFrame = {
-    val (e, cents) = kmeansEC(spark, dir)
-    ecAssign(e, cents).select(col("vec_id"), col("cell"), col("cos_c"))
-  }
+      dir: String): DataFrame =
+    cellsCache.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir), { _ =>
+        val (e, cents) = kmeansEC(spark, dir)
+        ecAssign(e, cents)
+          .select(col("vec_id"), col("cell"), col("cos_c"))
+          .cutLineage()
+      })
 
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -739,6 +770,8 @@ object Dedup {
   private[graft] def clearStageCaches(): Unit = {
     ccCache.clear()
     shCache.clear()
+    ecCache.clear()
+    cellsCache.clear()
   }
 
   /** Bench hooks: materialize a shared stage OUTSIDE any query's timing

@@ -1832,21 +1832,29 @@ object MlEval {
   def bradleyTerry(spark: SparkSession, dir: String): DataFrame = {
     val pb = t(spark, dir, "part")
       .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))
-    val ob = t(spark, dir, "lineitem")
+    // within-order brand pairs by IN-ROW expansion over the sorted
+    // per-order brand array (orders are ≤ a handful of brands wide):
+    // one groupBy(ok) shuffle replaces the ob self-join's two join
+    // shuffles + checkpoint — the q304-style degree-bounded collect
+    val m = t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
         expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
           .as("cents"))
       .join(broadcast(pb), Seq("pk"))
       .groupBy(col("ok"), col("brand"))
       .agg(max(col("cents")).as("cents"))
-      .cutLineage() // feeds both sides of the within-order pair join
-    val m = ob.as("a").join(ob.as("b"),
-        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
-      .filter(col("a.cents") =!= col("b.cents"))
-      .groupBy(col("a.brand").as("bi"), col("b.brand").as("bj"))
+      .groupBy(col("ok"))
+      .agg(array_sort(collect_list(struct(col("brand"), col("cents"))))
+        .as("arr"))
+      .select(explode(expr("flatten(transform(arr, (x, i) -> " +
+        "transform(slice(arr, i + 2, size(arr)), y -> " +
+        "struct(x.brand AS bi, y.brand AS bj, " +
+        "(x.cents > y.cents) AS iw, (x.cents = y.cents) AS tie))))"))
+        .as("pr"))
+      .filter(!col("pr.tie"))
+      .groupBy(col("pr.bi").as("bi"), col("pr.bj").as("bj"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("a.cents") > col("b.cents"), 1L).otherwise(0L))
-          .as("wi"))
+        sum(when(col("pr.iw"), 1L).otherwise(0L)).as("wi"))
     val d = m.select(col("bi").as("i"), col("bj").as("j"), col("n"),
         col("wi").as("w"))
       .unionByName(m.select(col("bj").as("i"), col("bi").as("j"),
@@ -1867,8 +1875,14 @@ object MlEval {
         .select(col("i"), expr("CASE WHEN s > 0 THEN " +
           "CAST(wtot AS DECIMAL(38,0)) * 1000000000000 div s " +
           "ELSE 0 END").as("praw"))
-      raw.crossJoin(broadcast(raw.agg(sum(col("praw")).as("pt"))))
+      raw // bounded ≤ 25 rows: the single-partition window is the
+        // house collapse shape, and one job cheaper than a broadcast agg
+        .withColumn("pt", sum(col("praw")).over(Window.partitionBy()))
         .select(col("i"), expr("praw * 1000000 div pt").as("p"))
+        // checkpoint each iterate: p feeds TWO join sides of the next
+        // round, so uncut lineage doubles per iteration (2³ recomputes
+        // of the whole chain by round 3 — measured 3.7 s; cut: ~1 s)
+        .cutLineage()
     }
     val p0 = wins.select(col("i"), lit(1000000L).as("p"))
     val p3 = iter(iter(iter(p0)))
