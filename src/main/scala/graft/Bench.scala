@@ -317,8 +317,15 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":$nq,"calib_sec":${f(calib)},"calib_threads":$calibThreads,"queries":$qs,"categories":$cj,"failed":$fj,"isolated":$ij,"sf":"$sfDir"}"""
     }
+    // SPARK_GRAFT_ONLY subset runs write a SEPARATE file: a subset
+    // output overwriting bench_out.json is how round 13 lost a full
+    // window's artifact minutes after recording it (and how round 12's
+    // isolation run got hand-pinned as the baseline — tools/repin.py
+    // guards the pin, this guards the artifact)
+    val outFile = if (only.nonEmpty) "bench_only_out.json"
+      else "bench_out.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), jsonLine(results, failed) + "\n")
+      java.nio.file.Paths.get(outFile), jsonLine(results, failed) + "\n")
     catch { case _: Throwable => }
     def shortKey(k: String): String =
       if (k.startsWith("stage_")) k else k.takeWhile(_ != '_')

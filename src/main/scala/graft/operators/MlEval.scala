@@ -1943,7 +1943,442 @@ object MlEval {
       |FROM wins w JOIN p3 ON p3.i = w.i""".stripMargin
   }
 
+  /** Shared Cochran–Armitage χ² fragment over (tt = N·Σtr − R·Σtn,
+    * den = R·(N−R)·(N·Σnt² − (Σnt)²), n) — one fixed-order double. */
+  private def caChi2Sql: String =
+    "(CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) * n / CAST(den AS DOUBLE))"
+
+  /** Cochran–Armitage trend test (Cochran, Biometrics 1954; Armitage,
+    * Biometrics 1955) for a MONOTONE dose–response across the ordered
+    * quantity bands — the test q312's ANOVA cannot express: ANOVA asks
+    * "does ANY band differ?", this asks "does the return rate climb
+    * WITH the dose?", which is the form feature-audit dashboards want
+    * for ordinal features. The corpus collapses to the ≤ 6-level
+    * (band → n, positives) census in one partial-agg pass; the trend
+    * numerator T = N·Σtr − R·Σtn and its variance pieces are exact
+    * integers on decimal(38)/HUGEINT (T² ≈ 10²³ at gate scale), χ²
+    * (1 df, critical 3.841) is the one fixed-order [[caChi2Sql]]
+    * double. iid bands → not-significant pinned honestly. */
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(expr("CAST(l_quantity AS BIGINT) div 10").as("t"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("y")).as("r"))
+      .agg(sum(col("m")).as("n"), sum(col("r")).as("rr"),
+        sum(col("t") * col("r")).as("str"),
+        sum(col("t") * col("m")).as("stn"),
+        sum(col("t") * col("t") * col("m")).as("st2n"))
+      .select(col("n").as("n_total"), col("rr").as("n_pos"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * str - " +
+          "CAST(rr AS DECIMAL(38,0)) * stn").as("tt"),
+        expr("CAST(rr AS DECIMAL(38,0)) * (n - rr) * " +
+          "(CAST(n AS DECIMAL(38,0)) * st2n - " +
+          "CAST(stn AS DECIMAL(38,0)) * stn)").as("den"))
+      .select(col("n_total"), col("n_pos"),
+        (round(expr(caChi2Sql), 6) + lit(0.0)).as("chi2_r"),
+        expr(s"CASE WHEN $caChi2Sql > 3.841 THEN 'significant_95' " +
+          "ELSE 'not_significant' END").as("verdict"))
+  private def cochranArmitageSql: String =
+    s"""WITH cells AS (
+      |  SELECT CAST(l_quantity AS BIGINT) // 10 AS t,
+      |    count(*) AS m,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r
+      |  FROM lineitem GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(sum(m) AS BIGINT) AS n,
+      |    CAST(sum(r) AS BIGINT) AS rr,
+      |    CAST(sum(t * r) AS BIGINT) AS str,
+      |    CAST(sum(t * m) AS BIGINT) AS stn,
+      |    CAST(sum(t * t * m) AS BIGINT) AS st2n
+      |  FROM cells),
+      |d AS (
+      |  SELECT n, rr,
+      |    CAST(n AS HUGEINT) * str - CAST(rr AS HUGEINT) * stn AS tt,
+      |    CAST(rr AS HUGEINT) * (n - rr) * (CAST(n AS HUGEINT) * st2n
+      |      - CAST(stn AS HUGEINT) * stn) AS den
+      |  FROM s)
+      |SELECT n AS n_total, rr AS n_pos,
+      |  round($caChi2Sql, 6) + 0.0 AS chi2_r,
+      |  CASE WHEN $caChi2Sql > 3.841 THEN 'significant_95'
+      |       ELSE 'not_significant' END AS verdict
+      |FROM d""".stripMargin
+
+  /** Inverse-propensity-weighted ATE (Horvitz & Thompson, JASA 1952;
+    * propensity form per Rosenbaum & Rubin, Biometrika 1983):
+    * BUILDING-segment treatment effect on order value, weighting each
+    * order by 1/ê(nation) (treated) or 1/(1−ê(nation)) (control) with
+    * the propensity estimated per nation cell — the causal-inference
+    * twin of q305: post-stratification weights strata by SIZE, IPW
+    * re-weights UNITS, and the two disagree exactly when propensities
+    * vary across strata. Per-nation terms stay exact rationals
+    * (n·(s_t·n_c − s_c·n_t) / (n_t·n_c), decimal(38)/HUGEINT),
+    * nearest-int-quantized to 10⁻⁴ dollars via the q305 positive
+    * shift, then summed exactly; single-arm nations are excluded and
+    * counted. One dim-join partial agg; everything after is bounded. */
+  def ipwAte(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nat"),
+        (col("c_mktsegment") === "BUILDING").as("treat"))
+    val cells = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .join(broadcast(cust), Seq("ck"))
+      .groupBy(col("nat"))
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treat"), col("cents")).otherwise(0L)).as("st"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("treat"), col("cents")).otherwise(0L)).as("sc"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .cutLineage() // bounded ≤ 25 rows; feeds totals AND terms
+    val tot = cells.agg(sum(col("nt") + col("nc")).as("nn"),
+      count(lit(1)).as("n_strata_used"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("nn"), col("n_strata_used"),
+        expr("CAST((2 * (CAST(nt AS DECIMAL(38,0)) + nc) * " +
+          "(CAST(st AS DECIMAL(38,0)) * nc - " +
+          "CAST(sc AS DECIMAL(38,0)) * nt) * 100 " +
+          "+ CAST(nt AS DECIMAL(38,0)) * nc " +
+          "+ 2 * CAST(10000000000000 AS DECIMAL(38,0)) * nt * nc) div " +
+          "(2 * CAST(nt AS DECIMAL(38,0)) * nc) - 10000000000000 " +
+          "AS BIGINT)").as("term_e4"))
+      .groupBy(col("nn"), col("n_strata_used"))
+      .agg(sum(col("term_e4")).as("sum_e4"))
+      .select(col("nn").as("n_orders_used"), col("n_strata_used"),
+        col("sum_e4"),
+        (round(col("sum_e4").cast("double") /
+          (col("nn").cast("double") * 10000.0), 6) + lit(0.0))
+          .as("ate_dollars_r"))
+  }
+
+  private def ipwAteSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS nat,
+      |    CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1
+      |      ELSE 0 END) AS BIGINT) AS nt,
+      |    CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN
+      |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS st,
+      |    CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 0
+      |      ELSE 1 END) AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 0 ELSE
+      |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+      |      AS BIGINT) AS sc
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1
+      |  HAVING sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1
+      |    ELSE 0 END) > 0 AND sum(CASE WHEN c.c_mktsegment =
+      |    'BUILDING' THEN 0 ELSE 1 END) > 0),
+      |tot AS (
+      |  SELECT CAST(sum(nt + nc) AS BIGINT) AS nn,
+      |    count(*) AS n_strata_used
+      |  FROM cells),
+      |terms AS (
+      |  SELECT nn, n_strata_used,
+      |    CAST((2 * (CAST(nt AS HUGEINT) + nc) *
+      |      (CAST(st AS HUGEINT) * nc - CAST(sc AS HUGEINT) * nt) * 100
+      |      + CAST(nt AS HUGEINT) * nc
+      |      + 2 * CAST(10000000000000 AS HUGEINT) * nt * nc) //
+      |      (2 * CAST(nt AS HUGEINT) * nc) - 10000000000000
+      |      AS BIGINT) AS term_e4
+      |  FROM cells, tot)
+      |SELECT nn AS n_orders_used, n_strata_used,
+      |  CAST(sum(term_e4) AS BIGINT) AS sum_e4,
+      |  round(CAST(sum(term_e4) AS DOUBLE) /
+      |    (CAST(nn AS DOUBLE) * 10000.0), 6) + 0.0 AS ate_dollars_r
+      |FROM terms GROUP BY 1, 2""".stripMargin
+
+  /** McNemar's test on paired binary annotators (McNemar,
+    * Psychometrika 1947; Edwards 1948 continuity correction) — the
+    * "did the new quality filter change verdicts ASYMMETRICALLY?"
+    * check every labeling-pipeline migration runs: two deterministic
+    * document rules (length ≥ 300 chars vs ≥ 55 tokens) score the
+    * same rows, and only the DISAGREEING cells b (A-only) and c
+    * (B-only) carry information. One scan-local pass to four exact
+    * counters; χ² = (|b−c|−1)²/(b+c), 1 df. */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val chi = "(CAST((abs(b - c) - 1) AS DOUBLE) * (abs(b - c) - 1) " +
+      "/ (b + c))"
+    t(spark, dir, "documents")
+      .select((col("n_chars") >= 300L).as("a"),
+        (size(split(col("text"), " ")) >= 55).as("bb"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("a") && col("bb"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("a") && !col("bb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("a") && col("bb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("a") && !col("bb"), 1L).otherwise(0L))
+          .as("n_neither"))
+      .select(col("n_docs"), col("n_both"), col("b").as("n_a_only"),
+        col("c").as("n_b_only"), col("n_neither"),
+        when(col("b") + col("c") === 0, lit(null).cast("double"))
+          .otherwise(round(expr(chi), 6) + lit(0.0)).as("chi2_r"),
+        expr(s"CASE WHEN b + c = 0 THEN 'no_disagreements' " +
+          s"WHEN $chi > 3.841 THEN 'significant_95' " +
+          "ELSE 'not_significant' END").as("verdict"))
+  }
+
+  private def mcnemarSql: String = {
+    val chi = "(CAST((abs(b - c) - 1) AS DOUBLE) * (abs(b - c) - 1) " +
+      "/ (b + c))"
+    s"""WITH f AS (
+      |  SELECT n_chars >= 300 AS a,
+      |    len(string_split(text, ' ')) >= 55 AS bb
+      |  FROM documents),
+      |s AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN a AND bb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_both,
+      |    CAST(sum(CASE WHEN a AND NOT bb THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN NOT a AND bb THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN NOT a AND NOT bb THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_neither
+      |  FROM f)
+      |SELECT n_docs, n_both, b AS n_a_only, c AS n_b_only, n_neither,
+      |  CASE WHEN b + c = 0 THEN NULL
+      |       ELSE round($chi, 6) + 0.0 END AS chi2_r,
+      |  CASE WHEN b + c = 0 THEN 'no_disagreements'
+      |       WHEN $chi > 3.841 THEN 'significant_95'
+      |       ELSE 'not_significant' END AS verdict
+      |FROM s""".stripMargin
+  }
+
+  /** Levene's variance-homogeneity test across the five market
+    * segments (Levene 1960) — the assumption check q312's ANOVA rests
+    * on (equal group variances) promoted to its own gated operator:
+    * Levene IS an ANOVA on the absolute deviations z = |y − ȳ_g|, so
+    * the implementation literally reuses the shared [[anovaFSql]]
+    * fragment family on transformed values. Exactness: ȳ_g is an
+    * exact rational s_g/n_g, so z quantizes at the ROW as z_e1 =
+    * |n_g·y − s_g|·10 div n_g (deci-cents, positive truncating
+    * division — engines agree), making every downstream sum order-free
+    * integer arithmetic (Σz² rides decimal(38)/HUGEINT). Two passes:
+    * one 5-row group-stat agg (broadcast back), one wide pivot. */
+  def levene(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    val base = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .join(broadcast(cust), Seq("ck"))
+      .cutLineage() // feeds the group stats AND the z pass
+    val gstats = base.groupBy(col("seg"))
+      .agg(count(lit(1)).as("ng"), sum(col("cents")).as("sg"))
+    val z = base.join(broadcast(gstats), Seq("seg"))
+      .select(col("seg"),
+        expr("abs(ng * cents - sg) * 10 div ng").as("zd"))
+    def nOf(s: String) = sum(when(col("seg") === s, 1L).otherwise(0L))
+    def sOf(s: String) =
+      sum(when(col("seg") === s, col("zd")).otherwise(0L))
+    z.agg(nOf("AUTOMOBILE").as("n_a"), sOf("AUTOMOBILE").as("s_a"),
+        nOf("BUILDING").as("n_b"), sOf("BUILDING").as("s_b"),
+        nOf("FURNITURE").as("n_f"), sOf("FURNITURE").as("s_f"),
+        nOf("HOUSEHOLD").as("n_h"), sOf("HOUSEHOLD").as("s_h"),
+        nOf("MACHINERY").as("n_m"), sOf("MACHINERY").as("s_m"),
+        count(lit(1)).as("n_t"), sum(col("zd")).as("s_t"),
+        sum(col("zd").cast("decimal(38,0)") * col("zd")).as("qq"))
+      .select(col("n_t").as("n_total"),
+        lit(4L).as("df1"), (col("n_t") - 5L).as("df2"),
+        expr(s"round($anovaFSql, 6) + 0.0").as("w_r"),
+        expr(s"CASE WHEN $anovaFSql > 2.372 THEN 'significant_95'" +
+          " ELSE 'not_significant' END").as("verdict"))
+  }
+
+  private def leveneSql: String =
+    s"""WITH base AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |g AS (
+      |  SELECT seg, count(*) AS ng, CAST(sum(cents) AS BIGINT) AS sg
+      |  FROM base GROUP BY 1),
+      |z AS (
+      |  SELECT seg, abs(ng * cents - sg) * 10 // ng AS zd
+      |  FROM base JOIN g USING (seg)),
+      |w AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN zd ELSE 0 END)
+      |      AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN zd ELSE 0 END)
+      |      AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN seg = 'FURNITURE' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_f,
+      |    CAST(sum(CASE WHEN seg = 'FURNITURE' THEN zd ELSE 0 END)
+      |      AS BIGINT) AS s_f,
+      |    CAST(sum(CASE WHEN seg = 'HOUSEHOLD' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_h,
+      |    CAST(sum(CASE WHEN seg = 'HOUSEHOLD' THEN zd ELSE 0 END)
+      |      AS BIGINT) AS s_h,
+      |    CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_m,
+      |    CAST(sum(CASE WHEN seg = 'MACHINERY' THEN zd ELSE 0 END)
+      |      AS BIGINT) AS s_m,
+      |    count(*) AS n_t, CAST(sum(zd) AS BIGINT) AS s_t,
+      |    sum(CAST(zd AS HUGEINT) * zd) AS qq
+      |  FROM z)
+      |SELECT n_t AS n_total, CAST(4 AS BIGINT) AS df1,
+      |  n_t - 5 AS df2,
+      |  round($anovaFSql, 6) + 0.0 AS w_r,
+      |  CASE WHEN $anovaFSql > 2.372 THEN 'significant_95'
+      |       ELSE 'not_significant' END AS verdict
+      |FROM w""".stripMargin
+
+  /** k-fold cross-validation of the house stand-in predictor (Stone,
+    * JRSS-B 1974; Geisser 1975) — the evaluation PROTOCOL q65's split
+    * feeds: 5 folds by o_orderkey mod 5, each fold scored by the
+    * per-segment mean fitted on the OTHER four (leakage-free by
+    * construction: the fold's own rows never enter its predictor).
+    * The (fold × segment) sufficient-statistic grid is ONE partial-agg
+    * pass (≤ 25 cells); leave-one-fold-out predictors are exact
+    * integral divisions over that grid; scoring is one more scan with
+    * the 25-row predictor broadcast; per-fold squared error rides
+    * decimal(38)/HUGEINT. Output: per-fold MSE (exact cents², integral
+    * mean) + RMSE in dollars, the spread a modeler reads for variance. */
+  def kfoldCv(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    val base = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"),
+        (col("o_orderkey") % 5).cast("long").as("fold"))
+      .join(broadcast(cust), Seq("ck"))
+      .cutLineage() // feeds the cell grid AND the scoring pass
+    val cells = base.groupBy(col("fold"), col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val segTot = cells.groupBy(col("seg"))
+      .agg(sum(col("n")).as("n_all"), sum(col("s")).as("s_all"))
+    val preds = cells.join(broadcast(segTot), Seq("seg"))
+      .select(col("fold"), col("seg"),
+        expr("(s_all - s) div (n_all - n)").as("yhat"))
+    base.join(broadcast(preds), Seq("fold", "seg"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("cents") - col("yhat")).cast("decimal(38,0)") *
+          (col("cents") - col("yhat"))).as("se2"))
+      .select(col("fold"), col("n_test"),
+        expr("se2 div n_test").as("mse_cents2"),
+        (round(sqrt(expr("CAST(se2 AS DOUBLE) / n_test")) / 100.0, 6)
+          + lit(0.0)).as("rmse_dollars_r"))
+  }
+
+  private def kfoldCvSql: String =
+    """WITH base AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |      AS cents,
+      |    CAST(o_orderkey % 5 AS BIGINT) AS fold,
+      |    c.c_mktsegment AS seg
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |cells AS (
+      |  SELECT fold, seg, count(*) AS n, CAST(sum(cents) AS BIGINT)
+      |      AS s
+      |  FROM base GROUP BY 1, 2),
+      |st AS (
+      |  SELECT seg, CAST(sum(n) AS BIGINT) AS n_all,
+      |    CAST(sum(s) AS BIGINT) AS s_all
+      |  FROM cells GROUP BY 1),
+      |preds AS (
+      |  SELECT fold, seg, (s_all - s) // (n_all - n) AS yhat
+      |  FROM cells JOIN st USING (seg))
+      |SELECT fold, count(*) AS n_test,
+      |  CAST(sum(CAST(cents - yhat AS HUGEINT) * (cents - yhat)) //
+      |    count(*) AS BIGINT) AS mse_cents2,
+      |  round(sqrt(CAST(sum(CAST(cents - yhat AS HUGEINT) *
+      |    (cents - yhat)) AS DOUBLE) / count(*)) / 100.0, 6) + 0.0
+      |    AS rmse_dollars_r
+      |FROM base JOIN preds USING (fold, seg)
+      |GROUP BY 1""".stripMargin
+
+  /** Pearson r over exact sufficient statistics — shared verbatim by
+    * [[partialCorr]] and its oracle for each variable pair. */
+  private def pcRSql(sab: String, sa: String, sb: String,
+      saa: String, sbb: String): String =
+    s"((CAST(n AS DOUBLE) * $sab - CAST($sa AS DOUBLE) * $sb) / " +
+      s"sqrt((CAST(n AS DOUBLE) * $saa - CAST($sa AS DOUBLE) * $sa) * " +
+      s"(CAST(n AS DOUBLE) * $sbb - CAST($sb AS DOUBLE) * $sb)))"
+
+  /** First-order partial correlation r_xy·z (Fisher, Metron 1924; Yule
+    * 1907): quantity↔price correlation CONTROLLING for the discount —
+    * the confounder-adjustment every feature-correlation dashboard
+    * needs before claiming a relationship (x and y can correlate
+    * purely through z). All nine sufficient statistics are exact
+    * integers from ONE corpus pass (cross products on decimal(38)/
+    * HUGEINT — Σy² crosses 2⁶³ at gate scale); the three Pearson r's
+    * splice the shared [[pcRSql]] fragment into both engines and the
+    * partial is one more fixed-order double. */
+  def partialCorr(spark: SparkSession, dir: String): DataFrame = {
+    val rxy = pcRSql("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = pcRSql("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = pcRSql("syz", "sy", "sz", "syy", "szz")
+    val part = s"(($rxy - $rxz * $ryz) / " +
+      s"sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)))"
+    t(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("y"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("z"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("z")).as("sxz"),
+        sum(col("y").cast("decimal(38,0)") * col("z")).as("syz"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("z").cast("decimal(38,0)") * col("z")).as("szz"))
+      .select(col("n"),
+        (round(expr(rxy), 6) + lit(0.0)).as("r_xy_r"),
+        (round(expr(rxz), 6) + lit(0.0)).as("r_xz_r"),
+        (round(expr(ryz), 6) + lit(0.0)).as("r_yz_r"),
+        (round(expr(part), 6) + lit(0.0)).as("partial_xy_z_r"))
+  }
+
+  private def partialCorrSql: String = {
+    val rxy = pcRSql("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = pcRSql("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = pcRSql("syz", "sy", "sz", "syy", "szz")
+    val part = s"(($rxy - $rxz * $ryz) / " +
+      s"sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)))"
+    s"""WITH v AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS z
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(z) AS BIGINT) AS sz,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+      |    sum(CAST(y AS HUGEINT) * z) AS syz,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(z AS HUGEINT) * z) AS szz
+      |  FROM v)
+      |SELECT n,
+      |  round($rxy, 6) + 0.0 AS r_xy_r,
+      |  round($rxz, 6) + 0.0 AS r_xz_r,
+      |  round($ryz, 6) + 0.0 AS r_yz_r,
+      |  round($part, 6) + 0.0 AS partial_xy_z_r
+      |FROM s""".stripMargin
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q328_cochran_armitage", cochranArmitage _, cochranArmitageSql),
+    Q("q331_ipw_ate", ipwAte _, ipwAteSql),
+    Q("q332_mcnemar", mcnemar _, mcnemarSql),
+    Q("q333_levene", levene _, leveneSql),
+    Q("q336_kfold_cv", kfoldCv _, kfoldCvSql),
+    Q("q337_partial_corr", partialCorr _, partialCorrSql),
     Q("q323_logistic_irls", logisticIrls _, logisticIrlsSql),
     Q("q326_bradley_terry", bradleyTerry _, bradleyTerrySql),
     Q("q321_mann_whitney", mannWhitney _, mannWhitneySql),

@@ -1413,7 +1413,242 @@ object TextAnalysis {
       |  CAST(sum(sm) AS BIGINT) AS sum_score_micronat
       |FROM sc GROUP BY 1""".stripMargin
 
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978; Herdan 1960):
+    * V = K·N^β across the per-source corpora — the sizing law a
+    * tokenizer-training pipeline consults to predict vocabulary growth
+    * before scaling the corpus 100×. Each source contributes one exact
+    * (N = tokens, V = distinct tokens) point from a single partial-agg
+    * pass; ln N / ln V are quantized to integer micro-nats AT THE
+    * SOURCE ROW (the q313 discipline — the 20-point OLS then runs in
+    * exact integer arithmetic: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    * on decimal(38)/HUGEINT cross products), β and ln K are the final
+    * fixed-order doubles. This corpus draws every source from ONE
+    * vocabulary, so the honest expectation the gate pins is a
+    * saturated fit (β near 0), exactly what Heaps' law predicts once
+    * N outruns a closed vocabulary. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val pts = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("v"))
+      .select(
+        expr("CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT)").as("x"),
+        expr("CAST(floor(ln(v) * 1000000 + 0.5) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .select(col("k").as("n_sources"),
+        (round(expr("CAST(CAST(k AS DECIMAL(38,0)) * sxy - " +
+          "CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) / " +
+          "CAST(CAST(k AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"), 6) + lit(0.0))
+          .as("beta_r"),
+        (round(expr("(CAST(sy AS DOUBLE) - (CAST(CAST(k AS " +
+          "DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy " +
+          "AS DOUBLE) / CAST(CAST(k AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)) * sx) / k / " +
+          "1000000.0"), 6) + lit(0.0)).as("lnk_r"))
+  }
+
+  private def heapsLawSql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(ln(count(*)) * 1000000 + 0.5) AS BIGINT)
+      |      AS x,
+      |    CAST(floor(ln(count(DISTINCT tok)) * 1000000 + 0.5)
+      |      AS BIGINT) AS y
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY source),
+      |s AS (
+      |  SELECT count(*) AS k, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM pts)
+      |SELECT k AS n_sources,
+      |  round(CAST(CAST(k AS HUGEINT) * sxy -
+      |    CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+      |    CAST(CAST(k AS HUGEINT) * sxx -
+      |    CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) + 0.0 AS beta_r,
+      |  round((CAST(sy AS DOUBLE) - (CAST(CAST(k AS HUGEINT) * sxy -
+      |    CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+      |    CAST(CAST(k AS HUGEINT) * sxx -
+      |    CAST(sx AS HUGEINT) * sx AS DOUBLE)) * sx) / k /
+      |    1000000.0, 6) + 0.0 AS lnk_r
+      |FROM s""".stripMargin
+
+  /** Vocabulary-coverage estimators from the token frequency census:
+    * Chao1 richness (Chao, Scand. J. Stat. 1984 — V + F₁²/(2F₂), the
+    * lower bound on how many word types the corpus has NOT yet seen)
+    * and the Good–Turing unseen-probability mass (Good, Biometrika
+    * 1953 — P₀ = F₁/N, the probability the next token is a new type).
+    * The pair answers the tokenizer-pipeline question "is this corpus
+    * big enough that the vocabulary has converged?". One token-count
+    * shuffle collapses the corpus to the count census; F₁/F₂/V/N are
+    * one more bounded agg; both estimators are exact integer
+    * arithmetic with integral milli/ppm divisions (the bias-corrected
+    * F₁(F₁−1)/(2(F₂+1)) form is used when F₂ = 0, as Chao prescribes).
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        // F₁² rides decimal(38)/HUGEINT: ~10⁸ singletons at real
+        // corpus scale put F₁²·10³ past 2⁶³
+        expr("CASE WHEN f2 > 0 THEN vocab * 1000 + " +
+          "CAST(f1 AS DECIMAL(38,0)) * f1 * 1000 div (2 * f2) " +
+          "ELSE vocab * 1000 + CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) " +
+          "* 1000 div (2 * (f2 + 1)) END").cast("long")
+          .as("chao1_milli"),
+        expr("f1 * 1000000 div n_tokens").as("gt_unseen_ppm"))
+
+  private def vocabCoverageSql: String =
+    """WITH c AS (
+      |  SELECT tok, count(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1),
+      |s AS (
+      |  SELECT count(*) AS vocab, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM c)
+      |SELECT n_tokens, vocab, f1, f2,
+      |  CAST(CASE WHEN f2 > 0 THEN vocab * 1000 +
+      |      CAST(f1 AS HUGEINT) * f1 * 1000 // (2 * f2)
+      |    ELSE vocab * 1000 + CAST(f1 AS HUGEINT) * (f1 - 1) * 1000
+      |      // (2 * (f2 + 1)) END AS BIGINT) AS chao1_milli,
+      |  f1 * 1000000 // n_tokens AS gt_unseen_ppm
+      |FROM s""".stripMargin
+
+  /** Jensen–Shannon divergence between the in-domain (source 'src0')
+    * and general unigram distributions (Lin, IEEE Trans. IT 1991) —
+    * the SYMMETRIC, always-finite companion to q258's PSI and q239's
+    * EMD that corpus-mixing dashboards plot per source: JSD = ½KL(P‖M)
+    * + ½KL(Q‖M), M = ½(P+Q), bounded by ln 2. Each vocabulary row
+    * contributes its two KL terms as ONE double sequence quantized to
+    * integer micro-nats at that row (q313 discipline: the Σ over the
+    * vocabulary is then order-free); zero-count sides contribute 0 by
+    * the 0·ln0 convention, spelled as an explicit CASE so both engines
+    * agree. Cost: the same single token-count shuffle every LM op here
+    * pays; the readout is one integral division. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select((col("source") === "src0").as("ind"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("ind"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("ind"), 1L).otherwise(0L)).as("cq"))
+      .cutLineage() // feeds the totals AND the per-row terms
+    val tot = counts.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    val term = "CAST(floor((" +
+      "CASE WHEN cp > 0 THEN 0.5 * (CAST(cp AS DOUBLE) / np) * " +
+      "ln((CAST(cp AS DOUBLE) / np) / " +
+      "(0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq))) " +
+      "ELSE 0.0 END + " +
+      "CASE WHEN cq > 0 THEN 0.5 * (CAST(cq AS DOUBLE) / nq) * " +
+      "ln((CAST(cq AS DOUBLE) / nq) / " +
+      "(0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq))) " +
+      "ELSE 0.0 END) * 1000000000 + 0.5) AS BIGINT)"
+    counts.crossJoin(broadcast(tot))
+      .select(expr(term).as("t"))
+      .agg(count(lit(1)).as("vocab"), sum(col("t")).as("jsd_nanonat"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab"), col("np").as("n_in_tokens"),
+        col("nq").as("n_gen_tokens"), col("jsd_nanonat"),
+        (round(col("jsd_nanonat").cast("double") / 1.0e9, 6) + lit(0.0))
+          .as("jsd_r"))
+  }
+
+  private def jsDivergenceSql: String = {
+    val term = "CAST(floor((" +
+      "CASE WHEN cp > 0 THEN 0.5 * (CAST(cp AS DOUBLE) / np) * " +
+      "ln((CAST(cp AS DOUBLE) / np) / " +
+      "(0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq))) " +
+      "ELSE 0.0 END + " +
+      "CASE WHEN cq > 0 THEN 0.5 * (CAST(cq AS DOUBLE) / nq) * " +
+      "ln((CAST(cq AS DOUBLE) / nq) / " +
+      "(0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq))) " +
+      "ELSE 0.0 END) * 1000000000 + 0.5) AS BIGINT)"
+    s"""WITH counts AS (
+      |  SELECT tok,
+      |    CAST(sum(CASE WHEN ind THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+      |    CAST(sum(CASE WHEN ind THEN 0 ELSE 1 END) AS BIGINT) AS cq
+      |  FROM (SELECT source = 'src0' AS ind,
+      |          unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(cp) AS BIGINT) AS np,
+      |    CAST(sum(cq) AS BIGINT) AS nq
+      |  FROM counts),
+      |terms AS (SELECT $term AS t FROM counts, tot)
+      |SELECT count(*) AS vocab, np AS n_in_tokens, nq AS n_gen_tokens,
+      |  CAST(sum(t) AS BIGINT) AS jsd_nanonat,
+      |  round(CAST(sum(t) AS DOUBLE) / 1000000000.0, 6) + 0.0 AS jsd_r
+      |FROM terms, tot
+      |GROUP BY np, nq""".stripMargin
+  }
+
+  /** distinct-n generation-diversity ratios per source (Li, Galley,
+    * Brockett, Gao & Dolan, NAACL 2016 — the dedup-adjacent diversity
+    * gauge generation pipelines track: distinct-1 = unique unigrams /
+    * total unigrams, distinct-2 likewise for bigrams; a collapsing
+    * generator or an over-duplicated corpus slice drives both toward
+    * 0). Per-source exact integer tallies in two partial-agg'd
+    * shuffles (unigram and bigram census), ratios as integral ppm.
+    * Complements [[vocabCoverage]] (corpus-global richness) with the
+    * per-slice view that catches WHICH source went degenerate. */
+  def distinctN(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("source"),
+        graft.functions.Barrier.materialized(split(col("text"), " "))
+          .as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val uni = toks.select(col("source"), explode(col("tk")).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n1"), countDistinct(col("g")).as("d1"))
+    val bi = toks.select(col("source"),
+        explode(expr("transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n2"), countDistinct(col("g")).as("d2"))
+    uni.join(bi, Seq("source"))
+      .select(col("source"), col("n1"), col("d1"), col("n2"), col("d2"),
+        expr("d1 * 1000000 div n1").as("distinct1_ppm"),
+        expr("d2 * 1000000 div n2").as("distinct2_ppm"))
+  }
+
+  private def distinctNSql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |uni AS (
+      |  SELECT source, count(*) AS n1, count(DISTINCT g) AS d1
+      |  FROM (SELECT source, unnest(tk) AS g FROM toks)
+      |  GROUP BY 1),
+      |bi AS (
+      |  SELECT source, count(*) AS n2, count(DISTINCT g) AS d2
+      |  FROM (SELECT source, unnest([tk[i] || ' ' || tk[i + 1]
+      |          for i in range(1, len(tk))]) AS g
+      |        FROM toks)
+      |  GROUP BY 1)
+      |SELECT source, n1, d1, n2, d2,
+      |  d1 * 1000000 // n1 AS distinct1_ppm,
+      |  d2 * 1000000 // n2 AS distinct2_ppm
+      |FROM uni JOIN bi USING (source)""".stripMargin
+
   val catalog: Seq[Q] = Seq(
+    Q("q329_heaps_law", heapsLaw _, heapsLawSql),
+    Q("q330_vocab_coverage", vocabCoverage _, vocabCoverageSql),
+    Q("q334_js_divergence", jsDivergence _, jsDivergenceSql),
+    Q("q335_distinct_n", distinctN _, distinctNSql),
     Q("q318_moore_lewis", mooreLewis _, mooreLewisSql),
     Q("q319_dsir_weights", dsirWeights _, dsirWeightsSql),
     Q("q269_encoding_audit", encodingAudit _,

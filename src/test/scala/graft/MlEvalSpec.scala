@@ -1062,6 +1062,182 @@ class MlEvalSpec extends SparkSpec {
     assert(math.abs(e0) < 0.2 * math.abs(a0))
   }
 
+  test("cochran-armitage: trend statistic equals a BigInt recompute " +
+      "over the dose census; iid bands not significant") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT) div 10",
+        "l_returnflag = 'R'")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val n = BigInt(rows.length)
+    val rr = BigInt(rows.count(_._2))
+    val cells = rows.groupBy(_._1).map { case (t, xs) =>
+      (BigInt(t), BigInt(xs.length), BigInt(xs.count(_._2))) }
+    val str = cells.map { case (t, _, r) => t * r }.sum
+    val stn = cells.map { case (t, m, _) => t * m }.sum
+    val st2n = cells.map { case (t, m, _) => t * t * m }.sum
+    val tt = n * str - rr * stn
+    val den = rr * (n - rr) * (n * st2n - stn * stn)
+    val chi2 = tt.toDouble * tt.toDouble * n.toLong / den.toDouble
+    val got = operators.MlEval.cochranArmitage(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_total") === n.toLong)
+    assert(got.getAs[Long]("n_pos") === rr.toLong)
+    assert(math.abs(got.getAs[Double]("chi2_r") - chi2) < 1e-4)
+    assert(got.getAs[String]("verdict") ===
+      (if (chi2 > 3.841) "significant_95" else "not_significant"))
+  }
+
+  test("ipw ate: per-nation inverse-propensity terms equal a BigInt " +
+      "fold; single-arm nations excluded") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)",
+        "c_mktsegment = 'BUILDING'")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map { r =>
+        val (nat, tr) = cust(r.getLong(0)); (nat, tr, r.getLong(1)) }
+    val cells = rows.groupBy(_._1).toSeq.map { case (nat, xs) =>
+      val t = xs.filter(_._2); val c = xs.filterNot(_._2)
+      (nat, BigInt(t.length), t.map(x => BigInt(x._3)).sum,
+        BigInt(c.length), c.map(x => BigInt(x._3)).sum)
+    }.filter(c => c._2 > 0 && c._4 > 0)
+    val nn = cells.map(c => c._2 + c._4).sum
+    val shift = BigInt("10000000000000")
+    val terms = cells.map { case (_, nt, st, nc, sc) =>
+      (2 * (nt + nc) * (st * nc - sc * nt) * 100 + nt * nc +
+        2 * shift * nt * nc) / (2 * nt * nc) - shift
+    }
+    val got = operators.MlEval.ipwAte(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_orders_used") === nn.toLong)
+    assert(got.getAs[Long]("n_strata_used") === cells.length.toLong)
+    assert(got.getAs[Long]("sum_e4") === terms.sum.toLong)
+    assert(math.abs(got.getAs[Double]("ate_dollars_r") -
+      terms.sum.toDouble / (nn.toDouble * 10000.0)) < 1e-5)
+  }
+
+  test("mcnemar: disagreement cells and the corrected chi2 equal a " +
+      "driver recompute") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("n_chars >= 300",
+        "size(split(text, ' ')) >= 55")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    val b = rows.count(t => t._1 && !t._2).toLong
+    val c = rows.count(t => !t._1 && t._2).toLong
+    val got = operators.MlEval.mcnemar(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_docs") === rows.length.toLong)
+    assert(got.getAs[Long]("n_a_only") === b)
+    assert(got.getAs[Long]("n_b_only") === c)
+    if (b + c > 0) {
+      val chi2 = (math.abs(b - c) - 1).toDouble *
+        (math.abs(b - c) - 1) / (b + c)
+      assert(math.abs(got.getAs[Double]("chi2_r") - chi2) < 1e-6)
+      assert(got.getAs[String]("verdict") ===
+        (if (chi2 > 3.841) "significant_95" else "not_significant"))
+    } else assert(got.getAs[String]("verdict") === "no_disagreements")
+  }
+
+  test("levene: W equals an ANOVA recompute on the row-quantized " +
+      "absolute deviations") {
+    val segOf = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (segOf(r.getLong(0)), r.getLong(1)))
+    val g = rows.groupBy(_._1).map { case (s, xs) =>
+      s -> (BigInt(xs.length), xs.map(x => BigInt(x._2)).sum) }
+    val z = rows.map { case (s, y) =>
+      val (ng, sg) = g(s); (s, ((ng * y - sg).abs * 10 / ng).toLong) }
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val cells = segs.map { s =>
+      val xs = z.filter(_._1 == s).map(_._2)
+      (xs.length.toDouble, xs.map(BigInt(_)).sum) }
+    val nT = z.length.toDouble
+    val sT = z.map(t => BigInt(t._2)).sum
+    val qq = z.map(t => BigInt(t._2) * t._2).sum
+    val ssb = cells.map { case (n, s) =>
+      BigDecimal(s).toDouble * BigDecimal(s).toDouble / n }.sum -
+      BigDecimal(sT).toDouble * BigDecimal(sT).toDouble / nT
+    val sst = BigDecimal(qq).toDouble -
+      BigDecimal(sT).toDouble * BigDecimal(sT).toDouble / nT
+    val w = (ssb / 4.0) / ((sst - ssb) / (nT - 5))
+    val got = operators.MlEval.levene(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_total") === z.length.toLong)
+    assert(math.abs(got.getAs[Double]("w_r") - w) < 1e-4)
+    assert(got.getAs[String]("verdict") ===
+      (if (w > 2.372) "significant_95" else "not_significant"))
+  }
+
+  test("kfold cv: leave-one-fold-out predictors and per-fold MSE " +
+      "equal a BigInt recompute; no fold sees its own rows") {
+    val segOf = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+        "CAST(o_orderkey % 5 AS BIGINT)")
+      .collect().map(r => (segOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val bySegAll = rows.groupBy(_._1).map { case (s, xs) =>
+      s -> (BigInt(xs.length), xs.map(x => BigInt(x._2)).sum) }
+    val got = operators.MlEval.kfoldCv(spark, sf).collect()
+      .map(r => r.getAs[Long]("fold") ->
+        (r.getAs[Long]("n_test"), r.getAs[Long]("mse_cents2"),
+          r.getAs[Double]("rmse_dollars_r"))).toMap
+    assert(got.size === 5)
+    (0L to 4L).foreach { f =>
+      val test = rows.filter(_._3 == f)
+      val se2 = test.map { case (s, y, _) =>
+        val (nAll, sAll) = bySegAll(s)
+        val inFold = rows.filter(r => r._1 == s && r._3 == f)
+        val yhat = (sAll - inFold.map(x => BigInt(x._2)).sum) /
+          (nAll - inFold.length)
+        val d = BigInt(y) - yhat; d * d
+      }.sum
+      val (gn, gm, gr) = got(f)
+      assert(gn === test.length.toLong, f)
+      assert(gm === (se2 / test.length).toLong, f)
+      assert(math.abs(gr -
+        math.sqrt(se2.toDouble / test.length) / 100.0) < 1e-4, f)
+    }
+  }
+
+  test("partial correlation: three Pearson r's and the partial equal " +
+      "a BigInt sufficient-statistic recompute") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length.toDouble
+    def s(f: ((Long, Long, Long)) => BigInt) = rows.map(f).sum
+    val (sx, sy, sz) = (s(t => BigInt(t._1)), s(t => BigInt(t._2)),
+      s(t => BigInt(t._3)))
+    def r(sab: BigInt, sa: BigInt, sb: BigInt, saa: BigInt,
+        sbb: BigInt): Double =
+      (n * sab.toDouble - sa.toDouble * sb.toDouble) /
+        math.sqrt((n * saa.toDouble - sa.toDouble * sa.toDouble) *
+          (n * sbb.toDouble - sb.toDouble * sb.toDouble))
+    val rxy = r(s(t => BigInt(t._1) * t._2), sx, sy,
+      s(t => BigInt(t._1) * t._1), s(t => BigInt(t._2) * t._2))
+    val rxz = r(s(t => BigInt(t._1) * t._3), sx, sz,
+      s(t => BigInt(t._1) * t._1), s(t => BigInt(t._3) * t._3))
+    val ryz = r(s(t => BigInt(t._2) * t._3), sy, sz,
+      s(t => BigInt(t._2) * t._2), s(t => BigInt(t._3) * t._3))
+    val part = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    val got = operators.MlEval.partialCorr(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n") === rows.length.toLong)
+    assert(math.abs(got.getAs[Double]("r_xy_r") - rxy) < 1e-5)
+    assert(math.abs(got.getAs[Double]("r_xz_r") - rxz) < 1e-5)
+    assert(math.abs(got.getAs[Double]("r_yz_r") - ryz) < 1e-5)
+    assert(math.abs(got.getAs[Double]("partial_xy_z_r") - part) < 1e-5)
+  }
+
   test("bradley terry: the wins matrix and three MM iterations equal " +
       "a BigInt recompute; strengths normalize and rank deterministically") {
     val brandOf = spark.read.parquet(s"$sf/part.parquet")

@@ -1616,4 +1616,101 @@ class PipelineOpsSpec extends SparkSpec {
     // near it
     assert(hist.keys.forall(b => b >= 900 && b <= 1100))
   }
+
+  test("heaps law: per-source points and the integer OLS equal a " +
+      "driver recompute; closed vocabulary reads saturated") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1).split(" ")))
+    def q(x: Double): Long = math.floor(x * 1000000 + 0.5).toLong
+    val pts = docs.groupBy(_._1).map { case (_, xs) =>
+      val toks = xs.flatMap(_._2)
+      (q(math.log(toks.length.toDouble)),
+        q(math.log(toks.distinct.length.toDouble))) }.toSeq
+    val k = pts.length
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val beta = (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble
+    val lnk = (sy.toDouble - beta * sx.toDouble) / k / 1000000.0
+    val got = operators.TextAnalysis.heapsLaw(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_sources") === k.toLong)
+    assert(math.abs(got.getAs[Double]("beta_r") - beta) < 1e-5)
+    assert(math.abs(got.getAs[Double]("lnk_r") - lnk) < 1e-4)
+    // one shared synthetic vocabulary: growth must read saturated
+    assert(got.getAs[Double]("beta_r") < 0.5)
+  }
+
+  test("vocab coverage: census, chao1 and good-turing mass equal a " +
+      "driver recompute") {
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map(_._2.length.toLong)
+    val v = counts.size.toLong
+    val nTok = counts.sum
+    val f1 = counts.count(_ == 1L).toLong
+    val f2 = counts.count(_ == 2L).toLong
+    val chao1 = if (f2 > 0) v * 1000 + f1 * f1 * 1000 / (2 * f2)
+      else v * 1000 + f1 * (f1 - 1) * 1000 / (2 * (f2 + 1))
+    val got = operators.TextAnalysis.vocabCoverage(spark, sf).collect()(0)
+    assert(got.getAs[Long]("vocab") === v)
+    assert(got.getAs[Long]("n_tokens") === nTok)
+    assert(got.getAs[Long]("f1") === f1)
+    assert(got.getAs[Long]("f2") === f2)
+    assert(got.getAs[Long]("chao1_milli") === chao1)
+    assert(got.getAs[Long]("gt_unseen_ppm") === f1 * 1000000 / nTok)
+  }
+
+  test("js divergence: per-vocabulary-row nano-nat terms equal a " +
+      "driver recompute; value sits in [0, ln 2]") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select((col("source") === "src0").as("ind"), col("text"))
+      .collect().flatMap(r =>
+        r.getString(1).split(" ").map((_, r.getBoolean(0))))
+    val counts = toks.groupBy(_._1).toSeq.map { case (_, xs) =>
+      (xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val np = counts.map(_._1).sum; val nq = counts.map(_._2).sum
+    val jsd = counts.map { case (cp, cq) =>
+      val p = cp.toDouble / np; val qq2 = cq.toDouble / nq
+      val m = 0.5 * (p + qq2)
+      val a = if (cp > 0) 0.5 * p * math.log(p / m) else 0.0
+      val b = if (cq > 0) 0.5 * qq2 * math.log(qq2 / m) else 0.0
+      math.floor((a + b) * 1000000000 + 0.5).toLong
+    }.sum
+    val got = operators.TextAnalysis.jsDivergence(spark, sf).collect()(0)
+    assert(got.getAs[Long]("vocab") === counts.size.toLong)
+    assert(got.getAs[Long]("n_in_tokens") === np)
+    assert(got.getAs[Long]("n_gen_tokens") === nq)
+    assert(got.getAs[Long]("jsd_nanonat") === jsd)
+    val j = got.getAs[Double]("jsd_r")
+    assert(j >= 0.0 && j <= math.log(2.0) + 1e-9)
+  }
+
+  test("distinct-n: per-source unigram/bigram diversity equals a " +
+      "driver recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1).split(" ")))
+      .filter(_._2.length >= 2)
+    val expect = docs.groupBy(_._1).map { case (src, xs) =>
+      val uni = xs.flatMap(_._2)
+      val bi = xs.flatMap(_._2.sliding(2).map(_.mkString(" ")))
+      src -> (uni.length.toLong, uni.distinct.length.toLong,
+        bi.length.toLong, bi.distinct.length.toLong) }
+    val got = operators.TextAnalysis.distinctN(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("d1"), r.getAs[Long]("n2"),
+          r.getAs[Long]("d2"), r.getAs[Long]("distinct1_ppm"),
+          r.getAs[Long]("distinct2_ppm"))).toMap
+    assert(got.size === expect.size)
+    expect.foreach { case (src, (n1, d1, n2, d2)) =>
+      val (gn1, gd1, gn2, gd2, p1, p2) = got(src)
+      assert(gn1 === n1, src); assert(gd1 === d1, src)
+      assert(gn2 === n2, src); assert(gd2 === d2, src)
+      assert(p1 === d1 * 1000000 / n1, src)
+      assert(p2 === d2 * 1000000 / n2, src)
+    }
+  }
 }
