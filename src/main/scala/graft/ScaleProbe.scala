@@ -459,6 +459,37 @@ object ScaleProbe {
         operators.Dedup.silhouette(spark, dir).count())
       time(s"davies_bouldin_$tag")(
         operators.Dedup.daviesBouldin(spark, dir).count())
+      // wave 2: bounded-census stats (scan-dominated expected), the
+      // CV/causal pair (one cell grid + one scoring scan), and the
+      // token-census text gauges (one token shuffle each)
+      time(s"cochran_armitage_$tag")(
+        operators.MlEval.cochranArmitage(spark, dir).count())
+      time(s"ipw_ate_$tag")(operators.MlEval.ipwAte(spark, dir).count())
+      time(s"mcnemar_$tag")(operators.MlEval.mcnemar(spark, dir).count())
+      time(s"levene_$tag")(operators.MlEval.levene(spark, dir).count())
+      time(s"kfold_cv_$tag")(operators.MlEval.kfoldCv(spark, dir).count())
+      time(s"partial_corr_$tag")(
+        operators.MlEval.partialCorr(spark, dir).count())
+      time(s"heaps_law_$tag")(
+        operators.TextAnalysis.heapsLaw(spark, dir).count())
+      time(s"vocab_coverage_$tag")(
+        operators.TextAnalysis.vocabCoverage(spark, dir).count())
+      time(s"js_divergence_$tag")(
+        operators.TextAnalysis.jsDivergence(spark, dir).count())
+      time(s"distinct_n_$tag")(
+        operators.TextAnalysis.distinctN(spark, dir).count())
+      // wave 3: all bounded-census shapes — the scans are the cost
+      time(s"gumbel_$tag")(
+        operators.Analytics.gumbelMaxima(spark, dir).count())
+      time(s"changepoint_$tag")(
+        operators.Analytics.changepoint(spark, dir).count())
+      time(s"theil_sen_$tag")(
+        operators.Analytics.theilSen(spark, dir).count())
+      time(s"mase_$tag")(operators.Analytics.mase(spark, dir).count())
+      time(s"jarque_bera_$tag")(
+        operators.MlEval.jarqueBera(spark, dir).count())
+      time(s"eb_shrinkage_$tag")(
+        operators.MlEval.ebShrinkage(spark, dir).count())
     }
     calib("post")
   }

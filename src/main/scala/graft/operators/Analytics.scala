@@ -2233,7 +2233,292 @@ object Analytics {
       |       ELSE 'not_significant' END AS verdict
       |FROM agg""".stripMargin
 
+  /** Gumbel extreme-value fit of daily revenue maxima by the method of
+    * moments (Gumbel, "Statistics of Extremes" 1958; the block-maxima
+    * complement to q313's peaks-over-threshold Hill estimator — POT
+    * reads the tail shape, block maxima answer "how big can a DAY
+    * get?", the question capacity planning actually asks): β̂ = s·√6/π,
+    * μ̂ = m − γ·β̂ over the ≤span-days daily-max census, exceedance
+    * probability at the reference level L = 1.5·(largest observed
+    * daily max) via P = 1 − exp(−exp(−(L−μ̂)/β̂)). The corpus collapses
+    * to one (day → max cents) partial agg; moments are exact integers
+    * (Σx² on decimal(38)/HUGEINT) and every estimate is a fixed-order
+    * double off them. */
+  def gumbelMaxima(spark: SparkSession, dir: String): DataFrame = {
+    val mSql = "(CAST(sx AS DOUBLE) / d)"
+    val sSql = s"sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx" +
+      s" / d) / (d - 1))"
+    val betaSql = s"($sSql * sqrt(6.0) / pi())"
+    val muSql = s"($mSql - 0.5772156649015329 * $betaSql)"
+    val pSql = s"(1.0 - exp(-exp(-((1.5 * mx - $muSql) / $betaSql))))"
+    t(spark, dir, "orders")
+      .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE '1990-01-01') AS BIGINT)").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("day")).agg(max(col("cents")).as("x"))
+      .agg(count(lit(1)).as("d"), sum(col("x")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        max(col("x")).as("mx"))
+      .select(col("d").as("n_days"), col("mx").as("max_daily_cents"),
+        (round(expr(muSql), 6) + lit(0.0)).as("mu_r"),
+        (round(expr(betaSql), 6) + lit(0.0)).as("beta_r"),
+        (round(expr(pSql), 6) + lit(0.0)).as("p_exceed_1p5max_r"))
+  }
+
+  private def gumbelMaximaSql: String = {
+    val mSql = "(CAST(sx AS DOUBLE) / d)"
+    val sSql = s"sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx" +
+      s" / d) / (d - 1))"
+    val betaSql = s"($sSql * sqrt(6.0) / pi())"
+    val muSql = s"($mSql - 0.5772156649015329 * $betaSql)"
+    val pSql = s"(1.0 - exp(-exp(-((1.5 * mx - $muSql) / $betaSql))))"
+    s"""WITH dm AS (
+      |  SELECT CAST(datediff('day', DATE '1990-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |    max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT count(*) AS d, CAST(sum(x) AS BIGINT) AS sx,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    CAST(max(x) AS BIGINT) AS mx
+      |  FROM dm)
+      |SELECT d AS n_days, mx AS max_daily_cents,
+      |  round($muSql, 6) + 0.0 AS mu_r,
+      |  round($betaSql, 6) + 0.0 AS beta_r,
+      |  round($pSql, 6) + 0.0 AS p_exceed_1p5max_r
+      |FROM s""".stripMargin
+  }
+
+  /** Single-changepoint detection on the daily revenue series by
+    * exact between-segment sum-of-squares argmax (the one-split core
+    * of binary segmentation, Scott & Knott, Biometrics 1974; the
+    * offline complement to q240's sequential CUSUM): split at t
+    * maximizing (n·S_L − n_L·S)² / (n_L·n_R) — the n-scaled between-SS,
+    * an EXACT integer rational per candidate (numerator on
+    * decimal(38)/HUGEINT, one integral division to micro units) over
+    * the bounded ≤span-days prefix relation, so the argmax is
+    * deterministic with the (score DESC, day ASC) tiebreak. One
+    * partial-agg collapse; the window never sees corpus rows. iid
+    * daily revenue → the gate pins a small gain honestly. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE '1990-01-01') AS BIGINT)").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("day")).agg(count(lit(1)).as("m"),
+        // whole-dollar quantization buys the squared numerator two
+        // orders of magnitude per side: (n*S_L)^2 then crosses 10^38
+        // near ~100x sf0.1 instead of ~3x (the q299 switch-point rule)
+        expr("sum(cents) div 100").as("s"))
+    val wLe = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val scored = daily // bounded ≤ span-days rows
+      .withColumn("nl", sum(col("m")).over(wLe))
+      .withColumn("sl", sum(col("s")).over(wLe))
+      .withColumn("n", sum(col("m")).over(wAll))
+      .withColumn("s_t", sum(col("s")).over(wAll))
+      .filter(col("nl") < col("n")) // a split needs a non-empty right
+      .select(col("day"), col("nl"), col("sl"), col("n"), col("s_t"),
+        expr("(CAST(n AS DECIMAL(38,0)) * sl - " +
+          "CAST(nl AS DECIMAL(38,0)) * s_t) * " +
+          "(CAST(n AS DECIMAL(38,0)) * sl - " +
+          "CAST(nl AS DECIMAL(38,0)) * s_t) div " +
+          "(CAST(nl AS DECIMAL(38,0)) * (n - nl) * n * n)")
+          .cast("long").as("gain_c2"))
+    val best = scored.agg(max(col("gain_c2")).as("g"))
+    scored.crossJoin(broadcast(best))
+      .filter(col("gain_c2") === col("g"))
+      .groupBy(col("g"))
+      .agg(min(col("day")).as("split_day"))
+      .join(scored.select(col("day").as("split_day"), col("nl"),
+        col("sl"), col("n"), col("s_t")), Seq("split_day"))
+      .select(col("split_day"), col("nl").as("n_left"),
+        (col("n") - col("nl")).as("n_right"),
+        expr("sl div nl").as("mean_left_dollars"),
+        expr("(s_t - sl) div (n - nl)").as("mean_right_dollars"),
+        col("g").as("gain_d2"))
+  }
+
+  private def changepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(datediff('day', DATE '1990-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |    count(*) AS m,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      // 100 AS BIGINT) AS s
+      |  FROM orders GROUP BY 1),
+      |pre AS (
+      |  SELECT day,
+      |    CAST(sum(m) OVER (ORDER BY day ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS nl,
+      |    CAST(sum(s) OVER (ORDER BY day ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS sl,
+      |    CAST(sum(m) OVER () AS BIGINT) AS n,
+      |    CAST(sum(s) OVER () AS BIGINT) AS s_t
+      |  FROM daily),
+      |scored AS (
+      |  SELECT day, nl, sl, n, s_t,
+      |    CAST((CAST(n AS HUGEINT) * sl - CAST(nl AS HUGEINT) * s_t) *
+      |      (CAST(n AS HUGEINT) * sl - CAST(nl AS HUGEINT) * s_t) //
+      |      (CAST(nl AS HUGEINT) * (n - nl) * n * n) AS BIGINT)
+      |      AS gain_c2
+      |  FROM pre WHERE nl < n),
+      |best AS (SELECT max(gain_c2) AS g FROM scored),
+      |pick AS (
+      |  SELECT g, min(day) AS split_day
+      |  FROM scored, best WHERE gain_c2 = g GROUP BY 1)
+      |SELECT p.split_day, sc.nl AS n_left, sc.n - sc.nl AS n_right,
+      |  sc.sl // sc.nl AS mean_left_dollars,
+      |  (sc.s_t - sc.sl) // (sc.n - sc.nl) AS mean_right_dollars,
+      |  p.g AS gain_d2
+      |FROM pick p JOIN scored sc ON sc.day = p.split_day""".stripMargin
+
+  /** Theil–Sen robust trend of monthly revenue (Theil 1950; Sen, JASA
+    * 1968 — the median-of-pairwise-slopes estimator a single outlier
+    * month cannot move, where q208's OLS group regression can be
+    * dragged arbitrarily): the corpus collapses to the bounded ≤
+    * span-months (month-index → revenue) census; each of the ≤ m²/2
+    * pairs contributes its slope QUANTIZED at the pair to integer
+    * e2-cents/month (nearest-int with the q305 positive shift — exact,
+    * engine-portable); the median is the lower-median order statistic
+    * elected by exact rank counting on the bounded pair multiset
+    * (cnt_< < k ≤ cnt_< + cnt_=, k = (P+1) div 2). All integers until
+    * the one readout double. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .select(expr("(year(CAST(o_orderdate AS DATE)) - 1990) * 12 + " +
+        "month(CAST(o_orderdate AS DATE)) - 1").cast("long").as("mi"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("mi")).agg(sum(col("cents")).as("y"))
+      .cutLineage() // bounded ≤ span-months rows; both pair sides
+    val slopes = monthly.as("a").join(monthly.as("b"),
+        col("a.mi") < col("b.mi"))
+      .select(expr("(2 * (b.y - a.y) * 100 + (b.mi - a.mi) + " +
+        "2 * 10000000000000 * (b.mi - a.mi)) div " +
+        "(2 * (b.mi - a.mi)) - 10000000000000").as("sl"))
+      .cutLineage() // bounded pair multiset; feeds both rank sides
+    val ranked = slopes.as("x").join(slopes.as("y"), lit(true))
+      .groupBy(col("x.sl").as("sl"))
+      .agg(sum(when(col("y.sl") < col("x.sl"), 1L).otherwise(0L))
+        .as("clt"),
+        sum(when(col("y.sl") === col("x.sl"), 1L).otherwise(0L))
+          .as("ceq"))
+    val tot = slopes.agg(count(lit(1)).as("p"),
+      expr("(count(1) + 1) div 2").as("k"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("clt") < col("k") &&
+        col("clt") + col("ceq") >= col("k"))
+      .groupBy(col("p"), col("k"))
+      .agg(min(col("sl")).as("slope_e2"))
+      .select(col("p").as("n_pairs"), col("k").as("k_rank"),
+        col("slope_e2"),
+        (round(col("slope_e2").cast("double") / 100.0, 6) + lit(0.0))
+          .as("slope_cents_per_month_r"))
+  }
+
+  private def theilSenSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST((year(CAST(o_orderdate AS DATE)) - 1990) * 12 +
+      |      month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mi,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |slopes AS (
+      |  SELECT (2 * (b.y - a.y) * 100 + (b.mi - a.mi) +
+      |    2 * 10000000000000 * (b.mi - a.mi)) //
+      |    (2 * (b.mi - a.mi)) - 10000000000000 AS sl
+      |  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+      |ranked AS (
+      |  SELECT x.sl AS sl,
+      |    CAST(sum(CASE WHEN y.sl < x.sl THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS clt,
+      |    CAST(sum(CASE WHEN y.sl = x.sl THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ceq
+      |  FROM slopes x CROSS JOIN slopes y
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT count(*) AS p, (count(*) + 1) // 2 AS k FROM slopes)
+      |SELECT p AS n_pairs, CAST(k AS BIGINT) AS k_rank,
+      |  CAST(min(sl) AS BIGINT) AS slope_e2,
+      |  round(CAST(min(sl) AS DOUBLE) / 100.0, 6) + 0.0
+      |    AS slope_cents_per_month_r
+      |FROM ranked, tot
+      |WHERE clt < k AND clt + ceq >= k
+      |GROUP BY p, k""".stripMargin
+
+  /** MASE forecast-accuracy score for the seasonal-naive forecaster
+    * (Hyndman & Koehler, IJF 2006 — the scale-free error measure that
+    * made "beat the naive forecast" a checkable gate; grades q238's
+    * naive-forecast family): MASE = MAE(ŷ_t = y_{t−7}) / MAE(ŷ_t =
+    * y_{t−1}) over the DENSE daily revenue spine (absent days are
+    * explicit zeros — both engines build the same spine, so the lag
+    * algebra is identical). The corpus collapses to the bounded
+    * day census; the spine, lags and absolute-error sums are exact
+    * integers over span-days rows; MASE < 1 means weekly seasonality
+    * beats persistence. */
+  def mase(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE '1990-01-01') AS BIGINT)").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+    val bounds = daily.agg(min(col("day")).as("lo"),
+      max(col("day")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+      .join(daily, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val w1 = Window.orderBy(col("day").asc)
+    spine // bounded ≤ span-days rows: collapse-then-window
+      .withColumn("l1", lag(col("y"), 1).over(w1))
+      .withColumn("l7", lag(col("y"), 7).over(w1))
+      .filter(col("l7").isNotNull)
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("y") - col("l1"))).as("ae1"),
+        sum(abs(col("y") - col("l7"))).as("ae7"))
+      .select(col("n_scored"),
+        expr("ae1 div n_scored").as("mae1_cents"),
+        expr("ae7 div n_scored").as("mae7_cents"),
+        (round(col("ae7").cast("double") / col("ae1"), 6) + lit(0.0))
+          .as("mase_r"))
+  }
+
+  private def maseSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(datediff('day', DATE '1990-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      |spine AS (
+      |  SELECT t.day, coalesce(d.y, 0) AS y
+      |  FROM (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds) t
+      |  LEFT JOIN daily d ON d.day = t.day),
+      |lagged AS (
+      |  SELECT y,
+      |    lag(y, 1) OVER (ORDER BY day ASC) AS l1,
+      |    lag(y, 7) OVER (ORDER BY day ASC) AS l7
+      |  FROM spine)
+      |SELECT count(*) AS n_scored,
+      |  CAST(sum(abs(y - l1)) // count(*) AS BIGINT) AS mae1_cents,
+      |  CAST(sum(abs(y - l7)) // count(*) AS BIGINT) AS mae7_cents,
+      |  round(CAST(sum(abs(y - l7)) AS DOUBLE) / sum(abs(y - l1)), 6)
+      |    + 0.0 AS mase_r
+      |FROM lagged WHERE l7 IS NOT NULL""".stripMargin
+
   val catalog: Seq[Q] = Seq(
+    Q("q338_gumbel_maxima", gumbelMaxima _, gumbelMaximaSql),
+    Q("q340_changepoint", changepoint _, changepointSql),
+    Q("q341_theil_sen", theilSen _, theilSenSql),
+    Q("q342_mase", mase _, maseSql),
     Q("q320_logrank", logRank _, logRankSql),
     Q("q311_kaplan_meier", kaplanMeier _,
       """WITH o AS (

@@ -2372,7 +2372,148 @@ object MlEval {
       |FROM s""".stripMargin
   }
 
+  /** Shared Jarque–Bera fragments over the exact raw power sums
+    * (n, s1..s4 in whole dollars) — identical IEEE sequence both
+    * engines. */
+  private def jbMuSql = "(CAST(s1 AS DOUBLE) / n)"
+  private def jbM2Sql =
+    s"(CAST(s2 AS DOUBLE) / n - $jbMuSql * $jbMuSql)"
+  private def jbM3Sql =
+    s"(CAST(s3 AS DOUBLE) / n - 3.0 * $jbMuSql * (CAST(s2 AS DOUBLE)" +
+      s" / n) + 2.0 * $jbMuSql * $jbMuSql * $jbMuSql)"
+  private def jbM4Sql =
+    s"(CAST(s4 AS DOUBLE) / n - 4.0 * $jbMuSql * (CAST(s3 AS DOUBLE)" +
+      s" / n) + 6.0 * $jbMuSql * $jbMuSql * (CAST(s2 AS DOUBLE) / n)" +
+      s" - 3.0 * $jbMuSql * $jbMuSql * $jbMuSql * $jbMuSql)"
+  // m2^1.5 spelled mul+sqrt: both are correctly-rounded IEEE ops in
+  // both engines, where pow(x, 1.5) carries no such guarantee
+  private def jbSkewSql = s"($jbM3Sql / ($jbM2Sql * sqrt($jbM2Sql)))"
+  private def jbKurtSql = s"($jbM4Sql / ($jbM2Sql * $jbM2Sql))"
+  private def jbSql = s"(n / 6.0 * ($jbSkewSql * $jbSkewSql + " +
+    s"($jbKurtSql - 3.0) * ($jbKurtSql - 3.0) / 4.0))"
+
+  /** Jarque–Bera normality test on order values (Jarque & Bera,
+    * Economics Letters 1980) — the assumption audit behind every
+    * mean-based test in the catalog (q306 Welch, q312 ANOVA, q333
+    * Levene all presume rough normality; this one MEASURES the
+    * departure): skewness and excess kurtosis from the four raw power
+    * sums, JB = n/6·(S² + (K−3)²/4) against the χ²(2 df) 5.991 line.
+    * ONE scan collapses the corpus to five exact integers (values in
+    * whole dollars so Σx⁴ stays inside decimal(38)/HUGEINT to ~100×
+    * sf0.1); every moment is a shared fixed-order double fragment.
+    * Order values are right-skewed by construction — the gate pins
+    * `significant` honestly, exactly why mean tests here lean on large
+    * n. */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"),
+        sum(col("x").cast("decimal(38,0)") * col("x") * col("x"))
+          .as("s3"),
+        sum(col("x").cast("decimal(38,0)") * col("x") * col("x") *
+          col("x")).as("s4"))
+      .select(col("n"),
+        (round(expr(jbSkewSql), 6) + lit(0.0)).as("skew_r"),
+        (round(expr(jbKurtSql), 6) + lit(0.0)).as("kurt_r"),
+        (round(expr(jbSql), 6) + lit(0.0)).as("jb_r"),
+        expr(s"CASE WHEN $jbSql > 5.991 THEN 'significant_95' " +
+          "ELSE 'not_significant' END").as("verdict"))
+
+  private def jarqueBeraSql: String =
+    s"""WITH v AS (
+      |  SELECT CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+      |  FROM orders),
+      |s AS (
+      |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
+      |    sum(CAST(x AS HUGEINT) * x) AS s2,
+      |    sum(CAST(x AS HUGEINT) * x * x) AS s3,
+      |    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+      |  FROM v)
+      |SELECT n,
+      |  round($jbSkewSql, 6) + 0.0 AS skew_r,
+      |  round($jbKurtSql, 6) + 0.0 AS kurt_r,
+      |  round($jbSql, 6) + 0.0 AS jb_r,
+      |  CASE WHEN $jbSql > 5.991 THEN 'significant_95'
+      |       ELSE 'not_significant' END AS verdict
+      |FROM s""".stripMargin
+
+  /** Empirical-Bayes beta-binomial shrinkage of per-nation high-value
+    * rates (Robbins 1956; Efron & Morris, JASA 1975 — the
+    * small-sample-rate stabilizer every per-segment dashboard needs:
+    * raw rates from thin nations swing wildly, shrinking toward the
+    * pooled prior by observed between-nation variance fixes it):
+    * method-of-moments Beta prior on the 25 ppm-quantized rates —
+    * α+β = m(1−m)/v − 1, α = m·(α+β) — then per nation the posterior
+    * mean (c + α)/(n + α + β). One dim-join partial agg to the
+    * bounded cell relation; rates quantize to integer ppm FIRST so
+    * the prior moments are exact integer arithmetic; α, β and the
+    * shrunk rates are shared fixed-order double fragments. Degenerate
+    * v ≤ 0 (identical rates) falls back to the raw rate, stated. */
+  def ebShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val mSql = "(CAST(sp AS DOUBLE) / k / 1000000.0)"
+    val vSql = "((CAST(k AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)" +
+      " / (CAST(k AS DOUBLE) * (k - 1)) / 1000000.0 / 1000000.0)"
+    val abSql = s"($mSql * (1.0 - $mSql) / $vSql - 1.0)"
+    val aSql = s"($mSql * $abSql)"
+    val shrunk = s"CASE WHEN $vSql <= 0.0 THEN " +
+      "CAST(rate_ppm AS DOUBLE) / 1000000.0 ELSE " +
+      s"(c + $aSql) / (n + $abSql) END"
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nat"))
+    val cells = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        (col("o_totalprice") >= 300000.0).as("hv"))
+      .join(broadcast(cust), Seq("ck"))
+      .groupBy(col("nat"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hv"), 1L).otherwise(0L)).as("c"))
+      .withColumn("rate_ppm", expr("c * 1000000 div n"))
+      .cutLineage() // bounded 25 rows; feeds the prior AND the readout
+    val prior = cells.agg(count(lit(1)).as("k"),
+      sum(col("rate_ppm")).as("sp"),
+      sum(col("rate_ppm").cast("decimal(38,0)") * col("rate_ppm"))
+        .as("spp"))
+    cells.crossJoin(broadcast(prior))
+      .select(col("nat").as("c_nationkey"), col("n"), col("c"),
+        col("rate_ppm"),
+        (round(expr(aSql), 6) + lit(0.0)).as("alpha_r"),
+        (round(expr(s"($abSql - $aSql)"), 6) + lit(0.0)).as("beta_r"),
+        (round(expr(shrunk), 6) + lit(0.0)).as("shrunk_rate_r"))
+  }
+
+  private def ebShrinkageSql: String = {
+    val mSql = "(CAST(sp AS DOUBLE) / k / 1000000.0)"
+    val vSql = "((CAST(k AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)" +
+      " / (CAST(k AS DOUBLE) * (k - 1)) / 1000000.0 / 1000000.0)"
+    val abSql = s"($mSql * (1.0 - $mSql) / $vSql - 1.0)"
+    val aSql = s"($mSql * $abSql)"
+    val shrunk = s"CASE WHEN $vSql <= 0.0 THEN " +
+      "CAST(rate_ppm AS DOUBLE) / 1000000.0 ELSE " +
+      s"(c + $aSql) / (n + $abSql) END"
+    s"""WITH cells AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS nat,
+      |    count(*) AS n,
+      |    CAST(sum(CASE WHEN o_totalprice >= 300000.0 THEN 1 ELSE 0
+      |      END) AS BIGINT) AS c
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1),
+      |c2 AS (SELECT *, c * 1000000 // n AS rate_ppm FROM cells),
+      |prior AS (
+      |  SELECT count(*) AS k, CAST(sum(rate_ppm) AS BIGINT) AS sp,
+      |    sum(CAST(rate_ppm AS HUGEINT) * rate_ppm) AS spp
+      |  FROM c2)
+      |SELECT nat AS c_nationkey, n, c, rate_ppm,
+      |  round($aSql, 6) + 0.0 AS alpha_r,
+      |  round(($abSql - $aSql), 6) + 0.0 AS beta_r,
+      |  round($shrunk, 6) + 0.0 AS shrunk_rate_r
+      |FROM c2, prior""".stripMargin
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q339_jarque_bera", jarqueBera _, jarqueBeraSql),
+    Q("q343_eb_shrinkage", ebShrinkage _, ebShrinkageSql),
     Q("q328_cochran_armitage", cochranArmitage _, cochranArmitageSql),
     Q("q331_ipw_ate", ipwAte _, ipwAteSql),
     Q("q332_mcnemar", mcnemar _, mcnemarSql),

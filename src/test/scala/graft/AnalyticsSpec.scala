@@ -1564,6 +1564,118 @@ class AnalyticsSpec extends SparkSpec {
       (if (chi2 > 3.841) "significant_95" else "not_significant"))
   }
 
+  test("gumbel maxima: moment fit over the daily-max census equals a " +
+      "driver recompute; exceedance probability in (0, 1)") {
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') " +
+          "AS LONG) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).max }.toSeq
+    val d = daily.length.toDouble
+    val sx = daily.map(BigInt(_)).sum
+    val sxx = daily.map(x => BigInt(x) * x).sum
+    val m = sx.toDouble / d
+    val s = math.sqrt((sxx.toDouble - sx.toDouble * sx.toDouble / d) /
+      (d - 1))
+    val beta = s * math.sqrt(6.0) / math.Pi
+    val mu = m - 0.5772156649015329 * beta
+    val mx = daily.max
+    val p = 1.0 - math.exp(-math.exp(-((1.5 * mx - mu) / beta)))
+    val got = Analytics.gumbelMaxima(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_days") === daily.length.toLong)
+    assert(got.getAs[Long]("max_daily_cents") === mx)
+    assert(math.abs(got.getAs[Double]("mu_r") - mu) < mu * 1e-6 + 1e-4)
+    assert(math.abs(got.getAs[Double]("beta_r") - beta) <
+      beta * 1e-6 + 1e-4)
+    assert(math.abs(got.getAs[Double]("p_exceed_1p5max_r") - p) < 1e-5)
+    assert(p > 0.0 && p < 1.0)
+  }
+
+  test("changepoint: the between-SS argmax over the dollar-quantized " +
+      "daily series equals a sequential prefix recompute") {
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') " +
+          "AS LONG) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (day, xs) =>
+        (day, xs.length.toLong, xs.map(t => BigInt(t._2)).sum / 100) }
+    val n = daily.map(_._2).sum
+    val sT = daily.map(_._3).sum
+    var nl = 0L; var sl = BigInt(0)
+    val scored = daily.map { case (day, m, s) =>
+      nl += m; sl += s
+      val diff = n * sl - nl * sT
+      (day, nl, sl,
+        if (nl < n) (diff * diff / (BigInt(nl) * (n - nl) * n * n))
+          .toLong else -1L)
+    }.filter(_._4 >= 0)
+    val g = scored.map(_._4).max
+    val pick = scored.filter(_._4 == g).minBy(_._1)
+    val got = Analytics.changepoint(spark, sf).collect()(0)
+    assert(got.getAs[Long]("split_day") === pick._1)
+    assert(got.getAs[Long]("n_left") === pick._2)
+    assert(got.getAs[Long]("n_right") === n - pick._2)
+    assert(got.getAs[Long]("gain_d2") === g)
+    assert(got.getAs[Long]("mean_left_dollars") ===
+      (pick._3 / pick._2).toLong)
+    assert(got.getAs[Long]("mean_right_dollars") ===
+      ((sT - pick._3) / (n - pick._2)).toLong)
+  }
+
+  test("theil-sen: the lower-median of pair-quantized monthly slopes " +
+      "equals a sequential order-statistic recompute") {
+    val monthly = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "CAST((year(CAST(o_orderdate AS DATE)) - 1990) * 12 + " +
+          "month(CAST(o_orderdate AS DATE)) - 1 AS LONG) AS mi",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (mi, xs) =>
+        (mi, xs.map(t => BigInt(t._2)).sum) }.sortBy(_._1)
+    val shift = BigInt("10000000000000")
+    val slopes = (for (a <- monthly; b <- monthly; if a._1 < b._1)
+      yield {
+        val dm = BigInt(b._1 - a._1)
+        ((2 * (b._2 - a._2) * 100 + dm + 2 * shift * dm) / (2 * dm) -
+          shift).toLong
+      }).sorted
+    val k = (slopes.length + 1) / 2
+    val med = slopes(k - 1)
+    val got = Analytics.theilSen(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_pairs") === slopes.length.toLong)
+    assert(got.getAs[Long]("k_rank") === k.toLong)
+    assert(got.getAs[Long]("slope_e2") === med)
+    assert(math.abs(got.getAs[Double]("slope_cents_per_month_r") -
+      med.toDouble / 100.0) < 1e-4)
+  }
+
+  test("mase: dense-spine lag errors equal a sequential recompute; " +
+      "the two MAE denominators count the same rows") {
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') " +
+          "AS LONG) AS day",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+    val lo = daily.keys.min; val hi = daily.keys.max
+    val spine = (lo to hi).map(d => daily.getOrElse(d, 0L))
+    val scored = spine.indices.drop(7)
+    val ae1 = scored.map(i => math.abs(spine(i) - spine(i - 1))).sum
+    val ae7 = scored.map(i => math.abs(spine(i) - spine(i - 7))).sum
+    val got = Analytics.mase(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_scored") === scored.length.toLong)
+    assert(got.getAs[Long]("mae1_cents") === ae1 / scored.length)
+    assert(got.getAs[Long]("mae7_cents") === ae7 / scored.length)
+    assert(math.abs(got.getAs[Double]("mase_r") -
+      ae7.toDouble / ae1) < 1e-5)
+  }
+
   test("hill tail: micro-nat log-ratio sum over the top-100 equals a " +
       "sequential recompute; alpha positive") {
     val cents = spark.read.parquet(s"$sf/orders.parquet")

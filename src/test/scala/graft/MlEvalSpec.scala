@@ -1062,6 +1062,72 @@ class MlEvalSpec extends SparkSpec {
     assert(math.abs(e0) < 0.2 * math.abs(a0))
   }
 
+  test("jarque-bera: moments off the exact power sums equal a driver " +
+      "recompute; right-skewed order values read significant") {
+    val xs = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(floor(o_totalprice + 0.5) AS BIGINT)")
+      .collect().map(_.getLong(0))
+    val n = xs.length.toDouble
+    val s1 = xs.map(BigInt(_)).sum
+    val s2 = xs.map(x => BigInt(x) * x).sum
+    val s3 = xs.map(x => BigInt(x) * x * x).sum
+    val s4 = xs.map(x => BigInt(x) * x * x * x).sum
+    val mu = s1.toDouble / n
+    val m2 = s2.toDouble / n - mu * mu
+    val m3 = s3.toDouble / n - 3.0 * mu * (s2.toDouble / n) +
+      2.0 * mu * mu * mu
+    val m4 = s4.toDouble / n - 4.0 * mu * (s3.toDouble / n) +
+      6.0 * mu * mu * (s2.toDouble / n) - 3.0 * mu * mu * mu * mu
+    val skew = m3 / (m2 * math.sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    val jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    val got = operators.MlEval.jarqueBera(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n") === xs.length.toLong)
+    assert(math.abs(got.getAs[Double]("skew_r") - skew) < 1e-5)
+    assert(math.abs(got.getAs[Double]("kurt_r") - kurt) < 1e-5)
+    assert(math.abs(got.getAs[Double]("jb_r") - jb) < jb * 1e-6 + 1e-4)
+    assert(got.getAs[String]("verdict") === "significant_95")
+  }
+
+  test("eb shrinkage: the beta prior and posterior means equal a " +
+      "driver recompute; shrunk rates sit between raw and pooled") {
+    val natOf = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cells = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_totalprice >= 300000.0")
+      .collect().map(r => (natOf(r.getLong(0)), r.getBoolean(1)))
+      .groupBy(_._1).toSeq.map { case (nat, xs) =>
+        (nat, xs.length.toLong, xs.count(_._2).toLong) }
+    val rates = cells.map { case (nat, nn, c) =>
+      (nat, nn, c, c * 1000000 / nn) }
+    val k = rates.length.toDouble
+    val sp = rates.map(r => BigInt(r._4)).sum
+    val spp = rates.map(r => BigInt(r._4) * r._4).sum
+    val m = sp.toDouble / k / 1000000.0
+    val v = (k * spp.toDouble - sp.toDouble * sp.toDouble) /
+      (k * (k - 1)) / 1000000.0 / 1000000.0
+    val ab = m * (1.0 - m) / v - 1.0
+    val a = m * ab
+    val got = operators.MlEval.ebShrinkage(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c"),
+          r.getAs[Long]("rate_ppm"), r.getAs[Double]("alpha_r"),
+          r.getAs[Double]("shrunk_rate_r"))).toMap
+    assert(got.size === rates.length)
+    rates.foreach { case (nat, nn, c, ppm) =>
+      val (gn, gc, gppm, galpha, gshrunk) = got(nat)
+      assert(gn === nn, nat); assert(gc === c, nat)
+      assert(gppm === ppm, nat)
+      assert(math.abs(galpha - a) < math.abs(a) * 1e-5 + 1e-4, nat)
+      val expect = (c + a) / (nn + ab)
+      assert(math.abs(gshrunk - expect) < 1e-5, nat)
+      // shrinkage moves every raw rate TOWARD the prior mean
+      val raw = c.toDouble / nn
+      assert((expect - raw).abs <= (m - raw).abs + 1e-9, nat)
+    }
+  }
+
   test("cochran-armitage: trend statistic equals a BigInt recompute " +
       "over the dose census; iid bands not significant") {
     val rows = spark.read.parquet(s"$sf/lineitem.parquet")

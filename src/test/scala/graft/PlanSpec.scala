@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, Relational}
+import graft.operators.{Analytics, Dedup, MlEval, Relational, TextAnalysis}
 
 /** Physical-plan audits (SURVEY.md §4 discipline): the properties that make
   * these plans survive a 100x scale-up are asserted, not assumed — filter
@@ -484,5 +484,25 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(Dedup.substringDecontam(spark, sf))
     assert(!plan.contains("CartesianProduct"), s"got:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"got:\n$plan")
+  }
+
+  test("q317: substring dedup's owner election and probe are " +
+    "equi-joins — no cartesian, no nested loop") {
+    val plan = planOf(Dedup.substringDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"got:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"got:\n$plan")
+  }
+
+  test("q318: moore-lewis top-20 plans as TakeOrderedAndProject, " +
+    "never a global sort") {
+    val plan = planOf(TextAnalysis.mooreLewis(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+  }
+
+  test("q336: k-fold scoring joins the broadcast predictor grid — " +
+    "no shuffle join on the corpus side") {
+    val plan = planOf(MlEval.kfoldCv(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"got:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"got:\n$plan")
   }
 }
