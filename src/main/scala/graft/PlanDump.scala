@@ -278,7 +278,77 @@ object PlanDump {
       "q316_ann_recall" ->
         ("ANN recall audit: persisted-index probe (broadcast " +
           "centroids, cell-confined ADC) vs one linear Qx N exact " +
-          "pass; scalar-broadcast readout join"))
+          "pass; scalar-broadcast readout join"),
+      "q317_substring_dedup" ->
+        ("exact-substring dedup: (hash, window-text) grouped owner " +
+          "election — each distinct window shuffles once, map-side " +
+          "combined — then one equi-join probe + per-doc counting agg"),
+      "q318_moore_lewis" ->
+        ("Moore-Lewis selection: token-count shuffle to the LM, " +
+          "broadcast vocabulary join, per-doc partial agg, " +
+          "TakeOrderedAndProject top-20"),
+      "q319_dsir_weights" ->
+        ("DSIR importance weights: hashed features into the FIXED " +
+          "1024-bucket LM (always broadcastable), per-doc partial agg, " +
+          "bounded histogram"),
+      "q320_logrank" ->
+        ("log-rank test: per-customer partial agg to the span-days " +
+          "census; risk sets on the bounded window; order-free integer " +
+          "micro terms"),
+      "q321_mann_whitney" ->
+        ("Mann-Whitney U: collapse to the 50-value quantity domain " +
+          "first; bounded cumulative; tie-corrected z off exact " +
+          "integers"),
+      "q323_logistic_irls" ->
+        ("logistic IRLS: ONE scan to the <=36-cell contingency; both " +
+          "Newton steps are cell-local integer sums + exact Cramer " +
+          "solve, beta broadcast back"),
+      "q324_silhouette" ->
+        ("silhouette audit: broadcast-scored k x N relation, one " +
+          "row_number window keyed on vec_id for the top-2 centroids, " +
+          "ppm-quantized per-cell integer means"),
+      "q325_davies_bouldin" ->
+        ("Davies-Bouldin: assignment partial agg (scatter) + k x k " +
+          "bounded centroid pair join (separation) — corpus-size-" +
+          "independent pair stage"),
+      "q326_bradley_terry" ->
+        ("Bradley-Terry MM: in-row pair expansion over the sorted " +
+          "per-order brand array (one groupBy shuffle), bounded " +
+          "checkpointed MM iterates"),
+      "q327_conformal" ->
+        ("split conformal: collapse calibration residuals to the " +
+          "dollar domain, bounded cumulative for the order statistic, " +
+          "broadcast q-hat scoring pass"),
+      "q331_ipw_ate" ->
+        ("IPW ATE: one dim-join partial agg to nation cells; exact " +
+          "rational terms quantized with the positive shift; bounded " +
+          "readout"),
+      "q333_levene" ->
+        ("Levene: group stats broadcast back for row-quantized " +
+          "absolute deviations, then the wide 5-segment pivot agg — " +
+          "two scans, no joins beyond broadcasts"),
+      "q336_kfold_cv" ->
+        ("k-fold CV: one pass to the fold x segment grid, leave-one-" +
+          "fold-out predictors derived on the bounded grid, broadcast " +
+          "scoring join"),
+      "q337_partial_corr" ->
+        ("partial correlation: ONE scan to nine exact integer " +
+          "sufficient statistics; all three r's and the partial from " +
+          "the single row"),
+      "q340_changepoint" ->
+        ("changepoint: day census collapse, bounded prefix windows, " +
+          "exact integer gain argmax with deterministic tiebreak"),
+      "q341_theil_sen" ->
+        ("Theil-Sen: bounded month census self-join for pair slopes, " +
+          "exact rank counting for the lower median — never a global " +
+          "sort"),
+      "q342_mase" ->
+        ("MASE: day census + dense spine (sequence explode), bounded " +
+          "lag window, integer absolute-error sums"),
+      "q343_eb_shrinkage" ->
+        ("EB shrinkage: dim-join partial agg to 25 cells, ppm-" +
+          "quantized prior moments, broadcast prior onto the bounded " +
+          "readout"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")
