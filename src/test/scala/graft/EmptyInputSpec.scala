@@ -167,4 +167,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.manifestDecontaminate(spark, emptyDir)
       .count() === 0)
   }
+
+  test("round-13 corpus operators are defined on empty feeds") {
+    import graft.operators.{Dedup, TextAnalysis}
+    // per-item operators: strictly empty output
+    assert(Dedup.substringDedup(spark, emptyDir).count() === 0)
+    assert(Dedup.silhouette(spark, emptyDir).count() === 0)
+    assert(Dedup.daviesBouldin(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.distinctN(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.mooreLewis(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.dsirWeights(spark, emptyDir).count() === 0)
+    assert(TextAnalysis.heapsLaw(spark, emptyDir).count() <= 1)
+    // census operators: one summary row, no throw, guarded readouts
+    val vc = TextAnalysis.vocabCoverage(spark, emptyDir).collect()
+    assert(vc.length <= 1)
+    val jsd = TextAnalysis.jsDivergence(spark, emptyDir).collect()
+    assert(jsd.length <= 1)
+  }
 }

@@ -238,4 +238,27 @@ object EngineProperties extends Properties("graft") {
       val df = Ingest.arrayOfArrays(spark, payload)
       df.columns.toSeq == header && df.count() == nRows.toLong
     }
+
+  // substring dedup (q317): a verbatim copy of an earlier doc has EVERY
+  // window duplicated (dup_ppm = 1e6, pruned); the earlier doc, none.
+  // Window census is always len - 7 for docs of >= 8 tokens.
+  private val longDoc: Gen[List[String]] =
+    Gen.choose(8, 24).flatMap(n => Gen.listOfN(n, word))
+  property("substring dedup: verbatim copy fully flagged, owner clean") =
+    forAll(longDoc, longDoc) { (a, b) =>
+      import spark.implicits._
+      val docs = Seq(
+        (1L, a.mkString(" ")),
+        (2L, b.mkString(" ")),
+        (3L, a.mkString(" ")) // verbatim copy of doc 1
+      ).toDF("doc_id", "text")
+      val out = graft.operators.Dedup.substringDedupOn(docs).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getAs[Boolean]("prune")))
+        .toMap
+      val na = (a.length - 7).toLong
+      out(1L)._1 == na && out(1L)._2 == 0L &&
+        out(3L) == ((na, na, true)) &&
+        out(2L)._1 == (b.length - 7).toLong
+    }
 }
