@@ -1595,6 +1595,7 @@ object Dedup {
           s"i -> array_join(slice(tk, i, $L), ' '))")).as("wt"))
       .select(col("doc_id"), TextOps.portableHash(col("wt")).as("h"),
         col("wt"))
+      .cutLineage() // owner election AND the probe side read it
     val owner = w.groupBy(col("h"), col("wt"))
       .agg(min(col("doc_id")).as("owner"))
     w.join(owner, Seq("h", "wt"))
