@@ -1519,6 +1519,7 @@ object Dedup {
           "i -> array_join(slice(tk, i, " + L + "), ' '))"))
           .as(Seq("p0", "wt")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("wt"))
+      .cutLineage() // the hash side + BOTH verify joins read it
     val w = wFull.select(col("doc_id"), col("pos"),
       TextOps.portableHash(col("wt")).as("h"))
     val cand = w.filter(col("doc_id") % 10 =!= 0)
