@@ -2170,7 +2170,10 @@ object Analytics {
       .withColumn("n1", sum(col("n1_at")).over(wGe))
       .filter(col("d") > 0)
       .select(col("d1"),
-        expr("d * n1 * 1000000 div n").as("e1u"),
+        // decimal(38) headroom like vu: at probe scales d·n1·1e6 can
+        // cross 2^63, where Spark would wrap silently and DuckDB raise
+        expr("CAST(d AS DECIMAL(38,0)) * n1 * 1000000 div n")
+          .as("e1u"),
         when(col("n") > 1,
           expr("CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d) " +
             "* 1000000 div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))")
@@ -2217,7 +2220,8 @@ object Analytics {
       |      AS BIGINT) AS n1
       |  FROM census),
       |terms AS (
-      |  SELECT d1, d * n1 * 1000000 // n AS e1u,
+      |  SELECT d1, CAST(CAST(d AS HUGEINT) * n1 * 1000000 // n
+      |      AS BIGINT) AS e1u,
       |    CASE WHEN n > 1 THEN CAST(CAST(d AS HUGEINT) * n1 * (n - n1)
       |      * (n - d) * 1000000 // (CAST(n AS HUGEINT) * n * (n - 1))
       |      AS BIGINT) ELSE 0 END AS vu
@@ -2386,9 +2390,13 @@ object Analytics {
     * pairs contributes its slope QUANTIZED at the pair to integer
     * e2-cents/month (nearest-int with the q305 positive shift — exact,
     * engine-portable); the median is the lower-median order statistic
-    * elected by exact rank counting on the bounded pair multiset
-    * (cnt_< < k ≤ cnt_< + cnt_=, k = (P+1) div 2). All integers until
-    * the one readout double. */
+    * elected by exact rank counting: DISTINCT slope values on the
+    * probe side against the full pair multiset on the count side, so
+    * repeated slope values contribute cnt_< / cnt_= once per VALUE
+    * class, not once per occurrence (a multiset×multiset count would
+    * inflate both t-fold for multiplicity t and mis-elect under ties).
+    * Election: cnt_< < k ≤ cnt_< + cnt_=, k = (P+1) div 2. All
+    * integers until the one readout double. */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     val monthly = t(spark, dir, "orders")
       .select(expr("(year(CAST(o_orderdate AS DATE)) - 1990) * 12 + " +
@@ -2403,7 +2411,7 @@ object Analytics {
         "2 * 10000000000000 * (b.mi - a.mi)) div " +
         "(2 * (b.mi - a.mi)) - 10000000000000").as("sl"))
       .cutLineage() // bounded pair multiset; feeds both rank sides
-    val ranked = slopes.as("x").join(slopes.as("y"), lit(true))
+    val ranked = slopes.distinct().as("x").join(slopes.as("y"), lit(true))
       .groupBy(col("x.sl").as("sl"))
       .agg(sum(when(col("y.sl") < col("x.sl"), 1L).otherwise(0L))
         .as("clt"),
@@ -2440,7 +2448,7 @@ object Analytics {
       |      AS clt,
       |    CAST(sum(CASE WHEN y.sl = x.sl THEN 1 ELSE 0 END) AS BIGINT)
       |      AS ceq
-      |  FROM slopes x CROSS JOIN slopes y
+      |  FROM (SELECT DISTINCT sl FROM slopes) x CROSS JOIN slopes y
       |  GROUP BY 1),
       |tot AS (
       |  SELECT count(*) AS p, (count(*) + 1) // 2 AS k FROM slopes)

@@ -554,11 +554,14 @@ object Dedup {
     def dotDD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
         (acc, x) => acc + x)
-    val (e, cents0) = kmeansEC(spark, dir)
+    val (_, cents0) = kmeansEC(spark, dir)
     val cents = cents0
       .withColumn("cn", VectorOps.l2NormDouble(col("c")))
-      .cutLineage() // k rows; feeds the assignment AND both pair sides
-    val s = ecAssign(e, cents.drop("cn"))
+      .cutLineage() // k rows; feeds both pair sides
+    // scatter needs only (cell, cos_c) — read the memoized/checkpointed
+    // assignment (priced once as stage_kmeans_cells) instead of
+    // re-running the k·N ecAssign scoring pass
+    val s = embeddingCells(spark, dir)
       .select(col("cell"),
         expr("CAST(floor((1.0 - cos_c) * 1000000 + 0.5) AS BIGINT)")
           .as("dppm"))

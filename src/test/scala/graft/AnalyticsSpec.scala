@@ -1654,6 +1654,27 @@ class AnalyticsSpec extends SparkSpec {
       med.toDouble / 100.0) < 1e-4)
   }
 
+  test("theil-sen: generated tied slopes elect the true lower median " +
+      "(distinct-value rank counting, not multiset×multiset)") {
+    import spark.implicits._
+    // monthly cents 0,100,200,800,1400 over months 1990-01..05 → the
+    // 10-pair slope multiset [10000×3, 26667, 35000×2, 43333, 60000×3]
+    // (e2-cents/month); k=5 → lower median 35000. A multiset×multiset
+    // rank count sees value 10000 with clt=0, ceq=9 and mis-elects it.
+    val tmp = java.nio.file.Files.createTempDirectory("tsen").toString
+    Seq(0.00, 1.00, 2.00, 8.00, 14.00).zipWithIndex.map { case (p, i) =>
+      (i.toLong, 1L, "O", p,
+        java.sql.Timestamp.valueOf(f"1990-${i + 1}%02d-15 00:00:00"),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = Analytics.theilSen(spark, tmp).collect()(0)
+    assert(got.getAs[Long]("n_pairs") === 10L)
+    assert(got.getAs[Long]("k_rank") === 5L)
+    assert(got.getAs[Long]("slope_e2") === 35000L)
+  }
+
   test("mase: dense-spine lag errors equal a sequential recompute; " +
       "the two MAE denominators count the same rows") {
     val daily = spark.read.parquet(s"$sf/orders.parquet")
