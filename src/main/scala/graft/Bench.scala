@@ -49,6 +49,7 @@ object Bench {
           graft.operators.Dedup.clearStageCaches()
           graft.operators.Graph.clearStageCaches()
           graft.operators.Similarity.clearPc1Cache()
+          graft.operators.TextAnalysis.clearStageCaches()
         }
     }
     // Platform-speed calibration (graft.Calib): a fixed, deterministic,
@@ -108,7 +109,9 @@ object Bench {
       "stage_pc1" -> Set("q272_pca_power", "q309_embedding_drift"),
       // r13: the k-means centroids + assignment four queries share
       "stage_kmeans_cells" -> Set("q37_dedup_embedding",
-        "q288_semantic_dedup", "q324_silhouette", "q325_davies_bouldin"))
+        "q288_semantic_dedup", "q324_silhouette", "q325_davies_bouldin"),
+      // r14: the learned BPE merge table both BPE queries consume
+      "stage_bpe_merges" -> Set("q344_bpe_merges", "q345_bpe_encode"))
     def runStage(sname: String): Unit = sname match {
       case "stage_cc_labels" =>
         graft.operators.Dedup.materializeLabels(spark, sfDir)
@@ -120,6 +123,8 @@ object Bench {
         graft.operators.Similarity.materializePc1(spark, sfDir)
       case "stage_kmeans_cells" =>
         graft.operators.Dedup.materializeCells(spark, sfDir)
+      case "stage_bpe_merges" =>
+        graft.operators.TextAnalysis.materializeBpe(spark, sfDir)
     }
     // Two timed passes, min per query: a single pass is exposed to
     // one-off GC/JIT/checkpoint-cleaner pauses (a 3.5 s query was
@@ -133,6 +138,7 @@ object Bench {
       graft.operators.Dedup.clearStageCaches()
       graft.operators.Graph.clearStageCaches()
       graft.operators.Similarity.clearPc1Cache()
+      graft.operators.TextAnalysis.clearStageCaches()
       def time(body: => Unit): Double = {
         val t0 = System.nanoTime()
         val ok = try { body; true } catch { case _: Throwable => false }

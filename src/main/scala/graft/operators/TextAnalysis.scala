@@ -728,6 +728,201 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // ---- iterative BPE vocabulary induction + greedy encode (q344/q345) ----
+  //
+  // Sennrich, Haddow & Birch, "Neural Machine Translation of Rare Words
+  // with Subword Units" (ACL 2016): repeat k times {count adjacent symbol
+  // pairs over the (word, freq) vocabulary; merge the most frequent pair
+  // everywhere}. q89_bpe_pairs computes ONE pair-count generation; this is
+  // the full loop (merge → re-segment → recount) plus the encode pass that
+  // applies the learned merge table to documents.
+  //
+  // Representation: each vocab word is a SPACE-joined symbol string where
+  // every symbol is wrapped in \u0001…\u0002 sentinels, so one literal
+  // (non-regex) replace of "\u0001a\u0002 \u0001b\u0002" →
+  // "\u0001ab\u0002" is exactly the left-to-right non-overlapping merge
+  // pass of the reference implementation — the sentinels make a suffix of
+  // one symbol unable to false-match the left half of a pair. Both
+  // engines' replace() is replace-all, left-to-right, non-overlapping, so
+  // the pass semantics are identical; ties in pair counts break on
+  // (cnt DESC, wa ASC, wb ASC) under binary string order in both.
+  //
+  // Scale shape: exactly how production BPE trainers shard — the corpus
+  // collapses ONCE to the (word, count) vocabulary (Heaps' law: vocab ≪
+  // corpus); all k generations are vocab-domain (one vocab-sized shuffle
+  // per generation plus a 1-row argmax collect — the same bounded driver
+  // scalar discipline as the CC convergence check). The encode pass costs
+  // one replace-chain over the vocabulary + one (word)-keyed join back to
+  // the token stream; nothing per-generation ever touches the corpus.
+
+  /** Merge generations to learn. 10 is enough to be genuinely iterative
+    * (the fixture's merged symbols reach length 4+) while keeping the
+    * unrolled oracle CTE chain readable. */
+  private val BpeK = 10
+
+  private def bpeSent(x: String): String = "\u0001" + x + "\u0002"
+  private def bpeStrip(x: String): String =
+    x.filterNot(c => c == '\u0001' || c == '\u0002')
+
+  /** (word, n, s): whitespace-token frequencies with the word segmented
+    * into sentinel-wrapped characters — the generation-0 vocabulary. */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(col("word"), col("n"),
+        rtrim(regexp_replace(col("word"), "(.)", "\u0001$1\u0002 "))
+          .as("s"))
+
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[(Int, String, String, Long)]]()
+
+  /** The learned merge table (gen, left, right, pair_cnt), gen 1..k in
+    * merge order. Memoized per (session, dir): q344 reports it and q345
+    * applies it, and at 100 TB the merge table is THE tokenizer artifact
+    * — built once, shipped everywhere. Bench prices the build as
+    * `stage_bpe_merges`. */
+  private[graft] def bpeMerges(spark: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] =
+    bpeMergeCache.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir), { _ =>
+        // checkpoint ONCE: the corpus-scale word count; every generation
+        // after this is vocab-domain work on the materialized copy
+        var v = bpeVocab(spark, dir).select(col("s"), col("n")).cutLineage()
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, Long)]
+        var g = 1
+        var exhausted = false
+        while (g <= BpeK && !exhausted) {
+          val top = v
+            .select(col("n"), split(col("s"), " ").as("sy"))
+            .filter(size(col("sy")) >= 2)
+            .select(col("n"), explode(transform(
+              sequence(lit(1), size(col("sy")) - 1), i =>
+                struct(element_at(col("sy"), i).as("wa"),
+                  element_at(col("sy"), i + 1).as("wb")))).as("p"))
+            .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+            .agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("wa").asc, col("wb").asc)
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true // all words fully merged
+          else {
+            val wa = top(0).getString(0); val wb = top(0).getString(1)
+            val a = bpeStrip(wa); val b = bpeStrip(wb)
+            buf += ((g, a, b, top(0).getLong(2)))
+            v = v.withColumn("s",
+              replace(col("s"), lit(wa + " " + wb), lit(bpeSent(a + b))))
+          }
+          g += 1
+        }
+        buf.toSeq
+      })
+
+  private[graft] def materializeBpe(spark: SparkSession,
+      dir: String): Unit = { bpeMerges(spark, dir); () }
+
+  private[graft] def clearStageCaches(): Unit = bpeMergeCache.clear()
+
+  /** q344: the learned merge table itself — one row per generation in
+    * merge order, with the corpus-weighted count that elected the pair. */
+  def bpeMergeTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, dir)
+      .map { case (g, a, b, c) => (g.toLong, a, b, c) }
+      .toDF("gen", "left_sym", "right_sym", "pair_cnt")
+  }
+
+  /** q345: greedy-encode every document with the learned merge table and
+    * report per-doc whitespace-token / BPE-token / character counts plus
+    * tokens-per-word (the compression-vs-whitespace gauge — 1.0 means the
+    * merges reassembled every word; chars/word is the un-merged celling).
+    * The replace chain runs over the VOCABULARY (one row per distinct
+    * word), then joins back to the token stream on word — encode cost is
+    * O(|vocab|·k), corpus cost is one hash join + one partial agg. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir)
+    val enc = merges.foldLeft(col("s")) { case (c, (_, a, b, _)) =>
+      replace(c, lit(bpeSent(a) + " " + bpeSent(b)), lit(bpeSent(a + b)))
+    }
+    val wordLen = bpeVocab(spark, dir)
+      .select(col("word"), size(split(enc, " ")).as("bpe_len"),
+        length(col("word")).cast("long").as("n_chars_w"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(wordLen, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum(col("bpe_len")).as("n_bpe_tokens"),
+        sum(col("n_chars_w")).as("n_chars"))
+      .withColumn("tokens_per_word_r",
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)
+          + lit(0.0))
+  }
+
+  /** Unrolled k-generation CTE chain shared by both BPE oracles: v0 is
+    * the segmented vocabulary; each generation g contributes p{g} (pair
+    * counts), t{g} (the elected merge + its literal pattern), v{g} (the
+    * vocabulary after the merge pass). Word is carried through for the
+    * encode oracle's join-back. */
+  private def bpeCtesSql: String = {
+    val v0 =
+      """v0 AS (
+        |  SELECT word, n, rtrim(regexp_replace(word, '(.)',
+        |      chr(1) || '\1' || chr(2) || ' ', 'g')) AS s
+        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS n
+        |        FROM (SELECT unnest(string_split_regex(text, '\s+'))
+        |                AS word FROM documents)
+        |        WHERE word <> '' GROUP BY 1))""".stripMargin
+    val gens = (1 to BpeK).map { g =>
+      s"""p$g AS (
+         |  SELECT u.wa AS wa, u.wb AS wb, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, unnest([{'wa': l[i], 'wb': l[i + 1]}
+         |          for i in range(1, len(l))]) AS u
+         |        FROM (SELECT string_split(s, ' ') AS l, n FROM v${g - 1}))
+         |  GROUP BY 1, 2),
+         |t$g AS (
+         |  SELECT wa, wb, cnt FROM p$g
+         |  ORDER BY cnt DESC, wa ASC, wb ASC LIMIT 1),
+         |v$g AS (
+         |  SELECT v.word, v.n, replace(v.s, t.wa || ' ' || t.wb,
+         |      chr(1) || replace(replace(t.wa || t.wb, chr(1), ''),
+         |        chr(2), '') || chr(2)) AS s
+         |  FROM v${g - 1} v, t$g t)""".stripMargin
+    }
+    (v0 +: gens).mkString(",\n")
+  }
+
+  private def bpeMergeTableSql: String = {
+    val rows = (1 to BpeK).map { g =>
+      s"""  SELECT CAST($g AS BIGINT) AS gen,
+         |    replace(replace(wa, chr(1), ''), chr(2), '') AS left_sym,
+         |    replace(replace(wb, chr(1), ''), chr(2), '') AS right_sym,
+         |    cnt AS pair_cnt FROM t$g""".stripMargin
+    }
+    s"WITH $bpeCtesSql\n" + rows.mkString("\nUNION ALL\n")
+  }
+
+  private def bpeEncodeSql: String =
+    s"""WITH $bpeCtesSql,
+      |enc AS (
+      |  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS bpe_len,
+      |    CAST(length(word) AS BIGINT) AS n_chars_w
+      |  FROM v$BpeK),
+      |tok AS (
+      |  SELECT doc_id, word
+      |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+'))
+      |          AS word FROM documents)
+      |  WHERE word <> '')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+      |  CAST(sum(bpe_len) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(sum(n_chars_w) AS BIGINT) AS n_chars,
+      |  round(CAST(sum(bpe_len) AS DOUBLE) / count(*), 6) + 0.0
+      |    AS tokens_per_word_r
+      |FROM tok JOIN enc USING (word)
+      |GROUP BY 1""".stripMargin
+
   /** Vocabulary-coverage / OOV-rate profiling: build the corpus top-K
     * token vocabulary (K=20 here; the fixture corpus has ~31 distinct
     * tokens so the tail is genuinely out-of-vocabulary), then measure
@@ -1651,6 +1846,8 @@ object TextAnalysis {
     Q("q335_distinct_n", distinctN _, distinctNSql),
     Q("q318_moore_lewis", mooreLewis _, mooreLewisSql),
     Q("q319_dsir_weights", dsirWeights _, dsirWeightsSql),
+    Q("q344_bpe_merges", bpeMergeTable _, bpeMergeTableSql),
+    Q("q345_bpe_encode", bpeEncode _, bpeEncodeSql),
     Q("q269_encoding_audit", encodingAudit _,
       """WITH c AS (
         |  SELECT source, text ||

@@ -1617,6 +1617,73 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hist.keys.forall(b => b >= 900 && b <= 1100))
   }
 
+  test("bpe: 10 merge generations + greedy encode equal a sequential " +
+      "reference recompute of the Sennrich merge loop") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).split("\\s+").toSeq.filter(_.nonEmpty)))
+    val wc = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    var segs: Map[String, Vector[String]] =
+      wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to 10) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, sy) <- segs; i <- 0 until sy.length - 1)
+        pc((sy(i), sy(i + 1))) =
+          pc.getOrElse((sy(i), sy(i + 1)), 0L) + wc(w)
+      val ((a, b), c) =
+        pc.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+      merges += ((a, b, c))
+      // the canonical non-overlapping left-to-right merge pass (explicit
+      // skip-scan) — independently validates the operator's sentinel-
+      // string replace encoding of the same pass
+      segs = segs.map { case (w, sy) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += sy(i); i += 1 }
+        }
+        w -> out.toVector
+      }
+    }
+    val gotM = operators.TextAnalysis.bpeMergeTable(spark, sf).collect()
+      .sortBy(_.getAs[Long]("gen"))
+    assert(gotM.length === 10)
+    gotM.zip(merges).zipWithIndex.foreach { case ((r, (a, b, c)), i) =>
+      assert(r.getAs[String]("left_sym") === a, i)
+      assert(r.getAs[String]("right_sym") === b, i)
+      assert(r.getAs[Long]("pair_cnt") === c, i)
+    }
+    // a merged symbol must appear as a LEFT or RIGHT operand of a later
+    // merge — the property that distinguishes the loop from one
+    // generation of pair counting
+    val syms = merges.map { case (a, b, _) => a + b }
+    assert(merges.exists { case (a, b, _) =>
+      syms.contains(a) || syms.contains(b) })
+    val exp = docs.filter(_._2.nonEmpty).map { case (id, tk) =>
+      id -> ((tk.length.toLong, tk.map(w => segs(w).length.toLong).sum,
+        tk.map(_.length.toLong).sum))
+    }.toMap
+    val gotE = operators.TextAnalysis.bpeEncode(spark, sf).collect()
+    assert(gotE.length === exp.size)
+    gotE.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nws, nbpe, nch) = exp(id)
+      assert(r.getAs[Long]("n_ws_tokens") === nws, id)
+      assert(r.getAs[Long]("n_bpe_tokens") === nbpe, id)
+      assert(r.getAs[Long]("n_chars") === nch, id)
+      assert(math.abs(r.getAs[Double]("tokens_per_word_r") -
+        nbpe.toDouble / nws) < 1e-6, id)
+      // merges compress: bpe token count sits between word and char count
+      assert(nws <= nbpe && nbpe <= nch, id)
+    }
+  }
+
   test("heaps law: per-source points and the integer OLS equal a " +
       "driver recompute; closed vocabulary reads saturated") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
