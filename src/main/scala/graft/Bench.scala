@@ -209,7 +209,15 @@ object Bench {
     // "isolated" map — so benchdiff can downgrade flags the isolated
     // number clears, no prose adjudication needed. Skipped under
     // SPARK_GRAFT_ONLY (that IS the isolation run).
-    val watchlist = Set("q184_ewma_anomaly", "q141_jsonl_source")
+    // q224 (r14): its SOLO steady state (0.39-0.59 s across fresh-JVM
+    // 3-samples, a 12-run in-JVM loop, and end-of-window re-times) sits
+    // ~2x its in-suite min-of-2 (~0.25 s, stable across four r11-r13
+    // windows) — co-residency warmth the solo context never reaches, not
+    // a regression. Keeping it on the watchlist makes every window (and
+    // so every pin) carry its isolated median, which benchdiff's
+    // isolation-PAIR rule compares like-for-like.
+    val watchlist = Set("q184_ewma_anomaly", "q141_jsonl_source",
+      "q224_priority_sample")
     val isolated: Map[String, Double] = if (only.nonEmpty) Map.empty else {
       val base = try {
         import org.json4s._

@@ -1,0 +1,26 @@
+package graft
+
+// Throwaway local profiling harness (not committed): per-execution times
+// for q224 in one JVM to see the distribution shape.
+object ScratchTiming {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val fn = SparkEntry.queries(args.headOption.getOrElse("q224_priority_sample"))
+    for (i <- 1 to 12) {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"run $i%2d: $dt%.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -105,6 +105,16 @@ def main():
     # suite-interaction phantom (GC/cleaner/JIT collision in the shared
     # JVM), not a code regression -> downgraded, and not gate-fatal.
     iso = b.get("isolated", {})
+    # Like-for-like isolation pairing (r14, the q224 adjudication): some
+    # sub-second queries have a SOLO floor ~2x their in-suite time (q224:
+    # in-suite min-of-2 is ~0.25s across four r11-r13 windows with no
+    # trend, while fresh-JVM and end-of-window solo medians read
+    # 0.39-0.59s -- co-residency warmth the solo context never reaches).
+    # For those, isolated-vs-PINNED-in-suite can never clear. When the
+    # OLD file also carries an isolated median for the query (standing
+    # watchlist entries do), compare the two isolated medians -- equal
+    # protocols -- and clear if THAT comparison is not a regression.
+    iso_old = a.get("isolated", {})
     rows, unadj = [], []
     for k in sorted(set(qa) | set(qb)):
         if k not in qa or k not in qb:
@@ -119,6 +129,10 @@ def main():
             iso_n = iso[k] * norm
             if verdict(qa[k], iso_n) != "REGRESSED":
                 v = f"cleared-by-isolation ({iso_n:.3f}s solo)"
+            elif k in iso_old and iso_old[k] >= 0 and \
+                    verdict(iso_old[k], iso_n) != "REGRESSED":
+                v = (f"cleared-by-isolation-pair (solo {iso_old[k]:.3f}s "
+                     f"-> {iso_n:.3f}s; solo floor above in-suite pin)")
         rows.append((k, qa[k], qb[k], nn, v))
 
     print(f"\nper-category (normalized, {THRESH_REL:.0%}-or-"
