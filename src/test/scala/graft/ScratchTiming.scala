@@ -1,7 +1,10 @@
 package graft
 
-// Throwaway local profiling harness (not committed): per-execution times
-// for q224 in one JVM to see the distribution shape.
+// Local profiling harness (test scope, not shipped library code):
+// per-execution wall times for one catalog query in a single JVM —
+// the distribution-shape probe behind SCALE.md isolation adjudications
+// (first used for the r14 q224 solo-floor verdict).
+//   sbt 'Test/runMain graft.ScratchTiming q224_priority_sample'
 object ScratchTiming {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
