@@ -322,6 +322,34 @@ object Relational {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  /** Avro round-trip — the row-oriented at-rest format completing the
+    * CSV / Parquet / ORC / JSONL family (q142's columnar twin): the 1996
+    * orders slice is written as Avro container files (one per upstream
+    * partition) through [[graft.sources.AvroIo]] and read back through
+    * the `graft.sources.AvroSource` DSv2 scan (one InputPartition per
+    * file, streaming decode), then aggregated — so a value surviving the
+    * encode/decode round-trip is what the oracle actually checks. Money
+    * crosses the boundary as the raw double and is integer-centified
+    * AFTER the read, so the check covers double fidelity too. */
+  def avroRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = stagedDir("avro", dir) { base =>
+      graft.sources.AvroIo.write(
+        t(spark, dir, "orders")
+          .filter(inYear(col("o_orderdate"), 1996))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")),
+        s"$base/orders96")
+    }
+    spark.read.format("graft.sources.AvroSource")
+      .option("path", s"$base/orders96").load()
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   /** Table diff / reconciliation — the inverse of the CDC-apply family
     * (q105 merges a batch in, THIS detects what changed between two
     * pipeline generations): full-outer join on the key, rows classified
@@ -535,6 +563,15 @@ object Relational {
         |  max(o_orderkey) AS max_key
         |FROM orders
         |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY 1""".stripMargin),
+    Q("q346_avro_roundtrip", avroRoundTrip _,
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
         |GROUP BY 1""".stripMargin),
     Q("q138_schema_evolution", schemaEvolution _,
       """WITH u AS (

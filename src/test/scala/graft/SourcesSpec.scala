@@ -143,6 +143,37 @@ class SourcesSpec extends SparkSpec {
     assert(out === want)
   }
 
+  test("avro roundtrip: all five supported types + nulls survive " +
+      "write/read byte-exactly; one file per non-empty partition") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("avro_rt").toString
+    val rows = Seq(
+      (1L, Some("alpha"), Some(1.5), Some(7), Some(true)),
+      (2L, None, Some(-0.0), Some(-7), Some(false)),
+      (3L, Some(""), None, None, None),
+      (4L, Some("café ✓"), Some(Double.MaxValue), Some(Int.MinValue),
+        Some(true)))
+    val df = rows.toDF("id", "s", "d", "i", "b").repartition(3)
+    graft.sources.AvroIo.write(df, tmp)
+    val back = spark.read.format("graft.sources.AvroSource")
+      .option("path", tmp).load()
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    val got = back.collect().map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.toString),
+      Option(r.get(2)).map(_.asInstanceOf[Double]),
+      Option(r.get(3)).map(_.asInstanceOf[Int]),
+      Option(r.get(4)).map(_.asInstanceOf[Boolean]))).sortBy(_._1)
+    assert(got.toSeq === rows.sortBy(_._1))
+    // signed zero survives (the q73 class of fidelity bug)
+    val dz = got.find(_._1 == 2L).get._3.get
+    assert(java.lang.Double.doubleToRawLongBits(dz) ===
+      java.lang.Double.doubleToRawLongBits(-0.0))
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty && files.length <= 3)
+  }
+
   test("approx distinct within rsd bound of exact; approx median sane") {
     val exact = Tables.load(spark, sf, "orders")
       .groupBy(col("o_orderstatus"))
