@@ -360,7 +360,16 @@ object Graph {
     val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
       .cutLineage()
-    val labels = lpaOf(sym, 4)
+    communityCensus(pairs, sym, lpaOf(sym, 4))
+  }
+
+  /** Per-community Newman-modularity census of an arbitrary (node, lab)
+    * partition over the pair graph — the scoring block shared by q256
+    * (LPA labels) and q347 (Louvain labels): per community q_num =
+    * 4·m·e_c − d_c², so Σ q_num / (4m²) = Q with no division in the
+    * gate. */
+  private def communityCensus(pairs: DataFrame, sym: DataFrame,
+      labels: DataFrame): DataFrame = {
     val mdf = pairs.agg(count(lit(1)).as("m"))
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
@@ -382,6 +391,82 @@ object Graph {
         col("d_sum"), col("e_in"),
         (lit(4L) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
           .as("q_num"))
+  }
+
+  /** Parity-alternated Louvain local-move sweeps (Blondel, Guillaume,
+    * Lambiotte & Lefebvre, J. Stat. Mech. 2008 — level-1 phase only, no
+    * coarsening): from singleton communities, sweep r moves only the
+    * nodes with node MOD 2 = r MOD 2 — the standard damping for
+    * distributed Louvain, because a FULLY synchronous sweep lets two
+    * adjacent nodes swap into each other's (by-then-vacated) communities
+    * and oscillate (measured: the undamped variant scored BELOW LPA at
+    * sf0.01). A mover goes to the candidate community maximizing the
+    * exact insertion gain 2m·k_{i,C} − k_i·d_{C∖i} (candidates = the
+    * communities of i's neighbors plus its own; staying scores by the
+    * same formula, so the comparison is the node-local Louvain rule);
+    * ties prefer STAYING, then the smallest community id — the strict-
+    * improvement rule sequential Louvain uses. This OPTIMIZES the q256
+    * objective where LPA merely scores it — the spec asserts
+    * Σ q_num(Louvain) ≥ Σ q_num(LPA). Fixed sweep count: the contract
+    * is "labels after R sweeps", identical in both engines. Costs per
+    * sweep: one edge-keyed join + partial agg (k_{i,C}), two bounded
+    * label-domain aggs (community degree mass), one argmax — O(edges),
+    * state one long per node, the lpaOf shape; gains stay in BIGINT
+    * here (≤ 4m² ~ 10¹⁰ at sf0.1), decimal(38) at true graph scale. */
+  private[graft] def louvainOf(sym: DataFrame, pairs: DataFrame,
+      rounds: Int): DataFrame = {
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).cutLineage()
+    val mdf = pairs.agg(count(lit(1)).as("m"))
+    var labels = deg.select(col("node"), col("node").as("lab"))
+    for (r <- 1 to rounds) {
+      val parity = (r % 2).toLong
+      val dtot = labels.join(deg, Seq("node"))
+        .groupBy(col("lab")).agg(sum(col("deg")).as("dc"))
+      val kic = sym
+        .join(labels.select(col("node").as("dst"), col("lab")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"), col("lab"))
+        .agg(count(lit(1)).as("kic"))
+        .filter(col("node") % 2 === lit(parity))
+      // own community is always a candidate; when it also appears among
+      // the neighbor communities, max() keeps the real edge count and
+      // absorbs the 0 row
+      val cand = kic
+        .unionByName(labels.filter(col("node") % 2 === lit(parity))
+          .select(col("node"), col("lab"), lit(0L).as("kic")))
+        .groupBy(col("node"), col("lab")).agg(max(col("kic")).as("kic"))
+      val moved = cand
+        .join(deg, Seq("node"))
+        .join(labels.select(col("node"), col("lab").as("own_lab")),
+          Seq("node"))
+        .join(dtot, Seq("lab"))
+        .crossJoin(broadcast(mdf))
+        .select(col("node"), col("lab"),
+          (lit(2L) * col("m") * col("kic") - col("deg") *
+            (col("dc") - when(col("lab") === col("own_lab"), col("deg"))
+              .otherwise(lit(0L)))).as("gain"),
+          when(col("lab") === col("own_lab"), 0L).otherwise(1L)
+            .as("not_own"))
+        .groupBy(col("node"))
+        .agg(min_by(col("lab"), struct((-col("gain")).as("ng"),
+          col("not_own"), col("lab"))).as("lab"))
+      labels = moved
+        .unionByName(labels.filter(col("node") % 2 =!= lit(parity)))
+    }
+    labels
+  }
+
+  /** q347: one Louvain level (4 parity-alternated local-move sweeps,
+    * two per node) over the support-2 co-purchase graph, emitted as the
+    * same per-community modularity census as q256 so the two partitions
+    * are directly comparable. */
+  def louvain(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = support2Pairs(spark, dir).select(col("u"), col("v"))
+    val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .cutLineage()
+    communityCensus(pairs, sym, louvainOf(sym, pairs, 4))
   }
 
   /** Per-node local clustering coefficient (Watts & Strogatz 1998) on
@@ -693,6 +778,43 @@ object Graph {
        |    FROM e0 e JOIN l${i - 1} l ON e.src = l.node
        |    GROUP BY 1, 2)
        |  GROUP BY 1)""".stripMargin
+
+  /** One unrolled parity-alternated Louvain local-move sweep for the
+    * DuckDB oracle — the SQL mirror of one [[louvainOf]] round. The
+    * argmax over (gain DESC, stay-first, lab ASC) packs into a HUGEINT
+    * like [[lpaIterSql]]: gain slot ×2⁶⁶, the not-own bit ×2⁶⁵, the
+    * 64-bit label below — disjoint because labels are non-negative
+    * BIGINTs; gains are BIGINT (≤ 4m² at gate SFs), so the 128-bit
+    * pack is exact. */
+  private def louvainIterSql(i: Int): String =
+    s"""dt$i AS MATERIALIZED (
+       |  SELECT l.lab, CAST(sum(d.deg) AS BIGINT) AS dc
+       |  FROM lv${i - 1} l JOIN deg d ON l.node = d.node GROUP BY 1),
+       |kc$i AS MATERIALIZED (
+       |  SELECT e.src AS node, l.lab, CAST(count(*) AS BIGINT) AS kic
+       |  FROM e0 e JOIN lv${i - 1} l ON e.dst = l.node
+       |  WHERE e.src % 2 = ${i % 2} GROUP BY 1, 2),
+       |cd$i AS (
+       |  SELECT node, lab, max(kic) AS kic FROM (
+       |    SELECT node, lab, kic FROM kc$i
+       |    UNION ALL SELECT node, lab, CAST(0 AS BIGINT) FROM lv${i - 1}
+       |    WHERE node % 2 = ${i % 2})
+       |  GROUP BY 1, 2),
+       |lv$i AS MATERIALIZED (
+       |  SELECT c.node, arg_min(c.lab,
+       |    (-(2 * mm.m * c.kic - d.deg * (dt.dc -
+       |       CASE WHEN c.lab = o.lab THEN d.deg ELSE 0 END)))::HUGEINT
+       |      * 73786976294838206464 +
+       |    (CASE WHEN c.lab = o.lab THEN 0 ELSE 1 END)::HUGEINT
+       |      * 36893488147419103232 + c.lab) AS lab
+       |  FROM cd$i c
+       |    JOIN deg d ON c.node = d.node
+       |    JOIN lv${i - 1} o ON c.node = o.node
+       |    JOIN dt$i dt ON c.lab = dt.lab, mm
+       |  GROUP BY 1
+       |  UNION ALL
+       |  SELECT node, lab FROM lv${i - 1} WHERE node % 2 <> ${i % 2})"""
+      .stripMargin
 
   /** One unrolled 2-core peel round for the DuckDB oracle. MATERIALIZED
     * is load-bearing: each round reads its predecessor three times, and
@@ -1640,6 +1762,38 @@ object Graph {
          |  SELECT la.lab, count(*) AS e_in FROM pairs p
          |    JOIN l4 la ON p.u = la.node
          |    JOIN l4 lb ON p.v = lb.node
+         |  WHERE la.lab = lb.lab GROUP BY 1)
+         |SELECT ds.lab AS community, n_members, d_sum,
+         |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+         |  CAST(4 * mm.m * coalesce(e_in, 0) - d_sum * d_sum AS BIGINT)
+         |    AS q_num
+         |FROM ds LEFT JOIN ein ON ds.lab = ein.lab, mm""".stripMargin),
+    Q("q347_louvain_level", louvain _,
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (
+         |  SELECT a.pk AS u, b.pk AS v FROM baskets a JOIN baskets b
+         |    ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+         |       UNION ALL SELECT v, u FROM pairs),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e0 GROUP BY 1),
+         |lv0 AS MATERIALIZED (
+         |  SELECT node, node AS lab
+         |  FROM (SELECT DISTINCT src AS node FROM e0)),
+         |${(1 to 4).map(louvainIterSql).mkString(",\n")},
+         |ds AS (
+         |  SELECT l.lab, count(*) AS n_members,
+         |    CAST(sum(d.deg) AS BIGINT) AS d_sum
+         |  FROM lv4 l JOIN deg d ON l.node = d.node GROUP BY 1),
+         |ein AS (
+         |  SELECT la.lab, count(*) AS e_in FROM pairs p
+         |    JOIN lv4 la ON p.u = la.node
+         |    JOIN lv4 lb ON p.v = lb.node
          |  WHERE la.lab = lb.lab GROUP BY 1)
          |SELECT ds.lab AS community, n_members, d_sum,
          |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,

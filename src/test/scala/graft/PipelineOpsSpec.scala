@@ -890,6 +890,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert(q >= -0.5 && q < 1.0)
   }
 
+  test("louvain: census equals a sequential 4-sweep parity-damped " +
+      "local-move recompute; optimized modularity beats the LPA " +
+      "partition's") {
+    import graft.operators.Graph
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCounts((ps(i), ps(j))) =
+          pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val und = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val sym = und.flatMap(e => Seq(e, e.swap))
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    val m = und.length.toLong
+    var lab = adj.keySet.map(n => n -> n).toMap
+    for (r <- 1 to 4) {
+      val dc = lab.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => deg(x._1)).sum).toMap
+      lab = lab.map { case (n, own) =>
+        if (n % 2 != r % 2) n -> own // parity damping: keepers hold
+        else {
+          val kic = adj(n).groupBy(lab).view
+            .mapValues(_.size.toLong).toMap
+          n -> (kic.keySet + own).toSeq.map { c =>
+            val k = kic.getOrElse(c, 0L)
+            val d = dc(c) - (if (c == own) deg(n) else 0L)
+            // ties prefer staying, then the smallest community id
+            (-(2L * m * k - deg(n) * d), if (c == own) 0L else 1L, c)
+          }.min._3
+        }
+      }
+    }
+    val expected = lab.groupBy(_._2).map { case (c, members) =>
+      val dSum = members.keySet.toSeq.map(deg).sum
+      val eIn = und.count(e => lab(e._1) == lab(e._2) &&
+        lab(e._1) == c).toLong
+      c -> ((members.size.toLong, dSum, eIn, 4L * m * eIn - dSum * dSum))
+    }
+    val got = Graph.louvain(spark, sf).collect().map(r =>
+      r.getAs[Long]("community") -> ((r.getAs[Long]("n_members"),
+        r.getAs[Long]("d_sum"), r.getAs[Long]("e_in"),
+        r.getAs[Long]("q_num")))).toMap
+    assert(got === expected)
+    // the point of the operator: it OPTIMIZES the objective q256 only
+    // scores — Σ q_num (∝ Q at fixed m) must beat the LPA partition
+    val qLouvain = got.values.map(x => BigInt(x._4)).sum
+    val qLpa = Graph.modularity(spark, sf).collect()
+      .map(r => BigInt(r.getAs[Long]("q_num"))).sum
+    assert(qLouvain >= qLpa, s"louvain $qLouvain < lpa $qLpa")
+  }
+
   test("BFS hops: planted path pins hop counts, the horizon, and the " +
       "unreachable NULL class; sf census equals brute-force BFS") {
     import graft.operators.Graph
