@@ -1584,11 +1584,21 @@ object Dedup {
     * shuffling the small eval side's text is free; here both sides are
     * the corpus, so the grouped-owner form wins. */
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
-    substringDedupOn(t(spark, dir, "documents"))
+    substringDedupOn(t(spark, dir, "documents"), 8)
 
-  /** Same, over an explicit (doc_id, text) frame — spec entry point. */
-  private[graft] def substringDedupOn(raw: DataFrame): DataFrame = {
-    val L = 8
+  /** q348: the same pipeline at L=25 — Lee et al. operate on ~50-token
+    * spans; a second gated length proves the recipe is parametrized,
+    * not tuned to the fixture corpus (r13 verdict №5). A duplicated
+    * 25-window implies duplicated 8-subwindows (the earlier owner doc
+    * contains them all), so any doc q348 flags dup-positive is
+    * dup-positive under q317 — asserted in the spec. */
+  def substringDedup25(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOn(t(spark, dir, "documents"), 25)
+
+  /** Same, over an explicit (doc_id, text) frame at window length `l` —
+    * spec entry point and the shared parametrized pipeline. */
+  private[graft] def substringDedupOn(raw: DataFrame, l: Int): DataFrame = {
+    val L = l
     val docs = raw
       .select(col("doc_id"),
         graft.functions.Barrier.materialized(split(col("text"), " "))
@@ -1612,13 +1622,17 @@ object Dedup {
         (expr("n_dup * 1000000 div n_windows") >= 500000).as("prune"))
   }
 
-  private def substringDedupSql: String =
-    """WITH toks AS (
+  private def substringDedupSql: String = substringDedupSqlAt(8)
+
+  private def substringDedupSqlAt(l: Int): String =
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 8),
+      |  WHERE len(string_split(text, ' ')) >= $l),
       |w AS (
-      |  SELECT doc_id, array_to_string(tk[pos : pos + 7], ' ') AS wt
-      |  FROM (SELECT doc_id, unnest(range(1, len(tk) - 6)) AS pos, tk
+      |  SELECT doc_id, array_to_string(tk[pos : pos + ${l - 1}], ' ')
+      |    AS wt
+      |  FROM (SELECT doc_id, unnest(range(1, len(tk) - ${l - 2}))
+      |          AS pos, tk
       |        FROM toks)),
       |own AS (SELECT wt, min(doc_id) AS owner FROM w GROUP BY 1)
       |SELECT doc_id, count(*) AS n_windows,
@@ -1635,6 +1649,8 @@ object Dedup {
     Q("q315_substring_decontam", substringDecontam _,
       substringDecontamSql),
     Q("q317_substring_dedup", substringDedup _, substringDedupSql),
+    Q("q348_substring_dedup_l25", substringDedup25 _,
+      substringDedupSqlAt(25)),
     Q("q324_silhouette", silhouette _, silhouetteSql),
     Q("q325_davies_bouldin", daviesBouldin _, daviesBouldinSql),
     Q("q267_lsh_scurve", lshScurve _, lshScurveSql),

@@ -624,12 +624,45 @@ class DedupSpec extends SparkSpec {
       // 7-token overlap only — clean
       (6L, "mm nn w1 w2 w3 w4 w5 w6 w7 OTHER oo pp qq ss")
     ).toDF("doc_id", "text")
-    val out = Dedup.substringDedupOn(docs).collect()
+    val out = Dedup.substringDedupOn(docs, 8).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
         r.getAs[Boolean]("prune"))).toMap
     assert(out(1L)._2 === 0L) // owner doc: nothing duplicated
     assert(out(5L) === ((6L, 1L, false)))
     assert(out(6L)._2 === 0L)
+  }
+
+  test("substring dedup L=25: planted 25-token span flagged, 24-token " +
+      "overlap clean; a 25-dup doc is always an 8-dup doc on the sf " +
+      "corpus") {
+    import spark.implicits._
+    val span = (1 to 25).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa bb $span cc dd"),
+      // shares the full 25-token span: 27 tokens → 3 windows, 1 dup
+      (2L, s"xx $span yy"),
+      // 24-token overlap only — clean at L=25
+      (3L, "mm " + (1 to 24).map(i => s"t$i").mkString(" ") +
+        " OTHER nn oo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedupOn(docs, 25).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._2 === 0L)
+    assert(out(2L) === ((3L, 1L)))
+    assert(out(3L)._2 === 0L)
+    // implication on the real corpus: a duplicated 25-window's owner
+    // doc contains every 8-subwindow, so 25-dup ⇒ 8-dup per doc
+    val d8 = Dedup.substringDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup")).toMap
+    val d25 = Dedup.substringDedup25(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup")).toMap
+    assert(d25.nonEmpty)
+    d25.foreach { case (id, nd) =>
+      if (nd > 0) assert(d8(id) > 0, s"doc $id dup at 25 but not 8")
+    }
+    // the longer window genuinely discriminates: it must flag fewer
+    // window instances in total than L=8 does
+    assert(d25.values.sum < d8.values.sum)
   }
 
   test("silhouette: per-cell means equal a driver recompute of the " +

@@ -252,7 +252,7 @@ object EngineProperties extends Properties("graft") {
         (2L, b.mkString(" ")),
         (3L, a.mkString(" ")) // verbatim copy of doc 1
       ).toDF("doc_id", "text")
-      val out = graft.operators.Dedup.substringDedupOn(docs).collect()
+      val out = graft.operators.Dedup.substringDedupOn(docs, 8).collect()
         .map(r => r.getLong(0) ->
           (r.getLong(1), r.getLong(2), r.getAs[Boolean]("prune")))
         .toMap
