@@ -1798,8 +1798,20 @@ object TextAnalysis {
     * 0). Per-source exact integer tallies in two partial-agg'd
     * shuffles (unigram and bigram census), ratios as integral ppm.
     * Complements [[vocabCoverage]] (corpus-global richness) with the
-    * per-slice view that catches WHICH source went degenerate. */
+    * per-slice view that catches WHICH source went degenerate.
+    *
+    * The distinct key is the 120-bit portable-hash PAIR of the n-gram,
+    * not the n-gram string (the span-dedup election precedent): the
+    * census shuffle then carries two fixed longs per gram instead of
+    * arbitrary-length text — the r14 100× probe measured the string
+    * variant at 51→96 s (spill-degrading across rounds) vs a 13.5-14 s
+    * hashed steady state at 100× corpus AND 100× vocabulary — while
+    * 120 bits keeps the
+    * count exact-in-practice at the 100-TB design point (n²/2¹²¹).
+    * Both engines hash with the same md5 substrings, so even a
+    * collision would be shared and the gate stays bit-identical. */
   def distinctN(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
     val toks = t(spark, dir, "documents")
       .select(col("source"),
         graft.functions.Barrier.materialized(split(col("text"), " "))
@@ -1807,13 +1819,17 @@ object TextAnalysis {
       .filter(size(col("tk")) >= 2)
     val uni = toks.select(col("source"), explode(col("tk")).as("g"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n1"), countDistinct(col("g")).as("d1"))
+      .agg(count(lit(1)).as("n1"),
+        countDistinct(TextOps.portableHash60(col("g")),
+          TextOps.portableHash60b(col("g"))).as("d1"))
     val bi = toks.select(col("source"),
         explode(expr("transform(sequence(1, size(tk) - 1), " +
           "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
           .as("g"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n2"), countDistinct(col("g")).as("d2"))
+      .agg(count(lit(1)).as("n2"),
+        countDistinct(TextOps.portableHash60(col("g")),
+          TextOps.portableHash60b(col("g"))).as("d2"))
     uni.join(bi, Seq("source"))
       .select(col("source"), col("n1"), col("d1"), col("n2"), col("d2"),
         expr("d1 * 1000000 div n1").as("distinct1_ppm"),
@@ -1825,11 +1841,17 @@ object TextAnalysis {
       |  SELECT source, string_split(text, ' ') AS tk FROM documents
       |  WHERE len(string_split(text, ' ')) >= 2),
       |uni AS (
-      |  SELECT source, count(*) AS n1, count(DISTINCT g) AS d1
+      |  SELECT source, count(*) AS n1,
+      |    count(DISTINCT [('0x' || substr(md5(g), 1, 15))::BIGINT,
+      |                    ('0x' || substr(md5(g), 17, 15))::BIGINT])
+      |      AS d1
       |  FROM (SELECT source, unnest(tk) AS g FROM toks)
       |  GROUP BY 1),
       |bi AS (
-      |  SELECT source, count(*) AS n2, count(DISTINCT g) AS d2
+      |  SELECT source, count(*) AS n2,
+      |    count(DISTINCT [('0x' || substr(md5(g), 1, 15))::BIGINT,
+      |                    ('0x' || substr(md5(g), 17, 15))::BIGINT])
+      |      AS d2
       |  FROM (SELECT source, unnest([tk[i] || ' ' || tk[i + 1]
       |          for i in range(1, len(tk))]) AS g
       |        FROM toks)

@@ -16,9 +16,10 @@ object ScratchTiming {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val fn = SparkEntry.queries(args.headOption.getOrElse("q224_priority_sample"))
-    for (i <- 1 to 12) {
+    val n = if (args.length > 2) args(2).toInt else 12
+    for (i <- 1 to n) {
       val t0 = System.nanoTime()
       fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
