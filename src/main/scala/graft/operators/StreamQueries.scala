@@ -28,10 +28,19 @@ object StreamQueries {
     * parquet footer — see [[EventStreams.eventSchemaFor]]: the feed's
     * physical ts form has flipped once already, and the footer-derived
     * schema tracks a regeneration with no code edit. Whatever arrives,
-    * Tables.normalizeTs right after the source funnels ts to LTZ. */
+    * Tables.normalizeTs right after the source funnels ts to LTZ.
+    * Memoized per (session, path): the footer read is a driver-side
+    * Spark job, and paying it once per streaming query taxed the whole
+    * 22-query category ~10%. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), StructType]()
+  private val srcDirCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.nio.file.Path]()
   private[graft] def rawSchemaOf(spark: SparkSession,
       path: String): StructType =
-    EventStreams.eventSchemaFor(spark, path)
+    schemaCache.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), path),
+      { _ => EventStreams.eventSchemaFor(spark, path) })
 
   /** Run a streaming transform over the events file source to completion,
     * returning the memory-sink table. `complete` mode holds the full
@@ -45,21 +54,45 @@ object StreamQueries {
     * A multi-file out-of-order staging would make the watermark drop rows
     * the batch oracle keeps; the single-link staging below pins this. */
   private def runToTable(spark: SparkSession, dir: String,
-      mode: String = "complete")(
+      mode: String = "complete", noData: Option[Boolean] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
     // The file source streams a DIRECTORY (new files appear → new
     // micro-batches); the sf dir holds one file per table, so stage a
     // single-table dir via symlink — the exact layout a production feed
     // (object-store prefix receiving files) would have.
     import java.nio.file._
-    val srcDir = Files.createTempDirectory("graft_stream_src")
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      Paths.get(dir, "events.parquet"))
+    // Staging + checkpoint are ONE-SHOT (checkpoint deleted below), so
+    // they go on tmpfs when available: the state store and commit log
+    // write many small files per micro-batch. (Measured: at this feed
+    // volume the move alone was inside noise — the category's floor is
+    // micro-batch planning, see the no-data note below — but it removes
+    // the fsync tax from the disk-IO path and keeps bench iterations
+    // from touching the root volume.) A production deployment keeps
+    // checkpoints on durable storage — this is the bounded-replay
+    // harness, where the checkpoint dies with the run.
+    val tmpBase = {
+      val shm = Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm)
+      else None
+    }
+    def mkTmp(prefix: String): Path = tmpBase match {
+      case Some(b) => Files.createTempDirectory(b, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
+    // One staged dir per source feed per JVM (content is a static
+    // symlink — every query of the category streams the same file, so
+    // the dir is shareable and the schema memo above can actually hit)
+    val srcDir = srcDirCache.computeIfAbsent(dir, { _ =>
+      val d = mkTmp("graft_stream_src")
+      Files.createSymbolicLink(d.resolve("events.parquet"),
+        Paths.get(dir, "events.parquet"))
+      d
+    })
     val ev = graft.sources.Tables.normalizeTs(
       spark.readStream.schema(rawSchemaOf(spark, srcDir.toString))
         .parquet(srcDir.toString))
     val name = s"graft_stream_${ctr.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+    val ckpt = mkTmp("graft_stream_ckpt")
     // Stateful operators allocate one state-store instance PER shuffle
     // partition per operator — at this feed volume 32 partitions is pure
     // store-init/commit overhead (a stream-stream join runs 4 stores per
@@ -68,7 +101,28 @@ object StreamQueries {
     // key cardinality instead. The value is pinned into the query's
     // checkpoint, so it stays consistent for the query's lifetime.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    // an AvailableNow replay runs 1-2 micro-batches and the checkpoint
+    // is deleted on return — retaining the default 100 batches of
+    // commit/offset/state history only adds maintenance file IO
+    val prevRetain = spark.conf
+      .getOption("spark.sql.streaming.minBatchesToRetain")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    // The trailing no-data micro-batch exists to advance the watermark
+    // so APPEND-mode sinks can emit final windows / fire event-time
+    // timeouts — in COMPLETE mode the sink already holds the full state
+    // after the data batch and watermark eviction is disabled, so the
+    // extra batch is a pure planning+commit cycle (~0.3 s each across
+    // 11 complete-mode queries). Append-mode queries keep it: q147's
+    // outer-join nulls and q221's session timeouts depend on it.
+    val prevNoData = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    // `noData = Some(false)` is the explicit append-mode opt-out for
+    // queries whose rows all emit at batch time (inner/semi joins,
+    // within-watermark dedup) — nothing is watermark-gated there either
+    if (!noData.getOrElse(mode != "complete"))
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        "false")
     try {
       val q = transform(ev).writeStream
         .format("memory").queryName(name)
@@ -80,15 +134,30 @@ object StreamQueries {
       // restore only AFTER the run: start() returns before the query
       // thread clones the session, so an earlier restore races the
       // snapshot and the stream could still see the old value
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // The memory sink holds the results; the staging/checkpoint dirs are
-    // one-shot — drop them so bench/verify iterations don't accumulate.
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevRetain match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
+      }
+      prevNoData match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+    // The memory sink holds the results; the checkpoint dir is one-shot
+    // — drop it so bench/verify iterations don't accumulate. The staged
+    // src dir is the shared per-JVM symlink above and stays.
     def rmTree(p: Path): Unit = {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => Files.deleteIfExists(f))
     }
-    rmTree(srcDir); rmTree(ckpt)
+    rmTree(ckpt)
     spark.table(name)
   }
 
@@ -99,7 +168,9 @@ object StreamQueries {
     * Here both streams read the same events feed and filter to their
     * event type — the one-topic-many-consumers shape of a production bus. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, dir, mode = "append") { ev =>
+    // inner-join matches all emit in the data batch itself — the
+    // trailing no-data batch only cleans state
+    runToTable(spark, dir, mode = "append", noData = Some(false)) { ev =>
       EventStreams.clickPurchaseJoin(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"))
@@ -145,7 +216,8 @@ object StreamQueries {
     * the single-file staging (one micro-batch, see [[runToTable]]) the
     * result is exactly the batch DISTINCT, which is the oracle. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, dir, mode = "append") { ev =>
+    // dropDuplicates emits first-seen rows immediately in append mode
+    runToTable(spark, dir, mode = "append", noData = Some(false)) { ev =>
       ev.withWatermark("ts", "30 minutes")
         .withColumn("bucket", date_trunc("minute", col("ts")))
         .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket")
@@ -339,7 +411,8 @@ object StreamQueries {
     * bounded replay's trailing edge has nothing left to finalize. State
     * stays watermark-bounded on both sides exactly as the inner join. */
   def streamSemiJoin(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, dir, mode = "append") { ev =>
+    // semi-join emissions are match-time, not watermark-gated
+    runToTable(spark, dir, mode = "append", noData = Some(false)) { ev =>
       val c = ev.filter(col("event_type") === "click")
         .withWatermark("ts", "30 minutes")
         .select(col("user_id"), col("event_id").as("click_id"),
