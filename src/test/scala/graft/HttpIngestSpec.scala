@@ -60,6 +60,60 @@ class HttpIngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("http fetch retries transient 503s with backoff, fails fast on " +
+      "permanent 404, gives up after the attempt budget") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val flakyHits = new AtomicInteger(0)
+    val notFoundHits = new AtomicInteger(0)
+    val downHits = new AtomicInteger(0)
+    val server = HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    def route(path: String, hits: AtomicInteger)(
+        respond: (HttpExchange, Int) => Unit): Unit =
+      server.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          respond(ex, hits.incrementAndGet()); ex.close()
+        }
+      })
+    val body = payload(2017, 42009).getBytes("UTF-8")
+    route("/flaky", flakyHits) { (ex, n) =>
+      if (n <= 2) ex.sendResponseHeaders(503, -1)
+      else {
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+      }
+    }
+    route("/gone", notFoundHits) { (ex, _) =>
+      ex.sendResponseHeaders(404, -1)
+    }
+    route("/down", downHits) { (ex, _) =>
+      ex.sendResponseHeaders(503, -1)
+    }
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      // transient: two 503s then success — the read recovers in-task
+      val in = graft.sources.CensusSource
+        .openHttp(s"http://127.0.0.1:$port/flaky")
+      val got = new String(in.readAllBytes(), "UTF-8"); in.close()
+      assert(got.contains("42009"))
+      assert(flakyHits.get() === 3)
+      // permanent 404: no retry — one request, immediate failure
+      val e1 = intercept[java.io.IOException] {
+        graft.sources.CensusSource.openHttp(s"http://127.0.0.1:$port/gone")
+      }
+      assert(e1.getMessage.contains("404") &&
+        e1.getMessage.contains("permanent"))
+      assert(notFoundHits.get() === 1)
+      // persistent 503: bounded — exactly maxAttempts requests, then fail
+      val e2 = intercept[java.io.IOException] {
+        graft.sources.CensusSource.openHttp(s"http://127.0.0.1:$port/down")
+      }
+      assert(e2.getMessage.contains("after 3 attempts"))
+      assert(downHits.get() === 3)
+    } finally server.stop(0)
+  }
+
   test("census source rejects missing and ambiguous location options") {
     // neither option
     intercept[Exception] {
