@@ -2460,6 +2460,77 @@ object Analytics {
       |WHERE clt < k AND clt + ceq >= k
       |GROUP BY p, k""".stripMargin
 
+  /** Mann–Kendall trend test (Mann, Econometrica 1945; Kendall 1975)
+    * over monthly revenue — the HYPOTHESIS-TEST companion to q341's
+    * Theil–Sen estimator (Sen's slope says how steep, Mann–Kendall says
+    * whether a monotone trend exists at all, distribution-free): S =
+    * Σ_{i<j} sign(y_j − y_i) over the month-ordered census, Var(S) =
+    * [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 with the tie correction over
+    * equal-revenue groups, z with the ±1 continuity correction. The
+    * corpus collapses to the bounded ≤span-months census; S and the
+    * variance NUMERATOR (kept ×18 so it stays integral) are exact
+    * integers over the bounded pair multiset; z is the one fixed-order
+    * double, spliced from a shared fragment into both engines. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .select(expr("(year(CAST(o_orderdate AS DATE)) - 1990) * 12 + " +
+        "month(CAST(o_orderdate AS DATE)) - 1").cast("long").as("mi"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("mi")).agg(sum(col("cents")).as("y"))
+      .cutLineage() // bounded census; feeds both pair sides + ties
+    val sdf = monthly.as("a").join(monthly.as("b"),
+        col("a.mi") < col("b.mi"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s"))
+    val ndf = monthly.agg(count(lit(1)).as("n"))
+    val ties = monthly.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tt"))
+    sdf.crossJoin(broadcast(ndf)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_months"), col("s").as("s_stat"),
+        expr("n * (n - 1) * (2 * n + 5) - tt").as("var_num18"))
+      .select(col("n_months"), col("s_stat"), col("var_num18"),
+        (round(expr(mkZSql), 6) + lit(0.0)).as("z_r"),
+        expr(s"CASE WHEN $mkZSql > 1.96 THEN 'increasing_95' " +
+          s"WHEN $mkZSql < -1.96 THEN 'decreasing_95' " +
+          "ELSE 'no_trend' END").as("verdict"))
+  }
+
+  /** The continuity-corrected z — shared verbatim by both engines so
+    * the double sequence is identical (house double discipline). */
+  private def mkZSql: String =
+    "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_num18 / 18.0) " +
+      "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_num18 / 18.0) " +
+      "ELSE 0.0 END"
+
+  private def mannKendallSql: String =
+    s"""WITH monthly AS (
+      |  SELECT CAST((year(CAST(o_orderdate AS DATE)) - 1990) * 12 +
+      |      month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mi,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |sdf AS (
+      |  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+      |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+      |ndf AS (SELECT count(*) AS n FROM monthly),
+      |ties AS (
+      |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+      |    AS BIGINT) AS tt
+      |  FROM (SELECT count(*) AS t FROM monthly GROUP BY y)),
+      |v AS (
+      |  SELECT n AS n_months, s_stat,
+      |    CAST(n * (n - 1) * (2 * n + 5) - tt AS BIGINT) AS var_num18
+      |  FROM sdf, ndf, ties)
+      |SELECT n_months, s_stat, var_num18,
+      |  round($mkZSql, 6) + 0.0 AS z_r,
+      |  CASE WHEN $mkZSql > 1.96 THEN 'increasing_95'
+      |       WHEN $mkZSql < -1.96 THEN 'decreasing_95'
+      |       ELSE 'no_trend' END AS verdict
+      |FROM v""".stripMargin
+
   /** MASE forecast-accuracy score for the seasonal-naive forecaster
     * (Hyndman & Koehler, IJF 2006 — the scale-free error measure that
     * made "beat the naive forecast" a checkable gate; grades q238's
@@ -2526,6 +2597,7 @@ object Analytics {
     Q("q338_gumbel_maxima", gumbelMaxima _, gumbelMaximaSql),
     Q("q340_changepoint", changepoint _, changepointSql),
     Q("q341_theil_sen", theilSen _, theilSenSql),
+    Q("q349_mann_kendall", mannKendall _, mannKendallSql),
     Q("q342_mase", mase _, maseSql),
     Q("q320_logrank", logRank _, logRankSql),
     Q("q311_kaplan_meier", kaplanMeier _,

@@ -1675,6 +1675,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Long]("slope_e2") === 35000L)
   }
 
+  test("mann-kendall: S, tie-corrected variance and z equal a " +
+      "sequential recompute; planted tied revenues exercise the " +
+      "correction") {
+    import spark.implicits._
+    def recompute(ys: Seq[Long]): (Long, Long, Long, Double) = {
+      val n = ys.length.toLong
+      val s = (for (i <- ys.indices; j <- (i + 1) until ys.length)
+        yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+      val tt = ys.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) })
+        .sum
+      val vn = n * (n - 1) * (2 * n + 5) - tt
+      val z = if (s > 0) (s - 1) / math.sqrt(vn / 18.0)
+        else if (s < 0) (s + 1) / math.sqrt(vn / 18.0) else 0.0
+      (n, s, vn, z)
+    }
+    // real corpus
+    val monthly = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "CAST((year(CAST(o_orderdate AS DATE)) - 1990) * 12 + " +
+          "month(CAST(o_orderdate AS DATE)) - 1 AS LONG) AS mi",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, xs) => xs.map(t => BigInt(t._2)).sum.toLong }
+    val (n, s, vn, z) = recompute(monthly)
+    val got = Analytics.mannKendall(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_months") === n)
+    assert(got.getAs[Long]("s_stat") === s)
+    assert(got.getAs[Long]("var_num18") === vn)
+    assert(math.abs(got.getAs[Double]("z_r") - z) < 1e-5)
+    // planted ties: months 1990-01..05, cents 0,100,100,800,1400 →
+    // the y=100 group contributes t(t-1)(2t+5) = 18 to the correction
+    val tmp = java.nio.file.Files.createTempDirectory("mk").toString
+    Seq(0.00, 1.00, 1.00, 8.00, 14.00).zipWithIndex.map { case (p, i) =>
+      (i.toLong, 1L, "O", p,
+        java.sql.Timestamp.valueOf(f"1990-${i + 1}%02d-15 00:00:00"),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val (n2, s2, vn2, z2) = recompute(Seq(0L, 100L, 100L, 800L, 1400L))
+    assert(vn2 === 5L * 4 * 15 - 18)
+    val g2 = Analytics.mannKendall(spark, tmp).collect()(0)
+    assert(g2.getAs[Long]("n_months") === n2)
+    assert(g2.getAs[Long]("s_stat") === s2)
+    assert(g2.getAs[Long]("var_num18") === vn2)
+    assert(math.abs(g2.getAs[Double]("z_r") - z2) < 1e-5)
+    assert(g2.getAs[String]("verdict") ===
+      (if (z2 > 1.96) "increasing_95"
+       else if (z2 < -1.96) "decreasing_95" else "no_trend"))
+  }
+
   test("mase: dense-spine lag errors equal a sequential recompute; " +
       "the two MAE denominators count the same rows") {
     val daily = spark.read.parquet(s"$sf/orders.parquet")
