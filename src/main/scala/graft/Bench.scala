@@ -106,8 +106,8 @@ object Bench {
         "q256_modularity", "q259_clustering_coeff", "q285_next_item_eval",
         "q291_link_prediction", "q301_ndcg", "q302_mrr",
         "q307_rec_coverage",
-        // r14: Louvain local-move level rides the same pair relation
-        "q347_louvain_level"),
+        // r14: the Louvain levels ride the same pair relation
+        "q347_louvain_level", "q353_louvain_two_level"),
       "stage_pc1" -> Set("q272_pca_power", "q309_embedding_drift"),
       // r13: the k-means centroids + assignment four queries share
       "stage_kmeans_cells" -> Set("q37_dedup_embedding",

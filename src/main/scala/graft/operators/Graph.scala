@@ -417,7 +417,20 @@ object Graph {
       rounds: Int): DataFrame = {
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).cutLineage()
-    val mdf = pairs.agg(count(lit(1)).as("m"))
+    louvainSweeps(sym.withColumn("w", lit(1L)), deg,
+      pairs.agg(count(lit(1)).as("m")), rounds)
+  }
+
+  /** The weighted parity-damped sweep core shared by level 1 (unit
+    * weights) and the coarsened level 2 of [[louvainTwoLevel]]:
+    * `sym` is the SELF-LOOP-FREE symmetric weighted edge list (a
+    * supernode's self-loop mass enters only through `deg`, which is
+    * why degrees are an input, not derived — it is constant across a
+    * node's candidate moves and cancels from the comparison), `deg`
+    * the per-node weighted degree including loops, `mdf` the 1-row
+    * total edge mass (unchanged by coarsening). */
+  private def louvainSweeps(sym: DataFrame, deg: DataFrame,
+      mdf: DataFrame, rounds: Int): DataFrame = {
     var labels = deg.select(col("node"), col("node").as("lab"))
     for (r <- 1 to rounds) {
       val parity = (r % 2).toLong
@@ -427,7 +440,7 @@ object Graph {
         .join(labels.select(col("node").as("dst"), col("lab")),
           Seq("dst"))
         .groupBy(col("src").as("node"), col("lab"))
-        .agg(count(lit(1)).as("kic"))
+        .agg(sum(col("w")).as("kic"))
         .filter(col("node") % 2 === lit(parity))
       // own community is always a candidate; when it also appears among
       // the neighbor communities, max() keeps the real edge count and
@@ -471,6 +484,47 @@ object Graph {
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
       .cutLineage()
     communityCensus(pairs, sym, louvainOf(sym, pairs, 4))
+  }
+
+  /** q353: the FULL Louvain shape — q347's level-1 sweeps, then the
+    * graph AGGREGATION phase (communities become weighted supernodes:
+    * inter-community edge mass as edge weights, degree mass carried
+    * through — intra-community mass rides only the degrees, since a
+    * self-loop is constant across a supernode's candidate moves), then
+    * two weighted local-move sweeps on the coarse graph. Coarsening is
+    * what lets Louvain find communities LARGER than any single node's
+    * neighborhood — and what makes it scale: the level-2 graph has one
+    * node per level-1 community, so each further level costs a
+    * vanishing fraction of level 1. Final labels map node → level-1
+    * community → level-2 community; emitted as the same census as
+    * q256/q347 so all three partitions are directly comparable. */
+  def louvainTwoLevel(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = support2Pairs(spark, dir).select(col("u"), col("v"))
+    val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .cutLineage()
+    val mdf = pairs.agg(count(lit(1)).as("m"))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).cutLineage()
+    val lab1 = louvainOf(sym, pairs, 4)
+      .cutLineage() // feeds coarsen (2 sides), super degrees, final map
+    val superEdges = sym
+      .join(lab1.select(col("node").as("src"), col("lab").as("la")),
+        Seq("src"))
+      .join(lab1.select(col("node").as("dst"), col("lab").as("lb")),
+        Seq("dst"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("la").as("src"), col("lb").as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+      .cutLineage() // probed by every level-2 sweep
+    val superDeg = lab1.join(deg, Seq("node"))
+      .groupBy(col("lab").as("node")).agg(sum(col("deg")).as("deg"))
+      .cutLineage()
+    val lab2 = louvainSweeps(superEdges, superDeg, mdf, 2)
+    val finalLab = lab1.select(col("node"), col("lab").as("c1"))
+      .join(lab2.select(col("node").as("c1"), col("lab")), Seq("c1"))
+      .select(col("node"), col("lab"))
+    communityCensus(pairs, sym, finalLab)
   }
 
   /** Per-node local clustering coefficient (Watts & Strogatz 1998) on
@@ -791,33 +845,40 @@ object Graph {
     * BIGINTs; gains are BIGINT (≤ 4m² at gate SFs), so the 128-bit
     * pack is exact. */
   private def louvainIterSql(i: Int): String =
-    s"""dt$i AS MATERIALIZED (
+    louvainIterWSql(i, "e0u", "deg", "lv")
+
+  /** Parametrized over (weighted edge CTE, degree CTE, label prefix)
+    * so the identical generator mirrors level 1 (unit weights) and the
+    * coarsened weighted level 2 of q353. */
+  private def louvainIterWSql(i: Int, edges: String, deg: String,
+      p: String): String =
+    s"""${p}dt$i AS MATERIALIZED (
        |  SELECT l.lab, CAST(sum(d.deg) AS BIGINT) AS dc
-       |  FROM lv${i - 1} l JOIN deg d ON l.node = d.node GROUP BY 1),
-       |kc$i AS MATERIALIZED (
-       |  SELECT e.src AS node, l.lab, CAST(count(*) AS BIGINT) AS kic
-       |  FROM e0 e JOIN lv${i - 1} l ON e.dst = l.node
+       |  FROM $p${i - 1} l JOIN $deg d ON l.node = d.node GROUP BY 1),
+       |${p}kc$i AS MATERIALIZED (
+       |  SELECT e.src AS node, l.lab, CAST(sum(e.w) AS BIGINT) AS kic
+       |  FROM $edges e JOIN $p${i - 1} l ON e.dst = l.node
        |  WHERE e.src % 2 = ${i % 2} GROUP BY 1, 2),
-       |cd$i AS (
+       |${p}cd$i AS (
        |  SELECT node, lab, max(kic) AS kic FROM (
-       |    SELECT node, lab, kic FROM kc$i
-       |    UNION ALL SELECT node, lab, CAST(0 AS BIGINT) FROM lv${i - 1}
+       |    SELECT node, lab, kic FROM ${p}kc$i
+       |    UNION ALL SELECT node, lab, CAST(0 AS BIGINT) FROM $p${i - 1}
        |    WHERE node % 2 = ${i % 2})
        |  GROUP BY 1, 2),
-       |lv$i AS MATERIALIZED (
+       |$p$i AS MATERIALIZED (
        |  SELECT c.node, arg_min(c.lab,
        |    (-(2 * mm.m * c.kic - d.deg * (dt.dc -
        |       CASE WHEN c.lab = o.lab THEN d.deg ELSE 0 END)))::HUGEINT
        |      * 73786976294838206464 +
        |    (CASE WHEN c.lab = o.lab THEN 0 ELSE 1 END)::HUGEINT
        |      * 36893488147419103232 + c.lab) AS lab
-       |  FROM cd$i c
-       |    JOIN deg d ON c.node = d.node
-       |    JOIN lv${i - 1} o ON c.node = o.node
-       |    JOIN dt$i dt ON c.lab = dt.lab, mm
+       |  FROM ${p}cd$i c
+       |    JOIN $deg d ON c.node = d.node
+       |    JOIN $p${i - 1} o ON c.node = o.node
+       |    JOIN ${p}dt$i dt ON c.lab = dt.lab, mm
        |  GROUP BY 1
        |  UNION ALL
-       |  SELECT node, lab FROM lv${i - 1} WHERE node % 2 <> ${i % 2})"""
+       |  SELECT node, lab FROM $p${i - 1} WHERE node % 2 <> ${i % 2})"""
       .stripMargin
 
   /** One unrolled 2-core peel round for the DuckDB oracle. MATERIALIZED
@@ -1782,6 +1843,7 @@ object Graph {
          |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
          |       UNION ALL SELECT v, u FROM pairs),
+         |e0u AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e0),
          |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
          |deg AS MATERIALIZED (
          |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
@@ -1798,6 +1860,54 @@ object Graph {
          |  SELECT la.lab, count(*) AS e_in FROM pairs p
          |    JOIN lv4 la ON p.u = la.node
          |    JOIN lv4 lb ON p.v = lb.node
+         |  WHERE la.lab = lb.lab GROUP BY 1)
+         |SELECT ds.lab AS community, n_members, d_sum,
+         |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+         |  CAST(4 * mm.m * coalesce(e_in, 0) - d_sum * d_sum AS BIGINT)
+         |    AS q_num
+         |FROM ds LEFT JOIN ein ON ds.lab = ein.lab, mm""".stripMargin),
+    Q("q353_louvain_two_level", louvainTwoLevel _,
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (
+         |  SELECT a.pk AS u, b.pk AS v FROM baskets a JOIN baskets b
+         |    ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+         |       UNION ALL SELECT v, u FROM pairs),
+         |e0u AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e0),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e0 GROUP BY 1),
+         |lv0 AS MATERIALIZED (
+         |  SELECT node, node AS lab
+         |  FROM (SELECT DISTINCT src AS node FROM e0)),
+         |${(1 to 4).map(louvainIterSql).mkString(",\n")},
+         |se AS MATERIALIZED (
+         |  SELECT la.lab AS src, lb.lab AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM e0 e JOIN lv4 la ON e.src = la.node
+         |    JOIN lv4 lb ON e.dst = lb.node
+         |  WHERE la.lab <> lb.lab GROUP BY 1, 2),
+         |sdeg AS MATERIALIZED (
+         |  SELECT l.lab AS node, CAST(sum(d.deg) AS BIGINT) AS deg
+         |  FROM lv4 l JOIN deg d ON l.node = d.node GROUP BY 1),
+         |sv0 AS MATERIALIZED (SELECT node, node AS lab FROM sdeg),
+         |${(1 to 2).map(i => louvainIterWSql(i, "se", "sdeg", "sv"))
+            .mkString(",\n")},
+         |fin AS MATERIALIZED (
+         |  SELECT l1.node, s.lab FROM lv4 l1
+         |  JOIN sv2 s ON l1.lab = s.node),
+         |ds AS (
+         |  SELECT l.lab, count(*) AS n_members,
+         |    CAST(sum(d.deg) AS BIGINT) AS d_sum
+         |  FROM fin l JOIN deg d ON l.node = d.node GROUP BY 1),
+         |ein AS (
+         |  SELECT la.lab, count(*) AS e_in FROM pairs p
+         |    JOIN fin la ON p.u = la.node
+         |    JOIN fin lb ON p.v = lb.node
          |  WHERE la.lab = lb.lab GROUP BY 1)
          |SELECT ds.lab AS community, n_members, d_sum,
          |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,

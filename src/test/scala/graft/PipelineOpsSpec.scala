@@ -946,6 +946,78 @@ class PipelineOpsSpec extends SparkSpec {
     assert(qLouvain >= qLpa, s"louvain $qLouvain < lpa $qLpa")
   }
 
+  test("louvain two-level: census equals a sequential coarsen+sweep " +
+      "recompute; coarsening strictly helps the level-1 partition") {
+    import graft.operators.Graph
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCounts((ps(i), ps(j))) =
+          pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val und = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val m = und.length.toLong
+    // weighted parity-damped sweeps — the same core at both levels
+    def sweeps(adjW: Map[Long, Seq[(Long, Long)]], deg: Map[Long, Long],
+        rounds: Int): Map[Long, Long] = {
+      var lab = adjW.keySet.map(n => n -> n).toMap
+      for (r <- 1 to rounds) {
+        val dc = lab.toSeq.groupBy(_._2).view
+          .mapValues(_.map(x => deg(x._1)).sum).toMap
+        lab = lab.map { case (n, own) =>
+          if (n % 2 != r % 2) n -> own
+          else {
+            val kic = adjW(n).groupBy(e => lab(e._1)).view
+              .mapValues(_.map(_._2).sum).toMap
+            n -> (kic.keySet + own).toSeq.map { c =>
+              val k = kic.getOrElse(c, 0L)
+              val d = dc(c) - (if (c == own) deg(n) else 0L)
+              (-(2L * m * k - deg(n) * d), if (c == own) 0L else 1L, c)
+            }.min._3
+          }
+        }
+      }
+      lab
+    }
+    val sym = und.flatMap(e => Seq(e, e.swap))
+    val adj1 = sym.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, 1L))).toMap
+    val deg1 = adj1.view.mapValues(_.length.toLong).toMap
+    val lab1 = sweeps(adj1, deg1, 4)
+    // coarsen: inter-community weights, degree mass carried through
+    val superW = sym.map { case (a, b) => (lab1(a), lab1(b)) }
+      .filter(e => e._1 != e._2)
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toSeq)
+      .toMap
+    val sdeg = lab1.toSeq.groupBy(_._2).view
+      .mapValues(_.map(x => deg1(x._1)).sum).toMap
+    // isolated supernodes (no inter edges) still exist as nodes
+    val adj2 = sdeg.keys.map(c =>
+      c -> superW.getOrElse(c, Seq.empty)).toMap
+    val lab2 = sweeps(adj2, sdeg, 2)
+    val fin = lab1.view.mapValues(lab2).toMap
+    val expected = fin.groupBy(_._2).map { case (c, members) =>
+      val dSum = members.keySet.toSeq.map(deg1).sum
+      val eIn = und.count(e => fin(e._1) == fin(e._2) &&
+        fin(e._1) == c).toLong
+      c -> ((members.size.toLong, dSum, eIn, 4L * m * eIn - dSum * dSum))
+    }
+    val got = Graph.louvainTwoLevel(spark, sf).collect().map(r =>
+      r.getAs[Long]("community") -> ((r.getAs[Long]("n_members"),
+        r.getAs[Long]("d_sum"), r.getAs[Long]("e_in"),
+        r.getAs[Long]("q_num")))).toMap
+    assert(got === expected)
+    val q2 = got.values.map(x => BigInt(x._4)).sum
+    val q1 = Graph.louvain(spark, sf).collect()
+      .map(r => BigInt(r.getAs[Long]("q_num"))).sum
+    assert(q2 >= q1, s"two-level $q2 < one-level $q1")
+  }
+
   test("BFS hops: planted path pins hop counts, the horizon, and the " +
       "unreachable NULL class; sf census equals brute-force BFS") {
     import graft.operators.Graph
