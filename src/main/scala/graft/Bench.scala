@@ -113,7 +113,10 @@ object Bench {
       "stage_kmeans_cells" -> Set("q37_dedup_embedding",
         "q288_semantic_dedup", "q324_silhouette", "q325_davies_bouldin"),
       // r14: the learned BPE merge table both BPE queries consume
-      "stage_bpe_merges" -> Set("q344_bpe_merges", "q345_bpe_encode"))
+      "stage_bpe_merges" -> Set("q344_bpe_merges", "q345_bpe_encode"),
+      // r14: level-1 Louvain labels shared by the census and level 2
+      "stage_louvain_l1" -> Set("q347_louvain_level",
+        "q353_louvain_two_level"))
     def runStage(sname: String): Unit = sname match {
       case "stage_cc_labels" =>
         graft.operators.Dedup.materializeLabels(spark, sfDir)
@@ -127,6 +130,8 @@ object Bench {
         graft.operators.Dedup.materializeCells(spark, sfDir)
       case "stage_bpe_merges" =>
         graft.operators.TextAnalysis.materializeBpe(spark, sfDir)
+      case "stage_louvain_l1" =>
+        graft.operators.Graph.materializeLouvainL1(spark, sfDir)
     }
     // Two timed passes, min per query: a single pass is exposed to
     // one-off GC/JIT/checkpoint-cleaner pauses (a 3.5 s query was

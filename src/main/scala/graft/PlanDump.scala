@@ -348,7 +348,32 @@ object PlanDump {
       "q343_eb_shrinkage" ->
         ("EB shrinkage: dim-join partial agg to 25 cells, ppm-" +
           "quantized prior moments, broadcast prior onto the bounded " +
-          "readout"))
+          "readout"),
+      "q344_bpe_merges" ->
+        ("BPE merge table: built from the memoized vocab-domain merge " +
+          "loop (one corpus collapse, then k vocab-sized generations); " +
+          "the emitted table is the k-row driver-local artifact"),
+      "q345_bpe_encode" ->
+        ("BPE encode: learned replace-chain over the vocabulary, " +
+          "word-keyed join back to the token stream, per-doc partial " +
+          "agg"),
+      "q346_avro_roundtrip" ->
+        ("avro round-trip: DSv2 scan (one InputPartition per container " +
+          "file, streaming decode), partial agg over the decoded rows"),
+      "q347_louvain_level" ->
+        ("louvain level: parity-damped sweeps — edge-keyed join + " +
+          "partial agg per sweep, label-domain degree-mass aggs, " +
+          "struct-key argmax; per-sweep lineage cut"),
+      "q348_substring_dedup_l25" ->
+        ("parametrized substring dedup: distinct-window owner election " +
+          "at L=25, same grouped-owner shape as q317"),
+      "q349_mann_kendall" ->
+        ("Mann-Kendall: bounded month census self-join for the sign " +
+          "sum, tie census, broadcast scalars into the one-row readout"),
+      "q353_louvain_two_level" ->
+        ("louvain two-level: level-1 sweeps, coarsen to weighted " +
+          "supernodes (community-keyed aggs), two weighted sweeps on " +
+          "the coarse graph, census on the composed labels"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

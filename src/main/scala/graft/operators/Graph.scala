@@ -248,7 +248,32 @@ object Graph {
   private val s2Cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  private[graft] def clearStageCaches(): Unit = s2Cache.clear()
+  /** Level-1 Louvain labels shared by q347 (census of them) and q353
+    * (coarsens them) — at corpus scale the level-1 partition is a
+    * materialized intermediate built once per graph generation, the
+    * [[support2Pairs]] discipline. Priced as `stage_louvain_l1`. */
+  private val louvainL1Cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[graft] def clearStageCaches(): Unit = {
+    s2Cache.clear()
+    louvainL1Cache.clear()
+  }
+
+  private[graft] def materializeLouvainL1(spark: SparkSession,
+      dir: String): Unit = { louvainL1Labels(spark, dir).count(); () }
+
+  private[graft] def louvainL1Labels(spark: SparkSession,
+      dir: String): DataFrame =
+    louvainL1Cache.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir), { _ =>
+        val pairs = support2Pairs(spark, dir).select(col("u"), col("v"))
+        val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(pairs
+            .select(col("v").as("src"), col("u").as("dst")))
+          .cutLineage()
+        louvainOf(sym, pairs, 4).cutLineage()
+      })
 
   /** Bench hook: materialize the shared pair stage OUTSIDE any query's
     * timing (see [[Dedup.materializeLabels]] for the rationale). */
@@ -483,7 +508,7 @@ object Graph {
     val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
       .cutLineage()
-    communityCensus(pairs, sym, louvainOf(sym, pairs, 4))
+    communityCensus(pairs, sym, louvainL1Labels(spark, dir))
   }
 
   /** q353: the FULL Louvain shape — q347's level-1 sweeps, then the
@@ -506,8 +531,9 @@ object Graph {
     val mdf = pairs.agg(count(lit(1)).as("m"))
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).cutLineage()
-    val lab1 = louvainOf(sym, pairs, 4)
-      .cutLineage() // feeds coarsen (2 sides), super degrees, final map
+    // the shared checkpointed level-1 stage: feeds coarsen (2 sides),
+    // super degrees, and the final map here; q347's census reads it too
+    val lab1 = louvainL1Labels(spark, dir)
     val superEdges = sym
       .join(lab1.select(col("node").as("src"), col("lab").as("la")),
         Seq("src"))
