@@ -1209,7 +1209,110 @@ object Similarity {
           .as("mean_overlap_ppm"))
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
+    * from the top-20 cosine candidates for the query vector (vec 0),
+    * greedily pick k = 5 maximizing λ·rel − (1−λ)·max_{s∈S} sim(·, s)
+    * with λ = 0.7 — the serving-side step that stops a RAG retriever
+    * returning five near-copies of the same passage. Exactness: rel and
+    * the pairwise sims are quantized to integer ppm AT the scored row
+    * (the shared q38 cosine), λ rides as the integer pair (7, 3) with
+    * the score ×10, ties (score DESC, id ASC) — the whole greedy is
+    * integer arithmetic both engines replay exactly (the oracle unrolls
+    * the five selections as correlated-argmax CTEs). Shapes: the
+    * corpus-scale work is the one N-scan query scoring + top-20
+    * TakeOrderedAndProject; the candidate pairwise matrix is a BOUNDED
+    * 20×19 relation, and the greedy runs on its collected integer form
+    * — constant driver state, the BPE-argmax discipline (at 100 TB the
+    * pool size is still a serving constant, never corpus-sized). */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val kSel = 5
+    val e = withNorm(t(spark, dir, "embeddings"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val cands = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("nrm"),
+        floor(VectorOps.cosinePrenormed(
+          VectorOps.dot(col("qe"), col("embedding")),
+          col("qn"), col("nrm")) * 1000000 + 0.5).cast("long")
+          .as("rel_ppm"))
+      .orderBy(col("rel_ppm").desc, col("cand_id").asc).limit(20)
+      .cutLineage() // bounded 20 rows; feeds both pair sides + collect
+    val sims = cands.as("a").join(cands.as("b"),
+        col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.cand_id").as("a"), col("b.cand_id").as("b"),
+        floor(VectorOps.cosinePrenormed(
+          VectorOps.dot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")) * 1000000 + 0.5).cast("long")
+          .as("sim_ppm"))
+    val rel = cands.select(col("cand_id"), col("rel_ppm")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simM = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)] // rk, id, rel_ppm, mmr
+    val remaining = scala.collection.mutable.Set(rel.keys.toSeq: _*)
+    for (rk <- 1L to kSel.toLong) {
+      val best = remaining.toSeq.map { id =>
+        val maxSim = picked.map(p => simM((id, p._2))).maxOption
+          .getOrElse(0L)
+        (7L * rel(id) - 3L * maxSim, id)
+      }.maxBy { case (score, id) => (score, -id) }
+      picked += ((rk, best._2, rel(best._2), best._1))
+      remaining -= best._2
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rk", "cand_id", "rel_ppm", "mmr_score")
+  }
+
+  private def mmrRerankSql: String = {
+    val sels = (2 to 5).map { i =>
+      s"""s$i AS (
+         |  SELECT c.cand_id, c.rel_ppm,
+         |    CAST(7 * c.rel_ppm - 3 * coalesce((
+         |      SELECT max(m.sim_ppm) FROM sims m
+         |      WHERE m.a = c.cand_id AND m.b IN
+         |        (SELECT cand_id FROM sel${i - 1})), 0) AS BIGINT)
+         |      AS mmr
+         |  FROM cands c
+         |  WHERE c.cand_id NOT IN (SELECT cand_id FROM sel${i - 1})
+         |  ORDER BY mmr DESC, c.cand_id ASC LIMIT 1),
+         |sel$i AS (SELECT cand_id FROM sel${i - 1}
+         |          UNION ALL SELECT cand_id FROM s$i)""".stripMargin
+    }
+    val out = (1 to 5).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rk, cand_id, rel_ppm, mmr " +
+        s"AS mmr_score FROM s$i").mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_aggregate(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      |  FROM embeddings),
+      |cands AS (
+      |  SELECT c.vec_id AS cand_id, c.embedding, c.nrm,
+      |    CAST(floor(${cosExpr("q", "c")} * 1000000 + 0.5) AS BIGINT)
+      |      AS rel_ppm
+      |  FROM e c, (SELECT * FROM e WHERE vec_id = 0) q
+      |  WHERE c.vec_id <> 0
+      |  ORDER BY rel_ppm DESC, cand_id ASC LIMIT 20),
+      |sims AS MATERIALIZED (
+      |  SELECT a.cand_id AS a, b.cand_id AS b,
+      |    CAST(floor(list_aggregate(
+      |      [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i]
+      |         AS DOUBLE) for i in range(1, len(a.embedding) + 1)],
+      |      'sum') / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT)
+      |      AS sim_ppm
+      |  FROM cands a JOIN cands b ON a.cand_id <> b.cand_id),
+      |s1 AS (
+      |  SELECT cand_id, rel_ppm, CAST(7 * rel_ppm AS BIGINT) AS mmr
+      |  FROM cands ORDER BY rel_ppm DESC, cand_id ASC LIMIT 1),
+      |sel1 AS (SELECT cand_id FROM s1),
+      |${sels.mkString(",\n")}
+      |$out""".stripMargin
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q354_mmr_rerank", mmrRerank _, mmrRerankSql),
     Q("q310_retrieval_agreement", retrievalAgreement _,
       s"""WITH dt AS (
          |  SELECT DISTINCT doc_id, w

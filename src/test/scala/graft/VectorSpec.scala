@@ -117,6 +117,57 @@ class VectorSpec extends SparkSpec {
     assert(meanC >= 0.8, s"IVFPQ recall@3 = $meanC, expected >= 0.8")
   }
 
+  test("mmr rerank: selections equal a from-scratch greedy recompute; " +
+      "first pick is the relevance top-1 and later picks trade " +
+      "relevance for diversity") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def ppm(x: Double): Long = math.floor(x * 1000000 + 0.5).toLong
+    val q = vecs(0L)
+    val rel = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> ppm(cos(q, v)) }
+      .sortBy { case (id, r) => (-r, id) }.take(20).toMap
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    val remaining = scala.collection.mutable.Set(rel.keys.toSeq: _*)
+    for (rk <- 1L to 5L) {
+      val best = remaining.toSeq.map { id =>
+        val ms = picked
+          .map(p => ppm(cos(vecs(id), vecs(p._2)))).maxOption
+          .getOrElse(0L)
+        (7L * rel(id) - 3L * ms, id)
+      }.maxBy { case (s, id) => (s, -id) }
+      picked += ((rk, best._2, rel(best._2), best._1))
+      remaining -= best._2
+    }
+    val got = graft.operators.Similarity.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === picked.toSeq)
+    // rank 1 IS the relevance argmax; rank ≥ 2 scores equal
+    // 7·rel − 3·maxSim with a NONZERO diversity term (note the term can
+    // be negative: an anticorrelated candidate gets a diversity BONUS)
+    assert(got(0)._3 === rel.values.max)
+    got.drop(1).foreach { case (rk, id, r, s) =>
+      val ms = picked.take((rk - 1).toInt)
+        .map(p => ppm(cos(vecs(id), vecs(p._2)))).max
+      assert(s === 7L * r - 3L * ms, s"pick $id score decomposition")
+      assert(ms != 0L, s"pick $id has a degenerate zero diversity term")
+    }
+  }
+
   test("cosine is symmetric and self-cosine is 1") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(20)
     val selfCos = e.select(
