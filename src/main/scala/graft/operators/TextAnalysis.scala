@@ -324,6 +324,80 @@ object TextAnalysis {
            round(min(col("doc_score")), 4).as("min_lm"))
   }
 
+  /** Interpolated Kneser–Ney bigram smoothing (Kneser & Ney, ICASSP
+    * 1995; Chen & Goodman 1998 — the LM smoothing that beat everything
+    * for 20 years and still backs n-gram quality filters): P(w₂|w₁) =
+    * (c(w₁w₂) − d)/c(w₁·) + λ(w₁)·P_cont(w₂), d = 0.75, λ(w₁) =
+    * d·N₁₊(w₁·)/c(w₁·), P_cont(w₂) = N₁₊(·w₂)/N₁₊(··). Where q59's ML
+    * estimate asks "how often does w₂ follow w₁", the continuation
+    * distribution asks "in how many CONTEXTS does w₂ appear" — the
+    * fix for high-frequency-but-single-context tokens. All five
+    * statistics come from ONE bigram census (a census row IS a distinct
+    * bigram type, so N₁₊ counts are row counts): vocab-domain
+    * everything, corpus touched once. The discount never clips here
+    * (census counts ≥ 1 > d). Output: the top-20 bigrams by count with
+    * the probability as one shared double fragment quantized micro. */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val bg = t(spark, dir, "documents")
+      .select(graft.functions.Barrier.materialized(
+        split(col("text"), " ")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val census = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+      .cutLineage() // vocab-domain; feeds top-20 + three count views
+    val w1c = census.groupBy(col("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n_follow"))
+    val w2c = census.groupBy(col("w2")).agg(count(lit(1)).as("n_prec"))
+    val tot = census.agg(count(lit(1)).as("n_types"))
+    census.orderBy(col("c_bg").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .join(w1c, Seq("w1")).join(w2c, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_bg"), col("c_w1"),
+        col("n_follow"), col("n_prec"), col("n_types"),
+        expr(knProbSql).as("p_kn_micro"))
+      .withColumn("p_kn_r",
+        round(col("p_kn_micro").cast("double") / 1000000.0, 6) + lit(0.0))
+  }
+
+  /** The interpolated-KN probability in integer micro — ONE double
+    * sequence shared verbatim by both engines. */
+  private def knProbSql: String =
+    "CAST(floor(((CAST(c_bg AS DOUBLE) - 0.75) / c_w1 + " +
+      "(0.75 * n_follow / c_w1) * " +
+      "(CAST(n_prec AS DOUBLE) / n_types)) * 1000000 + 0.5) AS BIGINT)"
+
+  private def kneserNeySql: String =
+    s"""WITH bg AS (
+      |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+      |        FROM (SELECT string_split(text, ' ') AS tk FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 2))),
+      |census AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+      |  FROM bg GROUP BY 1, 2),
+      |w1c AS (
+      |  SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1,
+      |    CAST(count(*) AS BIGINT) AS n_follow
+      |  FROM census GROUP BY 1),
+      |w2c AS (
+      |  SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+      |  FROM census GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM census),
+      |top AS (
+      |  SELECT w1, w2, c_bg FROM census
+      |  ORDER BY c_bg DESC, w1 ASC, w2 ASC LIMIT 20)
+      |SELECT w1, w2, c_bg, c_w1, n_follow, n_prec, n_types,
+      |  $knProbSql AS p_kn_micro,
+      |  round(CAST($knProbSql AS DOUBLE) / 1000000.0, 6) + 0.0
+      |    AS p_kn_r
+      |FROM top JOIN w1c USING (w1) JOIN w2c USING (w2), tot"""
+      .stripMargin
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document with the corpus bigram LM, then split each language into
     * head/middle/tail terciles — the quality-stratification step that
@@ -1870,6 +1944,7 @@ object TextAnalysis {
     Q("q319_dsir_weights", dsirWeights _, dsirWeightsSql),
     Q("q344_bpe_merges", bpeMergeTable _, bpeMergeTableSql),
     Q("q345_bpe_encode", bpeEncode _, bpeEncodeSql),
+    Q("q355_kneser_ney", kneserNey _, kneserNeySql),
     Q("q269_encoding_audit", encodingAudit _,
       """WITH c AS (
         |  SELECT source, text ||

@@ -1812,6 +1812,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("kneser-ney: top-20 bigram statistics and probabilities equal " +
+      "a sequential recompute; probabilities sit in (0, 1)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ").toSeq).filter(_.length >= 2)
+    val census = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach(tk => tk.sliding(2).foreach { p =>
+      census((p(0), p(1))) = census.getOrElse((p(0), p(1)), 0L) + 1 })
+    val cW1 = census.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val nFollow = census.toSeq.groupBy(_._1._1).view
+      .mapValues(_.size.toLong).toMap
+    val nPrec = census.toSeq.groupBy(_._1._2).view
+      .mapValues(_.size.toLong).toMap
+    val nTypes = census.size.toLong
+    val top = census.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(20)
+    val exp = top.map { case ((w1, w2), c) =>
+      val p = (c.toDouble - 0.75) / cW1(w1) +
+        (0.75 * nFollow(w1) / cW1(w1)) *
+          (nPrec(w2).toDouble / nTypes)
+      (w1, w2) -> ((c, cW1(w1), nFollow(w1), nPrec(w2), nTypes,
+        math.floor(p * 1000000 + 0.5).toLong))
+    }.toMap
+    val got = operators.TextAnalysis.kneserNey(spark, sf).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        ((r.getAs[Long]("c_bg"), r.getAs[Long]("c_w1"),
+          r.getAs[Long]("n_follow"), r.getAs[Long]("n_prec"),
+          r.getAs[Long]("n_types"), r.getAs[Long]("p_kn_micro"))))
+      .toMap
+    assert(got === exp)
+    got.values.foreach { case (_, _, _, _, _, pm) =>
+      assert(pm > 0L && pm < 1000000L)
+    }
+  }
+
   test("heaps law: per-source points and the integer OLS equal a " +
       "driver recompute; closed vocabulary reads saturated") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
