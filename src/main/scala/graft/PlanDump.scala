@@ -373,7 +373,15 @@ object PlanDump {
       "q353_louvain_two_level" ->
         ("louvain two-level: level-1 sweeps, coarsen to weighted " +
           "supernodes (community-keyed aggs), two weighted sweeps on " +
-          "the coarse graph, census on the composed labels"))
+          "the coarse graph, census on the composed labels"),
+      "q354_mmr_rerank" ->
+        ("MMR rerank: one N-scan query scoring + TakeOrdered top-20; " +
+          "bounded 20x19 pairwise matrix; greedy over collected " +
+          "integer state"),
+      "q355_kneser_ney" ->
+        ("Kneser-Ney: one bigram census feeds all five statistics " +
+          "(census rows ARE distinct types); top-20 TakeOrdered, " +
+          "broadcast totals"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at sf dir `$sf`.\n")

@@ -642,6 +642,14 @@ object ScaleProbe {
         operators.Analytics.logRank(spark, dir).count())
       time(s"davies_bouldin_$tag")(
         operators.Dedup.daviesBouldin(spark, dir).count())
+      time(s"mmr_rerank_$tag")(
+        operators.Similarity.mmrRerank(spark, dir).count())
+      time(s"kneser_ney_$tag")(
+        operators.TextAnalysis.kneserNey(spark, dir).count())
+      time(s"mann_kendall_$tag")(
+        operators.Analytics.mannKendall(spark, dir).count())
+      time(s"louvain_two_level_$tag")(
+        operators.Graph.louvainTwoLevel(spark, dir).count())
     }
     calib("post")
   }
