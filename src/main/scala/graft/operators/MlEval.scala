@@ -1826,9 +1826,21 @@ object MlEval {
     * operands (truncation = floor, engines agree), p re-normalized to
     * Σ = 10⁶ each round, so the whole fit is exact integer arithmetic
     * — no float ever sums across rows. The n·10¹² numerators ride
-    * decimal(38)/HUGEINT (they cross 2⁶³ near ~30× sf0.1). Zero-win
+    * BigInt/HUGEINT (they cross 2⁶³ near ~30× sf0.1). Zero-win
     * items get p = 0 honestly; the p_i+p_j = 0 guard only fires if two
-    * never-winning brands met, which the gate would surface. */
+    * never-winning brands met, which the gate would surface.
+    *
+    * The MM iterations run DRIVER-SIDE on the collected ≤ 600-row wins
+    * matrix (2·C(25,2) directed pairs — a model-domain constant, like
+    * MMR's 20-row pool and the BPE argmax): the distributed form spent
+    * 6 joins, 3 single-partition windows and 5 localCheckpoints per
+    * execution on a relation that never exceeds 600 rows, and its dead
+    * checkpoint blocks were the r14 +16% regression (a GC pause landing
+    * inside a later query was measured once at 31 s). BigInt `/` on
+    * positive operands truncates exactly like DuckDB HUGEINT `//`, so
+    * the fit stays bit-identical to the oracle. At 100 TB only the ONE
+    * corpus-collapse pass (per-order brand pairs → wins matrix) grows;
+    * the collected state stays ≤ items². */
   def bradleyTerry(spark: SparkSession, dir: String): DataFrame = {
     val pb = t(spark, dir, "part")
       .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))
@@ -1855,42 +1867,45 @@ object MlEval {
       .groupBy(col("pr.bi").as("bi"), col("pr.bj").as("bj"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("pr.iw"), 1L).otherwise(0L)).as("wi"))
-    val d = m.select(col("bi").as("i"), col("bj").as("j"), col("n"),
+    // ONE collect of the bounded directed-pair matrix (≤ 2·C(25,2) =
+    // 600 rows); everything after is exact driver-side integer work
+    val dRows = m.select(col("bi").as("i"), col("bj").as("j"), col("n"),
         col("wi").as("w"))
       .unionByName(m.select(col("bj").as("i"), col("bi").as("j"),
         col("n"), (col("n") - col("wi")).as("w")))
-      .cutLineage() // bounded ≤ 600 rows; feeds all three iterations
-    val wins = d.groupBy(col("i"))
-      .agg(sum(col("w")).as("wtot"), sum(col("n")).as("ntot"))
-      .cutLineage()
-    def iter(p: DataFrame): DataFrame = {
-      val s = d
-        .join(p.select(col("i"), col("p").as("pi")), Seq("i"))
-        .join(p.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(expr("CASE WHEN pi + pj > 0 THEN " +
-          "CAST(n AS DECIMAL(38,0)) * 1000000000000 div (pi + pj) " +
-          "ELSE 0 END")).as("s"))
-      val raw = wins.join(s, Seq("i"))
-        .select(col("i"), expr("CASE WHEN s > 0 THEN " +
-          "CAST(wtot AS DECIMAL(38,0)) * 1000000000000 div s " +
-          "ELSE 0 END").as("praw"))
-      raw // bounded ≤ 25 rows: the single-partition window is the
-        // house collapse shape, and one job cheaper than a broadcast agg
-        .withColumn("pt", sum(col("praw")).over(Window.partitionBy()))
-        .select(col("i"), expr("praw * 1000000 div pt").as("p"))
-        // checkpoint each iterate: p feeds TWO join sides of the next
-        // round, so uncut lineage doubles per iteration (2³ recomputes
-        // of the whole chain by round 3 — measured 3.7 s; cut: ~1 s)
-        .cutLineage()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val wins = dRows.groupBy(_._1).map { case (i, rs) =>
+      i -> (rs.map(_._4).sum, rs.map(_._3).sum) // (wtot, ntot)
     }
-    val p0 = wins.select(col("i"), lit(1000000L).as("p"))
-    val p3 = iter(iter(iter(p0)))
-    val w25 = Window.orderBy(col("p_micro").desc, col("brand").asc)
-    wins.join(p3, Seq("i"))
-      .select(col("i").as("brand"), col("ntot").as("n_matches"),
-        col("wtot").as("n_wins"), col("p").as("p_micro"))
-      .withColumn("rank", row_number().over(w25).cast("long"))
+    val T = BigInt(1000000000000L)
+    var p: Map[String, BigInt] =
+      wins.map { case (i, _) => i -> BigInt(1000000L) }.toMap
+    for (_ <- 1 to 3) {
+      val s = dRows.groupBy(_._1).map { case (i, rs) =>
+        i -> rs.map { case (_, j, n, _) =>
+          val den = p(i) + p(j)
+          if (den > 0) BigInt(n) * T / den else BigInt(0)
+        }.sum
+      }
+      val praw = wins.map { case (i, (wtot, _)) =>
+        i -> (if (s(i) > 0) BigInt(wtot) * T / s(i) else BigInt(0))
+      }
+      val pt = praw.values.sum
+      p = praw.map { case (i, v) => i -> v * 1000000 / pt }.toMap
+    }
+    import spark.implicits._
+    wins.toSeq
+      .map { case (i, (wtot, ntot)) =>
+        (i, ntot, wtot, p(i).toLong)
+      }
+      .sortBy { case (i, _, _, pm) => (-pm, i) }
+      .zipWithIndex
+      .map { case ((i, ntot, wtot, pm), rk) =>
+        (i, ntot, wtot, pm, rk + 1L)
+      }
+      .toDF("brand", "n_matches", "n_wins", "p_micro", "rank")
   }
 
   private def bradleyTerrySql: String = {

@@ -1252,7 +1252,10 @@ object Similarity {
     val picked = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long)] // rk, id, rel_ppm, mmr
     val remaining = scala.collection.mutable.Set(rel.keys.toSeq: _*)
-    for (rk <- 1L to kSel.toLong) {
+    // degrade to fewer rows when the candidate pool is short of kSel
+    // (query vector absent / tiny embeddings table) — matching the
+    // oracle's fewer-rows behavior instead of maxBy-on-empty crashing
+    for (rk <- 1L to math.min(kSel.toLong, remaining.size.toLong)) {
       val best = remaining.toSeq.map { id =>
         val maxSim = picked.map(p => simM((id, p._2))).maxOption
           .getOrElse(0L)

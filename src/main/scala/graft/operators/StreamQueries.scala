@@ -29,17 +29,32 @@ object StreamQueries {
     * physical ts form has flipped once already, and the footer-derived
     * schema tracks a regeneration with no code edit. Whatever arrives,
     * Tables.normalizeTs right after the source funnels ts to LTZ.
-    * Memoized per (session, path): the footer read is a driver-side
-    * Spark job, and paying it once per streaming query taxed the whole
-    * 22-query category ~10%. */
+    * Memoized per (session, path, file mtime+length): the footer read is
+    * a driver-side Spark job, and paying it once per streaming query
+    * taxed the whole 22-query category ~10%. The (mtime, length) stamp —
+    * one local stat, no Spark job — keeps the memo honest against a
+    * mid-session regeneration of the feed flipping its physical ts form
+    * (the exact scenario the footer read exists to track): a rewritten
+    * file misses the memo and re-reads its footer. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), StructType]()
   private val srcDirCache = new java.util.concurrent.ConcurrentHashMap[
     String, java.nio.file.Path]()
+  private def fileStamp(path: String): String = {
+    val f = new java.io.File(path)
+    val parts =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .sortBy(_.getName)
+      else Seq(f)
+    parts.map(x => s"${x.getName}:${x.lastModified}:${x.length}")
+      .mkString(",")
+  }
   private[graft] def rawSchemaOf(spark: SparkSession,
       path: String): StructType =
     schemaCache.computeIfAbsent(
-      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), path),
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark),
+        s"$path#${fileStamp(path)}"),
       { _ => EventStreams.eventSchemaFor(spark, path) })
 
   /** Run a streaming transform over the events file source to completion,

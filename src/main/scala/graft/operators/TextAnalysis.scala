@@ -860,7 +860,16 @@ object TextAnalysis {
   private[graft] def bpeMerges(spark: SparkSession,
       dir: String): Seq[(Int, String, String, Long)] =
     bpeMergeCache.computeIfAbsent(
-      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir), { _ =>
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir),
+      { _ => bpeMergeLoop(spark, dir, BpeK)._1 })
+
+  /** The merge-learning loop, parameterized on generation count so the
+    * K=20 plan-size spec can exercise the re-checkpoint guard beyond the
+    * catalog's K=10; returns the merges plus the final vocab frame's
+    * logical-plan node count (the guard's observable — without the cut
+    * it grows one `replace` Project per generation). */
+  private[graft] def bpeMergeLoop(spark: SparkSession, dir: String,
+      k: Int): (Seq[(Int, String, String, Long)], Int) = {
         // checkpoint ONCE: the corpus-scale word count; every generation
         // after this is vocab-domain work on the materialized copy
         var v = bpeVocab(spark, dir).select(col("s"), col("n")).cutLineage()
@@ -868,7 +877,7 @@ object TextAnalysis {
           .empty[(Int, String, String, Long)]
         var g = 1
         var exhausted = false
-        while (g <= BpeK && !exhausted) {
+        while (g <= k && !exhausted) {
           val top = v
             .select(col("n"), split(col("s"), " ").as("sy"))
             .filter(size(col("sy")) >= 2)
@@ -887,11 +896,18 @@ object TextAnalysis {
             buf += ((g, a, b, top(0).getLong(2)))
             v = v.withColumn("s",
               replace(col("s"), lit(wa + " " + wb), lit(bpeSent(a + b))))
+            // re-checkpoint every 8 generations: v otherwise accumulates
+            // one replace per generation, so generation g replays g
+            // replaces — O(K²) narrow work on the vocab frame. Harmless
+            // at K=10, quadratic if K is ever raised to tokenizer-real
+            // 30k; the cut keeps each generation's job O(vocab).
+            if (g % 8 == 0) v = v.cutLineage()
           }
           g += 1
         }
-        buf.toSeq
-      })
+        val planNodes = v.queryExecution.logical.map(_ => 1).sum
+        (buf.toSeq, planNodes)
+  }
 
   private[graft] def materializeBpe(spark: SparkSession,
       dir: String): Unit = { bpeMerges(spark, dir); () }
@@ -939,7 +955,12 @@ object TextAnalysis {
     * the segmented vocabulary; each generation g contributes p{g} (pair
     * counts), t{g} (the elected merge + its literal pattern), v{g} (the
     * vocabulary after the merge pass). Word is carried through for the
-    * encode oracle's join-back. */
+    * encode oracle's join-back. v{g} LEFT-JOINs its (0-or-1-row) t{g}
+    * with a coalesce fallback to the previous segmentation: on a
+    * degenerate corpus whose pair census exhausts before generation K,
+    * t{g} is empty and a plain cross join would zero out every later
+    * vocab CTE while the operator (which stops its merge loop on
+    * exhaustion) still encodes with the shorter merge list. */
   private def bpeCtesSql: String = {
     val v0 =
       """v0 AS (
@@ -960,10 +981,10 @@ object TextAnalysis {
          |  SELECT wa, wb, cnt FROM p$g
          |  ORDER BY cnt DESC, wa ASC, wb ASC LIMIT 1),
          |v$g AS (
-         |  SELECT v.word, v.n, replace(v.s, t.wa || ' ' || t.wb,
+         |  SELECT v.word, v.n, coalesce(replace(v.s, t.wa || ' ' || t.wb,
          |      chr(1) || replace(replace(t.wa || t.wb, chr(1), ''),
-         |        chr(2), '') || chr(2)) AS s
-         |  FROM v${g - 1} v, t$g t)""".stripMargin
+         |        chr(2), '') || chr(2)), v.s) AS s
+         |  FROM v${g - 1} v LEFT JOIN t$g t ON true)""".stripMargin
     }
     (v0 +: gens).mkString(",\n")
   }

@@ -93,11 +93,20 @@ object AvroIo {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val p = new Path(s"$path/part-$pid.avro")
+        // temp-file + rename commit: under task retry / speculative
+        // execution two attempts of the same partition may run
+        // concurrently — each writes its own attempt-unique temp file in
+        // full, then atomically renames over the final name, so the
+        // container is never interleaved by two writers (last complete
+        // attempt wins)
+        val tmp = new Path(
+          s"$path/.part-$pid-attempt-${tc.attemptNumber()}.avro.tmp")
         val fs = FileSystem.get(p.toUri,
           new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(p, true)
+        val out = fs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)
@@ -114,6 +123,10 @@ object AvroIo {
           }
           w.append(rec)
         } finally w.close() // closes the stream
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"avro sink: commit rename " +
+            s"$tmp -> $p failed")
       }
     }
   }

@@ -17,4 +17,13 @@ object GraftBridge {
     * an identity hash can recur after GC, a sessionUUID cannot. */
   def sessionUUID(s: SparkSession): String =
     s.asInstanceOf[classic.SparkSession].sessionUUID
+
+  /** Materialize a logical sub-plan as a DataFrame
+    * (classic.Dataset.ofRows is private[sql]) — used by the
+    * bounded-window lint spec to count the rows actually entering each
+    * unpartitioned Window node. */
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 }

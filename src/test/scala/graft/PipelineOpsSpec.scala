@@ -1745,6 +1745,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hist.keys.forall(b => b >= 900 && b <= 1100))
   }
 
+  test("bpe: the merge loop's vocab lineage stays bounded at K=20 " +
+      "(re-checkpoint guard) and extends the K=10 merge list") {
+    val (m10, _) = operators.TextAnalysis.bpeMergeLoop(spark, sf, 10)
+    val (m20, planNodes) = operators.TextAnalysis.bpeMergeLoop(spark, sf, 20)
+    // the longer run learns the same first 10 merges (determinism: the
+    // guard's cutLineage must not perturb the elected pairs)
+    assert(m20.take(m10.length) === m10)
+    assert(m20.length > m10.length, "sf0.001 corpus exhausted before " +
+      "generation 11 - plan-size assertion would be vacuous")
+    // without the every-8-generations cut, the vocab frame accumulates
+    // one replace Project per generation (~20+ logical nodes by g=20);
+    // with it the last segment is at most 4 replaces over a LogicalRDD
+    assert(planNodes <= 8, s"bpe vocab lineage grew to $planNodes " +
+      "logical nodes at K=20 - the re-checkpoint guard regressed")
+  }
+
   test("bpe: 10 merge generations + greedy encode equal a sequential " +
       "reference recompute of the Sennrich merge loop") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
