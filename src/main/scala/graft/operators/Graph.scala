@@ -1324,13 +1324,25 @@ object Graph {
     val nCust = top3.select(col("cust")).distinct()
       .agg(count(lit(1)).as("n_customers"))
     val cat = baskets.agg(countDistinct(col("pk")).as("n_catalog"))
-    val wE = Window.orderBy(col("n_rec").desc, col("b").asc)
-    val topShare = expo.crossJoin(broadcast(tot))
-      .withColumn("r", row_number().over(wE))
-      .filter(col("r") <= greatest(lit(1L),
-        expr("n_rec_distinct div 100")))
-      .agg(sum(col("n_rec")).as("top_slots"),
-        max(expr("greatest(1, n_rec_distinct div 100)")).as("k"))
+    // top-1% exposure WITHOUT ranking the (part -> n_rec) relation in
+    // one partition (it grows with the catalog — the r15 bounded-window
+    // lint flagged it 142 -> 1044 across a 10x corpus): collapse to the
+    // (n_rec -> #parts) HISTOGRAM (distinct slot-count values — tens at
+    // any corpus size), cumulate descending, and resolve the k-th part
+    // arithmetically. Ties at the threshold all carry the same n_rec,
+    // so this equals the old "k parts by (n_rec desc, b asc)" sum
+    // exactly — the oracle is unchanged.
+    val hist = expo.groupBy(col("n_rec")).agg(count(lit(1)).as("m"))
+    val wH = Window.orderBy(col("n_rec").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val topShare = hist
+      .withColumn("cum_m", sum(col("m")).over(wH))
+      .crossJoin(broadcast(tot))
+      .withColumn("k", greatest(lit(1L), expr("n_rec_distinct div 100")))
+      .filter(col("cum_m") - col("m") < col("k"))
+      .agg(sum(least(col("m"), col("k") - (col("cum_m") - col("m")))
+          * col("n_rec")).as("top_slots"),
+        max(col("k")).as("k"))
     nCust.crossJoin(broadcast(tot)).crossJoin(broadcast(cat))
       .crossJoin(broadcast(topShare))
       .select(col("n_customers"), col("total_slots"),

@@ -1592,13 +1592,30 @@ object MlEval {
     def resid(fold: Int): DataFrame = base.filter(col("fold") === fold)
       .join(broadcast(segMean), Seq("seg"))
       .select(expr("abs(cents - yhat) div 100").as("rd"))
+    // the residual-dollar domain saturates at the FIXED price range
+    // (~600k values), not a small constant — the r15 bounded-window lint
+    // flagged the single-partition cumulative growing 300 -> 2985 across
+    // a 10x corpus. Two-level prefix sum instead: a partitioned
+    // cumulative within 1000-dollar blocks (parallel, each block ≤ 1000
+    // rows) plus ONE unpartitioned pass over the block totals (≤ ~600
+    // rows at saturation — genuinely domain-bounded). cum values are
+    // identical, so q_hat and the oracle are unchanged.
     val calCnt = resid(0).groupBy(col("rd"))
       .agg(count(lit(1)).as("cnt"))
-    val wLe = Window.orderBy(col("rd").asc)
+      .withColumn("bk", expr("rd div 1000"))
+      .cutLineage() // three consumers: block prefix, main cum, n_cal
+    val wBk = Window.orderBy(col("bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bkPrefix = calCnt.groupBy(col("bk"))
+      .agg(sum(col("cnt")).as("bsum"))
+      .withColumn("prev", coalesce(sum(col("bsum")).over(wBk), lit(0L)))
+      .select(col("bk"), col("prev"))
+    val wIn = Window.partitionBy(col("bk")).orderBy(col("rd").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    // bounded ≤ |distinct residual dollars| rows: collapse-then-window
     val qhat = calCnt
-      .withColumn("cum", sum(col("cnt")).over(wLe))
+      .withColumn("cum_in", sum(col("cnt")).over(wIn))
+      .join(bkPrefix, Seq("bk"))
+      .withColumn("cum", col("cum_in") + col("prev"))
       .crossJoin(broadcast(calCnt.agg(sum(col("cnt")).as("n_cal"))))
       .filter(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
       .agg(min(col("rd")).as("q_hat_dollars"),
