@@ -80,7 +80,8 @@ object Bench {
       "q171_media_phash", "q172_containment_join",
       "q267_lsh_scurve", "q268_hard_negatives",
       "q272_pca_power", "q273_acf", "q274_dbscan", "q280_isotonic",
-      "q282_seasonal_decompose", "q288_semantic_dedup")
+      "q282_seasonal_decompose", "q288_semantic_dedup",
+      "q356_phash_ball", "q357_crossmodal_contam")
     // Shared pipeline stages (cluster labels; hashed shingles) are
     // memoized per (session, dir) and consumed by several queries. Each
     // pass clears the memo and materializes the stage OUTSIDE any
@@ -110,8 +111,10 @@ object Bench {
         "q347_louvain_level", "q353_louvain_two_level"),
       "stage_pc1" -> Set("q272_pca_power", "q309_embedding_drift"),
       // r13: the k-means centroids + assignment four queries share
+      // (r15: + the cross-modal contamination readout)
       "stage_kmeans_cells" -> Set("q37_dedup_embedding",
-        "q288_semantic_dedup", "q324_silhouette", "q325_davies_bouldin"),
+        "q288_semantic_dedup", "q324_silhouette", "q325_davies_bouldin",
+        "q357_crossmodal_contam"),
       // r14: the learned BPE merge table both BPE queries consume
       "stage_bpe_merges" -> Set("q344_bpe_merges", "q345_bpe_encode"),
       // r14: level-1 Louvain labels shared by the census and level 2

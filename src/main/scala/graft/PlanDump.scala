@@ -69,6 +69,13 @@ object PlanDump {
       "q171_media_phash" ->
         ("perceptual dHash dedup: one partial-agg'd segment pass, 60-bit " +
           "packed signature, chunk-LSH candidate equi-join, hamming verify"),
+      "q356_phash_ball" ->
+        ("radius-9 hamming ball: 120-bit two-plane signature, 10 x 12-bit " +
+          "pigeonhole bands, popcount verify on candidates only"),
+      "q357_crossmodal_contam" ->
+        ("cross-modal decontamination: broadcast bloom prefilter + exact " +
+          "shingle verify on the caption side, shared k-means cell " +
+          "candidates + skinny carrier join on the embedding side"),
       "q170_cbo_join_reorder" ->
         ("catalog stats + CBO: ANALYZE'd tables, CostBasedJoinReorder " +
           "moves the selective dims ahead of the text-first fact join"),

@@ -1097,7 +1097,7 @@ object Dedup {
     * each member's cosine to its assigned centroid). Dimension comes from
     * the arrays themselves, never a hardcoded 64. q37 appends in-cell pair
     * verification; q288 appends the SemDeDup removal policy. */
-  private val kmeansCtesSql =
+  private[operators] val kmeansCtesSql =
     """q AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_aggregate(list_transform(embedding,

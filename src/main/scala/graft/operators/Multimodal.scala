@@ -238,16 +238,20 @@ object Multimodal {
     * spec entry point for the planted near-dup/near-miss fixture (the
     * sf0.01 gate corpus happens to contain zero qualifying pairs, so the
     * unit-level evidence lives here). */
-  private[graft] def mediaPerceptualHashOn(media: DataFrame): DataFrame = {
-    import graft.functions.TextOps
+  /** 61-segment (sum, count) profile arrays of each payload — the shared
+    * "downscale" stage of [[mediaPerceptualHash]] (q171, adjacent-segment
+    * dHash at radius 3) and [[mediaPhashBall]] (q356, two-stride 120-bit
+    * signature at radius 9).
+    *
+    * char → (segment, codepoint): seg = floor(pos·61/n) partitions the
+    * payload into 61 runs of ±1 length, identically in integer math on
+    * both engines. Explode + conditional-sum aggregation: the shuffle
+    * carries 61 (sum, cnt) longs per doc, never the characters. */
+  private def segArrays(media: DataFrame): DataFrame = {
     val d = media
       .select(col("doc_id"), decode(col("payload"), "UTF-8").as("s"))
       .withColumn("n", length(col("s")))
       .filter(col("n") >= 61) // every segment non-empty
-    // char → (segment, codepoint): seg = floor(pos·61/n) partitions the
-    // payload into 61 runs of ±1 length, identically in integer math on
-    // both engines. Explode + conditional-sum aggregation: the shuffle
-    // carries 61 (sum, cnt) longs per doc, never the characters.
     val segSums = d
       .select(col("doc_id"), col("n"),
         posexplode(split(col("s"), "")).as(Seq("p", "c")))
@@ -255,12 +259,17 @@ object Multimodal {
         expr("(p * 61) div n").as("seg"), ascii(col("c")).as("cp"))
       .groupBy(col("doc_id"), col("seg"))
       .agg(sum(col("cp")).as("sm"), count(lit(1)).as("cnt"))
-    val arrs = segSums.groupBy(col("doc_id"))
+    segSums.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(
         struct(col("seg"), col("sm"), col("cnt")))).as("a"))
       .select(col("doc_id"),
         expr("transform(a, x -> x.sm)").as("ss"),
         expr("transform(a, x -> x.cnt)").as("cs"))
+  }
+
+  private[graft] def mediaPerceptualHashOn(media: DataFrame): DataFrame = {
+    import graft.functions.TextOps
+    val arrs = segArrays(media)
     // pack the 60 adjacent-segment comparisons into one BIGINT (0-based
     // array indexing here; the oracle's DuckDB lists are 1-based)
     val docs = arrs.select(col("doc_id"),
@@ -282,7 +291,244 @@ object Multimodal {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Radius-9 hamming-ball perceptual near-dup join — q171's dHash
+    * discipline at the WIDER radius real image dedup runs at (dHash
+    * practice treats ≤ 10/64 differing bits as "same image"). A larger
+    * ball can't just relax q171's verify: 4 × 15-bit chunks only
+    * guarantee completeness to radius 3 (pigeonhole), and re-banding
+    * 60 bits into the 10 bands radius 9 needs would leave 6-bit keys —
+    * 64 buckets, i.e. ~n²/64 candidate pairs, quadratic at scale. So the
+    * signature WIDENS with the radius: a second 60-bit plane over the
+    * same segment profile (stride-2 comparisons with wraparound —
+    * gradients at a second scale, the multi-plane trick pHash variants
+    * use) makes a 120-bit signature banded as 10 × 12-bit keys: any pair
+    * within hamming 9 of the 120 bits shares ≥ 1 intact band
+    * (pigeonhole), and 4096-value keys keep buckets ~n/4096 — the
+    * candidate join stays near-linear. Verify = exact popcount on the
+    * two packed BIGINTs, candidates only; the DuckDB oracle is the same
+    * banded form (completeness is a theorem, not a sample). */
+  def mediaPhashBall(spark: SparkSession, dir: String): DataFrame =
+    mediaPhashBallOn(mediaTable(spark, dir))
+
+  private[graft] def mediaPhashBallOn(media: DataFrame): DataFrame = {
+    import graft.functions.TextOps
+    val arrs = segArrays(media)
+    def plane(cmp: (String, String) => String): String =
+      s"""aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+         |  (acc, j) -> acc + IF(${cmp("ss", "cs")},
+         |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
+        .stripMargin
+    val docs = arrs.select(col("doc_id"),
+      expr(plane((ss, cs) =>
+        s"$ss[j+1] * $cs[j] > $ss[j] * $cs[j+1]")).as("f1"),
+      expr(plane((ss, cs) =>
+        s"$ss[(j+2)%61] * $cs[j] > $ss[j] * $cs[(j+2)%61]")).as("f2"))
+    val bands = array((0 until 10).map { c =>
+      val (src, off) =
+        if (c < 5) (col("f1"), c * 12) else (col("f2"), (c - 5) * 12)
+      concat_ws(":", lit(c),
+        shiftrightunsigned(src, off).bitwiseAND(lit(4095L)))
+    }: _*)
+    val keyed = docs.select(col("doc_id"), col("f1"), col("f2"),
+      explode(bands).as("band")).cutLineage()
+    keyed.select(col("band"), col("doc_id").as("doc_a"),
+        col("f1").as("fa1"), col("f2").as("fa2"))
+      .join(keyed.select(col("band"), col("doc_id").as("doc_b"),
+        col("f1").as("fb1"), col("f2").as("fb2")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (TextOps.hamming(col("fa1"), col("fb1")) +
+          TextOps.hamming(col("fa2"), col("fb2"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= 9)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Cross-modal decontamination: benchmark leakage found in ONE
+    * modality must remove the item from BOTH — the pair (caption,
+    * image) is the training example, so a caption that hits the held-out
+    * benchmark (q101's 3-shingle rule) poisons its paired embedding, and
+    * a CLEAN item whose embedding is near-identical (SemDeDup geometry:
+    * same k-means cell, cosine ≥ τ) to a benchmark or caption-hit item
+    * is the paraphrased-caption/near-identical-image leak that text-only
+    * decontamination misses (Abbas et al. 2023's semantic-dup argument
+    * applied to eval leakage). Reports per caption-source: media kept in
+    * corpus, direct (caption shingle) hits, semantic (embedding
+    * neighborhood) hits, and the combined removal ppm.
+    *
+    * Scale shape: caption side is q101's exact pipeline (bloom prefilter
+    * broadcast over the corpus scan, exact shingle join on survivors);
+    * embedding side rides the SHARED stage_kmeans_cells assignment
+    * (k grows with n ⇒ cell occupancy constant ⇒ candidate pairs linear
+    * in n — never all-pairs); carriers (bench ∪ direct) are a small
+    * fraction, so the cell join is skinny on one side. The DuckDB
+    * oracle recomputes cells + shingle hits exactly, no bloom. */
+  def crossmodalContam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BloomFilterOps, TextOps, VectorOps}
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("eligible", size(split(col("text"), " ")) >= 3)
+      .withColumn("is_bench", col("eligible") &&
+        (TextOps.portableHash(concat(lit("bench:"),
+          col("doc_id").cast("string"))) % 100 < 5))
+    val benchSh = Dedup.shingleExploded(docs.filter(col("is_bench")))
+      .select(col("s")).distinct()
+    val bloom = benchSh.agg(BloomFilterOps.bloomAgg(
+      TextOps.portableHash60(col("s")), 1 << 22, 5).as("bf"))
+    val direct = Dedup.shingleExploded(
+        docs.filter(col("eligible") && !col("is_bench")))
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFilterOps.bloomContains(
+        col("bf"), TextOps.portableHash60(col("s")), 5))
+      .join(broadcast(benchSh), Seq("s")) // exact verify: FPs out
+      .select(col("doc_id")).distinct()
+      .withColumn("is_dir", lit(true))
+      .cutLineage() // feeds the media readout AND the carrier side
+    val cells = Dedup.embeddingCells(spark, dir) // vec_id, cell, cos_c
+    val media = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("source"),
+        col("is_bench")), Seq("vec_id"))
+      .filter(!col("is_bench"))
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(direct.select(col("doc_id").as("vec_id"), col("is_dir")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("source"), col("cell"),
+        coalesce(col("is_dir"), lit(false)).as("dirc"))
+      .cutLineage() // three roles: clean side, readout, distinct sem
+    val carriers = cells.select(col("vec_id"), col("cell"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("is_bench")),
+        Seq("vec_id"))
+      .join(direct.select(col("doc_id").as("vec_id"), col("is_dir")),
+        Seq("vec_id"), "left_outer")
+      .filter(col("is_bench") || coalesce(col("is_dir"), lit(false)))
+      .select(col("cell"), col("vec_id").as("u"))
+    val eAll = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.l2Norm(col("embedding")).as("nrm"))
+    val sem = media.filter(!col("dirc"))
+      .select(col("cell"), col("vec_id").as("v"))
+      .join(carriers, Seq("cell"))
+      .filter(col("v") =!= col("u"))
+      .join(eAll.select(col("vec_id").as("v"), col("embedding").as("ev"),
+        col("nrm").as("nv")), Seq("v"))
+      .join(eAll.select(col("vec_id").as("u"), col("embedding").as("eu"),
+        col("nrm").as("nu")), Seq("u"))
+      // raw bit-identical cosine at q288's τ; rounding only at output
+      .filter(VectorOps.cosinePrenormed(
+        VectorOps.dot(col("ev"), col("eu")),
+        col("nv"), col("nu")) >= 0.5)
+      .select(col("v")).distinct()
+      .withColumn("is_sem", lit(true))
+    media.join(sem, media("vec_id") === sem("v"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("dirc"), 1L).otherwise(0L)).as("n_direct"),
+        sum(when(coalesce(col("is_sem"), lit(false)) && !col("dirc"), 1L)
+          .otherwise(0L)).as("n_semantic"))
+      .withColumn("contam_ppm",
+        expr("(n_direct + n_semantic) * 1000000 div n_media"))
+  }
+
   val catalog: Seq[Q] = Seq(
+    Q("q356_phash_ball", mediaPhashBall _,
+      """WITH d AS (
+        |  SELECT doc_id, text, len(text) AS n FROM documents
+        |  WHERE len(text) >= 61),
+        |ch AS (
+        |  SELECT doc_id, ((i - 1) * 61) // n AS seg, unicode(text[i]) AS cp
+        |  FROM (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i
+        |        FROM d)),
+        |segs AS (
+        |  SELECT doc_id, seg, CAST(sum(cp) AS BIGINT) AS sm,
+        |    count(*) AS cnt
+        |  FROM ch GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT doc_id, list(sm ORDER BY seg) AS ss,
+        |    list(cnt ORDER BY seg) AS cs
+        |  FROM segs GROUP BY 1),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_aggregate([CASE WHEN ss[j+2] * cs[j+1]
+        |          > ss[j+1] * cs[j+2]
+        |        THEN (1::BIGINT << j) ELSE 0::BIGINT END
+        |      for j in range(0, 60)], 'sum') AS BIGINT) AS f1,
+        |    CAST(list_aggregate([CASE WHEN ss[((j+2)%61)+1] * cs[j+1]
+        |          > ss[j+1] * cs[((j+2)%61)+1]
+        |        THEN (1::BIGINT << j) ELSE 0::BIGINT END
+        |      for j in range(0, 60)], 'sum') AS BIGINT) AS f2
+        |  FROM arr),
+        |chunks AS (
+        |  SELECT doc_id, f1, f2, c,
+        |    CASE WHEN c < 5 THEN (f1 >> (c * 12)) & 4095
+        |         ELSE (f2 >> ((c - 5) * 12)) & 4095 END AS key
+        |  FROM fp, range(0, 10) t(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.f1 AS fa1, a.f2 AS fa2, b.f1 AS fb1, b.f2 AS fb2
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(fa1, fb1)) + bit_count(xor(fa2, fb2))
+        |    AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(fa1, fb1)) + bit_count(xor(fa2, fb2)) <= 9"""
+        .stripMargin),
+    Q("q357_crossmodal_contam", crossmodalContam _,
+      s"""WITH ${Dedup.kmeansCtesSql},
+        |docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |fl AS (
+        |  SELECT doc_id, source, len(w) >= 3 AS eligible,
+        |    len(w) >= 3 AND
+        |      ((('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)),
+        |        1, 8))::BIGINT % 100) < 5) AS is_bench,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in range(1, len(w) - 1)])
+        |    ELSE [] END AS sh
+        |  FROM docs),
+        |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM fl WHERE is_bench),
+        |direct AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(sh) AS s FROM fl
+        |    WHERE eligible AND NOT is_bench) c
+        |  JOIN bsh USING (s)),
+        |media AS (
+        |  SELECT e.vec_id, f.source, a2.cell,
+        |    (dd.doc_id IS NOT NULL) AS dirc
+        |  FROM embeddings e
+        |  JOIN fl f ON f.doc_id = e.vec_id
+        |  JOIN a2 ON a2.vec_id = e.vec_id
+        |  LEFT JOIN direct dd ON dd.doc_id = e.vec_id
+        |  WHERE NOT f.is_bench),
+        |carriers AS (
+        |  SELECT a2.cell, a2.vec_id AS u
+        |  FROM a2 JOIN fl f ON f.doc_id = a2.vec_id
+        |  LEFT JOIN direct dd ON dd.doc_id = a2.vec_id
+        |  WHERE f.is_bench OR dd.doc_id IS NOT NULL),
+        |sem AS (
+        |  SELECT DISTINCT m.vec_id AS v
+        |  FROM media m
+        |  JOIN carriers c ON c.cell = m.cell AND c.u <> m.vec_id
+        |  JOIN q qv ON qv.vec_id = m.vec_id
+        |  JOIN q qu ON qu.vec_id = c.u
+        |  WHERE NOT m.dirc AND
+        |    (list_aggregate([CAST(qv.embedding[i] AS DOUBLE)
+        |        * CAST(qu.embedding[i] AS DOUBLE)
+        |      for i in range(1, len(qv.embedding) + 1)], 'sum')
+        |     / (qv.nrm * qu.nrm)) >= 0.5)
+        |SELECT m.source, count(*) AS n_media,
+        |  CAST(sum(CASE WHEN m.dirc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_direct,
+        |  CAST(sum(CASE WHEN s.v IS NOT NULL AND NOT m.dirc
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic,
+        |  CAST((sum(CASE WHEN m.dirc THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN s.v IS NOT NULL AND NOT m.dirc
+        |        THEN 1 ELSE 0 END)) * 1000000
+        |    // count(*) AS BIGINT) AS contam_ppm
+        |FROM media m LEFT JOIN sem s ON s.v = m.vec_id
+        |GROUP BY 1""".stripMargin),
     Q("q182_binaryfile_source", binaryFileSource _,
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -422,6 +422,99 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)), s"got $pairs")
     assert(out.head.getAs[Int]("hamming") === 2)
   }
+  test("q356 phash ball: banded join equals the brute-force radius-9 " +
+      "set on a planted fixture spanning both sides of the threshold") {
+    import spark.implicits._
+    // 61 equal 2-char segments => segment mean = its codepoint, so both
+    // 60-bit planes recompute exactly from the value vectors: f1 bit j =
+    // v(j+1) > v(j), f2 bit j = v((j+2)%61) > v(j).
+    def payload(vals: Seq[Int]): String =
+      vals.map(v => v.toChar.toString * 2).mkString
+    val base = (0 until 61).map(i => if (i % 2 == 0) 97 else 98)
+    val fixtures: Seq[(Long, Seq[Int])] = Seq(
+      1L -> base,
+      2L -> base.updated(1, 96),                    // tiny perturbation
+      3L -> base.updated(5, 96).updated(21, 99),    // mid-ball
+      4L -> base.updated(9, 96).updated(25, 99)
+        .updated(41, 96).updated(55, 99),           // near the rim
+      5L -> Seq.fill(61)(97))                       // far (plane-1 zeros)
+    def ham(a: Seq[Int], b: Seq[Int]): Int =
+      (0 until 60).count(j => (a(j + 1) > a(j)) != (b(j + 1) > b(j))) +
+        (0 until 60).count(j =>
+          (a((j + 2) % 61) > a(j)) != (b((j + 2) % 61) > b(j)))
+    val expected = (for {
+      (ia, va) <- fixtures; (ib, vb) <- fixtures
+      if ia < ib && ham(va, vb) <= 9
+    } yield (ia, ib) -> ham(va, vb)).toMap
+    assert(expected.nonEmpty && expected.size < fixtures.size * 2,
+      s"fixture degenerate: $expected") // some in, some out
+    val docs = fixtures.map { case (id, v) => (id, payload(v)) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.mediaPhashBallOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(out === expected) // band completeness to radius 9 + exactness
+  }
+
+  test("q357 crossmodal contamination: direct + semantic hits equal a " +
+      "from-scratch recompute over shingles, cells and cosines") {
+    def md5hex8(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString, 16)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, t, _) => id -> t.split(" ", -1) }.toMap
+    val shingles = toks.map { case (id, w) =>
+      id -> (if (w.length >= 3)
+        (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+          .toSet
+      else Set.empty[String])
+    }
+    val isBench = docs.map { case (id, _, _) =>
+      id -> (toks(id).length >= 3 && md5hex8(s"bench:$id") % 100 < 5)
+    }.toMap
+    val benchSh = shingles.collect { case (id, s) if isBench(id) => s }
+      .fold(Set.empty)(_ ++ _)
+    val isDirect = docs.map { case (id, _, _) =>
+      id -> (!isBench(id) && toks(id).length >= 3 &&
+        shingles(id).exists(benchSh))
+    }.toMap
+    val cell = Dedup.embeddingCells(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(emb(a), emb(b)) /
+        (math.sqrt(dot(emb(a), emb(a))) * math.sqrt(dot(emb(b), emb(b))))
+    val carriers = emb.keys.filter(id => isBench(id) || isDirect(id)).toSeq
+    val isSem = emb.keys.map { v =>
+      v -> (!isBench(v) && !isDirect(v) && carriers.exists(u =>
+        u != v && cell(u) == cell(v) && cos(u, v) >= 0.5))
+    }.toMap
+    val srcOf = docs.map { case (id, _, s) => id -> s }.toMap
+    val expected = emb.keys.filterNot(isBench).toSeq.groupBy(srcOf)
+      .map { case (src, ids) =>
+        src -> (ids.size.toLong, ids.count(isDirect).toLong,
+          ids.count(isSem).toLong)
+      }
+    val got = Multimodal.crossmodalContam(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_media"), r.getAs[Long]("n_direct"),
+          r.getAs[Long]("n_semantic"))).toMap
+    assert(got === expected)
+    // the fixture must exercise at least one of each hit kind somewhere
+    assert(expected.values.map(_._2).sum > 0, "no direct hits at sf0.001")
+  }
+
   test("lsh s-curve: pooled pairs cover both generators, rates are " +
       "consistent, and the high-J tail reconciles with q35 minhash") {
     val rows = Dedup.lshScurve(spark, sf).collect()
