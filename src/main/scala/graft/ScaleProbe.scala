@@ -82,6 +82,24 @@ object ScaleProbe {
       return
     }
 
+    // `--r15`: 1x/10x for this round's additions + rewrites (phash ball,
+    // crossmodal contam, rec-coverage histogram form, conformal two-level
+    // prefix, driver-side Bradley-Terry).
+    if (args.contains("--r15")) {
+      r15Probe(spark, base)
+      spark.stop()
+      return
+    }
+
+    // `--x100-r15` (r14 verdict №5): the r14 additions at 1x vs 100x —
+    // Kneser-Ney (bigram surface grows with vocab², the watch item),
+    // two-level Louvain, substring dedup L=25.
+    if (args.contains("--x100-r15")) {
+      x100R15Probe(spark, base)
+      spark.stop()
+      return
+    }
+
     val keySpan = 100000000L
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
@@ -650,6 +668,119 @@ object ScaleProbe {
         operators.Analytics.mannKendall(spark, dir).count())
       time(s"louvain_two_level_$tag")(
         operators.Graph.louvainTwoLevel(spark, dir).count())
+    }
+    calib("post")
+  }
+
+  private def r15Probe(spark: SparkSession, base: String): Unit = {
+    val out = "target/scale10"
+    val keySpan = 100000000L
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    def calib(tag: String): Unit =
+      println(f"calib_${tag}%-22s ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
+      rep(Tables.load(spark, base, "documents")) { (d, i) =>
+        d.withColumn("doc_id", col("doc_id") + i * keySpan)
+          .withColumn("text",
+            if (i == 0) col("text") else concat(lit(s"r$i "), col("text")))
+      }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+      rep(Tables.load(spark, base, "orders")) { (d, i) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + i * keySpan)
+      }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+      rep(Tables.load(spark, base, "lineitem")) { (d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + i * keySpan)
+      }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      rep(Tables.load(spark, base, "embeddings")) { (d, i) =>
+        d.withColumn("vec_id", col("vec_id") + i * keySpan)
+      }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+        Tables.load(spark, base, t).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+      }
+    }
+    calib("pre")
+    Seq(base, out).foreach { d =>
+      operators.Relational.starFact(spark, d).count()
+    }
+    for (round <- 1 to 2; (tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
+      operators.Dedup.clearStageCaches()
+      println(s"--- $tag round $round ($dir) ---")
+      time(s"kmeans_stage_$tag") {
+        operators.Dedup.materializeCells(spark, dir); 0L }
+      time(s"phash_ball_$tag")(
+        operators.Multimodal.mediaPhashBall(spark, dir).count())
+      time(s"crossmodal_contam_$tag")(
+        operators.Multimodal.crossmodalContam(spark, dir).count())
+      time(s"rec_coverage_$tag")(
+        operators.Graph.recCoverage(spark, dir).count())
+      time(s"conformal_$tag")(
+        operators.MlEval.conformal(spark, dir).count())
+      time(s"bradley_terry_$tag")(
+        operators.MlEval.bradleyTerry(spark, dir).count())
+    }
+    calib("post")
+  }
+
+  private def x100R15Probe(spark: SparkSession, base: String): Unit = {
+    val out = "target/scale100"
+    val keySpan = 100000000L
+    val reps = 100
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    def calib(tag: String): Unit =
+      println(f"calib_${tag}%-22s ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
+    def repped(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(reps).toDF("rep"))
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      // replica-tagged tokens: vocab grows ~100x too — the honest shape
+      // for Kneser-Ney, whose continuation census rides the bigram TYPE
+      // surface (each replica's tokens only pair within the replica)
+      repped(Tables.load(spark, base, "documents"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * keySpan)
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "),
+            w => concat(lit("r"), col("rep"), lit("_"), w))))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      repped(Tables.load(spark, base, "orders"))
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * keySpan)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      repped(Tables.load(spark, base, "lineitem"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * keySpan)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+        Tables.load(spark, base, t).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+      }
+    }
+    calib("pre")
+    Seq(base, out).foreach { d =>
+      operators.Relational.starFact(spark, d).count()
+    }
+    for (round <- 1 to 2; (tag, dir) <- Seq("1x" -> base, "100x" -> out)) {
+      operators.Graph.clearStageCaches()
+      println(s"--- $tag round $round ($dir) ---")
+      time(s"kneser_ney_$tag")(
+        operators.TextAnalysis.kneserNey(spark, dir).count())
+      time(s"support2_stage_$tag") {
+        operators.Graph.materializeSupport2(spark, dir); 0L }
+      time(s"louvain_l1_stage_$tag") {
+        operators.Graph.materializeLouvainL1(spark, dir); 0L }
+      time(s"louvain_two_level_$tag")(
+        operators.Graph.louvainTwoLevel(spark, dir).count())
+      time(s"substr_l25_$tag")(
+        operators.Dedup.substringDedup25(spark, dir).count())
     }
     calib("post")
   }

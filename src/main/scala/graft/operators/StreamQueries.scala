@@ -245,9 +245,11 @@ object StreamQueries {
     * previous and running index per user. The one streaming surface that
     * was previously spec-only; with the single-file staging (one
     * micro-batch) the emitted rows equal the batch lag()/row_number()
-    * windows, which is the oracle. */
+    * windows, which is the oracle. NoTimeout state => every emission is
+    * data-batch-time; the trailing no-data batch is a pure planning
+    * cycle, skipped. */
   def streamUserState(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, dir, mode = "append") { ev =>
+    runToTable(spark, dir, mode = "append", noData = Some(false)) { ev =>
       import spark.implicits._
       EventStreams.enrichStateful(
         ev.select(col("user_id"), col("event_id"), col("ts"))
@@ -261,9 +263,10 @@ object StreamQueries {
     * integer cents), each event flagged against it the moment it
     * arrives. With the single-file staging (one micro-batch) the
     * emitted rows equal the batch trailing-frame windows, which is the
-    * oracle. */
+    * oracle. NoTimeout state => data-batch-time emissions only; no-data
+    * batch skipped. */
   def streamEwma(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, dir, mode = "append") { ev =>
+    runToTable(spark, dir, mode = "append", noData = Some(false)) { ev =>
       import spark.implicits._
       EventStreams.ewmaStateful(
         ev.select(col("user_id"), col("event_id"), col("ts"),
@@ -282,9 +285,10 @@ object StreamQueries {
     * rows equal the batch interval-join formulation, which is the
     * oracle. The version ordinal (`ver_seq`) rides along — the field the
     * two-batch spec uses to prove a version change between micro-batches
-    * re-routes subsequent facts. */
+    * re-routes subsequent facts. NoTimeout state => data-batch-time
+    * emissions only; no-data batch skipped. */
   def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, dir, mode = "append") { ev =>
+    runToTable(spark, dir, mode = "append", noData = Some(false)) { ev =>
       import spark.implicits._
       EventStreams.asofEnrichStateful(
         ev.filter(col("event_type").isin("click", "purchase"))
@@ -670,9 +674,10 @@ object StreamQueries {
     * equal the batch lag()/row_number() windows, which is the oracle;
     * the two-batch spec proves presence survives the batch boundary
     * (an I in batch 1 makes batch 2's U an `update`, its D a real
-    * `delete`). */
+    * `delete`). NoTimeout state => data-batch-time emissions only;
+    * no-data batch skipped. */
   def streamCdc(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, dir, mode = "append") { ev =>
+    runToTable(spark, dir, mode = "append", noData = Some(false)) { ev =>
       import spark.implicits._
       EventStreams.cdcApplyStateful(
         ev.select(col("user_id"), col("event_id"), col("ts"),
