@@ -14,10 +14,16 @@ cross-round perf calls are a computation, not a judgement:
    (calib_threads), the calib numbers measured different saturation widths
    — the tool says so and refuses to normalize (raw comparison only).
 
-2. Adjudicate per query and per category with the 10%-or-50ms rule: a
-   normalized delta is REGRESSED/IMPROVED only if it moves >10% AND
-   >50 ms; inside that envelope the study showed same-binary runs
-   disagree, so the verdict is 'stable'. A query failed (-1) or absent on
+2. Adjudicate per category and for the total with the 10%-or-50ms rule;
+   per QUERY the band is 25%-or-50ms: the round-15 same-HEAD
+   reproducibility study (SCALE.md "Round 15 - full-window variance")
+   measured per-query spread between same-HEAD full windows at
+   P50 9.2% / P90 26.3% - a 10% per-query band flags ~27% of the
+   catalog on pure window noise (the round-14 "51 REGRESSED vs a
+   same-HEAD re-pin" incident). 25% = the measured P90; anything past
+   it is still isolation-adjudicated before the gate fails. Totals and
+   categories aggregate the noise away (same-HEAD total spread 8.3%),
+   so they keep the tighter 10% band. A query failed (-1) or absent on
    either side is 'unadjudicable' (with the reason).
 
 Exit code 1 iff any query or category regressed — usable as a gate.
@@ -33,7 +39,8 @@ import json
 import sys
 
 
-THRESH_REL = 0.10
+THRESH_REL = 0.10        # totals + categories
+QUERY_REL = 0.25         # per query: the measured same-HEAD P90 spread
 THRESH_ABS = 0.05  # seconds
 
 
@@ -42,9 +49,9 @@ def load(path):
         return json.load(f)
 
 
-def verdict(old, new_norm):
+def verdict(old, new_norm, rel=THRESH_REL):
     d = new_norm - old
-    if abs(d) > THRESH_ABS and abs(d) > THRESH_REL * old:
+    if abs(d) > THRESH_ABS and abs(d) > rel * old:
         return "REGRESSED" if d > 0 else "improved"
     return "stable"
 
@@ -124,19 +131,20 @@ def main():
             unadj.append((k, "failed in " + ("old" if qa[k] < 0 else "new")))
             continue
         nn = qb[k] * norm
-        v = verdict(qa[k], nn)
+        v = verdict(qa[k], nn, QUERY_REL)
         if v == "REGRESSED" and k in iso and iso[k] >= 0:
             iso_n = iso[k] * norm
-            if verdict(qa[k], iso_n) != "REGRESSED":
+            if verdict(qa[k], iso_n, QUERY_REL) != "REGRESSED":
                 v = f"cleared-by-isolation ({iso_n:.3f}s solo)"
             elif k in iso_old and iso_old[k] >= 0 and \
-                    verdict(iso_old[k], iso_n) != "REGRESSED":
+                    verdict(iso_old[k], iso_n, QUERY_REL) != "REGRESSED":
                 v = (f"cleared-by-isolation-pair (solo {iso_old[k]:.3f}s "
                      f"-> {iso_n:.3f}s; solo floor above in-suite pin)")
         rows.append((k, qa[k], qb[k], nn, v))
 
     print(f"\nper-category (normalized, {THRESH_REL:.0%}-or-"
-          f"{THRESH_ABS * 1000:.0f}ms rule):")
+          f"{THRESH_ABS * 1000:.0f}ms rule; per-query band "
+          f"{QUERY_REL:.0%} per the r15 variance study):")
     ca, cb = a.get("categories", {}), b.get("categories", {})
     for c in sorted(set(ca) | set(cb)):
         if c in ca and c in cb:
