@@ -81,7 +81,7 @@ object Bench {
       "q267_lsh_scurve", "q268_hard_negatives",
       "q272_pca_power", "q273_acf", "q274_dbscan", "q280_isotonic",
       "q282_seasonal_decompose", "q288_semantic_dedup",
-      "q356_phash_ball", "q357_crossmodal_contam")
+      "q356_phash_ball", "q357_crossmodal_contam", "q358_frame_dedup")
     // Shared pipeline stages (cluster labels; hashed shingles) are
     // memoized per (session, dir) and consumed by several queries. Each
     // pass clears the memo and materializes the stage OUTSIDE any

@@ -344,6 +344,71 @@ object Multimodal {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Cross-media duplicate-FRAME detection — the video-dedup shape
+    * ("these two assets share scenes"): carve every payload into
+    * aligned 64-byte frames ([[frameSample]] stride 1), hash each frame,
+    * and report media pairs sharing ≥ 2 distinct frame hashes. The
+    * candidate generator is a frame-hash equi-join with the standard
+    * hot-bucket cap (a frame appearing in > 100 media is boilerplate —
+    * an intro card / silence block — and emits no pairs; the q35 LSH
+    * super-bucket discipline), so candidates stay linear in media at a
+    * constant dup rate, never all-pairs. The DuckDB oracle is the same
+    * capped form — the cap is part of the declared semantics. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir).filter(col("meta.n_bytes") > 0)
+    val fd = frameSample(media, 64, 1)
+      .select(col("doc_id"), md5(col("frame")).as("fh"))
+      .distinct()
+      .cutLineage() // three roles: both pair sides + the bucket census
+    val ok = fd.groupBy(col("fh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 100).select(col("fh"))
+    val fdo = fd.join(ok, Seq("fh"))
+    fdo.select(col("fh"), col("doc_id").as("doc_a"))
+      .join(fdo.select(col("fh"), col("doc_id").as("doc_b")), Seq("fh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
+  /** Per-media QUALITY GATE on the decoded-frame axis — the multimodal
+    * analog of q41's text-quality rules (and the real shape of audio
+    * curation: silence ratio + clipping ratio per clip): every payload's
+    * aligned 64-byte frames get an exact integer "energy" (mean
+    * codepoint, `sum div count` — the stub decoder's stand-in for RMS
+    * level), a frame is silent below 90 / clipped above 100 (thresholds
+    * sit at the corpus P5/P95 so both rules actually fire), and a media
+    * item passes iff ≤ 25% of its frames are silent AND ≤ 25% clipped.
+    * Reported per origin with corpus-level frame ppms. One narrow
+    * explode → one partial-agg'd (doc, frame) reduce → one per-doc
+    * reduce: no joins, no shuffle wider than the media count. */
+  def mediaQuality(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir).filter(col("meta.n_bytes") > 0)
+    val fm = frameSample(media, 64, 1)
+      .select(col("doc_id"), col("frame_idx"),
+        explode(split(decode(col("frame"), "UTF-8"), "")).as("c"))
+      .groupBy(col("doc_id"), col("frame_idx"))
+      .agg(expr("sum(ascii(c)) div count(1)").as("mean_cp"))
+    val perDoc = fm.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("mean_cp") < 90, 1L).otherwise(0L)).as("n_silent"),
+        sum(when(col("mean_cp") > 100, 1L).otherwise(0L)).as("n_clip"))
+      .withColumn("pass",
+        expr("n_silent * 1000000 div n_frames") <= 250000 &&
+          expr("n_clip * 1000000 div n_frames") <= 250000)
+    perDoc
+      .join(media.select(col("doc_id"), col("meta.origin").as("origin")),
+        Seq("doc_id"))
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("n_silent")).as("ts"), sum(col("n_clip")).as("tc"),
+        sum(col("n_frames")).as("tf"))
+      .select(col("origin"), col("n_media"), col("n_pass"),
+        expr("ts * 1000000 div tf").as("silent_frame_ppm"),
+        expr("tc * 1000000 div tf").as("clip_frame_ppm"))
+  }
+
   /** Cross-modal decontamination: benchmark leakage found in ONE
     * modality must remove the item from BOTH — the pair (caption,
     * image) is the training example, so a caption that hits the held-out
@@ -438,6 +503,56 @@ object Multimodal {
   }
 
   val catalog: Seq[Q] = Seq(
+    Q("q358_frame_dedup", frameDedup _,
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |f AS (
+        |  SELECT DISTINCT doc_id, md5(substring(text, i * 64 + 1, 64)) AS fh
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, CAST(ceil(octet_length(encode(text))
+        |            / 64.0) AS INT))) AS i
+        |        FROM d)),
+        |sz AS (SELECT fh, count(*) AS n FROM f GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM f a JOIN f b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |  JOIN sz ON sz.fh = a.fh
+        |  WHERE sz.n <= 100)
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cand GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+    Q("q359_media_quality", mediaQuality _,
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |f AS (
+        |  SELECT doc_id, source, i, substring(text, i * 64 + 1, 64) AS fr
+        |  FROM (SELECT doc_id, source, text,
+        |          unnest(range(0, CAST(ceil(octet_length(encode(text))
+        |            / 64.0) AS INT))) AS i
+        |        FROM d)),
+        |fm AS (
+        |  SELECT doc_id, source, i,
+        |    CAST(sum(unicode(fr[j])) AS BIGINT) // count(*) AS mean_cp
+        |  FROM (SELECT doc_id, source, i, fr,
+        |          unnest(range(1, len(fr) + 1)) AS j FROM f)
+        |  GROUP BY 1, 2, 3),
+        |pd AS (
+        |  SELECT doc_id, source, count(*) AS n_frames,
+        |    CAST(sum(CASE WHEN mean_cp < 90 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_silent,
+        |    CAST(sum(CASE WHEN mean_cp > 100 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clip
+        |  FROM fm GROUP BY 1, 2)
+        |SELECT source AS origin, count(*) AS n_media,
+        |  CAST(sum(CASE WHEN n_silent * 1000000 // n_frames <= 250000
+        |    AND n_clip * 1000000 // n_frames <= 250000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(n_silent) * 1000000 // sum(n_frames) AS BIGINT)
+        |    AS silent_frame_ppm,
+        |  CAST(sum(n_clip) * 1000000 // sum(n_frames) AS BIGINT)
+        |    AS clip_frame_ppm
+        |FROM pd GROUP BY 1""".stripMargin),
     Q("q356_phash_ball", mediaPhashBall _,
       """WITH d AS (
         |  SELECT doc_id, text, len(text) AS n FROM documents

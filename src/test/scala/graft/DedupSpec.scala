@@ -515,6 +515,65 @@ class DedupSpec extends SparkSpec {
     assert(expected.values.map(_._2).sum > 0, "no direct hits at sf0.001")
   }
 
+  test("q358 frame dedup: pairs equal a from-scratch aligned-frame " +
+      "recompute with the hot-bucket cap applied") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val fd = docs.flatMap { case (id, t) =>
+      t.grouped(64).map(fr => (id, md5hex(fr)))
+    }.distinct
+    val bucket = fd.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val pairs = scala.collection.mutable.Map[(Long, Long), Long]()
+    bucket.values.filter(m => m.size > 1 && m.size <= 100).foreach { m =>
+      val ids = m.toSeq.sorted
+      for (a <- ids; b <- ids; if a < b)
+        pairs((a, b)) = pairs.getOrElse((a, b), 0L) + 1L
+    }
+    val expected = pairs.filter(_._2 >= 2).toMap
+    val got = Multimodal.frameDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture degenerate: no shared-frame pairs")
+  }
+
+  test("q359 media quality: per-source pass counts and frame ppms " +
+      "equal a from-scratch frame-energy recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._2.nonEmpty)
+    case class D(src: String, nf: Long, silent: Long, clip: Long) {
+      def pass: Boolean = silent * 1000000L / nf <= 250000L &&
+        clip * 1000000L / nf <= 250000L
+    }
+    val per = docs.map { case (_, t, src) =>
+      val means = t.grouped(64).map(fr =>
+        fr.map(_.toLong).sum / fr.length).toSeq
+      D(src, means.size.toLong, means.count(_ < 90).toLong,
+        means.count(_ > 100).toLong)
+    }
+    val expected = per.groupBy(_.src).map { case (src, ds) =>
+      src -> (ds.length.toLong, ds.count(_.pass).toLong,
+        ds.map(_.silent).sum * 1000000L / ds.map(_.nf).sum,
+        ds.map(_.clip).sum * 1000000L / ds.map(_.nf).sum)
+    }
+    val got = Multimodal.mediaQuality(spark, sf).collect()
+      .map(r => r.getAs[String]("origin") ->
+        (r.getAs[Long]("n_media"), r.getAs[Long]("n_pass"),
+          r.getAs[Long]("silent_frame_ppm"),
+          r.getAs[Long]("clip_frame_ppm"))).toMap
+    assert(got === expected)
+    // both rules must actually fire somewhere for the gate to mean much
+    assert(per.exists(d => !d.pass) || per.exists(_.silent > 0) ||
+      per.exists(_.clip > 0), "thresholds never fire at sf0.001")
+  }
+
   test("lsh s-curve: pooled pairs cover both generators, rates are " +
       "consistent, and the high-J tail reconciles with q35 minhash") {
     val rows = Dedup.lshScurve(spark, sf).collect()
