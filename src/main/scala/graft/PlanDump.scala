@@ -73,8 +73,8 @@ object PlanDump {
         ("radius-9 hamming ball: 120-bit two-plane signature, 10 x 12-bit " +
           "pigeonhole bands, popcount verify on candidates only"),
       "q357_crossmodal_contam" ->
-        ("cross-modal decontamination: broadcast bloom prefilter + exact " +
-          "shingle verify on the caption side, shared k-means cell " +
+        ("cross-modal decontamination: literal-inlined bloom prefilter + " +
+          "exact shingle verify on the caption side, shared k-means cell " +
           "candidates + skinny carrier join on the embedding side"),
       "q170_cbo_join_reorder" ->
         ("catalog stats + CBO: ANALYZE'd tables, CostBasedJoinReorder " +
