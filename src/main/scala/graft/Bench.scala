@@ -81,7 +81,8 @@ object Bench {
       "q267_lsh_scurve", "q268_hard_negatives",
       "q272_pca_power", "q273_acf", "q274_dbscan", "q280_isotonic",
       "q282_seasonal_decompose", "q288_semantic_dedup",
-      "q356_phash_ball", "q357_crossmodal_contam", "q358_frame_dedup")
+      "q356_phash_ball", "q357_crossmodal_contam", "q358_frame_dedup",
+      "q360_cdc_chunks")
     // Shared pipeline stages (cluster labels; hashed shingles) are
     // memoized per (session, dir) and consumed by several queries. Each
     // pass clears the memo and materializes the stage OUTSIDE any
@@ -226,8 +227,14 @@ object Bench {
     // a regression. Keeping it on the watchlist makes every window (and
     // so every pin) carry its isolated median, which benchdiff's
     // isolation-PAIR rule compares like-for-like.
+    // r15: the three-window study's same-HEAD spike queries (442%/408%/
+    // 329%/100% spreads — suite-interaction GC landings on sub-second
+    // queries) join the standing list so every pin carries their solo
+    // medians and benchdiff's isolation-PAIR rule adjudicates them
+    // like-for-like.
     val watchlist = Set("q184_ewma_anomaly", "q141_jsonl_source",
-      "q224_priority_sample")
+      "q224_priority_sample", "q33_dedup_exact", "q236_spatial_join",
+      "q106_kmv_distinct", "q321_mann_whitney", "q41_text_quality")
     val isolated: Map[String, Double] = if (only.nonEmpty) Map.empty else {
       val base = try {
         import org.json4s._

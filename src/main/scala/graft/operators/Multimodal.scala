@@ -358,7 +358,16 @@ object Multimodal {
     val media = mediaTable(spark, dir).filter(col("meta.n_bytes") > 0)
     val fd = frameSample(media, 64, 1)
       .select(col("doc_id"), md5(col("frame")).as("fh"))
-      .distinct()
+    sharedHashPairs(fd)
+  }
+
+  /** Shared tail of the piece-hash dedups (q358 aligned frames, q360
+    * content-defined chunks): distinct (doc, hash), drop hot buckets
+    * (a hash held by > 100 media is boilerplate and emits no pairs —
+    * the LSH super-bucket discipline, part of the declared semantics),
+    * equi-join pairs, keep pairs sharing ≥ 2 pieces. */
+  private def sharedHashPairs(pieces: DataFrame): DataFrame = {
+    val fd = pieces.toDF("doc_id", "fh").distinct()
       .cutLineage() // three roles: both pair sides + the bucket census
     val ok = fd.groupBy(col("fh")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= 100).select(col("fh"))
@@ -369,6 +378,51 @@ object Multimodal {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
+  }
+
+  /** Content-defined chunk dedup (Muthitacharoen, Chen & Mazières,
+    * SOSP 2001 — the LBFS/rsync/backup-dedup discipline): chunk
+    * boundaries are declared where the CONTENT's local fingerprint
+    * hits a pattern (here: md5 of the 8-char gram at position i starts
+    * with hex '0' — expected chunk ≈ 16 chars), so an insertion shifts
+    * only the chunks it touches and boundaries RE-SYNC right after —
+    * the shift-robustness q358's aligned frames structurally lack (one
+    * inserted byte there re-keys every downstream frame). Chunks
+    * between consecutive boundaries are hashed and pairs sharing ≥ 2
+    * distinct chunk hashes reported, with the same hot-bucket cap.
+    *
+    * Scale shape: the boundary scan is one narrow explode + codegen'd
+    * md5 per position (linear in corpus bytes, no shuffle); chunks
+    * reassemble with one per-doc groupBy; candidates come from the
+    * chunk-hash equi-join, never all-pairs. */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkPairsOn(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** [[cdcChunkDedup]] over an arbitrary (doc_id, text) frame — spec
+    * entry point for the planted insertion-shift fixture. */
+  private[graft] def cdcChunkPairsOn(docs: DataFrame): DataFrame = {
+    val d = docs
+      .filter(length(col("text")) >= 8)
+      .withColumn("n", length(col("text")))
+    val bounds = d
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), col("n") - 7)).as("i"))
+      .filter(substring(md5(expr("substring(text, i, 8)")), 1, 1) === "0")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("i"))).as("bs"))
+    val chunks = d.join(bounds, Seq("doc_id"), "left_outer")
+      .withColumn("b2", array_sort(array_distinct(concat(
+        array(lit(1)),
+        coalesce(col("bs"), expr("CAST(array() AS array<int>)")),
+        array(col("n") + 1)))))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(sequence(1, size(b2) - 1), k ->
+          |  IF(element_at(b2, k + 1) > element_at(b2, k),
+          |    md5(substring(text, element_at(b2, k),
+          |      element_at(b2, k + 1) - element_at(b2, k))),
+          |    NULL)), x -> x IS NOT NULL)""".stripMargin)).as("fh"))
+    sharedHashPairs(chunks)
   }
 
   /** Per-media QUALITY GATE on the decoded-frame axis — the multimodal
@@ -553,6 +607,36 @@ object Multimodal {
         |  CAST(sum(n_clip) * 1000000 // sum(n_frames) AS BIGINT)
         |    AS clip_frame_ppm
         |FROM pd GROUP BY 1""".stripMargin),
+    Q("q360_cdc_chunks", cdcChunkDedup _,
+      """WITH d AS (
+        |  SELECT doc_id, text, len(text) AS n FROM documents
+        |  WHERE len(text) >= 8),
+        |b AS (
+        |  SELECT doc_id, list_sort(list(DISTINCT i)) AS bs
+        |  FROM (SELECT doc_id, i
+        |        FROM (SELECT doc_id, text, n,
+        |                unnest(range(1, n - 6)) AS i FROM d)
+        |        WHERE substr(md5(substr(text, i, 8)), 1, 1) = '0')
+        |  GROUP BY 1),
+        |bs2 AS (
+        |  SELECT d.doc_id, d.text,
+        |    list_sort(list_distinct([1] || coalesce(b.bs, [])
+        |      || [d.n + 1])) AS b2
+        |  FROM d LEFT JOIN b ON b.doc_id = d.doc_id),
+        |ch AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(substr(text, b2[k], b2[k + 1] - b2[k])) AS fh
+        |  FROM (SELECT doc_id, text, b2,
+        |          unnest(range(1, len(b2))) AS k FROM bs2)
+        |  WHERE b2[k + 1] > b2[k]),
+        |sz AS (SELECT fh, count(*) AS cnt FROM ch GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ch a JOIN ch b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |  JOIN sz ON sz.fh = a.fh
+        |  WHERE sz.cnt <= 100)
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cand GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
     Q("q356_phash_ball", mediaPhashBall _,
       """WITH d AS (
         |  SELECT doc_id, text, len(text) AS n FROM documents

@@ -542,6 +542,56 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture degenerate: no shared-frame pairs")
   }
 
+  test("q360 cdc chunks: pairs equal a from-scratch content-defined " +
+      "recompute, and a planted insertion survives where aligned frames miss") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def chunks(t: String): Set[String] = {
+      val bs = (1 to t.length - 7)
+        .filter(i => md5hex(t.substring(i - 1, i + 7)).startsWith("0"))
+      val b2 = (Seq(1) ++ bs ++ Seq(t.length + 1)).distinct.sorted
+      b2.sliding(2).collect { case Seq(a, b) if b > a =>
+        md5hex(t.substring(a - 1, b - 1)) }.toSet
+    }
+    // from-scratch recompute over the corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 8)
+    val fd = docs.map { case (id, t) => id -> chunks(t) }
+    val holders = scala.collection.mutable.Map[String, Set[Long]]()
+    fd.foreach { case (id, cs) => cs.foreach(c =>
+      holders(c) = holders.getOrElse(c, Set.empty) + id) }
+    val pairs = scala.collection.mutable.Map[(Long, Long), Long]()
+    holders.values.filter(m => m.size > 1 && m.size <= 100).foreach { m =>
+      val ids = m.toSeq.sorted
+      for (a <- ids; b <- ids; if a < b)
+        pairs((a, b)) = pairs.getOrElse((a, b), 0L) + 1L
+    }
+    val expected = pairs.filter(_._2 >= 2).toMap
+    val got = Multimodal.cdcChunkDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(got === expected)
+    // shift-robustness: B = A with a 5-char insertion at the front.
+    // Aligned 64-byte frames ALL re-key (q358 would find nothing);
+    // content-defined boundaries re-sync, so CDC still pairs them.
+    import spark.implicits._
+    val base = docs.map(_._2).maxBy(_.length)
+    assume(base.length >= 300, "fixture needs a long doc")
+    val planted = Seq((1L, base), (2L, "XQZW " + base))
+      .toDF("doc_id", "text")
+    val cdcPair = Multimodal.cdcChunkPairsOn(planted).collect()
+    assert(cdcPair.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L && r.getAs[Long]("n_shared") >= 2),
+      s"CDC missed the shifted duplicate: ${cdcPair.toSeq}")
+    val alignedShared = base.grouped(64).map(md5hex).toSet
+      .intersect(("XQZW " + base).grouped(64).map(md5hex).toSet)
+    assert(alignedShared.size < 2,
+      "fixture too weak: aligned frames also catch it")
+  }
+
   test("q359 media quality: per-source pass counts and frame ppms " +
       "equal a from-scratch frame-energy recompute") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
