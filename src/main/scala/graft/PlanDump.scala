@@ -76,6 +76,10 @@ object PlanDump {
         ("cross-modal decontamination: literal-inlined bloom prefilter + " +
           "exact shingle verify on the caption side, shared k-means cell " +
           "candidates + skinny carrier join on the embedding side"),
+      "q360_cdc_chunks" ->
+        ("content-defined chunking: codegen'd per-position boundary scan " +
+          "(no shuffle), per-doc chunk reassembly, capped chunk-hash " +
+          "equi-join candidates - never all-pairs"),
       "q170_cbo_join_reorder" ->
         ("catalog stats + CBO: ANALYZE'd tables, CostBasedJoinReorder " +
           "moves the selective dims ahead of the text-first fact join"),
