@@ -353,11 +353,17 @@ object Multimodal {
     * an intro card / silence block — and emits no pairs; the q35 LSH
     * super-bucket discipline), so candidates stay linear in media at a
     * constant dup rate, never all-pairs. The DuckDB oracle is the same
-    * capped form — the cap is part of the declared semantics. */
+    * capped form — the cap is part of the declared semantics.
+    *
+    * Frame identity is md5 over the frame's HEX encoding (not the raw
+    * bytes): this DuckDB build has no BLOB substring, so the oracle
+    * frames `hex(encode(text))` at 2 hex chars per byte — byte-exact on
+    * any UTF-8 input, where a VARCHAR-sliced oracle would silently
+    * diverge from the byte-sliced Spark side on multi-byte text. */
   def frameDedup(spark: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(spark, dir).filter(col("meta.n_bytes") > 0)
     val fd = frameSample(media, 64, 1)
-      .select(col("doc_id"), md5(col("frame")).as("fh"))
+      .select(col("doc_id"), md5(hex(col("frame"))).as("fh"))
     sharedHashPairs(fd)
   }
 
@@ -383,38 +389,64 @@ object Multimodal {
   /** Content-defined chunk dedup (Muthitacharoen, Chen & Mazières,
     * SOSP 2001 — the LBFS/rsync/backup-dedup discipline): chunk
     * boundaries are declared where the CONTENT's local fingerprint
-    * hits a pattern (here: md5 of the 8-char gram at position i starts
-    * with hex '0' — expected chunk ≈ 16 chars), so an insertion shifts
-    * only the chunks it touches and boundaries RE-SYNC right after —
-    * the shift-robustness q358's aligned frames structurally lack (one
-    * inserted byte there re-keys every downstream frame). Chunks
-    * between consecutive boundaries are hashed and pairs sharing ≥ 2
-    * distinct chunk hashes reported, with the same hot-bucket cap.
+    * hits a pattern, so an insertion shifts only the chunks it touches
+    * and boundaries RE-SYNC right after — the shift-robustness q358's
+    * aligned frames structurally lack (one inserted byte there re-keys
+    * every downstream frame). Chunks between consecutive boundaries
+    * are md5-hashed and pairs sharing ≥ 2 distinct chunk hashes
+    * reported, with the same hot-bucket cap.
     *
-    * Scale shape: the boundary scan is one narrow explode + codegen'd
-    * md5 per position (linear in corpus bytes, no shuffle); chunks
-    * reassemble with one per-doc groupBy; candidates come from the
-    * chunk-hash equi-join, never all-pairs. */
+    * The boundary fingerprint is LBFS's shape but a cheap polynomial
+    * instead of a cryptographic hash (exactly rsync's rationale for
+    * its rolling checksum): fp(i) = Σⱼ cp[i+j]·Bʲ mod P over the 8
+    * codepoints at i (B = 1000003, P = 1000000007 — term ≤ 1.1e6·1e9
+    * and the 8-term sum ≤ 8.8e15, exact in BIGINT in both engines),
+    * boundary iff fp % 16 = 0 → expected chunk ≈ 16 chars, same rate
+    * as the previous md5-prefix rule at ~1/10th the per-position cost.
+    * md5 is kept for chunk IDENTITY only, where collision resistance
+    * matters. Both engines evaluate the identical integer formula
+    * (generated by [[cdcFpSql]]), so the gate re-proves parity.
+    *
+    * Scale shape: the boundary scan is one codegen'd per-doc loop
+    * ([[graft.functions.CdcOps]] — narrow, no shuffle, linear in
+    * corpus chars; no per-position explode + groupBy + self-join, and
+    * no interpreted HOF in the hot path); chunk carving and hashing
+    * are one projection; candidates come from the chunk-hash
+    * equi-join, never all-pairs. */
   def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
     cdcChunkPairsOn(Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
 
+  /** B^j mod P for the CDC boundary polynomial, j = 0..7. */
+  private[graft] val cdcPows = Seq(1L, 1000003L, 5993009L, 26937076L,
+    156622669L, 137771646L, 58350534L, 708643152L)
+
+  /** The CDC boundary fingerprint as SQL, parameterized over the
+    * engine's array-indexing spelling (`at(j)` = "codepoint at
+    * position i + j", 1-based): identical term order and integer ops,
+    * so the fold is bit-exact across engines. The DuckDB oracle uses
+    * this directly; the Spark side runs the SAME formula as the
+    * codegen'd [[graft.functions.CdcOps]] loop (the HOF spelling is
+    * interpreted per position — CdcBoundariesSpec pins loop ≡ SQL). */
+  private[graft] def cdcFpSql(at: Int => String): String =
+    cdcPows.zipWithIndex.map { case (p, j) =>
+      s"CAST(${at(j)} AS BIGINT) * $p" }
+      .mkString("(", "\n      + ", ") % 1000000007")
+
   /** [[cdcChunkDedup]] over an arbitrary (doc_id, text) frame — spec
     * entry point for the planted insertion-shift fixture. */
-  private[graft] def cdcChunkPairsOn(docs: DataFrame): DataFrame = {
-    val d = docs
+  private[graft] def cdcChunkPairsOn(docs: DataFrame): DataFrame =
+    sharedHashPairs(cdcChunksOnly(docs))
+
+  /** The (doc_id, chunk-hash) stage of [[cdcChunkDedup]], exposed for
+    * the stage-level scale probe. */
+  private[graft] def cdcChunksOnly(docs: DataFrame): DataFrame = {
+    import graft.functions.CdcOps
+    docs
       .filter(length(col("text")) >= 8)
       .withColumn("n", length(col("text")))
-    val bounds = d
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), col("n") - 7)).as("i"))
-      .filter(substring(md5(expr("substring(text, i, 8)")), 1, 1) === "0")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("i"))).as("bs"))
-    val chunks = d.join(bounds, Seq("doc_id"), "left_outer")
       .withColumn("b2", array_sort(array_distinct(concat(
-        array(lit(1)),
-        coalesce(col("bs"), expr("CAST(array() AS array<int>)")),
+        array(lit(1)), CdcOps.cdcBoundaries(col("text")),
         array(col("n") + 1)))))
       .select(col("doc_id"), explode(expr(
         """filter(transform(sequence(1, size(b2) - 1), k ->
@@ -422,37 +454,46 @@ object Multimodal {
           |    md5(substring(text, element_at(b2, k),
           |      element_at(b2, k + 1) - element_at(b2, k))),
           |    NULL)), x -> x IS NOT NULL)""".stripMargin)).as("fh"))
-    sharedHashPairs(chunks)
   }
 
   /** Per-media QUALITY GATE on the decoded-frame axis — the multimodal
     * analog of q41's text-quality rules (and the real shape of audio
-    * curation: silence ratio + clipping ratio per clip): every payload's
-    * aligned 64-byte frames get an exact integer "energy" (mean
-    * codepoint, `sum div count` — the stub decoder's stand-in for RMS
-    * level), a frame is silent below 90 / clipped above 100 (thresholds
-    * sit at the corpus P5/P95 so both rules actually fire), and a media
-    * item passes iff ≤ 25% of its frames are silent AND ≤ 25% clipped.
-    * Reported per origin with corpus-level frame ppms. One narrow
-    * explode → one partial-agg'd (doc, frame) reduce → one per-doc
-    * reduce: no joins, no shuffle wider than the media count. */
+    * curation: silence ratio + clipping ratio per clip): decode FIRST,
+    * then carve the decoded signal into aligned 64-sample (here: char)
+    * frames, each scored with an exact integer "energy" (mean codepoint,
+    * `sum div count` — the stub decoder's stand-in for RMS level). A
+    * frame is silent below 90 / clipped above 100 (thresholds sit at the
+    * corpus P5/P95 so both rules actually fire), and a media item passes
+    * iff ≤ 25% of its frames are silent AND ≤ 25% clipped. Reported per
+    * origin with corpus-level frame ppms.
+    *
+    * Framing on the DECODED axis (chars, not payload bytes) is what
+    * makes the Spark and DuckDB sides frame identical units on any
+    * UTF-8 input — a byte-sliced frame can split a multi-byte char and
+    * its decode diverges from the oracle's char slice. One narrow
+    * explode (per-frame energy folds inline via `aggregate`, no
+    * per-char shuffle) → one per-doc reduce → one per-origin reduce:
+    * no joins. */
   def mediaQuality(spark: SparkSession, dir: String): DataFrame = {
-    val media = mediaTable(spark, dir).filter(col("meta.n_bytes") > 0)
-    val fm = frameSample(media, 64, 1)
-      .select(col("doc_id"), col("frame_idx"),
-        explode(split(decode(col("frame"), "UTF-8"), "")).as("c"))
-      .groupBy(col("doc_id"), col("frame_idx"))
-      .agg(expr("sum(ascii(c)) div count(1)").as("mean_cp"))
-    val perDoc = fm.groupBy(col("doc_id"))
+    val fm = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("source").as("origin"), col("text"),
+        length(col("text")).as("n"))
+      .withColumn("frame_idx", explode(
+        sequence(lit(0), expr("CAST(ceil(n / 64.0) AS INT)") - 1)))
+      .select(col("doc_id"), col("origin"),
+        col("text").substr(col("frame_idx") * 64 + 1, lit(64)).as("fr"))
+      .select(col("doc_id"), col("origin"), expr(
+        """aggregate(split(fr, ''), CAST(0 AS BIGINT), (a, c) ->
+          |  a + ascii(c)) div CAST(length(fr) AS BIGINT)"""
+          .stripMargin).as("mean_cp"))
+    fm.groupBy(col("doc_id"), col("origin"))
       .agg(count(lit(1)).as("n_frames"),
         sum(when(col("mean_cp") < 90, 1L).otherwise(0L)).as("n_silent"),
         sum(when(col("mean_cp") > 100, 1L).otherwise(0L)).as("n_clip"))
       .withColumn("pass",
         expr("n_silent * 1000000 div n_frames") <= 250000 &&
           expr("n_clip * 1000000 div n_frames") <= 250000)
-    perDoc
-      .join(media.select(col("doc_id"), col("meta.origin").as("origin")),
-        Seq("doc_id"))
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_media"),
         sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
@@ -559,13 +600,13 @@ object Multimodal {
   val catalog: Seq[Q] = Seq(
     Q("q358_frame_dedup", frameDedup _,
       """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE octet_length(encode(text)) > 0),
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
         |f AS (
-        |  SELECT DISTINCT doc_id, md5(substring(text, i * 64 + 1, 64)) AS fh
-        |  FROM (SELECT doc_id, text,
-        |          unnest(range(0, CAST(ceil(octet_length(encode(text))
-        |            / 64.0) AS INT))) AS i
+        |  SELECT DISTINCT doc_id, md5(substr(h, i * 128 + 1, 128)) AS fh
+        |  FROM (SELECT doc_id, h,
+        |          unnest(range(0, CAST(ceil(nb / 64.0) AS INT))) AS i
         |        FROM d)),
         |sz AS (SELECT fh, count(*) AS n FROM f GROUP BY 1),
         |cand AS (
@@ -578,11 +619,11 @@ object Multimodal {
     Q("q359_media_quality", mediaQuality _,
       """WITH d AS (
         |  SELECT doc_id, source, text FROM documents
-        |  WHERE octet_length(encode(text)) > 0),
+        |  WHERE len(text) > 0),
         |f AS (
         |  SELECT doc_id, source, i, substring(text, i * 64 + 1, 64) AS fr
         |  FROM (SELECT doc_id, source, text,
-        |          unnest(range(0, CAST(ceil(octet_length(encode(text))
+        |          unnest(range(0, CAST(ceil(len(text)
         |            / 64.0) AS INT))) AS i
         |        FROM d)),
         |fm AS (
@@ -608,21 +649,17 @@ object Multimodal {
         |    AS clip_frame_ppm
         |FROM pd GROUP BY 1""".stripMargin),
     Q("q360_cdc_chunks", cdcChunkDedup _,
-      """WITH d AS (
-        |  SELECT doc_id, text, len(text) AS n FROM documents
-        |  WHERE len(text) >= 8),
-        |b AS (
-        |  SELECT doc_id, list_sort(list(DISTINCT i)) AS bs
-        |  FROM (SELECT doc_id, i
-        |        FROM (SELECT doc_id, text, n,
-        |                unnest(range(1, n - 6)) AS i FROM d)
-        |        WHERE substr(md5(substr(text, i, 8)), 1, 1) = '0')
-        |  GROUP BY 1),
+      s"""WITH d AS (
+        |  SELECT doc_id, text, len(text) AS n,
+        |    [unicode(text[i]) for i in range(1, len(text) + 1)] AS cp
+        |  FROM documents WHERE len(text) >= 8),
         |bs2 AS (
-        |  SELECT d.doc_id, d.text,
-        |    list_sort(list_distinct([1] || coalesce(b.bs, [])
-        |      || [d.n + 1])) AS b2
-        |  FROM d LEFT JOIN b ON b.doc_id = d.doc_id),
+        |  SELECT doc_id, text,
+        |    list_sort(list_distinct([1]
+        |      || [CAST(i AS INT) for i in range(1, n - 6)
+        |          if (${cdcFpSql(j => s"cp[i + $j]")}) % 16 = 0]
+        |      || [n + 1])) AS b2
+        |  FROM d),
         |ch AS (
         |  SELECT DISTINCT doc_id,
         |    md5(substr(text, b2[k], b2[k + 1] - b2[k])) AS fh

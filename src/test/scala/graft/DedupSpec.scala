@@ -524,8 +524,11 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
       .filter(_._2.nonEmpty)
+    // frame on the BYTE axis like the impl (payload = UTF-8 bytes);
+    // hex is a bijection, so pair identity matches md5(hex(frame))
     val fd = docs.flatMap { case (id, t) =>
-      t.grouped(64).map(fr => (id, md5hex(fr)))
+      t.getBytes("UTF-8").grouped(64)
+        .map(fr => (id, fr.map(b => f"$b%02X").mkString))
     }.distinct
     val bucket = fd.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     val pairs = scala.collection.mutable.Map[(Long, Long), Long]()
@@ -547,9 +550,16 @@ class DedupSpec extends SparkSpec {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // the CDC boundary polynomial, recomputed from scratch (B = 1000003,
+    // P = 1000000007, boundary iff fp % 16 == 0 — Multimodal.cdcFpSql)
     def chunks(t: String): Set[String] = {
-      val bs = (1 to t.length - 7)
-        .filter(i => md5hex(t.substring(i - 1, i + 7)).startsWith("0"))
+      val pows = Seq(1L, 1000003L, 5993009L, 26937076L, 156622669L,
+        137771646L, 58350534L, 708643152L)
+      val bs = (1 to t.length - 7).filter { i =>
+        val fp = (0 until 8).map(j =>
+          t.charAt(i + j - 1).toLong * pows(j)).sum % 1000000007L
+        fp % 16 == 0
+      }
       val b2 = (Seq(1) ++ bs ++ Seq(t.length + 1)).distinct.sorted
       b2.sliding(2).collect { case Seq(a, b) if b > a =>
         md5hex(t.substring(a - 1, b - 1)) }.toSet
