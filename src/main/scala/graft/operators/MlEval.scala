@@ -1857,7 +1857,13 @@ object MlEval {
     * positive operands truncates exactly like DuckDB HUGEINT `//`, so
     * the fit stays bit-identical to the oracle. At 100 TB only the ONE
     * corpus-collapse pass (per-order brand pairs → wins matrix) grows;
-    * the collected state stays ≤ items². */
+    * the collected state stays ≤ items².
+    *
+    * CONTRACT NOTE: the driver-side fit makes this catalog entry EAGER
+    * — constructing the DataFrame executes the wins-matrix job, unlike
+    * every other (lazy, plan-only) entry. Plan-only consumers
+    * (PlanDump, BoundedWindowSpec) pay that one bounded job; anything
+    * that must stay lazy should not call this builder. */
   def bradleyTerry(spark: SparkSession, dir: String): DataFrame = {
     val pb = t(spark, dir, "part")
       .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))
@@ -1910,7 +1916,12 @@ object MlEval {
         i -> (if (s(i) > 0) BigInt(wtot) * T / s(i) else BigInt(0))
       }
       val pt = praw.values.sum
-      p = praw.map { case (i, v) => i -> v * 1000000 / pt }.toMap
+      // degenerate wins matrix (every wtot = 0 ⇒ praw all 0 ⇒ pt = 0):
+      // fall back to p = 0 rather than dividing by zero — mirrored in
+      // the oracle's CASE WHEN pt > 0 guard, so both engines return
+      // all-zero strengths instead of throwing / NULLing
+      p = praw.map { case (i, v) =>
+        i -> (if (pt > 0) v * 1000000 / pt else BigInt(0)) }.toMap
     }
     import spark.implicits._
     wins.toSeq
@@ -1940,8 +1951,9 @@ object MlEval {
         |    ELSE 0 END AS praw
         |  FROM wins w JOIN s$k ON s$k.i = w.i),
         |p$k AS (
-        |  SELECT i, CAST(praw * 1000000 // (SELECT sum(praw) FROM r$k)
-        |    AS BIGINT) AS p
+        |  SELECT i, CASE WHEN (SELECT sum(praw) FROM r$k) > 0 THEN
+        |    CAST(praw * 1000000 // (SELECT sum(praw) FROM r$k) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS p
         |  FROM r$k)""".stripMargin
     s"""WITH ob AS (
       |  SELECT l_orderkey AS ok, p.p_brand AS brand,

@@ -29,33 +29,65 @@ object StreamQueries {
     * physical ts form has flipped once already, and the footer-derived
     * schema tracks a regeneration with no code edit. Whatever arrives,
     * Tables.normalizeTs right after the source funnels ts to LTZ.
-    * Memoized per (session, path, file mtime+length): the footer read is
-    * a driver-side Spark job, and paying it once per streaming query
-    * taxed the whole 22-query category ~10%. The (mtime, length) stamp —
-    * one local stat, no Spark job — keeps the memo honest against a
-    * mid-session regeneration of the feed flipping its physical ts form
-    * (the exact scenario the footer read exists to track): a rewritten
-    * file misses the memo and re-reads its footer. */
+    * Memoized per (session, path): the footer read is a driver-side
+    * Spark job, and paying it once per streaming query taxed the whole
+    * 22-query category ~10%. The memo is guarded by a stamp — local
+    * stats plus a CRC32 of each part file's LAST 4 KiB (the parquet
+    * footer, i.e. exactly the bytes whose physical ts form the memo
+    * exists to track): mtime alone has 1–2 s granularity on some
+    * filesystems, so a feed regenerated within the same second at the
+    * same length would otherwise hit a stale entry. A changed stamp
+    * REPLACES the entry (keyed by (session, path), not by stamp), so
+    * superseded stamps don't accumulate. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), StructType]()
+    (String, String), (String, StructType)]()
   private val srcDirCache = new java.util.concurrent.ConcurrentHashMap[
     String, java.nio.file.Path]()
-  private def fileStamp(path: String): String = {
+  private[graft] def fileStamp(path: String): String = {
     val f = new java.io.File(path)
     val parts =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
           .sortBy(_.getName)
       else Seq(f)
-    parts.map(x => s"${x.getName}:${x.lastModified}:${x.length}")
-      .mkString(",")
+    parts.map { x =>
+      val key =
+        try String.valueOf(java.nio.file.Files.readAttributes(x.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+        catch { case _: java.io.IOException => "?" }
+      val footerCrc =
+        if (!x.isFile || x.length == 0) -1L
+        else try {
+          val raf = new java.io.RandomAccessFile(x, "r")
+          try {
+            val n = math.min(4096L, raf.length()).toInt
+            raf.seek(raf.length() - n)
+            val buf = new Array[Byte](n)
+            raf.readFully(buf)
+            val c = new java.util.zip.CRC32()
+            c.update(buf)
+            c.getValue
+          } finally raf.close()
+        } catch { case _: java.io.IOException => -1L }
+      s"${x.getName}:${x.lastModified}:${x.length}:$key:$footerCrc"
+    }.mkString(",")
   }
   private[graft] def rawSchemaOf(spark: SparkSession,
-      path: String): StructType =
-    schemaCache.computeIfAbsent(
-      (org.apache.spark.sql.GraftBridge.sessionUUID(spark),
-        s"$path#${fileStamp(path)}"),
-      { _ => EventStreams.eventSchemaFor(spark, path) })
+      path: String): StructType = {
+    val stamp = fileStamp(path)
+    schemaCache.compute(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(spark), path),
+      (_, cur) =>
+        if (cur != null && cur._1 == stamp) cur
+        else (stamp, EventStreams.eventSchemaFor(spark, path)))._2
+  }
+  /** Test hook: memo entries live for this session (eviction proof). */
+  private[graft] def schemaCacheEntriesFor(spark: SparkSession): Int = {
+    val sid = org.apache.spark.sql.GraftBridge.sessionUUID(spark)
+    var n = 0
+    schemaCache.forEach((k, _) => if (k._1 == sid) n += 1)
+    n
+  }
 
   /** Run a streaming transform over the events file source to completion,
     * returning the memory-sink table. `complete` mode holds the full

@@ -982,4 +982,43 @@ class StreamingSpec extends SparkSpec {
       assert(got.values.sum === 5L) // 5 distinct users, 8 events
     } finally q.stop()
   }
+
+  test("schema memo stamp: a same-second same-length rewrite with " +
+      "different content busts the memo, and rewrites don't accumulate " +
+      "cache entries") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.StreamQueries
+    // 1) content fingerprint at the fileStamp level: same name, mtime
+    // and length, different (footer) bytes → different stamps. mtime is
+    // pinned EXACTLY, modeling the 1–2 s filesystem granularity window.
+    val dir = Files.createTempDirectory("graft_stamp").toString
+    val f = Paths.get(dir, "part-0000.parquet")
+    Files.write(f, Array.fill[Byte](8192)(1))
+    f.toFile.setLastModified(1700000000000L)
+    val s1 = StreamQueries.fileStamp(dir)
+    val bytes2 = Array.fill[Byte](8192)(1)
+    bytes2(8191) = 2 // flip one footer byte, keep length
+    Files.write(f, bytes2)
+    f.toFile.setLastModified(1700000000000L)
+    val s2 = StreamQueries.fileStamp(dir)
+    assert(s1 !== s2, "stamp blind to a same-mtime same-length rewrite")
+    // 2) memo eviction: regenerating a real feed updates the schema in
+    // place — the superseded stamp's entry is REPLACED, not leaked.
+    import spark.implicits._
+    val feed = Files.createTempDirectory("graft_stamp_feed").toString
+    Seq((1L, "a")).toDF("event_id", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val before = StreamQueries.schemaCacheEntriesFor(spark)
+    val sch1 = StreamQueries.rawSchemaOf(spark, feed)
+    assert(sch1.fieldNames.toSeq === Seq("event_id", "event_type"))
+    Seq((1L, "a", 2.0)).toDF("event_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val sch2 = StreamQueries.rawSchemaOf(spark, feed)
+    assert(sch2.fieldNames.toSeq === Seq("event_id", "event_type", "value"),
+      "stale schema served after feed regeneration")
+    // re-read with no change: memo hit, still the new schema
+    assert(StreamQueries.rawSchemaOf(spark, feed) === sch2)
+    assert(StreamQueries.schemaCacheEntriesFor(spark) === before + 1,
+      "superseded stamp entries accumulated in the session cache")
+  }
 }
