@@ -8,11 +8,12 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,10 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * family — CSV / Parquet / ORC / JSONL / Avro — is completed here with
   * first-party plumbing, the [[CensusSource]] discipline).
   *
-  * Sink: one container file per non-empty upstream partition
-  * (`foreachPartition` → Hadoop FS stream → `DataFileWriter`), schema
-  * derived from the frame's Catalyst schema (long / int / double /
-  * string / boolean, nullability as `union[null, T]`). Source: one
+  * Sink: a DSv2 `BatchWrite` (see [[AvroBatchWrite]] for the commit
+  * protocol) producing one container file per non-empty upstream
+  * partition, schema derived from the frame's Catalyst schema (long /
+  * int / double / string / boolean, nullability as `union[null, T]`).
+  * Source: one
   * `InputPartition` per file, schema read from the first file's
   * embedded header, rows streamed through `DataFileStream` on the
   * executor — never a whole-file byte blob.
@@ -85,56 +87,24 @@ object AvroIo {
   }
 
   /** Write `df` as Avro container files under `path`, one file per
-    * non-empty partition. The Avro schema travels as its JSON rendering
-    * (avro Schema is not serializable-by-contract across versions). */
-  def write(df: DataFrame, path: String): Unit = {
-    val schemaJson = toAvro(df.schema, "row").toString
-    val names = df.schema.fieldNames
-    df.foreachPartition { (it: Iterator[Row]) =>
-      if (it.hasNext) {
-        val schema = new Schema.Parser().parse(schemaJson)
-        val tc = org.apache.spark.TaskContext.get()
-        val pid = tc.partitionId()
-        val p = new Path(s"$path/part-$pid.avro")
-        // temp-file + rename commit: under task retry / speculative
-        // execution two attempts of the same partition may run
-        // concurrently — each writes its own attempt-unique temp file in
-        // full, then atomically renames over the final name, so the
-        // container is never interleaved by two writers (last complete
-        // attempt wins)
-        val tmp = new Path(
-          s"$path/.part-$pid-attempt-${tc.attemptNumber()}.avro.tmp")
-        val fs = FileSystem.get(p.toUri,
-          new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(tmp, true)
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        w.create(schema, out)
-        try it.foreach { row =>
-          val rec = new GenericData.Record(schema)
-          var i = 0
-          while (i < names.length) {
-            rec.put(names(i), row.get(i) match {
-              case null => null
-              case s: String => s
-              case v => v
-            })
-            i += 1
-          }
-          w.append(rec)
-        } finally w.close() // closes the stream
-        if (fs.exists(p)) fs.delete(p, false)
-        if (!fs.rename(tmp, p))
-          throw new java.io.IOException(s"avro sink: commit rename " +
-            s"$tmp -> $p failed")
-      }
-    }
-  }
+    * non-empty partition — the DSv2 `BatchWrite` path ([[AvroBatchWrite]]:
+    * task attempts write attempt-unique temp files; the DRIVER renames
+    * the one committed attempt per partition after every task succeeded,
+    * so a retried or speculative attempt can never race a rename or leak
+    * a visible partial file). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.format("graft.sources.AvroSource")
+      .option("path", path).mode("append").save()
+
+  private[sources] def fsFor(path: String): FileSystem =
+    FileSystem.get(new Path(path).toUri,
+      new org.apache.hadoop.conf.Configuration())
 
   private[sources] def listFiles(dir: String): Seq[String] = {
     val p = new Path(dir)
-    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
-    fs.listStatus(p).filter(st => st.isFile &&
+    val fs = fsFor(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(st => st.isFile &&
         st.getPath.getName.endsWith(".avro"))
       .map(_.getPath.toString).sorted.toSeq
   }
@@ -158,20 +128,140 @@ object AvroIo {
 class AvroSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     AvroIo.headerSchema(AvroIo.listFiles(options.get("path")))
+  // the WRITE path hands us the query's schema instead of inferring —
+  // required for writing to a dir with no files yet
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new AvroTable(schema, AvroIo.listFiles(properties.get("path")))
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    new AvroTable(schema, AvroIo.listFiles(path), path)
+  }
 }
 
-private class AvroTable(schema: StructType, locs: Seq[String])
-    extends Table with SupportsRead {
-  override def name(): String = s"avro(${locs.headOption.getOrElse("")}${
+private class AvroTable(schema: StructType, locs: Seq[String], path: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"avro(${locs.headOption.getOrElse(path)}${
     if (locs.size > 1) s",+${locs.size - 1}" else ""})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new AvroScan(schema, locs)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new AvroBatchWrite(info.schema(), path)
+      }
+    }
+}
+
+/** DSv2 batch-write with real commit semantics (the protocol the
+  * pre-r16 `foreachPartition` sink approximated with executor-side
+  * delete-then-rename, which raced under speculative execution and
+  * leaked `.tmp` files on failed attempts):
+  *
+  *  - each task ATTEMPT writes an attempt-unique temp file
+  *    (`.part-<pid>-task-<taskId>.avro.tmp`) in full;
+  *  - `DataWriter.commit()` only REPORTS the temp path (Spark's commit
+  *    coordinator guarantees at most one attempt per partition commits);
+  *  - the DRIVER's `BatchWrite.commit` renames the winning temps to
+  *    their final `part-<pid>.avro` names after every task succeeded —
+  *    single-threaded, so no rename ever races another attempt;
+  *  - `DataWriter.abort` (failed/losing attempt) and `BatchWrite.abort`
+  *    (failed job) delete their temp files.
+  *
+  * A reader never observes a partial file: only `*.avro` names are
+  * listed, and those appear solely via the driver's post-success
+  * renames. `AvroWriteProtocolSpec` drives retry, speculation-loser and
+  * job-abort schedules against this directly. */
+private class AvroBatchWrite(schema: StructType, path: String)
+    extends BatchWrite {
+  private val schemaJson = AvroIo.toAvro(schema, "row").toString
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new AvroWriterFactory(schemaJson, schema, path)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = AvroIo.fsFor(path)
+    messages.foreach {
+      case AvroCommitMessage(Some(tmp), pid) =>
+        val dest = new Path(s"$path/part-$pid.avro")
+        if (fs.exists(dest)) fs.delete(dest, false) // idempotent re-run
+        if (!fs.rename(new Path(tmp), dest))
+          throw new java.io.IOException(
+            s"avro sink: commit rename $tmp -> $dest failed")
+      case _ => () // empty partition (None) or missing message
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = AvroIo.fsFor(path)
+    messages.foreach {
+      case AvroCommitMessage(Some(tmp), _) =>
+        try fs.delete(new Path(tmp), false)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+  }
+}
+
+private case class AvroCommitMessage(tmp: Option[String], pid: Int)
+    extends WriterCommitMessage
+
+private class AvroWriterFactory(schemaJson: String, schema: StructType,
+    path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(schemaJson, schema, path, partitionId, taskId)
+}
+
+private class AvroDataWriter(schemaJson: String, schema: StructType,
+    path: String, pid: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private var avro: Schema = _
+  private var w: DataFileWriter[GenericRecord] = _
+  private var tmp: Path = _
+  // lazy open: empty partitions produce NO file (one file per non-empty
+  // partition, the sink's declared layout)
+  private def ensureOpen(): Unit = if (w == null) {
+    avro = new Schema.Parser().parse(schemaJson)
+    tmp = new Path(s"$path/.part-$pid-task-$taskId.avro.tmp")
+    val out = AvroIo.fsFor(path).create(tmp, true)
+    w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avro))
+    w.create(avro, out)
+  }
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    val rec = new GenericData.Record(avro)
+    var i = 0
+    while (i < schema.length) {
+      rec.put(schema(i).name,
+        if (row.isNullAt(i)) null
+        else schema(i).dataType match {
+          case LongType => java.lang.Long.valueOf(row.getLong(i))
+          case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
+          case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+          case StringType => row.getUTF8String(i).toString
+          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+          case other => throw new IllegalArgumentException(
+            s"avro sink supports long/int/double/string/boolean, got $other")
+        })
+      i += 1
+    }
+    w.append(rec)
+  }
+  override def commit(): WriterCommitMessage =
+    if (w != null) {
+      w.close() // closes the stream; file is complete but still .tmp
+      w = null
+      AvroCommitMessage(Some(tmp.toString), pid)
+    } else AvroCommitMessage(None, pid)
+  override def abort(): Unit = if (w != null) {
+    try w.close() catch { case _: java.io.IOException => () }
+    w = null
+    try AvroIo.fsFor(path).delete(tmp, false)
+    catch { case _: java.io.IOException => () }
+  }
+  override def close(): Unit = ()
 }
 
 private class AvroScan(schema: StructType, locs: Seq[String])
