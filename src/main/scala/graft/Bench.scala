@@ -15,6 +15,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined" WARN: every
+    // unpartitioned window in the catalog is PROVEN bounded by the
+    // executable lint (BoundedWindowSpec enumerates all such sites from
+    // the optimized plans and bounds-checks their input growth across
+    // sf0.001→sf0.01), which also catches any NEW unbounded window —
+    // strictly stronger detection than a WARN line in the bench tail,
+    // where ~50 known-bounded sites flooded dozens of identical lines
+    // that would have masked a real one.
+    if (sys.env.contains("GRAFT_KEEP_WINDOW_WARN")) () else org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // SPARK_GRAFT_ONLY=q108_canonical_selection,q53_dup_clusters narrows
     // the run for isolated steady-state measurement of one query (regression
     // triage without the other 167 sharing the JVM); unset = full suite.
@@ -52,23 +63,26 @@ object Bench {
           graft.operators.TextAnalysis.clearStageCaches()
         }
     }
-    // Platform-speed calibration (graft.Calib): a fixed, deterministic,
-    // pure-ALU work unit (N threads × 2^27 SplitMix64 steps) timed around
-    // the suite.
-    // Two consecutive full runs of the SAME binary measured a uniform
-    // ×1.17 and ×1.31 whole-suite offset with guest load ≈ 0 — host-level
-    // CPU contention a VM guest cannot see or control. calib_sec makes
-    // that factor explicit: cross-round totals divide by it before being
-    // compared, separating "the code got slower" from "the box was
-    // slower". min across probes (3 before + 3 after the timed passes) =
-    // the run's best-case platform speed.
-    // Probe parallelism follows the suite's own (SPARK_GRAFT_CPUS), so the
-    // calib ratio tracks contention at the same saturation level the suite
-    // runs at — a fixed 8 threads on a 32-way suite under-sampled host
-    // contention; the count is recorded in bench_out.json so cross-host
-    // comparisons can see when two calib numbers measured different widths.
+    // Platform-speed calibration: a fixed, deterministic work unit timed
+    // around the suite (3 before + 3 after, min = the window's best-case
+    // platform speed). Two consecutive full runs of the SAME binary
+    // measured a uniform ×1.17 and ×1.31 whole-suite offset with guest
+    // load ≈ 0 — host-level contention a VM guest cannot see or control;
+    // calib_sec makes that factor explicit so cross-round comparisons can
+    // separate "the code got slower" from "the box was slower".
+    // r16 (verdict item 4): the probe is now Calib.sparkProbe — a
+    // shuffle+scan mix through Spark itself — replacing the pure-ALU
+    // SplitMix64 loop, whose 39% same-HEAD spread (vs the suite's 7.4%,
+    // SCALE.md r15 part 2) made normalization strictly misleading.
+    // calib_kind stamps the protocol; benchdiff refuses to normalize
+    // across different kinds (exactly like calib_threads widths), so old
+    // ALU pins compare raw — which is what the decoupling guard was
+    // already forcing for nearly every same-box pair.
+    // calib_threads still records the session width (the probe saturates
+    // whatever local[N] provides via its 32-partition exchange).
     val calibThreads = cpus.toInt
-    def calibProbe(): Double = Calib.probe(calibThreads)
+    val calibKind = "shuffle-scan-v2"
+    def calibProbe(): Double = Calib.sparkProbe(spark)
     val calibPre = (1 to 3).map(_ => calibProbe())
     // queries that localCheckpoint intermediate frames: their dead blocks
     // linger until the ContextCleaner's next GC and were measured adding
@@ -252,11 +266,14 @@ object Bench {
           case _ => None }
         val bt = (j \ "calib_threads") match {
           case JInt(v) => Some(v.toInt); case _ => None }
-        Some((bq, bc, bt))
+        // pre-r16 pins carry no calib_kind: they probed pure ALU
+        val bk = (j \ "calib_kind") match {
+          case JString(v) => v; case _ => "alu-v1" }
+        Some((bq, bc, bt, bk))
       } catch { case _: Throwable => None }
       base match {
         case None => Map.empty
-        case Some((bq, bc, bt)) =>
+        case Some((bq, bc, bt, bk)) =>
           // UNDERSIZED-PIN TRIPWIRE (r12 verdict №1): commit 30efa02
           // pinned a 6-entry isolation run as the baseline, and this
           // trigger — which can only flag queries PRESENT in the pin —
@@ -271,9 +288,11 @@ object Bench {
               "trigger is blind for the absent queries. Re-pin via " +
               "tools/repin.py from a full quiet window.")
           // express CURRENT times in baseline box-speed units before the
-          // ratio (same rule as benchdiff; raw when widths differ)
+          // ratio (same rule as benchdiff; raw when widths OR probe
+          // kinds differ — an ALU pin can't normalize a shuffle probe)
           val norm = (bc, bt) match {
-            case (Some(c), Some(t)) if t == calibThreads && calib > 0 =>
+            case (Some(c), Some(t)) if t == calibThreads &&
+                bk == calibKind && calib > 0 =>
               c / calib
             case _ => 1.0
           }
@@ -346,7 +365,7 @@ object Bench {
       val ij = isolated.toSeq.sorted
         .map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":$nq,"calib_sec":${f(calib)},"calib_threads":$calibThreads,"queries":$qs,"categories":$cj,"failed":$fj,"isolated":$ij,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":$nq,"calib_sec":${f(calib)},"calib_threads":$calibThreads,"calib_kind":"$calibKind","queries":$qs,"categories":$cj,"failed":$fj,"isolated":$ij,"sf":"$sfDir"}"""
     }
     // SPARK_GRAFT_ONLY subset runs write a SEPARATE file: a subset
     // output overwriting bench_out.json is how round 13 lost a full

@@ -35,4 +35,32 @@ object Calib {
 
   /** min of 3 probes = the window's best-case platform speed. */
   def min3(threads: Int): Double = (1 to 3).map(_ => probe(threads)).min
+
+  /** r16 (verdict item 4): the shipped calib probe, a fixed shuffle+scan
+    * Spark job matching the suite's actual bottleneck mix (codegen'd
+    * expression work over a scan, a hash exchange, a partial+final agg).
+    * The r15 three-window study (SCALE.md part 2) measured the pure-ALU
+    * probe above at 39% same-HEAD spread vs the suite's 7.4% — an ALU
+    * probe samples only core clock, while the suite's time is dominated
+    * by memory bandwidth + shuffle, so under host contention the two
+    * decouple and normalizing by the noisier one MULTIPLIES same-HEAD
+    * disagreement. This probe runs the same machinery the suite runs, at
+    * the session's own shuffle width; its same-HEAD spread is measured
+    * side-by-side with the ALU probe in SCALE.md (r16 calib study).
+    * Deterministic: hash/md5 over `range` ids, no time or RNG.
+    * `probe`/`min3` above remain for ScaleProbe's informational lines
+    * and pre-r16 comparability. */
+  def sparkProbe(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val n = spark.range(0L, 4L << 20, 1L, 32)
+      .selectExpr("id", "pmod(hash(id), 4096) AS k",
+        "md5(cast(id AS string)) AS s")
+      .groupBy("k")
+      .agg(count(lit(1)).as("c"), sum(length(col("s"))).as("l"),
+        max("s").as("m"))
+      .count()
+    require(n == 4096, s"calib probe returned $n groups")
+    (System.nanoTime() - t0) / 1e9
+  }
 }
