@@ -26,6 +26,21 @@ cross-round perf calls are a computation, not a judgement:
    so they keep the tighter 10% band. A query failed (-1) or absent on
    either side is 'unadjudicable' (with the reason).
 
+3. SUSPECT band (r16, closing the r15 advisory): a per-query move in
+   (10%, 25%] is inside the same-HEAD noise envelope, so one window
+   can't adjudicate it - but silently printing 'stable' would let a
+   genuine 10-25% single-query regression ride for free. Those movers
+   are now labeled 'suspect' (never gate-fatal on their own) and get a
+   confirmation path: --confirm <second_window.json> re-tests each
+   suspect against an INDEPENDENT same-HEAD window of the new binary.
+   Reproducing past 10% in the same direction in both windows has
+   ~(per-window false-positive)^2 odds of being noise -> upgraded to
+   REGRESSED (gate-fatal); not reproducing -> 'suspect-unconfirmed
+   (window noise)'. A new-side solo median (isolated{}) that clears
+   the 10% band also clears the suspect. Without --confirm, suspects
+   are summarized so the round close can decide to spin the second
+   window.
+
 Exit code 1 iff any query or category regressed — usable as a gate.
 
 --gate (third arg): the round-close mode. ADDITIONALLY exits non-zero
@@ -56,18 +71,50 @@ def verdict(old, new_norm, rel=THRESH_REL):
     return "stable"
 
 
+def query_verdict(old, new_norm):
+    """Per-query three-band rule: >25% = REGRESSED/improved, (10%,25%] =
+    suspect (needs a second window or solo pair), else stable. The 50ms
+    absolute floor applies to both bands."""
+    v = verdict(old, new_norm, QUERY_REL)
+    if v != "stable":
+        return v
+    d = new_norm - old
+    if abs(d) > THRESH_ABS and abs(d) > THRESH_REL * old:
+        return "suspect(+%.0f%%)" % (100 * d / old) if d > 0 \
+            else "suspect(%.0f%%)" % (100 * d / old)
+    return "stable"
+
+
 def main():
     gate = "--gate" in sys.argv[3:]
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     a, b = load(sys.argv[1]), load(sys.argv[2])
+    confirm = None
+    if "--confirm" in sys.argv[3:]:
+        ci = sys.argv.index("--confirm")
+        if ci + 1 >= len(sys.argv):
+            sys.exit("--confirm needs a second-window json path")
+        confirm = load(sys.argv[ci + 1])
     calib_a, calib_b = a.get("calib_sec"), b.get("calib_sec")
     # pre-r9 files carry no calib_threads; their probe was HARDCODED at 8
     # (Bench.scala history) — defaulting to "same as the other side" would
     # normalize across incomparable widths and mis-adjudicate
     thr_a = a.get("calib_threads", 8)
     thr_b = b.get("calib_threads", 8)
-    if calib_a and calib_b and thr_a == thr_b:
+    # r16: the probe itself changed (pure-ALU -> shuffle+scan, Calib
+    # .sparkProbe) because the ALU probe's 39% same-HEAD spread made
+    # normalization misleading (SCALE.md r15 part 2 / r16 calib study).
+    # Files without calib_kind predate the swap and probed ALU; numbers
+    # from different probe kinds measure different machinery and are
+    # never comparable -> raw.
+    kind_a = a.get("calib_kind", "alu-v1")
+    kind_b = b.get("calib_kind", "alu-v1")
+    if calib_a and calib_b and thr_a == thr_b and kind_a != kind_b:
+        print(f"calib_kind differs (old={kind_a} new={kind_b}): probes "
+              "measured different machinery, not comparable -> RAW "
+              "comparison, platform swings NOT factored out")
+    if calib_a and calib_b and thr_a == thr_b and kind_a == kind_b:
         norm = calib_a / calib_b  # multiply NEW times by this
         print(f"calib: old={calib_a:.3f}s new={calib_b:.3f}s "
               f"({thr_a} threads) -> host-speed ratio "
@@ -137,7 +184,7 @@ def main():
             unadj.append((k, "failed in " + ("old" if qa[k] < 0 else "new")))
             continue
         nn = qb[k] * norm
-        v = verdict(qa[k], nn, QUERY_REL)
+        v = query_verdict(qa[k], nn)
         if v == "REGRESSED" and k in iso and iso[k] >= 0:
             iso_n = iso[k] * norm
             if verdict(qa[k], iso_n, QUERY_REL) != "REGRESSED":
@@ -146,6 +193,30 @@ def main():
                     verdict(iso_old[k], iso_n, QUERY_REL) != "REGRESSED":
                 v = (f"cleared-by-isolation-pair (solo {iso_old[k]:.3f}s "
                      f"-> {iso_n:.3f}s; solo floor above in-suite pin)")
+        elif v.startswith("suspect"):
+            # (10%,25%] mover: one window can't call it. Clear via a
+            # new-side solo median inside the 10% band, else ask the
+            # independent confirmation window; reproducing >10% same
+            # direction in BOTH windows upgrades to a real call.
+            if k in iso and iso[k] >= 0 and \
+                    verdict(qa[k], iso[k] * norm) == "stable":
+                v = f"suspect-cleared-by-solo ({iso[k] * norm:.3f}s solo)"
+            elif confirm is not None:
+                cq = confirm.get("queries", {})
+                if k in cq and cq[k] >= 0:
+                    nc = cq[k] * norm
+                    vc = verdict(qa[k], nc)  # tight 10% band
+                    same_dir = (nn - qa[k] > 0) == (nc - qa[k] > 0)
+                    if vc != "stable" and same_dir:
+                        v = ("REGRESSED (2-window confirmed: "
+                             f"{nn:.3f}s + {nc:.3f}s)") if nn > qa[k] \
+                            else ("improved (2-window confirmed: "
+                                  f"{nn:.3f}s + {nc:.3f}s)")
+                    else:
+                        v = (f"suspect-unconfirmed (window noise: "
+                             f"confirm window read {nc:.3f}s)")
+                else:
+                    v = "suspect-unconfirmed (absent in confirm window)"
         rows.append((k, qa[k], qb[k], nn, v))
 
     print(f"\nper-category (normalized, {THRESH_REL:.0%}-or-"
@@ -161,12 +232,21 @@ def main():
             print(f"  {c:<12} only in one file")
 
     moved = [r for r in rows if r[4] != "stable"]
+    n_susp = sum(1 for r in rows if r[4].startswith("suspect("))
     print(f"\nper-query: {len(rows)} adjudicated, "
           f"{sum(1 for r in rows if r[4] == 'stable')} stable, "
-          f"{sum(1 for r in rows if r[4] == 'improved')} improved, "
-          f"{sum(1 for r in rows if r[4] == 'REGRESSED')} regressed, "
+          f"{sum(1 for r in rows if r[4].startswith('improved'))} improved, "
+          f"{sum(1 for r in rows if r[4].startswith('REGRESSED'))} "
+          f"regressed, "
           f"{sum(1 for r in rows if r[4].startswith('cleared'))} "
-          f"cleared-by-isolation, {len(unadj)} unadjudicable")
+          f"cleared-by-isolation, "
+          f"{sum(1 for r in rows if r[4].startswith('suspect'))} suspect "
+          f"({n_susp} unresolved), {len(unadj)} unadjudicable")
+    if n_susp and confirm is None:
+        print(f"  NOTE: {n_susp} suspect (10-25%) movers lack a "
+              "confirmation source - run a second same-HEAD window and "
+              "pass it via --confirm, or add the queries to the solo "
+              "watchlist, before treating this diff as final")
     for k, old, raw, nn, v in sorted(moved, key=lambda r: r[1] - r[3]):
         print(f"  {v:<9} {k:<28} {old:7.3f}s -> {nn:7.3f}s normalized "
               f"(raw {raw:.3f}s)")
@@ -185,7 +265,7 @@ def main():
     if gate:
         print(f"GATE: catalogs match ({len(rows)} entries adjudicated, "
               "0 unadjudicable)")
-    sys.exit(1 if any(r[4] == "REGRESSED" for r in moved) else 0)
+    sys.exit(1 if any(r[4].startswith("REGRESSED") for r in moved) else 0)
 
 
 if __name__ == "__main__":
