@@ -1207,7 +1207,11 @@ object Analytics {
     val o = t(spark, dir, "orders").select(col("o_totalprice").as("x"))
     val stats = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     o.crossJoin(broadcast(stats))
-      .withColumn("w", (col("mx") - col("mn")) / lit(20.0))
+      // degenerate domain (one distinct value, e.g. a single-row slice):
+      // mx == mn would make w = 0 and ANSI division throw — declare one
+      // unit-width bin instead, mirrored in the oracle SQL
+      .withColumn("w", when(col("mx") > col("mn"),
+        (col("mx") - col("mn")) / lit(20.0)).otherwise(lit(1.0)))
       .withColumn("bin",
         least(lit(19L), floor((col("x") - col("mn")) / col("w"))).cast("int"))
       .withColumn("lo", round(col("mn") + col("bin") * col("w"), 4) +
@@ -3172,9 +3176,10 @@ object Analytics {
         |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |  FROM orders),
         |b AS (
-        |  SELECT CAST(least(19, floor((o_totalprice - mn) / ((mx - mn) / 20.0)))
+        |  SELECT CAST(least(19, floor((o_totalprice - mn) /
+        |      (CASE WHEN mx > mn THEN (mx - mn) / 20.0 ELSE 1.0 END)))
         |      AS INT) AS bin,
-        |    mn, (mx - mn) / 20.0 AS w
+        |    mn, CASE WHEN mx > mn THEN (mx - mn) / 20.0 ELSE 1.0 END AS w
         |  FROM orders, s)
         |SELECT bin,
         |  min(round(mn + bin * w, 4) + 0.0) AS lo,

@@ -378,10 +378,13 @@ object DataQuality {
     import spark.implicits._
     // count is never null; the three sums are NULL when every row was
     // filtered — keep them as Option so empty input yields NULL columns
-    // exactly like the oracle's SQL sums (not a silent unboxed 0)
+    // exactly like the oracle's SQL sums (not a silent unboxed 0).
+    // A ZERO-TASK plan (all-empty scan) never evaluates CollectMetrics
+    // at all, leaving the observation map empty — surface the same row
+    // a SQL aggregate returns on empty input (r16 adversarial sweep)
     def optLong(k: String): Option[Long] =
-      Option(m(k)).map(_.asInstanceOf[Long])
-    Seq((m("n_kept").asInstanceOf[Long], optLong("kept_cents"),
+      m.get(k).flatMap(Option(_)).map(_.asInstanceOf[Long])
+    Seq((optLong("n_kept").getOrElse(0L), optLong("kept_cents"),
       optLong("n_returned"), optLong("n_null_discount")))
       .toDF("n_kept", "kept_cents", "n_returned", "n_null_discount")
   }

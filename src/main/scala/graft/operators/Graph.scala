@@ -988,8 +988,10 @@ object Graph {
     val minPts = 4L
     val cust = t(spark, dir, "customer")
     val epsDf = cust.agg(count(lit(1)).as("n"))
-      .select(expr("CAST(floor(sqrt(2.0 * 760400000000.0 / (pi() * n)))" +
-        " AS BIGINT)").as("eps"))
+      // greatest(n,1): an empty domain would divide by zero under ANSI —
+      // eps is irrelevant there (no points), mirrored in the oracle SQL
+      .select(expr("CAST(floor(sqrt(2.0 * 760400000000.0 /" +
+        " (pi() * greatest(n, 1)))) AS BIGINT)").as("eps"))
     val pts = cust.select(col("c_custkey").as("id"),
         (lit(40000000L) + TextOps.portableHash(concat(lit("lat:"),
           col("c_custkey").cast("string"))) % 1000000L).as("lat"),
@@ -1619,8 +1621,8 @@ object Graph {
     Q("q274_dbscan", dbscan _,
       """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
         |ee AS (
-        |  SELECT CAST(floor(sqrt(2.0 * 760400000000.0 / (pi() * n)))
-        |    AS BIGINT) AS eps FROM nn),
+        |  SELECT CAST(floor(sqrt(2.0 * 760400000000.0 /
+        |      (pi() * greatest(n, 1)))) AS BIGINT) AS eps FROM nn),
         |p AS (
         |  SELECT c_custkey AS id,
         |    40000000 + ('0x' || substr(md5('lat:' ||

@@ -354,8 +354,15 @@ object Layout {
     * partitioned copy, so result and oracle depend only on orders. */
   def dynamicPruning(spark: SparkSession, dir: String): DataFrame = {
     val base = dppStage(spark, dir)
-    val fact = spark.read.parquet(s"$base/orders_part")
-    val dim = spark.read.parquet(s"$base/year_dim")
+    // explicit schemas: an EMPTY orders table stages zero partition
+    // dirs / footers, and schema inference would throw where a normal
+    // scan just returns zero rows (r16 adversarial sweep); yr is still
+    // resolved as the partition column from the directory layout
+    val fact = spark.read
+      .schema("o_orderkey BIGINT, o_totalprice DOUBLE, yr INT")
+      .parquet(s"$base/orders_part")
+    val dim = spark.read.schema("yr INT, era STRING")
+      .parquet(s"$base/year_dim")
       .filter(col("era") === "late")
     fact.join(broadcast(dim), Seq("yr"))
       .groupBy(col("yr"))

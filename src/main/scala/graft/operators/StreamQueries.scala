@@ -131,8 +131,25 @@ object StreamQueries {
     // the dir is shareable and the schema memo above can actually hit)
     val srcDir = srcDirCache.computeIfAbsent(dir, { _ =>
       val d = mkTmp("graft_stream_src")
-      Files.createSymbolicLink(d.resolve("events.parquet"),
-        Paths.get(dir, "events.parquet"))
+      val tgt = Paths.get(dir, "events.parquet")
+      if (Files.isDirectory(tgt)) {
+        // Spark-written feed: events.parquet is a DIRECTORY of part
+        // files. The file source (and the batch footer read behind the
+        // schema memo) lists only leaf files of its input dir — a
+        // nested non-partition directory is invisible to both — so
+        // link the data files themselves, not the dir (found by the
+        // r16 adversarial sweep: every streaming query crashed with
+        // UNABLE_TO_INFER_SCHEMA on a directory-shaped feed, the
+        // layout any Spark-written corpus actually has).
+        import scala.jdk.CollectionConverters._
+        Files.list(tgt).iterator().asScala.toSeq.sortBy(_.getFileName
+          .toString).filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".")
+          }.foreach(p =>
+            Files.createSymbolicLink(d.resolve(p.getFileName), p))
+      } else Files.createSymbolicLink(d.resolve("events.parquet"), tgt)
       d
     })
     val ev = graft.sources.Tables.normalizeTs(

@@ -183,6 +183,7 @@ private class AvroBatchWrite(schema: StructType, path: String)
     new AvroWriterFactory(schemaJson, schema, path)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = AvroIo.fsFor(path)
+    var committed = 0
     messages.foreach {
       case AvroCommitMessage(Some(tmp), pid) =>
         val dest = new Path(s"$path/part-$pid.avro")
@@ -190,7 +191,24 @@ private class AvroBatchWrite(schema: StructType, path: String)
         if (!fs.rename(new Path(tmp), dest))
           throw new java.io.IOException(
             s"avro sink: commit rename $tmp -> $dest failed")
+        committed += 1
       case _ => () // empty partition (None) or missing message
+    }
+    // An all-empty write still commits ONE schema-bearing empty
+    // container: the source infers schema from the first file's header,
+    // so a zero-row dataset must stay readable (a fresh partition that
+    // happened to be empty would otherwise poison the downstream read —
+    // found by the r16 adversarial empty-corpus sweep). Driver-side and
+    // post-success, so the no-partial-file invariant holds unchanged.
+    if (committed == 0) {
+      val dest = new Path(s"$path/part-0.avro")
+      if (!fs.exists(dest)) {
+        val avro = new Schema.Parser().parse(schemaJson)
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avro))
+        w.create(avro, fs.create(dest, true))
+        w.close()
+      }
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
