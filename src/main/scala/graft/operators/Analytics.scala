@@ -1092,10 +1092,16 @@ object Analytics {
         // BigDecimal has no signed zero) — numerically equal, hash-
         // different (the r03 red row: flag 'N' cov_disc_tax ≈ −2.45e−07).
         // IEEE guarantees −0.0 + 0.0 = +0.0; nonzero values are unchanged.
-        (round(sqrt(s2q / (n - 1)), 4) + lit(0.0)).as("sd_qty"),
-        (round(spq / sqrt(s2q * s2p), 4) + lit(0.0)).as("corr_qty_price"),
-        (round(sdt / (n - 1), 6) + lit(0.0)).as("cov_disc_tax"),
-        (round((s3p / n) / (v2p * sqrt(v2p)), 4) + lit(0.0)).as("skew_price"))
+        // nullif: a single-row group has n-1 = 0 and zero variance —
+        // sd/corr/cov/skew undefined, NULL in both engines (r16 sweep)
+        (round(sqrt(s2q / nullif(n - 1, lit(0.0))), 4) + lit(0.0))
+          .as("sd_qty"),
+        (round(spq / nullif(sqrt(s2q * s2p), lit(0.0)), 4) + lit(0.0))
+          .as("corr_qty_price"),
+        (round(sdt / nullif(n - 1, lit(0.0)), 6) + lit(0.0))
+          .as("cov_disc_tax"),
+        (round((s3p / n) / nullif(v2p * sqrt(v2p), lit(0.0)), 4)
+          + lit(0.0)).as("skew_price"))
   }
 
   /** Column-generic long-form profile (one row per profiled column): the
@@ -2254,11 +2260,14 @@ object Analytics {
     * double off them. */
   def gumbelMaxima(spark: SparkSession, dir: String): DataFrame = {
     val mSql = "(CAST(sx AS DOUBLE) / d)"
+    // nullif guards: a single observed day has d - 1 = 0 (and zero
+    // spread), so sigma/beta/P are undefined — NULL in both engines
     val sSql = s"sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx" +
-      s" / d) / (d - 1))"
+      s" / d) / nullif(d - 1, 0))"
     val betaSql = s"($sSql * sqrt(6.0) / pi())"
     val muSql = s"($mSql - 0.5772156649015329 * $betaSql)"
-    val pSql = s"(1.0 - exp(-exp(-((1.5 * mx - $muSql) / $betaSql))))"
+    val pSql =
+      s"(1.0 - exp(-exp(-((1.5 * mx - $muSql) / nullif($betaSql, 0.0)))))"
     t(spark, dir, "orders")
       .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
         "DATE '1990-01-01') AS BIGINT)").as("day"),
@@ -2276,11 +2285,14 @@ object Analytics {
 
   private def gumbelMaximaSql: String = {
     val mSql = "(CAST(sx AS DOUBLE) / d)"
+    // nullif guards: a single observed day has d - 1 = 0 (and zero
+    // spread), so sigma/beta/P are undefined — NULL in both engines
     val sSql = s"sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx" +
-      s" / d) / (d - 1))"
+      s" / d) / nullif(d - 1, 0))"
     val betaSql = s"($sSql * sqrt(6.0) / pi())"
     val muSql = s"($mSql - 0.5772156649015329 * $betaSql)"
-    val pSql = s"(1.0 - exp(-exp(-((1.5 * mx - $muSql) / $betaSql))))"
+    val pSql =
+      s"(1.0 - exp(-exp(-((1.5 * mx - $muSql) / nullif($betaSql, 0.0)))))"
     s"""WITH dm AS (
       |  SELECT CAST(datediff('day', DATE '1990-01-01',
       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
@@ -3380,10 +3392,12 @@ object Analytics {
         |    (sppd - nd * mp * mp) / nd AS v2p
         |  FROM e)
         |SELECT flag, n,
-        |  round(sqrt(s2q / (nd - 1)), 4) + 0.0 AS sd_qty,
-        |  round(spq / sqrt(s2q * s2p), 4) + 0.0 AS corr_qty_price,
-        |  round(sdt2 / (nd - 1), 6) + 0.0 AS cov_disc_tax,
-        |  round((s3p / nd) / (v2p * sqrt(v2p)), 4) + 0.0 AS skew_price
+        |  round(sqrt(s2q / nullif(nd - 1, 0.0)), 4) + 0.0 AS sd_qty,
+        |  round(spq / nullif(sqrt(s2q * s2p), 0.0), 4) + 0.0
+        |    AS corr_qty_price,
+        |  round(sdt2 / nullif(nd - 1, 0.0), 6) + 0.0 AS cov_disc_tax,
+        |  round((s3p / nd) / nullif(v2p * sqrt(v2p), 0.0), 4) + 0.0
+        |    AS skew_price
         |FROM c""".stripMargin),
     Q("q74_profile_table", profileTable _,
       """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,

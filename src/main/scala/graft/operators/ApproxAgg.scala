@@ -332,10 +332,14 @@ object ApproxAgg {
           "ELSE 63 * 4294967296 div hk END AS BIGINT)"))
       .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
         col("kmin_m"), col("union_est"),
-        expr("CAST(j_num * union_est div kmin_m AS BIGINT)")
+        // greatest(..,1): kmin_m = 0 on an empty corpus and ANSI
+        // division would throw (r16 adversarial sweep; oracle mirrored)
+        expr("CAST(j_num * union_est div greatest(kmin_m, 1L) AS BIGINT)")
           .as("inter_est"),
-        expr("j_num * 1000000 div kmin_m").as("jaccard_ppm_est"),
-        expr("n_inter * 1000000 div n_union").as("jaccard_ppm_exact"))
+        expr("j_num * 1000000 div greatest(kmin_m, 1L)")
+          .as("jaccard_ppm_est"),
+        expr("n_inter * 1000000 div greatest(n_union, 1L)")
+          .as("jaccard_ppm_exact"))
   }
 
   /** Pre-aggregated sketch rollup — the production distinct-counting
@@ -642,10 +646,12 @@ object ApproxAgg {
         |  CAST(CASE WHEN kmin_m < 64 THEN kmin_m
         |    ELSE 63 * 4294967296 // hk END AS BIGINT) AS union_est,
         |  CAST(j_num * (CASE WHEN kmin_m < 64 THEN kmin_m
-        |    ELSE 63 * 4294967296 // hk END) // kmin_m AS BIGINT)
+        |    ELSE 63 * 4294967296 // hk END) // greatest(kmin_m, 1)
+        |    AS BIGINT)
         |    AS inter_est,
-        |  CAST(j_num * 1000000 // kmin_m AS BIGINT) AS jaccard_ppm_est,
-        |  CAST(n_inter * 1000000 // n_union AS BIGINT)
+        |  CAST(j_num * 1000000 // greatest(kmin_m, 1) AS BIGINT)
+        |    AS jaccard_ppm_est,
+        |  CAST(n_inter * 1000000 // greatest(n_union, 1) AS BIGINT)
         |    AS jaccard_ppm_exact
         |FROM ex CROSS JOIN ms CROSS JOIN jn""".stripMargin),
     Q("q163_histogram_quantile", histogramQuantile _,

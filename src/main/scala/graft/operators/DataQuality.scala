@@ -134,12 +134,19 @@ object DataQuality {
     // (d_ppm's `ad · 10^6` stays in-range while n_c·n_p < 2^43 ≈ 9·10^12;
     // past that, divide both counts by a common decimation factor first.)
     val mx = d.agg(max(col("ad")).as("mx_ad"))
-    d.crossJoin(broadcast(mx))
-      .agg(max(col("n_c")).as("n_click"), max(col("n_p")).as("n_purchase"),
-        expr("CAST(max(ad) * 1000000 div (max(n_c) * max(n_p)) AS BIGINT)")
-          .as("d_ppm"),
+    // counts come from `bounds`, not max-over-d: with no click/purchase
+    // rows d is EMPTY and max() would report the counts as NULL where
+    // the oracle's scalar subquery says 0 (r16 adversarial sweep); the
+    // greatest(..,1) guard keeps the ppm division defined when either
+    // side's count is zero (identically in the oracle SQL)
+    val dm = d.crossJoin(broadcast(mx))
+      .agg(expr("CAST(max(ad) * 1000000 div " +
+          "greatest(max(n_c) * max(n_p), 1L) AS BIGINT)").as("d_ppm"),
         min(when(col("ad") === col("mx_ad"), col("cents")))
           .as("d_at_cents"))
+    bounds
+      .select(col("n_c").as("n_click"), col("n_p").as("n_purchase"))
+      .crossJoin(broadcast(dm))
   }
 
   /** Exact Q-Q (quantile–quantile) table between the click and purchase
@@ -247,12 +254,16 @@ object DataQuality {
     val syD = col("sy").cast("double")
     val num = nD * col("sxy").cast("double") - sxD * syD
     val den = nD * col("sxx").cast("double") - sxD * sxD
+    // nullif: a one-row (or constant-x) group has zero x-variance —
+    // slope/corr undefined, NULL in both engines (r16 sweep)
     s.select(col("event_type"), col("n"),
-      (round(num / den, 9) + lit(0.0)).as("slope_r"),
-      (round((syD - (num / den) * sxD) / nD, 6) + lit(0.0))
+      (round(num / nullif(den, lit(0.0)), 9) + lit(0.0)).as("slope_r"),
+      (round((syD - (num / nullif(den, lit(0.0))) * sxD) / nD, 6)
+        + lit(0.0))
         .as("intercept_r"),
-      (round(num / sqrt(den *
-        (nD * col("syy").cast("double") - syD * syD)), 9) + lit(0.0))
+      (round(num / nullif(sqrt(den *
+        (nD * col("syy").cast("double") - syD * syD)), lit(0.0)), 9)
+        + lit(0.0))
         .as("corr_r"))
   }
 
@@ -682,8 +693,11 @@ object DataQuality {
       case other => throw new IllegalArgumentException(
         s"unknown contract op: $other") // fail loudly, never skip a rule
     }
+    // coalesce(...,0): an EMPTY table violates nothing — sum() over
+    // zero rows is NULL, which would render every rule's verdict NULL
+    // instead of pass (r16 adversarial sweep; oracle mirrored)
     val aggs = rules.zipWithIndex.map { case ((_, cn, op, arg), i) =>
-      violations(cn, op, arg).as(s"v$i") }
+      coalesce(violations(cn, op, arg), lit(0L)).as(s"v$i") }
     val row = t(spark, dir, "orders").agg(aggs.head, aggs.tail: _*)
     val stackArgs = rules.zipWithIndex.map { case ((id, cn, op, _), i) =>
       s"CAST($id AS BIGINT), '$cn', '$op', v$i" }.mkString(", ")
@@ -848,8 +862,9 @@ object DataQuality {
         |FROM binned, t""".stripMargin),
     Q("q242_contract_check", contractCheck _,
       """WITH o AS (SELECT * FROM orders)
-        |SELECT rule_id, col_name, op, n_violations, n_violations = 0
-        |  AS pass FROM (
+        |SELECT rule_id, col_name, op,
+        |  coalesce(n_violations, 0) AS n_violations,
+        |  coalesce(n_violations, 0) = 0 AS pass FROM (
         |  SELECT CAST(1 AS BIGINT) AS rule_id, 'o_custkey' AS col_name,
         |    'not_null' AS op,
         |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
@@ -1109,15 +1124,19 @@ object DataQuality {
         |  FROM e GROUP BY 1)
         |SELECT event_type, n,
         |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
-        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 9) + 0.0
+        |    nullif(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE,
+        |      0.0), 9) + 0.0
         |    AS slope_r,
         |  round((sy::DOUBLE -
         |    ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
-        |     (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+        |     nullif(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE,
+        |       0.0))
         |    * sx::DOUBLE) / n::DOUBLE, 6) + 0.0 AS intercept_r,
         |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    nullif(
         |    sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
-        |      (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 9)
+        |      (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |    0.0), 9)
         |    + 0.0 AS corr_r
         |FROM s""".stripMargin),
     Q("q195_ks_drift", ksDrift _,
@@ -1145,8 +1164,8 @@ object DataQuality {
         |SELECT (SELECT n_c FROM n) AS n_click,
         |  (SELECT n_p FROM n) AS n_purchase,
         |  CAST(max(ad) * 1000000 //
-        |    ((SELECT n_c FROM n) * (SELECT n_p FROM n)) AS BIGINT)
-        |    AS d_ppm,
+        |    greatest((SELECT n_c FROM n) * (SELECT n_p FROM n), 1)
+        |    AS BIGINT) AS d_ppm,
         |  min(CASE WHEN ad = (SELECT max(ad) FROM d) THEN cents END)
         |    AS d_at_cents
         |FROM d""".stripMargin),

@@ -1349,9 +1349,12 @@ object Graph {
       .crossJoin(broadcast(topShare))
       .select(col("n_customers"), col("total_slots"),
         col("n_rec_distinct"), col("n_catalog"), col("k"),
-        expr("n_rec_distinct * 1000000 div n_catalog")
+        // greatest(..,1): empty corpus has an empty catalog / zero
+        // slots and ANSI division would throw (r16 adversarial sweep)
+        expr("n_rec_distinct * 1000000 div greatest(n_catalog, 1L)")
           .as("coverage_ppm"),
-        expr("top_slots * 1000000 div total_slots").as("top_share_ppm"))
+        expr("top_slots * 1000000 div greatest(total_slots, 1L)")
+          .as("top_share_ppm"))
   }
 
   val catalog: Seq[Q] = Seq(
@@ -1408,8 +1411,10 @@ object Graph {
         |    FROM expo, tot)
         |  WHERE r <= greatest(1, n_rec_distinct // 100))
         |SELECT n_customers, total_slots, n_rec_distinct, n_catalog, k,
-        |  n_rec_distinct * 1000000 // n_catalog AS coverage_ppm,
-        |  top_slots * 1000000 // total_slots AS top_share_ppm
+        |  n_rec_distinct * 1000000 // greatest(n_catalog, 1)
+        |    AS coverage_ppm,
+        |  top_slots * 1000000 // greatest(total_slots, 1)
+        |    AS top_share_ppm
         |FROM ncust, tot, cat, tops""".stripMargin),
     Q("q301_ndcg", ndcgEval _,
       """WITH ranked AS (

@@ -904,12 +904,21 @@ object JoinsSetOps {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty,
         |  GROUPING(l_returnflag, l_linestatus) AS gid
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |HAVING count(*) > 0""".stripMargin),
+      // HAVING n > 0 = "materialized groups only": Spark's
+      // Expand+HashAggregate emits NO grand-total row over empty input
+      // (vs the SQL-standard ()-set row of NULL/0 aggregates DuckDB
+      // emits) — declared semantics follow Spark: an empty corpus
+      // yields an empty census, which the HAVING mirrors exactly and
+      // which is a no-op on any non-empty input (r16 sweep)
     Q("q20_cube", cubeAgg _,
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS spend,
         |  GROUPING(o_orderstatus, o_orderpriority) AS gid
-        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin),
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |HAVING count(*) > 0""".stripMargin),
+      // same declared empty-corpus semantics as q19 (see note there)
     Q("q21_setops", setOps _,
       """SELECT 'intersect' AS op, count(*) AS n FROM (
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
@@ -951,7 +960,9 @@ object JoinsSetOps {
         |  round(avg(n_chars), 4) AS avg_chars,
         |  GROUPING(lang, source) AS gid
         |FROM documents
-        |GROUP BY GROUPING SETS ((lang, source), (lang), ())""".stripMargin),
+        |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        |HAVING count(*) > 0""".stripMargin),
+      // same declared empty-corpus semantics as q19 (see note there)
     Q("q84_collect_agg", collectAgg _,
       """SELECT c_nationkey AS nation_id,
         |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)

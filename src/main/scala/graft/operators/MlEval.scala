@@ -78,10 +78,13 @@ object MlEval {
         // 2⁶³ near ~8× sf0.1, where Spark's LONG would wrap silently
         // while DuckDB raises — the engines must agree, so the product
         // rides decimal(38) and `div` returns the BIGINT ppm directly
+        // nullif: a one-class slice (n1 or n0 = 0) has no ranking
+        // pairs — AUC undefined, NULL in both engines (r16 sweep)
         expr("CAST(auc_num2 AS DECIMAL(38,0)) * 1000000 div " +
-          "(2 * CAST(n1 AS DECIMAL(38,0)) * n0)").as("auc_ppm"),
+          "nullif(2 * CAST(n1 AS DECIMAL(38,0)) * n0, 0)").as("auc_ppm"),
         (round(col("auc_num2").cast("double") /
-          (lit(2.0) * col("n1") * col("n0")), 6) + lit(0.0)).as("auc_r"))
+          nullif(lit(2.0) * col("n1") * col("n0"), lit(0.0)), 6)
+          + lit(0.0)).as("auc_r"))
   }
 
   /** Calibration / reliability diagram + per-bin Brier score: the
@@ -153,14 +156,20 @@ object MlEval {
           "((decile * nt) div 10 - nlt) * p").as("cap"),
         col("n"), col("nt"), col("pt"))
       .select(col("decile"), col("depth"),
-        expr("cap * 1000000 div (n * CAST(pt AS DECIMAL(38,0)))")
+        // nullif(pt/depth, 0): a positive-free (or tiny) slice leaves
+        // gain/lift undefined — NULL in both engines (r16 sweep)
+        expr("cap * 1000000 div " +
+          "nullif(n * CAST(pt AS DECIMAL(38,0)), 0)")
           .as("gain_ppm"),
-        expr("cap * 1000000 div (n * CAST(depth AS DECIMAL(38,0)))")
+        expr("cap * 1000000 div " +
+          "nullif(n * CAST(depth AS DECIMAL(38,0)), 0)")
           .as("prec_ppm"),
         expr("cap * nt * 1000000 div " +
-          "(n * CAST(pt AS DECIMAL(38,0)) * depth)").as("lift_ppm"),
+          "nullif(n * CAST(pt AS DECIMAL(38,0)) * depth, 0)")
+          .as("lift_ppm"),
         (round(col("cap").cast("double") /
-          (col("n").cast("double") * col("pt")), 6) + lit(0.0))
+          nullif(col("n").cast("double") * col("pt"), lit(0.0)), 6)
+          + lit(0.0))
           .as("gain_r"))
   }
 
@@ -198,9 +207,11 @@ object MlEval {
         col("n_thresholds"),
         expr("CAST(pt AS DECIMAL(38,0)) * 1000000000 div nt")
           .as("prevalence_ppb"),
-        expr("apn div CAST(pt AS DECIMAL(38,0))").as("ap_ppb"),
+        // nullif(pt, 0): no positives -> AP undefined (r16 sweep)
+        expr("apn div nullif(CAST(pt AS DECIMAL(38,0)), 0)").as("ap_ppb"),
         (round(col("apn").cast("double") /
-          (col("pt").cast("double") * 1.0e9), 6) + lit(0.0)).as("ap_r"))
+          nullif(col("pt").cast("double") * 1.0e9, lit(0.0)), 6)
+          + lit(0.0)).as("ap_r"))
   }
 
   /** Inter-annotator agreement (Cohen 1960): annotator A = the corpus'
@@ -336,12 +347,16 @@ object MlEval {
         sum(col("r2x").cast("decimal(38,0)") * col("r2x")).as("sxx"),
         sum(col("r2y").cast("decimal(38,0)") * col("r2y")).as("syy"))
       .select(col("n"),
+        // nullif: a single-row (or constant-rank) slice has zero rank
+        // variance — rho is undefined, surfaced as NULL in BOTH
+        // engines, never an ANSI divide-by-zero (r16 sweep)
         (round((col("n").cast("double") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
-          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+          nullif(sqrt((col("n").cast("double") * col("sxx").cast("double") -
             col("sx").cast("double") * col("sx").cast("double")) *
             (col("n").cast("double") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))), 6)
+              col("sy").cast("double") * col("sy").cast("double"))),
+            lit(0.0)), 6)
           + lit(0.0)).as("rho_r"))
   }
 
@@ -404,12 +419,16 @@ object MlEval {
         col("var_num").cast("long").as("var_num"),
         (round(col("sum_y_cents").cast("double") / col("n_users"), 6)
           + lit(0.0)).as("raw_mean_r"),
+        // nullif: a single-user slice has zero covariate variance —
+        // theta/adjustment undefined, NULL in both engines (r16 sweep)
         (round((col("var_num").cast("double") * col("sum_y_cents") -
           col("cov_num").cast("double") * col("sum_x_cents")) /
-          (col("var_num").cast("double") * col("n_users")), 6)
+          nullif(col("var_num").cast("double") * col("n_users"),
+            lit(0.0)), 6)
           + lit(0.0)).as("adj_mean_r"),
         (round(col("cov_num").cast("double") /
-          col("var_num").cast("double"), 6) + lit(0.0)).as("theta_r"))
+          nullif(col("var_num").cast("double"), lit(0.0)), 6)
+          + lit(0.0)).as("theta_r"))
   }
 
   /** Mutual information of the customer market-segment × nation grid —
@@ -756,18 +775,24 @@ object MlEval {
         col("cqy"), col("cdy"), col("cyy"), col("sq"), col("sd"),
         col("sy"))
       .select(col("n"),
-        (round(col("b1n").cast("double") / col("det").cast("double"), 6)
+        // nullif(det, 0): a single-row (or collinear) slice has a
+        // singular normal matrix — coefficients undefined, NULL in
+        // both engines, never an ANSI divide-by-zero (r16 sweep)
+        (round(col("b1n").cast("double") /
+          nullif(col("det").cast("double"), lit(0.0)), 6)
           + lit(0.0)).as("b_qty_r"),
-        (round(col("b2n").cast("double") / col("det").cast("double"), 6)
+        (round(col("b2n").cast("double") /
+          nullif(col("det").cast("double"), lit(0.0)), 6)
           + lit(0.0)).as("b_disc_r"),
         expr("round(CAST(sy AS DOUBLE) / n - " +
-          "(CAST(b1n AS DOUBLE) / CAST(det AS DOUBLE)) * " +
+          "(CAST(b1n AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0)) * " +
           "(CAST(sq AS DOUBLE) / n) - " +
-          "(CAST(b2n AS DOUBLE) / CAST(det AS DOUBLE)) * " +
+          "(CAST(b2n AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0)) * " +
           "(CAST(sd AS DOUBLE) / n), 6) + 0.0").as("intercept_r"),
         expr("round((CAST(b1n AS DOUBLE) * CAST(cqy AS DOUBLE) + " +
           "CAST(b2n AS DOUBLE) * CAST(cdy AS DOUBLE)) / " +
-          "(CAST(det AS DOUBLE) * CAST(cyy AS DOUBLE)), 6) + 0.0")
+          "nullif(CAST(det AS DOUBLE) * CAST(cyy AS DOUBLE), 0.0), 6)" +
+          " + 0.0")
           .as("r2_r"))
   }
 
@@ -1320,7 +1345,11 @@ object MlEval {
       .withColumn("n_required", expr(powerNSql))
       .select(col("n_users"), col("n_conv"), col("p0_ppm"),
         col("n_required"),
-        (col("n_users") >= col("n_required") * 2).as("powered"))
+        // coalesce: zero users make n_required NULL and the comparison
+        // UNKNOWN — "insufficient data" is declared NOT powered, in
+        // both engines (r16 adversarial sweep)
+        coalesce(col("n_users") >= col("n_required") * 2, lit(false))
+          .as("powered"))
   }
 
   /** Shared two-proportion sample-size fragment (per arm, detecting a
@@ -1335,7 +1364,7 @@ object MlEval {
        |   0.841621 * sqrt($p0 * (1.0 - $p0) + $p1 * (1.0 - $p1))) *
        |  (1.959964 * sqrt(2.0 * $pbar * (1.0 - $pbar)) +
        |   0.841621 * sqrt($p0 * (1.0 - $p0) + $p1 * (1.0 - $p1))) /
-       |  (($p1 - $p0) * ($p1 - $p0))) AS BIGINT)""".stripMargin
+       |  nullif(($p1 - $p0) * ($p1 - $p0), 0.0)) AS BIGINT)""".stripMargin
   }
 
   /** Exact Shapley decomposition of explained variance across two
@@ -1403,13 +1432,18 @@ object MlEval {
         // exact-integer columns would drop in favor of the shares.
         col("phi2").cast("long").as("phi2"),
         col("v_alone").cast("long").as("v_alone"),
+        // nullif(tss, 0): a single-row slice has zero total variance —
+        // the shares are undefined, NULL in both engines (r16 sweep)
         (round(col("phi2").cast("double") /
-          (lit(2.0) * col("tss").cast("double")), 6) + lit(0.0))
+          nullif(lit(2.0) * col("tss").cast("double"), lit(0.0)), 6)
+          + lit(0.0))
           .as("shapley_share_r"),
         (round(col("v_alone").cast("double") /
-          col("tss").cast("double"), 6) + lit(0.0)).as("alone_share_r"),
+          nullif(col("tss").cast("double"), lit(0.0)), 6) + lit(0.0))
+          .as("alone_share_r"),
         (round(col("v_joint").cast("double") /
-          col("tss").cast("double"), 6) + lit(0.0)).as("joint_share_r"))
+          nullif(col("tss").cast("double"), lit(0.0)), 6) + lit(0.0))
+          .as("joint_share_r"))
   }
 
   /** Shared Mann–Whitney z fragment over (u2 = 2·U₁, n1, n0, tt =
@@ -1418,10 +1452,15 @@ object MlEval {
     * rank-methods treatment: Var U = n1·n0/12·((n+1) − Σ(t³−t)/(n(n−1))).
     */
   private def mwuZSql: String =
+    // nullif guards (shared fragment -> both engines): a one-group or
+    // single-observation slice has zero U variance and the tie-term
+    // denominator (n)(n-1) is zero at n = 1 — z is undefined there,
+    // surfaced as NULL, never an ANSI divide-by-zero (r16 sweep)
     "((CAST(u2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * n0 / 2.0) / " +
-      "sqrt(CAST(n1 AS DOUBLE) * n0 / 12.0 * " +
+      "nullif(sqrt(CAST(n1 AS DOUBLE) * n0 / 12.0 * " +
       "((CAST(n1 AS DOUBLE) + n0 + 1.0) - CAST(tt AS DOUBLE) / " +
-      "((CAST(n1 AS DOUBLE) + n0) * (CAST(n1 AS DOUBLE) + n0 - 1.0)))))"
+      "nullif((CAST(n1 AS DOUBLE) + n0) * " +
+      "(CAST(n1 AS DOUBLE) + n0 - 1.0), 0.0))), 0.0))"
 
   /** Mann–Whitney U test (Mann & Whitney, Ann. Math. Stat. 1947) on
     * line-item quantity between the two line statuses — the UNPAIRED
@@ -1490,7 +1529,8 @@ object MlEval {
     * IEEE sequence in both engines. */
   private def tauBSql: String =
     "(CAST(c - d AS DOUBLE) / " +
-      "sqrt(CAST(np - tx AS DOUBLE) * CAST(np - ty AS DOUBLE)))"
+      "nullif(sqrt(CAST(np - tx AS DOUBLE) * CAST(np - ty AS DOUBLE))," +
+      " 0.0))"
 
   /** Kendall rank correlation τ-b (Kendall, Biometrika 1938; τ-b is
     * the tie-adjusted form) between per-nation order volume and
@@ -1990,7 +2030,10 @@ object MlEval {
   /** Shared Cochran–Armitage χ² fragment over (tt = N·Σtr − R·Σtn,
     * den = R·(N−R)·(N·Σnt² − (Σnt)²), n) — one fixed-order double. */
   private def caChi2Sql: String =
-    "(CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) * n / CAST(den AS DOUBLE))"
+    // nullif: a single-band or single-row slice has zero trend
+    // variance (den = 0) — chi2 undefined, NULL in both engines
+    "(CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) * n / " +
+      "nullif(CAST(den AS DOUBLE), 0.0))"
 
   /** Cochran–Armitage trend test (Cochran, Biometrics 1954; Armitage,
     * Biometrics 1955) for a MONOTONE dose–response across the ordered
@@ -2346,9 +2389,12 @@ object MlEval {
     * [[partialCorr]] and its oracle for each variable pair. */
   private def pcRSql(sab: String, sa: String, sb: String,
       saa: String, sbb: String): String =
+    // nullif: a single-row (or constant-variable) slice has zero
+    // variance — r undefined, NULL in both engines (r16 sweep)
     s"((CAST(n AS DOUBLE) * $sab - CAST($sa AS DOUBLE) * $sb) / " +
+      s"nullif(" +
       s"sqrt((CAST(n AS DOUBLE) * $saa - CAST($sa AS DOUBLE) * $sa) * " +
-      s"(CAST(n AS DOUBLE) * $sbb - CAST($sb AS DOUBLE) * $sb)))"
+      s"(CAST(n AS DOUBLE) * $sbb - CAST($sb AS DOUBLE) * $sb)), 0.0))"
 
   /** First-order partial correlation r_xy·z (Fisher, Metron 1924; Yule
     * 1907): quantity↔price correlation CONTROLLING for the discount —
@@ -2364,7 +2410,7 @@ object MlEval {
     val rxz = pcRSql("sxz", "sx", "sz", "sxx", "szz")
     val ryz = pcRSql("syz", "sy", "sz", "syy", "szz")
     val part = s"(($rxy - $rxz * $ryz) / " +
-      s"sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)))"
+      s"nullif(sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)), 0.0))"
     t(spark, dir, "lineitem")
       .select(col("l_quantity").cast("long").as("x"),
         expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
@@ -2391,7 +2437,7 @@ object MlEval {
     val rxz = pcRSql("sxz", "sx", "sz", "sxx", "szz")
     val ryz = pcRSql("syz", "sy", "sz", "syy", "szz")
     val part = s"(($rxy - $rxz * $ryz) / " +
-      s"sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)))"
+      s"nullif(sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)), 0.0))"
     s"""WITH v AS (
       |  SELECT CAST(l_quantity AS BIGINT) AS x,
       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
@@ -2431,8 +2477,11 @@ object MlEval {
       s" - 3.0 * $jbMuSql * $jbMuSql * $jbMuSql * $jbMuSql)"
   // m2^1.5 spelled mul+sqrt: both are correctly-rounded IEEE ops in
   // both engines, where pow(x, 1.5) carries no such guarantee
-  private def jbSkewSql = s"($jbM3Sql / ($jbM2Sql * sqrt($jbM2Sql)))"
-  private def jbKurtSql = s"($jbM4Sql / ($jbM2Sql * $jbM2Sql))"
+  // nullif: a single-row (or constant) slice has zero variance m2 —
+  // skew/kurtosis/JB undefined, NULL in both engines (r16 sweep)
+  private def jbSkewSql =
+    s"($jbM3Sql / nullif($jbM2Sql * sqrt($jbM2Sql), 0.0))"
+  private def jbKurtSql = s"($jbM4Sql / nullif($jbM2Sql * $jbM2Sql, 0.0))"
   private def jbSql = s"(n / 6.0 * ($jbSkewSql * $jbSkewSql + " +
     s"($jbKurtSql - 3.0) * ($jbKurtSql - 3.0) / 4.0))"
 
@@ -2599,13 +2648,15 @@ object MlEval {
         |  FROM cum, tot, range(1, 11) t(i)
         |  WHERE nlt < (t.i * nt) // 10 AND (t.i * nt) // 10 <= nlt + n)
         |SELECT decile, depth,
-        |  CAST(cap * 1000000 // (n * CAST(pt AS HUGEINT)) AS BIGINT)
-        |    AS gain_ppm,
-        |  CAST(cap * 1000000 // (n * CAST(depth AS HUGEINT)) AS BIGINT)
-        |    AS prec_ppm,
+        |  CAST(cap * 1000000 // nullif(n * CAST(pt AS HUGEINT), 0)
+        |    AS BIGINT) AS gain_ppm,
+        |  CAST(cap * 1000000 // nullif(n * CAST(depth AS HUGEINT), 0)
+        |    AS BIGINT) AS prec_ppm,
         |  CAST(cap * nt * 1000000 //
-        |    (n * CAST(pt AS HUGEINT) * depth) AS BIGINT) AS lift_ppm,
-        |  round(CAST(cap AS DOUBLE) / (CAST(n AS DOUBLE) * pt), 6) + 0.0
+        |    nullif(n * CAST(pt AS HUGEINT) * depth, 0) AS BIGINT)
+        |    AS lift_ppm,
+        |  round(CAST(cap AS DOUBLE) /
+        |    nullif(CAST(n AS DOUBLE) * pt, 0.0), 6) + 0.0
         |    AS gain_r
         |FROM hit""".stripMargin),
     Q("q293_pr_auc", prAuc _,
@@ -2637,9 +2688,9 @@ object MlEval {
         |  CAST(CAST(sum(p) AS HUGEINT) * 1000000000 // sum(n)
         |    AS BIGINT) AS prevalence_ppb,
         |  CAST(sum(CAST(p AS HUGEINT) * prec_ppb) //
-        |    CAST(sum(p) AS HUGEINT) AS BIGINT) AS ap_ppb,
+        |    nullif(CAST(sum(p) AS HUGEINT), 0) AS BIGINT) AS ap_ppb,
         |  round(CAST(sum(CAST(p AS HUGEINT) * prec_ppb) AS DOUBLE) /
-        |    (CAST(sum(p) AS DOUBLE) * 1e9), 6) + 0.0 AS ap_r
+        |    nullif(CAST(sum(p) AS DOUBLE) * 1e9, 0.0), 6) + 0.0 AS ap_r
         |FROM terms""".stripMargin),
     Q("q314_wilcoxon", wilcoxon _,
       """WITH base AS (
@@ -2927,18 +2978,21 @@ object MlEval {
         |    cdy * cqq - cqy * cqd AS b2n
         |  FROM c)
         |SELECT n,
-        |  round(CAST(b1n AS DOUBLE) / CAST(det AS DOUBLE), 6) + 0.0
+        |  round(CAST(b1n AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0),
+        |    6) + 0.0
         |    AS b_qty_r,
-        |  round(CAST(b2n AS DOUBLE) / CAST(det AS DOUBLE), 6) + 0.0
+        |  round(CAST(b2n AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0),
+        |    6) + 0.0
         |    AS b_disc_r,
         |  round(CAST(sy AS DOUBLE) / n -
-        |    (CAST(b1n AS DOUBLE) / CAST(det AS DOUBLE)) *
+        |    (CAST(b1n AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0)) *
         |    (CAST(sq AS DOUBLE) / n) -
-        |    (CAST(b2n AS DOUBLE) / CAST(det AS DOUBLE)) *
+        |    (CAST(b2n AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0)) *
         |    (CAST(sd AS DOUBLE) / n), 6) + 0.0 AS intercept_r,
         |  round((CAST(b1n AS DOUBLE) * CAST(cqy AS DOUBLE) +
         |    CAST(b2n AS DOUBLE) * CAST(cdy AS DOUBLE)) /
-        |    (CAST(det AS DOUBLE) * CAST(cyy AS DOUBLE)), 6) + 0.0
+        |    nullif(CAST(det AS DOUBLE) * CAST(cyy AS DOUBLE), 0.0), 6)
+        |    + 0.0
         |    AS r2_r
         |FROM k""".stripMargin),
     Q("q294_tree_depth2", treeDepth2 _,
@@ -2996,10 +3050,15 @@ object MlEval {
         |    max(bg) AS gain_r
         |  FROM sg2 GROUP BY 1)
         |SELECT 'root' AS node, nt AS n, pt AS pos, rsplit AS best_split,
-        |  bg AS gain_r FROM tot, rbest
+        |  bg AS gain_r FROM tot, rbest WHERE nt IS NOT NULL
         |UNION ALL
         |SELECT s.node, st.nt AS n, st.pt AS pos, s.best_split, s.gain_r
         |FROM sbest s JOIN stot st ON st.node = s.node""".stripMargin),
+      // WHERE nt IS NOT NULL: an empty corpus has no root candidate on
+      // the Spark side (its rbest is a window over the materialized
+      // 63-split relation, which is empty), so the declared semantics
+      // are "empty corpus -> empty tree"; duck's global-agg rbest would
+      // otherwise fabricate an all-NULL root row (r16 sweep)
     Q("q284_shapley_r2", shapleyR2 _,
       """WITH cells AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS q,
@@ -3043,11 +3102,14 @@ object MlEval {
         |    w_qd - w0, tss FROM base)
         |SELECT feature, CAST(phi2 AS BIGINT) AS phi2,
         |  CAST(v_alone AS BIGINT) AS v_alone,
-        |  round(CAST(phi2 AS DOUBLE) / (2.0 * CAST(tss AS DOUBLE)), 6)
+        |  round(CAST(phi2 AS DOUBLE) /
+        |    nullif(2.0 * CAST(tss AS DOUBLE), 0.0), 6)
         |    + 0.0 AS shapley_share_r,
-        |  round(CAST(v_alone AS DOUBLE) / CAST(tss AS DOUBLE), 6) + 0.0
+        |  round(CAST(v_alone AS DOUBLE) /
+        |    nullif(CAST(tss AS DOUBLE), 0.0), 6) + 0.0
         |    AS alone_share_r,
-        |  round(CAST(v_joint AS DOUBLE) / CAST(tss AS DOUBLE), 6) + 0.0
+        |  round(CAST(v_joint AS DOUBLE) /
+        |    nullif(CAST(tss AS DOUBLE), 0.0), 6) + 0.0
         |    AS joint_share_r
         |FROM feats""".stripMargin),
     Q("q286_srm_check", srmCheck _,
@@ -3087,7 +3149,8 @@ object MlEval {
          |  n_conv * 1000000 // n_users AS p0_ppm FROM c)
          |SELECT n_users, n_conv, p0_ppm,
          |  ${powerNSql.replace("\n", " ")} AS n_required,
-         |  n_users >= ${powerNSql.replace("\n", " ")} * 2 AS powered
+         |  coalesce(n_users >= ${powerNSql.replace("\n", " ")} * 2,
+         |    false) AS powered
          |FROM p""".stripMargin),
     Q("q280_isotonic", isotonic _,
       s"""WITH li AS (
@@ -3281,9 +3344,10 @@ object MlEval {
          |  FROM cum)
          |SELECT n1, n0, auc_num2,
          |  CAST(CAST(auc_num2 AS HUGEINT) * 1000000 //
-         |    (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT) AS auc_ppm,
+         |    nullif(2 * CAST(n1 AS HUGEINT) * n0, 0) AS BIGINT)
+         |    AS auc_ppm,
          |  round(CAST(auc_num2 AS DOUBLE) /
-         |    (2.0 * n1 * n0), 6) + 0.0 AS auc_r
+         |    nullif(2.0 * n1 * n0, 0.0), 6) + 0.0 AS auc_r
          |FROM tot""".stripMargin),
     Q("q252_calibration", calibration _,
       s"""WITH scored AS (
@@ -3376,11 +3440,11 @@ object MlEval {
         |SELECT n,
         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
         |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
-        |    AS rho_r
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6)
+        |    + 0.0 AS rho_r
         |FROM s""".stripMargin),
     Q("q262_cuped", cuped _,
       """WITH ev AS (
@@ -3419,8 +3483,10 @@ object MlEval {
         |    AS raw_mean_r,
         |  round((CAST(var_num AS DOUBLE) * sum_y_cents -
         |    CAST(cov_num AS DOUBLE) * sum_x_cents) /
-        |    (CAST(var_num AS DOUBLE) * n_users), 6) + 0.0 AS adj_mean_r,
-        |  round(CAST(cov_num AS DOUBLE) / CAST(var_num AS DOUBLE), 6)
+        |    nullif(CAST(var_num AS DOUBLE) * n_users, 0.0), 6) + 0.0
+        |    AS adj_mean_r,
+        |  round(CAST(cov_num AS DOUBLE) /
+        |    nullif(CAST(var_num AS DOUBLE), 0.0), 6)
         |    + 0.0 AS theta_r
         |FROM arms, theta""".stripMargin),
     Q("q263_mutual_info", mutualInfo _,

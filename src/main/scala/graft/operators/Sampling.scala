@@ -395,8 +395,10 @@ object Sampling {
     // back in long
     val alloc = moments.crossJoin(broadcast(totV))
       .withColumn("n_alloc",
+        // nullif: single-row strata leave every v_mass (and so tot_v)
+        // zero — allocation undefined, NULL in both engines (r16 sweep)
         expr(s"CAST(($budget * CAST(v_mass AS DECIMAL(38,0))) div " +
-          "CAST(tot_v AS DECIMAL(38,0)) AS BIGINT)"))
+          "nullif(CAST(tot_v AS DECIMAL(38,0)), 0) AS BIGINT)"))
     val wRk = Window.partitionBy(col("event_type"))
       .orderBy(col("hk").asc, col("event_id").asc)
     val selected = ev.withColumn("rk", row_number().over(wRk).cast("long"))
@@ -464,7 +466,9 @@ object Sampling {
         sum(col(s"w_$b") * col("cents")).as(s"swx_$b"),
         sum(col(s"w_$b")).as(s"sw_$b")))
     val meanArr = array((1 to B).map(b =>
-      expr(s"swx_$b * 1000000 div sw_$b")): _*)
+      // nullif: a Poisson replicate can draw total weight 0 on a
+      // tiny slice — that replicate's mean is undefined/NULL (r16)
+      expr(s"swx_$b * 1000000 div nullif(sw_$b, 0)")): _*)
     withW.agg(aggs.head, aggs.tail: _*)
       .select(col("n"), expr("s1 * 1000000 div n").as("point_mean_micro"),
         array_sort(meanArr).as("ms"))
@@ -485,7 +489,8 @@ object Sampling {
     val sums = (1 to B).map(b =>
       s"    CAST(sum(w_$b * cents) AS BIGINT) AS swx_$b,\n" +
         s"    CAST(sum(w_$b) AS BIGINT) AS sw_$b").mkString(",\n")
-    val means = (1 to B).map(b => s"swx_$b * 1000000 // sw_$b")
+    val means = (1 to B).map(b =>
+      s"swx_$b * 1000000 // nullif(sw_$b, 0)")
       .mkString(", ")
     s"""WITH base AS (
        |  SELECT o_orderkey AS k,
@@ -533,7 +538,8 @@ object Sampling {
         |tv AS (SELECT CAST(sum(v_mass) AS BIGINT) AS tot_v FROM mv),
         |al AS (
         |  SELECT event_type, n_pop, s1, v_mass,
-        |    CAST(1000 * CAST(v_mass AS HUGEINT) // tot_v AS BIGINT)
+        |    CAST(1000 * CAST(v_mass AS HUGEINT) // nullif(tot_v, 0)
+        |      AS BIGINT)
         |      AS n_alloc
         |  FROM mv, tv),
         |rk AS (

@@ -755,8 +755,11 @@ object Similarity {
       .agg(sum(col("c")).as("trc"))
     v4.crossJoin(broadcast(ray)).crossJoin(broadcast(tr))
       .select(col("j"), col("v").as("loading"),
+        // nullif: an empty/degenerate matrix has zero trace — the
+        // variance share is undefined, NULL in both engines (r16 sweep)
         (round(col("num").cast("double") /
-          (col("den").cast("double") * col("trc").cast("double")), 6)
+          nullif(col("den").cast("double") * col("trc").cast("double"),
+            lit(0.0)), 6)
           + lit(0.0)).as("ev_share_r"))
   }
 
@@ -1487,7 +1490,8 @@ object Similarity {
          |  SELECT CAST(sum(c) AS BIGINT) AS trc FROM cn WHERE j = k)
          |SELECT v4.j, v4.v AS loading,
          |  round(CAST(num AS DOUBLE) /
-         |    (CAST(den AS DOUBLE) * CAST(trc AS DOUBLE)), 6) + 0.0
+         |    nullif(CAST(den AS DOUBLE) * CAST(trc AS DOUBLE), 0.0), 6)
+         |    + 0.0
          |    AS ev_share_r
          |FROM v4, ray, tr""".stripMargin),
     Q("q268_hard_negatives", hardNegatives _,

@@ -1729,16 +1729,19 @@ object TextAnalysis {
         sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
         sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
       .select(col("k").as("n_sources"),
+        // nullif: a single-source corpus has one regression point —
+        // the Heaps fit is undefined, NULL in both engines (r16 sweep)
         (round(expr("CAST(CAST(k AS DECIMAL(38,0)) * sxy - " +
           "CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) / " +
-          "CAST(CAST(k AS DECIMAL(38,0)) * sxx - " +
-          "CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"), 6) + lit(0.0))
+          "nullif(CAST(CAST(k AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 0.0)"), 6)
+          + lit(0.0))
           .as("beta_r"),
         (round(expr("(CAST(sy AS DOUBLE) - (CAST(CAST(k AS " +
           "DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy " +
-          "AS DOUBLE) / CAST(CAST(k AS DECIMAL(38,0)) * sxx - " +
-          "CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)) * sx) / k / " +
-          "1000000.0"), 6) + lit(0.0)).as("lnk_r"))
+          "AS DOUBLE) / nullif(CAST(CAST(k AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 0.0)) * sx) " +
+          "/ k / 1000000.0"), 6) + lit(0.0)).as("lnk_r"))
   }
 
   private def heapsLawSql: String =
@@ -1759,12 +1762,12 @@ object TextAnalysis {
       |SELECT k AS n_sources,
       |  round(CAST(CAST(k AS HUGEINT) * sxy -
       |    CAST(sx AS HUGEINT) * sy AS DOUBLE) /
-      |    CAST(CAST(k AS HUGEINT) * sxx -
-      |    CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) + 0.0 AS beta_r,
+      |    nullif(CAST(CAST(k AS HUGEINT) * sxx -
+      |    CAST(sx AS HUGEINT) * sx AS DOUBLE), 0.0), 6) + 0.0 AS beta_r,
       |  round((CAST(sy AS DOUBLE) - (CAST(CAST(k AS HUGEINT) * sxy -
       |    CAST(sx AS HUGEINT) * sy AS DOUBLE) /
-      |    CAST(CAST(k AS HUGEINT) * sxx -
-      |    CAST(sx AS HUGEINT) * sx AS DOUBLE)) * sx) / k /
+      |    nullif(CAST(CAST(k AS HUGEINT) * sxx -
+      |    CAST(sx AS HUGEINT) * sx AS DOUBLE), 0.0)) * sx) / k /
       |    1000000.0, 6) + 0.0 AS lnk_r
       |FROM s""".stripMargin
 
@@ -1836,14 +1839,20 @@ object TextAnalysis {
         sum(when(!col("ind"), 1L).otherwise(0L)).as("cq"))
       .cutLineage() // feeds the totals AND the per-row terms
     val tot = counts.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    // greatest(np|nq, 1): a one-sided corpus has nq = 0, but then
+    // every cq is 0 too, so cq/1 = 0 and the term reduces to the
+    // divergence against an empty distribution — identical arithmetic
+    // in both engines, never an ANSI divide-by-zero (r16 sweep)
     val term = "CAST(floor((" +
       "CASE WHEN cp > 0 THEN 0.5 * (CAST(cp AS DOUBLE) / np) * " +
       "ln((CAST(cp AS DOUBLE) / np) / " +
-      "(0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq))) " +
+      "(0.5 * (CAST(cp AS DOUBLE) / np + " +
+      "CAST(cq AS DOUBLE) / greatest(nq, 1)))) " +
       "ELSE 0.0 END + " +
       "CASE WHEN cq > 0 THEN 0.5 * (CAST(cq AS DOUBLE) / nq) * " +
       "ln((CAST(cq AS DOUBLE) / nq) / " +
-      "(0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq))) " +
+      "(0.5 * (CAST(cp AS DOUBLE) / greatest(np, 1) + " +
+      "CAST(cq AS DOUBLE) / nq))) " +
       "ELSE 0.0 END) * 1000000000 + 0.5) AS BIGINT)"
     counts.crossJoin(broadcast(tot))
       .select(expr(term).as("t"))
@@ -1856,14 +1865,20 @@ object TextAnalysis {
   }
 
   private def jsDivergenceSql: String = {
+    // greatest(np|nq, 1): a one-sided corpus has nq = 0, but then
+    // every cq is 0 too, so cq/1 = 0 and the term reduces to the
+    // divergence against an empty distribution — identical arithmetic
+    // in both engines, never an ANSI divide-by-zero (r16 sweep)
     val term = "CAST(floor((" +
       "CASE WHEN cp > 0 THEN 0.5 * (CAST(cp AS DOUBLE) / np) * " +
       "ln((CAST(cp AS DOUBLE) / np) / " +
-      "(0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq))) " +
+      "(0.5 * (CAST(cp AS DOUBLE) / np + " +
+      "CAST(cq AS DOUBLE) / greatest(nq, 1)))) " +
       "ELSE 0.0 END + " +
       "CASE WHEN cq > 0 THEN 0.5 * (CAST(cq AS DOUBLE) / nq) * " +
       "ln((CAST(cq AS DOUBLE) / nq) / " +
-      "(0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq))) " +
+      "(0.5 * (CAST(cp AS DOUBLE) / greatest(np, 1) + " +
+      "CAST(cq AS DOUBLE) / nq))) " +
       "ELSE 0.0 END) * 1000000000 + 0.5) AS BIGINT)"
     s"""WITH counts AS (
       |  SELECT tok,
@@ -1878,11 +1893,16 @@ object TextAnalysis {
       |    CAST(sum(cq) AS BIGINT) AS nq
       |  FROM counts),
       |terms AS (SELECT $term AS t FROM counts, tot)
-      |SELECT count(*) AS vocab, np AS n_in_tokens, nq AS n_gen_tokens,
-      |  CAST(sum(t) AS BIGINT) AS jsd_nanonat,
-      |  round(CAST(sum(t) AS DOUBLE) / 1000000000.0, 6) + 0.0 AS jsd_r
-      |FROM terms, tot
-      |GROUP BY np, nq""".stripMargin
+      |SELECT (SELECT count(*) FROM terms) AS vocab,
+      |  np AS n_in_tokens, nq AS n_gen_tokens,
+      |  (SELECT CAST(sum(t) AS BIGINT) FROM terms) AS jsd_nanonat,
+      |  (SELECT round(CAST(sum(t) AS DOUBLE) / 1000000000.0, 6) + 0.0
+      |    FROM terms) AS jsd_r
+      |FROM tot""".stripMargin
+      // scalar-subquery form, not GROUP BY np, nq: on an empty corpus
+      // the grouped form returns ZERO rows while Spark's global
+      // aggregate (correctly) returns the one vocab=0 row — the
+      // ungrouped form agrees at every corpus size (r16 sweep)
   }
 
   /** distinct-n generation-diversity ratios per source (Li, Galley,

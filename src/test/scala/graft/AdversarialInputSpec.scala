@@ -49,7 +49,11 @@ class AdversarialInputSpec extends SparkSpec {
   private def sweep(dir: String, tag: String): Unit = {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, dir).count()
+      // collect(), not count(): column pruning under count() would skip
+      // the final projection, hiding exactly the degenerate-division
+      // crashes this sweep exists to catch (q196/q307 escaped the first
+      // count()-based run that way)
+      try fn(spark, dir).collect()
       catch { case e: Throwable =>
         failures += s"$name: ${e.getClass.getSimpleName}: " +
           s"${Option(e.getMessage).getOrElse("").take(200)}"

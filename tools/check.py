@@ -182,18 +182,31 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):
+            # Spark-written table: a directory of part files (the
+            # adversarial sf dirs are staged this way)
+            p = f"{p}/*.parquet"
+        elif not os.path.exists(p):
+            continue
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noora = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        spark_df = pd.concat([pd.read_parquet(f) for f in files],
-                             ignore_index=True)
+        if files:
+            spark_df = pd.concat([pd.read_parquet(f) for f in files],
+                                 ignore_index=True)
+        else:
+            # an AQE-coalesced EMPTY result can commit zero part files
+            # (degenerate-corpus gate runs); the rows/hash compare is
+            # still exact, only the column-name check degrades to
+            # "oracle's own columns" for this 0-row case
+            spark_df = None
         if name not in oracle:
-            print(f"  {name}: NO-ORACLE rows={len(spark_df)}")
+            nr = "?" if spark_df is None else len(spark_df)
+            print(f"  {name}: NO-ORACLE rows={nr}")
             n_noora += 1
             continue
         try:
@@ -202,6 +215,8 @@ def main():
             print(f"✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
+        if spark_df is None:
+            spark_df = pd.DataFrame(columns=duck_df.columns)
         cols_a, rows_a, hash_a = canon(spark_df)
         cols_b, rows_b, hash_b = canon(duck_df)
         if cols_a != cols_b:
