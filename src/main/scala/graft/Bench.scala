@@ -70,19 +70,21 @@ object Bench {
     // load ≈ 0 — host-level contention a VM guest cannot see or control;
     // calib_sec makes that factor explicit so cross-round comparisons can
     // separate "the code got slower" from "the box was slower".
-    // r16 (verdict item 4): the probe is now Calib.sparkProbe — a
-    // shuffle+scan mix through Spark itself — replacing the pure-ALU
-    // SplitMix64 loop, whose 39% same-HEAD spread (vs the suite's 7.4%,
-    // SCALE.md r15 part 2) made normalization strictly misleading.
-    // calib_kind stamps the protocol; benchdiff refuses to normalize
-    // across different kinds (exactly like calib_threads widths), so old
-    // ALU pins compare raw — which is what the decoupling guard was
-    // already forcing for nearly every same-box pair.
-    // calib_threads still records the session width (the probe saturates
-    // whatever local[N] provides via its 32-partition exchange).
+    // r16 (verdict item 4): calib_sec is now DIAGNOSTIC ONLY — no path
+    // normalizes by it anymore. The r16 CalibStudy (SCALE.md) measured
+    // a candidate shuffle+scan replacement probe side-by-side with the
+    // ALU probe and a fixed suite-query mix across quiet AND loaded
+    // windows: the shuffle probe spread 45% across quiet windows
+    // (worse than ALU's 10% under the same back-to-back protocol) and
+    // tracked the mix WORSE (73% vs 40% probe/mix ratio spread), while
+    // the suite mix itself spread only 6% — i.e. the only trustworthy
+    // platform signal is the suite's own shared-query ratio, which
+    // benchdiff already computes. So: probe kept (ALU, for series
+    // continuity with every existing pin), normalization dropped
+    // everywhere, calib_kind stamps the protocol for honesty.
     val calibThreads = cpus.toInt
-    val calibKind = "shuffle-scan-v2"
-    def calibProbe(): Double = Calib.sparkProbe(spark)
+    val calibKind = "alu-v1"
+    def calibProbe(): Double = Calib.probe(calibThreads)
     val calibPre = (1 to 3).map(_ => calibProbe())
     // queries that localCheckpoint intermediate frames: their dead blocks
     // linger until the ContextCleaner's next GC and were measured adding
@@ -287,15 +289,14 @@ object Bench {
               "undersized pin (isolation/subset run?); the isolation " +
               "trigger is blind for the absent queries. Re-pin via " +
               "tools/repin.py from a full quiet window.")
-          // express CURRENT times in baseline box-speed units before the
-          // ratio (same rule as benchdiff; raw when widths OR probe
-          // kinds differ — an ALU pin can't normalize a shuffle probe)
-          val norm = (bc, bt) match {
-            case (Some(c), Some(t)) if t == calibThreads &&
-                bk == calibKind && calib > 0 =>
-              c / calib
-            case _ => 1.0
-          }
+          // RAW comparison (r16: probe normalization dropped — the
+          // CalibStudy showed no probe tracks the suite better than the
+          // suite itself; same-box spike detection was always raw in
+          // effect anyway, since the decoupling guard fired on nearly
+          // every same-box pair). bc/bt/bk still parsed so the pin's
+          // probe protocol is visible in diagnostics.
+          val _ = (bc, bt, bk)
+          val norm = 1.0
           // trigger = WOULD benchdiff flag it REGRESSED (>10% and >50 ms,
           // its exact rule) AND the flag is one isolation can adjudicate:
           // a sub-0.5 s pinned baseline (the floor population, where

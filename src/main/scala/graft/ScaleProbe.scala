@@ -100,6 +100,33 @@ object ScaleProbe {
       return
     }
 
+    // `--r16` (r15 verdict item 1): 1x/10x matched pairs for the r15
+    // multimodal wave's unprobed queries — frame dedup (q358), media
+    // quality (q359), CDC chunk dedup (q360). The 10x staging's "r$i "
+    // prefix replicas are the CDC showcase: one 3-byte insertion shifts
+    // every aligned frame but CDC boundaries re-sync, so q360 recovers
+    // cross-replica chunk pairs q358 structurally cannot.
+    if (args.contains("--r16")) {
+      r16Probe(spark, base)
+      spark.stop()
+      return
+    }
+
+    // `--x100-r16` (r15 verdict items 1+8): 100x payload-bytes axis for
+    // the two piece-hash pair-emitters (q358 frame-hash join, q360
+    // chunk-hash join — both ride the sharedHashPairs hot-bucket cap),
+    // plus the two standing heavyweights without a 100x row (q150
+    // setsim, q267 lsh s-curve; q153 got its 100x in the r13 graph
+    // wave). Token-tagged replicas = corpus bytes x100 at a constant
+    // dup rate (cross-replica text shares nothing, each replica
+    // mirrors the 1x near-dup structure), so cost should track corpus
+    // bytes and output pairs ~x100.
+    if (args.contains("--x100-r16")) {
+      x100R16Probe(spark, base)
+      spark.stop()
+      return
+    }
+
     val keySpan = 100000000L
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
@@ -723,6 +750,93 @@ object ScaleProbe {
         operators.MlEval.conformal(spark, dir).count())
       time(s"bradley_terry_$tag")(
         operators.MlEval.bradleyTerry(spark, dir).count())
+    }
+    calib("post")
+  }
+
+  private def r16Probe(spark: SparkSession, base: String): Unit = {
+    val out = "target/scale10"
+    val keySpan = 100000000L
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    def calib(tag: String): Unit =
+      println(f"calib_${tag}%-22s ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
+      rep(Tables.load(spark, base, "documents")) { (d, i) =>
+        d.withColumn("doc_id", col("doc_id") + i * keySpan)
+          .withColumn("text",
+            if (i == 0) col("text") else concat(lit(s"r$i "), col("text")))
+      }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    calib("pre")
+    Seq(base, out).foreach { d =>
+      operators.Multimodal.mediaQuality(spark, d).count()
+    }
+    for (round <- 1 to 2; (tag, dir) <- Seq("1x" -> base, "10x" -> out)) {
+      println(s"--- $tag round $round ($dir) ---")
+      time(s"frame_dedup_$tag")(
+        operators.Multimodal.frameDedup(spark, dir).count())
+      System.gc() // piece-hash dedups localCheckpoint (cutLineage)
+      time(s"media_quality_$tag")(
+        operators.Multimodal.mediaQuality(spark, dir).count())
+      time(s"cdc_chunks_$tag")(
+        operators.Multimodal.cdcChunkDedup(spark, dir).count())
+      System.gc()
+    }
+    calib("post")
+  }
+
+  private def x100R16Probe(spark: SparkSession, base: String): Unit = {
+    val out = "target/scale100"
+    val keySpan = 100000000L
+    val reps = 100
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    def calib(tag: String): Unit =
+      println(f"calib_${tag}%-22s ${Calib.min3(32)}%8.3fs  (32 thr, min-of-3)")
+    def repped(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(reps).toDF("rep"))
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      // token-tagged replicas (the x100-r15 recipe): replica r's tokens
+      // only match within replica r, so similarity/piece structure per
+      // replica mirrors 1x — corpus bytes x100 at a constant dup rate
+      repped(Tables.load(spark, base, "documents"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * keySpan)
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "),
+            w => concat(lit("r"), col("rep"), lit("_"), w))))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    calib("pre")
+    Seq(base, out).foreach { d =>
+      operators.Multimodal.mediaQuality(spark, d).count()
+    }
+    for (round <- 1 to 2; (tag, dir) <- Seq("1x" -> base, "100x" -> out)) {
+      operators.Dedup.clearStageCaches()
+      println(s"--- $tag round $round ($dir) ---")
+      time(s"frame_dedup_$tag")(
+        operators.Multimodal.frameDedup(spark, dir).count())
+      System.gc()
+      time(s"cdc_chunks_$tag")(
+        operators.Multimodal.cdcChunkDedup(spark, dir).count())
+      System.gc()
+      time(s"shingle_stage_$tag") {
+        operators.Dedup.materializeShingles(spark, dir); 0L }
+      time(s"setsim_exact_$tag")(
+        operators.Dedup.setsimExact(spark, dir).count())
+      System.gc()
+      time(s"lsh_scurve_$tag")(
+        operators.Dedup.lshScurve(spark, dir).count())
+      System.gc()
     }
     calib("post")
   }

@@ -165,7 +165,8 @@ object StreamQueries {
     // key cardinality instead. The value is pinned into the query's
     // checkpoint, so it stays consistent for the query's lifetime.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_PARTS", "2"))
     // an AvailableNow replay runs 1-2 micro-batches and the checkpoint
     // is deleted on return — retaining the default 100 batches of
     // commit/offset/state history only adds maintenance file IO

@@ -6,13 +6,14 @@ Usage: python3 tools/benchdiff.py <old_bench_out.json> <new_bench_out.json>
 Implements the SCALE.md Round-8 reproducibility study's decision rule so
 cross-round perf calls are a computation, not a judgement:
 
-1. Platform-normalize: calib_sec times a fixed pure-ALU work unit, so
-   (new_calib / old_calib) is the host-speed ratio between the two runs
-   (bigger calib = slower box). Every NEW time is multiplied by
-   old_calib/new_calib, i.e. re-expressed in old-run box-speed units,
-   before comparison. If the two runs probed with different thread counts
-   (calib_threads), the calib numbers measured different saturation widths
-   — the tool says so and refuses to normalize (raw comparison only).
+1. RAW comparison (r16: probe normalization dropped). calib_sec prints
+   as a diagnostic only; the platform signal is the shared-query raw
+   ratio — the suite measuring itself — because every probe studied
+   (pure-ALU: 39% same-HEAD spread r15; shuffle+scan candidate: 45%
+   quiet-window spread, worse mix-tracking, r16 CalibStudy) is noisier
+   than the suite's own 6-8% envelope. A probe that noisy can only
+   inject phantom adjudications, as the r10/r15 decoupling incidents
+   showed.
 
 2. Adjudicate per category and for the total with the 10%-or-50ms rule;
    per QUERY the band is 25%-or-50ms: the round-15 same-HEAD
@@ -96,67 +97,32 @@ def main():
         if ci + 1 >= len(sys.argv):
             sys.exit("--confirm needs a second-window json path")
         confirm = load(sys.argv[ci + 1])
+    # r16 (verdict item 4): PROBE NORMALIZATION DROPPED. History: the
+    # pure-ALU probe normalization gained a decoupling guard (r10) that
+    # fell back to raw whenever the probe disagreed with the suite's own
+    # shared-query ratio by >10-15%; the r15 three-window study measured
+    # the probe at 39% same-HEAD spread vs the suite's 7.4%, and the r16
+    # CalibStudy measured a candidate shuffle+scan replacement at 45%
+    # quiet-window spread with WORSE mix-tracking (73% vs ALU's 40%),
+    # while a fixed suite-query mix spread only 6%. No probe tracks the
+    # suite better than the suite: the shared-query raw ratio below is
+    # the ONLY platform diagnostic, and every comparison is RAW. calib
+    # values still print for the record (kind/threads mark the protocol).
+    norm = 1.0
     calib_a, calib_b = a.get("calib_sec"), b.get("calib_sec")
-    # pre-r9 files carry no calib_threads; their probe was HARDCODED at 8
-    # (Bench.scala history) — defaulting to "same as the other side" would
-    # normalize across incomparable widths and mis-adjudicate
-    thr_a = a.get("calib_threads", 8)
-    thr_b = b.get("calib_threads", 8)
-    # r16: the probe itself changed (pure-ALU -> shuffle+scan, Calib
-    # .sparkProbe) because the ALU probe's 39% same-HEAD spread made
-    # normalization misleading (SCALE.md r15 part 2 / r16 calib study).
-    # Files without calib_kind predate the swap and probed ALU; numbers
-    # from different probe kinds measure different machinery and are
-    # never comparable -> raw.
+    thr_a, thr_b = a.get("calib_threads", 8), b.get("calib_threads", 8)
     kind_a = a.get("calib_kind", "alu-v1")
     kind_b = b.get("calib_kind", "alu-v1")
-    if calib_a and calib_b and thr_a == thr_b and kind_a != kind_b:
-        print(f"calib_kind differs (old={kind_a} new={kind_b}): probes "
-              "measured different machinery, not comparable -> RAW "
-              "comparison, platform swings NOT factored out")
-    if calib_a and calib_b and thr_a == thr_b and kind_a == kind_b:
-        norm = calib_a / calib_b  # multiply NEW times by this
-        print(f"calib: old={calib_a:.3f}s new={calib_b:.3f}s "
-              f"({thr_a} threads) -> host-speed ratio "
-              f"{calib_b / calib_a:.3f} (new times x{norm:.3f} to "
-              f"normalize)")
-        # DECOUPLING GUARD (added after a false round-10 'regression'):
-        # the calib probe is pure ALU; Spark's suite is memory/IO-mixed.
-        # When the host's ALU speed and its memory bandwidth move
-        # DIFFERENTLY (observed: calib 30% faster while raw shared-query
-        # times moved only -6%), normalizing by calib over-corrects and
-        # flags phantom regressions (or would mask real ones in the other
-        # direction). Cross-check: the raw like-for-like ratio over
-        # SHARED queries estimates how the suite actually scaled between
-        # the boxes+binaries; if it disagrees with the calib ratio by
-        # >10%, the probes decoupled -> fall back to RAW comparison
-        # (a genuine code regression still shows in raw). Band tightened
-        # 15% -> 10% by the r15 three-window study (SCALE.md part 2):
-        # three same-HEAD windows spread 7.4% raw but 39% in calib
-        # (0.148-0.206 s on one box in 100 min) - normalizing by a probe
-        # that noisy MULTIPLIED same-HEAD disagreement ~4x, and at 15%
-        # one window of the three read as a phantom +13% total
-        # regression while its raw total had IMPROVED.
-        qa0, qb0 = a.get("queries", {}), b.get("queries", {})
-        sh = [k for k in qa0 if k in qb0 and qa0[k] >= 0 and qb0[k] >= 0]
-        if sh:
-            r_raw = sum(qb0[k] for k in sh) / sum(qa0[k] for k in sh)
-            r_cal = calib_b / calib_a
-            if not (0.90 <= (r_raw / r_cal) <= 1.10):
-                print(f"calib DECOUPLED from suite: raw shared-query "
-                      f"ratio {r_raw:.3f} vs calib ratio {r_cal:.3f} — "
-                      "ALU speed and memory bandwidth moved differently; "
-                      "normalization would mis-adjudicate -> RAW "
-                      "comparison (platform swings NOT factored out)")
-                norm = 1.0
-    else:
-        norm = 1.0
-        if calib_a and calib_b:
-            print(f"calib_threads differ (old={thr_a} new={thr_b}): probes "
-                  "saturated different widths, calib not comparable -> RAW "
-                  "comparison, platform swings NOT factored out")
-        else:
-            print("calib_sec missing (pre-r8 file?) -> RAW comparison")
+    if calib_a and calib_b:
+        print(f"calib (diagnostic only): old={calib_a:.3f}s@{thr_a}t "
+              f"[{kind_a}] new={calib_b:.3f}s@{thr_b}t [{kind_b}]")
+    qa0, qb0 = a.get("queries", {}), b.get("queries", {})
+    sh = [k for k in qa0 if k in qb0 and qa0[k] >= 0 and qb0[k] >= 0]
+    if sh:
+        r_raw = sum(qb0[k] for k in sh) / sum(qa0[k] for k in sh)
+        print(f"platform signal: shared-query raw ratio {r_raw:.3f} "
+              f"over {len(sh)} queries (the suite measuring itself; "
+              "comparisons below are RAW)")
 
     qa, qb = a.get("queries", {}), b.get("queries", {})
     # Bench's self-clearing evidence: post-suite solo re-times (3-sample
