@@ -94,14 +94,28 @@ class AvroWriteProtocolSpec extends graft.SparkSpec {
     assert(ls(dir).isEmpty, s"job abort left residue: ${ls(dir)}")
   }
 
-  test("empty partition commits no file; driver commit tolerates the " +
-      "None message") {
+  test("all-empty write commits ONE schema-bearing empty container " +
+      "(the read side must stay schema-inferable — r16 adversarial " +
+      "sweep); a mixed commit adds no extra file for empty partitions") {
+    // all partitions empty -> exactly one empty part-0.avro, so a
+    // subsequent read finds a header and returns zero rows
     val dir = Files.createTempDirectory("avro_empty").toString
     val f = factory(dir)
     val a = f.createWriter(3, 400L)
     val msg = a.commit() // never wrote a row
     batchWrite(dir).commit(Array(msg))
-    assert(ls(dir).isEmpty)
+    assert(ls(dir) === Seq("part-0.avro"))
+    assert(readBack(dir).isEmpty)
+    // mixed: the empty partition's None message contributes nothing
+    // beyond the real partition's file
+    val dir2 = Files.createTempDirectory("avro_mixed").toString
+    val f2 = factory(dir2)
+    val w = f2.createWriter(0, 500L)
+    w.write(row(1L, "a"))
+    val real = w.commit()
+    val e = f2.createWriter(1, 501L)
+    batchWrite(dir2).commit(Array(real, e.commit()))
+    assert(ls(dir2) === Seq("part-0.avro"))
   }
 
   test("end-to-end df.write path: fresh directory, exactly one file " +
