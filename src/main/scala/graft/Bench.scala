@@ -15,6 +15,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    EngineDefaults(spark)
+    // r16: physical-plan conf A/B hook — `GRAFT_BENCH_CONF="k=v;k=v"`
+    // applies runtime-settable SQL confs before warmup, so candidate
+    // scale settings (AQE coalescing targets, join-strategy preferences)
+    // can be measured on subsets without rebuilding. Unset = shipped
+    // defaults; the driver's bench always runs the shipped defaults.
+    sys.env.get("GRAFT_BENCH_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
     // Silence WindowExec's "No Partition Defined" WARN: every
     // unpartitioned window in the catalog is PROVEN bounded by the
     // executable lint (BoundedWindowSpec enumerates all such sites from

@@ -23,6 +23,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    EngineDefaults(spark)
     val picks = Seq(
       "q01_star_fact" -> "star join: pushdown + broadcast dims + partial agg",
       "q12_topk" -> "top-k: TakeOrderedAndProject, no global sort",

@@ -20,6 +20,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    EngineDefaults(spark)
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

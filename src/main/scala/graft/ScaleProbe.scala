@@ -27,6 +27,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    EngineDefaults(spark)
 
     // `--stream-only` skips the batch replication/probes (they need the
     // 10x staging write; the streaming probe stages its own feed).

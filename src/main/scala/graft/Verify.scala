@@ -21,6 +21,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    EngineDefaults(spark)
     // known-bounded unpartitioned windows (BoundedWindowSpec is the
     // detector for real unbounded ones) — see the Bench note
     org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -22,6 +22,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    EngineDefaults(s)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
