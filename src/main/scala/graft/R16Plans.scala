@@ -14,8 +14,11 @@ object R16Plans {
     val suffix = args(1)
     val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
     val sf = if (args.length > 3) args(3) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // mirror the bench's shuffle-partition count: join-strategy choice
+    // (canBuildLocalHashMap = size < advisory × partitions) depends on it,
+    // and these dumps are the evidence for bench-shape claims
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -145,6 +145,9 @@ object Graph {
     val deg = e.select(col("u").as("nd"))
       .unionByName(e.select(col("v").as("nd")))
       .groupBy(col("nd")).agg(count(lit(1)).as("deg"))
+      // r16: three plan roles (both orientation joins + nodesEdges) each
+      // re-aggregated the full edge list — one compute, two saved
+      .cutLineage()
     val fwd = (col("du") < col("dv")) ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oe = e
@@ -752,6 +755,10 @@ object Graph {
       .agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= 2)
       .select(col("u"), col("v"))
+      // r16: three plan roles (both prefix-join sides + the closure
+      // semi-join) each REPLAYED the basket self-join + support agg —
+      // the query's dominant stage, paid 3× (guide §2.4)
+      .cutLineage()
     val cand = pairs.as("p1")
       .join(pairs.as("p2"),
         col("p1.u") === col("p2.u") && col("p1.v") < col("p2.v"))
@@ -946,6 +953,10 @@ object Graph {
       .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
     val a2 = e.join(h1, Seq("c"))
       .groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+    // (r16 probe: cutting a2 for its two consumers measured +4% — both
+    // roles sit in ONE action's plan, so AQE's runtime stage cache
+    // already reuses the canonically-identical a2 subtree; the cut only
+    // added a materialization job. Left uncut deliberately.)
     val h2 = e.join(a2, Seq("p"))
       .groupBy(col("c")).agg(sum(col("a2")).as("h2"))
     h2.orderBy(col("h2").desc, col("c").asc).limit(15)
@@ -1017,6 +1028,9 @@ object Graph {
       .select(col("ai"), col("bi"))
       .cutLineage() // feeds counts, core edges AND border assignment
     val nin = near.groupBy(col("ai")).agg(count(lit(1)).as("n_in"))
+      // r16: consumed by cores (→ 3 more roles) AND the final role
+      // readout — uncut, the in-disc count agg over `near` ran twice
+      .cutLineage()
     val cores = nin.filter(col("n_in") >= minPts).select(col("ai").as("id"))
     val coreEdges = near
       .join(cores.select(col("id").as("ai")), Seq("ai"))

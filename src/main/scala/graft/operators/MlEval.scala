@@ -1156,12 +1156,20 @@ object MlEval {
       .withColumn("rsplit",
         min(when(col("gain_r") === col("bg"), col("split"))).over(w))
       .select(col("rsplit"), col("bg")).distinct()
+      // r16: one row by construction — without the cut, the whole
+      // root-split branch (cells agg + 63-split scan + two windows) was
+      // REPLAYED in every consumer: the r16 plan dump showed the subtree
+      // 4× (222 nodes, 90 Exchanges for ≤3,200-row data). Guide §2.4.
+      .cutLineage()
     val qmarg = cells.crossJoin(broadcast(rbest))
       .withColumn("node",
         when(col("pbin") <= col("rsplit"), lit("left"))
           .otherwise(lit("right")))
       .groupBy(col("node"), col("qty"))
       .agg(sum(col("n")).as("n"), sum(col("p")).as("p"))
+      // ≤ 2 nodes × 50 qty values; consumed by stot + the sbest
+      // self-join (three plan roles) — same duplication argument
+      .cutLineage()
     val stot = qmarg.groupBy(col("node"))
       .agg(sum(col("n")).as("nt"), sum(col("p")).as("pt"))
     val wn = Window.partitionBy(col("node"))
@@ -1171,7 +1179,8 @@ object MlEval {
       .filter(col("qty") <= col("split"))
       .groupBy(col("node"), col("split"))
       .agg(sum(col("n")).as("n_l"), sum(col("p")).as("p_l"))
-      .join(stot, Seq("node"))
+      // 2-row side: the estimate-blind planner gave it a SortMergeJoin
+      .join(broadcast(stot), Seq("node"))
       .select(col("node"), col("split"), expr(gainCase).as("gain_r"))
       .withColumn("bg", max(col("gain_r")).over(wn))
       .withColumn("bs",
@@ -1179,7 +1188,7 @@ object MlEval {
       .select(col("node"), col("bs").as("best_split"),
         col("bg").as("gain_r"))
       .distinct()
-      .join(stot, Seq("node"))
+      .join(broadcast(stot), Seq("node"))
     tot.crossJoin(broadcast(rbest))
       .select(lit("root").as("node"), col("nt").as("n"),
         col("pt").as("pos"), col("rsplit").as("best_split"),
