@@ -1604,15 +1604,23 @@ object Dedup {
         graft.functions.Barrier.materialized(split(col("text"), " "))
           .as("tk"))
       .filter(size(col("tk")) >= L)
+    // r16 (guide §2.3 — shuffle keys, not payloads): the election and
+    // probe exchanges carried the WINDOW TEXT (~8-25 tokens per row);
+    // the q109 span-election discipline replaces it with the 120-bit
+    // two-halves-of-one-md5 key — ~5-20× fewer shuffle bytes at
+    // production window lengths, and collision-exact in practice
+    // (~1e12 distinct windows at the 100 TB design point → n²/2^121
+    // ≈ 4e-13 expected collisions; the oracle groups by the SAME key,
+    // so both engines agree bit-for-bit regardless).
     val w = docs.select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(tk) - ${L - 1}), " +
           s"i -> array_join(slice(tk, i, $L), ' '))")).as("wt"))
-      .select(col("doc_id"), TextOps.portableHash(col("wt")).as("h"),
-        col("wt"))
+      .select(col("doc_id"), TextOps.portableHash60(col("wt")).as("h1"),
+        TextOps.portableHash60b(col("wt")).as("h2"))
       .cutLineage() // owner election AND the probe side read it
-    val owner = w.groupBy(col("h"), col("wt"))
+    val owner = w.groupBy(col("h1"), col("h2"))
       .agg(min(col("doc_id")).as("owner"))
-    w.join(owner, Seq("h", "wt"))
+    w.join(owner, Seq("h1", "h2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("doc_id") > col("owner"), 1L).otherwise(0L))
@@ -1629,12 +1637,16 @@ object Dedup {
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |  WHERE len(string_split(text, ' ')) >= $l),
       |w AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(wt), 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(md5(wt), 17, 15))::BIGINT AS h2
+      |  FROM (
       |  SELECT doc_id, array_to_string(tk[pos : pos + ${l - 1}], ' ')
       |    AS wt
       |  FROM (SELECT doc_id, unnest(range(1, len(tk) - ${l - 2}))
       |          AS pos, tk
-      |        FROM toks)),
-      |own AS (SELECT wt, min(doc_id) AS owner FROM w GROUP BY 1)
+      |        FROM toks))),
+      |own AS (SELECT h1, h2, min(doc_id) AS owner FROM w GROUP BY 1, 2)
       |SELECT doc_id, count(*) AS n_windows,
       |  CAST(sum(CASE WHEN doc_id > owner THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_dup,
@@ -1642,7 +1654,7 @@ object Dedup {
       |    // count(*) AS BIGINT) AS dup_ppm,
       |  (CAST(sum(CASE WHEN doc_id > owner THEN 1 ELSE 0 END) * 1000000
       |    // count(*) AS BIGINT) >= 500000) AS prune
-      |FROM w JOIN own USING (wt)
+      |FROM w JOIN own USING (h1, h2)
       |GROUP BY 1""".stripMargin
 
   val catalog: Seq[Q] = Seq(

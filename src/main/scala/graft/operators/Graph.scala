@@ -1333,6 +1333,11 @@ object Graph {
       .groupBy(col("cust"), col("b")).agg(sum(col("pair_n")).as("score"))
       .withColumn("trn", row_number().over(wTop))
       .filter(col("trn") <= 3)
+      // r16: consumed by expo (an EAGER cut, i.e. its own action) AND
+      // nCust (the final action) — the whole query⋈sym + score-window
+      // pipeline ran twice, once per action, invisible to AQE's
+      // per-action stage cache. One cut, one compute (guide §2.4).
+      .cutLineage()
     val expo = top3.groupBy(col("b")).agg(count(lit(1)).as("n_rec"))
       .cutLineage() // dimension-bounded; feeds totals AND the top slice
     val tot = expo.agg(count(lit(1)).as("n_rec_distinct"),

@@ -400,21 +400,29 @@ object Layout {
       .select(col("node"),
         (col("pos") * 256L + col("node") * 16L + col("v")).as("rk"),
         col("pos"))
-    def owner(nNodes: Int, tag: String): DataFrame = {
-      val r = ring.filter(col("node") < nNodes)
-        .select(col("rk"), col("pos"))
-      t(spark, dir, "customer")
-        .select(col("c_custkey").as("key"),
-          TextOps.portableHash(concat(lit("key:"),
-            col("c_custkey").cast("string"))).as("kpos"))
-        .join(broadcast(r), lit(true))
-        .groupBy(col("key"))
-        .agg(min(when(col("pos") >= col("kpos"), col("rk"))).as("succ"),
-          min(col("rk")).as("wrap"))
-        .select(col("key"),
-          expr("(coalesce(succ, wrap) % 256) DIV 16").as(tag))
-    }
-    owner(8, "owner8").join(owner(9, "owner9"), Seq("key"))
+    // r16: the 8-node and 9-node owners came from two separate
+    // cross-join+agg passes (each re-scanning customer and re-hashing
+    // every key) joined back on key — one shuffle join + one exchange +
+    // one scan more than needed. Both owners are conditional minima
+    // over the SAME 144-row broadcast ring, so one pass computes all
+    // four (guide §2.4: remove shuffles outright). Same integer math,
+    // identical output; the oracle keeps its two-CTE spelling.
+    t(spark, dir, "customer")
+      .select(col("c_custkey").as("key"),
+        TextOps.portableHash(concat(lit("key:"),
+          col("c_custkey").cast("string"))).as("kpos"))
+      .join(broadcast(ring.select(col("node"), col("rk"), col("pos"))),
+        lit(true))
+      .groupBy(col("key"))
+      .agg(
+        min(when(col("node") < 8 && col("pos") >= col("kpos"),
+          col("rk"))).as("s8"),
+        min(when(col("node") < 8, col("rk"))).as("w8"),
+        min(when(col("pos") >= col("kpos"), col("rk"))).as("s9"),
+        min(col("rk")).as("w9"))
+      .select(col("key"),
+        expr("(coalesce(s8, w8) % 256) DIV 16").as("owner8"),
+        expr("(coalesce(s9, w9) % 256) DIV 16").as("owner9"))
       .groupBy(col("owner8"), col("owner9"))
       .agg(count(lit(1)).as("n_keys"))
       .withColumn("moved", col("owner8") =!= col("owner9"))

@@ -1925,6 +1925,11 @@ object MlEval {
         expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
           .as("cents"))
       .join(broadcast(pb), Seq("pk"))
+      // (r16 probe: fusing these two shuffles into one ok-keyed
+      // collect_list + in-array brand-max measured +26% — the per-line
+      // struct collect ships MORE bytes than the (ok,brand)-max partial
+      // agg saves, and the array_sort+filter HOF is interpreted.
+      // Two-shuffle form kept deliberately.)
       .groupBy(col("ok"), col("brand"))
       .agg(max(col("cents")).as("cents"))
       .groupBy(col("ok"))

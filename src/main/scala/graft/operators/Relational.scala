@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.Ckpt.CutOps
 import graft.sources.Tables
 
 /** Relational parity operators — SURVEY.md §2 (projections P1-P6, joins
@@ -430,8 +431,13 @@ object Relational {
         concat(lit("mk:"), col("key").cast("string"))) % 64).as("bkt"),
       TextOps.portableHash60(concat_ws("|", col("key"), col("cents"),
         col("status"), col("priority"), col("cust"))).as("rd"))
-    val e1 = enc(v1)
-    val e2 = enc(v2)
+    // r16: each encoded side feeds two DIFFERENTLY-keyed exchanges (the
+    // bkt-keyed digest agg and the key-keyed row census) — exchange
+    // reuse can't apply below differing partitionings, so the scan +
+    // two-md5 projection ran twice per side. One cut each halves the
+    // md5 work (guide §2.4).
+    val e1 = enc(v1).cutLineage()
+    val e2 = enc(v2).cutLineage()
     val b1 = e1.groupBy(col("bkt"))
       .agg(expr("bit_xor(rd)").as("d1"), count(lit(1)).as("n1"))
     val b2 = e2.groupBy(col("bkt"))

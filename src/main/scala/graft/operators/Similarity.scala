@@ -709,11 +709,26 @@ object Similarity {
         floor(lit(1000.0) * x.cast("double") + lit(0.5)).cast("long")))
         .as(Seq("j", "x")))
       .withColumn("j", col("j") + 1)
-      .cutLineage() // feeds the Gram self-join (both sides) + dim sums
-    val gram = pts.select(col("vec_id"), col("j"), col("x"))
-      .join(pts.select(col("vec_id"), col("j").as("k"),
-        col("x").as("xk")), Seq("vec_id"))
-      .groupBy(col("j"), col("k")).agg(sum(col("x") * col("xk")).as("g"))
+      .cutLineage() // feeds dim sums + downstream q309 consumers
+    // r16: Gram as ONE typed aggregate over the quantized vector array
+    // (guide §1.2 step 2 / the MinHashAgg discipline) — the previous
+    // (vec_id)-keyed self-join + groupBy(j,k) materialized n·d² rows
+    // (8.2M at sf0.1) through join machinery to multiply-add them; the
+    // agg does the same integer sums in a d² buffer with map-side
+    // partial aggregation. Bit-identical (integer sums commute;
+    // GramAggSpec pins equality against the join form).
+    val gramBuf = t(spark, dir, "embeddings")
+      .select(transform(col("embedding"), x =>
+        floor(lit(1000.0) * x.cast("double") + lit(0.5)).cast("long"))
+        .as("xs"))
+      .agg(graft.functions.GramAgg.gram(col("xs")).as("gb"))
+    val gram = gramBuf
+      .select(expr("CAST(round(sqrt(size(gb)), 0) AS INT)").as("d"),
+        posexplode(col("gb")).as(Seq("idx", "g")))
+      // CAST(... AS INT): `div` yields BIGINT; the join form's j/k were
+      // INT (posexplode idx + 1) — keep the stage's schema identical
+      .select((expr("CAST(idx div d AS INT)") + 1).as("j"),
+        (expr("CAST(idx % d AS INT)") + 1).as("k"), col("g"))
     val dimSums = pts.groupBy(col("j")).agg(sum(col("x")).as("s"))
     val nRows = t(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
     val cRaw = gram
