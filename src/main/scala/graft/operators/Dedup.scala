@@ -120,6 +120,10 @@ object Dedup {
     * shuffle it removes is cheap at sf0.1 — it is NOT cheap at 100 TB).
     * distinct() mirrors the per-document shingle-SET semantics. */
   private[operators] def shingleExploded(docs: DataFrame): DataFrame =
+    shingleRaw(docs).distinct()
+
+  /** Pre-distinct exploded shingles (narrow, scan-local). */
+  private def shingleRaw(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         graft.functions.Barrier.materialized(split(col("text"), " "))
@@ -131,6 +135,20 @@ object Dedup {
         concat_ws(" ", element_at(col("ws"), col("i")),
           element_at(col("ws"), col("i") + 1),
           element_at(col("ws"), col("i") + 2)).as("s"))
+
+  /** (doc_id, hashed shingle) DISTINCT relation with the hash applied
+    * BEFORE the distinct (r16, guide §2.3): the dedup exchange — the
+    * first shuffle of every sketch/verify pipeline — carries an 8-byte
+    * hash per row instead of the 3-word shingle string. Exactly equal
+    * to hash-after-distinct for every consumer: the sig paths take
+    * min-aggregates over the hash (insensitive to pre-distinct
+    * duplicates) and the verify paths take the hash SET — which is
+    * also precisely the oracle's construction
+    * (`list_distinct(list_transform(shingles, md5-slice))`). */
+  private[operators] def shingleHashed(docs: DataFrame,
+      hasher: Column => Column): DataFrame =
+    shingleRaw(docs)
+      .select(col("doc_id"), hasher(col("s")).as("h"))
       .distinct()
 
   /** Restrict a documents frame to those appearing in candidate pairs —
@@ -158,8 +176,8 @@ object Dedup {
     * the candidate-generation pipeline re-executing per consumer. */
   private def verifyJaccard(cands0: DataFrame, docs: DataFrame): DataFrame = {
     val cands = cands0.cutLineage()
-    val shSets = shingleExploded(candidateDocs(docs, cands))
-      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+    val shSets = shingleHashed(candidateDocs(docs, cands),
+        TextOps.portableHash60)
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
       .cutLineage()
     cands
@@ -198,8 +216,8 @@ object Dedup {
   /** [[ngramJaccard]] over an arbitrary (doc_id, text) frame (spec entry
     * point; docs must already carry ≥3 words). */
   def ngramJaccardOn(docs: DataFrame): DataFrame = {
-    val hashed = shingleExploded(docs)
-      .select(col("doc_id"), TextOps.portableHash(col("s")).as("x"))
+    val hashed = shingleHashed(docs, TextOps.portableHash)
+      .select(col("doc_id"), col("h").as("x"))
     val minsAgg = (0 until 4).map(j =>
       min((lit(2L * j + 1) * col("x") + lit(j * 2654435761L))
         % lit(4294967311L)).as(s"m$j"))
@@ -230,8 +248,8 @@ object Dedup {
     // explode → one portable hash per shingle (codegen'd), then the
     // MinHashAgg buffer with map-side partial agg: the shuffle carries
     // k values per document.
-    shingleExploded(docs)
-      .select(col("doc_id"), TextOps.portableHash(col("s")).as("x"))
+    shingleHashed(docs, TextOps.portableHash)
+      .select(col("doc_id"), col("h").as("x"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhashSig(col("x"), 64).as("sig"))
   }
@@ -898,8 +916,7 @@ object Dedup {
 
   private def hashedShingles60(spark: SparkSession, dir: String): DataFrame =
     shCache.computeIfAbsent((org.apache.spark.sql.GraftBridge.sessionUUID(spark), dir), { _ =>
-      shingleExploded(shingleCorpus(spark, dir))
-        .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+      shingleHashed(shingleCorpus(spark, dir), TextOps.portableHash60)
         .cutLineage()
     })
 
@@ -954,8 +971,7 @@ object Dedup {
     * builds its own shingle relation, never the shared cache). */
   private[graft] def containmentJoinOn(docs0: DataFrame): DataFrame = {
     val docs = docs0.filter(size(split(col("text"), " ")) >= 3)
-    containmentFrom(docs, shingleExploded(docs)
-      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+    containmentFrom(docs, shingleHashed(docs, TextOps.portableHash60)
       .cutLineage())
   }
 
@@ -976,8 +992,8 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .cutLineage()
-    val shSets = shingleExploded(candidateDocs(docs, cands))
-      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+    val shSets = shingleHashed(candidateDocs(docs, cands),
+        TextOps.portableHash60)
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
       .cutLineage()
     cands
@@ -1400,8 +1416,8 @@ object Dedup {
         Seq("doc_a", "doc_b"), "full_outer")
       .na.fill(false, Seq("from_mh", "from_ng"))
       .cutLineage()
-    val shSets = shingleExploded(candidateDocs(docs, pooled))
-      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+    val shSets = shingleHashed(candidateDocs(docs, pooled),
+        TextOps.portableHash60)
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
       .cutLineage()
     pooled
