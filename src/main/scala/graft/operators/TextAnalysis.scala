@@ -1176,8 +1176,9 @@ object TextAnalysis {
   def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
-    val sh = Dedup.shingleExploded(docs)
-      .select(col("doc_id"), TextOps.portableHash60(col("s")).as("h"))
+    // r16: hash before the distinct — the dedup exchange carries the
+    // 8-byte key, not the shingle string (see Dedup.shingleHashed)
+    val sh = Dedup.shingleHashed(docs, TextOps.portableHash60)
       .cutLineage()
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("f"))
     sh.join(freq, Seq("h"))

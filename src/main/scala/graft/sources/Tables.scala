@@ -20,8 +20,29 @@ object Tables {
     */
   val constantDims: Set[String] = Set("region", "nation")
 
+  /** Schema memo (r16): every `load` used to run parquet schema
+    * inference — a footer-read job — and the catalog performs ~2 loads
+    * per query, so a full bench pass paid ~700 such jobs of pure
+    * planning latency. The memo caches the INFERRED SCHEMA (metadata
+    * only — never data or results; every query still scans the parquet
+    * from disk) keyed by (path, directory mtime), so a regenerated
+    * testdata dir re-infers. Passing an explicit schema also skips the
+    * fallback inference pass entirely at 100 TB, where footer sampling
+    * of a large table is driver-side listing work (guide §7.3). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    // GRAFT_SCHEMA_MEMO=0: A/B kill-switch (measurement honesty only)
+    val df = if (sys.env.get("GRAFT_SCHEMA_MEMO").contains("0"))
+      spark.read.parquet(path)
+    else {
+      val mtime = new java.io.File(path).lastModified()
+      val sch = schemaCache.computeIfAbsent((path, mtime),
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(sch).parquet(path)
+    }
     if (name == "events") normalizeTs(df) else df
   }
 
